@@ -1,0 +1,536 @@
+package graft.catalog
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational operator catalog: the predicate / join / aggregate / set-op /
+  * sort / window inventory of SURVEY.md §2.2–§2.7, §2.9, each demonstrated on
+  * the driver's TPC-H-ish tables with an exact DuckDB oracle.
+  *
+  * Scale notes (these run at 100 TB, not just sf0.1):
+  *  - Money aggregates are summed as DECIMAL(18,2) and only then cast to
+  *    double: decimal addition is associative+commutative, so partial
+  *    (map-side) aggregation over any partitioning gives bit-identical
+  *    results — double sums would drift per shuffle layout.
+  *  - Small sides of joins (nation, literal key lists, flagged-file sets)
+  *    are broadcast; large joins are plain shuffled hash/sort-merge equi-
+  *    joins on the natural key so AQE can pick and skew-split.
+  *  - Global-ordering windows appear only where the reference semantics
+  *    require one (W1 file bucketing); the library version in
+  *    graft.operators.SitemapBucketing shows the two-phase scalable form.
+  */
+object RelationalCatalog extends Catalog {
+
+  /** Exact, partitioning-invariant sum of a money column, returned as double. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+  private def dsumSql(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(18,2))) AS DOUBLE)"
+
+  def queries: Map[String, QFn] = Map(
+
+    // ── A1/flagship: grouped aggregation with decimal-exact partial aggs ──
+    "q1_agg" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum((col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // ── S2: pruned scan — filter + projection pushed to the parquet reader ──
+    "s2_scan_prune" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity") > 45 && col("l_shipdate") >= lit("2000-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ── P1: incremental-change filter (updated >= since, skip processed>updated) ──
+    "p1_incremental_filter" -> ((s, d) => {
+      Tables.events(s, d)
+        .filter(col("ts") >= lit("2024-01-15 00:00:00").cast("timestamp") && !(col("value") > 300.0))
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ── P3: already-processed suppression with epoch default for null ──
+    "p3_epoch_default" -> ((s, d) => {
+      val lastOrder = Tables.orders(s, d)
+        .groupBy(col("o_custkey")).agg(max(col("o_orderdate")).as("last_order"))
+      Tables.customer(s, d)
+        .join(lastOrder, col("c_custkey") === col("o_custkey"), "left_outer")
+        .select(col("c_custkey"),
+          coalesce(col("last_order"), lit("1972-01-01 00:00:00").cast("timestamp")).as("effective_ts"))
+        .filter(col("effective_ts") < lit("2001-06-01 00:00:00").cast("timestamp"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ── P5: obsolete-record predicate (payload null AND stale) ──
+    "p5_obsolete_predicate" -> ((s, d) => {
+      val withUrgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey")).distinct()
+      Tables.customer(s, d)
+        .join(withUrgent, col("c_custkey") === col("o_custkey"), "left_outer")
+        .filter(col("o_custkey").isNull && col("c_acctbal") <= 5000.0)
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ── P6: failed-status predicate (NOT IN + not-null) ──
+    "p6_failed_status" -> ((s, d) => {
+      Tables.orders(s, d)
+        .filter(!col("o_orderstatus").isin("O", "F") && col("o_orderpriority").isNotNull)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ── P7: interval-arithmetic inclusion predicate (staleness > N days) ──
+    "p7_interval_staleness" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate"))
+      Tables.lineitem(s, d)
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter(datediff(col("l_shipdate"), col("o_orderdate")) > 110)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("lag_days"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ── P8: recent-change window — two filters ∪ distinct ──
+    "p8_recent_window_union" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val byDate = o.filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      val byPrice = o.filter(col("o_totalprice") > 400000.0).select(col("o_custkey"))
+      byDate.union(byPrice).distinct().orderBy(col("o_custkey"))
+    }),
+
+    // ── P10: collection whitelist — order-insensitive array intersect ──
+    "p10_collection_whitelist" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          array_sort(array_intersect(
+            array_distinct(split(col("text"), " ")),
+            array(lit("join"), lit("merge"), lit("window"), lit("stream")))).as("kept"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── J1: left outer join with has-payload flag ──
+    "j1_left_outer_flag" -> ((s, d) => {
+      val building = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), col("c_name"))
+      Tables.orders(s, d)
+        .join(building, col("o_custkey") === col("c_custkey"), "left_outer")
+        .select(col("o_orderkey"), col("c_name").isNotNull.as("has_customer"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ── J2: IN-list lookup (broadcast hash join against literal keys) ──
+    "j2_inlist_lookup" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey").isin(1L, 7L, 32L, 100L, 129L, 4000L))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ── J3: full-outer join replacing the reference's driver-side dict probe ──
+    "j3_full_outer_merge" -> ((s, d) => {
+      val cnt = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+      val cust = Tables.customer(s, d)
+        .filter(col("c_custkey") % 3 =!= 0)
+        .select(col("c_custkey"), col("c_acctbal"))
+      cust.join(cnt, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          col("c_acctbal").isNotNull.as("has_master"))
+        .orderBy(col("custkey"))
+    }),
+
+    // ── J4: anti-join (NOT IN subquery) ──
+    "j4_anti_join" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ── J5: semi-join (IN subquery / EXISTS) ──
+    "j5_semi_join" -> ((s, d) => {
+      val pending = Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "P").select(col("o_custkey"))
+      Tables.customer(s, d)
+        .join(pending, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ── J6: duplicate detection (self-group count > 1) ──
+    "j6_dup_detect" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    // ── J7: alias-chain resolution — iterative self-join to fixpoint.
+    // Chain: key k points to k-1 unless k % 5 == 0 (a root). Resolving every
+    // key to its root mirrors the reference's IdentifierMapping walk; the
+    // loop runs in the driver over a tiny DataFrame (alias graphs are small)
+    // while each step is a distributed join, so depth scales with the longest
+    // chain, not the table size.
+    "j7_alias_fixpoint" -> ((s, d) => {
+      val mapping = Tables.nation(s, d)
+        .select(col("n_nationkey").cast("long").as("key"),
+          when(col("n_nationkey") % 5 === 0, col("n_nationkey"))
+            .otherwise(col("n_nationkey") - 1).cast("long").as("target"))
+      var resolved = mapping
+      var converged = false
+      while (!converged) {
+        val next = resolved.as("a")
+          .join(mapping.as("m"), col("a.target") === col("m.key"), "left_outer")
+          .select(col("a.key").as("key"),
+            coalesce(col("m.target"), col("a.target")).as("target"))
+        next.cache()
+        val moved = next.as("n").join(resolved.as("r"), col("n.key") === col("r.key"))
+          .filter(col("n.target") =!= col("r.target")).limit(1).count()
+        converged = moved == 0
+        resolved.unpersist()
+        resolved = next
+      }
+      resolved.select(col("key"), col("target").as("root")).orderBy(col("key"))
+    }),
+
+    // ── J8: LIKE-probe ──
+    "j8_like_probe" -> ((s, d) => {
+      Tables.documents(s, d)
+        .filter(col("text").contains("window join"))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── A1: group-count per bucket ──
+    "a1_group_count" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ── A2: pending/total conditional counts (single row) ──
+    "a2_pending_counts" -> ((s, d) => {
+      Tables.orders(s, d).agg(
+        count(lit(1)).as("total"),
+        count(when(col("o_orderstatus") === "P", 1)).as("pending"),
+        count(when(col("o_totalprice") > 300000.0, 1)).as("large"))
+    }),
+
+    // ── A3: latest-wins merge (newest value per key, deterministic tiebreak) ──
+    "a3_latest_wins" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("latest_type"), col("value").as("latest_value"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ── A4: row-wise greatest (max-timestamp rollup) ──
+    "a4_greatest_rollup" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") <= 1000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          greatest(col("l_quantity"), col("l_discount") * 100.0, col("l_tax") * 100.0).as("hottest"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ── A5: count-of-array with payload override (coalesce) ──
+    "a5_array_counts" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("word_count"),
+          coalesce(col("n_chars"), length(col("text")).cast("long")).as("char_count"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── A6: batch statistics accumulation (sum-when counters) ──
+    "a6_batch_stats" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          sum(when(col("value") >= 100.0, 1L).otherwise(0L)).as("successful"),
+          sum(when(col("value") < 100.0, 1L).otherwise(0L)).as("failed"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ── A7/M7/D5: file-set reconciliation — group-counts before/after, except ──
+    "a7_file_set_reconcile" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val before = li.select(col("l_orderkey")).distinct()
+      val after = li.filter(col("l_quantity") <= 45.0).select(col("l_orderkey")).distinct()
+      before.except(after).orderBy(col("l_orderkey"))
+    }),
+
+    // ── D1: DISTINCT projection ──
+    "d1_distinct" -> ((s, d) =>
+      Tables.documents(s, d).select(col("source")).distinct().orderBy(col("source"))),
+
+    // ── D2: UNION with dedup ──
+    "d2_union_distinct" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
+        .union(o.filter(col("o_totalprice") > 450000.0).select(col("o_orderkey")))
+        .distinct().orderBy(col("o_orderkey"))
+    }),
+
+    // ── D3: set-union dedup of arrays ──
+    "d3_array_union" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          array_sort(array_union(
+            array_distinct(slice(split(col("text"), " "), 1, 5)),
+            array(lit("astrophysics"), lit("the")))).as("merged"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── O1: one row per group by min id (order_by + limit 1 per group) ──
+    "o1_min_per_group" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("event_id"), col("user_id"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ── O3: numeric-suffix sort of generated names ──
+    "o3_numeric_name_sort" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("source")).distinct()
+        .select(col("source"),
+          regexp_extract(col("source"), "src(\\d+)", 1).cast("long").as("file_idx"))
+        .orderBy(col("file_idx").desc)
+        .limit(3)
+    }),
+
+    // ── O4: timestamp-priority ordering of payload slots per key ──
+    "o4_priority_sort" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("user_id"),
+          concat(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"),
+            lit("|"), col("event_type")).as("slot"))
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(col("slot"))).as("ordered_slots"))
+        .select(col("user_id"), col("ordered_slots"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ── O5: ordered limit (top-3 by price) ──
+    "o5_ordered_limit" -> ((s, d) =>
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .limit(3)),
+
+    // ── W1: sequential file bucketing (row_number → rolling file assignment).
+    // Catalog form uses a single global window (fine at catalog scale); the
+    // scalable two-phase version lives in graft.operators.SitemapBucketing.
+    "w1_file_bucketing" -> ((s, d) => {
+      val w = Window.orderBy(col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .select(col("o_orderkey"),
+          concat(lit("sitemap_bib_"),
+            (floor((col("rn") - 1) / 5000) + 1).cast("string"), lit(".xml")).as("sitemap_filename"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ── W2: at-most-one flagged row per file (idempotent flag) ──
+    "w2_one_per_group_flag" -> ((s, d) => {
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("flagged", row_number().over(w) === 1)
+        .select(col("doc_id"), col("source"), col("flagged"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+         COUNT(*) AS count_order,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "s2_scan_prune" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE l_quantity > 45 AND l_shipdate >= TIMESTAMP '2000-01-01'
+         ORDER BY l_orderkey, l_linenumber""",
+    "p1_incremental_filter" ->
+      """SELECT event_id, user_id, event_type FROM events
+         WHERE ts >= TIMESTAMP '2024-01-15' AND NOT (value > 300.0)
+         ORDER BY event_id""",
+    "p3_epoch_default" ->
+      """SELECT c_custkey,
+           COALESCE(lo.last_order, TIMESTAMP '1972-01-01') AS effective_ts
+         FROM customer LEFT JOIN
+           (SELECT o_custkey, MAX(o_orderdate) AS last_order FROM orders GROUP BY o_custkey) lo
+           ON c_custkey = lo.o_custkey
+         WHERE COALESCE(lo.last_order, TIMESTAMP '1972-01-01') < TIMESTAMP '2001-06-01'
+         ORDER BY c_custkey""",
+    "p5_obsolete_predicate" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+           AND c_acctbal <= 5000.0
+         ORDER BY c_custkey""",
+    "p6_failed_status" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+         WHERE o_orderstatus NOT IN ('O','F') AND o_orderpriority IS NOT NULL
+         ORDER BY o_orderkey""",
+    "p7_interval_staleness" ->
+      """SELECT l_orderkey, l_linenumber,
+           CAST(datediff('day', o_orderdate, l_shipdate) AS BIGINT) AS lag_days
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE datediff('day', o_orderdate, l_shipdate) > 110
+         ORDER BY l_orderkey, l_linenumber""",
+    "p8_recent_window_union" ->
+      """SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+         UNION
+         SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0
+         ORDER BY o_custkey""",
+    "p10_collection_whitelist" ->
+      """SELECT doc_id,
+           list_sort(list_intersect(list_distinct(string_split(text, ' ')),
+                                    ['join','merge','window','stream'])) AS kept
+         FROM documents ORDER BY doc_id""",
+    "j1_left_outer_flag" ->
+      """SELECT o_orderkey, (c.c_name IS NOT NULL) AS has_customer
+         FROM orders LEFT JOIN
+           (SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING') c
+           ON o_custkey = c.c_custkey
+         ORDER BY o_orderkey""",
+    "j2_inlist_lookup" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
+         WHERE l_orderkey IN (1, 7, 32, 100, 129, 4000)
+         ORDER BY l_orderkey, l_linenumber""",
+    "j3_full_outer_merge" ->
+      """SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+           COALESCE(o.n_orders, 0) AS n_orders,
+           (c.c_acctbal IS NOT NULL) AS has_master
+         FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 3 <> 0) c
+         FULL OUTER JOIN (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey) o
+           ON c.c_custkey = o.o_custkey
+         ORDER BY custkey""",
+    "j4_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+    "j5_semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+         ORDER BY c_custkey""",
+    "j6_dup_detect" ->
+      """SELECT user_id, event_type, COUNT(*) AS n FROM events
+         GROUP BY user_id, event_type HAVING COUNT(*) > 1
+         ORDER BY user_id, event_type""",
+    "j7_alias_fixpoint" ->
+      """WITH RECURSIVE mapping AS (
+           SELECT CAST(n_nationkey AS BIGINT) AS key,
+                  CAST(CASE WHEN n_nationkey % 5 = 0 THEN n_nationkey ELSE n_nationkey - 1 END AS BIGINT) AS target
+           FROM nation),
+         walk(key, target) AS (
+           SELECT key, target FROM mapping
+           UNION ALL
+           SELECT w.key, m.target FROM walk w JOIN mapping m ON w.target = m.key
+           WHERE w.target <> m.target)
+         SELECT key, MIN(target) AS root FROM walk GROUP BY key ORDER BY key""",
+    "j8_like_probe" ->
+      """SELECT doc_id, source FROM documents WHERE text LIKE '%window join%' ORDER BY doc_id""",
+    "a1_group_count" ->
+      """SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type ORDER BY event_type""",
+    "a2_pending_counts" ->
+      """SELECT COUNT(*) AS total,
+           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS pending,
+           COUNT(CASE WHEN o_totalprice > 300000.0 THEN 1 END) AS large
+         FROM orders""",
+    "a3_latest_wins" ->
+      """SELECT user_id, event_type AS latest_type, value AS latest_value
+         FROM (SELECT user_id, event_type, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events) t
+         WHERE rn = 1 ORDER BY user_id""",
+    "a4_greatest_rollup" ->
+      """SELECT l_orderkey, l_linenumber,
+           GREATEST(l_quantity, l_discount * 100.0, l_tax * 100.0) AS hottest
+         FROM lineitem WHERE l_orderkey <= 1000
+         ORDER BY l_orderkey, l_linenumber""",
+    "a5_array_counts" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS word_count,
+           COALESCE(n_chars, CAST(length(text) AS BIGINT)) AS char_count
+         FROM documents ORDER BY doc_id""",
+    "a6_batch_stats" ->
+      """SELECT event_type,
+           CAST(SUM(CASE WHEN value >= 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS successful,
+           CAST(SUM(CASE WHEN value < 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS failed
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "a7_file_set_reconcile" ->
+      """SELECT DISTINCT l_orderkey FROM lineitem
+         EXCEPT
+         SELECT DISTINCT l_orderkey FROM lineitem WHERE l_quantity <= 45.0
+         ORDER BY l_orderkey""",
+    "d1_distinct" ->
+      """SELECT DISTINCT source FROM documents ORDER BY source""",
+    "d2_union_distinct" ->
+      """SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+         UNION SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0
+         ORDER BY o_orderkey""",
+    "d3_array_union" ->
+      """SELECT doc_id,
+           list_sort(list_distinct(list_concat(
+             list_distinct(string_split(text, ' ')[1:5]), ['astrophysics','the']))) AS merged
+         FROM documents ORDER BY doc_id""",
+    "o1_min_per_group" ->
+      """SELECT event_type, event_id, user_id
+         FROM (SELECT event_type, event_id, user_id,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
+               FROM events) t
+         WHERE rn = 1 ORDER BY event_type""",
+    "o3_numeric_name_sort" ->
+      """SELECT source, CAST(regexp_extract(source, 'src(\d+)', 1) AS BIGINT) AS file_idx
+         FROM (SELECT DISTINCT source FROM documents) t
+         ORDER BY file_idx DESC LIMIT 3""",
+    "o4_priority_sort" ->
+      """SELECT user_id,
+           list_sort(list(strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || '|' || event_type)) AS ordered_slots
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "o5_ordered_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 3""",
+    "w1_file_bucketing" ->
+      """SELECT o_orderkey,
+           'sitemap_bib_' || CAST((CAST(FLOOR((rn - 1) / 5000) AS BIGINT) + 1) AS VARCHAR) || '.xml' AS sitemap_filename
+         FROM (SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders) t
+         ORDER BY o_orderkey""",
+    "w2_one_per_group_flag" ->
+      """SELECT doc_id, source,
+           (ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) = 1) AS flagged
+         FROM documents ORDER BY doc_id"""
+  )
+}
