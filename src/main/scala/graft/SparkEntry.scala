@@ -12,7 +12,8 @@ import graft.catalog._
 object SparkEntry {
 
   private val catalogs: Seq[Catalog] = Seq(
-    RelationalCatalog)
+    RelationalCatalog,
+    TransformCatalog)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
