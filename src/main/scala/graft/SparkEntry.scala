@@ -13,7 +13,10 @@ object SparkEntry {
 
   private val catalogs: Seq[Catalog] = Seq(
     RelationalCatalog,
-    TransformCatalog)
+    TransformCatalog,
+    TextCatalog,
+    DedupCatalog,
+    SimilarityCatalog)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

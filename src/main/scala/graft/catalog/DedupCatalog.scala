@@ -1,0 +1,228 @@
+package graft.catalog
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.PortableHash._
+
+/** Deduplication operators for a training-data pipeline: exact content
+  * dedup, MinHash+LSH near-dup, SimHash near-dup, length-banded n-gram
+  * Jaccard. All oracle-checkable value-for-value (hashing is the portable
+  * md5-derived family from PortableHash).
+  *
+  * Scale design: every variant is candidate-generation-by-equi-join — the
+  * only shuffles are on (band_idx, band_value) or bucket keys, so work is
+  * proportional to candidate pairs, never to n². Exact Jaccard verification
+  * happens only on candidates (classic LSH verify step). At 100 TB the same
+  * plans hold: band buckets stay small because band values are ~uniform, and
+  * skewed buckets are split by AQE.
+  */
+object DedupCatalog extends Catalog {
+
+  /** Distinct word-3-gram shingles of a text column. */
+  private def shingles3(textCol: Column): Column = {
+    val words = split(textCol, " ")
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(words) - 2, lit(1))),
+      i => array_join(slice(words, i, lit(3)), " ")))
+  }
+
+  private val Shingles3Sql =
+    """list_distinct(list_transform(
+         generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+         i -> array_to_string(string_split(text,' ')[i:i+2], ' ')))"""
+
+  private def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)) / size(array_union(a, b))
+
+  /** doc_id + shingle set + 31-bit shingle hashes. */
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), shingles3(col("text")).as("sh"))
+      .withColumn("hs", transform(col("sh"), sh => hash31(sh)))
+
+  def queries: Map[String, QFn] = Map(
+
+    // ── Exact dedup: group by full-content hash, keep lowest id ──
+    "dd_exact_dedup" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy(hash64(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("keep_id"))
+    }),
+
+    // ── MinHash + LSH near-dup: shingle → 8 minhashes → 4 bands of 2 →
+    // band-bucket equi-join → exact-Jaccard verify on candidates only.
+    "dd_minhash_lsh" -> ((s, d) => {
+      val base = shingled(s, d)
+        .withColumn("mh", array((0 until 8).map(k =>
+          minhash(col("hs"), MinhashA(k), MinhashB(k))): _*))
+      val bands = base.select(col("doc_id"), col("sh"), col("mh"),
+        explode(array((0 until 4).map(k => struct(
+          lit(k).as("band_idx"),
+          (element_at(col("mh"), 2 * k + 1) * Mersenne31 +
+            element_at(col("mh"), 2 * k + 2)).as("band_val"))): _*)).as("band"))
+        .select(col("doc_id"), col("sh"), col("mh"),
+          col("band.band_idx").as("band_idx"), col("band.band_val").as("band_val"))
+      bands.as("a").join(bands.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_val") === col("b.band_val") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          jaccard(col("a.sh"), col("b.sh")).as("jaccard"),
+          (aggregate(zip_with(col("a.mh"), col("b.mh"),
+            (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _) / 8.0).as("est_jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .distinct()
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // ── Length-banded n-gram Jaccard: overlapping length buckets (b, b+1)
+    // bound the candidate set; exact shingle Jaccard on candidates.
+    "dd_lenband_jaccard" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), shingles3(col("text")).as("sh"),
+          explode(array(expr("n_chars div 64"), expr("n_chars div 64 + 1"))).as("bucket"))
+      base.as("a").join(base.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .distinct()
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // ── SimHash: 32-bit locality-sensitive fingerprint per document ──
+    "dd_simhash" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), simhash32(col("text")).as("simhash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── SimHash near-dup pairs: 16-bit half-band candidates, Hamming ≤ 6 ──
+    "dd_simhash_pairs" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), simhash32(col("text")).as("simhash"))
+        .select(col("doc_id"), col("simhash"),
+          explode(array(
+            struct(lit(0).as("half"), expr("simhash div 65536").as("half_val")),
+            struct(lit(1).as("half"), (col("simhash") % 65536).as("half_val")))).as("band"))
+        .select(col("doc_id"), col("simhash"),
+          col("band.half").as("half"), col("band.half_val").as("half_val"))
+      base.as("a").join(base.as("b"),
+          col("a.half") === col("b.half") &&
+            col("a.half_val") === col("b.half_val") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+        .filter(col("hamming") <= 6)
+        .distinct()
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // ── Embedding-cosine near-dup: nearest same-label neighbor per vector ──
+    "dd_embedding_neardup" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+      val pairs = e.as("a").join(e.as("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
+          cosine(col("a.v"), col("b.v")).as("cos_sim"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("neighbor_id"), col("cos_sim"))
+        .orderBy(col("vec_id"))
+    })
+  )
+
+  /** 32-bit simhash from the universal-hash bit family (portable to the
+    * oracle; swap the per-word hash for xxhash64 bits on a real cluster). */
+  private def simhash32(textCol: Column): Column = {
+    val hs = transform(split(textCol, " "), w => hash31(w))
+    val aLit = typedLit(SimhashA)
+    val bLit = typedLit(SimhashB)
+    val bits = transform(sequence(lit(0), lit(31)), j =>
+      when(aggregate(hs, lit(0L), (acc, h) =>
+        acc + (((h * element_at(aLit, j + 1) + element_at(bLit, j + 1)) % Mersenne31) % 2) * 2 - 1) > 0,
+        pow(lit(2.0), j.cast("double")).cast("long")).otherwise(lit(0L)))
+    aggregate(bits, lit(0L), _ + _)
+  }
+
+  private val Simhash32Sql: String =
+    s"""CAST(list_sum(list_transform(generate_series(0, 31), j ->
+          CASE WHEN list_sum(list_transform(
+                 list_transform(string_split(text, ' '), w -> ${hash31Sql("w")}),
+                 h -> ((h * (${sqlList(SimhashA)})[j+1] + (${sqlList(SimhashB)})[j+1]) % $Mersenne31) % 2 * 2 - 1)) > 0
+          THEN CAST(pow(2.0, j) AS BIGINT) ELSE 0 END)) AS BIGINT)"""
+
+  /** Exact-order cosine: fold-left dot and norms, rounded to 6dp on both
+    * engines so op-order ulps can't flip the comparison. */
+  private def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    round(dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))), 6)
+  }
+
+  private def cosineSql(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(generate_series(1, len($x)), i -> $x[i]::DOUBLE * $y[i]::DOUBLE))"
+    s"round(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})), 6)"
+  }
+
+  def oracle: Map[String, String] = Map(
+    "dd_exact_dedup" ->
+      s"""SELECT ${hash64Sql("text")} AS content_hash,
+           MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY keep_id""",
+    "dd_minhash_lsh" -> {
+      val mhList = (0 until 8).map(k =>
+        minhashSql("hs", MinhashA(k), MinhashB(k))).mkString("[", ", ", "]")
+      val estTerms = (1 to 8).map(i =>
+        s"CASE WHEN a.mh[$i] = b.mh[$i] THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH sh AS (SELECT doc_id, $Shingles3Sql AS sh FROM documents),
+         hs AS (SELECT doc_id, sh, list_transform(sh, s -> ${hash31Sql("s")}) AS hs FROM sh),
+         mh AS (SELECT doc_id, sh, $mhList AS mh FROM hs),
+         bands AS (SELECT doc_id, sh, mh, t.k AS band_idx,
+             mh[2*t.k+1] * $Mersenne31 + mh[2*t.k+2] AS band_val
+           FROM mh, generate_series(0, 3) t(k)),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard,
+             ($estTerms) / 8.0 AS est_jaccard
+           FROM bands a JOIN bands b
+             ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b, jaccard, est_jaccard FROM cand
+         WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"""
+    },
+    "dd_lenband_jaccard" ->
+      s"""WITH sh AS (SELECT doc_id, n_chars, $Shingles3Sql AS sh FROM documents),
+         bk AS (SELECT doc_id, sh, unnest([n_chars // 64, n_chars // 64 + 1]) AS bucket FROM sh)
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+         FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+         ORDER BY doc_a, doc_b""",
+    "dd_simhash" ->
+      s"""SELECT doc_id, $Simhash32Sql AS simhash FROM documents ORDER BY doc_id""",
+    "dd_simhash_pairs" ->
+      s"""WITH s AS (SELECT doc_id, $Simhash32Sql AS simhash FROM documents),
+         bands AS (SELECT doc_id, simhash, t.half,
+             CASE WHEN t.half = 0 THEN simhash // 65536 ELSE simhash % 65536 END AS half_val
+           FROM s, generate_series(0, 1) t(half))
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         FROM bands a JOIN bands b
+           ON a.half = b.half AND a.half_val = b.half_val AND a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+         ORDER BY doc_a, doc_b""",
+    "dd_embedding_neardup" ->
+      s"""WITH p AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
+             ${cosineSql("a.embedding", "b.embedding")} AS cos_sim
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id <> b.vec_id)
+         SELECT vec_id, neighbor_id, cos_sim
+         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id) AS rn FROM p) t
+         WHERE rn = 1 ORDER BY vec_id"""
+  )
+}

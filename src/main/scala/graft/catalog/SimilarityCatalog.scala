@@ -1,0 +1,90 @@
+package graft.catalog
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Approximate-nearest-neighbor search over the embeddings table.
+  *
+  * Two tiers, matching how a 100 TB pipeline scales vector search:
+  *  - brute force: broadcast the (small) query set against the full corpus —
+  *    one pass, no shuffle of the corpus, exact results; the baseline.
+  *  - IVF-style: restrict search to the query's coarse cell (`label` plays
+  *    the role of a k-means cell assignment), turning O(N) per query into
+  *    O(N / cells). Same shape as Faiss IVF probing with nprobe=1; on a
+  *    cluster the corpus is bucketed by cell so a probe is a partition-local
+  *    scan.
+  */
+object SimilarityCatalog extends Catalog {
+
+  private def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+
+  private def cosine(a: Column, b: Column): Column =
+    round(dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))), 6)
+
+  private def dotSql(x: String, y: String) =
+    s"list_sum(list_transform(generate_series(1, len($x)), i -> $x[i]::DOUBLE * $y[i]::DOUBLE))"
+
+  private def cosineSql(a: String, b: String) =
+    s"round(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6)"
+
+  private def vecs(s: SparkSession, d: String) =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+
+  def queries: Map[String, QFn] = Map(
+
+    // ── Brute-force top-k: broadcast queries × full corpus, rank per query ──
+    "sim_ann_bruteforce" -> ((s, d) => {
+      val corpus = vecs(s, d)
+      val qs = corpus.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      corpus.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          cosine(col("qv"), col("v")).as("cos_sim"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ── IVF-style cell-restricted top-k: probe only the query's cell ──
+    "sim_ann_ivf" -> ((s, d) => {
+      val corpus = vecs(s, d)
+      val qs = corpus.filter(col("vec_id") >= 3 && col("vec_id") < 13)
+        .select(col("vec_id").as("query_id"), col("label").as("qcell"), col("v").as("qv"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      corpus.join(broadcast(qs),
+          col("label") === col("qcell") && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          cosine(col("qv"), col("v")).as("cos_sim"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .orderBy(col("query_id"), col("rank"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "sim_ann_bruteforce" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+         p AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+             ${cosineSql("q.qv", "e.embedding")} AS cos_sim
+           FROM embeddings e JOIN q ON e.vec_id <> q.query_id)
+         SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank FROM p) t
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+    "sim_ann_ivf" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, label AS qcell, embedding AS qv
+             FROM embeddings WHERE vec_id >= 3 AND vec_id < 13),
+         p AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+             ${cosineSql("q.qv", "e.embedding")} AS cos_sim
+           FROM embeddings e JOIN q ON e.label = q.qcell AND e.vec_id <> q.query_id)
+         SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank FROM p) t
+         WHERE rank <= 3 ORDER BY query_id, rank"""
+  )
+}
