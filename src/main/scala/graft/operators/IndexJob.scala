@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.json4s._
+import java.sql.Timestamp
+
+import graft.records.MasterRecord
+import graft.transform.SolrTransform
+import graft.functions.CanonicalJson
+
+/** The §3.2 index job: select changed+complete records, build the three
+  * sink payloads (SOLR doc, metrics row, resolver links), suppress
+  * unchanged ones by checksum, and stamp the master table
+  * (reference: run.py:103-232 + adsmp/tasks.py:317-460).
+  *
+  * Spark shape: the eligibility predicates (P1-P3) are Column expressions
+  * that Catalyst pushes into the parquet scan of the master table; the
+  * per-record transform runs in `Dataset.map` (no shuffle); checksum
+  * change-suppression (P4) is a row-local comparison against the stored
+  * checksum column. The reference's queue fan-out disappears — the three
+  * payload builds share one scan.
+  */
+object IndexJob {
+
+  /** generate_links_for_resolver (T14, adsmp/app.py:876-920): prefer
+    * nonbib data_links_rows; else synthesize the two ESOURCE rows from the
+    * bib links_data URL with the /abs/ → /pdf/ rewrite. */
+  def linksForResolver(rec: MasterRecord): Option[JObject] = {
+    val nonbib = rec.nonbib_data.map(SolrTransform.parse).getOrElse(JNothing)
+    val rows = nonbib \ "data_links_rows"
+    if (SolrTransform.truthy(rows))
+      Some(JObject(List("bibcode" -> JString(rec.bibcode), "data_links_rows" -> rows)))
+    else {
+      val bib = rec.bib_data.map(SolrTransform.parse).getOrElse(JNothing)
+      bib \ "links_data" match {
+        case JArray(JString(first) :: _) =>
+          (try Some(SolrTransform.parse(first)) catch { case _: Throwable => None })
+            .flatMap { ld =>
+              ld \ "url" match {
+                case JString(url) if url.nonEmpty =>
+                  val pdf = url.replace("/abs/", "/pdf/")
+                  def row(u: String, sub: String): JObject = JObject(List(
+                    "url" -> JArray(List(JString(u))), "title" -> JArray(List(JString(""))),
+                    "item_count" -> JInt(0), "link_type" -> JString("ESOURCE"),
+                    "link_sub_type" -> JString(sub)))
+                  Some(JObject(List("bibcode" -> JString(rec.bibcode),
+                    "data_links_rows" -> JArray(List(row(url, "EPRINT_HTML"), row(pdf, "EPRINT_PDF"))))))
+                case _ => None
+              }
+            }
+        case _ => None
+      }
+    }
+  }
+
+  /** One sink payload: bibcode, rendered JSON, its checksum, and whether
+    * the checksum differs from the stored one (i.e. a write is due). */
+  case class SinkPayload(bibcode: String, payload: String, checksum: String, changed: Boolean)
+
+  case class IndexBatch(solr: DataFrame, metrics: DataFrame, links: DataFrame)
+
+  private val Epoch1972 = Timestamp.valueOf("1972-01-01 00:00:00")
+
+  /** Eligibility: P1 incremental + P2 completeness + P3 already-processed
+    * suppression (run.py:147-159; adsmp/tasks.py:374-389). Pure column
+    * expressions — pushed to the scan. */
+  def eligible(since: Option[Timestamp], force: Boolean) = {
+    val p1 = since.map(s => col("updated") >= lit(s)).getOrElse(lit(true))
+    val complete = col("bib_data_updated").isNotNull &&
+      col("orcid_claims_updated").isNotNull && col("nonbib_data_updated").isNotNull
+    val p2 = if (force) col("bib_data_updated").isNotNull else complete
+    val processedOr1972 = coalesce(col("processed"), lit(Epoch1972))
+    val alreadyDone =
+      col("augments_updated").isNotNull && (col("augments_updated") < processedOr1972) &&
+      col("bib_data_updated").isNotNull && (col("bib_data_updated") < processedOr1972) &&
+      col("nonbib_data_updated").isNotNull && (col("nonbib_data_updated") < processedOr1972) &&
+      col("orcid_claims_updated").isNotNull && (col("orcid_claims_updated") < processedOr1972)
+    val p3 = if (force) lit(true) else !alreadyDone
+    p1 && p2 && p3
+  }
+
+  /** Build the three payload streams for one selection of master records.
+    * `ignoreChecksums` mirrors the --force_indexing flag (ST4 idempotence:
+    * replaying a batch yields changed=false everywhere). */
+  def run(selected: Dataset[MasterRecord], ignoreChecksums: Boolean = false): IndexBatch = {
+    val spark = selected.sparkSession
+    import spark.implicits._
+
+    val solr = selected.map { rec =>
+      val doc = SolrTransform.transform(rec)
+      // identifier completeness (T16, adsmp/tasks.py:398-402)
+      val m = doc.obj.toMap
+      val ids = m.get("identifier") match {
+        case Some(JArray(xs)) => xs
+        case _                => Nil
+      }
+      val withId =
+        if (ids.contains(JString(rec.bibcode))) doc
+        else JObject(doc.obj.filterNot(_._1 == "identifier") :+
+          ("identifier" -> (JArray(ids :+ JString(rec.bibcode)): JValue)))
+      val cks = CanonicalJson.checksumOf(withId)
+      SinkPayload(rec.bibcode, CanonicalJson.serialize(withId), cks,
+        !rec.solr_checksum.contains(cks))
+    }.toDF()
+
+    val metrics = selected.flatMap { rec =>
+      rec.metrics.map { m =>
+        val parsed = SolrTransform.parse(m)
+        val cks = CanonicalJson.checksumOf(parsed)
+        val withBib = parsed match {
+          case JObject(fs) => JObject(fs.filterNot(_._1 == "bibcode") :+
+            ("bibcode" -> (JString(rec.bibcode): JValue)))
+          case other => other
+        }
+        SinkPayload(rec.bibcode, CanonicalJson.serialize(withBib), cks,
+          !rec.metrics_checksum.contains(cks))
+      }
+    }.toDF()
+
+    val links = selected.flatMap { rec =>
+      linksForResolver(rec).map { payload =>
+        val cks = CanonicalJson.checksumOf(payload)
+        SinkPayload(rec.bibcode, CanonicalJson.serialize(payload), cks,
+          !rec.datalinks_checksum.contains(cks))
+      }
+    }.toDF()
+
+    def due(df: DataFrame): DataFrame =
+      if (ignoreChecksums) df else df.filter(col("changed"))
+
+    IndexBatch(due(solr), due(metrics), due(links))
+  }
+}

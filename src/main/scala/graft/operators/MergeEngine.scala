@@ -1,0 +1,256 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.records._
+import graft.functions.ScixId
+import graft.transform.SolrTransform
+
+/** Master-table mutation operators (SURVEY.md §2.9; reference
+  * adsmp/app.py:120-300, scripts/fix_db_duplicates.py).
+  *
+  * The reference mutates Postgres rows in place; on immutable columnar
+  * storage every mutation is a merge-on-write: derive the next snapshot of
+  * the master table as a DataFrame and atomically swap it in. All merges
+  * key on `bibcode`, so at cluster scale the master table is bucketed by
+  * bibcode and each of these joins is co-located (no repeated shuffle of
+  * the 28.8M-row table; only the small delta shuffles).
+  */
+object MergeEngine {
+
+  import MasterRecord.slots
+
+  /** Result of one M1 batch: the next master snapshot plus the audit delta. */
+  case class UpsertResult(master: DataFrame, changeLog: DataFrame)
+
+  /** M1 — per-field typed upsert (reference update_storage,
+    * adsmp/app.py:120-195), batched.
+    *
+    * A batch of (bibcode, type, payload, ts) messages becomes:
+    *   1. one shuffle: groupBy(bibcode) pivoting each payload slot to a
+    *      (latest payload, latest ts) column pair via `max_by` — map-side
+    *      partial aggregation collapses hot bibcodes before the exchange;
+    *   2. one full-outer join against the master snapshot on bibcode:
+    *      arriving slot wins (`coalesce(new, old)`), `updated` advances to
+    *      the newest arrival, scix_id is assigned when bib_data first
+    *      appears (adsmp/app.py:181-186).
+    *
+    * ChangeLog gets one row per message with the pre-image of the slot
+    * (intra-batch: the previous message's payload — a lag window seeded
+    * with the master value), matching adsmp/app.py:174 where only the
+    * bib/nonbib/orcid slots store old values.
+    */
+  def upsert(master: DataFrame, updates: Dataset[UpdateMessage]): UpsertResult = {
+    val slotOf = MasterRecord.typeToSlot
+    val typed = updates
+      .withColumn("slot", element_at(typedLit(slotOf), col("mtype")))
+      .filter(col("slot").isNotNull)
+
+    // 1. latest payload + ts per (bibcode, slot), pivoted wide in one agg
+    val pivoted = typed
+      .groupBy(col("bibcode"))
+      .pivot("slot", slots)
+      .agg(max_by(col("payload"), col("ts")).as("payload"), max(col("ts")).as("ts"))
+    // pivot with two aggs names columns `<slot>_payload` / `<slot>_ts`
+
+    val m = master.as("m")
+    val u = pivoted.as("u")
+    val joined = m.join(u, col("m.bibcode") === col("u.bibcode"), "full_outer")
+
+    val key = coalesce(col("m.bibcode"), col("u.bibcode"))
+    val slotCols = slots.flatMap { s =>
+      Seq(
+        coalesce(col(s"u.${s}_payload"), col(s"m.$s")).as(s),
+        coalesce(col(s"u.${s}_ts"), col(s"m.${s}_updated")).as(s"${s}_updated"))
+    }
+    val newestArrival = greatest(slots.map(s => col(s"u.${s}_ts")): _*)
+
+    val scixUdf = udf((bib: String) =>
+      Option(bib).flatMap(b => ScixId.generate(SolrTransform.parse(b))).orNull)
+
+    val merged = joined.select(Seq(
+      // synthetic stable id for fresh bibcodes (reference: DB sequence);
+      // xxhash64 keeps it deterministic and cluster-safe
+      coalesce(col("m.id"), abs(xxhash64(key))).as("id"),
+      key.as("bibcode"),
+      col("m.scix_id").as("scix_id_old")) ++ slotCols ++ Seq(
+      coalesce(col("m.created"), newestArrival).as("created"),
+      greatest(col("m.updated"), newestArrival).as("updated"),
+      col("m.processed").as("processed"),
+      col("m.solr_processed").as("solr_processed"),
+      col("m.metrics_processed").as("metrics_processed"),
+      col("m.datalinks_processed").as("datalinks_processed"),
+      col("m.solr_checksum").as("solr_checksum"),
+      col("m.metrics_checksum").as("metrics_checksum"),
+      col("m.datalinks_checksum").as("datalinks_checksum"),
+      col("m.status").as("status")): _*)
+      .withColumn("scix_id",
+        when(col("scix_id_old").isNotNull, col("scix_id_old"))
+          .otherwise(when(col("bib_data").isNotNull, scixUdf(col("bib_data")))))
+      .drop("scix_id_old")
+      .select(masterColumns.map(col): _*)
+
+    // 2. audit trail: pre-image per message (lag over arrival order,
+    //    seeded with the pre-batch master value; only the three slots the
+    //    reference stores old values for)
+    val storedSlots = Seq("bib_data", "nonbib_data", "orcid_claims")
+    val w = Window.partitionBy(col("bibcode"), col("slot")).orderBy(col("ts"))
+    val preImage = typed
+      .join(master.select(col("bibcode"),
+        col("bib_data").as("m_bib_data"), col("nonbib_data").as("m_nonbib_data"),
+        col("orcid_claims").as("m_orcid_claims")), Seq("bibcode"), "left_outer")
+      .withColumn("prev_in_batch", lag(col("payload"), 1).over(w))
+      .withColumn("oldvalue",
+        when(!col("slot").isin(storedSlots: _*), lit("not-stored"))
+          .otherwise(coalesce(col("prev_in_batch"),
+            when(col("slot") === "bib_data", col("m_bib_data"))
+              .when(col("slot") === "nonbib_data", col("m_nonbib_data"))
+              .when(col("slot") === "orcid_claims", col("m_orcid_claims")))))
+      .select(col("bibcode").as("key"), col("mtype").as("ctype"),
+        col("oldvalue"), lit(false).as("permanent"), col("ts"))
+
+    UpsertResult(merged, preImage)
+  }
+
+  /** Column order of the master snapshot (mirrors [[MasterRecord]]). */
+  val masterColumns: Seq[String] =
+    Seq("id", "bibcode", "scix_id") ++ slots ++ slots.map(_ + "_updated") ++
+      Seq("created", "updated", "processed", "solr_processed",
+        "metrics_processed", "datalinks_processed", "solr_checksum",
+        "metrics_checksum", "datalinks_checksum", "status")
+
+  /** An empty master snapshot with the canonical schema. */
+  def emptyMaster(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.emptyDataset[MasterRecord].toDF.select(masterColumns.map(col): _*)
+  }
+
+  /** M2 — cascading delete by bibcode (adsmp/app.py:237-277): remove the
+    * master rows and their sitemap assignments, log the serialized old
+    * record, and flag one surviving row per affected sitemap file so the
+    * file regenerates. Anti-joins rewrite both tables; the per-file flag
+    * is a rank-1 window (W2). */
+  case class DeleteResult(master: DataFrame, sitemap: DataFrame, changeLog: DataFrame)
+
+  def deleteByBibcodes(master: DataFrame, sitemap: DataFrame, doomed: DataFrame): DeleteResult = {
+    val d = doomed.select(col("bibcode")).distinct()
+    val newMaster = master.join(d, Seq("bibcode"), "left_anti")
+
+    val affectedFiles = sitemap.join(d, Seq("bibcode"), "left_semi")
+      .select(col("sitemap_filename")).distinct()
+    val survivors = sitemap.join(d, Seq("bibcode"), "left_anti")
+    // flag the min-id surviving row of each affected file (app.py:84-118)
+    val w = Window.partitionBy(col("sitemap_filename")).orderBy(col("record_id"))
+    val newSitemap = survivors
+      .join(affectedFiles, Seq("sitemap_filename"), "left_semi")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("update_flag", col("update_flag") || (col("rn") === 1))
+      .drop("rn")
+      .unionByName(survivors.join(affectedFiles, Seq("sitemap_filename"), "left_anti"))
+
+    val log = master.join(d, Seq("bibcode"), "left_semi")
+      .select(col("bibcode").as("key"), lit("deleted").as("ctype"),
+        to_json(struct(col("*"))).as("oldvalue"), lit(true).as("permanent"),
+        current_timestamp().as("ts"))
+    DeleteResult(newMaster, newSitemap, log)
+  }
+
+  /** J7 — alias-chain resolution to fixpoint (adsmp/app.py:287-294,
+    * 325-332): repoint every key to the terminal target of its chain.
+    * Tiny table (identifier graph), so a driver loop of self-joins with a
+    * convergence check; each step halves the maximum chain depth
+    * (pointer doubling), so cycles/deep chains converge in log rounds. */
+  def resolveAliases(aliases: Dataset[IdentifierAlias], maxIters: Int = 20): DataFrame = {
+    var current = aliases.toDF("key", "target")
+    var i = 0
+    var converged = false
+    while (i < maxIters && !converged) {
+      val step = current.as("a")
+        .join(current.as("b"), col("a.target") === col("b.key"), "left_outer")
+        .select(col("a.key"),
+          coalesce(col("b.target"), col("a.target")).as("target"),
+          col("b.target").isNotNull.as("hopped"))
+        .cache()
+      val hops = step.filter(col("hopped") && col("key") =!= col("target")).count()
+      current = step.drop("hopped")
+      converged = hops == 0
+      i += 1
+    }
+    current
+  }
+
+  /** M3 — rename with alias-graph maintenance (adsmp/app.py:279-300):
+    * master key update + new mapping edge + permanent ChangeLog row. */
+  case class RenameResult(master: DataFrame, aliases: DataFrame, changeLog: DataFrame)
+
+  def renameBibcode(master: DataFrame, aliases: Dataset[IdentifierAlias],
+      oldBibcode: String, newBibcode: String): RenameResult = {
+    val spark = master.sparkSession
+    import spark.implicits._
+    // repoint the whole existing chain at the new bibcode, then add old→new
+    val repointed = aliases.toDF("key", "target")
+      .withColumn("target",
+        when(col("target") === oldBibcode, lit(newBibcode)).otherwise(col("target")))
+      .unionByName(Seq((oldBibcode, newBibcode)).toDF("key", "target"))
+      .distinct()
+    val newMaster = master.withColumn("bibcode",
+      when(col("bibcode") === oldBibcode, lit(newBibcode)).otherwise(col("bibcode")))
+    val log = Seq((oldBibcode, "renamed", newBibcode, true))
+      .toDF("key", "ctype", "oldvalue", "permanent")
+      .withColumn("ts", current_timestamp())
+    RenameResult(newMaster, repointed, log)
+  }
+
+  /** A3 — latest-wins duplicate merge (scripts/fix_db_duplicates.py:57-73):
+    * collapse duplicate bibcode rows keeping, per slot, the payload with
+    * the newest `<slot>_updated`. One hash aggregation; `max_by` gives the
+    * newest payload without a sort. */
+  def mergeDuplicates(master: DataFrame): DataFrame = {
+    val slotAggs = slots.flatMap { s =>
+      Seq(max_by(col(s), coalesce(col(s + "_updated"), lit("1972-01-01").cast("timestamp"))).as(s),
+        max(col(s + "_updated")).as(s + "_updated"))
+    }
+    val rest = Seq(
+      min(col("id")).as("id"), max_by(col("scix_id"), col("updated")).as("scix_id"),
+      min(col("created")).as("created"), max(col("updated")).as("updated"),
+      max(col("processed")).as("processed"),
+      max(col("solr_processed")).as("solr_processed"),
+      max(col("metrics_processed")).as("metrics_processed"),
+      max(col("datalinks_processed")).as("datalinks_processed"),
+      max_by(col("solr_checksum"), col("updated")).as("solr_checksum"),
+      max_by(col("metrics_checksum"), col("updated")).as("metrics_checksum"),
+      max_by(col("datalinks_checksum"), col("updated")).as("datalinks_checksum"),
+      max_by(col("status"), col("updated")).as("status"))
+    master.groupBy(col("bibcode"))
+      .agg((slotAggs ++ rest).head, (slotAggs ++ rest).tail: _*)
+      .select(masterColumns.map(col): _*)
+  }
+
+  /** M4 — mark-processed bulk update (adsmp/app.py:432-468): stamp
+    * `processed` + `<type>_processed` + `<type>_checksum` (+ status) for a
+    * key list. Broadcast the small key set; the master table never
+    * shuffles. */
+  def markProcessed(master: DataFrame, done: DataFrame, sinkType: String,
+      status: Option[String], now: java.sql.Timestamp): DataFrame = {
+    val (tsCol, cksCol) = sinkType match {
+      case "solr"    => ("solr_processed", "solr_checksum")
+      case "metrics" => ("metrics_processed", "metrics_checksum")
+      case "links"   => ("datalinks_processed", "datalinks_checksum")
+      case other     => throw new IllegalArgumentException(s"invalid sink type $other")
+    }
+    val keys = broadcast(done.select(col("bibcode").as("done_bibcode"),
+      col("checksum").as("done_checksum")))
+    val hit = col("done_bibcode").isNotNull
+    val statusExpr = status.map(s => when(hit, lit(s)).otherwise(col("status")))
+      .getOrElse(col("status"))
+    master.join(keys, col("bibcode") === col("done_bibcode"), "left_outer")
+      .withColumn("processed", when(hit, lit(now)).otherwise(col("processed")))
+      .withColumn(tsCol, when(hit, lit(now)).otherwise(col(tsCol)))
+      .withColumn(cksCol, when(hit, coalesce(col("done_checksum"), col(cksCol)))
+        .otherwise(col(cksCol)))
+      .withColumn("status", statusExpr)
+      .drop("done_bibcode", "done_checksum")
+  }
+}

@@ -1,0 +1,143 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.json4s._
+import java.sql.Timestamp
+
+import graft.records._
+import graft.operators.{IndexJob, MergeEngine}
+
+/** Index-job tests: eligibility gates (P1-P3), checksum suppression (P4 /
+  * ST4 idempotence), resolver-links fallback (T14), identifier fix (T16).
+  * Reference: run.py:147-159, adsmp/tasks.py:317-460, app.py:876-920. */
+class IndexJobSpec extends AnyFunSuite with SparkSpec {
+
+  def ts(s: String): Timestamp = Timestamp.from(java.time.Instant.parse(s))
+
+  def completeRecord(bibcode: String): MasterRecord =
+    MasterRecord.empty(bibcode, id = 7).copy(
+      bib_data = Some(s"""{"bibcode": "$bibcode", "title": ["t"]}"""),
+      bib_data_updated = Some(ts("2024-01-02T00:00:00Z")),
+      nonbib_data = Some("""{"boost": 0.5}"""),
+      nonbib_data_updated = Some(ts("2024-01-03T00:00:00Z")),
+      orcid_claims = Some("""{"verified": ["x"]}"""),
+      orcid_claims_updated = Some(ts("2024-01-04T00:00:00Z")),
+      updated = Some(ts("2024-01-04T00:00:00Z")))
+
+  test("eligibility: completeness gate and force relaxation (P2)") {
+    import spark.implicits._
+    val complete = completeRecord("c1")
+    val bibOnly = MasterRecord.empty("c2").copy(
+      bib_data = Some("{}"), bib_data_updated = Some(ts("2024-01-02T00:00:00Z")),
+      updated = Some(ts("2024-01-02T00:00:00Z")))
+    val empty = MasterRecord.empty("c3").copy(updated = Some(ts("2024-01-02T00:00:00Z")))
+    val ds = spark.createDataset(Seq(complete, bibOnly, empty))
+
+    def names(force: Boolean) = ds.filter(IndexJob.eligible(None, force))
+      .collect().map(_.bibcode).toSet
+    assert(names(force = false) == Set("c1"))
+    assert(names(force = true) == Set("c1", "c2"), "force needs only bib_data")
+  }
+
+  test("eligibility: already-processed suppression with 1972 default (P3)") {
+    import spark.implicits._
+    val base = completeRecord("p1").copy(
+      augments = Some("{}"), augments_updated = Some(ts("2024-01-01T00:00:00Z")))
+    val processed = base.copy(processed = Some(ts("2024-06-01T00:00:00Z")))
+    val ds = spark.createDataset(Seq(base, processed.copy(bibcode = "p2")))
+    val sel = ds.filter(IndexJob.eligible(None, force = false)).collect().map(_.bibcode).toSet
+    assert(sel == Set("p1"), "all-slots-older-than-processed is suppressed; null processed → 1972 → eligible")
+    val forced = ds.filter(IndexJob.eligible(None, force = true)).collect().map(_.bibcode).toSet
+    assert(forced == Set("p1", "p2"), "force re-indexes suppressed records")
+  }
+
+  test("P1 incremental window") {
+    import spark.implicits._
+    val older = completeRecord("w1").copy(updated = Some(ts("2024-01-01T00:00:00Z")))
+    val newer = completeRecord("w2").copy(updated = Some(ts("2024-05-01T00:00:00Z")))
+    val ds = spark.createDataset(Seq(older, newer))
+    val sel = ds.filter(IndexJob.eligible(Some(ts("2024-03-01T00:00:00Z")), force = false))
+      .collect().map(_.bibcode).toSet
+    assert(sel == Set("w2"))
+  }
+
+  test("checksum suppression makes replays no-ops (P4/ST4)") {
+    import spark.implicits._
+    val rec = completeRecord("s1")
+    val first = IndexJob.run(spark.createDataset(Seq(rec)))
+    val solrRow = first.solr.collect().head
+    assert(solrRow.getAs[Boolean]("changed"))
+    val cks = solrRow.getAs[String]("checksum")
+
+    // replay with the stored checksum set → suppressed
+    val replayed = rec.copy(solr_checksum = Some(cks))
+    val second = IndexJob.run(spark.createDataset(Seq(replayed)))
+    assert(second.solr.count() == 0, "identical doc suppressed")
+    val third = IndexJob.run(spark.createDataset(Seq(replayed)), ignoreChecksums = true)
+    assert(third.solr.count() == 1, "--force_indexing bypasses suppression")
+  }
+
+  test("solr payload gets identifier completeness fix (T16)") {
+    import spark.implicits._
+    val rec = completeRecord("2024Test.........X")
+    val batch = IndexJob.run(spark.createDataset(Seq(rec)))
+    val payload = batch.solr.collect().head.getAs[String]("payload")
+    assert(payload.contains(""""identifier": ["2024Test.........X"]"""))
+  }
+
+  test("metrics payload: checksum over stored payload, bibcode injected") {
+    import spark.implicits._
+    val rec = completeRecord("m1").copy(
+      metrics = Some("""{"downloads": [1, 2]}"""),
+      metrics_updated = Some(ts("2024-01-05T00:00:00Z")))
+    val batch = IndexJob.run(spark.createDataset(Seq(rec)))
+    val row = batch.metrics.collect().head
+    assert(row.getAs[String]("payload") == """{"bibcode": "m1", "downloads": [1, 2]}""")
+    // checksum excludes the injected bibcode (computed pre-injection)
+    assert(row.getAs[String]("checksum") ==
+      graft.functions.CanonicalJson.checksumOf(
+        graft.transform.SolrTransform.parse("""{"downloads": [1, 2]}""")))
+  }
+
+  test("resolver links: nonbib rows preferred, bib fallback builds ESOURCE pair (T14)") {
+    val withNonbib = completeRecord("l1").copy(
+      nonbib_data = Some("""{"data_links_rows": [{"url": ["http://arxiv.org/abs/1902.09522"]}]}"""))
+    val j1 = IndexJob.linksForResolver(withNonbib).get
+    assert((j1 \ "data_links_rows").asInstanceOf[JArray].arr.length == 1)
+
+    val bibOnly = MasterRecord.empty("l2").copy(
+      bib_data = Some("""{"links_data": ["{\"url\": \"http://x/abs/1\"}"]}"""))
+    val j2 = IndexJob.linksForResolver(bibOnly).get
+    val rows = (j2 \ "data_links_rows").asInstanceOf[JArray].arr
+    assert(rows.length == 2)
+    assert(rows.map(r => (r \ "link_sub_type").asInstanceOf[JString].s) ==
+      List("EPRINT_HTML", "EPRINT_PDF"))
+    assert((rows(1) \ "url") == JArray(List(JString("http://x/pdf/1"))))
+
+    assert(IndexJob.linksForResolver(MasterRecord.empty("l3")) == None)
+  }
+
+  test("end-to-end: upsert → index → mark-processed → replay suppressed") {
+    import spark.implicits._
+    val t0 = ts("2024-01-01T00:00:00Z")
+    val updates = Seq(
+      UpdateMessage("e1", "metadata", """{"bibcode": "e1", "title": ["doc"]}""", t0),
+      UpdateMessage("e1", "nonbib_data", """{"boost": 0.1}""", t0),
+      UpdateMessage("e1", "orcid_claims", """{"verified": ["v"]}""", t0),
+      UpdateMessage("e1", "metrics", """{"reads": [3]}""", t0)).toDS()
+    val master = MergeEngine.upsert(MergeEngine.emptyMaster(spark), updates).master
+
+    val selected = master.as[MasterRecord].filter(IndexJob.eligible(None, force = false))
+    val batch = IndexJob.run(selected)
+    assert(batch.solr.count() == 1 && batch.metrics.count() == 1)
+
+    val done = batch.solr.select(col("bibcode"), col("checksum"))
+    val stamped = MergeEngine.markProcessed(master, done, "solr",
+      Some("success"), ts("2024-01-02T00:00:00Z"))
+
+    val replay = IndexJob.run(stamped.as[MasterRecord]
+      .filter(IndexJob.eligible(None, force = true)))
+    assert(replay.solr.count() == 0, "after mark-processed the same doc is suppressed")
+  }
+}
