@@ -16,7 +16,8 @@ object SparkEntry {
     TransformCatalog,
     TextCatalog,
     DedupCatalog,
-    SimilarityCatalog)
+    SimilarityCatalog,
+    RecordCatalog)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Sitemap subsystem (SURVEY.md §2.7/§3.3; reference adsmp/tasks.py:585-1182,
+  * adsmp/app.py:922-1313, adsmp/templates/__init__.py).
+  *
+  * Pipeline: inclusion predicate (P7) → sequential file bucketing (W1) →
+  * per-file XML render (T19/S9) → sitemap index + robots (S10).
+  *
+  * W1 at scale: the reference assigns ordinals with a single-threaded
+  * keyset scan. A naive Spark translation (`row_number` over a global
+  * window) funnels every row through ONE partition — correct at 60k rows,
+  * dead at 28.8M. Instead we range-partition by the order key, count rows
+  * per partition (tiny job), and add each partition's prefix-sum offset to
+  * its local rank — a fully distributed global ordinal with one extra
+  * count over cached partitions.
+  */
+object Sitemap {
+
+  val MaxRecordsPerSitemap = 50000 // config.py:51
+
+  /** Site configs (config.py:63-77). */
+  case class Site(name: String, baseUrl: String, sitemapUrl: String, absUrlPattern: String)
+  val Sites: Map[String, Site] = Map(
+    "ads" -> Site("ADS", "https://ui.adsabs.harvard.edu",
+      "https://ui.adsabs.harvard.edu/sitemap",
+      "https://ui.adsabs.harvard.edu/abs/{bibcode}/abstract"),
+    "scix" -> Site("SciX Explorer", "https://scixplorer.org",
+      "https://scixplorer.org/sitemap",
+      "https://scixplorer.org/abs/{bibcode}/abstract"))
+
+  /** P7 — sitemap inclusion (app.py:922-973): needs bib_data; excludes
+    * solr-failed/retrying; never-processed and stale records included. */
+  def shouldInclude: Column =
+    col("bib_data").isNotNull &&
+      (col("status").isNull || !col("status").isin("solr-failed", "retrying"))
+
+  /** Staleness diagnostic the reference logs (not an exclusion):
+    * bib_data_updated more than 5 days past solr_processed. */
+  def isStale: Column =
+    col("solr_processed").isNotNull && col("bib_data_updated").isNotNull &&
+      (col("bib_data_updated").cast("long") - col("solr_processed").cast("long") >
+        lit(5L * 24 * 3600))
+
+  /** Distributed global ordinal (0-based) ordered by `orderCol`.
+    * One range shuffle + one tiny count job; no single-partition window. */
+  def withGlobalOrdinal(df: DataFrame, orderCol: String, out: String,
+      numPartitions: Int = 0): DataFrame = {
+    val n = if (numPartitions > 0) numPartitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val parts = df.repartitionByRange(n, col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+      .cache() // pin partitioning: the count job and the rank job must agree
+    val counts = parts.groupBy(col("__pid")).count().collect()
+      .map(r => r.getAs[Int]("__pid") -> r.getAs[Long]("count")).sortBy(_._1)
+    val offsetsByPid = counts.map(_._1).zip(counts.scanLeft(0L)(_ + _._2).init).toMap
+    val offDf = broadcast(df.sparkSession.createDataFrame(
+      offsetsByPid.toSeq.map(p => org.apache.spark.sql.Row(p._1, p._2)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__pid", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("__offset", org.apache.spark.sql.types.LongType)))))
+    val w = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+    parts
+      .withColumn("__rn", row_number().over(w))
+      .join(offDf, Seq("__pid"))
+      .withColumn(out, col("__offset") + col("__rn") - 1)
+      .drop("__pid", "__rn", "__offset")
+  }
+
+  private implicit class SeqAsJava[A](s: Seq[A]) {
+    def asJava: java.util.List[A] = {
+      val l = new java.util.ArrayList[A](s.length)
+      s.foreach(l.add)
+      l
+    }
+  }
+
+  /** W1 — sequential file bucketing (tasks.py:719-737, app.py:1019-1141):
+    * records ordered by `id` fill `sitemap_bib_<k>.xml` files of
+    * `maxPerFile`, continuing from `baseCount` already-assigned records
+    * (stateful continuation from the current fill level). */
+  def assignFilenames(records: DataFrame, maxPerFile: Int = MaxRecordsPerSitemap,
+      baseCount: Long = 0): DataFrame =
+    withGlobalOrdinal(records, "id", "__ord")
+      .withColumn("sitemap_filename",
+        concat(lit("sitemap_bib_"),
+          (floor((col("__ord") + baseCount) / maxPerFile) + 1).cast("string"),
+          lit(".xml")))
+      .drop("__ord")
+
+  // ── XML rendering (T19/S9/S10; templates/__init__.py:19-54) ────────────
+
+  /** Minimal html.escape parity: &, <, >, ", '. */
+  def xmlEscape(c: Column): Column = {
+    val amp = regexp_replace(c, "&", "&amp;")
+    val lt = regexp_replace(amp, "<", "&lt;")
+    val gt = regexp_replace(lt, ">", "&gt;")
+    val quot = regexp_replace(gt, "\"", "&quot;")
+    regexp_replace(quot, "'", "&#x27;")
+  }
+
+  /** format_url_entry (templates/__init__.py:49-54) as a column expression:
+    * '\n<url><loc>{url}</loc><lastmod>{date}</lastmod></url>'. */
+  def urlEntry(bibcode: Column, lastmod: Column, site: Site): Column = {
+    val Array(prefix, suffix) = site.absUrlPattern.split("\\{bibcode\\}", 2)
+    concat(lit("\n<url><loc>"), lit(prefix), xmlEscape(bibcode), lit(suffix),
+      lit("</loc><lastmod>"), lastmod, lit("</lastmod></url>"))
+  }
+
+  /** render_sitemap_file: one row per filename with the full XML body.
+    * The shuffle groups only (filename, entry) pairs — entries are
+    * pre-rendered strings, sorted within the group for determinism. */
+  def renderFiles(assigned: DataFrame, site: Site, lastmodCol: String = "lastmod"): DataFrame = {
+    val entries = assigned.select(col("sitemap_filename"),
+      struct(col("id"), urlEntry(col("bibcode"), col(lastmodCol), site).as("entry")).as("e"))
+    entries.groupBy(col("sitemap_filename"))
+      .agg(array_join(transform(array_sort(collect_list(col("e"))), e => e("entry")), "")
+        .as("url_entries"))
+      .select(col("sitemap_filename"),
+        concat(
+          lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n"),
+          col("url_entries"),
+          lit("\n</urlset>")).as("content"))
+  }
+
+  /** format_sitemap_entry golden string (templates/__init__.py:36-46). */
+  def sitemapIndexEntry(site: Site, filename: String, lastmod: String): String = {
+    def esc(s: String): String = s.replace("&", "&amp;").replace("<", "&lt;")
+      .replace(">", "&gt;").replace("\"", "&quot;").replace("'", "&#x27;")
+    s"""
+            <sitemap>
+            <loc>${esc(s"${site.sitemapUrl}/$filename")}</loc>
+            <lastmod>${esc(lastmod)}</lastmod>
+            </sitemap>"""
+  }
+
+  /** render_sitemap_index (S10): driver-side small render over the
+    * aggregated (filename, lastmod) list. */
+  def renderIndex(site: Site, files: Seq[(String, String)]): String = {
+    val entries = files.sortBy(_._1).map { case (f, lm) => sitemapIndexEntry(site, f, lm) }
+      .mkString("")
+    "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n" +
+      entries + "\n</sitemapindex>"
+  }
+
+  /** robots.txt render (templates/__init__.py:22-24): only the sitemap URL
+    * varies per site. */
+  def renderRobots(site: Site): String =
+    s"Sitemap: ${site.sitemapUrl}/sitemap_index.xml\n"
+
+  /** S9 sink: write one XML file per row of a (sitemap_filename, content)
+    * frame. Files are small (≤50k URLs); a foreachPartition keeps the
+    * writes distributed without a collect on the driver. */
+  def writeFiles(rendered: DataFrame, outDir: String): Unit = {
+    val dir = new java.io.File(outDir)
+    dir.mkdirs()
+    rendered.select(col("sitemap_filename"), col("content"))
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        rows.foreach { r =>
+          val f = new java.io.File(outDir, r.getString(0))
+          val w = new java.io.PrintWriter(f, "UTF-8")
+          try w.print(r.getString(1)) finally w.close()
+        }
+      }
+  }
+
+  /** J5 — files needing regeneration: any row flagged → whole file
+    * regenerates (tasks.py:1132-1141). */
+  def filesNeedingUpdate(sitemap: DataFrame): DataFrame =
+    sitemap.join(
+      sitemap.filter(col("update_flag")).select(col("sitemap_filename")).distinct(),
+      Seq("sitemap_filename"), "left_semi")
+}

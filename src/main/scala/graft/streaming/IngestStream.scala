@@ -1,0 +1,135 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+import graft.records.{MasterRecord, UpdateMessage}
+
+/** Streaming ingest (SURVEY.md §2.10; reference adsmp/tasks.py:113-198,
+  * 317-337, run.py:103-232).
+  *
+  * The reference is a Celery topology: per-record messages land on queues,
+  * a cron later selects changed records whose three core payloads
+  * (bib_data, nonbib_data, orcid_claims) have all arrived, and late slots
+  * (fulltext, metrics, augments) trigger a re-index — "a document will get
+  * indexed twice; first with only metadata and later incl fulltext".
+  *
+  * Spark-first shape: one Structured Streaming query. `UpdateMessage`s are
+  * grouped by bibcode into `flatMapGroupsWithState`, whose state is the
+  * record's slot map. The gate (ST2) emits a master-record snapshot when
+  * the record first becomes complete AND on every later slot arrival for an
+  * already-complete record. Force mode (ST3) is a processing-time timeout:
+  * a record stuck incomplete for `forceAfterMs` flushes if it has bib_data.
+  * State is bounded per bibcode; the checksum gate downstream (P4) keeps
+  * replays idempotent (ST4), so at-least-once delivery is safe.
+  */
+object IngestStream {
+
+  /** Per-bibcode slot state: payload + arrival micros per slot, plus
+    * whether the record has ever been emitted complete. */
+  case class SlotState(
+      payloads: Map[String, String],
+      arrivals: Map[String, Long],
+      everEmitted: Boolean)
+
+  private val CoreSlots = Seq("bib_data", "nonbib_data", "orcid_claims")
+
+  def toRecord(bibcode: String, st: SlotState): MasterRecord = {
+    def p(s: String): Option[String] = st.payloads.get(s)
+    def t(s: String): Option[Timestamp] = st.arrivals.get(s).map(new Timestamp(_))
+    val updated = if (st.arrivals.isEmpty) None else Some(new Timestamp(st.arrivals.values.max))
+    MasterRecord.empty(bibcode).copy(
+      bib_data = p("bib_data"), nonbib_data = p("nonbib_data"),
+      orcid_claims = p("orcid_claims"), fulltext = p("fulltext"),
+      metrics = p("metrics"), augments = p("augments"),
+      classifications = p("classifications"), boost_factors = p("boost_factors"),
+      bib_data_updated = t("bib_data"), nonbib_data_updated = t("nonbib_data"),
+      orcid_claims_updated = t("orcid_claims"), fulltext_updated = t("fulltext"),
+      metrics_updated = t("metrics"), augments_updated = t("augments"),
+      classifications_updated = t("classifications"),
+      boost_factors_updated = t("boost_factors"),
+      updated = updated)
+  }
+
+  /** The ST2/ST3 gate as a flatMapGroupsWithState function. */
+  def gate(forceAfterMs: Long)(
+      bibcode: String, msgs: Iterator[UpdateMessage],
+      state: GroupState[SlotState]): Iterator[MasterRecord] = {
+    val prev = state.getOption.getOrElse(SlotState(Map.empty, Map.empty, everEmitted = false))
+
+    if (msgs.isEmpty && state.hasTimedOut) {
+      // ST3 force flush: index whatever has bib_data
+      if (!prev.everEmitted && prev.payloads.contains("bib_data")) {
+        state.update(prev.copy(everEmitted = true))
+        Iterator.single(toRecord(bibcode, prev))
+      } else Iterator.empty
+    } else {
+      // newest-wins within the batch per slot (same as MergeEngine.upsert)
+      val next = msgs.foldLeft(prev) { (st, m) =>
+        MasterRecord.typeToSlot.get(m.mtype) match {
+          case Some(slot) if st.arrivals.get(slot).forall(_ <= m.ts.getTime) =>
+            st.copy(payloads = st.payloads + (slot -> m.payload),
+              arrivals = st.arrivals + (slot -> m.ts.getTime))
+          case _ => st
+        }
+      }
+      val complete = CoreSlots.forall(next.payloads.contains)
+      val changed = next != prev
+      val emit = complete && changed
+      state.update(next.copy(everEmitted = next.everEmitted || emit))
+      if (forceAfterMs > 0 && !complete)
+        state.setTimeoutDuration(forceAfterMs)
+      if (emit) Iterator.single(toRecord(bibcode, next)) else Iterator.empty
+    }
+  }
+
+  /** Wire the gate over a stream (or batch Dataset) of update messages.
+    * Keyed state shuffles once on bibcode — the same key the master table
+    * is bucketed by, so the downstream merge join is co-located. */
+  def completenessGate(updates: Dataset[UpdateMessage],
+      forceAfterMs: Long = 0): Dataset[MasterRecord] = {
+    val spark = updates.sparkSession
+    import spark.implicits._
+    val timeout =
+      if (forceAfterMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    updates.groupByKey(_.bibcode)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(gate(forceAfterMs))
+  }
+}
+
+/** ST1 — watermark store: the reference's `KeyValue` table holding
+  * `last.reindex.normal` / `last.reindex.forced` (run.py:110-137). In
+  * batch mode this is a 2-column parquet read/overwritten around each
+  * incremental run; Structured Streaming replaces it with the checkpoint.
+  */
+object Watermark {
+  def read(spark: SparkSession, path: String, key: String): Option[Timestamp] = {
+    import spark.implicits._
+    try spark.read.parquet(path).filter($"key" === key)
+      .select($"value").as[Timestamp].collect().headOption
+    catch { case _: Throwable => None }
+  }
+
+  /** Replace the key's value (rollback on failure = simply not advancing,
+    * run.py:224-229). Writes via temp dir + atomic-ish rename. */
+  def advance(spark: SparkSession, path: String, key: String, value: Timestamp): Unit = {
+    import spark.implicits._
+    val existing = try spark.read.parquet(path).filter($"key" =!= key)
+      .as[(String, Timestamp)].collect().toSeq
+    catch { case _: Throwable => Seq.empty[(String, Timestamp)] }
+    val next = existing :+ (key -> value)
+    val tmp = path + ".tmp"
+    next.toDF("key", "value").coalesce(1).write.mode("overwrite").parquet(tmp)
+    val fs = new java.io.File(path)
+    if (fs.exists) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete()
+      }
+      rm(fs)
+    }
+    new java.io.File(tmp).renameTo(fs)
+  }
+}

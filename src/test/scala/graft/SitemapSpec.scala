@@ -1,0 +1,106 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sitemap
+
+/** Sitemap tests: P7 inclusion, distributed W1 bucketing (must match the
+  * reference's sequential fill), golden XML strings from
+  * adsmp/templates/__init__.py + adsmp/tests/test_templates.py. */
+class SitemapSpec extends AnyFunSuite with SparkSpec {
+
+  test("P7 inclusion predicate") {
+    import spark.implicits._
+    val rows = Seq(
+      ("b1", Some("{}"), Some("success")),
+      ("b2", Some("{}"), None),
+      ("b3", None: Option[String], Some("success")),
+      ("b4", Some("{}"), Some("solr-failed")),
+      ("b5", Some("{}"), Some("retrying")))
+      .toDF("bibcode", "bib_data", "status")
+    val kept = rows.filter(Sitemap.shouldInclude).collect().map(_.getString(0)).toSet
+    assert(kept == Set("b1", "b2"))
+  }
+
+  test("W1 bucketing matches sequential fill, including continuation") {
+    import spark.implicits._
+    val records = (1L to 250L).map(i => (i * 10, s"b$i")).toDF("id", "bibcode")
+      .repartition(7) // scatter input to prove ordinal is global
+    val assigned = Sitemap.assignFilenames(records, maxPerFile = 100)
+      .orderBy("id").collect()
+    assert(assigned.length == 250)
+    val byFile = assigned.groupBy(_.getAs[String]("sitemap_filename"))
+      .view.mapValues(_.length).toMap
+    assert(byFile == Map("sitemap_bib_1.xml" -> 100, "sitemap_bib_2.xml" -> 100,
+      "sitemap_bib_3.xml" -> 50))
+    // ordinal follows id order: first 100 ids in file 1
+    assert(assigned.take(100).forall(_.getAs[String]("sitemap_filename") == "sitemap_bib_1.xml"))
+
+    // continuation: 30 already in the last file → first 70 go to file 3
+    val more = (251L to 400L).map(i => (i * 10, s"b$i")).toDF("id", "bibcode")
+    val cont = Sitemap.assignFilenames(more, maxPerFile = 100, baseCount = 230)
+      .orderBy("id").collect()
+    assert(cont.take(70).forall(_.getAs[String]("sitemap_filename") == "sitemap_bib_3.xml"))
+    assert(cont.drop(70).take(80).forall(_.getAs[String]("sitemap_filename") == "sitemap_bib_4.xml"))
+  }
+
+  test("url entry golden string with XML escaping") {
+    import spark.implicits._
+    val site = Sitemap.Sites("ads")
+    val df = Seq(("2003ASPC..295..283B", "2024-01-15"), ("a&b<c>", "2024-01-16"))
+      .toDF("bibcode", "lastmod")
+      .select(Sitemap.urlEntry(col("bibcode"), col("lastmod"), site).as("e"))
+    val entries = df.collect().map(_.getString(0))
+    assert(entries(0) ==
+      "\n<url><loc>https://ui.adsabs.harvard.edu/abs/2003ASPC..295..283B/abstract</loc><lastmod>2024-01-15</lastmod></url>")
+    assert(entries(1).contains("a&amp;b&lt;c&gt;"))
+  }
+
+  test("rendered sitemap file is valid urlset XML in id order") {
+    import spark.implicits._
+    val records = Seq((3L, "b3", "2024-01-03"), (1L, "b1", "2024-01-01"), (2L, "b2", "2024-01-02"))
+      .toDF("id", "bibcode", "lastmod")
+    val assigned = Sitemap.assignFilenames(records, maxPerFile = 10)
+    val rendered = Sitemap.renderFiles(assigned, Sitemap.Sites("scix")).collect()
+    assert(rendered.length == 1)
+    val content = rendered.head.getAs[String]("content")
+    assert(content.startsWith("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<urlset"))
+    assert(content.endsWith("</urlset>"))
+    val order = Seq("b1", "b2", "b3").map(b => content.indexOf(s"/abs/$b/"))
+    assert(order == order.sorted && order.forall(_ > 0), "entries in id order")
+    assert(content.contains("https://scixplorer.org/abs/b2/abstract"))
+  }
+
+  test("sitemap index + robots golden strings") {
+    val site = Sitemap.Sites("ads")
+    val idx = Sitemap.renderIndex(site, Seq(
+      ("sitemap_bib_2.xml", "2024-02-01"), ("sitemap_bib_1.xml", "2024-01-01")))
+    assert(idx.startsWith("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<sitemapindex"))
+    val entry = Sitemap.sitemapIndexEntry(site, "sitemap_bib_1.xml", "2024-01-01")
+    assert(entry ==
+      "\n            <sitemap>\n            <loc>https://ui.adsabs.harvard.edu/sitemap/sitemap_bib_1.xml</loc>\n            <lastmod>2024-01-01</lastmod>\n            </sitemap>")
+    assert(idx.indexOf("sitemap_bib_1.xml") < idx.indexOf("sitemap_bib_2.xml"))
+    assert(Sitemap.renderRobots(site) ==
+      "Sitemap: https://ui.adsabs.harvard.edu/sitemap/sitemap_index.xml\n")
+  }
+
+  test("file write sink + files-needing-update semi-join") {
+    import spark.implicits._
+    val records = Seq((1L, "b1", "2024-01-01")).toDF("id", "bibcode", "lastmod")
+    val rendered = Sitemap.renderFiles(
+      Sitemap.assignFilenames(records, maxPerFile = 10), Sitemap.Sites("ads"))
+    val out = java.nio.file.Files.createTempDirectory("graft_sitemap").toString
+    Sitemap.writeFiles(rendered, out)
+    val written = new java.io.File(out, "sitemap_bib_1.xml")
+    assert(written.exists)
+    assert(new String(java.nio.file.Files.readAllBytes(written.toPath), "UTF-8")
+      .contains("/abs/b1/abstract"))
+
+    val sm = Seq(
+      ("f1.xml", "b1", true), ("f1.xml", "b2", false), ("f2.xml", "b3", false))
+      .toDF("sitemap_filename", "bibcode", "update_flag")
+    val need = Sitemap.filesNeedingUpdate(sm).collect().map(_.getString(1)).toSet
+    assert(need == Set("b1", "b2"), "whole flagged file regenerates")
+  }
+}
