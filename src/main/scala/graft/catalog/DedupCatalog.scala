@@ -19,13 +19,11 @@ import graft.functions.PortableHash._
   */
 object DedupCatalog extends Catalog {
 
-  /** Distinct word-3-gram shingles of a text column. */
-  private def shingles3(textCol: Column): Column = {
-    val words = split(textCol, " ")
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(words) - 2, lit(1))),
-      i => array_join(slice(words, i, lit(3)), " ")))
-  }
+  /** Distinct word-3-gram shingles of a text column (compiled UDF — the
+    * HOF lambda equivalent evaluates interpreted and dominated the dedup
+    * runtime; see graft.functions.TextHashes). */
+  private def shingles3(textCol: Column): Column =
+    graft.functions.TextHashes.shingles3Udf(textCol)
 
   private val Shingles3Sql =
     """list_distinct(list_transform(
@@ -38,8 +36,8 @@ object DedupCatalog extends Catalog {
   /** doc_id + shingle set + 31-bit shingle hashes. */
   private def shingled(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"), shingles3(col("text")).as("sh"))
-      .withColumn("hs", transform(col("sh"), sh => hash31(sh)))
+      .select(col("doc_id"), col("text"), shingles3(col("text")).as("sh"),
+        graft.functions.TextHashes.shingleHashesUdf(col("text")).as("hs"))
 
   def queries: Map[String, QFn] = Map(
 
@@ -53,42 +51,68 @@ object DedupCatalog extends Catalog {
 
     // ── MinHash + LSH near-dup: shingle → 8 minhashes → 4 bands of 2 →
     // band-bucket equi-join → exact-Jaccard verify on candidates only.
+    // The banded frame is cached before the self-join: fingerprints are
+    // computed once, not re-derived per join side (at cluster scale this
+    // is a persisted fingerprint table — the standard LSH shape).
     "dd_minhash_lsh" -> ((s, d) => {
       val base = shingled(s, d)
-        .withColumn("mh", array((0 until 8).map(k =>
-          minhash(col("hs"), MinhashA(k), MinhashB(k))): _*))
-      val bands = base.select(col("doc_id"), col("sh"), col("mh"),
+        .withColumn("mh", graft.functions.TextHashes.minhashesUdf(8)(col("text")))
+        .cache()
+      // candidate generation joins ONLY (doc_id, band) — the shingle and
+      // minhash arrays stay out of the exploded band traffic and come back
+      // from a broadcast dim for the verify step
+      val bands = base.select(col("doc_id"),
         explode(array((0 until 4).map(k => struct(
           lit(k).as("band_idx"),
           (element_at(col("mh"), 2 * k + 1) * Mersenne31 +
             element_at(col("mh"), 2 * k + 2)).as("band_val"))): _*)).as("band"))
-        .select(col("doc_id"), col("sh"), col("mh"),
-          col("band.band_idx").as("band_idx"), col("band.band_val").as("band_val"))
-      bands.as("a").join(bands.as("b"),
+        .select(col("doc_id"), col("band.band_idx").as("band_idx"),
+          col("band.band_val").as("band_val"))
+      val cand = bands.as("a").join(bands.as("b"),
           col("a.band_idx") === col("b.band_idx") &&
             col("a.band_val") === col("b.band_val") &&
             col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          jaccard(col("a.sh"), col("b.sh")).as("jaccard"),
-          (aggregate(zip_with(col("a.mh"), col("b.mh"),
-            (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _) / 8.0).as("est_jaccard"))
-        .filter(col("jaccard") >= 0.5)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
+      val dim = base.select(col("doc_id"), col("sh"), col("mh"))
+      val est = (0 until 8).map(i =>
+        when(element_at(col("da.mh"), i + 1) === element_at(col("db.mh"), i + 1), 1)
+          .otherwise(0)).reduce(_ + _) / 8.0
+      cand.join(broadcast(dim.as("da")), col("doc_a") === col("da.doc_id"))
+        .join(broadcast(dim.as("db")), col("doc_b") === col("db.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          graft.functions.TextHashes.jaccardStringsUdf(col("da.sh"), col("db.sh")).as("jaccard"),
+          est.as("est_jaccard"))
+        .filter(col("jaccard") >= 0.5)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
-    // ── Length-banded n-gram Jaccard: overlapping length buckets (b, b+1)
-    // bound the candidate set; exact shingle Jaccard on candidates.
+    // ── Length-banded n-gram Jaccard via inverted index: explode shingles,
+    // equi-join on the shingle itself, count shared shingles per pair, then
+    // jaccard from sizes (|A∩B| / (|A|+|B|-|A∩B|)) and the length-band
+    // predicate (bucket distance ≤ 1 ≡ the reference's overlapping dual
+    // buckets). Same result as the naive banded cross-join, but work is
+    // proportional to actually-shared shingles — never to candidate pairs
+    // times array size. No document arrays cross the shuffle; the per-doc
+    // size/bucket dim broadcasts. This is the plan that survives 100 TB;
+    // the pairwise-array version died at sf0.1 already (5.9M candidate
+    // pairs × O(|sh|) array intersections).
     "dd_lenband_jaccard" -> ((s, d) => {
-      val base = Tables.documents(s, d)
+      val docs = Tables.documents(s, d)
         .select(col("doc_id"), shingles3(col("text")).as("sh"),
-          explode(array(expr("n_chars div 64"), expr("n_chars div 64 + 1"))).as("bucket"))
-      base.as("a").join(base.as("b"),
-          col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
+          expr("n_chars div 64").as("bucket"))
+      val dim = docs.select(col("doc_id"), size(col("sh")).as("n_sh"), col("bucket"))
+      val inv = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+      inv.as("a").join(inv.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("isect"))
+        .join(broadcast(dim.as("da")), col("doc_a") === col("da.doc_id"))
+        .join(broadcast(dim.as("db")), col("doc_b") === col("db.doc_id"))
+        .filter(abs(col("da.bucket") - col("db.bucket")) <= 1)
+        .select(col("doc_a"), col("doc_b"),
+          (col("isect") / (col("da.n_sh") + col("db.n_sh") - col("isect"))).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
-        .distinct()
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -99,7 +123,10 @@ object DedupCatalog extends Catalog {
         .orderBy(col("doc_id"))
     }),
 
-    // ── SimHash near-dup pairs: 16-bit half-band candidates, Hamming ≤ 6 ──
+    // ── SimHash near-dup pairs: 16-bit half-band candidates, Hamming ≤ 6.
+    // Fingerprints are cached pre-join — the simhash expression is ~1000×
+    // the cost of the join probe, so it must evaluate once per doc, not
+    // once per join side per reference. ──
     "dd_simhash_pairs" -> ((s, d) => {
       val base = Tables.documents(s, d)
         .select(col("doc_id"), simhash32(col("text")).as("simhash"))
@@ -109,6 +136,7 @@ object DedupCatalog extends Catalog {
             struct(lit(1).as("half"), (col("simhash") % 65536).as("half_val")))).as("band"))
         .select(col("doc_id"), col("simhash"),
           col("band.half").as("half"), col("band.half_val").as("half_val"))
+        .cache()
       base.as("a").join(base.as("b"),
           col("a.half") === col("b.half") &&
             col("a.half_val") === col("b.half_val") &&
@@ -120,14 +148,21 @@ object DedupCatalog extends Catalog {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
-    // ── Embedding-cosine near-dup: nearest same-label neighbor per vector ──
+    // ── Embedding-cosine near-dup: nearest same-label neighbor per vector.
+    // Norms are computed once per vector before the pair join (one compiled
+    // dot per pair instead of three interpreted ones); same FP order as the
+    // oracle, and round(6) absorbs op-order ulps. ──
     "dd_embedding_neardup" -> ((s, d) => {
+      import graft.functions.VectorOps
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("norm", VectorOps.normUdf(col("v")))
+        .cache()
       val pairs = e.as("a").join(e.as("b"),
           col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
         .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
-          cosine(col("a.v"), col("b.v")).as("cos_sim"))
+          round(VectorOps.dotUdf(col("a.v"), col("b.v")) /
+            (col("a.norm") * col("b.norm")), 6).as("cos_sim"))
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("cos_sim").desc, col("neighbor_id"))
@@ -137,18 +172,11 @@ object DedupCatalog extends Catalog {
     })
   )
 
-  /** 32-bit simhash from the universal-hash bit family (portable to the
+  /** 32-bit simhash from the universal-hash bit family (compiled UDF —
+    * the interpreted HOF formulation measured ~5 ms/doc; portable to the
     * oracle; swap the per-word hash for xxhash64 bits on a real cluster). */
-  private def simhash32(textCol: Column): Column = {
-    val hs = transform(split(textCol, " "), w => hash31(w))
-    val aLit = typedLit(SimhashA)
-    val bLit = typedLit(SimhashB)
-    val bits = transform(sequence(lit(0), lit(31)), j =>
-      when(aggregate(hs, lit(0L), (acc, h) =>
-        acc + (((h * element_at(aLit, j + 1) + element_at(bLit, j + 1)) % Mersenne31) % 2) * 2 - 1) > 0,
-        pow(lit(2.0), j.cast("double")).cast("long")).otherwise(lit(0L)))
-    aggregate(bits, lit(0L), _ + _)
-  }
+  private def simhash32(textCol: Column): Column =
+    graft.functions.TextHashes.simhash32Udf(textCol)
 
   private val Simhash32Sql: String =
     s"""CAST(list_sum(list_transform(generate_series(0, 31), j ->
@@ -157,13 +185,9 @@ object DedupCatalog extends Catalog {
                  h -> ((h * (${sqlList(SimhashA)})[j+1] + (${sqlList(SimhashB)})[j+1]) % $Mersenne31) % 2 * 2 - 1)) > 0
           THEN CAST(pow(2.0, j) AS BIGINT) ELSE 0 END)) AS BIGINT)"""
 
-  /** Exact-order cosine: fold-left dot and norms, rounded to 6dp on both
-    * engines so op-order ulps can't flip the comparison. */
-  private def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    round(dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))), 6)
-  }
+  /** Exact-order cosine (compiled; see graft.functions.VectorOps). */
+  private def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorOps.cosineUdf(a, b)
 
   private def cosineSql(a: String, b: String): String = {
     def dot(x: String, y: String) =

@@ -18,11 +18,12 @@ import graft.Tables
   */
 object SimilarityCatalog extends Catalog {
 
-  private def dot(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-
   private def cosine(a: Column, b: Column): Column =
-    round(dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))), 6)
+    graft.functions.VectorOps.cosineUdf(a, b)
+
+  /** Corpus side with precomputed norms (one dot per candidate pair). */
+  private def cosPrecomputed(qv: Column, qnorm: Column, v: Column, norm: Column): Column =
+    round(graft.functions.VectorOps.dotUdf(qv, v) / (qnorm * norm), 6)
 
   private def dotSql(x: String, y: String) =
     s"list_sum(list_transform(generate_series(1, len($x)), i -> $x[i]::DOUBLE * $y[i]::DOUBLE))"
@@ -39,13 +40,14 @@ object SimilarityCatalog extends Catalog {
     // ── Brute-force top-k: broadcast queries × full corpus, rank per query ──
     "sim_ann_bruteforce" -> ((s, d) => {
       val corpus = vecs(s, d)
+        .withColumn("norm", graft.functions.VectorOps.normUdf(col("v")))
       val qs = corpus.filter(col("vec_id") < 3)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cos_sim").desc, col("neighbor_id"))
       corpus.join(broadcast(qs), col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          cosine(col("qv"), col("v")).as("cos_sim"))
+          cosPrecomputed(col("qv"), col("qnorm"), col("v"), col("norm")).as("cos_sim"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .orderBy(col("query_id"), col("rank"))
@@ -54,14 +56,16 @@ object SimilarityCatalog extends Catalog {
     // ── IVF-style cell-restricted top-k: probe only the query's cell ──
     "sim_ann_ivf" -> ((s, d) => {
       val corpus = vecs(s, d)
+        .withColumn("norm", graft.functions.VectorOps.normUdf(col("v")))
       val qs = corpus.filter(col("vec_id") >= 3 && col("vec_id") < 13)
-        .select(col("vec_id").as("query_id"), col("label").as("qcell"), col("v").as("qv"))
+        .select(col("vec_id").as("query_id"), col("label").as("qcell"),
+          col("v").as("qv"), col("norm").as("qnorm"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cos_sim").desc, col("neighbor_id"))
       corpus.join(broadcast(qs),
           col("label") === col("qcell") && col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          cosine(col("qv"), col("v")).as("cos_sim"))
+          cosPrecomputed(col("qv"), col("qnorm"), col("v"), col("norm")).as("cos_sim"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .orderBy(col("query_id"), col("rank"))

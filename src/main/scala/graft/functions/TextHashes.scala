@@ -1,0 +1,137 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+import java.security.MessageDigest
+
+/** Compiled implementations of the fingerprint family from
+  * [[PortableHash]] — bit-identical to the DuckDB oracle SQL mirrors, but
+  * evaluated as tight JVM loops instead of nested Catalyst higher-order
+  * functions.
+  *
+  * Why: Catalyst HOF lambdas (`transform`/`aggregate`) evaluate
+  * interpreted, with per-element boxing — measured ~5 ms/document for the
+  * 32-bit simhash (32 bit-planes × words), i.e. the fingerprint cost
+  * dominated the whole dedup pipeline at sf0.1 and would burn a cluster at
+  * scale. The same math in compiled Scala is ~100× cheaper; the UDF
+  * boundary costs one string per row. (A native Catalyst Expression with
+  * doGenCode would shave the last UDF overhead; the math below is already
+  * the dominant win.)
+  */
+object TextHashes {
+
+  import PortableHash.{Mersenne31, SimhashA, SimhashB}
+
+  private val simhashA: Array[Long] = SimhashA.toArray
+  private val simhashB: Array[Long] = SimhashB.toArray
+
+  private val digest = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  private def md5hex(s: String): String = {
+    val md = digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexChars((d(i) & 0xf0) >> 4)
+      out(2 * i + 1) = HexChars(d(i) & 0x0f)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** hash64: first 15 hex chars of md5 as a 60-bit long (= PortableHash.hash64). */
+  def hash64(s: String): Long = java.lang.Long.parseLong(md5hex(s).substring(0, 15), 16)
+
+  /** hash31: hash64 mod (2^31-1) (= PortableHash.hash31). */
+  def hash31(s: String): Long = hash64(s) % Mersenne31
+
+  /** 32-bit simhash over whitespace tokens: bit_j set iff
+    * sum over words of (((h*a_j+b_j) mod p) mod 2)*2-1 is positive.
+    * Token split matches Spark `split(text, " ")` / DuckDB string_split. */
+  def simhash32(text: String): Long = {
+    val words = text.split(" ", -1)
+    val acc = new Array[Long](32)
+    var i = 0
+    while (i < words.length) {
+      val h = hash31(words(i))
+      var j = 0
+      while (j < 32) {
+        acc(j) += ((h * simhashA(j) + simhashB(j)) % Mersenne31) % 2 * 2 - 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 32) {
+      if (acc(j) > 0) out += 1L << j
+      j += 1
+    }
+    out
+  }
+
+  /** Distinct word-3-gram shingles (matches the HOF/DuckDB shingle defs:
+    * windows starting at 1..max(len-2, 1), slice of up to 3 words). */
+  def shingles3(text: String): Array[String] = {
+    val words = text.split(" ", -1)
+    val n = math.max(words.length - 2, 1)
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i < n) {
+      seen.add(words.slice(i, math.min(i + 3, words.length)).mkString(" "))
+      i += 1
+    }
+    seen.toArray(new Array[String](seen.size))
+  }
+
+  /** 31-bit hashes of the distinct shingles. */
+  def shingleHashes(text: String): Array[Long] = shingles3(text).map(hash31)
+
+  /** k minhash values over the shingle-hash set with the PortableHash
+    * coefficient family. */
+  def minhashes(text: String, k: Int): Array[Long] = {
+    val hs = shingleHashes(text)
+    val out = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      val a = PortableHash.MinhashA(j); val b = PortableHash.MinhashB(j)
+      var best = Long.MaxValue
+      var i = 0
+      while (i < hs.length) {
+        val v = (hs(i) * a + b) % Mersenne31
+        if (v < best) best = v
+        i += 1
+      }
+      out(j) = best
+      j += 1
+    }
+    out
+  }
+
+  /** Exact Jaccard of two distinct-element string sets (compiled HashSet
+    * intersection — same value as size(array_intersect)/size(array_union)
+    * on already-distinct arrays). */
+  def jaccardStrings(a: Seq[String], b: Seq[String]): Double = {
+    val sa = new java.util.HashSet[String](a.length * 2)
+    a.foreach(sa.add)
+    var isect = 0
+    b.foreach(x => if (sa.contains(x)) isect += 1)
+    isect.toDouble / (a.length + b.length - isect)
+  }
+
+  // ── Column wrappers ─────────────────────────────────────────────────────
+  val simhash32Udf: Column => Column = { c => udf(simhash32 _).apply(c) }
+  val jaccardStringsUdf: (Column, Column) => Column = { (a, b) =>
+    udf(jaccardStrings _).apply(a, b)
+  }
+  val shingles3Udf: Column => Column = { c => udf(shingles3 _).apply(c) }
+  val shingleHashesUdf: Column => Column = { c => udf(shingleHashes _).apply(c) }
+  def minhashesUdf(k: Int): Column => Column = { c =>
+    udf((t: String) => minhashes(t, k)).apply(c)
+  }
+}

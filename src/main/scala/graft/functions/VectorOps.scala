@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** Compiled vector math for the embedding operators. The HOF formulation
+  * (`aggregate(zip_with(..))`) evaluates interpreted per element — ~50M
+  * boxed lambda calls for a 400k-pair × 128-dim join — so the dot product
+  * runs as a tight JVM loop instead. Summation order is identical
+  * (left-to-right fold), keeping results bit-compatible with the
+  * DuckDB oracle's list_sum. */
+object VectorOps {
+
+  def dot(a: Seq[Double], b: Seq[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  /** Cosine similarity rounded to 6dp (both engines round, so op-order
+    * ulps can't flip the oracle comparison). Rounding mimics Spark's
+    * `round`: BigDecimal.valueOf (toString repr) + HALF_UP. */
+  def cosine6(a: Seq[Double], b: Seq[Double]): Double = {
+    val d = dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
+
+  val cosineUdf: (Column, Column) => Column = { (a, b) =>
+    udf(cosine6 _).apply(a, b)
+  }
+
+  /** Plain dot product column (compiled). */
+  val dotUdf: (Column, Column) => Column = { (a, b) => udf(dot _).apply(a, b) }
+
+  /** L2 norm column (compiled) — precompute per vector BEFORE a pair join
+    * so each candidate pair costs one dot product, not three. */
+  val normUdf: Column => Column = { v =>
+    udf((x: Seq[Double]) => math.sqrt(dot(x, x))).apply(v)
+  }
+}
