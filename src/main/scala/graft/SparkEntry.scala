@@ -17,7 +17,8 @@ object SparkEntry {
     TextCatalog,
     DedupCatalog,
     SimilarityCatalog,
-    RecordCatalog)
+    RecordCatalog,
+    MultimodalCatalog)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,122 @@
+package graft.catalog
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Multimodal
+import graft.functions.PortableHash
+
+/** Multimodal-column operators over synthesized binary payloads (see
+  * graft.operators.Multimodal — the codecs are deterministic stubs, the
+  * Spark plumbing is real). Every query here is oracle-checked: the stub
+  * math is built on the portable md5 hash family, so DuckDB reproduces
+  * metadata, frame sampling, and resize values exactly; the float
+  * embedding is compared at 3dp to absorb float-vs-double accumulation.
+  */
+object MultimodalCatalog extends Catalog {
+
+  private val P = PortableHash.Mersenne31
+  private def hSql = s"(('0x' || substr(md5(text), 1, 15))::BIGINT % $P)"
+  private val kindSql = "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+
+  def queries: Map[String, QFn] = Map(
+
+    // ── decode: opaque bytes → typed metadata row ──
+    "mm_metadata" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.mediaFromDocuments(Tables.documents(s, d))
+        .map(a => (a.media_id, a.kind, a.bytes.length, a.width, a.height,
+          a.sample_rate, a.duration_ms))
+        .toDF("media_id", "kind", "n_bytes", "width", "height",
+          "sample_rate", "duration_ms")
+        .orderBy("media_id")
+    }),
+
+    // ── frame sampling: generator over the video payloads ──
+    "mm_frame_sample" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.sampleFrames(
+        Multimodal.mediaFromDocuments(Tables.documents(s, d)),
+        stride = 50, frameSize = 16)
+        .map(f => (f.media_id, f.frame_idx, f.offset, f.frame_bytes.length))
+        .toDF("media_id", "frame_idx", "offset", "frame_len")
+        .orderBy("media_id", "frame_idx")
+    }),
+
+    // ── aspect-preserving resize plumbing over the image payloads ──
+    "mm_resize" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.resize(
+        Multimodal.mediaFromDocuments(Tables.documents(s, d)), maxSide = 256)
+        .toDF().orderBy("media_id")
+    }),
+
+    // ── batch feature extraction → embedding head. The oracle folds the
+    // same bytes in double (ASCII-only rows so text chars == bytes); the
+    // engine-side fold here is double too, same order, so floor(3dp) is
+    // bit-identical. extractFeatures (the float production path) is
+    // covered by MultimodalSpec. ──
+    "mm_embed" -> ((s, d) => {
+      import s.implicits._
+      val ascii = Tables.documents(s, d).filter(col("text").rlike("^[\\x00-\\x7F]*$"))
+      Multimodal.mediaFromDocuments(ascii)
+        .mapPartitions(_.map { a =>
+          val acc = new Array[Double](8)
+          var i = 0
+          while (i < a.bytes.length) {
+            acc(i % 8) += (a.bytes(i) & 0xff) / 255.0
+            i += 1
+          }
+          (a.media_id, math.floor(acc(0) * 1000) / 1000, math.floor(acc(7) * 1000) / 1000)
+        })
+        .toDF("media_id", "dim0", "dim7")
+        .orderBy("media_id")
+    }))
+
+  def oracle: Map[String, String] = Map(
+    "mm_metadata" ->
+      s"""SELECT doc_id AS media_id, $kindSql AS kind,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 64 + $hSql % 1024
+                WHEN 1 THEN 0 ELSE 320 + $hSql % 640 END AS INT) AS width,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 64 + ($hSql // 1024) % 1024
+                WHEN 1 THEN 0 ELSE 240 + ($hSql // 640) % 480 END AS INT) AS height,
+           CAST(CASE doc_id % 3 WHEN 1 THEN ([16000, 22050, 44100])[CAST($hSql % 3 AS INT) + 1]
+                ELSE 0 END AS INT) AS sample_rate,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 0
+                WHEN 1 THEN octet_length(encode(text)) * 1000 // 32
+                ELSE octet_length(encode(text)) * 40 END AS BIGINT) AS duration_ms
+         FROM documents ORDER BY media_id""",
+    "mm_frame_sample" ->
+      """SELECT doc_id AS media_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY off) - 1 AS INT) AS frame_idx,
+           CAST(off AS BIGINT) AS offset,
+           CAST(least(16, octet_length(encode(text)) - off) AS INT) AS frame_len
+         FROM (SELECT doc_id, text, unnest(range(0, greatest(octet_length(encode(text)), 1), 50)) AS off
+               FROM documents WHERE doc_id % 3 = 2)
+         ORDER BY media_id, frame_idx""",
+    "mm_resize" ->
+      s"""WITH img AS (
+           SELECT doc_id AS media_id,
+             CAST(64 + $hSql % 1024 AS INT) AS w,
+             CAST(64 + ($hSql // 1024) % 1024 AS INT) AS h
+           FROM documents WHERE doc_id % 3 = 0),
+         scaled AS (
+           SELECT media_id,
+             greatest(1, CAST(floor(w * least(1.0, 256.0 / greatest(w, h))) AS INT)) AS out_width,
+             greatest(1, CAST(floor(h * least(1.0, 256.0 / greatest(w, h))) AS INT)) AS out_height
+           FROM img)
+         SELECT media_id, out_width, out_height,
+           CAST(out_width * out_height * 3 AS INT) AS n_bytes
+         FROM scaled ORDER BY media_id""",
+    "mm_embed" ->
+      """SELECT doc_id AS media_id,
+           floor(list_sum(list_transform(
+             generate_series(1, octet_length(encode(text))),
+             i -> CASE WHEN (i - 1) % 8 = 0 THEN ord(substr(text, i, 1)) / 255.0 ELSE 0 END)) * 1000) / 1000 AS dim0,
+           floor(list_sum(list_transform(
+             generate_series(1, octet_length(encode(text))),
+             i -> CASE WHEN (i - 1) % 8 = 7 THEN ord(substr(text, i, 1)) / 255.0 ELSE 0 END)) * 1000) / 1000 AS dim7
+         FROM documents WHERE regexp_matches(text, '^[\x00-\x7F]*$')
+         ORDER BY media_id""")
+}

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns: images/audio/video as opaque `binary` payloads with
+  * typed metadata, processed by batch-shaped per-partition operators.
+  *
+  * The Spark-side plumbing is real — schemas, partitioning, batch
+  * iteration, feature vectors — while the actual media codecs are STUBBED
+  * with deterministic byte math (this container ships no image/audio
+  * libraries). Each stub is marked; swapping it for a real decoder changes
+  * no plan shape. The design mirrors how a 100 TB media pipeline runs:
+  * opaque bytes flow through columnar storage untouched, codec work
+  * happens once per partition batch (amortizing per-batch setup the way
+  * `mapInPandas`/Arrow batches do in PySpark), and only small typed
+  * features re-enter the relational plan.
+  */
+object Multimodal {
+
+  /** One media asset: id, modality kind, raw payload, typed metadata. */
+  case class MediaAsset(
+      media_id: Long,
+      kind: String, // image | audio | video
+      bytes: Array[Byte],
+      width: Int,
+      height: Int,
+      sample_rate: Int,
+      duration_ms: Long)
+
+  case class MediaFeature(media_id: Long, kind: String, embedding: Array[Float])
+
+  case class Frame(media_id: Long, frame_idx: Int, offset: Long, frame_bytes: Array[Byte])
+
+  case class Resized(media_id: Long, out_width: Int, out_height: Int, n_bytes: Int)
+
+  /** STUB decode: derive deterministic "media metadata" from the payload
+    * (stands in for an image/audio header parse). The seed hash is the
+    * portable md5-family over the payload's UTF-8 text, so the DuckDB
+    * oracle reproduces it value-for-value. */
+  def decodeMeta(bytes: Array[Byte], kind: String): (Int, Int, Int, Long) = {
+    val n = bytes.length
+    val h = graft.functions.TextHashes.hash31(new String(bytes, "UTF-8"))
+    kind match {
+      case "image" => ((64 + h % 1024).toInt, (64 + (h / 1024) % 1024).toInt, 0, 0L)
+      case "audio" => (0, 0, Seq(16000, 22050, 44100)((h % 3).toInt), n.toLong * 1000 / 32)
+      case _       => ((320 + h % 640).toInt, (240 + (h / 640) % 480).toInt, 0, n.toLong * 40)
+    }
+  }
+
+  /** STUB feature extractor: an 8-dim float embedding from byte windows
+    * (stands in for a vision/audio model forward pass). Deterministic in
+    * the payload, so tests and the oracle can pin it. */
+  def embed(bytes: Array[Byte], dims: Int = 8): Array[Float] = {
+    val out = new Array[Float](dims)
+    var i = 0
+    while (i < bytes.length) {
+      out(i % dims) += (bytes(i) & 0xff) / 255.0f
+      i += 1
+    }
+    out
+  }
+
+  /** Batch feature extraction as a per-partition operator: the "model" is
+    * constructed once per partition (like a Pandas UDF loading weights once
+    * per Arrow batch), then applied to every row in the batch. */
+  def extractFeatures(assets: Dataset[MediaAsset], dims: Int = 8): Dataset[MediaFeature] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions { batch =>
+      // per-partition setup happens HERE (e.g. load a codec/model); the
+      // stub's setup is trivially a no-op
+      batch.map(a => MediaFeature(a.media_id, a.kind, embed(a.bytes, dims)))
+    }
+  }
+
+  /** Frame sampling: one output row per sampled frame (every `stride`
+    * bytes stands in for every-Nth-frame). A generator-shaped flatMap —
+    * no shuffle, output proportional to frames kept. */
+  def sampleFrames(assets: Dataset[MediaAsset], stride: Int, frameSize: Int): Dataset[Frame] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.filter(_.kind == "video").flatMap { a =>
+      Iterator.range(0, math.max(a.bytes.length, 1), stride).zipWithIndex.map {
+        case (off, idx) =>
+          // STUB frame decode: a byte slice stands in for the decoded frame
+          Frame(a.media_id, idx, off.toLong,
+            a.bytes.slice(off, math.min(off + frameSize, a.bytes.length)))
+      }
+    }
+  }
+
+  /** Resize plumbing: target box per asset, aspect-preserving integer
+    * math; the pixel pass is stubbed to a length calculation. */
+  def resize(assets: Dataset[MediaAsset], maxSide: Int): Dataset[Resized] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.filter(_.kind == "image").map { a =>
+      val scale = math.min(1.0, maxSide.toDouble / math.max(math.max(a.width, a.height), 1))
+      val (w, h) = (math.max(1, (a.width * scale).toInt), math.max(1, (a.height * scale).toInt))
+      // STUB pixel resample: output size = w*h*3 (RGB), bytes untouched
+      Resized(a.media_id, w, h, w * h * 3)
+    }
+  }
+
+  /** Build a deterministic media table from the documents table: the text
+    * bytes stand in for the opaque payload; modality round-robins by id.
+    * (The synthetic corpus has no real media; everything downstream only
+    * sees `binary` + metadata, exactly as with real payloads.) */
+  def mediaFromDocuments(docs: DataFrame): Dataset[MediaAsset] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"))
+      .map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getString(1).getBytes("UTF-8")
+        val kind = Seq("image", "audio", "video")((id % 3).toInt)
+        val (w, h, sr, dur) = decodeMeta(bytes, kind)
+        MediaAsset(id, kind, bytes, w, h, sr, dur)
+      }
+  }
+}
