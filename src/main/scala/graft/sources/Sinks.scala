@@ -1,0 +1,124 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.json4s._
+
+import graft.functions.CanonicalJson
+import graft.transform.SolrTransform
+
+/** Push sinks with the reference's graceful-degradation semantics
+  * (SURVEY.md S6-S8/ST6; adsmp/solr_updater.py:394-432, app.py:381-430,
+  * 514-584).
+  *
+  * The reference POSTs JSON batches to SOLR/metrics/links endpoints; on a
+  * batch failure it retries document-by-document, and for SOLR retries a
+  * failing document once more with the giant `body` field stripped.
+  * Successes and failures then stamp `status` per record (ST6).
+  *
+  * Spark shape: `mapPartitions` — each partition drains its rows in
+  * transport batches, so RPC amortization and the retry ladder are
+  * partition-local control flow; the returned status frame joins back to
+  * the master table (MergeEngine.markProcessed). The transport is a
+  * pluggable serializable function so tests inject faults and production
+  * supplies an HTTP client built once per partition.
+  */
+object Sinks {
+
+  /** Sends one batch of rendered payloads; throws to signal failure.
+    * Built once per partition — the place to open an HTTP pool. */
+  trait Transport extends Serializable {
+    def send(payloads: Seq[String]): Unit
+  }
+
+  /** Per-document outcome of a sink write (ST6 input). */
+  case class SinkStatus(bibcode: String, ok: Boolean,
+      retriedSolo: Boolean, bodyStripped: Boolean)
+
+  /** Remove the `body` field from a rendered SOLR doc (the reference's
+    * last-ditch retry strips the fulltext body, app.py:415-427). */
+  def stripBody(payload: String): String =
+    SolrTransform.parse(payload) match {
+      case JObject(fields) =>
+        CanonicalJson.serialize(JObject(fields.filterNot(_._1 == "body")))
+      case _ => payload
+    }
+
+  /** S6 — SOLR-style sink: batch send; on failure per-doc retry; on doc
+    * failure one more attempt with `body` stripped. Expects columns
+    * (bibcode, payload). */
+  def writeSolr(docs: DataFrame, transport: Transport,
+      batchSize: Int = 1000): Dataset[SinkStatus] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select("bibcode", "payload").as[(String, String)]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          try {
+            transport.send(batch.map(_._2))
+            batch.iterator.map { case (b, _) => SinkStatus(b, ok = true, retriedSolo = false, bodyStripped = false) }
+          } catch {
+            case _: Throwable =>
+              batch.iterator.map { case (bibcode, payload) =>
+                try {
+                  transport.send(Seq(payload))
+                  SinkStatus(bibcode, ok = true, retriedSolo = true, bodyStripped = false)
+                } catch {
+                  case _: Throwable =>
+                    try {
+                      transport.send(Seq(stripBody(payload)))
+                      SinkStatus(bibcode, ok = true, retriedSolo = true, bodyStripped = true)
+                    } catch {
+                      case _: Throwable =>
+                        SinkStatus(bibcode, ok = false, retriedSolo = true, bodyStripped = true)
+                    }
+                }
+              }
+          }
+        }
+      }
+  }
+
+  /** S7/S8 — bulk-then-per-row sink (metrics upsert / links PUT): batch
+    * send, per-row fallback, no body-strip ladder. */
+  def writeBulk(rows: DataFrame, transport: Transport,
+      batchSize: Int = 1000): Dataset[SinkStatus] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.select("bibcode", "payload").as[(String, String)]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          try {
+            transport.send(batch.map(_._2))
+            batch.iterator.map { case (b, _) => SinkStatus(b, ok = true, retriedSolo = false, bodyStripped = false) }
+          } catch {
+            case _: Throwable =>
+              batch.iterator.map { case (bibcode, payload) =>
+                try {
+                  transport.send(Seq(payload))
+                  SinkStatus(bibcode, ok = true, retriedSolo = true, bodyStripped = false)
+                } catch {
+                  case _: Throwable =>
+                    SinkStatus(bibcode, ok = false, retriedSolo = true, bodyStripped = false)
+                }
+              }
+          }
+        }
+      }
+  }
+
+  /** S11 — delete sink: per-bibcode delete command against every URL; a
+    * bibcode counts deleted only when all endpoints succeed
+    * (solr_updater.py:372-391). */
+  def deleteByBibcodes(bibcodes: Dataset[String],
+      transports: Seq[Transport]): Dataset[SinkStatus] = {
+    val spark = bibcodes.sparkSession
+    import spark.implicits._
+    bibcodes.map { b =>
+      val payload = s"""{"delete": {"query": "bibcode:\\"$b\\""}}"""
+      val okAll = transports.forall { t =>
+        try { t.send(Seq(payload)); true } catch { case _: Throwable => false }
+      }
+      SinkStatus(b, ok = okAll, retriedSolo = false, bodyStripped = false)
+    }
+  }
+}
