@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+import graft.records._
+import graft.operators.{IndexJob, MergeEngine, Sitemap}
+import graft.sources.{MasterStore, Sinks}
+import graft.streaming.Watermark
+
+/** The whole reference topology as one batch job (SURVEY.md §3):
+  * ingest messages → merge into the master snapshot → eligibility gate →
+  * build the three sink payloads → push with retry ladders → stamp
+  * processed/checksum/status → next snapshot. What took the reference 13
+  * Celery queues and three databases is three Spark jobs over one
+  * snapshot store; every stage is an operator tested on its own.
+  */
+object Pipeline {
+
+  case class RunReport(
+      version: Long,
+      merged: Long,
+      indexed: Long,
+      solrOk: Long, solrFailed: Long,
+      metricsOk: Long, linksOk: Long)
+
+  /** One micro-batch: the batch analog of the reference's
+    * `cron → reindex → task_index_records → sinks → mark_processed`. */
+  def runBatch(
+      spark: SparkSession,
+      store: MasterStore,
+      updates: Dataset[UpdateMessage],
+      solrTransport: Sinks.Transport,
+      bulkTransport: Sinks.Transport,
+      watermarkDir: Option[String] = None,
+      force: Boolean = false,
+      now: Timestamp = new Timestamp(0)): RunReport = {
+    import spark.implicits._
+
+    // ST1: incremental window from the stored watermark
+    val since = watermarkDir.flatMap(Watermark.read(spark, _, "last.reindex.normal"))
+
+    // M1 merge
+    val merged = MergeEngine.upsert(store.read(spark), updates)
+    val master = merged.master.cache()
+    val mergedCount = master.count()
+
+    // P1-P3 gate + payload builds + P4 checksum suppression
+    val selected = master.as[MasterRecord].filter(IndexJob.eligible(since, force))
+    val batch = IndexJob.run(selected)
+
+    // S6/S7/S8 with retry ladders
+    val solrStatus = Sinks.writeSolr(batch.solr, solrTransport).cache()
+    val metricsStatus = Sinks.writeBulk(batch.metrics, bulkTransport).cache()
+    val linksStatus = Sinks.writeBulk(batch.links, bulkTransport).cache()
+
+    // M4/ST6 stamping: successes carry their checksum, failures a status
+    def stamp(m: DataFrame, status: Dataset[Sinks.SinkStatus],
+        payloads: DataFrame, sinkType: String): DataFrame = {
+      val okKeys = status.filter(_.ok).toDF().select(col("bibcode"))
+        .join(payloads.select(col("bibcode"), col("checksum")), Seq("bibcode"))
+      val failKeys = status.filter(!_.ok).toDF().select(col("bibcode"),
+        lit(null).cast("string").as("checksum"))
+      val afterOk = MergeEngine.markProcessed(m, okKeys, sinkType, Some("success"), now)
+      MergeEngine.markProcessed(afterOk, failKeys, sinkType,
+        Some(sinkType match {
+          case "solr" => "solr-failed"
+          case "metrics" => "metrics-failed"
+          case _ => "links-failed"
+        }), now)
+    }
+
+    val stamped = stamp(stamp(stamp(master, solrStatus, batch.solr, "solr"),
+      metricsStatus, batch.metrics, "metrics"),
+      linksStatus, batch.links, "links")
+
+    val version = store.write(stamped)
+    watermarkDir.foreach(Watermark.advance(spark, _, "last.reindex.normal", now))
+
+    RunReport(version, mergedCount,
+      indexed = batch.solr.count(),
+      solrOk = solrStatus.filter(_.ok).count(),
+      solrFailed = solrStatus.filter(!_.ok).count(),
+      metricsOk = metricsStatus.filter(_.ok).count(),
+      linksOk = linksStatus.filter(_.ok).count())
+  }
+
+  /** Sitemap generation over the live snapshot (SURVEY.md §3.3):
+    * P7 include → W1 bucket → render → write files + index + robots. */
+  def runSitemaps(spark: SparkSession, store: MasterStore, outDir: String,
+      siteKey: String = "ads", maxPerFile: Int = Sitemap.MaxRecordsPerSitemap): Long = {
+    val site = Sitemap.Sites(siteKey)
+    val included = store.read(spark)
+      .filter(Sitemap.shouldInclude)
+      .select(col("id"), col("bibcode"),
+        date_format(coalesce(col("bib_data_updated"), col("updated")), "yyyy-MM-dd").as("lastmod"))
+    val assigned = Sitemap.assignFilenames(included, maxPerFile)
+    val rendered = Sitemap.renderFiles(assigned, site).cache()
+    Sitemap.writeFiles(rendered, outDir)
+    val files = rendered.select(col("sitemap_filename")).collect()
+      .map(_.getString(0)).sorted
+    val today = java.time.LocalDate.now.toString
+    val idx = Sitemap.renderIndex(site, files.map(f => f -> today).toSeq)
+    java.nio.file.Files.write(java.nio.file.Paths.get(outDir, "sitemap_index.xml"),
+      idx.getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(outDir, "robots.txt"),
+      Sitemap.renderRobots(site).getBytes("UTF-8"))
+    files.length.toLong
+  }
+}

@@ -1,0 +1,89 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import graft.operators.MergeEngine
+
+/** Snapshot store for the mutable master table on immutable columnar
+  * storage (SURVEY.md §7.4 risk 2).
+  *
+  * The reference mutates Postgres rows in place; here every mutation batch
+  * produces the next immutable snapshot and an atomic pointer swap:
+  *
+  *   root/
+  *     v_00000001/   (parquet, hash-distributed by bibcode)
+  *     v_00000002/
+  *     CURRENT       (one line: the live version)
+  *
+  * Readers resolve CURRENT once and read a consistent snapshot; a crashed
+  * writer leaves at most an orphan directory, never a torn table. Old
+  * versions remain for time travel until `vacuum`.
+  *
+  * Scale: snapshots are written `repartition(n, bibcode)` so every
+  * merge-on-write join against a delta keyed by bibcode co-partitions with
+  * AQE, and bibcode point-lookups prune to one partition's files. At
+  * cluster scale `n` tracks corpus size (the 28.8M-row reference corpus at
+  * ~2 KB/row → ~60 GB → a few hundred buckets).
+  */
+class MasterStore(val root: String, numBuckets: Int = 8) {
+
+  private def currentFile = Paths.get(root, "CURRENT")
+
+  def currentVersion: Option[Long] =
+    if (Files.exists(currentFile))
+      Some(new String(Files.readAllBytes(currentFile), "UTF-8").trim.toLong)
+    else None
+
+  private def versionDir(v: Long) = Paths.get(root, f"v_$v%08d")
+
+  /** Read the live snapshot (empty frame when the store is new). */
+  def read(spark: SparkSession): DataFrame = currentVersion match {
+    case Some(v) => spark.read.parquet(versionDir(v).toString)
+      .select(MergeEngine.masterColumns.map(col): _*)
+    case None => MergeEngine.emptyMaster(spark)
+  }
+
+  /** Write the next snapshot and atomically advance CURRENT. */
+  def write(master: DataFrame): Long = {
+    val next = currentVersion.getOrElse(0L) + 1
+    master
+      .repartition(numBuckets, col("bibcode"))
+      .write.mode("errorifexists").parquet(versionDir(next).toString)
+    val tmp = Paths.get(root, "CURRENT.tmp")
+    Files.createDirectories(Paths.get(root))
+    Files.write(tmp, next.toString.getBytes("UTF-8"))
+    Files.move(tmp, currentFile, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    next
+  }
+
+  /** Drop all snapshots older than the live one (the reference's
+    * truncate+backup M6 keeps one generation too). */
+  def vacuum(): Unit = currentVersion.foreach { live =>
+    val dir = Paths.get(root)
+    if (Files.exists(dir)) {
+      Files.list(dir).forEach { p =>
+        val name = p.getFileName.toString
+        if (name.startsWith("v_") && name.stripPrefix("v_").toLong != live) {
+          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => Files.delete(f))
+        }
+      }
+    }
+  }
+
+  def versions: Seq[Long] = {
+    val dir = Paths.get(root)
+    if (!Files.exists(dir)) Nil
+    else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      Files.list(dir).forEach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("v_")) out += n.stripPrefix("v_").toLong
+      }
+      out.sorted.toSeq
+    }
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+import graft.records.UpdateMessage
+import graft.sources.{MasterStore, Sinks}
+
+/** End-to-end pipeline tests: two micro-batches through the snapshot
+  * store with a flaky sink, asserting merge counts, checksum-suppressed
+  * replays, failure status stamping, snapshot versioning, and sitemap
+  * output over the live snapshot. */
+class PipelineSpec extends AnyFunSuite with SparkSpec {
+
+  def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  def msgs(bib: String, t: String): Seq[UpdateMessage] = Seq(
+    UpdateMessage(bib, "metadata",
+      s"""{"bibcode": "$bib", "title": ["T $bib"], "database": ["astronomy"]}""", ts(t)),
+    UpdateMessage(bib, "nonbib_data", """{"boost": 0.4}""", ts(t)),
+    UpdateMessage(bib, "orcid_claims", """{"verified": []}""", ts(t)),
+    UpdateMessage(bib, "metrics", """{"reads": [1]}""", ts(t)))
+
+  val okTransport = new Sinks.Transport { def send(p: Seq[String]): Unit = () }
+
+  test("two micro-batches: merge, index, stamp, suppress replay, version") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_store").toString
+    val store = new MasterStore(root, numBuckets = 2)
+    val wmDir = java.nio.file.Files.createTempDirectory("graft_wm2").toString + "/kv"
+
+    // batch 1: two complete records, one bib-only (gated)
+    val b1 = (msgs("p1", "2024-01-01 00:00:00") ++ msgs("p2", "2024-01-01 00:00:00") :+
+      UpdateMessage("p3", "metadata", "{}", ts("2024-01-01 00:00:00"))).toDS()
+    val r1 = Pipeline.runBatch(spark, store, b1, okTransport, okTransport,
+      Some(wmDir), now = ts("2024-01-02 00:00:00"))
+    assert(r1.version == 1 && r1.merged == 3)
+    assert(r1.indexed == 2 && r1.solrOk == 2 && r1.solrFailed == 0)
+    assert(r1.metricsOk == 2)
+
+    val snap1 = store.read(spark).collect().map(r =>
+      r.getAs[String]("bibcode") -> r.getAs[String]("status")).toMap
+    assert(snap1("p1") == "success" && snap1.contains("p3"))
+
+    // batch 2: replay p1 unchanged (suppressed), update p2, flaky sink for p2
+    val flaky = new Sinks.Transport {
+      def send(p: Seq[String]): Unit =
+        if (p.exists(_.contains("p2"))) throw new RuntimeException("solr down")
+    }
+    val b2 = (msgs("p1", "2024-01-01 00:00:00") ++  // identical payloads
+      msgs("p2", "2024-01-03 00:00:00").map(m =>
+        m.copy(payload = m.payload.replace("T p2", "T2 p2")))).toDS()
+    val r2 = Pipeline.runBatch(spark, store, b2, flaky, okTransport,
+      Some(wmDir), now = ts("2024-01-04 00:00:00"))
+    assert(r2.version == 2)
+    // p1 replay: same checksum → suppressed; p2 changed → attempted and failed
+    assert(r2.indexed == 1, s"only changed doc reindexes, got ${r2.indexed}")
+    assert(r2.solrFailed == 1 && r2.solrOk == 0)
+    val snap2 = store.read(spark).collect().map(r =>
+      r.getAs[String]("bibcode") -> r.getAs[String]("status")).toMap
+    assert(snap2("p2") == "solr-failed", "ST6 status lands in the snapshot")
+    assert(snap2("p1") == "success")
+    assert(store.versions == Seq(1L, 2L))
+
+    // vacuum keeps only the live snapshot
+    store.vacuum()
+    assert(store.versions == Seq(2L))
+
+    // sitemaps over the live snapshot (p1, p2 have bib_data; p3 too)
+    val smDir = java.nio.file.Files.createTempDirectory("graft_sm_out").toString
+    val nFiles = Pipeline.runSitemaps(spark, store, smDir, "ads", maxPerFile = 2)
+    assert(nFiles >= 1)
+    assert(new java.io.File(smDir, "sitemap_index.xml").exists)
+    assert(new java.io.File(smDir, "robots.txt").exists)
+    val first = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(smDir, "sitemap_bib_1.xml").toPath), "UTF-8")
+    assert(first.contains("/abs/") && first.startsWith("<?xml"))
+  }
+}
