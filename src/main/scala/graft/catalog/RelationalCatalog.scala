@@ -192,26 +192,19 @@ object RelationalCatalog extends Catalog {
     // loop runs in the driver over a tiny DataFrame (alias graphs are small)
     // while each step is a distributed join, so depth scales with the longest
     // chain, not the table size.
+    // delegates to the merge engine's pointer-doubling fixpoint (each round
+    // squares the resolved chain depth → log rounds, not one per hop)
     "j7_alias_fixpoint" -> ((s, d) => {
-      val mapping = Tables.nation(s, d)
+      import s.implicits._
+      val aliases = Tables.nation(s, d)
         .select(col("n_nationkey").cast("long").as("key"),
           when(col("n_nationkey") % 5 === 0, col("n_nationkey"))
             .otherwise(col("n_nationkey") - 1).cast("long").as("target"))
-      var resolved = mapping
-      var converged = false
-      while (!converged) {
-        val next = resolved.as("a")
-          .join(mapping.as("m"), col("a.target") === col("m.key"), "left_outer")
-          .select(col("a.key").as("key"),
-            coalesce(col("m.target"), col("a.target")).as("target"))
-        next.cache()
-        val moved = next.as("n").join(resolved.as("r"), col("n.key") === col("r.key"))
-          .filter(col("n.target") =!= col("r.target")).limit(1).count()
-        converged = moved == 0
-        resolved.unpersist()
-        resolved = next
-      }
-      resolved.select(col("key"), col("target").as("root")).orderBy(col("key"))
+        .map(r => graft.records.IdentifierAlias(r.getLong(0).toString, r.getLong(1).toString))
+      graft.operators.MergeEngine.resolveAliases(aliases)
+        .select(col("key").cast("long").as("key"),
+          col("target").cast("long").as("root"))
+        .orderBy(col("key"))
     }),
 
     // ── J8: LIKE-probe ──

@@ -171,11 +171,14 @@ object MergeEngine {
         .join(current.as("b"), col("a.target") === col("b.key"), "left_outer")
         .select(col("a.key"),
           coalesce(col("b.target"), col("a.target")).as("target"),
-          col("b.target").isNotNull.as("hopped"))
+          // converged when no row's target actually moved this round (a
+          // hop into a self-loop terminal lands on the same target and
+          // must not count, or fixpoints would never be detected)
+          (col("b.target").isNotNull && col("b.target") =!= col("a.target")).as("changed"))
         .cache()
-      val hops = step.filter(col("hopped") && col("key") =!= col("target")).count()
-      current = step.drop("hopped")
-      converged = hops == 0
+      val moved = step.filter(col("changed")).limit(1).count()
+      current = step.drop("changed")
+      converged = moved == 0
       i += 1
     }
     current

@@ -118,6 +118,59 @@ class IndexJobSpec extends AnyFunSuite with SparkSpec {
     assert(IndexJob.linksForResolver(MasterRecord.empty("l3")) == None)
   }
 
+  test("P6 failed-reindex selection matches the reference fixture (test_run.py:50-79)") {
+    import spark.implicits._
+    // FIXTURES.md §1: five records; expect exactly [bibcode2, bibcode3]
+    // selected and flipped to 'retrying'
+    val rows = Seq(
+      MasterRecord.empty("bibcode1").copy(bib_data = Some("{}"), status = Some("success")),
+      MasterRecord.empty("bibcode2").copy(bib_data = Some("{}"), status = Some("solr-failed")),
+      MasterRecord.empty("bibcode3").copy(bib_data = Some("{}"), status = Some("links-failed")),
+      MasterRecord.empty("bibcode4").copy(bib_data = Some("{}"), status = Some("retrying")),
+      MasterRecord.empty("bibcode5").copy(fulltext = Some("foobar")))
+    val master = spark.createDataset(rows).toDF
+    val selected = master.filter(
+      !coalesce(col("status"), lit("")).isin("success", "retrying") &&
+        col("bib_data").isNotNull)
+    assert(selected.collect().map(_.getAs[String]("bibcode")).sorted.toSeq ==
+      Seq("bibcode2", "bibcode3"))
+    val requeued = master.join(selected.select(col("bibcode").as("sel")),
+        col("bibcode") === col("sel"), "left_outer")
+      .withColumn("status", when(col("sel").isNotNull, "retrying").otherwise(col("status")))
+      .drop("sel")
+    val statuses = requeued.collect().map(r =>
+      r.getAs[String]("bibcode") -> r.getAs[String]("status")).toMap
+    assert(statuses("bibcode2") == "retrying" && statuses("bibcode3") == "retrying")
+    assert(statuses("bibcode1") == "success" && statuses("bibcode4") == "retrying")
+  }
+
+  test("upsert commutativity: distinct-slot update batches commute (property)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val slots = Seq("metadata", "nonbib_data", "orcid_claims", "fulltext", "metrics")
+    (1 to 3).foreach { trial =>
+      // messages over distinct (bibcode, slot) pairs → any arrival order
+      // must produce the same master state (checksums included)
+      val ms = rnd.shuffle(for {
+        b <- Seq("x1", "x2", "x3")
+        s <- slots if rnd.nextBoolean()
+      } yield UpdateMessage(b, s, s"""{"v": "$b-$s"}""",
+        ts(f"2024-01-0${1 + rnd.nextInt(8)}%dT00:00:00Z")))
+      if (ms.nonEmpty) {
+        val perm = rnd.shuffle(ms)
+        def runAll(seq: Seq[UpdateMessage]) = {
+          val half = seq.length / 2
+          val m1 = MergeEngine.upsert(MergeEngine.emptyMaster(spark),
+            seq.take(half).toDS()).master
+          MergeEngine.upsert(m1, seq.drop(half).toDS()).master
+            .drop("id", "created") // synthetic id/created may differ by arrival split
+            .orderBy("bibcode").collect().map(_.toString).toSeq
+        }
+        assert(runAll(ms) == runAll(perm), s"trial $trial not commutative")
+      }
+    }
+  }
+
   test("end-to-end: upsert → index → mark-processed → replay suppressed") {
     import spark.implicits._
     val t0 = ts("2024-01-01T00:00:00Z")
