@@ -86,6 +86,32 @@ object Pipeline {
       linksOk = linksStatus.filter(_.ok).count())
   }
 
+  /** Continuous ingest (ST1 as Structured Streaming): every micro-batch of
+    * update messages runs the full merge → index → sink → stamp cycle
+    * against the snapshot store. The checkpoint gives at-least-once
+    * delivery; checksum suppression (P4) and the upsert merge make
+    * replayed batches no-ops (ST4), so end-to-end the pipeline is
+    * effectively exactly-once without coordination. */
+  def runStream(
+      spark: SparkSession,
+      store: MasterStore,
+      updates: Dataset[UpdateMessage],
+      solrTransport: Sinks.Transport,
+      bulkTransport: Sinks.Transport,
+      checkpointDir: String,
+      force: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[UpdateMessage], batchId: Long) =>
+        val report = runBatch(spark, store, batch, solrTransport, bulkTransport,
+          watermarkDir = None, force = force,
+          now = new Timestamp(System.currentTimeMillis()))
+        spark.sparkContext.setJobDescription(
+          s"graft micro-batch $batchId -> snapshot v${report.version}")
+        ()
+      }
+      .start()
+
   /** Sitemap generation over the live snapshot (SURVEY.md §3.3):
     * P7 include → W1 bucket → render → write files + index + robots. */
   def runSitemaps(spark: SparkSession, store: MasterStore, outDir: String,

@@ -54,6 +54,32 @@ object IndexJob {
     }
   }
 
+  /** Boost-pipeline request message (adsmp/app.py:774-801): a projection
+    * of the record for the external boost scorer. */
+  def boostRequest(rec: MasterRecord): JObject = JObject(List(
+    "bibcode" -> JString(rec.bibcode),
+    "scix_id" -> JString(rec.scix_id.getOrElse("")),
+    "status" -> JString("updated"),
+    "bib_data" -> JString(rec.bib_data.getOrElse("")),
+    "metrics" -> JString(rec.metrics.getOrElse("")),
+    "classifications" -> rec.classifications.map(SolrTransform.parse)
+      .filter(SolrTransform.truthy).getOrElse(JArray(Nil)),
+    "collections" -> JArray(Nil),
+    "run_id" -> JInt(0),
+    "output_path" -> JString("")))
+
+  /** Affiliation-augment request (adsmp/app.py:628-653): sent only when
+    * the bib data carries a non-empty aff list. */
+  def affAugmentRequest(rec: MasterRecord): Option[JObject] = {
+    val bib = rec.bib_data.map(SolrTransform.parse).getOrElse(JNothing)
+    val aff = bib \ "aff"
+    if (!SolrTransform.truthy(aff)) None
+    else Some(JObject(List(
+      "bibcode" -> JString(rec.bibcode),
+      "aff" -> aff,
+      "author" -> (bib \ "author" match { case JNothing => JString(""); case v => v }))))
+  }
+
   /** One sink payload: bibcode, rendered JSON, its checksum, and whether
     * the checksum differs from the stored one (i.e. a write is due). */
   case class SinkPayload(bibcode: String, payload: String, checksum: String, changed: Boolean)

@@ -23,6 +23,48 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
 
   val okTransport = new Sinks.Transport { def send(p: Seq[String]): Unit = () }
 
+  test("streaming ingest: foreachBatch micro-batches advance the snapshot store") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_store_s").toString
+    val store = new graft.sources.MasterStore(root, numBuckets = 2)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[UpdateMessage]
+    val query = Pipeline.runStream(spark, store, input.toDS(),
+      okTransport, okTransport, ckpt)
+    try {
+      input.addData(msgs("s1", "2024-01-01 00:00:00"): _*)
+      query.processAllAvailable()
+      assert(store.currentVersion.contains(1L))
+      val v1 = store.read(spark).collect().map(r =>
+        r.getAs[String]("bibcode") -> r.getAs[String]("status")).toMap
+      assert(v1("s1") == "success")
+
+      input.addData(msgs("s2", "2024-01-02 00:00:00"): _*)
+      query.processAllAvailable()
+      assert(store.currentVersion.contains(2L))
+      val v2 = store.read(spark).collect().map(_.getAs[String]("bibcode")).toSet
+      assert(v2 == Set("s1", "s2"), "later batches merge on top of earlier snapshots")
+    } finally query.stop()
+  }
+
+  test("boost and aff-augment request builders") {
+    val rec = graft.records.MasterRecord.empty("bb").copy(
+      scix_id = Some("scix:AAAA-BBBB-CCCC"),
+      bib_data = Some("""{"aff": ["CfA"], "author": ["A, B."]}"""),
+      classifications = Some("""["astrophysics"]"""))
+    val boost = graft.operators.IndexJob.boostRequest(rec)
+    val m = boost.obj.toMap
+    assert(m("bibcode") == org.json4s.JString("bb"))
+    assert(m("status") == org.json4s.JString("updated"))
+    assert(m("classifications") == org.json4s.JArray(List(org.json4s.JString("astrophysics"))))
+    val aug = graft.operators.IndexJob.affAugmentRequest(rec).get
+    assert((aug \ "aff") == org.json4s.JArray(List(org.json4s.JString("CfA"))))
+    assert(graft.operators.IndexJob.affAugmentRequest(
+      graft.records.MasterRecord.empty("no-aff")) == None)
+  }
+
   test("two micro-batches: merge, index, stamp, suppress replay, version") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_store").toString
