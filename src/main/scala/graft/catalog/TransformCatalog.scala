@@ -196,11 +196,13 @@ object TransformCatalog extends Catalog {
     // batch shape of the reference's update_storage: one shuffle on the key
     // for the dedup window, one join keyed the same way.
     "m1_upsert_merge" -> ((s, d) => {
-      val w = Window.partitionBy(col("user_id"), col("event_type"))
-        .orderBy(col("ts").desc, col("event_id").desc)
+      // latest-per-slot via max_by over an (ts, event_id) ordering struct —
+      // one hash aggregation with map-side combine instead of a ranking
+      // window's shuffle + sort (same result as ROW_NUMBER()=1)
       val latest = Tables.events(s, d)
         .filter(col("event_type").isin("click", "purchase"))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(max_by(col("value"), struct(col("ts"), col("event_id"))).as("value"))
       val pivoted = latest.groupBy(col("user_id"))
         .agg(
           max(when(col("event_type") === "click", col("value"))).as("click_value"),
@@ -213,6 +215,24 @@ object TransformCatalog extends Catalog {
           col("click_value"), col("purchase_value"),
           coalesce(col("c_acctbal"), lit(0.0)).as("acctbal"),
           col("c_custkey").isNotNull.as("existed"))
+        .orderBy(col("key"))
+    }),
+
+    // ── M5: bulk insert/update mappings — union of existing rows with an
+    // incoming mapping batch, last-write-wins per key (the reference's
+    // bulk_insert_mappings/bulk_update_mappings as one merge rewrite) ──
+    "m5_bulk_upsert_mappings" -> ((s, d) => {
+      val existing = Tables.customer(s, d)
+        .select(col("c_custkey").as("key"), col("c_acctbal").as("val"),
+          lit(0).as("gen"))
+      val incoming = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("key"), col("o_totalprice").as("val"),
+          lit(1).as("gen"))
+      existing.unionByName(incoming)
+        .groupBy(col("key"))
+        .agg(max_by(col("val"), struct(col("gen"), col("val"))).as("val"),
+          max(col("gen")).as("gen"))
         .orderBy(col("key"))
     }),
 
@@ -363,6 +383,16 @@ object TransformCatalog extends Catalog {
          FROM (SELECT c_custkey, c_acctbal FROM customer) c
          FULL OUTER JOIN pivoted p ON c.c_custkey = p.user_id
          ORDER BY key""",
+    "m5_bulk_upsert_mappings" ->
+      """WITH u AS (
+           SELECT c_custkey AS key, c_acctbal AS val, 0 AS gen FROM customer
+           UNION ALL
+           SELECT o_custkey, o_totalprice, 1 FROM orders WHERE o_orderpriority = '1-URGENT')
+         SELECT key,
+           CASE WHEN max(gen) = 1 THEN max(CASE WHEN gen = 1 THEN val END)
+                ELSE max(val) END AS val,
+           max(gen) AS gen
+         FROM u GROUP BY key ORDER BY key""",
     "m2_delete_cascade" ->
       """SELECT source, COUNT(*) AS n_after FROM documents
          WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE lang = 'zh')

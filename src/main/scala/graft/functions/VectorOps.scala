@@ -11,7 +11,11 @@ import org.apache.spark.sql.functions.udf
   * DuckDB oracle's list_sum. */
 object VectorOps {
 
-  def dot(a: Seq[Double], b: Seq[Double]): Double = {
+  // Array[Double] signatures matter: Spark converts ArrayType(DoubleType)
+  // to a primitive double[] for Array parameters (toDoubleArray), while
+  // Seq[Double] boxes every element — ~100M boxings for a 400k-pair ×
+  // 128-dim join.
+  def dot(a: Array[Double], b: Array[Double]): Double = {
     var acc = 0.0
     var i = 0
     val n = math.min(a.length, b.length)
@@ -22,7 +26,7 @@ object VectorOps {
   /** Cosine similarity rounded to 6dp (both engines round, so op-order
     * ulps can't flip the oracle comparison). Rounding mimics Spark's
     * `round`: BigDecimal.valueOf (toString repr) + HALF_UP. */
-  def cosine6(a: Seq[Double], b: Seq[Double]): Double = {
+  def cosine6(a: Array[Double], b: Array[Double]): Double = {
     val d = dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
     java.math.BigDecimal.valueOf(d)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
@@ -38,6 +42,6 @@ object VectorOps {
   /** L2 norm column (compiled) — precompute per vector BEFORE a pair join
     * so each candidate pair costs one dot product, not three. */
   val normUdf: Column => Column = { v =>
-    udf((x: Seq[Double]) => math.sqrt(dot(x, x))).apply(v)
+    udf((x: Array[Double]) => math.sqrt(dot(x, x))).apply(v)
   }
 }
