@@ -172,11 +172,13 @@ object DedupCatalog extends Catalog {
     })
   )
 
-  /** 32-bit simhash from the universal-hash bit family (compiled UDF —
-    * the interpreted HOF formulation measured ~5 ms/doc; portable to the
-    * oracle; swap the per-word hash for xxhash64 bits on a real cluster). */
+  /** 32-bit simhash from the universal-hash bit family, as a native
+    * Catalyst expression with codegen (stays inside whole-stage codegen;
+    * the interpreted HOF formulation measured ~5 ms/doc, the UDF added a
+    * per-row closure hop). Portable to the oracle; swap the per-word hash
+    * for xxhash64 bits on a real cluster. */
   private def simhash32(textCol: Column): Column =
-    graft.functions.TextHashes.simhash32Udf(textCol)
+    org.apache.spark.sql.graftnative.NativeExpressions.simhash32Col(textCol)
 
   private val Simhash32Sql: String =
     s"""CAST(list_sum(list_transform(generate_series(0, 31), j ->

@@ -218,6 +218,17 @@ object TransformCatalog extends Catalog {
         .orderBy(col("key"))
     }),
 
+    // ── T22: collection-name URL rewrite — replace the collection path
+    // segment of service URLs (run.py:235-255) ──
+    "t22_collection_url_rewrite" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat(lit("http://solr/v2/collection1/update?src="), col("source")).as("url"))
+        .select(col("doc_id"),
+          regexp_replace(col("url"), "/collection1/", "/collection2/").as("rewritten"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── M5: bulk insert/update mappings — union of existing rows with an
     // incoming mapping batch, last-write-wins per key (the reference's
     // bulk_insert_mappings/bulk_update_mappings as one merge rewrite) ──
@@ -383,6 +394,11 @@ object TransformCatalog extends Catalog {
          FROM (SELECT c_custkey, c_acctbal FROM customer) c
          FULL OUTER JOIN pivoted p ON c.c_custkey = p.user_id
          ORDER BY key""",
+    "t22_collection_url_rewrite" ->
+      """SELECT doc_id,
+           replace('http://solr/v2/collection1/update?src=' || source,
+             '/collection1/', '/collection2/') AS rewritten
+         FROM documents ORDER BY doc_id""",
     "m5_bulk_upsert_mappings" ->
       """WITH u AS (
            SELECT c_custkey AS key, c_acctbal AS val, 0 AS gen FROM customer

@@ -1,0 +1,69 @@
+package org.apache.spark.sql.graftnative
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.{CanonicalJson, TextHashes}
+
+/** Native Catalyst expressions for the engine's hot scalar functions.
+  *
+  * A Scala UDF already runs the same compiled math, but it sits outside
+  * whole-stage codegen: Spark wraps it in null tracking, converter calls,
+  * and a closure invocation per row, and the optimizer treats it as an
+  * opaque black box. These expressions generate a direct static call in
+  * the produced Java, so the surrounding project/filter stays in one
+  * codegen stage (SURVEY.md §2.11: custom-Expression candidates T17 +
+  * fingerprints).
+  *
+  * Lives under `org.apache.spark.sql` because the expression SPI
+  * (`AbstractDataType`, `ExpressionUtils.column`) is `private[sql]` —
+  * the standard packaging for third-party native expressions.
+  */
+object NativeExpressions {
+
+  /** Static entry points referenced from generated code. */
+  def simhash32(s: UTF8String): Long = TextHashes.simhash32(s.toString)
+  def canonicalChecksum(s: UTF8String): UTF8String =
+    UTF8String.fromString(CanonicalJson.checksumOf(graft.transform.SolrTransform.parse(s.toString)))
+
+  private val Helper = "org.apache.spark.sql.graftnative.NativeExpressions"
+
+  /** 32-bit simhash of a text column — codegen calls the static helper. */
+  case class SimHash32Expression(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any =
+      NativeExpressions.simhash32(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Helper.simhash32($c)")
+    override protected def withNewChildInternal(newChild: Expression): SimHash32Expression =
+      copy(child = newChild)
+    override def prettyName: String = "graft_simhash32"
+  }
+
+  /** T17 canonical checksum of a JSON-document column: volatile keys
+    * dropped, sorted-key CPython-parity serialization, CRC32 hex. */
+  case class CanonicalChecksumExpression(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    override def dataType: DataType = StringType
+    override def nullSafeEval(input: Any): Any =
+      NativeExpressions.canonicalChecksum(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Helper.canonicalChecksum($c)")
+    override protected def withNewChildInternal(newChild: Expression): CanonicalChecksumExpression =
+      copy(child = newChild)
+    override def prettyName: String = "graft_canonical_checksum"
+  }
+
+  def simhash32Col(c: Column): Column =
+    ExpressionUtils.column(SimHash32Expression(ExpressionUtils.expression(c)))
+
+  def canonicalChecksumCol(c: Column): Column =
+    ExpressionUtils.column(CanonicalChecksumExpression(ExpressionUtils.expression(c)))
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftnative.NativeExpressions
+
+import graft.functions.{CanonicalJson, TextHashes}
+import graft.transform.SolrTransform
+
+/** Native Catalyst expressions must agree with the compiled reference
+  * implementations and survive whole-stage codegen. */
+class NativeExpressionsSpec extends AnyFunSuite with SparkSpec {
+
+  test("simhash expression equals the compiled function, inside codegen") {
+    import spark.implicits._
+    val texts = Seq("hello world foo bar", "", "a", "x y z w v u t s r q")
+    // repartition keeps Catalyst from constant-folding the local relation,
+    // so the expression actually runs in an executor codegen stage
+    val df = texts.toDF("text").repartition(2)
+      .select(col("text"), NativeExpressions.simhash32Col(col("text")).as("sh"))
+      .filter(col("sh") >= 0 || col("sh") < 0) // keep expression under a filter too
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    texts.foreach { t => assert(got(t) == TextHashes.simhash32(t), s"for '$t'") }
+    // plan stays in whole-stage codegen: the `*(n)` stage marker wraps the
+    // project containing our expression, with no udf/python wrapper node
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") && plan.contains("graft_simhash32"), plan)
+    assert(!plan.contains("BatchEval") && !plan.toLowerCase.contains("scalaudf"))
+  }
+
+  test("canonical checksum expression equals CanonicalJson.checksumOf") {
+    import spark.implicits._
+    val docs = Seq(
+      """{"b": 1, "a": [1.5, 0.2], "x_mtime": "drop", "t": true}""",
+      """{"only": "field"}""")
+    val got = docs.toDF("doc")
+      .select(col("doc"), NativeExpressions.canonicalChecksumCol(col("doc")).as("cks"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    docs.foreach { d =>
+      assert(got(d) == CanonicalJson.checksumOf(SolrTransform.parse(d)), s"for $d")
+    }
+    // null flows through as null (UnaryExpression null semantics)
+    val n = Seq[Option[String]](None).toDF("doc")
+      .select(NativeExpressions.canonicalChecksumCol(col("doc"))).collect()
+    assert(n.head.isNullAt(0))
+  }
+}
