@@ -106,14 +106,20 @@ object IndexJob {
     p1 && p2 && p3
   }
 
-  /** Build the three payload streams for one selection of master records.
-    * `ignoreChecksums` mirrors the --force_indexing flag (ST4 idempotence:
-    * replaying a batch yields changed=false everywhere). */
-  def run(selected: Dataset[MasterRecord], ignoreChecksums: Boolean = false): IndexBatch = {
+  /** Build the requested payload streams for one selection of master
+    * records. `ignoreChecksums` mirrors --force_indexing (ST4 idempotence:
+    * replaying a batch yields changed=false everywhere). `modes` mirrors
+    * the reference's P9 per-mode `load_only` lists (adsmp/tasks.py:349-357):
+    * a metrics-only run never references the other payload columns, so
+    * Catalyst prunes them out of the parquet scan entirely. */
+  def run(selected: Dataset[MasterRecord], ignoreChecksums: Boolean = false,
+      modes: Set[String] = Set("solr", "metrics", "links")): IndexBatch = {
     val spark = selected.sparkSession
     import spark.implicits._
 
-    val solr = selected.map { rec =>
+    def empty = spark.emptyDataset[SinkPayload].toDF()
+
+    val solr = if (!modes("solr")) empty else selected.map { rec =>
       val doc = SolrTransform.transform(rec)
       // identifier completeness (T16, adsmp/tasks.py:398-402)
       val m = doc.obj.toMap
@@ -130,7 +136,7 @@ object IndexJob {
         !rec.solr_checksum.contains(cks))
     }.toDF()
 
-    val metrics = selected.flatMap { rec =>
+    val metrics = if (!modes("metrics")) empty else selected.flatMap { rec =>
       rec.metrics.map { m =>
         val parsed = SolrTransform.parse(m)
         val cks = CanonicalJson.checksumOf(parsed)
@@ -144,7 +150,7 @@ object IndexJob {
       }
     }.toDF()
 
-    val links = selected.flatMap { rec =>
+    val links = if (!modes("links")) empty else selected.flatMap { rec =>
       linksForResolver(rec).map { payload =>
         val cks = CanonicalJson.checksumOf(payload)
         SinkPayload(rec.bibcode, CanonicalJson.serialize(payload), cks,

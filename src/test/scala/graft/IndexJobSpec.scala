@@ -118,6 +118,19 @@ class IndexJobSpec extends AnyFunSuite with SparkSpec {
     assert(IndexJob.linksForResolver(MasterRecord.empty("l3")) == None)
   }
 
+  test("P9: mode selection builds only the requested payload streams") {
+    import spark.implicits._
+    val rec = completeRecord("p9").copy(
+      metrics = Some("""{"reads": [1]}"""),
+      metrics_updated = Some(ts("2024-01-05T00:00:00Z")))
+    val ds = spark.createDataset(Seq(rec))
+    val metricsOnly = IndexJob.run(ds, modes = Set("metrics"))
+    assert(metricsOnly.solr.count() == 0 && metricsOnly.links.count() == 0)
+    assert(metricsOnly.metrics.count() == 1)
+    val all = IndexJob.run(ds)
+    assert(all.solr.count() == 1 && all.metrics.count() == 1)
+  }
+
   test("P6 failed-reindex selection matches the reference fixture (test_run.py:50-79)") {
     import spark.implicits._
     // FIXTURES.md §1: five records; expect exactly [bibcode2, bibcode3]
