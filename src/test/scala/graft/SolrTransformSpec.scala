@@ -361,6 +361,38 @@ class SolrTransformSpec extends AnyFunSuite {
     assert(other != a)
   }
 
+  test("transform output and checksum are pure functions of the record (property)") {
+    // same record state → identical doc and checksum, independent of how
+    // the record was assembled; bumping any slot timestamp may only change
+    // mtime fields (and fields that slot writes), never unrelated ones
+    val base = baseRecord(withAugment = true)
+    val (j1, c1) = SolrTransform.render(transform(base))
+    val (j2, c2) = SolrTransform.render(transform(base.copy()))
+    assert(j1 == j2 && c1 == c2)
+
+    val rnd = new scala.util.Random(3)
+    (1 to 10).foreach { _ =>
+      // permute which arrival second each slot got, keeping relative order
+      // of bib < nonbib (so the links/bibgroup overrides stay exercised)
+      val offs = rnd.shuffle((1 to 8).toList)
+      def t(i: Int) = ts(f"2023-05-01T00:00:0${offs(i) - 1}%dZ")
+      val permuted = base.copy(
+        bib_data_updated = Some(t(0)), boost_factors_updated = Some(t(1)),
+        fulltext_updated = Some(t(2)), metrics_updated = Some(t(3)),
+        orcid_claims_updated = Some(t(4)), nonbib_data_updated = Some(t(5)),
+        augments_updated = Some(t(6)))
+      val doc = transform(permuted).obj.toMap
+      // invariants that hold under any slot arrival order for this corpus
+      // (writers of these fields are unique or post-hoc overridden):
+      assert(strsOf(doc("bibgroup")) == Seq("CXC", "CfA"), "override beats arrival order")
+      assert(doc("citation_count") == JInt(6))
+      assert(doc("body") == JString("texttext"))
+      assert(strsOf(doc("database")) == Seq("astronomy"))
+      val JString(scix) = doc("scix_id")
+      assert(scix.startsWith("scix:"))
+    }
+  }
+
   test("transform runs distributed via Dataset.map") {
     val s = SparkSpec.spark
     import s.implicits._
