@@ -127,7 +127,11 @@ object Pipeline {
     val files = rendered.select(col("sitemap_filename")).collect()
       .map(_.getString(0)).sorted
     val today = java.time.LocalDate.now.toString
-    val idx = Sitemap.renderIndex(site, files.map(f => f -> today).toSeq)
+    // static page sitemap precedes the bib files in the index (tasks.py:916-928)
+    java.nio.file.Files.write(java.nio.file.Paths.get(outDir, "sitemap_static.xml"),
+      Sitemap.renderStaticSitemap(site).getBytes("UTF-8"))
+    val idx = Sitemap.renderIndex(site, files.map(f => f -> today).toSeq,
+      staticFirst = Seq("sitemap_static.xml" -> today))
     java.nio.file.Files.write(java.nio.file.Paths.get(outDir, "sitemap_index.xml"),
       idx.getBytes("UTF-8"))
     java.nio.file.Files.write(java.nio.file.Paths.get(outDir, "robots.txt"),

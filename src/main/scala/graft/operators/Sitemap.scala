@@ -138,12 +138,24 @@ object Sitemap {
   }
 
   /** render_sitemap_index (S10): driver-side small render over the
-    * aggregated (filename, lastmod) list. */
-  def renderIndex(site: Site, files: Seq[(String, String)]): String = {
-    val entries = files.sortBy(_._1).map { case (f, lm) => sitemapIndexEntry(site, f, lm) }
-      .mkString("")
+    * aggregated (filename, lastmod) list. `staticFirst` entries (the
+    * static page sitemap, tasks.py:916-928) precede the sorted bib files. */
+  def renderIndex(site: Site, files: Seq[(String, String)],
+      staticFirst: Seq[(String, String)] = Nil): String = {
+    val entries = (staticFirst ++ files.sortBy(_._1))
+      .map { case (f, lm) => sitemapIndexEntry(site, f, lm) }.mkString("")
     "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n" +
       entries + "\n</sitemapindex>"
+  }
+
+  /** The static page sitemap the reference ships per site
+    * (templates/sitemap_static_*.xml): help/about/blog under the site's
+    * base URL, weekly changefreq, 0.8 priority. */
+  def renderStaticSitemap(site: Site): String = {
+    val urls = Seq("help", "about", "blog").map { p =>
+      s"<url>\n  <loc>${site.baseUrl}/$p/</loc>\n  <changefreq>weekly</changefreq>\n  <priority>0.8</priority>\n</url>"
+    }.mkString("\n")
+    s"<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n$urls\n</urlset>"
   }
 
   /** robots.txt render (templates/__init__.py:22-24): only the sitemap URL

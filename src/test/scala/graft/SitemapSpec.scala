@@ -83,6 +83,14 @@ class SitemapSpec extends AnyFunSuite with SparkSpec {
     assert(idx.indexOf("sitemap_bib_1.xml") < idx.indexOf("sitemap_bib_2.xml"))
     assert(Sitemap.renderRobots(site) ==
       "Sitemap: https://ui.adsabs.harvard.edu/sitemap/sitemap_index.xml\n")
+    // static sitemap precedes bib files when provided
+    val withStatic = Sitemap.renderIndex(site,
+      Seq(("sitemap_bib_1.xml", "2024-01-01")),
+      staticFirst = Seq(("sitemap_static.xml", "2024-01-01")))
+    assert(withStatic.indexOf("sitemap_static.xml") < withStatic.indexOf("sitemap_bib_1.xml"))
+    val static = Sitemap.renderStaticSitemap(site)
+    assert(static.contains("https://ui.adsabs.harvard.edu/help/") &&
+      static.contains("<changefreq>weekly</changefreq>"))
   }
 
   test("file write sink + files-needing-update semi-join") {
