@@ -59,6 +59,19 @@ class MasterStore(val root: String, numBuckets: Int = 8) {
     next
   }
 
+  /** M6 — truncate with backup (adsmp/app.py:1241-1261): move the live
+    * snapshot aside and point CURRENT at a fresh empty table. The backup
+    * directory keeps the old parquet for manual recovery. */
+  def truncate(spark: SparkSession, backupDir: String): Unit = {
+    currentVersion.foreach { v =>
+      val src = versionDir(v)
+      val dst = Paths.get(backupDir, src.getFileName.toString)
+      Files.createDirectories(Paths.get(backupDir))
+      Files.move(src, dst, StandardCopyOption.REPLACE_EXISTING)
+    }
+    write(MergeEngine.emptyMaster(spark))
+  }
+
   /** Drop all snapshots older than the live one (the reference's
     * truncate+backup M6 keeps one generation too). */
   def vacuum(): Unit = currentVersion.foreach { live =>

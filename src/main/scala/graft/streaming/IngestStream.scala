@@ -99,6 +99,42 @@ object IngestStream {
   }
 }
 
+/** ST5 — progressive retry schedule (adsmp/tasks.py:1057-1108,
+  * config.py:56-58): the reference polls a pending count with 10s×20 +
+  * 30s×30 + 60s×50 backoff (~90 min budget). In Spark the job DAG
+  * replaces queue polling, but external services (a SOLR commit, a
+  * downstream registry) still need the same bounded-backoff loop on the
+  * driver. Pure schedule + driver, testable without sleeping. */
+object RetrySchedule {
+  /** Delay in seconds before retry `attempt` (0-based); None = give up. */
+  def delay(attempt: Int, maxRetries: Int = 100): Option[Int] =
+    if (attempt >= maxRetries) None
+    else if (attempt < 20) Some(10)
+    else if (attempt < 50) Some(30)
+    else Some(60)
+
+  def totalBudgetSeconds(maxRetries: Int = 100): Int =
+    Iterator.from(0).map(delay(_, maxRetries)).takeWhile(_.isDefined)
+      .flatten.sum
+
+  /** Retry `poll` until it yields Some(result) or the schedule is
+    * exhausted; `sleep` is injectable for tests. */
+  def retryUntil[A](poll: () => Option[A], maxRetries: Int = 100,
+      sleep: Int => Unit = s => Thread.sleep(s * 1000L)): Option[A] = {
+    var attempt = 0
+    var out: Option[A] = None
+    var exhausted = false
+    while (out.isEmpty && !exhausted) {
+      out = poll()
+      if (out.isEmpty) delay(attempt, maxRetries) match {
+        case Some(d) => sleep(d); attempt += 1
+        case None    => exhausted = true
+      }
+    }
+    out
+  }
+}
+
 /** ST1 — watermark store: the reference's `KeyValue` table holding
   * `last.reindex.normal` / `last.reindex.forced` (run.py:110-137). In
   * batch mode this is a 2-column parquet read/overwritten around each

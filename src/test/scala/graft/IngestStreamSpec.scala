@@ -74,6 +74,45 @@ class IngestStreamSpec extends AnyFunSuite with SparkSpec {
     assert(out.updated.map(_.getTime).contains(1000L))
   }
 
+  test("ST5 retry schedule: 10s x20 + 30s x30 + 60s x50, ~90 min budget") {
+    import graft.streaming.RetrySchedule
+    assert(RetrySchedule.delay(0) == Some(10))
+    assert(RetrySchedule.delay(19) == Some(10))
+    assert(RetrySchedule.delay(20) == Some(30))
+    assert(RetrySchedule.delay(49) == Some(30))
+    assert(RetrySchedule.delay(50) == Some(60))
+    assert(RetrySchedule.delay(99) == Some(60))
+    assert(RetrySchedule.delay(100) == None)
+    assert(RetrySchedule.totalBudgetSeconds() == 10 * 20 + 30 * 30 + 60 * 50) // 4100s ≈ 68m of sleep
+    // succeeds on the 3rd poll without real sleeping
+    var polls = 0
+    val slept = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val res = RetrySchedule.retryUntil(
+      () => { polls += 1; if (polls == 3) Some("done") else None },
+      sleep = slept += _)
+    assert(res == Some("done") && polls == 3 && slept.toSeq == Seq(10, 10))
+    // exhaustion path
+    val none = RetrySchedule.retryUntil(() => None, maxRetries = 3, sleep = _ => ())
+    assert(none == None)
+  }
+
+  test("M6 truncate with backup keeps the old snapshot aside") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_trunc").toString
+    val store = new graft.sources.MasterStore(root, numBuckets = 1)
+    val master = graft.operators.MergeEngine.upsert(
+      graft.operators.MergeEngine.emptyMaster(spark),
+      Seq(graft.records.UpdateMessage("t1", "metadata", "{}",
+        ts("2024-01-01T00:00:00Z"))).toDS()).master
+    store.write(master)
+    assert(store.read(spark).count() == 1)
+    val backup = java.nio.file.Files.createTempDirectory("graft_backup").toString
+    store.truncate(spark, backup)
+    assert(store.read(spark).count() == 0, "live table is empty after truncate")
+    assert(new java.io.File(backup).listFiles.exists(_.getName.startsWith("v_")),
+      "old snapshot parked in the backup dir")
+  }
+
   test("ST1 watermark store: read missing, advance, re-advance") {
     val dir = java.nio.file.Files.createTempDirectory("graft_wm").toString + "/kv"
     assert(Watermark.read(spark, dir, "last.reindex.normal").isEmpty)
