@@ -46,11 +46,17 @@ object Pipeline {
     val master = merged.master.cache()
     val mergedCount = master.count()
 
-    // P1-P3 gate + payload builds + P4 checksum suppression
+    // P1-P3 gate + payload builds + P4 checksum suppression. The payload
+    // frames are cached: each is consumed three times (sink write, stamp
+    // join, report count) and rebuilding one means a full JSON-parse +
+    // transform pass over the selection
     val selected = master.as[MasterRecord].filter(IndexJob.eligible(since, force))
-    val batch = IndexJob.run(selected)
+    val batch0 = IndexJob.run(selected)
+    val batch = IndexJob.IndexBatch(
+      batch0.solr.cache(), batch0.metrics.cache(), batch0.links.cache())
 
-    // S6/S7/S8 with retry ladders
+    // S6/S7/S8 with retry ladders — cached so a re-read of the status
+    // frame cannot re-fire transport sends
     val solrStatus = Sinks.writeSolr(batch.solr, solrTransport).cache()
     val metricsStatus = Sinks.writeBulk(batch.metrics, bulkTransport).cache()
     val linksStatus = Sinks.writeBulk(batch.links, bulkTransport).cache()
@@ -78,12 +84,19 @@ object Pipeline {
     val version = store.write(stamped)
     watermarkDir.foreach(Watermark.advance(spark, _, "last.reindex.normal", now))
 
-    RunReport(version, mergedCount,
+    val report = RunReport(version, mergedCount,
       indexed = batch.solr.count(),
       solrOk = solrStatus.filter(_.ok).count(),
       solrFailed = solrStatus.filter(!_.ok).count(),
       metricsOk = metricsStatus.filter(_.ok).count(),
       linksOk = linksStatus.filter(_.ok).count())
+
+    // release this batch's caches — in runStream a leak here would grow
+    // executor storage by four datasets per micro-batch
+    Seq(batch.solr, batch.metrics, batch.links).foreach(_.unpersist())
+    Seq(solrStatus, metricsStatus, linksStatus).foreach(_.unpersist())
+    master.unpersist()
+    report
   }
 
   /** Continuous ingest (ST1 as Structured Streaming): every micro-batch of

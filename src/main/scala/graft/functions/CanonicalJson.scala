@@ -103,10 +103,6 @@ object CanonicalJson {
   /** Checksum of a JSON document: drop volatile keys, sort, serialize, CRC
     * (app.py:614-626). Patterns match *anywhere* in the key name.
     */
-  def checksum(data: JValue, ignoreKeys: Seq[String] = IgnoreKeys): JValue => String = { _ =>
-    checksumOf(data, ignoreKeys)
-  }
-
   def checksumOf(data: JValue, ignoreKeys: Seq[String] = IgnoreKeys): String = data match {
     case JString(s) => checksum(s)
     case JObject(fields) =>

@@ -28,7 +28,11 @@ object VectorOps {
     * `round`: BigDecimal.valueOf (toString repr) + HALF_UP. */
   def cosine6(a: Array[Double], b: Array[Double]): Double = {
     val d = dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
-    java.math.BigDecimal.valueOf(d)
+    // zero-norm vectors yield NaN; BigDecimal.valueOf(NaN) would throw and
+    // kill the job over one degenerate embedding — propagate NaN instead,
+    // matching what the precomputed-norm division path produces
+    if (d.isNaN || d.isInfinite) d
+    else java.math.BigDecimal.valueOf(d)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
   }
 

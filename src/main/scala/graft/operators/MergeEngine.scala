@@ -164,6 +164,7 @@ object MergeEngine {
     * (pointer doubling), so cycles/deep chains converge in log rounds. */
   def resolveAliases(aliases: Dataset[IdentifierAlias], maxIters: Int = 20): DataFrame = {
     var current = aliases.toDF("key", "target")
+    var prevCached: DataFrame = null
     var i = 0
     var converged = false
     while (i < maxIters && !converged) {
@@ -177,6 +178,8 @@ object MergeEngine {
           (col("b.target").isNotNull && col("b.target") =!= col("a.target")).as("changed"))
         .cache()
       val moved = step.filter(col("changed")).limit(1).count()
+      if (prevCached != null) prevCached.unpersist() // dead after this round
+      prevCached = step
       current = step.drop("changed")
       converged = moved == 0
       i += 1
@@ -243,8 +246,11 @@ object MergeEngine {
       case "links"   => ("datalinks_processed", "datalinks_checksum")
       case other     => throw new IllegalArgumentException(s"invalid sink type $other")
     }
-    val keys = broadcast(done.select(col("bibcode").as("done_bibcode"),
-      col("checksum").as("done_checksum")))
+    // one row per bibcode: a duplicated key in the done frame would fan the
+    // left join out and multiply master rows into the next snapshot
+    val keys = broadcast(done
+      .groupBy(col("bibcode").as("done_bibcode"))
+      .agg(max(col("checksum")).as("done_checksum")))
     val hit = col("done_bibcode").isNotNull
     val statusExpr = status.map(s => when(hit, lit(s)).otherwise(col("status")))
       .getOrElse(col("status"))

@@ -165,16 +165,21 @@ object Sitemap {
 
   /** S9 sink: write one XML file per row of a (sitemap_filename, content)
     * frame. Files are small (≤50k URLs); a foreachPartition keeps the
-    * writes distributed without a collect on the driver. */
+    * writes distributed without a collect on the driver. Goes through the
+    * Hadoop FileSystem API so `outDir` may be HDFS/S3/local and the same
+    * code works on a multi-node cluster (executor-local java.io would
+    * scatter files across worker disks). */
   def writeFiles(rendered: DataFrame, outDir: String): Unit = {
-    val dir = new java.io.File(outDir)
-    dir.mkdirs()
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      rendered.sparkSession.sparkContext.hadoopConfiguration)
     rendered.select(col("sitemap_filename"), col("content"))
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        val dir = new org.apache.hadoop.fs.Path(outDir)
+        val fs = dir.getFileSystem(conf.value)
+        fs.mkdirs(dir)
         rows.foreach { r =>
-          val f = new java.io.File(outDir, r.getString(0))
-          val w = new java.io.PrintWriter(f, "UTF-8")
-          try w.print(r.getString(1)) finally w.close()
+          val out = fs.create(new org.apache.hadoop.fs.Path(dir, r.getString(0)), true)
+          try out.write(r.getString(1).getBytes("UTF-8")) finally out.close()
         }
       }
   }

@@ -52,18 +52,28 @@ object IngestStream {
       updated = updated)
   }
 
-  /** The ST2/ST3 gate as a flatMapGroupsWithState function. */
+  /** The ST2/ST3 gate as a flatMapGroupsWithState function.
+    *
+    * Emission rule: a record emits when it is complete and changed, and —
+    * once it has ever been emitted (including via force flush) — on every
+    * later change, mirroring the reference where an already-indexed
+    * record is re-indexed by the next cron whenever any slot updates.
+    * State holds at most one entry per bibcode (bounded by corpus size,
+    * like the reference's records table); incomplete entries keep a
+    * re-armed force timeout so stragglers flush every cycle.
+    */
   def gate(forceAfterMs: Long)(
       bibcode: String, msgs: Iterator[UpdateMessage],
       state: GroupState[SlotState]): Iterator[MasterRecord] = {
     val prev = state.getOption.getOrElse(SlotState(Map.empty, Map.empty, everEmitted = false))
 
     if (msgs.isEmpty && state.hasTimedOut) {
-      // ST3 force flush: index whatever has bib_data
-      if (!prev.everEmitted && prev.payloads.contains("bib_data")) {
-        state.update(prev.copy(everEmitted = true))
-        Iterator.single(toRecord(bibcode, prev))
-      } else Iterator.empty
+      // ST3 force flush: index whatever has bib_data; re-arm so records
+      // that keep changing while incomplete flush again next cycle
+      val flush = !prev.everEmitted && prev.payloads.contains("bib_data")
+      if (flush) state.update(prev.copy(everEmitted = true))
+      if (forceAfterMs > 0) state.setTimeoutDuration(forceAfterMs)
+      if (flush) Iterator.single(toRecord(bibcode, prev)) else Iterator.empty
     } else {
       // newest-wins within the batch per slot (same as MergeEngine.upsert)
       val next = msgs.foldLeft(prev) { (st, m) =>
@@ -76,7 +86,9 @@ object IngestStream {
       }
       val complete = CoreSlots.forall(next.payloads.contains)
       val changed = next != prev
-      val emit = complete && changed
+      // once force-flushed, later updates re-emit even while incomplete —
+      // otherwise a post-flush bib_data v2 would be stranded forever
+      val emit = changed && (complete || prev.everEmitted)
       state.update(next.copy(everEmitted = next.everEmitted || emit))
       if (forceAfterMs > 0 && !complete)
         state.setTimeoutDuration(forceAfterMs)

@@ -116,17 +116,14 @@ object SolrTransform {
     val credit = data \ "credit" match { case a: JArray => a; case _ => JArray(Nil) }
     val mention = data \ "mention" match { case a: JArray => a; case _ => JArray(Nil) }
 
-    val grants = strs(data \ "grants")
-    val grant = grants.flatMap { x =>
-      val Array(agency, no) = x.split(" ", 2)
-      Seq(agency, no)
-    }
-    val grantHier = grants.flatMap { x =>
-      val Array(agency, no) = x.split(" ", 2)
-      hierFacet(Seq(agency, no))
-    }
+    // malformed entries (no separator) are skipped rather than thrown:
+    // in the reference a ValueError kills only that record's Celery task;
+    // in a Dataset.map it would abort the whole 28.8M-row job
+    val grants = strs(data \ "grants").map(_.split(" ", 2)).filter(_.length == 2)
+    val grant = grants.flatMap { case Array(agency, no) => Seq(agency, no) }
+    val grantHier = grants.flatMap { case Array(agency, no) => hierFacet(Seq(agency, no)) }
 
-    val pf = strs(data \ "planetary_feature").map(_.split("/", 4))
+    val pf = strs(data \ "planetary_feature").map(_.split("/", 4)).filter(_.length == 4)
     val uatRaw = strs(data \ "uat").map(_.split("/").toSeq)
 
     def splitObj(x: String): (String, String) = x.split(" ", 2) match {

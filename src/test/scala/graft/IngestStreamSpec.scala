@@ -74,6 +74,31 @@ class IngestStreamSpec extends AnyFunSuite with SparkSpec {
     assert(out.updated.map(_.getTime).contains(1000L))
   }
 
+  test("post-force-flush updates re-emit even while incomplete") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    // state after a force flush: everEmitted=true, bib only
+    val flushed = IngestStream.SlotState(
+      Map("bib_data" -> """{"v": 1}"""), Map("bib_data" -> 1000L), everEmitted = true)
+    val state = TestGroupState.create[IngestStream.SlotState](
+      org.apache.spark.api.java.Optional.of(flushed), org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, org.apache.spark.api.java.Optional.empty[Long], hasTimedOut = false)
+    val out = IngestStream.gate(60000L)("b1",
+      Iterator(UpdateMessage("b1", "metadata", """{"v": 2}""", ts("2024-01-01T00:00:02Z"))),
+      state).toList
+    assert(out.length == 1, "changed + everEmitted must re-emit despite incompleteness")
+    assert(out.head.bib_data.contains("""{"v": 2}"""))
+
+    // timeout on a bib-less record: no emission, but the timeout re-arms
+    val bibless = IngestStream.SlotState(
+      Map("metrics" -> "{}"), Map("metrics" -> 500L), everEmitted = false)
+    val tState = TestGroupState.create[IngestStream.SlotState](
+      org.apache.spark.api.java.Optional.of(bibless), org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, org.apache.spark.api.java.Optional.empty[Long], hasTimedOut = true)
+    val tOut = IngestStream.gate(60000L)("b2", Iterator.empty, tState).toList
+    assert(tOut.isEmpty)
+    assert(tState.getTimeoutTimestampMs.isPresent, "timeout re-armed for stragglers")
+  }
+
   test("ST5 retry schedule: 10s x20 + 30s x30 + 60s x50, ~90 min budget") {
     import graft.streaming.RetrySchedule
     assert(RetrySchedule.delay(0) == Some(10))
