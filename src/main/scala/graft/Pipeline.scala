@@ -125,6 +125,13 @@ object Pipeline {
       }
       .start()
 
+  /** Multi-site sitemap generation (the reference renders one output tree
+    * per configured site, tasks.py:969-1055): one subdirectory per site
+    * key, each with its bib files, static sitemap, index, and robots. */
+  def runSitemapsAllSites(spark: SparkSession, store: MasterStore, outRoot: String,
+      siteKeys: Seq[String] = Sitemap.Sites.keys.toSeq.sorted): Map[String, Long] =
+    siteKeys.map(k => k -> runSitemaps(spark, store, s"$outRoot/$k", k)).toMap
+
   /** Sitemap generation over the live snapshot (SURVEY.md §3.3):
     * P7 include → W1 bucket → render → write files + index + robots. */
   def runSitemaps(spark: SparkSession, store: MasterStore, outDir: String,

@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.json4s._
+import java.sql.Timestamp
+
+import graft.transform.SolrTransform
+
+/** The metrics store (reference MetricsModel, adsmp/models.py:195-232) and
+  * its upsert semantics (adsmp/app.py:45-77,514-556; pinned by
+  * tests/test_metrics_update.py:83-166):
+  *
+  *   - keyed uniquely by bibcode; the row id is assigned at first insert
+  *     and stable across updates;
+  *   - an update REPLACES the whole row: fields absent from the incoming
+  *     payload revert to their column defaults (refereed=false,
+  *     author_num=1, counts 0, arrays empty) — not coalesced with the old
+  *     values;
+  *   - last write per bibcode wins within a batch.
+  *
+  * Spark shape: parse payloads to typed rows with defaults applied, take
+  * the last per bibcode, full-outer-join the existing table on bibcode —
+  * incoming side wins wholesale, id survives from the existing side.
+  */
+object MetricsTable {
+
+  case class MetricsRow(
+      id: Long,
+      bibcode: String,
+      an_citations: Option[Float],
+      an_refereed_citations: Option[Float],
+      author_num: Int,
+      citations: Seq[String],
+      citation_num: Int,
+      downloads: Seq[Int],
+      reads: Seq[Int],
+      refereed: Boolean,
+      refereed_citations: Seq[String],
+      refereed_citation_num: Int,
+      reference_num: Int,
+      rn_citations: Option[Float],
+      rn_citation_data: Option[String],
+      modtime: Option[Timestamp])
+
+  /** Parse one metrics payload applying the column defaults. */
+  def fromJson(bibcode: String, payload: String, now: Timestamp): MetricsRow = {
+    val j = SolrTransform.parse(payload)
+    def int(k: String, d: Int): Int = j \ k match {
+      case JInt(i)  => i.toInt
+      case JLong(l) => l.toInt
+      case _        => d
+    }
+    def flt(k: String): Option[Float] = j \ k match {
+      case JDouble(d)  => Some(d.toFloat)
+      case JInt(i)     => Some(i.toFloat)
+      case JDecimal(d) => Some(d.toFloat)
+      case _           => None
+    }
+    def bool(k: String, d: Boolean): Boolean = j \ k match {
+      case JBool(b) => b
+      case _        => d
+    }
+    def strsOf(k: String): Seq[String] = j \ k match {
+      case JArray(xs) => xs.collect { case JString(s) => s }
+      case _          => Nil
+    }
+    def ints(k: String): Seq[Int] = j \ k match {
+      case JArray(xs) => xs.collect { case JInt(i) => i.toInt; case JLong(l) => l.toInt }
+      case _          => Nil
+    }
+    MetricsRow(
+      id = 0L, // assigned by the upsert (stable once inserted)
+      bibcode = bibcode,
+      an_citations = flt("an_citations"),
+      an_refereed_citations = flt("an_refereed_citations"),
+      author_num = int("author_num", 1),
+      citations = strsOf("citations"),
+      citation_num = int("citation_num", 0),
+      downloads = ints("downloads"),
+      reads = ints("reads"),
+      refereed = bool("refereed", d = false),
+      refereed_citations = strsOf("refereed_citations"),
+      refereed_citation_num = int("refereed_citation_num", 0),
+      reference_num = int("reference_num", 0),
+      rn_citations = flt("rn_citations"),
+      rn_citation_data = j \ "rn_citation_data" match {
+        case JNothing | JNull => None
+        case v => Some(graft.functions.CanonicalJson.serialize(v))
+      },
+      modtime = Some(now))
+  }
+
+  def emptyTable(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.emptyDataset[MetricsRow].toDF
+  }
+
+  /** S7 upsert: whole-row replace per bibcode, stable id, last-in-batch
+    * wins. One shuffle for the in-batch dedup, one co-located join. */
+  def upsert(existing: DataFrame, incoming: Dataset[MetricsRow]): DataFrame = {
+    val spark = existing.sparkSession
+    import spark.implicits._
+    val cols = emptyTable(spark).columns
+    // last message per bibcode within the batch (arrival order = dataset
+    // order; use max modtime then arbitrary-but-deterministic tiebreak)
+    val latest = incoming.toDF
+      .withColumn("__seq", monotonically_increasing_id())
+      .groupBy(col("bibcode")).agg(max_by(struct(cols.map(col): _*), col("__seq")).as("r"))
+      .select(col("r.*"))
+    val e = existing.as("e")
+    val n = latest.as("n")
+    val joined = e.join(n, col("e.bibcode") === col("n.bibcode"), "full_outer")
+    val newId = abs(xxhash64(coalesce(col("n.bibcode"), col("e.bibcode"))))
+    joined.select(
+      (Seq(
+        coalesce(col("e.id"), newId).as("id"),
+        coalesce(col("n.bibcode"), col("e.bibcode")).as("bibcode")) ++
+        cols.filterNot(c => c == "id" || c == "bibcode").map { c =>
+          // incoming row wins wholesale (defaults already applied in
+          // fromJson); existing value survives only when no update came
+          when(col("n.bibcode").isNotNull, col(s"n.$c")).otherwise(col(s"e.$c")).as(c)
+        }): _*)
+  }
+
+  /** M8 — delete metrics rows by bibcode (adsmp/app.py:586-592). */
+  def delete(existing: DataFrame, bibcodes: DataFrame): DataFrame =
+    existing.join(bibcodes.select(col("bibcode")), Seq("bibcode"), "left_anti")
+}

@@ -117,5 +117,15 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     val first = new String(java.nio.file.Files.readAllBytes(
       new java.io.File(smDir, "sitemap_bib_1.xml").toPath), "UTF-8")
     assert(first.contains("/abs/") && first.startsWith("<?xml"))
+
+    // multi-site: one tree per site, each with its own URL pattern
+    val multiDir = java.nio.file.Files.createTempDirectory("graft_sm_multi").toString
+    val perSite = Pipeline.runSitemapsAllSites(spark, store, multiDir)
+    assert(perSite.keySet == Set("ads", "scix"))
+    val adsXml = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(s"$multiDir/ads", "sitemap_bib_1.xml").toPath), "UTF-8")
+    val scixXml = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(s"$multiDir/scix", "sitemap_bib_1.xml").toPath), "UTF-8")
+    assert(adsXml.contains("ui.adsabs.harvard.edu") && scixXml.contains("scixplorer.org"))
   }
 }
