@@ -35,7 +35,8 @@ object Pipeline {
       bulkTransport: Sinks.Transport,
       watermarkDir: Option[String] = None,
       force: Boolean = false,
-      now: Timestamp = new Timestamp(0)): RunReport = {
+      now: Timestamp = new Timestamp(0),
+      metricsStore: Option[MasterStore] = None): RunReport = {
     import spark.implicits._
 
     // ST1: incremental window from the stored watermark
@@ -80,6 +81,15 @@ object Pipeline {
     val stamped = stamp(stamp(stamp(master, solrStatus, batch.solr, "solr"),
       metricsStatus, batch.metrics, "metrics"),
       linksStatus, batch.links, "links")
+
+    // S7's store leg: merge the due metrics payloads into the metrics
+    // snapshot (whole-row replace per bibcode, MetricsTable semantics)
+    metricsStore.foreach { ms =>
+      val incoming = batch.metrics.select(col("bibcode"), col("payload"))
+        .as[(String, String)]
+        .map { case (b, p) => graft.operators.MetricsTable.fromJson(b, p, now) }
+      ms.write(graft.operators.MetricsTable.upsert(ms.read(spark), incoming))
+    }
 
     val version = store.write(stamped)
     watermarkDir.foreach(Watermark.advance(spark, _, "last.reindex.normal", now))

@@ -27,7 +27,9 @@ import graft.operators.MergeEngine
   * cluster scale `n` tracks corpus size (the 28.8M-row reference corpus at
   * ~2 KB/row → ~60 GB → a few hundred buckets).
   */
-class MasterStore(val root: String, numBuckets: Int = 8) {
+class MasterStore(val root: String, numBuckets: Int = 8,
+    empty: SparkSession => DataFrame = MergeEngine.emptyMaster,
+    keyCol: String = "bibcode") {
 
   private def currentFile = Paths.get(root, "CURRENT")
 
@@ -41,15 +43,15 @@ class MasterStore(val root: String, numBuckets: Int = 8) {
   /** Read the live snapshot (empty frame when the store is new). */
   def read(spark: SparkSession): DataFrame = currentVersion match {
     case Some(v) => spark.read.parquet(versionDir(v).toString)
-      .select(MergeEngine.masterColumns.map(col): _*)
-    case None => MergeEngine.emptyMaster(spark)
+      .select(empty(spark).columns.map(col).toIndexedSeq: _*)
+    case None => empty(spark)
   }
 
   /** Write the next snapshot and atomically advance CURRENT. */
   def write(master: DataFrame): Long = {
     val next = currentVersion.getOrElse(0L) + 1
     master
-      .repartition(numBuckets, col("bibcode"))
+      .repartition(numBuckets, col(keyCol))
       .write.mode("errorifexists").parquet(versionDir(next).toString)
     val tmp = Paths.get(root, "CURRENT.tmp")
     Files.createDirectories(Paths.get(root))
@@ -69,7 +71,7 @@ class MasterStore(val root: String, numBuckets: Int = 8) {
       Files.createDirectories(Paths.get(backupDir))
       Files.move(src, dst, StandardCopyOption.REPLACE_EXISTING)
     }
-    write(MergeEngine.emptyMaster(spark))
+    write(empty(spark))
   }
 
   /** Drop all snapshots older than the live one (the reference's

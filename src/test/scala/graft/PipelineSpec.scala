@@ -71,11 +71,15 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     val store = new MasterStore(root, numBuckets = 2)
     val wmDir = java.nio.file.Files.createTempDirectory("graft_wm2").toString + "/kv"
 
+    val metricsStore = new graft.sources.MasterStore(
+      java.nio.file.Files.createTempDirectory("graft_metrics").toString,
+      numBuckets = 1, empty = graft.operators.MetricsTable.emptyTable)
+
     // batch 1: two complete records, one bib-only (gated)
     val b1 = (msgs("p1", "2024-01-01 00:00:00") ++ msgs("p2", "2024-01-01 00:00:00") :+
       UpdateMessage("p3", "metadata", "{}", ts("2024-01-01 00:00:00"))).toDS()
     val r1 = Pipeline.runBatch(spark, store, b1, okTransport, okTransport,
-      Some(wmDir), now = ts("2024-01-02 00:00:00"))
+      Some(wmDir), now = ts("2024-01-02 00:00:00"), metricsStore = Some(metricsStore))
     assert(r1.version == 1 && r1.merged == 3)
     assert(r1.indexed == 2 && r1.solrOk == 2 && r1.solrFailed == 0)
     assert(r1.metricsOk == 2)
@@ -83,6 +87,11 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     val snap1 = store.read(spark).collect().map(r =>
       r.getAs[String]("bibcode") -> r.getAs[String]("status")).toMap
     assert(snap1("p1") == "success" && snap1.contains("p3"))
+    // S7 store leg: metrics rows landed in the metrics snapshot
+    val mrows = metricsStore.read(spark).collect()
+      .map(r => r.getAs[String]("bibcode") ->
+        r.getAs[scala.collection.Seq[Int]]("reads").toList).toMap
+    assert(mrows.keySet == Set("p1", "p2") && mrows("p1") == List(1))
 
     // batch 2: replay p1 unchanged (suppressed), update p2, flaky sink for p2
     val flaky = new Sinks.Transport {
