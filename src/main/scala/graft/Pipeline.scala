@@ -56,8 +56,13 @@ object Pipeline {
     val batch = IndexJob.IndexBatch(
       batch0.solr.cache(), batch0.metrics.cache(), batch0.links.cache())
 
-    // S6/S7/S8 with retry ladders — cached so a re-read of the status
-    // frame cannot re-fire transport sends
+    // S6/S7/S8 with retry ladders — cached so re-reads normally hit the
+    // materialized statuses instead of re-firing transports. NOTE: cache
+    // is best-effort; an evicted/lost partition recomputes and re-sends.
+    // That is safe here because the sinks are idempotent by design (ST4:
+    // upsert semantics + checksum change-suppression make duplicate
+    // deliveries no-ops); a strict once-only guarantee would require
+    // persisting the status frame to durable storage first.
     val solrStatus = Sinks.writeSolr(batch.solr, solrTransport).cache()
     val metricsStatus = Sinks.writeBulk(batch.metrics, bulkTransport).cache()
     val linksStatus = Sinks.writeBulk(batch.links, bulkTransport).cache()
@@ -83,12 +88,16 @@ object Pipeline {
       linksStatus, batch.links, "links")
 
     // S7's store leg: merge the due metrics payloads into the metrics
-    // snapshot (whole-row replace per bibcode, MetricsTable semantics)
+    // snapshot (whole-row replace per bibcode, MetricsTable semantics).
+    // Skipped for idle batches — otherwise every checksum-suppressed
+    // micro-batch would rewrite the whole metrics table to a new version.
     metricsStore.foreach { ms =>
-      val incoming = batch.metrics.select(col("bibcode"), col("payload"))
-        .as[(String, String)]
-        .map { case (b, p) => graft.operators.MetricsTable.fromJson(b, p, now) }
-      ms.write(graft.operators.MetricsTable.upsert(ms.read(spark), incoming))
+      if (batch.metrics.limit(1).count() > 0) {
+        val incoming = batch.metrics.select(col("bibcode"), col("payload"))
+          .as[(String, String)]
+          .map { case (b, p) => graft.operators.MetricsTable.fromJson(b, p, now) }
+        ms.write(graft.operators.MetricsTable.upsert(ms.read(spark), incoming))
+      }
     }
 
     val version = store.write(stamped)
@@ -156,16 +165,25 @@ object Pipeline {
     Sitemap.writeFiles(rendered, outDir)
     val files = rendered.select(col("sitemap_filename")).collect()
       .map(_.getString(0)).sorted
+    rendered.unpersist()
     val today = java.time.LocalDate.now.toString
+    // driver-side writes go through the same Hadoop FileSystem as the
+    // distributed bib files — outDir may be HDFS/S3, and an empty corpus
+    // (zero partitions, so writeFiles never ran mkdirs) must still get
+    // its static/index/robots files (the reference generates empty
+    // indexes too)
+    val dir = new org.apache.hadoop.fs.Path(outDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    def put(name: String, content: String): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(dir, name), true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+    }
     // static page sitemap precedes the bib files in the index (tasks.py:916-928)
-    java.nio.file.Files.write(java.nio.file.Paths.get(outDir, "sitemap_static.xml"),
-      Sitemap.renderStaticSitemap(site).getBytes("UTF-8"))
-    val idx = Sitemap.renderIndex(site, files.map(f => f -> today).toSeq,
-      staticFirst = Seq("sitemap_static.xml" -> today))
-    java.nio.file.Files.write(java.nio.file.Paths.get(outDir, "sitemap_index.xml"),
-      idx.getBytes("UTF-8"))
-    java.nio.file.Files.write(java.nio.file.Paths.get(outDir, "robots.txt"),
-      Sitemap.renderRobots(site).getBytes("UTF-8"))
+    put("sitemap_static.xml", Sitemap.renderStaticSitemap(site))
+    put("sitemap_index.xml", Sitemap.renderIndex(site, files.map(f => f -> today).toSeq,
+      staticFirst = Seq("sitemap_static.xml" -> today)))
+    put("robots.txt", Sitemap.renderRobots(site))
     files.length.toLong
   }
 }

@@ -30,14 +30,17 @@ object ScixId {
       bibData \ f match {
         case JNothing | JNull => ""
         case JString(s)       => s
-        case JArray(items)    => items.collect { case JString(s) => s }.mkString(" ")
+        case JArray(items)    => items.collect { case JString(s) => s }.mkString("\u0000")
         case other            => CanonicalJson.serialize(other)
       }
     }
     if (parts.forall(_.isEmpty)) None
     else {
+      // NUL separator (written as an escape to keep this file text): a
+      // printable joiner like space would make ("deep learning","survey")
+      // and ("deep","learning survey") hash to the same id
       val digest = MessageDigest.getInstance("SHA-256")
-        .digest(parts.mkString(" ").getBytes("UTF-8"))
+        .digest(parts.mkString("\u0000").getBytes("UTF-8"))
       // take 60 bits = 12 base32 chars from the digest head
       val chars = (0 until 12).map { i =>
         val bitPos = i * 5

@@ -72,8 +72,11 @@ object MergeEngine {
 
     val merged = joined.select(Seq(
       // synthetic stable id for fresh bibcodes (reference: DB sequence);
-      // xxhash64 keeps it deterministic and cluster-safe
-      coalesce(col("m.id"), abs(xxhash64(key))).as("id"),
+      // xxhash64 keeps it deterministic and cluster-safe. Masked to the
+      // positive range (abs(Long.MinValue) stays negative); 64-bit
+      // collisions at 28.8M keys are ~2e-5-probable and harmless here —
+      // bibcode, not id, is the engine's key
+      coalesce(col("m.id"), xxhash64(key).bitwiseAND(lit(Long.MaxValue))).as("id"),
       key.as("bibcode"),
       col("m.scix_id").as("scix_id_old")) ++ slotCols ++ Seq(
       coalesce(col("m.created"), newestArrival).as("created"),

@@ -111,7 +111,10 @@ object MetricsTable {
     val e = existing.as("e")
     val n = latest.as("n")
     val joined = e.join(n, col("e.bibcode") === col("n.bibcode"), "full_outer")
-    val newId = abs(xxhash64(coalesce(col("n.bibcode"), col("e.bibcode"))))
+    // positive-range mask, not abs (abs(Long.MinValue) is negative);
+    // bibcode stays the unique key — id is a stable synthetic surrogate
+    val newId = xxhash64(coalesce(col("n.bibcode"), col("e.bibcode")))
+      .bitwiseAND(lit(Long.MaxValue))
     joined.select(
       (Seq(
         coalesce(col("e.id"), newId).as("id"),

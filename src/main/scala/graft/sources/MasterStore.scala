@@ -47,12 +47,15 @@ class MasterStore(val root: String, numBuckets: Int = 8,
     case None => empty(spark)
   }
 
-  /** Write the next snapshot and atomically advance CURRENT. */
+  /** Write the next snapshot and atomically advance CURRENT. Overwrite
+    * mode makes the write replay-tolerant: a crashed attempt leaves an
+    * orphan v_N directory CURRENT never pointed at, and the replay (e.g.
+    * a restarted streaming micro-batch) simply rewrites it. */
   def write(master: DataFrame): Long = {
     val next = currentVersion.getOrElse(0L) + 1
     master
       .repartition(numBuckets, col(keyCol))
-      .write.mode("errorifexists").parquet(versionDir(next).toString)
+      .write.mode("overwrite").parquet(versionDir(next).toString)
     val tmp = Paths.get(root, "CURRENT.tmp")
     Files.createDirectories(Paths.get(root))
     Files.write(tmp, next.toString.getBytes("UTF-8"))
@@ -61,17 +64,20 @@ class MasterStore(val root: String, numBuckets: Int = 8,
     next
   }
 
-  /** M6 — truncate with backup (adsmp/app.py:1241-1261): move the live
-    * snapshot aside and point CURRENT at a fresh empty table. The backup
-    * directory keeps the old parquet for manual recovery. */
+  /** M6 — truncate with backup (adsmp/app.py:1241-1261): point CURRENT at
+    * a fresh empty snapshot FIRST, then park the old snapshot in the
+    * backup dir — a crash between the two steps leaves a readable (empty)
+    * table plus an unmoved old dir, never a CURRENT referencing a moved
+    * directory. */
   def truncate(spark: SparkSession, backupDir: String): Unit = {
-    currentVersion.foreach { v =>
+    val old = currentVersion
+    write(empty(spark))
+    old.foreach { v =>
       val src = versionDir(v)
       val dst = Paths.get(backupDir, src.getFileName.toString)
       Files.createDirectories(Paths.get(backupDir))
       Files.move(src, dst, StandardCopyOption.REPLACE_EXISTING)
     }
-    write(empty(spark))
   }
 
   /** Drop all snapshots older than the live one (the reference's

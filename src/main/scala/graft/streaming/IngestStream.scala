@@ -68,11 +68,13 @@ object IngestStream {
     val prev = state.getOption.getOrElse(SlotState(Map.empty, Map.empty, everEmitted = false))
 
     if (msgs.isEmpty && state.hasTimedOut) {
-      // ST3 force flush: index whatever has bib_data; re-arm so records
-      // that keep changing while incomplete flush again next cycle
+      // ST3 force flush: index whatever has bib_data. The timer is NOT
+      // re-armed here: after a flush the data path re-emits on change, and
+      // a bib-less record gets its timer back when its next message
+      // arrives — re-arming unconditionally would give every dormant
+      // record a perpetual no-op timer firing each cycle
       val flush = !prev.everEmitted && prev.payloads.contains("bib_data")
       if (flush) state.update(prev.copy(everEmitted = true))
-      if (forceAfterMs > 0) state.setTimeoutDuration(forceAfterMs)
       if (flush) Iterator.single(toRecord(bibcode, prev)) else Iterator.empty
     } else {
       // newest-wins within the batch per slot (same as MergeEngine.upsert)

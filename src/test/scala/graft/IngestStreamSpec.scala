@@ -88,7 +88,9 @@ class IngestStreamSpec extends AnyFunSuite with SparkSpec {
     assert(out.length == 1, "changed + everEmitted must re-emit despite incompleteness")
     assert(out.head.bib_data.contains("""{"v": 2}"""))
 
-    // timeout on a bib-less record: no emission, but the timeout re-arms
+    // timeout on a bib-less record: no emission and no re-arm (a dormant
+    // record must not hold a perpetual timer; arrival of its next message
+    // re-arms via the data path)
     val bibless = IngestStream.SlotState(
       Map("metrics" -> "{}"), Map("metrics" -> 500L), everEmitted = false)
     val tState = TestGroupState.create[IngestStream.SlotState](
@@ -96,7 +98,7 @@ class IngestStreamSpec extends AnyFunSuite with SparkSpec {
       1000L, org.apache.spark.api.java.Optional.empty[Long], hasTimedOut = true)
     val tOut = IngestStream.gate(60000L)("b2", Iterator.empty, tState).toList
     assert(tOut.isEmpty)
-    assert(tState.getTimeoutTimestampMs.isPresent, "timeout re-armed for stragglers")
+    assert(!tState.getTimeoutTimestampMs.isPresent, "no perpetual timer for dormant records")
   }
 
   test("ST5 retry schedule: 10s x20 + 30s x30 + 60s x50, ~90 min budget") {
