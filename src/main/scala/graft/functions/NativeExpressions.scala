@@ -66,4 +66,30 @@ object NativeExpressions {
 
   def canonicalChecksumCol(c: Column): Column =
     ExpressionUtils.column(CanonicalChecksumExpression(ExpressionUtils.expression(c)))
+
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  private[graftnative] val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_simhash32"),
+      new ExpressionInfo(classOf[SimHash32Expression].getName, "graft_simhash32"),
+      (exprs: Seq[Expression]) => SimHash32Expression(exprs.head)),
+    (FunctionIdentifier("graft_canonical_checksum"),
+      new ExpressionInfo(classOf[CanonicalChecksumExpression].getName, "graft_canonical_checksum"),
+      (exprs: Seq[Expression]) => CanonicalChecksumExpression(exprs.head)))
+
+  /** Register the native functions on an existing session, so they are
+    * callable from SQL: `SELECT graft_simhash32(text) FROM docs`. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+}
+
+/** SparkSessionExtensions hook — enables
+  * `--conf spark.sql.extensions=org.apache.spark.sql.graftnative.GraftExtensions`
+  * so every session on a cluster gets the engine's native SQL functions. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    NativeExpressions.functions.foreach(ext.injectFunction)
 }

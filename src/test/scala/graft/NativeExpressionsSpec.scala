@@ -28,6 +28,17 @@ class NativeExpressionsSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("BatchEval") && !plan.toLowerCase.contains("scalaudf"))
   }
 
+  test("native functions register into SQL") {
+    import spark.implicits._
+    NativeExpressions.register(spark)
+    Seq("a b c").toDF("text").createOrReplaceTempView("nx_docs")
+    val row = spark.sql(
+      "SELECT graft_simhash32(text) AS sh, graft_canonical_checksum('{\"a\": 1}') AS cks FROM nx_docs")
+      .collect().head
+    assert(row.getLong(0) == TextHashes.simhash32("a b c"))
+    assert(row.getString(1) == CanonicalJson.checksumOf(SolrTransform.parse("""{"a": 1}""")))
+  }
+
   test("canonical checksum expression equals CanonicalJson.checksumOf") {
     import spark.implicits._
     val docs = Seq(
