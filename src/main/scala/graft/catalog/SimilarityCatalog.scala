@@ -53,6 +53,30 @@ object SimilarityCatalog extends Catalog {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ── Hyperplane-LSH bucketed top-k: 8 deterministic ±1 hyperplanes
+    // (coefficients from the portable hash family) give an 8-bit bucket
+    // signature; candidates = same-bucket vectors, exact-cosine reranked.
+    // The scale path when no cell assignment exists: one equi-join on the
+    // signature, work ∝ bucket occupancy, identical math in the oracle. ──
+    "sim_ann_lsh" -> ((s, d) => {
+      val corpus = vecs(s, d)
+        .withColumn("norm", graft.functions.VectorOps.normUdf(col("v")))
+        .withColumn("sig", graft.functions.VectorOps.lshSigUdf8(col("v")))
+        .cache()
+      val qs = corpus.filter(col("vec_id") >= 20 && col("vec_id") < 25)
+        .select(col("vec_id").as("query_id"), col("sig").as("qsig"),
+          col("v").as("qv"), col("norm").as("qnorm"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      corpus.join(broadcast(qs),
+          col("sig") === col("qsig") && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          cosPrecomputed(col("qv"), col("qnorm"), col("v"), col("norm")).as("cos_sim"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ── IVF-style cell-restricted top-k: probe only the query's cell ──
     "sim_ann_ivf" -> ((s, d) => {
       val corpus = vecs(s, d)
@@ -72,7 +96,29 @@ object SimilarityCatalog extends Catalog {
     })
   )
 
+  /** DuckDB mirror of VectorOps.lshSig: same coefficients (portable hash
+    * of "plane:dim"), same left-to-right double accumulation, same strict
+    * sign test — bit-identical signatures. */
+  private def lshSigSql(emb: String): String = {
+    val planeTerms = (0 until 8).map { j =>
+      val coef = s"(((('0x' || substr(md5(CAST($j AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 1, 15))::BIGINT % 2147483647) % 2) * 2 - 1)"
+      s"CASE WHEN list_sum(list_transform(generate_series(1, len($emb)), i -> $emb[i]::DOUBLE * $coef)) > 0 THEN ${1 << j} ELSE 0 END"
+    }
+    s"CAST(${planeTerms.mkString("(", " + ", ")")} AS INT)"
+  }
+
   def oracle: Map[String, String] = Map(
+    "sim_ann_lsh" ->
+      s"""WITH sigs AS (
+           SELECT vec_id, embedding, ${lshSigSql("embedding")} AS sig FROM embeddings),
+         q AS (SELECT vec_id AS query_id, sig AS qsig, embedding AS qv
+             FROM sigs WHERE vec_id >= 20 AND vec_id < 25),
+         p AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+             ${cosineSql("q.qv", "e.embedding")} AS cos_sim
+           FROM sigs e JOIN q ON e.sig = q.qsig AND e.vec_id <> q.query_id)
+         SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank FROM p) t
+         WHERE rank <= 3 ORDER BY query_id, rank""",
     "sim_ann_bruteforce" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
          p AS (SELECT q.query_id, e.vec_id AS neighbor_id,

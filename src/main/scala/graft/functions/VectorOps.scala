@@ -48,4 +48,34 @@ object VectorOps {
   val normUdf: Column => Column = { v =>
     udf((x: Array[Double]) => math.sqrt(dot(x, x))).apply(v)
   }
+
+  // ── hyperplane LSH ──────────────────────────────────────────────────────
+  // Deterministic ±1 hyperplane coefficients from the portable hash family
+  // (mirrored exactly by the DuckDB oracle); memoized — at cluster scale
+  // the coefficient matrix is built once per executor, not per row.
+  private val lshCoefCache = new java.util.concurrent.ConcurrentHashMap[Long, Int]()
+
+  def lshCoef(plane: Int, dim: Int): Int =
+    lshCoefCache.computeIfAbsent(plane.toLong << 32 | dim, { k =>
+      val p = (k >> 32).toInt; val i = (k & 0xffffffffL).toInt
+      ((TextHashes.hash31(s"$p:$i") % 2) * 2 - 1).toInt
+    })
+
+  /** 8-bit bucket signature: bit j set iff dot(v, hyperplane_j) > 0. */
+  def lshSig(v: Array[Double], planes: Int = 8): Int = {
+    var sig = 0
+    var j = 0
+    while (j < planes) {
+      var acc = 0.0
+      var i = 0
+      while (i < v.length) { acc += v(i) * lshCoef(j, i); i += 1 }
+      if (acc > 0) sig |= 1 << j
+      j += 1
+    }
+    sig
+  }
+
+  val lshSigUdf8: Column => Column = { v =>
+    udf((x: Array[Double]) => lshSig(x, 8)).apply(v)
+  }
 }
