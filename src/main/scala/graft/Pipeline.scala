@@ -96,6 +96,9 @@ object Pipeline {
         val incoming = batch.metrics.select(col("bibcode"), col("payload"))
           .as[(String, String)]
           .map { case (b, p) => graft.operators.MetricsTable.fromJson(b, p, now) }
+          // IndexJob emits at most one metrics payload per bibcode, so the
+          // in-batch arrival order is vacuous — a constant seq is exact
+          .toDF().withColumn("seq", lit(0L))
         ms.write(graft.operators.MetricsTable.upsert(ms.read(spark), incoming))
       }
     }

@@ -75,44 +75,87 @@ object RecordCatalog extends Catalog {
         .orderBy(col("sitemap_filename"))
     }),
 
-    // ── T1 flagship transform on fixture records (rows-only; golden-tested
-    // in SolrTransformSpec) ──
+    // ── T1 flagship transform on fixture records: the full transform runs,
+    // then scalar projections of the search doc are exposed so the DuckDB
+    // oracle can recompute every value independently from the fixture
+    // generator's closed form (the full JSON stays golden-tested in
+    // SolrTransformSpec against reference fixtures) ──
     "t1_solr_transform" -> ((s, _) => {
       import s.implicits._
       val master = MergeEngine.upsert(MergeEngine.emptyMaster(s),
         s.createDataset(fixtureUpdates(64))).master
       val selected = master.as[MasterRecord].filter(IndexJob.eligible(None, force = false))
       selected.map { r =>
-        val (json, cks) = graft.transform.SolrTransform.render(
-          graft.transform.SolrTransform.transform(r))
-        (r.bibcode, json, cks)
-      }.toDF("bibcode", "solr_json", "solr_checksum").orderBy("bibcode")
+        val docObj = graft.transform.SolrTransform.transform(r)
+        val doc = docObj.obj.toMap
+        def strsOf(k: String): Seq[String] = doc.get(k) match {
+          case Some(org.json4s.JArray(xs)) => xs.collect { case org.json4s.JString(v) => v }
+          case Some(org.json4s.JString(v)) => Seq(v)
+          case _                           => Nil
+        }
+        def numOf(k: String): Double = doc.get(k) match {
+          case Some(org.json4s.JInt(i))     => i.toDouble
+          case Some(org.json4s.JLong(l))    => l.toDouble
+          case Some(org.json4s.JDouble(d))  => d
+          case Some(org.json4s.JDecimal(d)) => d.toDouble
+          case _                            => Double.NaN
+        }
+        val cks = graft.transform.SolrTransform.render(docObj)._2
+        (r.bibcode,
+          strsOf("title").mkString("|"),
+          strsOf("database").mkString("|"),
+          numOf("cite_read_boost"),
+          numOf("citation_count").toLong,
+          strsOf("grant").mkString("|"),
+          strsOf("simbtype").mkString("|"),
+          strsOf("orcid_user").mkString("|"),
+          strsOf("citation").mkString("|"),
+          strsOf("has").mkString("|"),
+          numOf("doctype_boost").toLong,
+          doc.get("update_timestamp").collect { case org.json4s.JString(v) => v }.getOrElse(""),
+          r.scix_id.exists(_.matches("scix:[0-9A-HJKMNP-TV-Z]{4}-[0-9A-HJKMNP-TV-Z]{4}-[0-9A-HJKMNP-TV-Z]{4}")),
+          cks.matches("0x[0-9a-f]{1,8}"))
+      }.toDF("bibcode", "title", "database_str", "cite_read_boost", "citation_count",
+        "grant_str", "simbtype_str", "orcid_user_str", "citation_str", "has_str",
+        "doctype_boost", "update_timestamp", "scix_ok", "checksum_ok")
+        .orderBy("bibcode")
     }),
 
-    // ── M1 record-shaped upsert incl. scix assignment (rows-only;
-    // semantics in MergeEngineSpec) ──
+    // ── M1 record-shaped upsert incl. scix assignment: scalar projections
+    // of the merged snapshot (full semantics in MergeEngineSpec) ──
     "m1_record_upsert" -> ((s, _) => {
       import s.implicits._
       val r1 = MergeEngine.upsert(MergeEngine.emptyMaster(s),
         s.createDataset(fixtureUpdates(32)))
-      // second batch replays + updates half the records
+      // second batch replays + updates half the records a day later
       val second = fixtureUpdates(16).map(m =>
         m.copy(payload = m.payload.replace("Fixture", "Updated"),
           ts = new Timestamp(m.ts.getTime + 86400000L)))
       val r2 = MergeEngine.upsert(r1.master, s.createDataset(second))
-      r2.master.select(col("bibcode"), col("scix_id"), col("bib_data"),
-        col("updated")).orderBy("bibcode")
+      r2.master.select(col("bibcode"),
+        get_json_object(col("bib_data"), "$.title[0]").as("title"),
+        get_json_object(col("nonbib_data"), "$.citation_count").cast("long").as("citation_count"),
+        date_format(col("updated"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("updated_str"),
+        col("scix_id").rlike("^scix:[0-9A-HJKMNP-TV-Z]{4}-[0-9A-HJKMNP-TV-Z]{4}-[0-9A-HJKMNP-TV-Z]{4}$").as("scix_ok"))
+        .orderBy("bibcode")
     }),
 
-    // ── full index job: gate → transform → checksum suppression (rows-only;
-    // semantics in IndexJobSpec) ──
+    // ── full index job: gate → transform → identifier completeness →
+    // checksum suppression, projected to oracle-checkable scalars ──
     "idx_index_job" -> ((s, _) => {
       import s.implicits._
       val master = MergeEngine.upsert(MergeEngine.emptyMaster(s),
         s.createDataset(fixtureUpdates(48))).master
       val batch = IndexJob.run(master.as[MasterRecord]
         .filter(IndexJob.eligible(None, force = false)))
-      batch.solr.orderBy("bibcode")
+      batch.solr.select(col("bibcode"), col("changed"),
+        get_json_object(col("payload"), "$.title[0]").as("title"),
+        get_json_object(col("payload"), "$.citation_count").cast("long").as("citation_count"),
+        get_json_object(col("payload"), "$.identifier[0]").as("identifier0"),
+        get_json_object(col("payload"), "$.identifier[1]").as("identifier1"),
+        json_array_length(get_json_object(col("payload"), "$.has")).as("n_has"),
+        col("checksum").rlike("^0x[0-9a-f]{1,8}$").as("checksum_ok"))
+        .orderBy("bibcode")
     }),
 
     // ── ST2 completeness gate run in batch mode over the same state
@@ -127,6 +170,57 @@ object RecordCatalog extends Catalog {
     }))
 
   def oracle: Map[String, String] = Map(
+    // The fixture generator is a closed form over i = 1..N, so DuckDB can
+    // reconstruct every expected scalar from generate_series without seeing
+    // the engine's output: titles/boosts/counts come straight from the
+    // payload templates, `has` follows the even/odd fulltext rule, and the
+    // update_timestamp is the newest slot arrival (metrics +300ms, or
+    // fulltext +400ms on even records).
+    "t1_solr_transform" ->
+      """SELECT printf('2024Fixt.%03d..001X', i) AS bibcode,
+           'Fixture ' || i AS title,
+           'astronomy' AS database_str,
+           (i % 10) / 10.0 AS cite_read_boost,
+           CAST(i AS BIGINT) AS citation_count,
+           'NASA|' || i AS grant_str,
+           'Star' AS simbtype_str,
+           '0000-000' || i AS orcid_user_str,
+           'c' || i AS citation_str,
+           CASE WHEN i % 2 = 0
+             THEN 'ack|body|citation|data|database|doctype|grant|identifier|orcid_user|title'
+             ELSE 'citation|data|database|doctype|grant|identifier|orcid_user|title' END AS has_str,
+           CAST(1 AS BIGINT) AS doctype_boost,
+           strftime(TIMESTAMP '2024-01-01 00:00:00'
+             + to_milliseconds(i * 1000 + CASE WHEN i % 2 = 0 THEN 400 ELSE 300 END),
+             '%Y-%m-%dT%H:%M:%S.%fZ') AS update_timestamp,
+           TRUE AS scix_ok,
+           TRUE AS checksum_ok
+         FROM generate_series(1, 64) AS t(i) ORDER BY bibcode""",
+    "m1_record_upsert" ->
+      """SELECT printf('2024Fixt.%03d..001X', i) AS bibcode,
+           (CASE WHEN i <= 16 THEN 'Updated ' ELSE 'Fixture ' END) || i AS title,
+           CAST(i AS BIGINT) AS citation_count,
+           strftime(TIMESTAMP '2024-01-01 00:00:00'
+             + to_milliseconds((CASE WHEN i <= 16 THEN 86400000 ELSE 0 END)
+               + i * 1000 + CASE WHEN i % 2 = 0 THEN 400 ELSE 300 END),
+             '%Y-%m-%dT%H:%M:%S.%f') AS updated_str,
+           TRUE AS scix_ok
+         FROM generate_series(1, 32) AS t(i) ORDER BY bibcode""",
+    "idx_index_job" ->
+      """SELECT printf('2024Fixt.%03d..001X', i) AS bibcode,
+           TRUE AS changed,
+           'Fixture ' || i AS title,
+           CAST(i AS BIGINT) AS citation_count,
+           'alt.' || i AS identifier0,
+           printf('2024Fixt.%03d..001X', i) AS identifier1,
+           CAST(CASE WHEN i % 2 = 0 THEN 10 ELSE 8 END AS INTEGER) AS n_has,
+           TRUE AS checksum_ok
+         FROM generate_series(1, 48) AS t(i) ORDER BY bibcode""",
+    "st2_completeness_gate" ->
+      """SELECT printf('2024Fixt.%03d..001X', i) AS bibcode,
+           TRUE AS has_bib,
+           (i % 2 = 0) AS has_fulltext
+         FROM generate_series(10, 24) AS t(i) ORDER BY bibcode""",
     "w1_distributed_bucketing" ->
       """SELECT doc_id,
            'sitemap_bib_' || CAST(CAST(floor((ROW_NUMBER() OVER (ORDER BY doc_id) - 1 + 25) / 64) AS BIGINT) + 1 AS VARCHAR) || '.xml' AS sitemap_filename

@@ -117,9 +117,9 @@ object RelationalCatalog extends Catalog {
     "p10_collection_whitelist" -> ((s, d) => {
       Tables.documents(s, d)
         .select(col("doc_id"),
-          array_sort(array_intersect(
+          array_join(array_sort(array_intersect(
             array_distinct(split(col("text"), " ")),
-            array(lit("join"), lit("merge"), lit("window"), lit("stream")))).as("kept"))
+            array(lit("join"), lit("merge"), lit("window"), lit("stream")))), "|").as("kept"))
         .orderBy(col("doc_id"))
     }),
 
@@ -293,9 +293,9 @@ object RelationalCatalog extends Catalog {
     "d3_array_union" -> ((s, d) => {
       Tables.documents(s, d)
         .select(col("doc_id"),
-          array_sort(array_union(
+          array_join(array_sort(array_union(
             array_distinct(slice(split(col("text"), " "), 1, 5)),
-            array(lit("astrophysics"), lit("the")))).as("merged"))
+            array(lit("astrophysics"), lit("the")))), "|").as("merged"))
         .orderBy(col("doc_id"))
     }),
 
@@ -326,7 +326,7 @@ object RelationalCatalog extends Catalog {
           concat(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"),
             lit("|"), col("event_type")).as("slot"))
         .groupBy(col("user_id"))
-        .agg(sort_array(collect_list(col("slot"))).as("ordered_slots"))
+        .agg(array_join(sort_array(collect_list(col("slot"))), "#").as("ordered_slots"))
         .select(col("user_id"), col("ordered_slots"))
         .orderBy(col("user_id"))
     }),
@@ -409,8 +409,8 @@ object RelationalCatalog extends Catalog {
          ORDER BY o_custkey""",
     "p10_collection_whitelist" ->
       """SELECT doc_id,
-           list_sort(list_intersect(list_distinct(string_split(text, ' ')),
-                                    ['join','merge','window','stream'])) AS kept
+           COALESCE(array_to_string(list_sort(list_intersect(list_distinct(string_split(text, ' ')),
+                                    ['join','merge','window','stream'])), '|'), '') AS kept
          FROM documents ORDER BY doc_id""",
     "j1_left_outer_flag" ->
       """SELECT o_orderkey, (c.c_name IS NOT NULL) AS has_customer
@@ -496,8 +496,8 @@ object RelationalCatalog extends Catalog {
          ORDER BY o_orderkey""",
     "d3_array_union" ->
       """SELECT doc_id,
-           list_sort(list_distinct(list_concat(
-             list_distinct(string_split(text, ' ')[1:5]), ['astrophysics','the']))) AS merged
+           array_to_string(list_sort(list_distinct(list_concat(
+             list_distinct(string_split(text, ' ')[1:5]), ['astrophysics','the']))), '|') AS merged
          FROM documents ORDER BY doc_id""",
     "o1_min_per_group" ->
       """SELECT event_type, event_id, user_id
@@ -511,7 +511,7 @@ object RelationalCatalog extends Catalog {
          ORDER BY file_idx DESC LIMIT 3""",
     "o4_priority_sort" ->
       """SELECT user_id,
-           list_sort(list(strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || '|' || event_type)) AS ordered_slots
+           array_to_string(list_sort(list(strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || '|' || event_type)), '#') AS ordered_slots
          FROM events GROUP BY user_id ORDER BY user_id""",
     "o5_ordered_limit" ->
       """SELECT o_orderkey, o_totalprice FROM orders

@@ -36,9 +36,9 @@ object TransformCatalog extends Catalog {
       Tables.documents(s, d)
         .select(col("doc_id"), slice(split(col("text"), " "), 1, 3).as("parts"))
         .select(col("doc_id"),
-          transform(sequence(lit(1), size(col("parts"))),
+          array_join(transform(sequence(lit(1), size(col("parts"))),
             i => concat((i - 1).cast("string"), lit("/"),
-              array_join(slice(col("parts"), lit(1), i), "/"))).as("facet_hier"))
+              array_join(slice(col("parts"), lit(1), i), "/"))), "#").as("facet_hier"))
         .orderBy(col("doc_id"))
     }),
 
@@ -118,11 +118,11 @@ object TransformCatalog extends Catalog {
     "t15_has_fields" -> ((s, d) => {
       Tables.documents(s, d)
         .select(col("doc_id"),
-          filter(array(
+          array_join(filter(array(
             when(col("lang").rlike("[0-9A-Za-z]"), lit("lang")),
             when(col("source").rlike("[0-9A-Za-z]"), lit("source")),
             when(col("text").rlike("[0-9A-Za-z]"), lit("text"))),
-            x => x.isNotNull).as("has"))
+            x => x.isNotNull), "|").as("has"))
         .orderBy(col("doc_id"))
     }),
 
@@ -130,9 +130,9 @@ object TransformCatalog extends Catalog {
     "t16_identifier_completeness" -> ((s, d) => {
       Tables.documents(s, d)
         .select(col("doc_id"),
-          array_sort(array_union(
+          array_join(array_sort(array_union(
             array_distinct(slice(split(col("text"), " "), 1, 3)),
-            array(col("source")))).as("identifier"))
+            array(col("source")))), "|").as("identifier"))
         .orderBy(col("doc_id"))
     }),
 
@@ -296,9 +296,10 @@ object TransformCatalog extends Catalog {
          FROM orders ORDER BY o_orderkey""",
     "t3_hier_facet" ->
       """SELECT doc_id,
-           list_transform(generate_series(1, len(string_split(text,' ')[1:3])),
-             i -> CAST(i - 1 AS VARCHAR) || '/' ||
-                  array_to_string(string_split(text,' ')[1:3][1:i], '/')) AS facet_hier
+           array_to_string(
+             list_transform(generate_series(1, len(string_split(text,' ')[1:3])),
+               i -> CAST(i - 1 AS VARCHAR) || '/' ||
+                    array_to_string(string_split(text,' ')[1:3][1:i], '/')), '#') AS facet_hier
          FROM documents ORDER BY doc_id""",
     "t4_type_mapper_rules" ->
       """SELECT event_id,
@@ -340,15 +341,16 @@ object TransformCatalog extends Catalog {
          FROM events ORDER BY event_id""",
     "t15_has_fields" ->
       """SELECT doc_id,
-           list_filter([CASE WHEN regexp_matches(lang, '[0-9A-Za-z]') THEN 'lang' END,
-                        CASE WHEN regexp_matches(source, '[0-9A-Za-z]') THEN 'source' END,
-                        CASE WHEN regexp_matches(text, '[0-9A-Za-z]') THEN 'text' END],
-                       x -> x IS NOT NULL) AS has
+           array_to_string(
+             list_filter([CASE WHEN regexp_matches(lang, '[0-9A-Za-z]') THEN 'lang' END,
+                          CASE WHEN regexp_matches(source, '[0-9A-Za-z]') THEN 'source' END,
+                          CASE WHEN regexp_matches(text, '[0-9A-Za-z]') THEN 'text' END],
+                         x -> x IS NOT NULL), '|') AS has
          FROM documents ORDER BY doc_id""",
     "t16_identifier_completeness" ->
       """SELECT doc_id,
-           list_sort(list_distinct(list_concat(
-             list_distinct(string_split(text,' ')[1:3]), [source]))) AS identifier
+           array_to_string(list_sort(list_distinct(list_concat(
+             list_distinct(string_split(text,' ')[1:3]), [source]))), '|') AS identifier
          FROM documents ORDER BY doc_id""",
     "t17_canonical_checksum" ->
       ("""SELECT doc_id, """ + PortableHash.hash64Sql(

@@ -97,16 +97,23 @@ object MetricsTable {
   }
 
   /** S7 upsert: whole-row replace per bibcode, stable id, last-in-batch
-    * wins. One shuffle for the in-batch dedup, one co-located join. */
-  def upsert(existing: DataFrame, incoming: Dataset[MetricsRow]): DataFrame = {
+    * wins. One shuffle for the in-batch dedup, one co-located join.
+    *
+    * `incoming` must carry an explicit `seq` column (arrival timestamp or
+    * sequence number): the reference's "last write wins" is wall-clock
+    * ordered (adsmp/app.py:514-556), and any implicit stand-in such as
+    * `monotonically_increasing_id` reflects partition layout, which is
+    * nondeterministic after a shuffle. */
+  def upsert(existing: DataFrame, incoming: DataFrame): DataFrame = {
     val spark = existing.sparkSession
-    import spark.implicits._
     val cols = emptyTable(spark).columns
-    // last message per bibcode within the batch (arrival order = dataset
-    // order; use max modtime then arbitrary-but-deterministic tiebreak)
-    val latest = incoming.toDF
-      .withColumn("__seq", monotonically_increasing_id())
-      .groupBy(col("bibcode")).agg(max_by(struct(cols.map(col): _*), col("__seq")).as("r"))
+    require(incoming.columns.contains("seq"),
+      "MetricsTable.upsert: incoming batch must carry an explicit `seq` " +
+        "arrival-order column (in-batch last-write-wins must not depend on " +
+        "partition layout)")
+    // last message per bibcode within the batch, by explicit arrival order
+    val latest = incoming
+      .groupBy(col("bibcode")).agg(max_by(struct(cols.map(col): _*), col("seq")).as("r"))
       .select(col("r.*"))
     val e = existing.as("e")
     val n = latest.as("n")

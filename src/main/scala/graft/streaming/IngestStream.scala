@@ -163,23 +163,25 @@ object Watermark {
   }
 
   /** Replace the key's value (rollback on failure = simply not advancing,
-    * run.py:224-229). Writes via temp dir + atomic-ish rename. */
+    * run.py:224-229). Writes via temp dir + rename through the Hadoop
+    * FileSystem API — the watermark may live on HDFS/S3 next to the master
+    * snapshots, where java.io.File ops would silently address local disk
+    * and the watermark would never advance (every incremental run would
+    * reprocess the full corpus). Fails loudly on a refused rename. */
   def advance(spark: SparkSession, path: String, key: String, value: Timestamp): Unit = {
     import spark.implicits._
+    import org.apache.hadoop.fs.Path
     val existing = try spark.read.parquet(path).filter($"key" =!= key)
       .as[(String, Timestamp)].collect().toSeq
     catch { case _: Throwable => Seq.empty[(String, Timestamp)] }
     val next = existing :+ (key -> value)
     val tmp = path + ".tmp"
     next.toDF("key", "value").coalesce(1).write.mode("overwrite").parquet(tmp)
-    val fs = new java.io.File(path)
-    if (fs.exists) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles.foreach(rm)
-        f.delete()
-      }
-      rm(fs)
-    }
-    new java.io.File(tmp).renameTo(fs)
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(target) && !fs.delete(target, true))
+      throw new java.io.IOException(s"watermark advance: cannot delete $path")
+    if (!fs.rename(new Path(tmp), target))
+      throw new java.io.IOException(s"watermark advance: rename $tmp -> $path refused")
   }
 }

@@ -14,9 +14,12 @@ class MetricsTableSpec extends AnyFunSuite with SparkSpec {
 
   val now = Timestamp.valueOf("2024-01-01 00:00:00")
 
-  def rows(ps: (String, String)*): org.apache.spark.sql.Dataset[MetricsRow] = {
+  def rows(ps: (String, String)*): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    spark.createDataset(ps.map { case (b, p) => MetricsTable.fromJson(b, p, now) })
+    import org.apache.spark.sql.functions.col
+    spark.createDataset(ps.zipWithIndex.map { case ((b, p), i) =>
+      (MetricsTable.fromJson(b, p, now), i.toLong)
+    }).select(col("_1.*"), col("_2").as("seq"))
   }
 
   def byBib(df: org.apache.spark.sql.DataFrame) =
@@ -75,6 +78,28 @@ class MetricsTableSpec extends AnyFunSuite with SparkSpec {
       "dup" -> """{"author_num": 9}"""))
     assert(v.count() == 1)
     assert(byBib(v)("dup").getAs[Int]("author_num") == 9)
+  }
+
+  test("in-batch winner is seq-determined, independent of partition layout") {
+    // shuffle the batch across partitions: the highest-seq row must still
+    // win — this is exactly the case monotonically_increasing_id got wrong
+    val batch = rows(
+      "dup" -> """{"author_num": 1}""",
+      "dup" -> """{"author_num": 2}""",
+      "dup" -> """{"author_num": 9}""",
+      "other" -> """{"author_num": 7}""").repartition(7)
+    val v = MetricsTable.upsert(MetricsTable.emptyTable(spark), batch)
+    assert(v.count() == 2)
+    assert(byBib(v)("dup").getAs[Int]("author_num") == 9)
+    assert(byBib(v)("other").getAs[Int]("author_num") == 7)
+  }
+
+  test("upsert refuses a batch without an explicit seq column") {
+    val noSeq = rows("a" -> "{}").drop("seq")
+    val e = intercept[IllegalArgumentException] {
+      MetricsTable.upsert(MetricsTable.emptyTable(spark), noSeq)
+    }
+    assert(e.getMessage.contains("seq"))
   }
 
   test("M8 delete by bibcode") {
