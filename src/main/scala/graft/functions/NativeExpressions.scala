@@ -27,6 +27,7 @@ object NativeExpressions {
 
   /** Static entry points referenced from generated code. */
   def simhash32(s: UTF8String): Long = TextHashes.simhash32(s.toString)
+  def simhash60(s: UTF8String): Long = TextHashes.simhash60(s.toString)
   def canonicalChecksum(s: UTF8String): UTF8String =
     UTF8String.fromString(CanonicalJson.checksumOf(graft.transform.SolrTransform.parse(s.toString)))
 
@@ -44,6 +45,20 @@ object NativeExpressions {
     override protected def withNewChildInternal(newChild: Expression): SimHash32Expression =
       copy(child = newChild)
     override def prettyName: String = "graft_simhash32"
+  }
+
+  /** 60-bit simhash (4×15-bit LSH bands; sign-safe BIGINT in both engines). */
+  case class SimHash60Expression(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any =
+      NativeExpressions.simhash60(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Helper.simhash60($c)")
+    override protected def withNewChildInternal(newChild: Expression): SimHash60Expression =
+      copy(child = newChild)
+    override def prettyName: String = "graft_simhash60"
   }
 
   /** T17 canonical checksum of a JSON-document column: volatile keys
@@ -64,6 +79,9 @@ object NativeExpressions {
   def simhash32Col(c: Column): Column =
     ExpressionUtils.column(SimHash32Expression(ExpressionUtils.expression(c)))
 
+  def simhash60Col(c: Column): Column =
+    ExpressionUtils.column(SimHash60Expression(ExpressionUtils.expression(c)))
+
   def canonicalChecksumCol(c: Column): Column =
     ExpressionUtils.column(CanonicalChecksumExpression(ExpressionUtils.expression(c)))
 
@@ -74,6 +92,9 @@ object NativeExpressions {
     (FunctionIdentifier("graft_simhash32"),
       new ExpressionInfo(classOf[SimHash32Expression].getName, "graft_simhash32"),
       (exprs: Seq[Expression]) => SimHash32Expression(exprs.head)),
+    (FunctionIdentifier("graft_simhash60"),
+      new ExpressionInfo(classOf[SimHash60Expression].getName, "graft_simhash60"),
+      (exprs: Seq[Expression]) => SimHash60Expression(exprs.head)),
     (FunctionIdentifier("graft_canonical_checksum"),
       new ExpressionInfo(classOf[CanonicalChecksumExpression].getName, "graft_canonical_checksum"),
       (exprs: Seq[Expression]) => CanonicalChecksumExpression(exprs.head)))

@@ -57,11 +57,14 @@ object PortableHash {
   def minhashSql(hashesExpr: String, a: Long, b: Long): String =
     s"list_min(list_transform($hashesExpr, h -> (h * ${a}::BIGINT + ${b}::BIGINT) % ${Mersenne31}))"
 
-  /** 32 universal-hash coefficient pairs for the simhash bit family
+  /** Universal-hash coefficient pairs for the simhash bit family
     * bit_j(h) = ((a_j*h + b_j) mod p) mod 2. Derived from the Knuth
-    * multiplicative constant; odd, < 2^31, so a*h stays under 2^62. */
-  val SimhashA: Seq[Long] = (1 to 32).map(j => ((2654435761L * j) % Mersenne31) | 1L)
-  val SimhashB: Seq[Long] = (1 to 32).map(j => ((40503L * j * j + 7L) % Mersenne31))
+    * multiplicative constant; odd, < 2^31, so a*h stays under 2^62.
+    * 60 planes: the 32-bit fingerprint uses the first 32, the wide 60-bit
+    * fingerprint (4 LSH bands × 15 bits, sign-safe as BIGINT in both
+    * engines) uses all 60. */
+  val SimhashA: Seq[Long] = (1 to 60).map(j => ((2654435761L * j) % Mersenne31) | 1L)
+  val SimhashB: Seq[Long] = (1 to 60).map(j => ((40503L * j * j + 7L) % Mersenne31))
 
   /** DuckDB list literal for a coefficient table. */
   def sqlList(xs: Seq[Long]): String = xs.mkString("[", "::BIGINT,", "::BIGINT]")

@@ -53,14 +53,22 @@ object TextHashes {
   /** 32-bit simhash over whitespace tokens: bit_j set iff
     * sum over words of (((h*a_j+b_j) mod p) mod 2)*2-1 is positive.
     * Token split matches Spark `split(text, " ")` / DuckDB string_split. */
-  def simhash32(text: String): Long = {
+  def simhash32(text: String): Long = simhashN(text, 32)
+
+  /** 60-bit simhash: the widest fingerprint whose banded arithmetic stays
+    * sign-safe as a BIGINT in both engines (bit 63 would go negative in
+    * signed 64-bit; DuckDB errors on overflow rather than wrapping). Used
+    * with 4 LSH bands × 15 bits. */
+  def simhash60(text: String): Long = simhashN(text, 60)
+
+  private def simhashN(text: String, bits: Int): Long = {
     val words = text.split(" ", -1)
-    val acc = new Array[Long](32)
+    val acc = new Array[Long](bits)
     var i = 0
     while (i < words.length) {
       val h = hash31(words(i))
       var j = 0
-      while (j < 32) {
+      while (j < bits) {
         acc(j) += ((h * simhashA(j) + simhashB(j)) % Mersenne31) % 2 * 2 - 1
         j += 1
       }
@@ -68,7 +76,7 @@ object TextHashes {
     }
     var out = 0L
     var j = 0
-    while (j < 32) {
+    while (j < bits) {
       if (acc(j) > 0) out += 1L << j
       j += 1
     }
@@ -126,6 +134,7 @@ object TextHashes {
 
   // ── Column wrappers ─────────────────────────────────────────────────────
   val simhash32Udf: Column => Column = { c => udf(simhash32 _).apply(c) }
+  val simhash60Udf: Column => Column = { c => udf(simhash60 _).apply(c) }
   val jaccardStringsUdf: (Column, Column) => Column = { (a, b) =>
     udf(jaccardStrings _).apply(a, b)
   }

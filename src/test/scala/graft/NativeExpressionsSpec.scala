@@ -28,6 +28,21 @@ class NativeExpressionsSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("BatchEval") && !plan.toLowerCase.contains("scalaudf"))
   }
 
+  test("simhash60 expression: 60-bit range, low-32 parity with simhash32 family") {
+    import spark.implicits._
+    val texts = Seq("hello world foo bar", "", "a", "the quick brown fox jumps")
+    val got = texts.toDF("text").repartition(2)
+      .select(col("text"), NativeExpressions.simhash60Col(col("text")).as("sh"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    texts.foreach { t =>
+      val v = got(t)
+      assert(v == TextHashes.simhash60(t), s"for '$t'")
+      assert(v >= 0 && v < (1L << 60), s"out of 60-bit range for '$t'")
+      // same coefficient family: the low 32 bit-planes match simhash32
+      assert((v & 0xffffffffL) == TextHashes.simhash32(t), s"low-32 parity for '$t'")
+    }
+  }
+
   test("native functions register into SQL") {
     import spark.implicits._
     NativeExpressions.register(spark)
