@@ -35,6 +35,7 @@ object Pipeline {
       bulkTransport: Sinks.Transport,
       watermarkDir: Option[String] = None,
       force: Boolean = false,
+      ignoreChecksums: Boolean = false,
       now: Timestamp = new Timestamp(0),
       metricsStore: Option[MasterStore] = None): RunReport = {
     import spark.implicits._
@@ -51,8 +52,11 @@ object Pipeline {
     // frames are cached: each is consumed three times (sink write, stamp
     // join, report count) and rebuilding one means a full JSON-parse +
     // transform pass over the selection
+    // the reference's `-f` sets force AND ignore_checksums together
+    // (run.py:82-86): force widens eligibility, ignoreChecksums re-sends
+    // payloads whose checksum still matches the stored one
     val selected = master.as[MasterRecord].filter(IndexJob.eligible(since, force))
-    val batch0 = IndexJob.run(selected)
+    val batch0 = IndexJob.run(selected, ignoreChecksums = ignoreChecksums)
     val batch = IndexJob.IndexBatch(
       batch0.solr.cache(), batch0.metrics.cache(), batch0.links.cache())
 

@@ -240,7 +240,14 @@ object MergeEngine {
   /** M4 — mark-processed bulk update (adsmp/app.py:432-468): stamp
     * `processed` + `<type>_processed` + `<type>_checksum` (+ status) for a
     * key list. Broadcast the small key set; the master table never
-    * shuffles. */
+    * shuffles.
+    *
+    * The checksum column is OVERWRITTEN with the stamped value for every
+    * hit row — including with null. The reference's
+    * `mark_processed(checksums=None)` sets the column to NULL
+    * (app.py:465-468), which is what lets a failed delivery re-drive on
+    * the next run: with the stored checksum cleared, P4 change-suppression
+    * cannot match the unchanged payload. */
   def markProcessed(master: DataFrame, done: DataFrame, sinkType: String,
       status: Option[String], now: java.sql.Timestamp): DataFrame = {
     val (tsCol, cksCol) = sinkType match {
@@ -260,8 +267,7 @@ object MergeEngine {
     master.join(keys, col("bibcode") === col("done_bibcode"), "left_outer")
       .withColumn("processed", when(hit, lit(now)).otherwise(col("processed")))
       .withColumn(tsCol, when(hit, lit(now)).otherwise(col(tsCol)))
-      .withColumn(cksCol, when(hit, coalesce(col("done_checksum"), col(cksCol)))
-        .otherwise(col(cksCol)))
+      .withColumn(cksCol, when(hit, col("done_checksum")).otherwise(col(cksCol)))
       .withColumn("status", statusExpr)
       .drop("done_bibcode", "done_checksum")
   }

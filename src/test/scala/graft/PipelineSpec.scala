@@ -65,6 +65,50 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       graft.records.MasterRecord.empty("no-aff")) == None)
   }
 
+  test("failed delivery re-drives: null'd sink checksum defeats P4 suppression") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_store_rd").toString
+    val store = new MasterStore(root, numBuckets = 2)
+
+    // batch 1: f1 delivered ok → stored solr_checksum == payload checksum
+    val r1 = Pipeline.runBatch(spark, store,
+      msgs("f1", "2024-01-01 00:00:00").toDS(), okTransport, okTransport,
+      now = ts("2024-01-02 00:00:00"))
+    assert(r1.solrOk == 1)
+    val cks1 = store.read(spark).collect().head.getAs[String]("solr_checksum")
+    assert(cks1 != null)
+
+    // batch 2: force re-send of the UNCHANGED payload, sinks down → the
+    // failure must null the stored checksum (adsmp/app.py:432-468 with
+    // checksums=None), not retain the matching one. Both transports fail:
+    // the reference stamps status per sink in solr→metrics→links order
+    // (last writer wins, app.py:395-579), so a later sink's success would
+    // legitimately overwrite "solr-failed" — the durable re-drive signal
+    // is the NULL per-sink checksum, not the status column
+    val down = new Sinks.Transport {
+      def send(p: Seq[String]): Unit = throw new RuntimeException("sink down")
+    }
+    val r2 = Pipeline.runBatch(spark, store,
+      spark.emptyDataset[UpdateMessage], down, down,
+      force = true, ignoreChecksums = true, now = ts("2024-01-03 00:00:00"))
+    assert(r2.solrFailed == 1, "force + ignoreChecksums re-sends the unchanged doc")
+    val afterFail = store.read(spark).collect().head
+    assert(afterFail.getAs[String]("status").endsWith("-failed"))
+    assert(afterFail.getAs[String]("solr_checksum") == null,
+      "failure clears the sink checksum so the doc stays due")
+
+    // batch 3: a normal re-send of the same payload (newer arrival) is NOT
+    // suppressed by P4 — the cleared checksum cannot match — and succeeds
+    val r3 = Pipeline.runBatch(spark, store,
+      msgs("f1", "2024-01-04 00:00:00").toDS(), okTransport, okTransport,
+      now = ts("2024-01-05 00:00:00"))
+    assert(r3.solrOk == 1, "failed delivery re-drives on the next normal run")
+    val healed = store.read(spark).collect().head
+    assert(healed.getAs[String]("status") == "success")
+    assert(healed.getAs[String]("solr_checksum") == cks1,
+      "identical payload restores the same checksum")
+  }
+
   test("two micro-batches: merge, index, stamp, suppress replay, version") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_store").toString
