@@ -170,9 +170,16 @@ object Pipeline {
     val assigned = Sitemap.assignFilenames(included, maxPerFile)
     val rendered = Sitemap.renderFiles(assigned, site).cache()
     Sitemap.writeFiles(rendered, outDir)
-    val files = rendered.select(col("sitemap_filename")).collect()
-      .map(_.getString(0)).sorted
+    // (filename, lastmod) pairs for the index: renderFiles carries
+    // max(lastmod) per file, the analog of the reference's per-file mtime
+    // (tasks.py:932-941) — an untouched file keeps its index lastmod, so
+    // crawlers don't refetch files that didn't change
+    val files = rendered.select(col("sitemap_filename"), col("file_lastmod")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).sortBy(_._1)
     rendered.unpersist()
+    // writeFiles + the collect above fully materialized the ordinal frame,
+    // so the partition-pinning cache inside withGlobalOrdinal is releasable
+    Sitemap.releasePinned()
     val today = java.time.LocalDate.now.toString
     // driver-side writes go through the same Hadoop FileSystem as the
     // distributed bib files — outDir may be HDFS/S3, and an empty corpus
@@ -186,9 +193,10 @@ object Pipeline {
       val out = fs.create(new org.apache.hadoop.fs.Path(dir, name), true)
       try out.write(content.getBytes("UTF-8")) finally out.close()
     }
-    // static page sitemap precedes the bib files in the index (tasks.py:916-928)
+    // static page sitemap precedes the bib files in the index; only the
+    // static entry is stamped with the current date (tasks.py:916-928)
     put("sitemap_static.xml", Sitemap.renderStaticSitemap(site))
-    put("sitemap_index.xml", Sitemap.renderIndex(site, files.map(f => f -> today).toSeq,
+    put("sitemap_index.xml", Sitemap.renderIndex(site, files.toSeq,
       staticFirst = Seq("sitemap_static.xml" -> today)))
     put("robots.txt", Sitemap.renderRobots(site))
     files.length.toLong

@@ -69,7 +69,8 @@ object RecordCatalog extends Catalog {
       val recs = Tables.documents(s, d)
         .select(col("doc_id").as("id"),
           concat(col("source"), lit("."), col("doc_id")).as("bibcode"),
-          lit("2026-08-12").as("lastmod"))
+          date_format(date_add(lit("2026-01-01").cast("date"),
+            (col("doc_id") % 365).cast("int")), "yyyy-MM-dd").as("lastmod"))
       val assigned = Sitemap.assignFilenames(recs, maxPerFile = 100)
       Sitemap.renderFiles(assigned, Sitemap.Sites("ads"))
         .orderBy(col("sitemap_filename"))
@@ -228,16 +229,19 @@ object RecordCatalog extends Catalog {
     "s9_sitemap_render" ->
       """WITH assigned AS (
            SELECT doc_id, source || '.' || CAST(doc_id AS VARCHAR) AS bibcode,
+             CAST(DATE '2026-01-01' + CAST(doc_id % 365 AS INTEGER) AS VARCHAR) AS lastmod,
              'sitemap_bib_' || CAST(CAST(floor((ROW_NUMBER() OVER (ORDER BY doc_id) - 1) / 100) AS BIGINT) + 1 AS VARCHAR) || '.xml' AS sitemap_filename
            FROM documents),
          entries AS (
            SELECT sitemap_filename,
              string_agg(chr(10) || '<url><loc>https://ui.adsabs.harvard.edu/abs/' || bibcode ||
-               '/abstract</loc><lastmod>2026-08-12</lastmod></url>', '' ORDER BY doc_id) AS url_entries
+               '/abstract</loc><lastmod>' || lastmod || '</lastmod></url>', '' ORDER BY doc_id) AS url_entries,
+             max(lastmod) AS file_lastmod
            FROM assigned GROUP BY sitemap_filename)
          SELECT sitemap_filename,
            '<?xml version="1.0" encoding="UTF-8"?>' || chr(10) ||
            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">' || chr(10) ||
-           url_entries || chr(10) || '</urlset>' AS content
+           url_entries || chr(10) || '</urlset>' AS content,
+           file_lastmod
          FROM entries ORDER BY sitemap_filename""")
 }

@@ -45,6 +45,25 @@ object Sitemap {
       (col("bib_data_updated").cast("long") - col("solr_processed").cast("long") >
         lit(5L * 24 * 3600))
 
+  /** Caches pinned by [[withGlobalOrdinal]] that are still live. The pin is
+    * load-bearing until the ordinal frame is materialized (the range
+    * partitioning is sampling-based, so an uncached recompute could change
+    * partition boundaries between the count job and the rank job); it can
+    * only be released by the CALLER once downstream consumption has forced
+    * the frame. [[releasePinned]] does that — `Pipeline.runSitemaps` calls
+    * it after the rendered files are written, so a long-running multi-site
+    * driver no longer grows executor storage by one cached frame per
+    * `assignFilenames` call. */
+  private val pinned = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Unpersist every cache pinned by [[withGlobalOrdinal]] since the last
+    * release. Only call after the ordinal-bearing frames have been fully
+    * materialized (written, collected, or re-cached downstream). */
+  def releasePinned(): Unit = {
+    var df = pinned.poll()
+    while (df != null) { df.unpersist(); df = pinned.poll() }
+  }
+
   /** Distributed global ordinal (0-based) ordered by `orderCol`.
     * One range shuffle + one tiny count job; no single-partition window. */
   def withGlobalOrdinal(df: DataFrame, orderCol: String, out: String,
@@ -54,6 +73,7 @@ object Sitemap {
     val parts = df.repartitionByRange(n, col(orderCol))
       .withColumn("__pid", spark_partition_id())
       .cache() // pin partitioning: the count job and the rank job must agree
+    pinned.add(parts)
     val counts = parts.groupBy(col("__pid")).count().collect()
       .map(r => r.getAs[Int]("__pid") -> r.getAs[Long]("count")).sortBy(_._1)
     val offsetsByPid = counts.map(_._1).zip(counts.scanLeft(0L)(_ + _._2).init).toMap
@@ -112,18 +132,27 @@ object Sitemap {
 
   /** render_sitemap_file: one row per filename with the full XML body.
     * The shuffle groups only (filename, entry) pairs — entries are
-    * pre-rendered strings, sorted within the group for determinism. */
+    * pre-rendered strings, sorted within the group for determinism.
+    * `file_lastmod` carries max(lastmod) per file for the sitemap index:
+    * the reference stamps index entries with each file's mtime
+    * (tasks.py:932-941), which is stable for untouched files — the
+    * content-derived max lastmod has the same stability without needing a
+    * filesystem stat, so crawlers keep their cache for unchanged files. */
   def renderFiles(assigned: DataFrame, site: Site, lastmodCol: String = "lastmod"): DataFrame = {
     val entries = assigned.select(col("sitemap_filename"),
+      col(lastmodCol).as("__lastmod"),
       struct(col("id"), urlEntry(col("bibcode"), col(lastmodCol), site).as("entry")).as("e"))
     entries.groupBy(col("sitemap_filename"))
-      .agg(array_join(transform(array_sort(collect_list(col("e"))), e => e("entry")), "")
-        .as("url_entries"))
+      .agg(
+        array_join(transform(array_sort(collect_list(col("e"))), e => e("entry")), "")
+          .as("url_entries"),
+        max(col("__lastmod")).as("file_lastmod"))
       .select(col("sitemap_filename"),
         concat(
           lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n"),
           col("url_entries"),
-          lit("\n</urlset>")).as("content"))
+          lit("\n</urlset>")).as("content"),
+        col("file_lastmod"))
   }
 
   /** format_sitemap_entry golden string (templates/__init__.py:36-46). */

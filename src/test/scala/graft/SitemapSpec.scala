@@ -93,6 +93,41 @@ class SitemapSpec extends AnyFunSuite with SparkSpec {
       static.contains("<changefreq>weekly</changefreq>"))
   }
 
+  test("index lastmod per file: max of member lastmods, stable for untouched files") {
+    import spark.implicits._
+    val records = Seq(
+      (1L, "b1", "2024-01-01"), (2L, "b2", "2024-01-03"), // file 1
+      (3L, "b3", "2024-02-01"))                           // file 2
+      .toDF("id", "bibcode", "lastmod")
+    def lastmods(df: org.apache.spark.sql.DataFrame): Map[String, String] =
+      Sitemap.renderFiles(Sitemap.assignFilenames(df, maxPerFile = 2), Sitemap.Sites("ads"))
+        .collect().map(r => r.getAs[String]("sitemap_filename") ->
+          r.getAs[String]("file_lastmod")).toMap
+    val first = lastmods(records)
+    assert(first == Map("sitemap_bib_1.xml" -> "2024-01-03", "sitemap_bib_2.xml" -> "2024-02-01"))
+    // only file 2's record changes → file 1 keeps its index lastmod
+    // (the reference's per-file mtime semantics, tasks.py:932-941)
+    val updated = Seq(
+      (1L, "b1", "2024-01-01"), (2L, "b2", "2024-01-03"),
+      (3L, "b3", "2024-03-15"))
+      .toDF("id", "bibcode", "lastmod")
+    val second = lastmods(updated)
+    assert(second("sitemap_bib_1.xml") == "2024-01-03", "untouched file keeps lastmod")
+    assert(second("sitemap_bib_2.xml") == "2024-03-15")
+  }
+
+  test("withGlobalOrdinal pins are released, not leaked") {
+    import spark.implicits._
+    Sitemap.releasePinned() // clear pins from earlier tests in this suite
+    assert(spark.sharedState.cacheManager.isEmpty, "baseline: no cached frames")
+    val records = (1L to 50L).map(i => (i, s"b$i")).toDF("id", "bibcode")
+    Sitemap.assignFilenames(records, maxPerFile = 10).collect()
+    assert(!spark.sharedState.cacheManager.isEmpty, "ordinal pin is cached while in use")
+    Sitemap.releasePinned()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "releasePinned drops every ordinal pin — a multi-site driver run stays flat")
+  }
+
   test("file write sink + files-needing-update semi-join") {
     import spark.implicits._
     val records = Seq((1L, "b1", "2024-01-01")).toDF("id", "bibcode", "lastmod")
