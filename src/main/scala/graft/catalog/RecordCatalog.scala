@@ -5,7 +5,7 @@ import java.sql.Timestamp
 
 import graft.Tables
 import graft.records._
-import graft.operators.{IndexJob, MergeEngine, Sitemap}
+import graft.operators.{IndexJob, MergeEngine, Sitemap, SitemapState}
 import graft.streaming.IngestStream
 
 /** Record-domain pipeline operators surfaced to the driver's gate.
@@ -74,6 +74,33 @@ object RecordCatalog extends Catalog {
       val assigned = Sitemap.assignFilenames(recs, maxPerFile = 100)
       Sitemap.renderFiles(assigned, Sitemap.Sites("ads"))
         .orderBy(col("sitemap_filename"))
+    }),
+
+    // ── stateful manage-sitemap workflow on real data: bootstrap a subset,
+    // generate, remove every 5th, then add the held-out records — sticky
+    // assignments, remove reconciliation (one flagged survivor per shrunken
+    // file), and last-file fill continuation are all value-checked against
+    // DuckDB reconstructing the same state transitions ──
+    "smx_sitemap_state" -> ((s, d) => {
+      val master = Tables.documents(s, d).select(
+        col("doc_id").as("id"),
+        concat(lit("D."), col("doc_id")).as("bibcode"),
+        lit("{}").as("bib_data"),
+        lit("2024-01-01 00:00:00").cast("timestamp").as("bib_data_updated"),
+        lit(null).cast("string").as("status"))
+      val boot = SitemapState.bootstrap(SitemapState.empty(s),
+        master.filter(col("id") % 7 =!= 0), maxPerFile = 64)
+      val gen = SitemapState.markGenerated(boot,
+        boot.select(col("sitemap_filename")), ts("2024-06-01T00:00:00Z"))
+      val removed = SitemapState.remove(gen,
+        master.filter(col("id") % 5 === 0).select(col("bibcode"))).state
+      val added = SitemapState.add(removed, master,
+        master.filter(col("id") % 7 === 0).select(col("bibcode")), maxPerFile = 64)
+      // NB: the ordinal pins stay cached until the caller materializes this
+      // frame — releasePinned() here would un-pin the partitioning the
+      // lazy plan still depends on
+      added.select(col("bibcode"), col("sitemap_filename"), col("update_flag"))
+        .orderBy("bibcode")
     }),
 
     // ── T1 flagship transform on fixture records: the full transform runs,
@@ -226,6 +253,38 @@ object RecordCatalog extends Catalog {
       """SELECT doc_id,
            'sitemap_bib_' || CAST(CAST(floor((ROW_NUMBER() OVER (ORDER BY doc_id) - 1 + 25) / 64) AS BIGINT) + 1 AS VARCHAR) || '.xml' AS sitemap_filename
          FROM documents ORDER BY doc_id""",
+    "smx_sitemap_state" ->
+      """WITH boot AS (
+           SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
+           FROM documents WHERE doc_id % 7 <> 0),
+         assigned AS (
+           SELECT doc_id, CAST(floor((rn - 1) / 64) AS BIGINT) + 1 AS fidx FROM boot),
+         survivors AS (SELECT * FROM assigned WHERE doc_id % 5 <> 0),
+         affected AS (SELECT DISTINCT fidx FROM assigned WHERE doc_id % 5 = 0),
+         flagged AS (
+           SELECT s.doc_id, s.fidx,
+             (s.fidx IN (SELECT fidx FROM affected)
+              AND s.doc_id = min(s.doc_id) OVER (PARTITION BY s.fidx)) AS update_flag
+           FROM survivors s),
+         fill AS (SELECT max(fidx) AS L FROM survivors),
+         lastcount AS (
+           SELECT count(*) AS c FROM survivors, fill WHERE fidx = L),
+         addrn AS (
+           SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
+           FROM documents WHERE doc_id % 7 = 0),
+         addassigned AS (
+           SELECT a.doc_id,
+             CASE WHEN lc.c >= 64
+               THEN f.L + 1 + CAST(floor((a.rn - 1) / 64) AS BIGINT)
+               ELSE f.L + CAST(floor((lc.c + a.rn - 1) / 64) AS BIGINT) END AS fidx,
+             TRUE AS update_flag
+           FROM addrn a, fill f, lastcount lc)
+         SELECT 'D.' || CAST(doc_id AS VARCHAR) AS bibcode,
+           'sitemap_bib_' || CAST(fidx AS VARCHAR) || '.xml' AS sitemap_filename,
+           update_flag
+         FROM (SELECT doc_id, fidx, update_flag FROM flagged
+               UNION ALL SELECT doc_id, fidx, update_flag FROM addassigned)
+         ORDER BY bibcode""",
     "s9_sitemap_render" ->
       """WITH assigned AS (
            SELECT doc_id, source || '.' || CAST(doc_id AS VARCHAR) AS bibcode,

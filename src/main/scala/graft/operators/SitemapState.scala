@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import java.sql.Timestamp
+
+import graft.records.SitemapEntry
+
+/** Stateful sitemap assignment table (reference adsmp/models.py:154-191
+  * `SitemapInfo`; actions adsmp/tasks.py:586-836, adsmp/app.py:1005-1315).
+  *
+  * The reference keeps file membership STICKY: a record is assigned to
+  * `sitemap_bib_<k>.xml` once and keeps that slot across runs; new records
+  * continue filling the numerically-last file; removes leave holes that are
+  * never re-packed. That stability is the point — a record's sitemap URL
+  * set never churns, so crawlers only refetch files whose members changed.
+  *
+  * Spark shape: the state is one DataFrame with [[SitemapEntry]] schema.
+  * Every action is a declarative plan over it — joins against the (small)
+  * action key set, one W2 window for per-file flags, and the distributed
+  * global ordinal (no single-partition window) for continued fills. The
+  * only driver-side values are the current fill level (one tiny
+  * aggregation) and the affected-file lists of a remove (bounded by
+  * corpus/50k, i.e. ~576 names at 28.8M records).
+  */
+object SitemapState {
+
+  val columns: Seq[String] = Seq("record_id", "bibcode", "sitemap_filename",
+    "bib_data_updated", "filename_lastmoddate", "update_flag")
+
+  def empty(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.emptyDataset[SitemapEntry].toDF.select(columns.map(col): _*)
+  }
+
+  /** The last file being filled (app.py:1018-1071): highest numeric index;
+    * if that file is already full the next index starts empty. Holes left
+    * in EARLIER files by removes are deliberately not refilled. */
+  case class Fill(index: Int, count: Long)
+
+  def currentFill(state: DataFrame, maxPerFile: Int = Sitemap.MaxRecordsPerSitemap): Fill = {
+    val idx = regexp_extract(col("sitemap_filename"), "sitemap_bib_(\\d+)\\.xml", 1)
+      .cast("int")
+    val last = state.filter(col("sitemap_filename").isNotNull)
+      .groupBy(idx.as("__idx")).count()
+      .orderBy(col("__idx").desc).limit(1).collect()
+    if (last.isEmpty) Fill(1, 0)
+    else {
+      val (i, c) = (last.head.getInt(0), last.head.getLong(1))
+      if (c >= maxPerFile) Fill(i + 1, 0) else Fill(i, c)
+    }
+  }
+
+  private def fileName(idx: Column): Column =
+    concat(lit("sitemap_bib_"), idx.cast("string"), lit(".xml"))
+
+  /** Assign brand-new rows continuing from `fill`: global ordinal in
+    * record_id order, then index = fill.index + (fill.count + ord) /
+    * maxPerFile — fills the current file exactly to the boundary before
+    * rolling over (app.py:1128-1136). */
+  private def assignNew(newRecs: DataFrame, fill: Fill, maxPerFile: Int): DataFrame =
+    Sitemap.withGlobalOrdinal(newRecs, "record_id", "__ord")
+      .withColumn("sitemap_filename",
+        fileName(lit(fill.index) +
+          floor((col("__ord") + fill.count) / maxPerFile).cast("int")))
+      .drop("__ord")
+      .withColumn("filename_lastmoddate", lit(null).cast("timestamp"))
+      .withColumn("update_flag", lit(true))
+      .select(columns.map(col): _*)
+
+  private def candidates(master: DataFrame, bibcodes: DataFrame): DataFrame =
+    master.join(bibcodes.select(col("bibcode")).distinct(), Seq("bibcode"), "left_semi")
+      .filter(Sitemap.shouldInclude)
+      .select(col("id").as("record_id"), col("bibcode"), col("bib_data_updated"))
+
+  /** `bootstrap` (tasks.py:663-770): assign every included master record in
+    * id order from an empty table; everything flagged for generation.
+    * Refuses (returns the existing state unchanged) when the table already
+    * has rows, as the reference does. */
+  def bootstrap(state: DataFrame, master: DataFrame,
+      maxPerFile: Int = Sitemap.MaxRecordsPerSitemap): DataFrame =
+    if (state.limit(1).count() > 0) state
+    else assignNew(
+      master.filter(Sitemap.shouldInclude)
+        .select(col("id").as("record_id"), col("bibcode"), col("bib_data_updated")),
+      Fill(1, 0), maxPerFile)
+
+  /** `add` / `force-update` (app.py:1073-1184). For each requested bibcode
+    * that exists in master and passes inclusion:
+    *  - not yet in the table → assigned continuing the current fill,
+    *    flagged, filename_lastmoddate null (never generated);
+    *  - already present → bib_data_updated refreshed; under `add` the flag
+    *    is set iff the file was never generated or the data is newer than
+    *    filename_lastmoddate (which is then advanced to bib_data_updated,
+    *    the reference's repeat-add dedup marker, app.py:1152-1160); under
+    *    `force-update` always flagged. Matching the reference, the flag is
+    *    OVERWRITTEN for matched rows — a pending flag on a row whose data
+    *    is not newer is cleared by a plain add.
+    * Rows not named in the batch pass through untouched. */
+  def add(state: DataFrame, master: DataFrame, bibcodes: DataFrame,
+      maxPerFile: Int = Sitemap.MaxRecordsPerSitemap,
+      force: Boolean = false): DataFrame = {
+    val cand = candidates(master, bibcodes)
+    val newRecs = cand.join(state.select(col("bibcode")), Seq("bibcode"), "left_anti")
+    val added = assignNew(newRecs, currentFill(state, maxPerFile), maxPerFile)
+
+    val hits = cand.select(col("bibcode"), col("bib_data_updated").as("__new_bdu"),
+      lit(true).as("__hit"))
+    val flagCond =
+      if (force) col("__hit")
+      else col("__hit") && (col("filename_lastmoddate").isNull ||
+        (col("__new_bdu").isNotNull && col("__new_bdu") > col("filename_lastmoddate")))
+    // evaluate the flag BEFORE mutating filename_lastmoddate — later
+    // withColumns would otherwise resolve flagCond against the already-
+    // advanced lastmoddate and never see the row as newer
+    val updated = state.join(hits, Seq("bibcode"), "left_outer")
+      .withColumn("__flag", coalesce(flagCond, lit(false)))
+      .withColumn("bib_data_updated",
+        when(col("__hit"), col("__new_bdu")).otherwise(col("bib_data_updated")))
+      .withColumn("filename_lastmoddate",
+        when(col("__flag"), col("__new_bdu")).otherwise(col("filename_lastmoddate")))
+      .withColumn("update_flag",
+        when(col("__hit"), col("__flag")).otherwise(col("update_flag")))
+      .select(columns.map(col): _*)
+
+    updated.unionByName(added)
+  }
+
+  /** `remove` (app.py:1263-1315): drop the named rows; files left empty are
+    * reported for deletion, files that still have members get exactly one
+    * surviving row flagged (the min-record_id row, app.py:84-118) so the
+    * whole file regenerates without its removed members. */
+  case class RemoveResult(state: DataFrame, filesToDelete: Seq[String],
+      filesToUpdate: Seq[String])
+
+  def remove(state: DataFrame, bibcodes: DataFrame): RemoveResult = {
+    val doomed = bibcodes.select(col("bibcode")).distinct()
+    val affected = state.join(doomed, Seq("bibcode"), "left_semi")
+      .filter(col("sitemap_filename").isNotNull)
+      .select(col("sitemap_filename")).distinct()
+    val survivors = state.join(doomed, Seq("bibcode"), "left_anti")
+    // file-name lists are tiny (≤ corpus / maxPerFile) — driver-side sets
+    val affectedNames = affected.collect().map(_.getString(0)).toSet
+    val aliveNames = survivors
+      .join(affected, Seq("sitemap_filename"), "left_semi")
+      .select(col("sitemap_filename")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val w = Window.partitionBy(col("sitemap_filename")).orderBy(col("record_id"))
+    val flagged = survivors
+      .join(affected, Seq("sitemap_filename"), "left_semi")
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("update_flag", col("update_flag") || (col("__rn") === 1))
+      .drop("__rn")
+    val rest = survivors.join(affected, Seq("sitemap_filename"), "left_anti")
+    RemoveResult(flagged.unionByName(rest).select(columns.map(col): _*),
+      (affectedNames -- aliveNames).toSeq.sorted, aliveNames.toSeq.sorted)
+  }
+
+  /** The render worklist (tasks.py:1132-1142): every member row of every
+    * file with at least one flagged row, shaped for [[Sitemap.renderFiles]]
+    * with lastmod = date(bib_data_updated) or `today` when the record never
+    * carried one (tasks.py:1015-1019). */
+  def renderable(state: DataFrame, today: String): DataFrame =
+    Sitemap.filesNeedingUpdate(state)
+      .select(col("record_id").as("id"), col("bibcode"), col("sitemap_filename"),
+        coalesce(date_format(col("bib_data_updated"), "yyyy-MM-dd"), lit(today))
+          .as("lastmod"))
+
+  /** Post-generation stamp (tasks.py:1040-1046): the rendered files' rows
+    * get filename_lastmoddate = now and the flag cleared. */
+  def markGenerated(state: DataFrame, files: DataFrame, now: Timestamp): DataFrame =
+    state.join(
+      files.select(col("sitemap_filename")).distinct().withColumn("__gen", lit(true)),
+      Seq("sitemap_filename"), "left_outer")
+      .withColumn("filename_lastmoddate",
+        when(col("__gen"), lit(now)).otherwise(col("filename_lastmoddate")))
+      .withColumn("update_flag",
+        when(col("__gen"), lit(false)).otherwise(col("update_flag")))
+      .select(columns.map(col): _*)
+}

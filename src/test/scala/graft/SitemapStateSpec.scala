@@ -1,0 +1,206 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+import graft.operators.{Sitemap, SitemapState}
+
+/** Stateful sitemap workflow, ported from the reference suites
+  * (adsmp/tests/test_tasks.py:1797-2210 manage-sitemap actions,
+  * :3626-3865 timestamp/boundary logic, :2262-2750 full workflow and
+  * multi-site trees). The engine analog keeps SitemapInfo as a DataFrame
+  * and each Celery action as one declarative plan. */
+class SitemapStateSpec extends AnyFunSuite with SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  /** Master-table fixture: (id, bibcode, bib_data, bib_data_updated, status). */
+  private def masterOf(rows: Seq[(Long, String, String, String, String)]): DataFrame = {
+    import spark.implicits._
+    rows.map { case (id, bib, bd, bdu, st) =>
+      (id, bib, Option(bd), Option(bdu).map(ts), Option(st))
+    }.toDF("id", "bibcode", "bib_data", "bib_data_updated", "status")
+  }
+
+  private def bibs(bs: String*): DataFrame = {
+    import spark.implicits._
+    bs.toDF("bibcode")
+  }
+
+  private def stateMap(state: DataFrame): Map[String, (String, Boolean)] =
+    state.collect().map(r => r.getAs[String]("bibcode") ->
+      (r.getAs[String]("sitemap_filename"), r.getAs[Boolean]("update_flag"))).toMap
+
+  test("bootstrap assigns all included records in id order and flags everything") {
+    val master = masterOf(Seq(
+      (1L, "b1", "{}", "2024-01-01 00:00:00", null),
+      (2L, "b2", "{}", "2024-01-02 00:00:00", null),
+      (3L, "b3", null, null, null),               // no bib_data → excluded
+      (4L, "b4", "{}", "2024-01-04 00:00:00", "solr-failed"), // excluded
+      (5L, "b5", "{}", "2024-01-05 00:00:00", "success")))
+    val st = SitemapState.bootstrap(SitemapState.empty(spark), master, maxPerFile = 2)
+    val m = stateMap(st)
+    assert(m.keySet == Set("b1", "b2", "b5"))
+    assert(m("b1") == ("sitemap_bib_1.xml", true))
+    assert(m("b2") == ("sitemap_bib_1.xml", true))
+    assert(m("b5") == ("sitemap_bib_2.xml", true), "rollover at the file boundary")
+    assert(st.filter(col("filename_lastmoddate").isNotNull).count() == 0,
+      "never-generated files carry a null lastmoddate")
+  }
+
+  test("bootstrap refuses when the table already has rows") {
+    val master = masterOf(Seq((1L, "b1", "{}", "2024-01-01 00:00:00", null)))
+    val st1 = SitemapState.bootstrap(SitemapState.empty(spark), master, maxPerFile = 10)
+    val again = SitemapState.bootstrap(st1,
+      masterOf(Seq((2L, "b2", "{}", "2024-01-02 00:00:00", null))), maxPerFile = 10)
+    assert(stateMap(again).keySet == Set("b1"), "existing table left unchanged")
+  }
+
+  test("add fills the last file to its boundary before rolling over") {
+    val master = masterOf((1L to 5L).map(i =>
+      (i, s"b$i", "{}", f"2024-01-0$i 00:00:00", null)))
+    val st1 = SitemapState.add(SitemapState.empty(spark), master, bibs("b1", "b2"),
+      maxPerFile = 3)
+    val st2 = SitemapState.add(st1, master, bibs("b3", "b4", "b5"), maxPerFile = 3)
+    val m = stateMap(st2)
+    assert(m("b1")._1 == "sitemap_bib_1.xml" && m("b2")._1 == "sitemap_bib_1.xml")
+    assert(m("b3")._1 == "sitemap_bib_1.xml", "third record completes file 1")
+    assert(m("b4")._1 == "sitemap_bib_2.xml" && m("b5")._1 == "sitemap_bib_2.xml",
+      "overflow starts file 2")
+  }
+
+  test("add to an exactly-full last file starts the next file") {
+    val master = masterOf((1L to 3L).map(i =>
+      (i, s"b$i", "{}", f"2024-01-0$i 00:00:00", null)))
+    val st1 = SitemapState.add(SitemapState.empty(spark), master, bibs("b1", "b2"),
+      maxPerFile = 2)
+    assert(SitemapState.currentFill(st1, maxPerFile = 2) == SitemapState.Fill(2, 0))
+    val st2 = SitemapState.add(st1, master, bibs("b3"), maxPerFile = 2)
+    assert(stateMap(st2)("b3")._1 == "sitemap_bib_2.xml")
+  }
+
+  test("file assignments are sticky: re-adding never moves a record") {
+    val master = masterOf((1L to 4L).map(i =>
+      (i, s"b$i", "{}", f"2024-01-0$i 00:00:00", null)))
+    val st1 = SitemapState.add(SitemapState.empty(spark), master,
+      bibs("b1", "b2", "b3", "b4"), maxPerFile = 2)
+    val before = stateMap(st1).view.mapValues(_._1).toMap
+    val st2 = SitemapState.add(st1, master, bibs("b1", "b3"), maxPerFile = 2)
+    assert(stateMap(st2).view.mapValues(_._1).toMap == before)
+  }
+
+  test("add flags a new record and one whose data is newer than its file") {
+    val master0 = masterOf(Seq((1L, "b1", "{}", "2024-01-01 00:00:00", null)))
+    val st1 = SitemapState.add(SitemapState.empty(spark), master0, bibs("b1"))
+    // generate, then the data moves forward
+    val st2 = SitemapState.markGenerated(st1,
+      st1.select(col("sitemap_filename")), ts("2024-01-10 00:00:00"))
+    assert(stateMap(st2)("b1")._2 == false)
+    val master1 = masterOf(Seq((1L, "b1", "{}", "2024-02-01 00:00:00", null)))
+    val st3 = SitemapState.add(st2, master1, bibs("b1"))
+    assert(stateMap(st3)("b1")._2 == true, "newer bib_data_updated re-flags")
+    val lastmod = st3.collect().head.getAs[Timestamp]("filename_lastmoddate")
+    assert(lastmod == ts("2024-02-01 00:00:00"),
+      "lastmoddate advanced to the data timestamp (repeat-add dedup marker)")
+  }
+
+  test("add does NOT flag a record whose data is older than its generated file") {
+    val master = masterOf(Seq((1L, "b1", "{}", "2024-01-01 00:00:00", null)))
+    val st1 = SitemapState.add(SitemapState.empty(spark), master, bibs("b1"))
+    val st2 = SitemapState.markGenerated(st1,
+      st1.select(col("sitemap_filename")), ts("2024-06-01 00:00:00"))
+    val st3 = SitemapState.add(st2, master, bibs("b1"))
+    assert(stateMap(st3)("b1")._2 == false, "stale data does not re-flag")
+  }
+
+  test("force-update flags matched records regardless of timestamps") {
+    val master = masterOf(Seq(
+      (1L, "b1", "{}", "2024-01-01 00:00:00", null),
+      (2L, "b2", "{}", "2024-01-02 00:00:00", null)))
+    val st1 = SitemapState.add(SitemapState.empty(spark), master, bibs("b1", "b2"))
+    val st2 = SitemapState.markGenerated(st1,
+      st1.select(col("sitemap_filename")), ts("2024-06-01 00:00:00"))
+    val st3 = SitemapState.add(st2, master, bibs("b1"), force = true)
+    val m = stateMap(st3)
+    assert(m("b1")._2 == true, "force re-flags despite stale data")
+    assert(m("b2")._2 == false, "unnamed rows untouched")
+  }
+
+  test("add applies the SOLR inclusion filter") {
+    val master = masterOf(Seq(
+      (1L, "ok", "{}", "2024-01-01 00:00:00", "success"),
+      (2L, "nobib", null, null, null),
+      (3L, "failed", "{}", "2024-01-03 00:00:00", "solr-failed"),
+      (4L, "retrying", "{}", "2024-01-04 00:00:00", "retrying")))
+    val st = SitemapState.add(SitemapState.empty(spark), master,
+      bibs("ok", "nobib", "failed", "retrying", "missing"))
+    assert(stateMap(st).keySet == Set("ok"))
+  }
+
+  test("remove reconciles files: empties deleted, survivors' files flagged once") {
+    val master = masterOf((1L to 5L).map(i =>
+      (i, s"b$i", "{}", f"2024-01-0$i 00:00:00", null)))
+    val st1 = SitemapState.add(SitemapState.empty(spark), master,
+      bibs("b1", "b2", "b3", "b4", "b5"), maxPerFile = 2)
+    // b1,b2 → file1; b3,b4 → file2; b5 → file3; clear all flags first
+    val st2 = SitemapState.markGenerated(st1,
+      st1.select(col("sitemap_filename")), ts("2024-02-01 00:00:00"))
+    val res = SitemapState.remove(st2, bibs("b3", "b5"))
+    assert(res.filesToDelete == Seq("sitemap_bib_3.xml"), "b5's file is now empty")
+    assert(res.filesToUpdate == Seq("sitemap_bib_2.xml"), "b4 survives in file 2")
+    val m = stateMap(res.state)
+    assert(m.keySet == Set("b1", "b2", "b4"))
+    assert(m("b4")._2 == true, "one surviving row of the shrunken file is flagged")
+    assert(m("b1")._2 == false && m("b2")._2 == false, "untouched file stays clean")
+  }
+
+  test("remove leaves holes that later adds do not refill") {
+    val master = masterOf((1L to 6L).map(i =>
+      (i, s"b$i", "{}", f"2024-01-0$i 00:00:00", null)))
+    val st1 = SitemapState.add(SitemapState.empty(spark), master,
+      bibs("b1", "b2", "b3", "b4"), maxPerFile = 2)
+    val removed = SitemapState.remove(st1, bibs("b1")).state // hole in file 1
+    val st2 = SitemapState.add(removed, master, bibs("b5", "b6"), maxPerFile = 2)
+    val m = stateMap(st2)
+    assert(m("b5")._1 == "sitemap_bib_3.xml" && m("b6")._1 == "sitemap_bib_3.xml",
+      "continuation looks only at the last file (app.py:1018-1071); the hole in file 1 stays")
+  }
+
+  test("full workflow: render pending files per site, stamp, converge to idle") {
+    val master = masterOf(Seq(
+      (1L, "2023A&A...1....1A", "{}", "2024-01-01 00:00:00", null),
+      (2L, "2023B.....2....2B", "{}", "2024-01-02 00:00:00", null),
+      (3L, "2023C.....3....3C", "{}", "2024-01-03 00:00:00", null)))
+    val st1 = SitemapState.add(SitemapState.empty(spark), master,
+      bibs("2023A&A...1....1A", "2023B.....2....2B", "2023C.....3....3C"),
+      maxPerFile = 2)
+
+    val worklist = SitemapState.renderable(st1, today = "2024-06-01")
+    assert(worklist.count() == 3, "all member rows of flagged files render")
+
+    // multi-site tree: one rendered set per site, same membership
+    val outRoot = java.nio.file.Files.createTempDirectory("graft_msite").toString
+    for ((key, site) <- Seq("ads" -> Sitemap.Sites("ads"), "scix" -> Sitemap.Sites("scix"))) {
+      val rendered = Sitemap.renderFiles(worklist, site)
+      Sitemap.writeFiles(rendered, s"$outRoot/$key")
+    }
+    val adsFile = new java.io.File(s"$outRoot/ads/sitemap_bib_1.xml")
+    val scixFile = new java.io.File(s"$outRoot/scix/sitemap_bib_1.xml")
+    assert(adsFile.exists && scixFile.exists)
+    val adsXml = new String(java.nio.file.Files.readAllBytes(adsFile.toPath), "UTF-8")
+    val scixXml = new String(java.nio.file.Files.readAllBytes(scixFile.toPath), "UTF-8")
+    assert(adsXml.contains("https://ui.adsabs.harvard.edu/abs/2023A&amp;A...1....1A/abstract"))
+    assert(scixXml.contains("https://scixplorer.org/abs/2023A&amp;A...1....1A/abstract"))
+    assert(new java.io.File(s"$outRoot/ads/sitemap_bib_2.xml").exists,
+      "second file rendered too")
+
+    // stamping clears the worklist — the workflow converges
+    val st2 = SitemapState.markGenerated(st1,
+      worklist.select(col("sitemap_filename")), ts("2024-06-01 00:00:00"))
+    assert(SitemapState.renderable(st2, "2024-06-01").count() == 0)
+    assert(st2.filter(col("filename_lastmoddate").isNull).count() == 0)
+    Sitemap.releasePinned()
+  }
+}
