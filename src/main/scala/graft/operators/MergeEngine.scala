@@ -213,27 +213,31 @@ object MergeEngine {
   }
 
   /** A3 — latest-wins duplicate merge (scripts/fix_db_duplicates.py:57-73):
-    * collapse duplicate bibcode rows keeping, per slot, the payload with
-    * the newest `<slot>_updated`. One hash aggregation; `max_by` gives the
-    * newest payload without a sort. */
+    * collapse duplicate bibcode rows. Per slot the reference keeps the
+    * value with the newest `<slot>_updated`, but only rows that HAVE the
+    * value compete, the chosen timestamp travels with the chosen payload,
+    * and a timestamp tie (including the all-null case) keeps the first
+    * row — the reference merges the later rows INTO `recs[0]` and only
+    * replaces a slot on a strictly newer timestamp. Every non-slot column
+    * stays the first (min-id) row's value, because `process_bibcode` never
+    * touches them. One hash aggregation; the struct ordering makes every
+    * `max_by` deterministic (no arbitrary tie-winner under retries). */
   def mergeDuplicates(master: DataFrame): DataFrame = {
+    val epoch = lit("1972-01-01").cast("timestamp")
     val slotAggs = slots.flatMap { s =>
-      Seq(max_by(col(s), coalesce(col(s + "_updated"), lit("1972-01-01").cast("timestamp"))).as(s),
-        max(col(s + "_updated")).as(s + "_updated"))
+      // (has value, newest slot ts, lowest id) — lexicographic max
+      val ord = struct(col(s).isNotNull.as("has"),
+        coalesce(col(s + "_updated"), epoch).as("t"), (-col("id")).as("tb"))
+      Seq(max_by(col(s), ord).as(s),
+        max_by(col(s + "_updated"), ord).as(s + "_updated"))
     }
-    val rest = Seq(
-      min(col("id")).as("id"), max_by(col("scix_id"), col("updated")).as("scix_id"),
-      min(col("created")).as("created"), max(col("updated")).as("updated"),
-      max(col("processed")).as("processed"),
-      max(col("solr_processed")).as("solr_processed"),
-      max(col("metrics_processed")).as("metrics_processed"),
-      max(col("datalinks_processed")).as("datalinks_processed"),
-      max_by(col("solr_checksum"), col("updated")).as("solr_checksum"),
-      max_by(col("metrics_checksum"), col("updated")).as("metrics_checksum"),
-      max_by(col("datalinks_checksum"), col("updated")).as("datalinks_checksum"),
-      max_by(col("status"), col("updated")).as("status"))
+    val firstRow = Seq("scix_id", "created", "updated", "processed",
+      "solr_processed", "metrics_processed", "datalinks_processed",
+      "solr_checksum", "metrics_checksum", "datalinks_checksum", "status")
+      .map(f => min_by(col(f), col("id")).as(f))
+    val aggs = Seq(min(col("id")).as("id")) ++ slotAggs ++ firstRow
     master.groupBy(col("bibcode"))
-      .agg((slotAggs ++ rest).head, (slotAggs ++ rest).tail: _*)
+      .agg(aggs.head, aggs.tail: _*)
       .select(masterColumns.map(col): _*)
   }
 

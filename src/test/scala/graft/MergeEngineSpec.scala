@@ -123,6 +123,164 @@ class MergeEngineSpec extends AnyFunSuite with SparkSpec {
     assert(r.getAs[String]("fulltext") == "old body", "slot with only one value survives")
   }
 
+  // ── edge cases ported from adsmp/tests/test_app.py:606-4160 and
+  // tests/test_fix_db_duplicates.py ────────────────────────────────────
+
+  test("M2 orphan sitemap row: delete removes it and flags its file (no log)") {
+    import spark.implicits._
+    // "ghost" is only in the sitemap table — Records already deleted
+    // (app.py:261-274: orphaned SitemapInfo handling)
+    val master = MergeEngine.upsert(MergeEngine.emptyMaster(spark), Seq(
+      UpdateMessage("b1", "metadata", "{}", ts("2024-01-01T00:00:00Z"))).toDS()).master
+    val sitemap = Seq(
+      SitemapEntry(1, "b1", "sitemap_bib_1.xml", None, None, update_flag = false),
+      SitemapEntry(2, "ghost", "sitemap_bib_1.xml", None, None, update_flag = false)).toDF()
+    val res = MergeEngine.deleteByBibcodes(master, sitemap, Seq("ghost").toDF("bibcode"))
+    assert(res.master.count() == 1, "master untouched")
+    val sm = res.sitemap.collect().map(r =>
+      r.getAs[String]("bibcode") -> r.getAs[Boolean]("update_flag")).toMap
+    assert(sm == Map("b1" -> true), "orphan removed, its file flagged for regen")
+    assert(res.changeLog.count() == 0, "no Records row, no changelog entry")
+  }
+
+  test("M2 delete that empties a file: no survivor left to flag") {
+    import spark.implicits._
+    val master = MergeEngine.upsert(MergeEngine.emptyMaster(spark), Seq(
+      UpdateMessage("b1", "metadata", "{}", ts("2024-01-01T00:00:00Z")),
+      UpdateMessage("b2", "metadata", "{}", ts("2024-01-01T00:00:00Z"))).toDS()).master
+    val sitemap = Seq(
+      SitemapEntry(1, "b1", "sitemap_bib_1.xml", None, None, update_flag = false),
+      SitemapEntry(2, "b2", "sitemap_bib_2.xml", None, None, update_flag = false)).toDF()
+    val res = MergeEngine.deleteByBibcodes(master, sitemap, Seq("b1").toDF("bibcode"))
+    val sm = res.sitemap.collect().map(r =>
+      r.getAs[String]("bibcode") -> r.getAs[Boolean]("update_flag")).toMap
+    assert(sm == Map("b2" -> false),
+      "emptied file simply disappears from the table; other files untouched")
+  }
+
+  test("M2 delete of a nonexistent bibcode is a no-op") {
+    import spark.implicits._
+    val master = MergeEngine.upsert(MergeEngine.emptyMaster(spark), Seq(
+      UpdateMessage("b1", "metadata", "{}", ts("2024-01-01T00:00:00Z"))).toDS()).master
+    val sitemap = Seq(
+      SitemapEntry(1, "b1", "sitemap_bib_1.xml", None, None, update_flag = false)).toDF()
+    val res = MergeEngine.deleteByBibcodes(master, sitemap, Seq("nope").toDF("bibcode"))
+    assert(res.master.count() == 1 && res.changeLog.count() == 0)
+    assert(res.sitemap.collect().head.getAs[Boolean]("update_flag") == false)
+  }
+
+  test("M2 delete flags the min-record_id survivor specifically") {
+    import spark.implicits._
+    val master = MergeEngine.upsert(MergeEngine.emptyMaster(spark), Seq(
+      UpdateMessage("b1", "metadata", "{}", ts("2024-01-01T00:00:00Z")),
+      UpdateMessage("b2", "metadata", "{}", ts("2024-01-01T00:00:00Z")),
+      UpdateMessage("b3", "metadata", "{}", ts("2024-01-01T00:00:00Z"))).toDS()).master
+    val sitemap = Seq(
+      SitemapEntry(30, "b3", "sitemap_bib_1.xml", None, None, update_flag = false),
+      SitemapEntry(10, "b1", "sitemap_bib_1.xml", None, None, update_flag = false),
+      SitemapEntry(20, "b2", "sitemap_bib_1.xml", None, None, update_flag = false)).toDF()
+    val res = MergeEngine.deleteByBibcodes(master, sitemap, Seq("b1").toDF("bibcode"))
+    val flags = res.sitemap.collect().map(r =>
+      r.getAs[String]("bibcode") -> r.getAs[Boolean]("update_flag")).toMap
+    assert(flags == Map("b2" -> true, "b3" -> false),
+      "exactly the lowest surviving record_id carries the flag (app.py:84-118)")
+  }
+
+  test("M3 rename onto an existing bibcode, then duplicate merge heals") {
+    import spark.implicits._
+    val master = MergeEngine.upsert(MergeEngine.emptyMaster(spark), Seq(
+      UpdateMessage("old", "metadata", """{"v": "from-old"}""", ts("2024-02-01T00:00:00Z")),
+      UpdateMessage("new", "metadata", """{"v": "from-new"}""", ts("2024-01-01T00:00:00Z")),
+      UpdateMessage("new", "fulltext", """{"body": "kept"}""", ts("2024-01-01T00:00:00Z"))
+    ).toDS()).master
+    val renamed = MergeEngine.renameBibcode(master,
+      spark.emptyDataset[IdentifierAlias], "old", "new")
+    assert(renamed.master.filter(col("bibcode") === "new").count() == 2,
+      "rename onto an occupied bibcode leaves duplicate rows")
+    val healed = MergeEngine.mergeDuplicates(renamed.master)
+      .filter(col("bibcode") === "new").collect()
+    assert(healed.length == 1)
+    assert(healed.head.getAs[String]("bib_data") == """{"v": "from-old"}""",
+      "newer slot wins across the duplicates")
+    assert(healed.head.getAs[String]("fulltext") == """{"body": "kept"}""",
+      "slot present on only one duplicate survives")
+  }
+
+  test("M3 rename repoints a multi-hop chain") {
+    import spark.implicits._
+    val master = MergeEngine.upsert(MergeEngine.emptyMaster(spark), Seq(
+      UpdateMessage("c", "metadata", "{}", ts("2024-01-01T00:00:00Z"))).toDS()).master
+    // a → b → c historical chain; rename c → d must repoint BOTH edges
+    val aliases = Seq(IdentifierAlias("a", "c"), IdentifierAlias("b", "c")).toDS()
+    val res = MergeEngine.renameBibcode(master, aliases, "c", "d")
+    val edges = res.aliases.collect().map(r => r.getString(0) -> r.getString(1)).toSet
+    assert(edges == Set("a" -> "d", "b" -> "d", "c" -> "d"))
+    assert(res.changeLog.collect().head.getAs[Boolean]("permanent"),
+      "rename log rows are permanent (app.py:296)")
+  }
+
+  test("A3 duplicate merge with all-null timestamps keeps the first row") {
+    import spark.implicits._
+    // test_fix_db_duplicates.test_duplicates_with_none: no timestamps at
+    // all → the reference keeps recs[0]'s value (only a strictly newer
+    // timestamp replaces a slot)
+    val m1 = MasterRecord.empty("dup", id = 1).copy(bib_data = Some("""{"v": 1}"""))
+    val m2 = MasterRecord.empty("dup", id = 2).copy(bib_data = Some("""{"v": 2}"""))
+    val merged = MergeEngine.mergeDuplicates(
+      spark.createDataset(Seq(m2, m1)).toDF).collect()
+    assert(merged.length == 1)
+    assert(merged.head.getAs[String]("bib_data") == """{"v": 1}""",
+      "timestamp tie resolves to the lowest id, not an arbitrary row")
+  }
+
+  test("A3 duplicate merge: complementary null slots fill in both directions") {
+    import spark.implicits._
+    // test_duplicates_with_none second shape: row 1 has only bib_data,
+    // row 2 has only nonbib_data → merged row carries both
+    val m1 = MasterRecord.empty("dup", id = 1).copy(
+      bib_data = Some("""{"hello": 1}"""),
+      bib_data_updated = Some(ts("2024-01-01T00:00:00Z")))
+    val m2 = MasterRecord.empty("dup", id = 2).copy(
+      nonbib_data = Some("""{"world": 2}"""),
+      nonbib_data_updated = Some(ts("2024-01-02T00:00:00Z")))
+    val r = MergeEngine.mergeDuplicates(
+      spark.createDataset(Seq(m1, m2)).toDF).collect().head
+    assert(r.getAs[String]("bib_data") == """{"hello": 1}""")
+    assert(r.getAs[String]("nonbib_data") == """{"world": 2}""")
+    assert(r.getAs[Timestamp]("nonbib_data_updated") == ts("2024-01-02T00:00:00Z"),
+      "slot timestamp travels with the chosen payload")
+  }
+
+  test("A3 duplicate merge: null payload never wins on timestamp alone") {
+    import spark.implicits._
+    val m1 = MasterRecord.empty("dup", id = 1).copy(
+      bib_data = Some("""{"v": "real"}"""),
+      bib_data_updated = Some(ts("2024-01-01T00:00:00Z")))
+    val m2 = MasterRecord.empty("dup", id = 2).copy(
+      bib_data = None,
+      bib_data_updated = Some(ts("2024-06-01T00:00:00Z"))) // newer but empty
+    val r = MergeEngine.mergeDuplicates(
+      spark.createDataset(Seq(m1, m2)).toDF).collect().head
+    assert(r.getAs[String]("bib_data") == """{"v": "real"}""",
+      "only rows that HAVE the slot compete (fix_db_duplicates.py:68)")
+    assert(r.getAs[Timestamp]("bib_data_updated") == ts("2024-01-01T00:00:00Z"))
+  }
+
+  test("A3 duplicate merge: non-slot columns stay the first row's") {
+    import spark.implicits._
+    val m1 = MasterRecord.empty("dup", id = 1).copy(
+      status = Some("success"), solr_checksum = Some("0xaaa"),
+      updated = Some(ts("2024-01-01T00:00:00Z")))
+    val m2 = MasterRecord.empty("dup", id = 2).copy(
+      status = Some("solr-failed"), solr_checksum = Some("0xbbb"),
+      updated = Some(ts("2024-06-01T00:00:00Z")))
+    val r = MergeEngine.mergeDuplicates(
+      spark.createDataset(Seq(m1, m2)).toDF).collect().head
+    assert(r.getAs[String]("status") == "success" &&
+      r.getAs[String]("solr_checksum") == "0xaaa",
+      "process_bibcode merges only the six slots; everything else is recs[0]'s")
+  }
+
   test("M4 mark-processed stamps only the hit rows") {
     import spark.implicits._
     val master = MergeEngine.upsert(MergeEngine.emptyMaster(spark), Seq(
