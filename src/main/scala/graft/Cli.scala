@@ -1,0 +1,253 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+import graft.operators.{MergeEngine, Sitemap, SitemapState}
+import graft.records.IdentifierAlias
+import graft.sources.{MasterStore, Sinks}
+import graft.streaming.Watermark
+
+/** Operator-facing entry point shaped like the reference's `run.py`
+  * (run.py:631-840 argument surface, :360-520 dispatch):
+  *
+  * {{{
+  * graft.Cli --store /data/master --sitemap-store /data/smstate \
+  *           --out /data/sitemaps <command...>
+  *
+  *   -d | --diagnostics             store versions + row counts
+  *   -k | --kv                      show watermark KV values
+  *   -r [sml] | --index [sml]       reindex due records (s=solr m=metrics
+  *                                  l=links), with:
+  *     -f | --force_indexing          force + ignore checksums (run.py:82-86)
+  *     -o | --force_processing        force eligibility only
+  *     --ignore_checksums             re-send unchanged payloads
+  *     -s | --since <ISO ts>          override the watermark window
+  *     -b | --bibcodes "b1 b2"        restrict to named bibcodes
+  *     -n | --filename <file>         restrict to bibcodes listed in a file
+  *   --delete (-b | -n)             cascade-delete the named bibcodes
+  *   --manage-sitemap --action add|force-update|remove|bootstrap|
+  *                              delete-table|update-robots  (-b | -n)
+  *                                  mutate the sitemap state table; the
+  *                                  modifying actions chain a file
+  *                                  regeneration (run.py:500-510)
+  *   --update-sitemap-files         regenerate flagged sitemap files only
+  * }}}
+  *
+  * All effects go through the injectable [[Deps]] so the whole surface is
+  * spec-testable end-to-end against temp stores; `main` wires stdout
+  * logging transports (this build has no live HTTP sink).
+  */
+object Cli {
+
+  case class Deps(
+      solrTransport: Sinks.Transport,
+      bulkTransport: Sinks.Transport,
+      now: () => Timestamp = () => new Timestamp(System.currentTimeMillis()),
+      out: String => Unit = println(_))
+
+  private class LogTransport(name: String, out: String => Unit) extends Sinks.Transport {
+    def send(payloads: Seq[String]): Unit =
+      out(s"[$name] delivered batch of ${payloads.size}")
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .appName("graft-cli")
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
+      .config("spark.sql.shuffle.partitions", "32")
+      .getOrCreate()
+    val deps = Deps(new LogTransport("solr", println),
+      new LogTransport("bulk", println))
+    val rc = run(spark, argv.toIndexedSeq, deps)
+    spark.stop()
+    if (rc != 0) sys.exit(rc)
+  }
+
+  /** Parse + dispatch; returns a process exit code. */
+  def run(spark: SparkSession, argv: Seq[String], deps: Deps): Int = {
+    import deps.out
+    val a = parse(argv) match {
+      case Right(v) => v
+      case Left(err) => out(s"error: $err"); return 2
+    }
+    val storeRoot = a.getOrElse("store",
+      { out("error: --store <root> is required"); return 2 })
+    val store = new MasterStore(storeRoot)
+    def sitemapStore = new MasterStore(
+      a.getOrElse("sitemap-store", s"$storeRoot-sitemap"),
+      empty = SitemapState.empty)
+    def outRoot = a.getOrElse("out", s"$storeRoot-sitemaps")
+    val now = deps.now()
+
+    def namedBibcodes(): Seq[String] = {
+      val fromList = a.get("bibcodes").toSeq.flatMap(_.split("\\s+")).filter(_.nonEmpty)
+      // S5 path: one bibcode per line (run.py:720-722)
+      val fromFile = a.get("filename").toSeq.flatMap { f =>
+        scala.jdk.CollectionConverters.ListHasAsScala(
+          java.nio.file.Files.readAllLines(java.nio.file.Paths.get(f))).asScala
+          .map(_.trim).filter(_.nonEmpty)
+      }
+      (fromList ++ fromFile).distinct
+    }
+
+    if (a.contains("diagnostics")) {
+      val master = store.read(spark)
+      out(s"store=$storeRoot version=${store.currentVersion.getOrElse(0L)} " +
+        s"records=${master.count()}")
+      val sm = sitemapStore
+      out(s"sitemap-store version=${sm.currentVersion.getOrElse(0L)} " +
+        s"entries=${sm.read(spark).count()}")
+      return 0
+    }
+
+    if (a.contains("kv")) {
+      val dir = a.getOrElse("watermark-dir", s"$storeRoot-watermarks")
+      val v = Watermark.read(spark, dir, "last.reindex.normal")
+      out(s"last.reindex.normal=${v.map(_.toString).getOrElse("(unset)")}")
+      return 0
+    }
+
+    if (a.contains("delete")) {
+      val doomed = namedBibcodes()
+      if (doomed.isEmpty) { out("error: --delete needs -b or -n"); return 2 }
+      import spark.implicits._
+      val sm = sitemapStore
+      val res = MergeEngine.deleteByBibcodes(store.read(spark),
+        sm.read(spark), doomed.toDF("bibcode"))
+      val sinkOk = Sinks.deleteByBibcodes(doomed.toDS(),
+        Seq(deps.solrTransport, deps.bulkTransport)).collect().count(_.ok)
+      store.write(res.master)
+      sm.write(res.sitemap)
+      out(s"deleted ${doomed.length} bibcodes (sink ok=$sinkOk)")
+      return 0
+    }
+
+    if (a.contains("manage-sitemap")) {
+      val action = a.getOrElse("action",
+        { out("error: --manage-sitemap needs --action"); return 2 })
+      val sm = sitemapStore
+      import spark.implicits._
+      action match {
+        case "bootstrap" =>
+          sm.write(SitemapState.bootstrap(sm.read(spark), store.read(spark)))
+        case "add" | "force-update" =>
+          val bibs = namedBibcodes()
+          if (bibs.isEmpty) { out(s"error: --action $action needs -b or -n"); return 2 }
+          sm.write(SitemapState.add(sm.read(spark), store.read(spark),
+            bibs.toDF("bibcode"), force = action == "force-update"))
+        case "remove" =>
+          val bibs = namedBibcodes()
+          if (bibs.isEmpty) { out("error: --action remove needs -b or -n"); return 2 }
+          val res = SitemapState.remove(sm.read(spark), bibs.toDF("bibcode"))
+          sm.write(res.state)
+          // delete now-empty files from every site tree (tasks.py:639-641)
+          val conf = spark.sparkContext.hadoopConfiguration
+          for (f <- res.filesToDelete; site <- Sitemap.Sites.keys) {
+            val p = new org.apache.hadoop.fs.Path(s"$outRoot/$site/$f")
+            val fs = p.getFileSystem(conf)
+            if (fs.exists(p)) fs.delete(p, false)
+          }
+          out(s"removed ${bibs.length} bibcodes; " +
+            s"deleted files: ${res.filesToDelete.mkString(",")}")
+        case "delete-table" =>
+          // truncate + park the old snapshot, the M6 backup semantics
+          sm.truncate(spark, s"${sm.root}-backup")
+          out("sitemap table truncated (old snapshot backed up)")
+        case "update-robots" =>
+          for (key <- Sitemap.Sites.keys.toSeq.sorted) {
+            val site = Sitemap.Sites(key)
+            val dir = new org.apache.hadoop.fs.Path(s"$outRoot/$key")
+            val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            fs.mkdirs(dir)
+            val o = fs.create(new org.apache.hadoop.fs.Path(dir, "robots.txt"), true)
+            try o.write(Sitemap.renderRobots(site).getBytes("UTF-8")) finally o.close()
+          }
+          out("robots.txt regenerated for all sites")
+        case other =>
+          out(s"error: unknown --action $other"); return 2
+      }
+      // modifying actions chain the file regeneration (run.py:500-510)
+      if (Set("add", "force-update", "remove", "bootstrap")(action)) {
+        val n = Pipeline.runManagedSitemaps(spark, sm, outRoot, now)
+        out(s"manage-sitemap $action done; regenerated $n files")
+      }
+      return 0
+    }
+
+    if (a.contains("update-sitemap-files")) {
+      val n = Pipeline.runManagedSitemaps(spark, sitemapStore, outRoot, now)
+      out(s"regenerated $n sitemap files")
+      return 0
+    }
+
+    if (a.contains("index")) {
+      val letters = a.getOrElse("index", "sml")
+      val sinks = Set(
+        if (letters.contains('s')) Some("solr") else None,
+        if (letters.contains('m')) Some("metrics") else None,
+        if (letters.contains('l')) Some("links") else None).flatten
+      if (sinks.isEmpty) { out("error: -r needs at least one of s/m/l"); return 2 }
+      val force = a.contains("force_indexing") || a.contains("force_processing")
+      val ignoreChecksums = a.contains("force_indexing") || a.contains("ignore_checksums")
+      val restrict = namedBibcodes() match {
+        case Nil => None
+        case bs  => Some(bs)
+      }
+      import spark.implicits._
+      // a targeted -b/-n run bypasses the watermark window (the reference
+      // queues named bibcodes directly) and must not advance it either
+      val watermarkDir =
+        if (a.contains("since") || restrict.isDefined) None
+        else Some(a.getOrElse("watermark-dir", s"$storeRoot-watermarks"))
+      val report = Pipeline.runBatch(spark, store,
+        spark.emptyDataset[graft.records.UpdateMessage],
+        deps.solrTransport, deps.bulkTransport,
+        watermarkDir = watermarkDir,
+        force = force, ignoreChecksums = ignoreChecksums, now = now,
+        sinks = sinks, restrictTo = restrict,
+        sinceOverride = a.get("since").map(Timestamp.valueOf))
+      out(s"indexed=${report.indexed} solrOk=${report.solrOk} " +
+        s"solrFailed=${report.solrFailed} metricsOk=${report.metricsOk} " +
+        s"linksOk=${report.linksOk} version=${report.version}")
+      return if (report.solrFailed > 0) 1 else 0
+    }
+
+    out("error: no command given (try -d, -k, -r, --delete, --manage-sitemap, --update-sitemap-files)")
+    2
+  }
+
+  /** Tiny flag parser: `--key value`, `--key` (boolean), plus the short
+    * aliases the reference uses. Returns key→value ("" for booleans). */
+  def parse(argv: Seq[String]): Either[String, Map[String, String]] = {
+    val aliases = Map("-d" -> "--diagnostics", "-k" -> "--kv", "-r" -> "--index",
+      "-f" -> "--force_indexing", "-o" -> "--force_processing",
+      "-s" -> "--since", "-b" -> "--bibcodes", "-n" -> "--filename")
+    val valued = Set("index", "since", "bibcodes", "filename", "action",
+      "store", "sitemap-store", "out", "watermark-dir")
+    // -r's letters are optional (nargs='?'): a following token that is not
+    // a flag is its value, otherwise the default applies
+    val optionalValued = Set("index")
+    var m = Map.empty[String, String]
+    var i = 0
+    while (i < argv.length) {
+      val raw = aliases.getOrElse(argv(i), argv(i))
+      if (!raw.startsWith("--")) return Left(s"unexpected argument: ${argv(i)}")
+      val key = raw.stripPrefix("--")
+      val next = if (i + 1 < argv.length) Some(argv(i + 1)) else None
+      val takesValue = valued(key) &&
+        (!optionalValued(key) || next.exists(v => !v.startsWith("-")))
+      if (takesValue) {
+        next match {
+          case Some(v) => m += key -> v; i += 2
+          case None    => return Left(s"--$key needs a value")
+        }
+      } else {
+        m += key -> (if (key == "index") "sml" else "")
+        i += 1
+      }
+    }
+    Right(m)
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import java.sql.Timestamp
 
 import graft.records._
-import graft.operators.{IndexJob, MergeEngine, Sitemap}
+import graft.operators.{IndexJob, MergeEngine, Sitemap, SitemapState}
 import graft.sources.{MasterStore, Sinks}
 import graft.streaming.Watermark
 
@@ -37,11 +37,17 @@ object Pipeline {
       force: Boolean = false,
       ignoreChecksums: Boolean = false,
       now: Timestamp = new Timestamp(0),
-      metricsStore: Option[MasterStore] = None): RunReport = {
+      metricsStore: Option[MasterStore] = None,
+      sinks: Set[String] = Set("solr", "metrics", "links"),
+      restrictTo: Option[Seq[String]] = None,
+      sinceOverride: Option[Timestamp] = None): RunReport = {
     import spark.implicits._
 
-    // ST1: incremental window from the stored watermark
-    val since = watermarkDir.flatMap(Watermark.read(spark, _, "last.reindex.normal"))
+    // ST1: incremental window from the stored watermark; an explicit
+    // --since wins over it (run.py's -s), and a targeted -b/-n run passes
+    // neither — named bibcodes bypass the window entirely
+    val since = sinceOverride.orElse(
+      watermarkDir.flatMap(Watermark.read(spark, _, "last.reindex.normal")))
 
     // M1 merge
     val merged = MergeEngine.upsert(store.read(spark), updates)
@@ -54,8 +60,13 @@ object Pipeline {
     // transform pass over the selection
     // the reference's `-f` sets force AND ignore_checksums together
     // (run.py:82-86): force widens eligibility, ignoreChecksums re-sends
-    // payloads whose checksum still matches the stored one
-    val selected = master.as[MasterRecord].filter(IndexJob.eligible(since, force))
+    // payloads whose checksum still matches the stored one; a -b/-n
+    // bibcode list (restrictTo) narrows the sweep to the named records
+    val gated = master.as[MasterRecord].filter(IndexJob.eligible(since, force))
+    val selected = restrictTo match {
+      case Some(bibs) => gated.filter(col("bibcode").isin(bibs: _*))
+      case None       => gated
+    }
     val batch0 = IndexJob.run(selected, ignoreChecksums = ignoreChecksums)
     val batch = IndexJob.IndexBatch(
       batch0.solr.cache(), batch0.metrics.cache(), batch0.links.cache())
@@ -67,9 +78,15 @@ object Pipeline {
     // upsert semantics + checksum change-suppression make duplicate
     // deliveries no-ops); a strict once-only guarantee would require
     // persisting the status frame to durable storage first.
-    val solrStatus = Sinks.writeSolr(batch.solr, solrTransport).cache()
-    val metricsStatus = Sinks.writeBulk(batch.metrics, bulkTransport).cache()
-    val linksStatus = Sinks.writeBulk(batch.links, bulkTransport).cache()
+    // the -r letters (s/m/l, run.py:687-694) choose which sinks this run
+    // updates; an unselected sink neither sends nor stamps
+    def emptyStatus = spark.emptyDataset[Sinks.SinkStatus]
+    val solrStatus = (if (sinks("solr")) Sinks.writeSolr(batch.solr, solrTransport)
+      else emptyStatus).cache()
+    val metricsStatus = (if (sinks("metrics")) Sinks.writeBulk(batch.metrics, bulkTransport)
+      else emptyStatus).cache()
+    val linksStatus = (if (sinks("links")) Sinks.writeBulk(batch.links, bulkTransport)
+      else emptyStatus).cache()
 
     // M4/ST6 stamping: successes carry their checksum, failures a status
     def stamp(m: DataFrame, status: Dataset[Sinks.SinkStatus],
@@ -96,7 +113,7 @@ object Pipeline {
     // Skipped for idle batches — otherwise every checksum-suppressed
     // micro-batch would rewrite the whole metrics table to a new version.
     metricsStore.foreach { ms =>
-      if (batch.metrics.limit(1).count() > 0) {
+      if (sinks("metrics") && batch.metrics.limit(1).count() > 0) {
         val incoming = batch.metrics.select(col("bibcode"), col("payload"))
           .as[(String, String)]
           .map { case (b, p) => graft.operators.MetricsTable.fromJson(b, p, now) }
@@ -150,6 +167,57 @@ object Pipeline {
         ()
       }
       .start()
+
+  /** State-driven sitemap regeneration (the reference's
+    * task_update_sitemap_files → task_generate_single_sitemap →
+    * task_generate_sitemap_index chain, tasks.py:1111-1182,969-1108):
+    * render every file with at least one flagged row — all its member
+    * rows — into each site's tree, then stamp the generated files
+    * (filename_lastmoddate = now, flag cleared) and advance the state
+    * store. The per-site index lists ALL files in the state with
+    * lastmod = max member bib_data_updated, so untouched files keep
+    * their index entry and lastmod. Returns the regenerated file count. */
+  def runManagedSitemaps(spark: SparkSession, stateStore: MasterStore,
+      outRoot: String, now: Timestamp,
+      siteKeys: Seq[String] = Sitemap.Sites.keys.toSeq.sorted): Long = {
+    val today = new java.text.SimpleDateFormat("yyyy-MM-dd").format(now)
+    val state0 = stateStore.read(spark).cache()
+    val work = SitemapState.renderable(state0, today).cache()
+    val files = work.select(col("sitemap_filename")).distinct()
+      .collect().map(_.getString(0)) // bounded: ≤ corpus / maxPerFile names
+    for (key <- siteKeys) {
+      val site = Sitemap.Sites(key)
+      Sitemap.writeFiles(Sitemap.renderFiles(work, site), s"$outRoot/$key")
+    }
+    // index entries for EVERY file in the table (tasks.py:888-899), not
+    // just the regenerated ones; one tiny aggregation
+    val allFiles = state0.filter(col("sitemap_filename").isNotNull)
+      .groupBy(col("sitemap_filename"))
+      .agg(max(coalesce(date_format(col("bib_data_updated"), "yyyy-MM-dd"),
+        lit(today))).as("lastmod"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).sortBy(_._1)
+    for (key <- siteKeys) {
+      val site = Sitemap.Sites(key)
+      val dir = new org.apache.hadoop.fs.Path(s"$outRoot/$key")
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(dir)
+      def put(name: String, content: String): Unit = {
+        val out = fs.create(new org.apache.hadoop.fs.Path(dir, name), true)
+        try out.write(content.getBytes("UTF-8")) finally out.close()
+      }
+      put("sitemap_static.xml", Sitemap.renderStaticSitemap(site))
+      put("sitemap_index.xml", Sitemap.renderIndex(site, allFiles.toSeq,
+        staticFirst = Seq("sitemap_static.xml" -> today)))
+      put("robots.txt", Sitemap.renderRobots(site))
+    }
+    import spark.implicits._
+    val next = SitemapState.markGenerated(state0,
+      files.toSeq.toDF("sitemap_filename"), now)
+    stateStore.write(next)
+    work.unpersist(); state0.unpersist()
+    Sitemap.releasePinned()
+    files.length.toLong
+  }
 
   /** Multi-site sitemap generation (the reference renders one output tree
     * per configured site, tasks.py:969-1055): one subdirectory per site

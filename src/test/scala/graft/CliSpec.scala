@@ -1,0 +1,130 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+import graft.sources.Sinks
+
+/** End-to-end CLI surface against temp stores (reference run.py dispatch):
+  * ingest → bootstrap sitemaps → targeted forced reindex from a bibcode
+  * file → remove → delete, checking stores and rendered trees after each
+  * command. */
+class CliSpec extends AnyFunSuite with SparkSpec {
+  import CliSpec.CountingTransport
+
+  private def deps(buf: collection.mutable.Buffer[String]) = {
+    val t = new CountingTransport
+    (t, Cli.Deps(t, t, now = () => Timestamp.valueOf("2024-06-01 00:00:00"),
+      out = buf += _))
+  }
+
+  test("full operator session: ingest, bootstrap, reindex -f, remove, delete") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_cli").toString
+    val store = new graft.sources.MasterStore(s"$root/master")
+    val log = collection.mutable.Buffer.empty[String]
+    val (transport, d) = deps(log)
+    val argvBase = Seq("--store", s"$root/master",
+      "--sitemap-store", s"$root/smstate", "--out", s"$root/sitemaps")
+
+    // seed the master store through the normal pipeline path
+    val msgs = Seq(
+      records.UpdateMessage("2024Test.....1....A", "metadata",
+        """{"title": ["one"]}""", Timestamp.valueOf("2024-01-01 00:00:00")),
+      records.UpdateMessage("2024Test.....2....B", "metadata",
+        """{"title": ["two"]}""", Timestamp.valueOf("2024-01-02 00:00:00"))).toDS()
+    Pipeline.runBatch(spark, store, msgs, d.solrTransport, d.bulkTransport,
+      now = Timestamp.valueOf("2024-01-03 00:00:00"))
+
+    // no command → usage error
+    assert(Cli.run(spark, argvBase, d) == 2)
+
+    // missing store → usage error
+    assert(Cli.run(spark, Seq("-d"), d) == 2)
+
+    // diagnostics
+    assert(Cli.run(spark, argvBase ++ Seq("-d"), d) == 0)
+    assert(log.exists(_.contains("records=2")), s"got: $log")
+
+    // bootstrap sitemaps: state populated, both site trees rendered
+    assert(Cli.run(spark, argvBase ++
+      Seq("--manage-sitemap", "--action", "bootstrap"), d) == 0)
+    assert(new java.io.File(s"$root/sitemaps/ads/sitemap_bib_1.xml").exists)
+    assert(new java.io.File(s"$root/sitemaps/scix/sitemap_bib_1.xml").exists)
+    assert(new java.io.File(s"$root/sitemaps/ads/sitemap_index.xml").exists)
+    assert(new java.io.File(s"$root/sitemaps/ads/robots.txt").exists)
+    val xml = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/sitemaps/ads/sitemap_bib_1.xml")), "UTF-8")
+    assert(xml.contains("/abs/2024Test.....1....A/abstract") &&
+      xml.contains("/abs/2024Test.....2....B/abstract"))
+
+    // bootstrap refuses to clobber existing state
+    log.clear()
+    assert(Cli.run(spark, argvBase ++
+      Seq("--manage-sitemap", "--action", "bootstrap"), d) == 0)
+    val smStore = new graft.sources.MasterStore(s"$root/smstate",
+      empty = graft.operators.SitemapState.empty)
+    assert(smStore.read(spark).count() == 2)
+
+    // forced targeted reindex from a bibcode file (S5 path)
+    val bibfile = java.nio.file.Paths.get(root, "bibs.txt")
+    java.nio.file.Files.write(bibfile, "2024Test.....1....A\n".getBytes)
+    val sent0 = CliSpec.batches.get()
+    log.clear()
+    assert(Cli.run(spark, argvBase ++
+      Seq("-r", "-f", "-n", bibfile.toString), d) == 0)
+    assert(log.exists(_.contains("indexed=1")), s"got: $log")
+    assert(CliSpec.batches.get() > sent0, "forced re-send actually hit the sink")
+
+    // solr-only reindex letters parse
+    log.clear()
+    assert(Cli.run(spark, argvBase ++ Seq("-r", "s", "-f",
+      "-b", "2024Test.....2....B"), d) == 0)
+    assert(log.exists(l => l.contains("indexed=1") && l.contains("metricsOk=0")),
+      s"letters restrict the sinks: $log")
+
+    // remove one bibcode from the sitemap state; its file regenerates
+    log.clear()
+    assert(Cli.run(spark, argvBase ++ Seq("--manage-sitemap", "--action",
+      "remove", "-b", "2024Test.....2....B"), d) == 0)
+    assert(smStore.read(spark).count() == 1)
+    val xml2 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/sitemaps/ads/sitemap_bib_1.xml")), "UTF-8")
+    assert(!xml2.contains("2024Test.....2....B"), "regenerated without the removed doc")
+
+    // cascade delete removes from master and sitemap state
+    assert(Cli.run(spark, argvBase ++
+      Seq("--delete", "-b", "2024Test.....1....A"), d) == 0)
+    assert(store.read(spark).count() == 1, "other record survives")
+    assert(smStore.read(spark).count() == 0)
+
+    // delete-table truncates with backup
+    assert(Cli.run(spark, argvBase ++
+      Seq("--manage-sitemap", "--action", "delete-table"), d) == 0)
+    assert(smStore.read(spark).count() == 0)
+
+    // kv shows the (unset) watermark
+    log.clear()
+    assert(Cli.run(spark, argvBase ++ Seq("-k"), d) == 0)
+    assert(log.exists(_.contains("last.reindex.normal=")))
+  }
+
+  test("parser: aliases, optional -r letters, errors") {
+    assert(Cli.parse(Seq("-r", "-f")) ==
+      Right(Map("index" -> "sml", "force_indexing" -> "")))
+    assert(Cli.parse(Seq("-r", "sm")) == Right(Map("index" -> "sm")))
+    assert(Cli.parse(Seq("--since", "2024-01-01")) ==
+      Right(Map("since" -> "2024-01-01")))
+    assert(Cli.parse(Seq("--since")).isLeft, "valued flag without value")
+    assert(Cli.parse(Seq("stray")).isLeft, "non-flag argument rejected")
+  }
+}
+
+object CliSpec {
+  /** Top-level + static counter so the transport closure serializes without
+    * dragging the suite (and its scalatest engine) into the task. */
+  val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+  class CountingTransport extends Sinks.Transport with Serializable {
+    def send(p: Seq[String]): Unit = { batches.incrementAndGet(); () }
+  }
+}
