@@ -15,17 +15,26 @@ object Bench {
     // would be attributed to whichever query the map yields first)
     spark.range(1000000L).selectExpr("sum(id)").collect()
     Tables.lineitem(spark, sfDir).limit(1000).groupBy("l_returnflag").count().collect()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Deterministic name order. `queries` is a HashMap whose iteration
+    // order reshuffles whenever the catalog gains an entry, which moved
+    // queries between rounds and made per-query timings incomparable
+    // (r1→r2 showed 3 phantom "regressions" — j4/t4/p7 — that were just
+    // position changes: each absorbed different JIT/codegen warmup at its
+    // new slot). Sorted order pins each query's position and neighbors
+    // across rounds so BENCH_rN diffs measure the code, not the map.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       // drop any caches a query materialized so timings stay independent
+      // (incl. the sitemap ordinal pins, whose queue must drain too)
+      graft.operators.Sitemap.releasePinned()
       spark.catalog.clearCache()
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -39,6 +39,68 @@ object DedupCatalog extends Catalog {
       .select(col("doc_id"), col("text"), shingles3(col("text")).as("sh"),
         graft.functions.TextHashes.shingleHashesUdf(col("text")).as("hs"))
 
+  /** Length-banded n-gram Jaccard with prefix-filtered candidate
+    * generation. `docs` must carry (doc_id, sh: array<string>, bucket).
+    *
+    * Candidate generation is an exact-recall prefix filter (the
+    * Bayardo/ppjoin family, symmetric-join form): rank each doc's
+    * shingles by global rarity (df asc, shingle) and index only the first
+    * |A| − ⌈β·|A|⌉ + 2 of them, β = t/(1+t). Proof of recall: J(A,B) ≥ t
+    * forces |A∩B| ≥ β(|A|+|B|); if no common shingle sat in both
+    * prefixes, every intersection shingle would live in one of the two
+    * suffixes, whose combined size is ≤ β(|A|+|B|) − 2 — a contradiction.
+    * So any qualifying pair collides inside the index while ~β of every
+    * doc's postings (its most common shingles) stay out of the pair
+    * traffic. On top of that:
+    *  - a document-frequency cap drops stop-shingle postings (df > cap),
+    *    whose lists are quadratic pair bombs;
+    *  - the rarest-K floor keeps each doc's K rarest shingles indexed
+    *    REGARDLESS of df — a mass-duplicated doc cluster larger than the
+    *    cap pushes all of its shingles over the cap, and without the
+    *    floor the whole cluster would vanish from the candidates (the
+    *    primary dedup target!). Identical docs share identical rarest-K
+    *    sets, so the floor always re-links them.
+    *  - the length-band predicate (|bucket_a − bucket_b| ≤ 1) is applied
+    *    inside the candidate join, before the distinct, not after.
+    * The exact-Jaccard verify on full shingle sets is unchanged, so the
+    * caps affect candidate recall only — and the floor + prefix guarantee
+    * make that recall exact for J ≥ t pairs unless a non-duplicated doc
+    * genuinely shares nothing but stop-shingles with its match.
+    * No broadcast of corpus-derived frames (AQE may choose one locally). */
+  def lenbandJaccard(docs: DataFrame, threshold: Double, dfCap: Long,
+      keepRarest: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // setsize rides along from the array — no second window pass needed
+    val inv = docs.select(col("doc_id"), col("bucket"),
+      size(col("sh")).as("setsize"), explode(col("sh")).as("s"))
+    // df per shingle as an aggregation (map-side partial combine collapses
+    // hot shingles before the exchange)
+    val dfs = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    val ranked = inv.join(dfs, Seq("s"))
+      .withColumn("rn", row_number().over(w))
+    val beta = threshold / (1 + threshold)
+    val prefixLen = greatest(
+      col("setsize") - ceil(lit(beta) * col("setsize")) + 2, lit(1L))
+    // cached: the candidate self-join reads the postings twice
+    val postings = ranked
+      .filter(col("rn") <= prefixLen &&
+        (col("df") <= dfCap || col("rn") <= keepRarest))
+      .select(col("doc_id"), col("bucket"), col("s"))
+      .cache()
+    val cand = postings.as("a").join(postings.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          abs(col("a.bucket") - col("b.bucket")) <= 1)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val dim = docs.select(col("doc_id"), col("sh"))
+    cand.join(dim.as("da"), col("doc_a") === col("da.doc_id"))
+      .join(dim.as("db"), col("doc_b") === col("db.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.TextHashes.jaccardStringsUdf(col("da.sh"), col("db.sh")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   def queries: Map[String, QFn] = Map(
 
     // ── Exact dedup: group by full-content hash, keep lowest id ──
@@ -90,46 +152,17 @@ object DedupCatalog extends Catalog {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
-    // ── Length-banded n-gram Jaccard via inverted index: explode shingles,
-    // equi-join on the shingle itself to generate candidate pairs, then
-    // verify exact Jaccard on the candidates' full shingle sets with the
-    // length-band predicate (bucket distance ≤ 1 ≡ the reference's
-    // overlapping dual buckets). The index carries a document-frequency
-    // cap: a shingle appearing in more than DfCap documents is dropped
-    // from the index (standard LSH practice — one stop-shingle like
-    // "of the and" makes its posting list quadratic in pair traffic,
-    // while genuine near-dup pairs always share rarer shingles too).
-    // The cap affects candidate recall only, never reported values; the
-    // unchanged oracle proves no qualifying pair is lost at test scale.
-    // No broadcast of corpus-derived frames: the verify dim shuffle-joins
-    // on doc_id (AQE may still broadcast when small).
+    // ── Length-banded n-gram Jaccard via a prefix-filtered inverted index
+    // (see lenbandJaccard below). DfCap scales with the corpus; the
+    // rarest-K floor keeps mass-duplicated docs discoverable even when
+    // every one of their shingles is over the cap ──
     "dd_lenband_jaccard" -> ((s, d) => {
-      val DfCap = 100
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), shingles3(col("text")).as("sh"),
           expr("n_chars div 64").as("bucket"))
         .cache()
-      val inv = docs.select(col("doc_id"), explode(col("sh")).as("s"))
-      // df per shingle as an aggregation (map-side partial combine collapses
-      // hot shingles before the exchange — a window over the raw postings
-      // would sort the full inverted index instead), then a semi-join keeps
-      // only postings of sub-cap shingles
-      val rare = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= DfCap).select(col("s"))
-      // cached: the candidate self-join reads it twice, and without the
-      // cache each side would re-run shingling + the df semi-join
-      val capped = inv.join(rare, Seq("s"), "left_semi").cache()
-      val cand = capped.as("a").join(capped.as("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      val dim = docs.select(col("doc_id"), col("sh"), col("bucket"))
-      cand.join(dim.as("da"), col("doc_a") === col("da.doc_id"))
-        .join(dim.as("db"), col("doc_b") === col("db.doc_id"))
-        .filter(abs(col("da.bucket") - col("db.bucket")) <= 1)
-        .select(col("doc_a"), col("doc_b"),
-          graft.functions.TextHashes.jaccardStringsUdf(col("da.sh"), col("db.sh")).as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
+      val dfCap = math.max(100L, docs.count() / 50) // ~2% of the corpus
+      lenbandJaccard(docs, threshold = 0.5, dfCap = dfCap)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 

@@ -88,12 +88,17 @@ object RecordCatalog extends Catalog {
         lit("{}").as("bib_data"),
         lit("2024-01-01 00:00:00").cast("timestamp").as("bib_data_updated"),
         lit(null).cast("string").as("status"))
+      // each action eagerly inspects its input state (fill level, remove
+      // stats), so the intermediate states are cached — without the pins
+      // every collect would recompute the whole upstream chain. A real
+      // driver persists state to the store between actions (see Cli), so
+      // this chained lineage only exists in the synthetic workflow
       val boot = SitemapState.bootstrap(SitemapState.empty(s),
         master.filter(col("id") % 7 =!= 0), maxPerFile = 64)
       val gen = SitemapState.markGenerated(boot,
-        boot.select(col("sitemap_filename")), ts("2024-06-01T00:00:00Z"))
+        boot.select(col("sitemap_filename")), ts("2024-06-01T00:00:00Z")).cache()
       val removed = SitemapState.remove(gen,
-        master.filter(col("id") % 5 === 0).select(col("bibcode"))).state
+        master.filter(col("id") % 5 === 0).select(col("bibcode"))).state.cache()
       val added = SitemapState.add(removed, master,
         master.filter(col("id") % 7 === 0).select(col("bibcode")), maxPerFile = 64)
       // NB: the ordinal pins stay cached until the caller materializes this

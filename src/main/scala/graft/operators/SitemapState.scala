@@ -136,25 +136,36 @@ object SitemapState {
 
   def remove(state: DataFrame, bibcodes: DataFrame): RemoveResult = {
     val doomed = bibcodes.select(col("bibcode")).distinct()
-    val affected = state.join(doomed, Seq("bibcode"), "left_semi")
-      .filter(col("sitemap_filename").isNotNull)
-      .select(col("sitemap_filename")).distinct()
-    val survivors = state.join(doomed, Seq("bibcode"), "left_anti")
-    // file-name lists are tiny (≤ corpus / maxPerFile) — driver-side sets
-    val affectedNames = affected.collect().map(_.getString(0)).toSet
-    val aliveNames = survivors
-      .join(affected, Seq("sitemap_filename"), "left_semi")
-      .select(col("sitemap_filename")).distinct()
-      .collect().map(_.getString(0)).toSet
-    val w = Window.partitionBy(col("sitemap_filename")).orderBy(col("record_id"))
-    val flagged = survivors
-      .join(affected, Seq("sitemap_filename"), "left_semi")
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("update_flag", col("update_flag") || (col("__rn") === 1))
-      .drop("__rn")
-    val rest = survivors.join(affected, Seq("sitemap_filename"), "left_anti")
-    RemoveResult(flagged.unionByName(rest).select(columns.map(col): _*),
-      (affectedNames -- aliveNames).toSeq.sorted, aliveNames.toSeq.sorted)
+      .withColumn("__doomed", lit(true))
+    val marked = state.join(doomed, Seq("bibcode"), "left_outer")
+    // one aggregation yields both lists: files losing members, split by
+    // whether anyone survives in them. Driver-side names are tiny
+    // (≤ corpus / maxPerFile, ~576 at 28.8M records)
+    val stats = marked.filter(col("sitemap_filename").isNotNull)
+      .groupBy(col("sitemap_filename"))
+      .agg(count(when(col("__doomed"), 1)).as("__gone"),
+        count(when(col("__doomed").isNull, 1)).as("__alive"))
+      .filter(col("__gone") > 0)
+      .collect()
+      .map(r => r.getAs[String]("sitemap_filename") -> (r.getAs[Long]("__alive") > 0L))
+    val filesToDelete = stats.collect { case (f, false) => f }.sorted.toSeq
+    val filesToUpdate = stats.collect { case (f, true) => f }.sorted.toSeq
+    val survivors = marked.filter(col("__doomed").isNull).drop("__doomed")
+    // flag the min-record_id survivor of each shrunken file; the window
+    // ranks only those files' rows (the name list is a driver-side literal,
+    // so this is a pure filter — no second join against the state)
+    val flagged =
+      if (filesToUpdate.isEmpty) survivors
+      else {
+        val inUpd = col("sitemap_filename").isin(filesToUpdate: _*)
+        val w = Window.partitionBy(col("sitemap_filename")).orderBy(col("record_id"))
+        survivors.filter(coalesce(inUpd, lit(false)))
+          .withColumn("__rn", row_number().over(w))
+          .withColumn("update_flag", col("update_flag") || (col("__rn") === 1))
+          .drop("__rn")
+          .unionByName(survivors.filter(col("sitemap_filename").isNull || !inUpd))
+      }
+    RemoveResult(flagged.select(columns.map(col): _*), filesToDelete, filesToUpdate)
   }
 
   /** The render worklist (tasks.py:1132-1142): every member row of every

@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.catalog.DedupCatalog
+
+/** Candidate-generation recall of the length-banded Jaccard dedup —
+  * specifically the mass-duplicate shape the df cap alone would lose. */
+class DedupSpec extends AnyFunSuite with SparkSpec {
+
+  private def docsOf(rows: Seq[(Long, Seq[String], Long)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "sh", "bucket")
+  }
+
+  test("a duplicate cluster larger than DfCap survives via the rarest-K floor") {
+    // 30 identical docs: every one of their shingles has df = 30 > cap = 5.
+    // Pure df-capping drops ALL their postings → the cluster vanishes,
+    // the exact failure mode the floor exists for (identical docs share
+    // identical rarest-K sets, so the floor always re-links them).
+    val cluster = (1L to 30L).map(i =>
+      (i, Seq("aa bb cc", "bb cc dd", "cc dd ee", "dd ee ff"), 1L))
+    // plus two unrelated docs sharing nothing
+    val noise = Seq(
+      (100L, Seq("xx yy zz", "yy zz ww"), 1L),
+      (101L, Seq("pp qq rr", "qq rr ss"), 1L))
+    val docs = docsOf(cluster ++ noise)
+
+    val pairs = DedupCatalog.lenbandJaccard(docs, threshold = 0.5,
+      dfCap = 5, keepRarest = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.size == 30 * 29 / 2,
+      "every pair of the 30-doc duplicate cluster is found despite df > cap")
+    assert(!pairs.exists(p => p._1 >= 100 || p._2 >= 100), "no false pairs")
+
+    // without the floor the cluster disappears — documenting the hole the
+    // floor closes (ADVICE r2)
+    val capped = DedupCatalog.lenbandJaccard(docs, threshold = 0.5,
+      dfCap = 5, keepRarest = 0).count()
+    assert(capped == 0, "df cap alone loses the whole cluster")
+  }
+
+  test("prefix filter keeps exact recall against brute force") {
+    import spark.implicits._
+    // near-dup pairs with assorted overlap levels around the threshold
+    val docs = docsOf(Seq(
+      (1L, Seq("a", "b", "c", "d"), 0L),
+      (2L, Seq("a", "b", "c", "e"), 0L),   // J = 3/5 = 0.6 ≥ 0.5 ✓
+      (3L, Seq("a", "b", "x", "y"), 0L),   // vs 1: J = 2/6 = 0.33 ✗
+      (4L, Seq("a", "b", "c", "d"), 5L),   // identical to 1 but out of band ✗
+      (5L, Seq("c", "d"), 0L),             // vs 1: J = 2/4 = 0.5 ✓ (size skew)
+      (6L, Seq("q"), 0L)))
+    val got = DedupCatalog.lenbandJaccard(docs, threshold = 0.5,
+      dfCap = 1000, keepRarest = 0)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // brute force over the same band + threshold
+    val all = docs.collect().map(r =>
+      (r.getLong(0), r.getSeq[String](1).toSet, r.getLong(2)))
+    val want = (for {
+      (ia, sa, ba) <- all; (ib, sb, bb) <- all
+      if ia < ib && math.abs(ba - bb) <= 1
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      if j >= 0.5
+    } yield (ia, ib)).toSet
+    assert(got == want, s"prefix filtering must not lose pairs: got $got want $want")
+  }
+}
