@@ -22,15 +22,19 @@ object Sitemap {
 
   val MaxRecordsPerSitemap = 50000 // config.py:51
 
-  /** Site configs (config.py:63-77). */
-  case class Site(name: String, baseUrl: String, sitemapUrl: String, absUrlPattern: String)
+  /** Site configs (config.py:63-77). `staticHead` entries precede the
+    * shared help/about/blog block in the static page sitemap
+    * (templates/sitemap_static_scix.xml adds a priority-1.0 home page). */
+  case class Site(name: String, baseUrl: String, sitemapUrl: String,
+      absUrlPattern: String, staticHead: Seq[(String, String)] = Nil)
   val Sites: Map[String, Site] = Map(
     "ads" -> Site("ADS", "https://ui.adsabs.harvard.edu",
       "https://ui.adsabs.harvard.edu/sitemap",
       "https://ui.adsabs.harvard.edu/abs/{bibcode}/abstract"),
     "scix" -> Site("SciX Explorer", "https://scixplorer.org",
       "https://scixplorer.org/sitemap",
-      "https://scixplorer.org/abs/{bibcode}/abstract"))
+      "https://scixplorer.org/abs/{bibcode}/abstract",
+      staticHead = Seq("https://www.scixplorer.org/home" -> "1.0")))
 
   /** P7 — sitemap inclusion (app.py:922-973): needs bib_data; excludes
     * solr-failed/retrying; never-processed and stale records included. */
@@ -178,19 +182,79 @@ object Sitemap {
   }
 
   /** The static page sitemap the reference ships per site
-    * (templates/sitemap_static_*.xml): help/about/blog under the site's
-    * base URL, weekly changefreq, 0.8 priority. */
+    * (templates/sitemap_static_*.xml, byte-for-byte): any site-specific
+    * head entries, then help/about/blog under the site's base URL at
+    * weekly/0.8. */
   def renderStaticSitemap(site: Site): String = {
-    val urls = Seq("help", "about", "blog").map { p =>
-      s"<url>\n  <loc>${site.baseUrl}/$p/</loc>\n  <changefreq>weekly</changefreq>\n  <priority>0.8</priority>\n</url>"
+    val entries = site.staticHead ++
+      Seq("help", "about", "blog").map(p => s"${site.baseUrl}/$p/" -> "0.8")
+    val urls = entries.map { case (loc, prio) =>
+      s"<url>\n  <loc>$loc</loc>\n  <changefreq>weekly</changefreq>\n  <priority>$prio</priority>\n</url>"
     }.mkString("\n")
-    s"<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n$urls\n</urlset>"
+    s"<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n$urls\n</urlset>\n"
   }
 
-  /** robots.txt render (templates/__init__.py:22-24): only the sitemap URL
-    * varies per site. */
-  def renderRobots(site: Site): String =
-    s"Sitemap: ${site.sitemapUrl}/sitemap_index.xml\n"
+  /** robots.txt (templates/robots.txt, byte-for-byte): the sitemap pointer,
+    * then per-crawler policy — Googlebot/msnbot/Slurp may crawl abstracts
+    * and full text, Teoma is kept off /full/, and unknown agents are kept
+    * off /abs/ and /full/ entirely; API/infra paths are closed to all. */
+  def renderRobots(site: Site): String = {
+    val common = Seq("/v1/", "/resources", "/core", "/tugboat",
+      "/link_gateway/", "/search/", "/execute-query/", "/status", "/cgi-bin/")
+    val absSub = Seq("coreads", "similar", "toc", "graphics", "metrics",
+      "exportcitation").map(s => s"Disallow: /abs/*/$s")
+    def disallows(ps: Seq[String]) = ps.map("Disallow: " + _).mkString("\n")
+    def allows(ps: Seq[String]) = ps.map("Allow: " + _).mkString("\n")
+    s"""Sitemap: ${site.sitemapUrl}/sitemap_index.xml
+       |
+       |# Google
+       |# http://www.google.com/bot.html
+       |User-agent: Googlebot
+       |${disallows(common)}
+       |
+       |${allows(Seq("/help/", "/about/", "/blog/", "/abs/", "/full/"))}
+       |
+       |${absSub.mkString("\n")}
+       |
+       |# MS Live
+       |# http://search.msn.com/msnbot.htm
+       |User-agent: msnbot
+       |
+       |${disallows(common)}
+       |
+       |${allows(Seq("/help/", "/about/", "/blog/", "/abs/", "/full/"))}
+       |
+       |${absSub.mkString("\n")}
+       |
+       |# Yahoo
+       |# http://help.yahoo.com/help/us/ysearch/slurp
+       |User-agent: Slurp
+       |
+       |${disallows(common)}
+       |
+       |${allows(Seq("/help/", "/about/", "/blog/", "/abs/", "/full/"))}
+       |
+       |${absSub.mkString("\n")}
+       |
+       |# Ask.com
+       |# http://about.ask.com/en/docs/about/webmasters.shtml
+       |User-agent: Teoma
+       |
+       |
+       |${disallows(common :+ "/full/")}
+       |
+       |${allows(Seq("/help/", "/about/", "/blog/", "/abs/"))}
+       |
+       |${absSub.mkString("\n")}
+       |
+       |# disallow harvesting from all other robots
+       |User-agent: *
+       |
+       |${disallows(common ++ Seq("/abs/", "/full/"))}
+       |
+       |${allows(Seq("/help/", "/about/", "/blog/"))}
+       |""".stripMargin
+  }
 
   /** S9 sink: write one XML file per row of a (sitemap_filename, content)
     * frame. Files are small (≤50k URLs); a foreachPartition keeps the

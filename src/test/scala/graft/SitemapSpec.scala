@@ -81,8 +81,8 @@ class SitemapSpec extends AnyFunSuite with SparkSpec {
     assert(entry ==
       "\n            <sitemap>\n            <loc>https://ui.adsabs.harvard.edu/sitemap/sitemap_bib_1.xml</loc>\n            <lastmod>2024-01-01</lastmod>\n            </sitemap>")
     assert(idx.indexOf("sitemap_bib_1.xml") < idx.indexOf("sitemap_bib_2.xml"))
-    assert(Sitemap.renderRobots(site) ==
-      "Sitemap: https://ui.adsabs.harvard.edu/sitemap/sitemap_index.xml\n")
+    assert(Sitemap.renderRobots(site).startsWith(
+      "Sitemap: https://ui.adsabs.harvard.edu/sitemap/sitemap_index.xml\n"))
     // static sitemap precedes bib files when provided
     val withStatic = Sitemap.renderIndex(site,
       Seq(("sitemap_bib_1.xml", "2024-01-01")),
