@@ -114,11 +114,19 @@ object Pipeline {
     // micro-batch would rewrite the whole metrics table to a new version.
     metricsStore.foreach { ms =>
       if (sinks("metrics") && batch.metrics.limit(1).count() > 0) {
+        // IndexJob emits at most one metrics payload per bibcode, so the
+        // in-batch arrival order is vacuous and a constant seq is exact —
+        // but only under that invariant. Guard it loudly: if a future
+        // multi-source metrics path ever emits duplicates, the upsert
+        // would silently become nondeterministic again. One tiny job over
+        // the already-cached payload frame.
+        val dup = batch.metrics.groupBy(col("bibcode")).count()
+          .filter(col("count") > 1).limit(1).count()
+        require(dup == 0, "metrics batch carries multiple rows per bibcode; " +
+          "derive a real arrival seq before upserting")
         val incoming = batch.metrics.select(col("bibcode"), col("payload"))
           .as[(String, String)]
           .map { case (b, p) => graft.operators.MetricsTable.fromJson(b, p, now) }
-          // IndexJob emits at most one metrics payload per bibcode, so the
-          // in-batch arrival order is vacuous — a constant seq is exact
           .toDF().withColumn("seq", lit(0L))
         ms.write(graft.operators.MetricsTable.upsert(ms.read(spark), incoming))
       }

@@ -126,24 +126,28 @@ object RecordCatalog extends Catalog {
           case Some(org.json4s.JString(v)) => Seq(v)
           case _                           => Nil
         }
+        // -1 sentinel for a missing numeric: NaN.toLong silently collapses
+        // to 0, which a real fixture value could be — -1 cannot (counts
+        // and boosts are non-negative), so a dropped field shows up as an
+        // oracle mismatch instead of masquerading as zero
         def numOf(k: String): Double = doc.get(k) match {
           case Some(org.json4s.JInt(i))     => i.toDouble
           case Some(org.json4s.JLong(l))    => l.toDouble
           case Some(org.json4s.JDouble(d))  => d
           case Some(org.json4s.JDecimal(d)) => d.toDouble
-          case _                            => Double.NaN
+          case _                            => -1.0
         }
         val cks = graft.transform.SolrTransform.render(docObj)._2
         (r.bibcode,
-          strsOf("title").mkString("|"),
-          strsOf("database").mkString("|"),
+          strsOf("title").mkString("\u001F"),
+          strsOf("database").mkString("\u001F"),
           numOf("cite_read_boost"),
           numOf("citation_count").toLong,
-          strsOf("grant").mkString("|"),
-          strsOf("simbtype").mkString("|"),
-          strsOf("orcid_user").mkString("|"),
-          strsOf("citation").mkString("|"),
-          strsOf("has").mkString("|"),
+          strsOf("grant").mkString("\u001F"),
+          strsOf("simbtype").mkString("\u001F"),
+          strsOf("orcid_user").mkString("\u001F"),
+          strsOf("citation").mkString("\u001F"),
+          strsOf("has").mkString("\u001F"),
           numOf("doctype_boost").toLong,
           doc.get("update_timestamp").collect { case org.json4s.JString(v) => v }.getOrElse(""),
           r.scix_id.exists(_.matches("scix:[0-9A-HJKMNP-TV-Z]{4}-[0-9A-HJKMNP-TV-Z]{4}-[0-9A-HJKMNP-TV-Z]{4}")),
@@ -215,13 +219,13 @@ object RecordCatalog extends Catalog {
            'astronomy' AS database_str,
            (i % 10) / 10.0 AS cite_read_boost,
            CAST(i AS BIGINT) AS citation_count,
-           'NASA|' || i AS grant_str,
+           'NASA' || chr(31) || i AS grant_str,
            'Star' AS simbtype_str,
            '0000-000' || i AS orcid_user_str,
            'c' || i AS citation_str,
            CASE WHEN i % 2 = 0
-             THEN 'ack|body|citation|data|database|doctype|grant|identifier|orcid_user|title'
-             ELSE 'citation|data|database|doctype|grant|identifier|orcid_user|title' END AS has_str,
+             THEN replace('ack|body|citation|data|database|doctype|grant|identifier|orcid_user|title', '|', chr(31))
+             ELSE replace('citation|data|database|doctype|grant|identifier|orcid_user|title', '|', chr(31)) END AS has_str,
            CAST(1 AS BIGINT) AS doctype_boost,
            strftime(TIMESTAMP '2024-01-01 00:00:00'
              + to_milliseconds(i * 1000 + CASE WHEN i % 2 = 0 THEN 400 ELSE 300 END),

@@ -157,9 +157,12 @@ object RetrySchedule {
 object Watermark {
   def read(spark: SparkSession, path: String, key: String): Option[Timestamp] = {
     import spark.implicits._
-    try spark.read.parquet(path).filter($"key" === key)
-      .select($"value").as[Timestamp].collect().headOption
-    catch { case _: Throwable => None }
+    def readDir(p: String) =
+      try spark.read.parquet(p).filter($"key" === key)
+        .select($"value").as[Timestamp].collect().headOption
+      catch { case _: Throwable => None }
+    // fall back to the parked backup if a crashed advance left no live dir
+    readDir(path).orElse(readDir(path + ".old"))
   }
 
   /** Replace the key's value (rollback on failure = simply not advancing,
@@ -167,21 +170,38 @@ object Watermark {
     * FileSystem API — the watermark may live on HDFS/S3 next to the master
     * snapshots, where java.io.File ops would silently address local disk
     * and the watermark would never advance (every incremental run would
-    * reprocess the full corpus). Fails loudly on a refused rename. */
+    * reprocess the full corpus). Fails loudly on a refused rename.
+    *
+    * Swap order: park the live dir aside as `.old`, rename the temp in,
+    * then drop the backup. A crash between the park and the rename-in
+    * leaves `.old` readable (see [[read]]'s fallback), so no crash point
+    * loses ALL keys' watermarks — the prior delete-then-rename had exactly
+    * that window, which at 28.8M rows means a surprise full reprocess of
+    * every stream. */
   def advance(spark: SparkSession, path: String, key: String, value: Timestamp): Unit = {
     import spark.implicits._
     import org.apache.hadoop.fs.Path
-    val existing = try spark.read.parquet(path).filter($"key" =!= key)
-      .as[(String, Timestamp)].collect().toSeq
-    catch { case _: Throwable => Seq.empty[(String, Timestamp)] }
+    // other keys' values must survive the swap even when recovering from
+    // a crash that left only the backup dir
+    def keysOf(p: String): Option[Seq[(String, Timestamp)]] =
+      try Some(spark.read.parquet(p).filter($"key" =!= key)
+        .as[(String, Timestamp)].collect().toSeq)
+      catch { case _: Throwable => None }
+    val existing = keysOf(path).orElse(keysOf(path + ".old"))
+      .getOrElse(Seq.empty)
     val next = existing :+ (key -> value)
     val tmp = path + ".tmp"
     next.toDF("key", "value").coalesce(1).write.mode("overwrite").parquet(tmp)
     val target = new Path(path)
+    val backup = new Path(path + ".old")
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(target) && !fs.delete(target, true))
-      throw new java.io.IOException(s"watermark advance: cannot delete $path")
+    if (fs.exists(backup) && !fs.delete(backup, true))
+      throw new java.io.IOException(s"watermark advance: cannot clear $backup")
+    if (fs.exists(target) && !fs.rename(target, backup))
+      throw new java.io.IOException(s"watermark advance: cannot park $path aside")
     if (!fs.rename(new Path(tmp), target))
       throw new java.io.IOException(s"watermark advance: rename $tmp -> $path refused")
+    fs.delete(backup, true) // best-effort; a leftover backup is harmless
+    ()
   }
 }

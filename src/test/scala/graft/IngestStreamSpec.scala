@@ -153,4 +153,22 @@ class IngestStreamSpec extends AnyFunSuite with SparkSpec {
     assert(Watermark.read(spark, dir, "last.reindex.forced")
       .contains(ts("2024-02-01T00:00:00Z")))
   }
+
+  test("ST1 watermark survives a crash between park and rename-in") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wmc").toString + "/kv"
+    Watermark.advance(spark, dir, "last.reindex.normal", ts("2024-01-01T00:00:00Z"))
+    // simulate the advance crashing right after parking the live dir
+    // aside: the live dir is gone, only the .old backup remains
+    val live = java.nio.file.Paths.get(dir)
+    val backup = java.nio.file.Paths.get(dir + ".old")
+    java.nio.file.Files.move(live, backup)
+    assert(Watermark.read(spark, dir, "last.reindex.normal")
+      .contains(ts("2024-01-01T00:00:00Z")),
+      "read falls back to the parked backup — no full-corpus reprocess")
+    // the next advance heals: backup cleared, live dir re-established
+    Watermark.advance(spark, dir, "last.reindex.normal", ts("2024-02-01T00:00:00Z"))
+    assert(Watermark.read(spark, dir, "last.reindex.normal")
+      .contains(ts("2024-02-01T00:00:00Z")))
+    assert(!java.nio.file.Files.exists(backup), "backup dropped after a clean swap")
+  }
 }
