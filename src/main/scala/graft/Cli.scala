@@ -53,11 +53,14 @@ object Cli {
   }
 
   def main(argv: Array[String]): Unit = {
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .appName("graft-cli")
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
       .config("spark.sql.shuffle.partitions", "32")
-      .getOrCreate()
+    // ST8: FAIR pools so a --priority run is not starved behind bulk jobs
+    graft.operators.Scheduling.fairSessionConfigs()
+      .foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
     val deps = Deps(new LogTransport("solr", println),
       new LogTransport("bulk", println))
     val rc = run(spark, argv.toIndexedSeq, deps)
@@ -201,13 +204,17 @@ object Cli {
       val watermarkDir =
         if (a.contains("since") || restrict.isDefined) None
         else Some(a.getOrElse("watermark-dir", s"$storeRoot-watermarks"))
-      val report = Pipeline.runBatch(spark, store,
-        spark.emptyDataset[graft.records.UpdateMessage],
-        deps.solrTransport, deps.bulkTransport,
-        watermarkDir = watermarkDir,
-        force = force, ignoreChecksums = ignoreChecksums, now = now,
-        sinks = sinks, restrictTo = restrict,
-        sinceOverride = a.get("since").map(Timestamp.valueOf))
+      // --priority routes this run's jobs to a fair-scheduler pool (ST8)
+      val priority = a.get("priority").map(_.toInt).getOrElse(0)
+      val report = graft.operators.Scheduling.withPriority(spark, priority) {
+        Pipeline.runBatch(spark, store,
+          spark.emptyDataset[graft.records.UpdateMessage],
+          deps.solrTransport, deps.bulkTransport,
+          watermarkDir = watermarkDir,
+          force = force, ignoreChecksums = ignoreChecksums, now = now,
+          sinks = sinks, restrictTo = restrict,
+          sinceOverride = a.get("since").map(Timestamp.valueOf))
+      }
       out(s"indexed=${report.indexed} solrOk=${report.solrOk} " +
         s"solrFailed=${report.solrFailed} metricsOk=${report.metricsOk} " +
         s"linksOk=${report.linksOk} version=${report.version}")
@@ -225,7 +232,7 @@ object Cli {
       "-f" -> "--force_indexing", "-o" -> "--force_processing",
       "-s" -> "--since", "-b" -> "--bibcodes", "-n" -> "--filename")
     val valued = Set("index", "since", "bibcodes", "filename", "action",
-      "store", "sitemap-store", "out", "watermark-dir")
+      "store", "sitemap-store", "out", "watermark-dir", "priority")
     // -r's letters are optional (nargs='?'): a following token that is not
     // a flag is its value, otherwise the default applies
     val optionalValued = Set("index")
