@@ -185,6 +185,62 @@ object Cli {
       return 0
     }
 
+    if (a.contains("cleanup-invalid-sitemaps")) {
+      // entries whose record went solr-failed / lost bib_data / vanished
+      // (run.py --cleanup-invalid-sitemaps → tasks.py:482-585)
+      val sm = sitemapStore
+      val res = SitemapState.cleanupInvalid(sm.read(spark), store.read(spark))
+      sm.write(res.state)
+      val conf = spark.sparkContext.hadoopConfiguration
+      for (f <- res.filesToDelete; site <- Sitemap.Sites.keys) {
+        val p = new org.apache.hadoop.fs.Path(s"$outRoot/$site/$f")
+        val fs = p.getFileSystem(conf)
+        if (fs.exists(p)) fs.delete(p, false)
+      }
+      val n = Pipeline.runManagedSitemaps(spark, sm, outRoot, now)
+      out(s"cleanup removed entries; deleted files: ${res.filesToDelete.mkString(",")}; " +
+        s"regenerated $n files")
+      return 0
+    }
+
+    if (a.contains("update-sitemaps-auto")) {
+      // cron path (run.py:566-628): records whose bib_data or solr state
+      // moved within the lookback window, minus already-flagged ones,
+      // chained through the add action + file regeneration
+      val daysBack = a.get("days-back").map(_.toInt).getOrElse(1)
+      val cutoff = new Timestamp(now.getTime - daysBack * 86400000L)
+      val sm = sitemapStore
+      val state = sm.read(spark)
+      val flagged = state.filter(col("update_flag")).select(col("bibcode"))
+      val due = store.read(spark)
+        .filter(col("bib_data_updated") >= lit(cutoff) ||
+          col("solr_processed") >= lit(cutoff))
+        .select(col("bibcode"))
+        .join(flagged, Seq("bibcode"), "left_anti")
+      sm.write(SitemapState.add(state, store.read(spark), due))
+      val n = Pipeline.runManagedSitemaps(spark, sm, outRoot, now)
+      out(s"auto update: regenerated $n files (lookback $daysBack d)")
+      return 0
+    }
+
+    if (a.contains("delete_obsolete")) {
+      // P5 (run.py --delete_obsolete): records without bib_data older
+      // than --since are cascade-deleted
+      val since = a.get("since").map(Timestamp.valueOf).getOrElse(
+        { out("error: --delete_obsolete needs --since <ts>"); return 2 })
+      val sm = sitemapStore
+      val master = store.read(spark)
+      val obsolete = master
+        .filter(col("bib_data").isNull && col("updated") < lit(since))
+        .select(col("bibcode"))
+      val res = MergeEngine.deleteByBibcodes(master, sm.read(spark), obsolete)
+      val n = res.changeLog.count()
+      store.write(res.master)
+      sm.write(res.sitemap)
+      out(s"deleted $n obsolete records")
+      return 0
+    }
+
     if (a.contains("index")) {
       val letters = a.getOrElse("index", "sml")
       val sinks = Set(
@@ -221,7 +277,9 @@ object Cli {
       return if (report.solrFailed > 0) 1 else 0
     }
 
-    out("error: no command given (try -d, -k, -r, --delete, --manage-sitemap, --update-sitemap-files)")
+    out("error: no command given (try -d, -k, -r, --delete, --delete_obsolete, " +
+      "--manage-sitemap, --update-sitemap-files, --update-sitemaps-auto, " +
+      "--cleanup-invalid-sitemaps)")
     2
   }
 
@@ -232,7 +290,7 @@ object Cli {
       "-f" -> "--force_indexing", "-o" -> "--force_processing",
       "-s" -> "--since", "-b" -> "--bibcodes", "-n" -> "--filename")
     val valued = Set("index", "since", "bibcodes", "filename", "action",
-      "store", "sitemap-store", "out", "watermark-dir", "priority")
+      "store", "sitemap-store", "out", "watermark-dir", "priority", "days-back")
     // -r's letters are optional (nargs='?'): a following token that is not
     // a flag is its value, otherwise the default applies
     val optionalValued = Set("index")

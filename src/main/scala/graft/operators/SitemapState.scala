@@ -168,6 +168,23 @@ object SitemapState {
     RemoveResult(flagged.select(columns.map(col): _*), filesToDelete, filesToUpdate)
   }
 
+  /** Cleanup of entries that stopped meeting the inclusion criteria
+    * (tasks.py:482-585): join the state against the master table and run
+    * the standard remove reconciliation over every entry whose record
+    * went solr-failed/retrying, lost its bib_data, or disappeared from
+    * the master entirely (orphans join to nothing → null bib_data →
+    * excluded). One outer join + the remove machinery — the reference's
+    * keyset-paginated batch loop collapses into a single distributed
+    * pass. */
+  def cleanupInvalid(state: DataFrame, master: DataFrame): RemoveResult = {
+    val joined = state.select(col("bibcode")).distinct()
+      .join(master.select(col("bibcode"), col("bib_data"), col("status")),
+        Seq("bibcode"), "left_outer")
+    val invalid = joined.filter(!coalesce(Sitemap.shouldInclude, lit(false)))
+      .select(col("bibcode"))
+    remove(state, invalid)
+  }
+
   /** The render worklist (tasks.py:1132-1142): every member row of every
     * file with at least one flagged row, shaped for [[Sitemap.renderFiles]]
     * with lastmod = date(bib_data_updated) or `today` when the record never

@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
 import java.sql.Timestamp
 
 import graft.sources.Sinks
@@ -107,6 +108,58 @@ class CliSpec extends AnyFunSuite with SparkSpec {
     log.clear()
     assert(Cli.run(spark, argvBase ++ Seq("-k"), d) == 0)
     assert(log.exists(_.contains("last.reindex.normal=")))
+  }
+
+  test("cron surface: auto sitemap update, cleanup, delete_obsolete") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_cli2").toString
+    val store = new graft.sources.MasterStore(s"$root/master")
+    val log = collection.mutable.Buffer.empty[String]
+    val (_, d) = deps(log)
+    val argvBase = Seq("--store", s"$root/master",
+      "--sitemap-store", s"$root/smstate", "--out", s"$root/sitemaps")
+
+    val msgs = Seq(
+      records.UpdateMessage("2024Auto.....1....A", "metadata",
+        """{"title": ["one"]}""", Timestamp.valueOf("2024-05-30 00:00:00")),
+      records.UpdateMessage("2024Auto.....2....B", "metadata",
+        """{"title": ["two"]}""", Timestamp.valueOf("2024-01-01 00:00:00"))).toDS()
+    Pipeline.runBatch(spark, store, msgs, d.solrTransport, d.bulkTransport,
+      now = Timestamp.valueOf("2024-05-31 00:00:00"))
+
+    // auto update with a 7-day lookback picks up only the fresh record
+    // (now = 2024-06-01; record B last moved in January)
+    assert(Cli.run(spark, argvBase ++
+      Seq("--update-sitemaps-auto", "--days-back", "7"), d) == 0)
+    val smStore = new graft.sources.MasterStore(s"$root/smstate",
+      empty = graft.operators.SitemapState.empty)
+    val entries = smStore.read(spark).collect().map(_.getAs[String]("bibcode")).toSet
+    assert(entries == Set("2024Auto.....1....A"), s"got $entries")
+    assert(new java.io.File(s"$root/sitemaps/ads/sitemap_bib_1.xml").exists)
+
+    // the record goes solr-failed → cleanup sweeps it and deletes the file
+    val failed = store.read(spark).withColumn("status",
+      when(col("bibcode") === "2024Auto.....1....A", lit("solr-failed"))
+        .otherwise(col("status")))
+    store.write(failed)
+    assert(Cli.run(spark, argvBase ++ Seq("--cleanup-invalid-sitemaps"), d) == 0)
+    assert(smStore.read(spark).count() == 0)
+    assert(!new java.io.File(s"$root/sitemaps/ads/sitemap_bib_1.xml").exists,
+      "emptied sitemap file removed from the site tree")
+
+    // delete_obsolete: a record without bib_data older than --since goes away
+    val noBib = store.read(spark).withColumn("bib_data",
+      when(col("bibcode") === "2024Auto.....2....B", lit(null).cast("string"))
+        .otherwise(col("bib_data")))
+    store.write(noBib)
+    log.clear()
+    assert(Cli.run(spark, argvBase ++
+      Seq("--delete_obsolete", "--since", "2024-05-01 00:00:00"), d) == 0)
+    assert(log.exists(_.contains("deleted 1 obsolete records")), s"got $log")
+    assert(store.read(spark).collect().map(_.getAs[String]("bibcode")).toSet ==
+      Set("2024Auto.....1....A"))
+    // missing --since is a usage error
+    assert(Cli.run(spark, argvBase ++ Seq("--delete_obsolete"), d) == 2)
   }
 
   test("parser: aliases, optional -r letters, errors") {

@@ -168,6 +168,37 @@ class SitemapStateSpec extends AnyFunSuite with SparkSpec {
       "continuation looks only at the last file (app.py:1018-1071); the hole in file 1 stays")
   }
 
+  test("cleanup removes entries that became invalid, including orphans") {
+    // from tasks.py:482-585 / test_tasks.py:856-1360: entries whose record
+    // went solr-failed, lost bib_data, or vanished entirely are swept out
+    // with the standard remove reconciliation
+    val master0 = masterOf(Seq(
+      (1L, "ok", "{}", "2024-01-01 00:00:00", "success"),
+      (2L, "goesBad", "{}", "2024-01-02 00:00:00", null),
+      (3L, "losesBib", "{}", "2024-01-03 00:00:00", null),
+      (4L, "vanishes", "{}", "2024-01-04 00:00:00", null)))
+    val st1 = SitemapState.add(SitemapState.empty(spark), master0,
+      bibs("ok", "goesBad", "losesBib", "vanishes"), maxPerFile = 2)
+    val st2 = SitemapState.markGenerated(st1,
+      st1.select(col("sitemap_filename")), ts("2024-02-01 00:00:00"))
+
+    // the world moves: one fails in solr, one loses bib_data, one is deleted
+    val master1 = masterOf(Seq(
+      (1L, "ok", "{}", "2024-01-01 00:00:00", "success"),
+      (2L, "goesBad", "{}", "2024-01-02 00:00:00", "solr-failed"),
+      (3L, "losesBib", null, null, null)))
+    val res = SitemapState.cleanupInvalid(st2, master1)
+    val m = stateMap(res.state)
+    assert(m.keySet == Set("ok"), s"only the healthy entry survives: $m")
+    assert(m("ok")._2 == true, "survivor of a shrunken file is flagged for regen")
+    assert(res.filesToDelete == Seq("sitemap_bib_2.xml"),
+      "file whose members all went invalid is deleted")
+    // a second pass is a no-op — cleanup converges
+    val again = SitemapState.cleanupInvalid(res.state, master1)
+    assert(stateMap(again.state).keySet == Set("ok"))
+    assert(again.filesToDelete.isEmpty && again.filesToUpdate.isEmpty)
+  }
+
   test("full workflow: render pending files per site, stamp, converge to idle") {
     val master = masterOf(Seq(
       (1L, "2023A&A...1....1A", "{}", "2024-01-01 00:00:00", null),
