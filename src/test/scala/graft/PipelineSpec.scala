@@ -109,6 +109,30 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       "identical payload restores the same checksum")
   }
 
+  test("force without ignore_checksums still suppresses unchanged payloads") {
+    import spark.implicits._
+    // test_tasks.py:564-688 (per-sink ignore_checksums): force widens
+    // ELIGIBILITY only — a payload whose checksum matches the stored one
+    // is still suppressed unless ignore_checksums is also set
+    val root = java.nio.file.Files.createTempDirectory("graft_store_ic").toString
+    val store = new MasterStore(root, numBuckets = 2)
+    val r1 = Pipeline.runBatch(spark, store,
+      msgs("ic1", "2024-01-01 00:00:00").toDS(), okTransport, okTransport,
+      now = ts("2024-01-02 00:00:00"))
+    assert(r1.solrOk == 1)
+
+    val r2 = Pipeline.runBatch(spark, store,
+      spark.emptyDataset[UpdateMessage], okTransport, okTransport,
+      force = true, ignoreChecksums = false, now = ts("2024-01-03 00:00:00"))
+    assert(r2.indexed == 0 && r2.solrOk == 0 && r2.metricsOk == 0 && r2.linksOk == 0,
+      "matching checksums suppress every sink despite force")
+
+    val r3 = Pipeline.runBatch(spark, store,
+      spark.emptyDataset[UpdateMessage], okTransport, okTransport,
+      force = true, ignoreChecksums = true, now = ts("2024-01-04 00:00:00"))
+    assert(r3.solrOk == 1, "ignore_checksums re-sends the unchanged payload")
+  }
+
   test("two micro-batches: merge, index, stamp, suppress replay, version") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_store").toString
