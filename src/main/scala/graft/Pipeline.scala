@@ -49,9 +49,27 @@ object Pipeline {
     val since = sinceOverride.orElse(
       watermarkDir.flatMap(Watermark.read(spark, _, "last.reindex.normal")))
 
+    // a metadata message with status=deleted deletes the whole record
+    // (the reference routes it to task_delete_documents,
+    // adsmp/tasks.py:60-77): drop the row after the merge and fan the
+    // delete out to the sinks (S11). Slot-level deleted messages are
+    // handled inside the upsert (slot clear). Sitemap state is swept by
+    // the cleanup pass, which treats vanished records as invalid.
+    // coalesce: status is usually null, and `mtype === "metadata" && null`
+    // is NULL, which !filter would silently DROP — not keep
+    val isFullDelete = col("mtype") === "metadata" &&
+      coalesce(col("status") === "deleted", lit(false))
+    val doomed = updates.filter(isFullDelete)
+      .select(col("bibcode")).distinct().as[String].collect().toSeq
+
     // M1 merge
-    val merged = MergeEngine.upsert(store.read(spark), updates)
-    val master = merged.master.cache()
+    val merged = MergeEngine.upsert(store.read(spark), updates.filter(!isFullDelete))
+    val master0 =
+      if (doomed.isEmpty) merged.master
+      else merged.master.filter(!col("bibcode").isin(doomed: _*))
+    if (doomed.nonEmpty)
+      Sinks.deleteByBibcodes(doomed.toDS(), Seq(solrTransport, bulkTransport)).collect()
+    val master = master0.cache()
     val mergedCount = master.count()
 
     // P1-P3 gate + payload builds + P4 checksum suppression. The payload

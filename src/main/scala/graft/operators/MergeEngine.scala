@@ -47,13 +47,21 @@ object MergeEngine {
     val typed = updates
       .withColumn("slot", element_at(typedLit(slotOf), col("mtype")))
       .filter(col("slot").isNotNull)
+      // a slot-typed message with status=deleted CLEARS the slot
+      // (adsmp/tasks.py:60-77 protobuf status handling); its payload is
+      // irrelevant and nulled so the latest-wins pick carries the clear
+      .withColumn("__del", coalesce(col("status") === "deleted", lit(false)))
+      .withColumn("payload",
+        when(col("__del"), lit(null).cast("string")).otherwise(col("payload")))
 
-    // 1. latest payload + ts per (bibcode, slot), pivoted wide in one agg
+    // 1. latest payload + ts + delete flag per (bibcode, slot), pivoted
+    //    wide in one agg
     val pivoted = typed
       .groupBy(col("bibcode"))
       .pivot("slot", slots)
-      .agg(max_by(col("payload"), col("ts")).as("payload"), max(col("ts")).as("ts"))
-    // pivot with two aggs names columns `<slot>_payload` / `<slot>_ts`
+      .agg(max_by(col("payload"), col("ts")).as("payload"), max(col("ts")).as("ts"),
+        max_by(col("__del"), col("ts")).as("del"))
+    // pivot with three aggs names columns `<slot>_payload` / `<slot>_ts` / `<slot>_del`
 
     val m = master.as("m")
     val u = pivoted.as("u")
@@ -61,8 +69,12 @@ object MergeEngine {
 
     val key = coalesce(col("m.bibcode"), col("u.bibcode"))
     val slotCols = slots.flatMap { s =>
+      // a clear beats the coalesce: `coalesce(null, old)` would silently
+      // resurrect the old value the delete message asked to remove
+      val del = coalesce(col(s"u.${s}_del"), lit(false))
       Seq(
-        coalesce(col(s"u.${s}_payload"), col(s"m.$s")).as(s),
+        when(del, lit(null).cast("string"))
+          .otherwise(coalesce(col(s"u.${s}_payload"), col(s"m.$s"))).as(s),
         coalesce(col(s"u.${s}_ts"), col(s"m.${s}_updated")).as(s"${s}_updated"))
     }
     val newestArrival = greatest(slots.map(s => col(s"u.${s}_ts")): _*)

@@ -75,8 +75,12 @@ object MasterRecord {
 /** One ingest message: the reference's protobuf queue payload reduced to
   * its information content (adsmp/app.py:335-379). `mtype` is one of the
   * keys of [[MasterRecord.typeToSlot]]; `payload` is the JSON document.
-  */
-case class UpdateMessage(bibcode: String, mtype: String, payload: String, ts: Timestamp)
+  * `status = Some("deleted")` marks the protobufs' deletion flag
+  * (adsmp/tasks.py:60-77): on a slot-typed message it clears that slot;
+  * on a `metadata` message it deletes the whole record (the reference
+  * routes it to task_delete_documents). */
+case class UpdateMessage(bibcode: String, mtype: String, payload: String,
+    ts: Timestamp, status: Option[String] = None)
 
 /** Append-only audit log row (reference: adsmp/models.py:127-141). */
 case class ChangeLogEntry(key: String, ctype: String, oldvalue: Option[String], permanent: Boolean = false)

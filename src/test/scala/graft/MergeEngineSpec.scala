@@ -281,6 +281,38 @@ class MergeEngineSpec extends AnyFunSuite with SparkSpec {
       "process_bibcode merges only the six slots; everything else is recs[0]'s")
   }
 
+  test("M1 deleted-status message clears its slot, record survives") {
+    import spark.implicits._
+    // test_tasks.py:104-121: fulltext/orcid/nonbib deletes clear the slot
+    // but keep the record
+    val seeded = MergeEngine.upsert(MergeEngine.emptyMaster(spark), Seq(
+      UpdateMessage("b1", "fulltext", """{"foo": "bar"}""", ts("2024-01-01T00:00:00Z")),
+      UpdateMessage("b1", "orcid_claims", """{"x": 1}""", ts("2024-01-01T00:00:00Z"))
+    ).toDS()).master
+    val cleared = MergeEngine.upsert(seeded, Seq(
+      UpdateMessage("b1", "fulltext", "", ts("2024-02-01T00:00:00Z"),
+        status = Some("deleted"))).toDS()).master.collect()
+    assert(cleared.length == 1, "record survives the slot clear")
+    val r = cleared.head
+    assert(r.getAs[String]("fulltext") == null, "slot cleared")
+    assert(r.getAs[String]("orcid_claims") == """{"x": 1}""", "other slots untouched")
+    assert(r.getAs[Timestamp]("fulltext_updated") == ts("2024-02-01T00:00:00Z"),
+      "clear advances the slot timestamp")
+
+    // within one batch, latest wins: update then delete = cleared;
+    // delete then update = the update
+    val mixed = MergeEngine.upsert(seeded, Seq(
+      UpdateMessage("b1", "fulltext", """{"v": 2}""", ts("2024-02-01T00:00:00Z")),
+      UpdateMessage("b1", "fulltext", "", ts("2024-02-02T00:00:00Z"),
+        status = Some("deleted")),
+      UpdateMessage("b1", "orcid_claims", "", ts("2024-02-01T00:00:00Z"),
+        status = Some("deleted")),
+      UpdateMessage("b1", "orcid_claims", """{"x": 9}""", ts("2024-02-02T00:00:00Z"))
+    ).toDS()).master.collect().head
+    assert(mixed.getAs[String]("fulltext") == null, "later delete wins")
+    assert(mixed.getAs[String]("orcid_claims") == """{"x": 9}""", "later update wins")
+  }
+
   test("M4 mark-processed stamps only the hit rows") {
     import spark.implicits._
     val master = MergeEngine.upsert(MergeEngine.emptyMaster(spark), Seq(

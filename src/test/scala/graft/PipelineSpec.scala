@@ -133,6 +133,26 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(r3.solrOk == 1, "ignore_checksums re-sends the unchanged payload")
   }
 
+  test("metadata deleted-status message deletes the record and hits the sinks") {
+    import spark.implicits._
+    // test_tasks.py:125-129: DenormalizedRecord(status=deleted) →
+    // task_delete_documents → record gone + delete pushed to the sinks
+    val root = java.nio.file.Files.createTempDirectory("graft_store_del").toString
+    val store = new MasterStore(root, numBuckets = 2)
+    Pipeline.runBatch(spark, store,
+      (msgs("d1", "2024-01-01 00:00:00") ++ msgs("d2", "2024-01-01 00:00:00")).toDS(),
+      okTransport, okTransport, now = ts("2024-01-02 00:00:00"))
+    assert(store.read(spark).count() == 2)
+
+    val r = Pipeline.runBatch(spark, store, Seq(
+      UpdateMessage("d1", "metadata", "", ts("2024-01-03 00:00:00"),
+        status = Some("deleted"))).toDS(),
+      okTransport, okTransport, now = ts("2024-01-04 00:00:00"))
+    val left = store.read(spark).collect().map(_.getAs[String]("bibcode")).toSet
+    assert(left == Set("d2"), "deleted record dropped from the snapshot")
+    assert(r.merged == 1)
+  }
+
   test("two micro-batches: merge, index, stamp, suppress replay, version") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_store").toString
