@@ -241,6 +241,42 @@ object Cli {
       return 0
     }
 
+    if (a.contains("update-scix-id")) {
+      // run.py --update-scix-id --scix-id-flag ... (tasks.py:211-280);
+      // the -all variants sweep the whole table, the rest need -b/-n
+      val rawFlag = a.getOrElse("scix-id-flag",
+        { out("error: --update-scix-id needs --scix-id-flag"); return 2 })
+      val all = rawFlag.endsWith("-all")
+      val flag = rawFlag.stripSuffix("-all")
+      val only = if (all) None else Some(namedBibcodes())
+      if (only.exists(_.isEmpty)) {
+        out(s"error: --scix-id-flag $rawFlag needs -b or -n"); return 2
+      }
+      store.write(MergeEngine.updateScixIds(store.read(spark), flag, only))
+      out(s"scix-id $flag applied (${only.map(_.length.toString).getOrElse("all")} records)")
+      return 0
+    }
+
+    if (a.contains("index_failed")) {
+      // run.py --index_failed (run.py:425-471): everything whose status is
+      // neither success nor retrying, with bib_data, re-driven under
+      // force + ignore_checksums across all three sinks
+      val failed = store.read(spark)
+        .filter(col("bib_data").isNotNull &&
+          col("status").isNotNull && !col("status").isin("success", "retrying"))
+        .select(col("bibcode")).collect().map(_.getString(0)).toSeq
+      if (failed.isEmpty) { out("no failed bibcodes to reindex"); return 0 }
+      import spark.implicits._
+      val report = Pipeline.runBatch(spark, store,
+        spark.emptyDataset[graft.records.UpdateMessage],
+        deps.solrTransport, deps.bulkTransport,
+        force = true, ignoreChecksums = true, now = now,
+        restrictTo = Some(failed))
+      out(s"reindexed ${failed.length} previously failed bibcodes: " +
+        s"solrOk=${report.solrOk} solrFailed=${report.solrFailed}")
+      return if (report.solrFailed > 0) 1 else 0
+    }
+
     if (a.contains("index")) {
       val letters = a.getOrElse("index", "sml")
       val sinks = Set(
@@ -290,7 +326,8 @@ object Cli {
       "-f" -> "--force_indexing", "-o" -> "--force_processing",
       "-s" -> "--since", "-b" -> "--bibcodes", "-n" -> "--filename")
     val valued = Set("index", "since", "bibcodes", "filename", "action",
-      "store", "sitemap-store", "out", "watermark-dir", "priority", "days-back")
+      "store", "sitemap-store", "out", "watermark-dir", "priority", "days-back",
+      "scix-id-flag")
     // -r's letters are optional (nargs='?'): a following token that is not
     // a flag is its value, otherwise the default applies
     val optionalValued = Set("index")

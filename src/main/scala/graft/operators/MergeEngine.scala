@@ -79,8 +79,7 @@ object MergeEngine {
     }
     val newestArrival = greatest(slots.map(s => col(s"u.${s}_ts")): _*)
 
-    val scixUdf = udf((bib: String) =>
-      Option(bib).flatMap(b => ScixId.generate(SolrTransform.parse(b))).orNull)
+    val scixUdf = MergeEngine.scixUdf
 
     val merged = joined.select(Seq(
       // synthetic stable id for fresh bibcodes (reference: DB sequence);
@@ -127,6 +126,37 @@ object MergeEngine {
         col("oldvalue"), lit(false).as("permanent"), col("ts"))
 
     UpsertResult(merged, preImage)
+  }
+
+  private val scixUdf = udf((bib: String) =>
+    Option(bib).flatMap(b => ScixId.generate(SolrTransform.parse(b))).orNull)
+
+  /** T18 maintenance sweep (adsmp/tasks.py:211-280, run.py --update-scix-id):
+    * `update` assigns an id where one is missing and bib_data exists,
+    * `force` regenerates for every record with bib_data (nulls those
+    * without), `reset` nulls the column. `only` scopes the sweep to named
+    * bibcodes (the non-`-all` CLI variants); rows outside the scope are
+    * untouched. One column rewrite — no shuffle, no join. */
+  def updateScixIds(master: DataFrame, flag: String,
+      only: Option[Seq[String]] = None): DataFrame = {
+    require(Set("update", "force", "reset")(flag),
+      s"scix-id flag must be update/force/reset, got $flag")
+    val inScope = only match {
+      case Some(bibs) => col("bibcode").isin(bibs: _*)
+      case None       => lit(true)
+    }
+    val next = flag match {
+      case "update" =>
+        when(inScope && col("scix_id").isNull && col("bib_data").isNotNull,
+          scixUdf(col("bib_data"))).otherwise(col("scix_id"))
+      case "force" =>
+        when(inScope && col("bib_data").isNotNull, scixUdf(col("bib_data")))
+          .when(inScope, lit(null).cast("string"))
+          .otherwise(col("scix_id"))
+      case "reset" =>
+        when(inScope, lit(null).cast("string")).otherwise(col("scix_id"))
+    }
+    master.withColumn("scix_id", next)
   }
 
   /** Column order of the master snapshot (mirrors [[MasterRecord]]). */

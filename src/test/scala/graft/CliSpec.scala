@@ -162,6 +162,63 @@ class CliSpec extends AnyFunSuite with SparkSpec {
     assert(Cli.run(spark, argvBase ++ Seq("--delete_obsolete"), d) == 2)
   }
 
+  test("maintenance surface: scix-id flags and index_failed") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_cli3").toString
+    val store = new graft.sources.MasterStore(s"$root/master")
+    val log = collection.mutable.Buffer.empty[String]
+    val (_, d) = deps(log)
+    val argvBase = Seq("--store", s"$root/master",
+      "--sitemap-store", s"$root/smstate", "--out", s"$root/sitemaps")
+
+    val msgs = Seq(
+      records.UpdateMessage("2024Mnt.....1....A", "metadata",
+        """{"bibcode": "2024Mnt.....1....A", "title": ["one"]}""",
+        Timestamp.valueOf("2024-01-01 00:00:00")),
+      records.UpdateMessage("2024Mnt.....2....B", "metadata",
+        """{"bibcode": "2024Mnt.....2....B", "title": ["two"]}""",
+        Timestamp.valueOf("2024-01-02 00:00:00"))).toDS()
+    Pipeline.runBatch(spark, store, msgs, d.solrTransport, d.bulkTransport,
+      now = Timestamp.valueOf("2024-01-03 00:00:00"))
+    def scixOf(): Map[String, String] = store.read(spark).collect()
+      .map(r => r.getAs[String]("bibcode") -> r.getAs[String]("scix_id")).toMap
+    val assigned = scixOf()
+    assert(assigned.values.forall(_ != null), "upsert assigned ids")
+
+    // reset-all nulls, update-all reassigns the same deterministic ids
+    assert(Cli.run(spark, argvBase ++ Seq("--update-scix-id",
+      "--scix-id-flag", "reset-all"), d) == 0)
+    assert(scixOf().values.forall(_ == null))
+    assert(Cli.run(spark, argvBase ++ Seq("--update-scix-id",
+      "--scix-id-flag", "update-all"), d) == 0)
+    assert(scixOf() == assigned, "regeneration is deterministic")
+
+    // scoped reset touches only the named bibcode
+    assert(Cli.run(spark, argvBase ++ Seq("--update-scix-id",
+      "--scix-id-flag", "reset", "-b", "2024Mnt.....1....A"), d) == 0)
+    val scoped = scixOf()
+    assert(scoped("2024Mnt.....1....A") == null &&
+      scoped("2024Mnt.....2....B") == assigned("2024Mnt.....2....B"))
+    // non-all variants require bibcodes
+    assert(Cli.run(spark, argvBase ++ Seq("--update-scix-id",
+      "--scix-id-flag", "reset"), d) == 2)
+
+    // index_failed: mark one failed, re-drive it
+    store.write(store.read(spark).withColumn("status",
+      when(col("bibcode") === "2024Mnt.....1....A", lit("solr-failed"))
+        .otherwise(lit("success"))))
+    log.clear()
+    assert(Cli.run(spark, argvBase ++ Seq("--index_failed"), d) == 0)
+    assert(log.exists(_.contains("reindexed 1 previously failed")), s"got $log")
+    val statuses = store.read(spark).collect()
+      .map(r => r.getAs[String]("bibcode") -> r.getAs[String]("status")).toMap
+    assert(statuses("2024Mnt.....1....A") == "success", "re-drive healed the record")
+    // nothing failed → friendly no-op
+    log.clear()
+    assert(Cli.run(spark, argvBase ++ Seq("--index_failed"), d) == 0)
+    assert(log.exists(_.contains("no failed bibcodes")))
+  }
+
   test("parser: aliases, optional -r letters, errors") {
     assert(Cli.parse(Seq("-r", "-f")) ==
       Right(Map("index" -> "sml", "force_indexing" -> "")))
