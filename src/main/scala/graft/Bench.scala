@@ -22,14 +22,27 @@ object Bench {
     // position changes: each absorbed different JIT/codegen warmup at its
     // new slot). Sorted order pins each query's position and neighbors
     // across rounds so BENCH_rN diffs measure the code, not the map.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    def cleanup(): Unit = {
       // drop any caches a query materialized so timings stay independent
       // (incl. the sitemap ordinal pins, whose queue must drain too)
       graft.operators.Sitemap.releasePinned()
       spark.catalog.clearCache()
+    }
+    // Untimed warmup pass: every query compiles its codegen and JITs its
+    // UDFs once, so the timed pass measures steady-state execution — the
+    // alphabetically-first queries otherwise absorb the session's residual
+    // warmup (~2-4x on sub-second queries) no matter what ran in the
+    // generic warmup above.
+    ordered.foreach { case (_, fn) =>
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      cleanup()
+    }
+    val results = ordered.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val dt = (System.nanoTime() - t0) / 1e9
+      cleanup()
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
