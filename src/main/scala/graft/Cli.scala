@@ -45,7 +45,15 @@ object Cli {
       solrTransport: Sinks.Transport,
       bulkTransport: Sinks.Transport,
       now: () => Timestamp = () => new Timestamp(System.currentTimeMillis()),
-      out: String => Unit = println(_))
+      out: String => Unit = println(_),
+      // -x/--rebuild-collection needs a live sink admin surface; absent
+      // (e.g. this sandbox has no SOLR), the command reports unavailable.
+      // Config/sleep/clock are injectable so specs run the monitor's
+      // multi-minute cadences on a virtual clock
+      rebuildProbe: Option[graft.operators.Rebuild.StatusProbe] = None,
+      rebuildCfg: graft.operators.Rebuild.Config = graft.operators.Rebuild.Config(),
+      rebuildSleep: Long => Unit = Thread.sleep(_),
+      rebuildClock: () => Long = System.currentTimeMillis _)
 
   private class LogTransport(name: String, out: String => Unit) extends Sinks.Transport {
     def send(payloads: Seq[String]): Unit =
@@ -239,6 +247,32 @@ object Cli {
       sm.write(res.sitemap)
       out(s"deleted $n obsolete records")
       return 0
+    }
+
+    if (a.contains("rebuild-collection")) {
+      // -x (run.py:739-743 + scripts/reindex.py): full rebuild into the
+      // standby core, monitored and swapped by the Rebuild state machine;
+      // the index job is a forced full sweep of the snapshot
+      val probe = deps.rebuildProbe.getOrElse(
+        { out("error: --rebuild-collection needs a sink admin probe " +
+            "(no live search cluster configured)"); return 2 })
+      val lock = new graft.operators.Rebuild.Lock(
+        java.nio.file.Paths.get(storeRoot).resolve("rebuild.locked"))
+      import spark.implicits._
+      val res = graft.operators.Rebuild.run(probe, () => {
+        val r = Pipeline.runBatch(spark, store,
+          spark.emptyDataset[graft.records.UpdateMessage],
+          deps.solrTransport, deps.bulkTransport,
+          force = true, ignoreChecksums = true, now = now)
+        r.solrFailed == 0
+      }, lock, deps.rebuildCfg, deps.rebuildSleep, deps.rebuildClock)
+      res match {
+        case graft.operators.Rebuild.Swapped(ms) =>
+          out(s"rebuild complete, cores swapped (${ms / 1000}s)")
+        case graft.operators.Rebuild.Failed(stage, msg) =>
+          out(s"rebuild failed at $stage: $msg (lock retained)")
+      }
+      return if (res.ok) 0 else 1
     }
 
     if (a.contains("update-scix-id")) {

@@ -219,6 +219,54 @@ class CliSpec extends AnyFunSuite with SparkSpec {
     assert(log.exists(_.contains("no failed bibcodes")))
   }
 
+  test("rebuild-collection drives the monitor end to end over the CLI") {
+    import spark.implicits._
+    import graft.operators.Rebuild
+    val root = java.nio.file.Files.createTempDirectory("graft_cli4").toString
+    val store = new graft.sources.MasterStore(s"$root/master")
+    val log = collection.mutable.Buffer.empty[String]
+    val (_, d0) = deps(log)
+    Pipeline.runBatch(spark, store, Seq(
+      records.UpdateMessage("2024Rbd.....1....A", "metadata",
+        """{"title": ["one"]}""", Timestamp.valueOf("2024-01-01 00:00:00"))).toDS(),
+      d0.solrTransport, d0.bulkTransport, now = Timestamp.valueOf("2024-01-02 00:00:00"))
+
+    // canned probe on a virtual clock: writes settle instantly, the
+    // searcher registers shortly after commit, floors are satisfied
+    var vtime = 0L
+    val probe = new Rebuild.StatusProbe {
+      var cur = Map(
+        "collection1" -> Rebuild.CoreStatus("/d/one", 5000, 4L << 30),
+        "collection2" -> Rebuild.CoreStatus("/d/two", 9000, 3L << 30))
+      var commitAt = -1L
+      def cores() = cur
+      def deleteAll(b: String): Unit = ()
+      def commit(b: String): Unit = commitAt = vtime
+      def searcherRegisteredAtMillis(): Long =
+        if (commitAt >= 0 && vtime >= commitAt + 10000) commitAt + 10000 else -1L
+      def docsPending(): Long = 0L
+      def swap(b: String, l: String): Unit =
+        cur = Map(l -> cur(b), b -> cur(l))
+    }
+    val d = d0.copy(rebuildProbe = Some(probe),
+      rebuildCfg = Rebuild.Config(minCommittedDocs = 1000, minIndexSizeGb = 1.0),
+      rebuildSleep = ms => vtime += ms,
+      rebuildClock = () => vtime)
+    val argvBase = Seq("--store", s"$root/master")
+
+    // without a probe the command refuses cleanly
+    assert(Cli.run(spark, argvBase ++ Seq("--rebuild-collection"), d0) == 2)
+
+    log.clear()
+    assert(Cli.run(spark, argvBase ++ Seq("--rebuild-collection"), d) == 0)
+    assert(log.exists(_.contains("rebuild complete, cores swapped")), s"got $log")
+    assert(probe.cur("collection1").dataDir == "/d/two",
+      "standby promoted to live")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/master/rebuild.locked")),
+      "lock released after the verified swap")
+  }
+
   test("parser: aliases, optional -r letters, errors") {
     assert(Cli.parse(Seq("-r", "-f")) ==
       Right(Map("index" -> "sml", "force_indexing" -> "")))
