@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import java.sql.Timestamp
 
-import graft.operators.{MergeEngine, Sitemap, SitemapState}
+import graft.operators.{IndexJob, MergeEngine, Sitemap, SitemapState}
 import graft.records.IdentifierAlias
 import graft.sources.{MasterStore, Sinks}
 import graft.streaming.Watermark
@@ -275,6 +275,33 @@ object Cli {
       return if (res.ok) 0 else 1
     }
 
+    if (a.contains("boost") || a.contains("augment")) {
+      // run.py --boost / -a --augment: project the named records into
+      // boost-scorer / aff-augment request messages and push them through
+      // the bulk transport (the reference queues them to the respective
+      // pipelines). Distributed build, partition-local sends.
+      val bibs = namedBibcodes()
+      if (bibs.isEmpty) { out("error: --boost/--augment need -b or -n"); return 2 }
+      import spark.implicits._
+      val selected = store.read(spark)
+        .filter(col("bibcode").isin(bibs: _*))
+        .as[graft.records.MasterRecord]
+      val requests =
+        if (a.contains("boost"))
+          selected.map(r => org.json4s.jackson.JsonMethods.compact(
+            org.json4s.jackson.JsonMethods.render(IndexJob.boostRequest(r))))
+        else
+          selected.flatMap(r => IndexJob.affAugmentRequest(r).map(j =>
+            org.json4s.jackson.JsonMethods.compact(
+              org.json4s.jackson.JsonMethods.render(j))))
+      val status = Sinks.writeBulk(
+        requests.map(p => ("", p, "", true)).toDF("bibcode", "payload", "checksum", "changed"),
+        deps.bulkTransport).collect()
+      out(s"${if (a.contains("boost")) "boost" else "augment"} requests sent: " +
+        s"${status.count(_.ok)}/${status.length}")
+      return 0
+    }
+
     if (a.contains("update-scix-id")) {
       // run.py --update-scix-id --scix-id-flag ... (tasks.py:211-280);
       // the -all variants sweep the whole table, the rest need -b/-n
@@ -358,7 +385,8 @@ object Cli {
   def parse(argv: Seq[String]): Either[String, Map[String, String]] = {
     val aliases = Map("-d" -> "--diagnostics", "-k" -> "--kv", "-r" -> "--index",
       "-f" -> "--force_indexing", "-o" -> "--force_processing",
-      "-s" -> "--since", "-b" -> "--bibcodes", "-n" -> "--filename")
+      "-s" -> "--since", "-b" -> "--bibcodes", "-n" -> "--filename",
+      "-a" -> "--augment", "-x" -> "--rebuild-collection")
     val valued = Set("index", "since", "bibcodes", "filename", "action",
       "store", "sitemap-store", "out", "watermark-dir", "priority", "days-back",
       "scix-id-flag")

@@ -267,6 +267,35 @@ class CliSpec extends AnyFunSuite with SparkSpec {
       "lock released after the verified swap")
   }
 
+  test("boost and augment request commands") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_cli5").toString
+    val store = new graft.sources.MasterStore(s"$root/master")
+    val log = collection.mutable.Buffer.empty[String]
+    val (_, d) = deps(log)
+    val argvBase = Seq("--store", s"$root/master")
+    Pipeline.runBatch(spark, store, Seq(
+      records.UpdateMessage("2024Bst.....1....A", "metadata",
+        """{"bibcode": "2024Bst.....1....A", "title": ["t"], "aff": ["MIT"], "author": ["A, B"]}""",
+        Timestamp.valueOf("2024-01-01 00:00:00")),
+      records.UpdateMessage("2024Bst.....2....B", "metadata",
+        """{"bibcode": "2024Bst.....2....B", "title": ["t2"]}""",
+        Timestamp.valueOf("2024-01-01 00:00:00"))).toDS(),
+      d.solrTransport, d.bulkTransport, now = Timestamp.valueOf("2024-01-02 00:00:00"))
+
+    log.clear()
+    assert(Cli.run(spark, argvBase ++ Seq("--boost",
+      "-b", "2024Bst.....1....A 2024Bst.....2....B"), d) == 0)
+    assert(log.exists(_.contains("boost requests sent: 2/2")), s"got $log")
+
+    // augment: only the record with a non-empty aff list produces a request
+    log.clear()
+    assert(Cli.run(spark, argvBase ++ Seq("-a",
+      "-b", "2024Bst.....1....A 2024Bst.....2....B"), d) == 0)
+    assert(log.exists(_.contains("augment requests sent: 1/1")), s"got $log")
+    assert(Cli.run(spark, argvBase ++ Seq("--boost"), d) == 2, "needs bibcodes")
+  }
+
   test("parser: aliases, optional -r letters, errors") {
     assert(Cli.parse(Seq("-r", "-f")) ==
       Right(Map("index" -> "sml", "force_indexing" -> "")))
