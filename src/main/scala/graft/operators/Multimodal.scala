@@ -34,11 +34,25 @@ object Multimodal {
 
   case class Resized(media_id: Long, out_width: Int, out_height: Int, n_bytes: Int)
 
-  /** STUB decode: derive deterministic "media metadata" from the payload
-    * (stands in for an image/audio header parse). The seed hash is the
-    * portable md5-family over the payload's UTF-8 text, so the DuckDB
-    * oracle reproduces it value-for-value. */
-  def decodeMeta(bytes: Array[Byte], kind: String): (Int, Int, Int, Long) = {
+  /** Decode metadata. REAL media containers (PNG/GIF/BMP/JPEG/WAV) are
+    * parsed genuinely — [[MediaHeaders]] reads the dimensions/sample-rate
+    * from the container header, byte-exact with what an image library
+    * reports. Payloads that are not real media (the sandbox's synthetic
+    * corpus) fall back to the deterministic STUB below, whose values the
+    * DuckDB oracle reproduces from the portable hash family. Pixel/sample
+    * decoding (not needed for metadata) is the only remaining stub. */
+  def decodeMeta(bytes: Array[Byte], kind: String): (Int, Int, Int, Long) =
+    (kind match {
+      case "image" | "video" =>
+        MediaHeaders.parseImage(bytes).map(m => (m.width, m.height, 0, 0L))
+      case "audio" =>
+        MediaHeaders.parseWav(bytes).map(m => (0, 0, m.sampleRate, m.durationMs))
+      case _ => None
+    }).getOrElse(stubMeta(bytes, kind))
+
+  /** STUB fallback for non-media bytes: deterministic "metadata" from the
+    * portable md5-family hash, value-reproducible in the oracle. */
+  private def stubMeta(bytes: Array[Byte], kind: String): (Int, Int, Int, Long) = {
     val n = bytes.length
     val h = graft.functions.TextHashes.hash31(new String(bytes, "UTF-8"))
     kind match {
