@@ -6,7 +6,7 @@ import java.sql.Timestamp
 import graft.Tables
 import graft.records._
 import graft.operators.{IndexJob, MergeEngine, Sitemap, SitemapState}
-import graft.streaming.IngestStream
+import graft.streaming.{IngestStream, QueueDecode}
 
 /** Record-domain pipeline operators surfaced to the driver's gate.
   *
@@ -51,7 +51,50 @@ object RecordCatalog extends Catalog {
         else Nil)
     }
 
+  /** Deterministic raw queue envelopes over i = 1..n, seven shapes per
+    * cycle: three single-record types, the two reference list types
+    * (NonBibRecordList/MetricsRecordList → 2 elements each), one
+    * unknown type (rejected, app.py's IgnorableException), one
+    * deleted-status metadata message. Closed form, so DuckDB can
+    * reconstruct every decoded row without parsing JSON. */
+  private def fixtureEnvelopes(n: Int): Seq[String] =
+    (1 to n).map { i =>
+      val bib = f"2024Queue$i%03d..001Q"
+      val t = 1700000000000L + i * 1000L
+      i % 7 match {
+        case 1 =>
+          s"""{"type":"metadata","bibcode":"$bib","timestamp":$t,"status":"active","payload":{"bibcode":"$bib","title":["Queue $i"]}}"""
+        case 2 =>
+          s"""{"type":"nonbib_data","bibcode":"$bib","timestamp":$t,"payload":{"read_count":$i}}"""
+        case 3 =>
+          s"""{"type":"fulltext","bibcode":"$bib","timestamp":$t,"payload":{"body":"body $i"}}"""
+        case 4 =>
+          s"""{"type":"nonbib_records","timestamp":$t,"records":[{"bibcode":"$bib","boost":$i},{"bibcode":"${bib}B","boost":${i + 1}}]}"""
+        case 5 =>
+          s"""{"type":"metrics_records","timestamp":$t,"records":[{"bibcode":"$bib","reads":[$i]},{"bibcode":"${bib}B","reads":[${i + 1}]}]}"""
+        case 6 =>
+          s"""{"type":"frobnicate","bibcode":"$bib","timestamp":$t}"""
+        case 0 =>
+          s"""{"type":"metadata","bibcode":"$bib","timestamp":$t,"status":"deleted"}"""
+      }
+    }
+
   def queries: Map[String, QFn] = Map(
+
+    // ── S1 queue-envelope decode: raw JSON lines → flat update messages,
+    // list envelopes fanned out, unknown types dropped (rejects carry a
+    // reason — QueueDecodeSpec covers the quarantine side) ──
+    "s1_queue_decode" -> ((s, _) => {
+      import s.implicits._
+      val decoded = QueueDecode.decode(
+        s.createDataset(fixtureEnvelopes(63)),
+        ts("2024-01-01T00:00:00Z"))
+      QueueDecode.messages(decoded)
+        .select(col("bibcode"), col("mtype"), col("payload"),
+          unix_millis(col("ts")).as("ts_ms"),
+          coalesce(col("status"), lit("active")).as("status"))
+        .orderBy("bibcode", "mtype")
+    }),
 
     // ── W1 on real data: the distributed global-ordinal bucketing, checked
     // against DuckDB's ROW_NUMBER (proves the offset arithmetic is exactly
@@ -207,6 +250,39 @@ object RecordCatalog extends Catalog {
     }))
 
   def oracle: Map[String, String] = Map(
+    // Seven envelope shapes per cycle of i; the oracle reconstructs the
+    // decoded rows (payload text included) from the same closed form the
+    // fixture generator uses — shape 6 (unknown type) yields no row, the
+    // list shapes (4, 5) yield one row per element.
+    "s1_queue_decode" ->
+      """WITH base AS (
+           SELECT i, printf('2024Queue%03d..001Q', i) AS bib,
+                  1700000000000 + i * 1000 AS t, i % 7 AS m
+           FROM generate_series(1, 63) AS s(i)),
+         rows_out AS (
+           SELECT bib AS bibcode, 'metadata' AS mtype,
+             '{"bibcode":"' || bib || '","title":["Queue ' || i || '"]}' AS payload,
+             t AS ts_ms, 'active' AS status FROM base WHERE m = 1
+           UNION ALL
+           SELECT bib, 'nonbib_data', '{"read_count":' || i || '}', t, 'active'
+           FROM base WHERE m = 2
+           UNION ALL
+           SELECT bib, 'fulltext', '{"body":"body ' || i || '"}', t, 'active'
+           FROM base WHERE m = 3
+           UNION ALL
+           SELECT bib || CASE WHEN j = 1 THEN 'B' ELSE '' END, 'nonbib_data',
+             '{"bibcode":"' || bib || CASE WHEN j = 1 THEN 'B' ELSE '' END ||
+               '","boost":' || (i + j) || '}', t, 'active'
+           FROM base, generate_series(0, 1) AS g(j) WHERE m = 4
+           UNION ALL
+           SELECT bib || CASE WHEN j = 1 THEN 'B' ELSE '' END, 'metrics',
+             '{"bibcode":"' || bib || CASE WHEN j = 1 THEN 'B' ELSE '' END ||
+               '","reads":[' || (i + j) || ']}', t, 'active'
+           FROM base, generate_series(0, 1) AS g(j) WHERE m = 5
+           UNION ALL
+           SELECT bib, 'metadata', NULL, t, 'deleted' FROM base WHERE m = 0)
+         SELECT bibcode, mtype, payload, CAST(ts_ms AS BIGINT) AS ts_ms, status
+         FROM rows_out ORDER BY bibcode, mtype""",
     // The fixture generator is a closed form over i = 1..N, so DuckDB can
     // reconstruct every expected scalar from generate_series without seeing
     // the engine's output: titles/boosts/counts come straight from the

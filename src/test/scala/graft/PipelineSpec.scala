@@ -133,6 +133,51 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(r3.solrOk == 1, "ignore_checksums re-sends the unchanged payload")
   }
 
+  test("links sink alone: failure nulls only the datalinks checksum (test_app.py:382-509)") {
+    import spark.implicits._
+    // index_datalinks success/failure: only the selected sink stamps its
+    // checksum; the other per-sink checksums stay untouched (None), and a
+    // service failure lands links-failed with a cleared datalinks checksum
+    val root = java.nio.file.Files.createTempDirectory("graft_store_dl").toString
+    val store = new MasterStore(root, numBuckets = 2)
+    def snap = store.read(spark).collect().head
+    // reference fixture: nonbib carries data_links_rows so the resolver
+    // payload exists (linksForResolver prefers nonbib rows)
+    def linkMsgs(t: String) = msgs("linkstest", t).map(m =>
+      if (m.mtype == "nonbib_data")
+        m.copy(payload = """{"data_links_rows": [{"baz": 0}]}""")
+      else m)
+
+    val r1 = Pipeline.runBatch(spark, store,
+      linkMsgs("2024-01-01 00:00:00").toDS(), okTransport, okTransport,
+      sinks = Set("links"), now = ts("2024-01-02 00:00:00"))
+    assert(r1.linksOk == 1 && r1.solrOk == 0 && r1.metricsOk == 0)
+    val ok = snap
+    assert(ok.getAs[String]("status") == "success")
+    assert(ok.getAs[String]("datalinks_checksum") != null)
+    assert(ok.getAs[String]("solr_checksum") == null, "unselected sink never stamps")
+    assert(ok.getAs[String]("metrics_checksum") == null)
+
+    val down = new Sinks.Transport {
+      def send(p: Seq[String]): Unit = throw new RuntimeException("resolver 500")
+    }
+    Pipeline.runBatch(spark, store, spark.emptyDataset[UpdateMessage],
+      okTransport, down, sinks = Set("links"),
+      force = true, ignoreChecksums = true, now = ts("2024-01-03 00:00:00"))
+    val failed = snap
+    assert(failed.getAs[String]("status") == "links-failed")
+    assert(failed.getAs[String]("datalinks_checksum") == null,
+      "failure clears the datalinks checksum (app.py index_datalinks failure path)")
+
+    // next normal run re-drives (cleared checksum cannot suppress) and heals
+    val r3 = Pipeline.runBatch(spark, store,
+      linkMsgs("2024-01-04 00:00:00").toDS(), okTransport, okTransport,
+      sinks = Set("links"), now = ts("2024-01-05 00:00:00"))
+    assert(r3.linksOk == 1)
+    assert(snap.getAs[String]("status") == "success")
+    assert(snap.getAs[String]("datalinks_checksum") != null)
+  }
+
   test("metadata deleted-status message deletes the record and hits the sinks") {
     import spark.implicits._
     // test_tasks.py:125-129: DenormalizedRecord(status=deleted) →

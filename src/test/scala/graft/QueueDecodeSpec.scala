@@ -1,0 +1,100 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.MergeEngine
+import graft.streaming.QueueDecode
+
+/** S1 queue-envelope decode — ports the `task_update_record` family from
+  * the reference (adsmp/tests/test_tasks.py:81-245): per-type storage,
+  * list-envelope fan-out (NonBibRecordList/MetricsRecordList), unknown
+  * types rejected (IgnorableException), deleted statuses passed through.
+  */
+class QueueDecodeSpec extends AnyFunSuite with SparkSpec {
+
+  private val t0 = new Timestamp(1700000000000L)
+
+  private def decode(lines: String*) = {
+    import spark.implicits._
+    QueueDecode.decode(spark.createDataset(lines), t0)
+  }
+
+  test("single fulltext envelope stores its body slot (test_tasks:131)") {
+    import spark.implicits._
+    val d = decode(
+      """{"type":"fulltext","bibcode":"2015ApJ...815..133S","timestamp":1700000001000,"payload":{"body":"INTRODUCTION"}}""")
+    val msgs = QueueDecode.messages(d).collect()
+    assert(msgs.length == 1)
+    assert(msgs.head.mtype == "fulltext")
+    assert(msgs.head.payload == """{"body":"INTRODUCTION"}""")
+    // through the store: the slot lands on the record like update_storage
+    val merged = MergeEngine.upsert(MergeEngine.emptyMaster(spark),
+      QueueDecode.messages(d)).master
+    val row = merged.selectExpr("bibcode",
+      "get_json_object(fulltext, '$.body')").as[(String, String)].collect()
+    assert(row.toSeq == Seq(("2015ApJ...815..133S", "INTRODUCTION")))
+  }
+
+  test("nonbib and metrics list envelopes fan out per element (test_tasks:155,208)") {
+    val d = decode(
+      """{"type":"nonbib_records","timestamp":1700000002000,"records":[{"bibcode":"2003ASPC..295..361M","boost":3},{"bibcode":"3003ASPC..295..361Z","boost":4}]}""",
+      """{"type":"metrics_records","timestamp":1700000003000,"records":[{"bibcode":"2015ApJ...815..133S"},{"bibcode":"3015ApJ...815..133Z"}]}""")
+    val msgs = QueueDecode.messages(d).collect().sortBy(m => (m.mtype, m.bibcode))
+    assert(msgs.map(_.mtype).toSeq ==
+      Seq("metrics", "metrics", "nonbib_data", "nonbib_data"))
+    assert(msgs.map(_.bibcode).toSeq == Seq(
+      "2015ApJ...815..133S", "3015ApJ...815..133Z",
+      "2003ASPC..295..361M", "3003ASPC..295..361Z"))
+    // each element keeps its own JSON as the slot payload (tasks.py:72-80)
+    assert(msgs.find(_.bibcode == "2003ASPC..295..361M").get.payload ==
+      """{"bibcode":"2003ASPC..295..361M","boost":3}""")
+    assert(QueueDecode.rejects(d).count() == 0)
+  }
+
+  test("unknown type and malformed envelopes are rejected with reasons (app.py:363)") {
+    val d = decode(
+      """{"type":"frobnicate","bibcode":"X","timestamp":1}""",
+      """not json at all""",
+      """{"bibcode":"X"}""",
+      """{"type":"metadata"}""",
+      """{"type":"nonbib_records","records":[]}""")
+    assert(QueueDecode.messages(d).count() == 0)
+    val reasons = QueueDecode.rejects(d).collect().map(_._2).toSet
+    assert(reasons == Set("unknown type frobnicate", "not a JSON object",
+      "missing type", "missing bibcode", "list envelope without records"))
+  }
+
+  test("deleted status passes through on both single and protobuf-int forms") {
+    val d = decode(
+      """{"type":"metadata","bibcode":"B1","timestamp":1,"status":"deleted"}""",
+      """{"type":"fulltext","bibcode":"B2","timestamp":2,"status":1,"payload":{"body":"x"}}""",
+      """{"type":"metadata","bibcode":"B3","timestamp":3,"status":"active","payload":{}}""")
+    val byBib = QueueDecode.messages(d).collect().map(m => m.bibcode -> m.status).toMap
+    assert(byBib == Map("B1" -> Some("deleted"), "B2" -> Some("deleted"), "B3" -> None))
+  }
+
+  test("missing timestamp falls back to the injected ingest time") {
+    val d = decode("""{"type":"metadata","bibcode":"B1","payload":{}}""")
+    assert(QueueDecode.messages(d).collect().head.ts == t0)
+  }
+
+  test("decoded stream drives the store: slot-deleted clears, record survives (test_tasks:104)") {
+    import spark.implicits._
+    val put = decode(
+      """{"type":"fulltext","bibcode":"B1","timestamp":1000,"payload":{"foo":"bar"}}""",
+      """{"type":"metadata","bibcode":"B1","timestamp":1001,"payload":{"bibcode":"B1"}}""")
+    val m1 = MergeEngine.upsert(MergeEngine.emptyMaster(spark),
+      QueueDecode.messages(put)).master
+    assert(m1.selectExpr("get_json_object(fulltext, '$.foo')")
+      .as[String].collect().toSeq == Seq("bar"))
+    val del = decode(
+      """{"type":"fulltext","bibcode":"B1","timestamp":2000,"status":"deleted"}""")
+    val m2 = MergeEngine.upsert(m1, QueueDecode.messages(del)).master
+    val row = m2.selectExpr("bibcode", "fulltext", "bib_data").collect()
+    assert(row.length == 1 && row.head.getString(0) == "B1")
+    assert(row.head.isNullAt(1), "deleted slot cleared")
+    assert(!row.head.isNullAt(2), "record survives with its other slots")
+  }
+}

@@ -23,6 +23,42 @@ class SitemapSpec extends AnyFunSuite with SparkSpec {
     assert(kept == Set("b1", "b2"))
   }
 
+  test("P7 inclusion matrix: all 17 reference scenarios (test_app.py:606-818)") {
+    import spark.implicits._
+    val base = 1700000000000L
+    def t(deltaMs: Long): Option[java.sql.Timestamp] =
+      Some(new java.sql.Timestamp(base + deltaMs))
+    val day = 86400000L
+    // (case, bib_data, status, bib_data_updated, solr_processed, expected)
+    val cases = Seq(
+      ("no_bib_data", None: Option[String], Some("success"), None, None, false),
+      ("solr_failed", Some("{}"), Some("solr-failed"), None, None, false),
+      ("retrying", Some("{}"), Some("retrying"), None, None, false),
+      ("none_status", Some("{}"), None, None, None, true),
+      ("success", Some("{}"), Some("success"), t(-day), None, true),
+      ("metrics_failed", Some("{}"), Some("metrics-failed"), None, None, true),
+      ("links_failed", Some("{}"), Some("links-failed"), None, None, true),
+      ("not_processed", Some("{}"), None, None, None, true),
+      ("recent_solr", Some("{}"), Some("success"), t(-day), t(0), true),
+      ("stale_solr", Some("{}"), Some("success"), t(0), t(-6 * day), true),
+      ("boundary_5d", Some("{}"), Some("success"), t(0), t(-5 * day - 1000), true),
+      ("no_timestamps", Some("{}"), Some("success"), None, None, true),
+      ("no_solr_time", Some("{}"), Some("success"), t(0), None, true),
+      ("no_bib_time", Some("{}"), Some("success"), None, t(0), true),
+      ("fresh", Some("{}"), Some("success"), t(-1800000), t(0), true),
+      ("moderate_lag", Some("{}"), Some("success"), t(-2 * day), t(0), true))
+    val df = cases.map { case (n, bd, st, bu, sp, exp) => (n, bd, st, bu, sp, exp) }
+      .toDF("name", "bib_data", "status", "bib_data_updated", "solr_processed", "expected")
+    val got = df.withColumn("included", Sitemap.shouldInclude)
+      .select("name", "expected", "included").collect()
+    for (r <- got)
+      assert(r.getBoolean(1) == r.getBoolean(2), s"case ${r.getString(0)}")
+    // staleness is a diagnostic, never an exclusion: only the >5d cases flag
+    val stale = df.withColumn("stale", Sitemap.isStale)
+      .filter(col("stale")).select("name").collect().map(_.getString(0)).toSet
+    assert(stale == Set("stale_solr", "boundary_5d"))
+  }
+
   test("W1 bucketing matches sequential fill, including continuation") {
     import spark.implicits._
     val records = (1L to 250L).map(i => (i * 10, s"b$i")).toDF("id", "bibcode")
