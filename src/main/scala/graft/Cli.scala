@@ -163,9 +163,12 @@ object Cli {
           out(s"removed ${bibs.length} bibcodes; " +
             s"deleted files: ${res.filesToDelete.mkString(",")}")
         case "delete-table" =>
-          // truncate + park the old snapshot, the M6 backup semantics
+          // truncate + park the old snapshot, the M6 backup semantics;
+          // rendered trees are parked too (app.py backup_sitemap_files)
           sm.truncate(spark, s"${sm.root}-backup")
-          out("sitemap table truncated (old snapshot backed up)")
+          val parked = Sitemap.backupFiles(spark, outRoot, now)
+          out("sitemap table truncated (old snapshot backed up" +
+            parked.map(p => s"; files parked at $p").getOrElse("") + ")")
         case "update-robots" =>
           for (key <- Sitemap.Sites.keys.toSeq.sorted) {
             val site = Sitemap.Sites(key)
@@ -338,6 +341,31 @@ object Cli {
       return if (report.solrFailed > 0) 1 else 0
     }
 
+    if (a.contains("ingest")) {
+      // S1 front door in batch mode: the reference consumes typed
+      // protobufs off its queues; here a file/dir of raw JSON envelopes
+      // (one per line) is decoded, rejects are quarantined next to the
+      // store, and the good messages run one full pipeline batch
+      val path = a("ingest")
+      if (path.isEmpty) { out("error: --ingest needs a file or directory"); return 2 }
+      import spark.implicits._
+      val decoded = graft.streaming.QueueDecode.decode(
+        spark.read.textFile(path), now).cache()
+      val messages = graft.streaming.QueueDecode.messages(decoded)
+      val rejects = graft.streaming.QueueDecode.rejects(decoded)
+      val nRejects = rejects.count()
+      if (nRejects > 0)
+        rejects.toDF("raw", "reason").write.mode("append")
+          .json(s"$storeRoot-quarantine")
+      val report = Pipeline.runBatch(spark, store, messages,
+        deps.solrTransport, deps.bulkTransport, now = now)
+      decoded.unpersist()
+      out(s"ingested=${report.merged} rejected=$nRejects " +
+        s"solrOk=${report.solrOk} solrFailed=${report.solrFailed} " +
+        s"version=${report.version}")
+      return if (report.solrFailed > 0) 1 else 0
+    }
+
     if (a.contains("index")) {
       val letters = a.getOrElse("index", "sml")
       val sinks = Set(
@@ -374,7 +402,7 @@ object Cli {
       return if (report.solrFailed > 0) 1 else 0
     }
 
-    out("error: no command given (try -d, -k, -r, --delete, --delete_obsolete, " +
+    out("error: no command given (try -d, -k, -r, --ingest, --delete, --delete_obsolete, " +
       "--manage-sitemap, --update-sitemap-files, --update-sitemaps-auto, " +
       "--cleanup-invalid-sitemaps)")
     2
@@ -389,7 +417,7 @@ object Cli {
       "-a" -> "--augment", "-x" -> "--rebuild-collection")
     val valued = Set("index", "since", "bibcodes", "filename", "action",
       "store", "sitemap-store", "out", "watermark-dir", "priority", "days-back",
-      "scix-id-flag")
+      "scix-id-flag", "ingest")
     // -r's letters are optional (nargs='?'): a following token that is not
     // a flag is its value, otherwise the default applies
     val optionalValued = Set("index")

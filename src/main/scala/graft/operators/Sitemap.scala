@@ -277,6 +277,34 @@ object Sitemap {
       }
   }
 
+  /** backup_sitemap_files (adsmp/app.py:1250-1261): park every rendered
+    * tree under a dated directory before a destructive action
+    * (delete-table). The reference shells out to `mkdir -p` + `mv`; here
+    * it's Hadoop FS renames so the same code handles HDFS/S3A trees.
+    * Returns the backup path, or None when there was nothing to park. */
+  def backupFiles(spark: org.apache.spark.sql.SparkSession, outRoot: String,
+      now: java.sql.Timestamp): Option[String] = {
+    val src = new org.apache.hadoop.fs.Path(outRoot)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(src)) return None
+    val cal = java.util.Calendar.getInstance(java.util.TimeZone.getTimeZone("UTC"))
+    cal.setTimeInMillis(now.getTime)
+    val stamp = "sitemap_%d_%d_%d-%02d%02d%02d".format(
+      cal.get(java.util.Calendar.YEAR), cal.get(java.util.Calendar.MONTH) + 1,
+      cal.get(java.util.Calendar.DAY_OF_MONTH), cal.get(java.util.Calendar.HOUR_OF_DAY),
+      cal.get(java.util.Calendar.MINUTE), cal.get(java.util.Calendar.SECOND))
+    val dst = new org.apache.hadoop.fs.Path(s"$outRoot-backup/$stamp")
+    fs.mkdirs(dst.getParent)
+    if (!fs.rename(src, dst)) {
+      // same-dir rename refused (e.g. dst exists): fall back per-child
+      fs.mkdirs(dst)
+      fs.listStatus(src).foreach(st =>
+        fs.rename(st.getPath, new org.apache.hadoop.fs.Path(dst, st.getPath.getName)))
+      fs.delete(src, true)
+    }
+    Some(dst.toString)
+  }
+
   /** J5 — files needing regeneration: any row flagged → whole file
     * regenerates (tasks.py:1132-1141). */
   def filesNeedingUpdate(sitemap: DataFrame): DataFrame =

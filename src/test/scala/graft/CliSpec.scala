@@ -99,15 +99,53 @@ class CliSpec extends AnyFunSuite with SparkSpec {
     assert(store.read(spark).count() == 1, "other record survives")
     assert(smStore.read(spark).count() == 0)
 
-    // delete-table truncates with backup
+    // delete-table truncates with backup; rendered trees are parked under
+    // a dated dir (app.py backup_sitemap_files semantics)
+    assert(new java.io.File(s"$root/sitemaps/ads").exists)
     assert(Cli.run(spark, argvBase ++
       Seq("--manage-sitemap", "--action", "delete-table"), d) == 0)
     assert(smStore.read(spark).count() == 0)
+    assert(!new java.io.File(s"$root/sitemaps/ads").exists, "tree moved aside")
+    val parked = new java.io.File(s"$root/sitemaps-backup").listFiles()
+    assert(parked != null && parked.length == 1 &&
+      parked.head.getName.matches("sitemap_\\d{4}_\\d{1,2}_\\d{1,2}-\\d{6}"))
+    assert(new java.io.File(parked.head, "ads/sitemap_bib_1.xml").exists,
+      "backup keeps the rendered files")
 
     // kv shows the (unset) watermark
     log.clear()
     assert(Cli.run(spark, argvBase ++ Seq("-k"), d) == 0)
     assert(log.exists(_.contains("last.reindex.normal=")))
+  }
+
+  test("--ingest: raw envelope file decodes, merges, quarantines rejects") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cli_ing").toString
+    val log = collection.mutable.Buffer.empty[String]
+    val (_, d) = deps(log)
+    val argvBase = Seq("--store", s"$root/master",
+      "--sitemap-store", s"$root/smstate", "--out", s"$root/sitemaps")
+
+    val lines = Seq(
+      """{"type":"metadata","bibcode":"2024Ing......1A","timestamp":1700000000000,"payload":{"bibcode":"2024Ing......1A","title":["I1"]}}""",
+      """{"type":"nonbib_records","timestamp":1700000001000,"records":[{"bibcode":"2024Ing......1A","boost":1},{"bibcode":"2024Ing......2B","boost":2}]}""",
+      """{"type":"frobnicate","bibcode":"junk"}""",
+      """garbage line""")
+    val f = java.nio.file.Paths.get(root, "queue.jsonl")
+    java.nio.file.Files.write(f, lines.mkString("\n").getBytes("UTF-8"))
+
+    assert(Cli.run(spark, argvBase ++ Seq("--ingest", f.toString), d) == 0)
+    assert(log.exists(l => l.contains("ingested=2") && l.contains("rejected=2")),
+      s"got: $log")
+    val store = new graft.sources.MasterStore(s"$root/master")
+    val recs = store.read(spark).collect()
+      .map(r => r.getAs[String]("bibcode") -> r.getAs[String]("nonbib_data")).toMap
+    assert(recs.keySet == Set("2024Ing......1A", "2024Ing......2B"),
+      "list envelope fanned out into the store")
+    assert(recs("2024Ing......2B").contains("\"boost\":2"))
+    // rejects quarantined with reasons next to the store
+    val q = spark.read.json(s"$root/master-quarantine").collect()
+      .map(_.getAs[String]("reason")).toSet
+    assert(q == Set("unknown type frobnicate", "not a JSON object"))
   }
 
   test("cron surface: auto sitemap update, cleanup, delete_obsolete") {
