@@ -305,6 +305,29 @@ object Cli {
       return 0
     }
 
+    if (a.contains("classify") || a.contains("classify_verify")) {
+      // run.py --classify / --classify_verify (run.py:912-948 +
+      // app.request_classify): project the named records into classifier
+      // request messages — bibcode, first title, abstract, operation_step
+      // — and push them through the bulk transport. Records without a
+      // title are skipped, as in prepare_bibcode.
+      val bibs = namedBibcodes()
+      if (bibs.isEmpty) { out("error: --classify needs -b or -n"); return 2 }
+      val step = if (a.contains("classify_verify")) "classify_verify" else "classify"
+      import spark.implicits._
+      val requests = store.read(spark)
+        .filter(col("bibcode").isin(bibs: _*))
+        .as[graft.records.MasterRecord]
+        .flatMap(r => IndexJob.classifyRequest(r, step).map(j =>
+          org.json4s.jackson.JsonMethods.compact(
+            org.json4s.jackson.JsonMethods.render(j))))
+      val status = Sinks.writeBulk(
+        requests.map(p => ("", p, "", true)).toDF("bibcode", "payload", "checksum", "changed"),
+        deps.bulkTransport).collect()
+      out(s"classify requests ($step) sent: ${status.count(_.ok)}/${status.length}")
+      return 0
+    }
+
     if (a.contains("update-scix-id")) {
       // run.py --update-scix-id --scix-id-flag ... (tasks.py:211-280);
       // the -all variants sweep the whole table, the rest need -b/-n
@@ -335,7 +358,8 @@ object Cli {
         spark.emptyDataset[graft.records.UpdateMessage],
         deps.solrTransport, deps.bulkTransport,
         force = true, ignoreChecksums = true, now = now,
-        restrictTo = Some(failed))
+        restrictTo = Some(failed),
+        updateProcessed = !a.contains("no-update-processed"))
       out(s"reindexed ${failed.length} previously failed bibcodes: " +
         s"solrOk=${report.solrOk} solrFailed=${report.solrFailed}")
       return if (report.solrFailed > 0) 1 else 0
@@ -394,7 +418,11 @@ object Cli {
           watermarkDir = watermarkDir,
           force = force, ignoreChecksums = ignoreChecksums, now = now,
           sinks = sinks, restrictTo = restrict,
-          sinceOverride = a.get("since").map(Timestamp.valueOf))
+          sinceOverride = a.get("since").map(Timestamp.valueOf),
+          // run.py --update-processed: here stamping defaults ON (P4
+          // suppression depends on it); --no-update-processed turns the
+          // run into the reference's deliver-without-stamping mode
+          updateProcessed = !a.contains("no-update-processed"))
       }
       out(s"indexed=${report.indexed} solrOk=${report.solrOk} " +
         s"solrFailed=${report.solrFailed} metricsOk=${report.metricsOk} " +

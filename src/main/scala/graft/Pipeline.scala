@@ -40,7 +40,8 @@ object Pipeline {
       metricsStore: Option[MasterStore] = None,
       sinks: Set[String] = Set("solr", "metrics", "links"),
       restrictTo: Option[Seq[String]] = None,
-      sinceOverride: Option[Timestamp] = None): RunReport = {
+      sinceOverride: Option[Timestamp] = None,
+      updateProcessed: Boolean = true): RunReport = {
     import spark.implicits._
 
     // ST1: incremental window from the stored watermark; an explicit
@@ -122,9 +123,14 @@ object Pipeline {
         }), now)
     }
 
-    val stamped = stamp(stamp(stamp(master, solrStatus, batch.solr, "solr"),
-      metricsStatus, batch.metrics, "metrics"),
-      linksStatus, batch.links, "links")
+    // update_processed=False (app.py:381-430, run.py --update-processed):
+    // deliveries still happen but NO records-table state is touched —
+    // no processed timestamps, checksums, or statuses, success or failure
+    val stamped =
+      if (!updateProcessed) master
+      else stamp(stamp(stamp(master, solrStatus, batch.solr, "solr"),
+        metricsStatus, batch.metrics, "metrics"),
+        linksStatus, batch.links, "links")
 
     // S7's store leg: merge the due metrics payloads into the metrics
     // snapshot (whole-row replace per bibcode, MetricsTable semantics).

@@ -80,6 +80,27 @@ object IndexJob {
       "author" -> (bib \ "author" match { case JNothing => JString(""); case v => v }))))
   }
 
+  /** Classifier-pipeline request (adsmp/app.py:655-727 prepare_bibcode +
+    * request_classify): sent only when the bib data carries a non-empty
+    * title; the title flattens to its first element like the reference's
+    * protobuf build. `operationStep` is classify or classify_verify. */
+  def classifyRequest(rec: MasterRecord, operationStep: String): Option[JObject] = {
+    val bib = rec.bib_data.map(SolrTransform.parse).getOrElse(JNothing)
+    val title = bib \ "title" match {
+      case JArray(JString(t) :: _) => t
+      case JString(t) => t
+      case _ => ""
+    }
+    if (title.isEmpty) None
+    else Some(JObject(List(
+      "bibcode" -> JString(rec.bibcode),
+      "scix_id" -> JString(rec.scix_id.getOrElse("")),
+      "title" -> JString(title),
+      "abstract" -> (bib \ "abstract" match {
+        case JString(a) => JString(a); case _ => JString("") }),
+      "operation_step" -> JString(operationStep))))
+  }
+
   /** One sink payload: bibcode, rendered JSON, its checksum, and whether
     * the checksum differs from the stored one (i.e. a write is due). */
   case class SinkPayload(bibcode: String, payload: String, checksum: String, changed: Boolean)

@@ -332,6 +332,19 @@ class CliSpec extends AnyFunSuite with SparkSpec {
       "-b", "2024Bst.....1....A 2024Bst.....2....B"), d) == 0)
     assert(log.exists(_.contains("augment requests sent: 1/1")), s"got $log")
     assert(Cli.run(spark, argvBase ++ Seq("--boost"), d) == 2, "needs bibcodes")
+
+    // classify: both titled records produce requests; operation_step
+    // follows the flag (run.py:912-948)
+    log.clear()
+    assert(Cli.run(spark, argvBase ++ Seq("--classify",
+      "-b", "2024Bst.....1....A 2024Bst.....2....B"), d) == 0)
+    assert(log.exists(_.contains("classify requests (classify) sent: 2/2")), s"got $log")
+    log.clear()
+    assert(Cli.run(spark, argvBase ++ Seq("--classify_verify",
+      "-b", "2024Bst.....1....A"), d) == 0)
+    assert(log.exists(_.contains("classify requests (classify_verify) sent: 1/1")),
+      s"got $log")
+    assert(Cli.run(spark, argvBase ++ Seq("--classify"), d) == 2, "needs bibcodes")
   }
 
   test("parser: aliases, optional -r letters, errors") {

@@ -65,6 +65,46 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       graft.records.MasterRecord.empty("no-aff")) == None)
   }
 
+  test("classify request builder needs a title; flattens list titles (app.py:655-727)") {
+    val rec = graft.records.MasterRecord.empty("cb").copy(
+      scix_id = Some("scix:AAAA-BBBB-CCCC"),
+      bib_data = Some("""{"title": ["First title", "alt"], "abstract": "Abs."}"""))
+    val j = graft.operators.IndexJob.classifyRequest(rec, "classify_verify").get
+    val m = j.obj.toMap
+    assert(m("bibcode") == org.json4s.JString("cb"))
+    assert(m("title") == org.json4s.JString("First title"), "first element wins")
+    assert(m("abstract") == org.json4s.JString("Abs."))
+    assert(m("operation_step") == org.json4s.JString("classify_verify"))
+    assert(graft.operators.IndexJob.classifyRequest(
+      graft.records.MasterRecord.empty("no-title"), "classify") == None,
+      "prepare_bibcode skips records without a title")
+  }
+
+  test("update_processed=false delivers without touching records-table state") {
+    import spark.implicits._
+    // run.py --update-processed / app.py index_* update_processed=False:
+    // sends happen, but no processed/checksum/status lands — success or
+    // failure — so the next run still sees the record as due
+    val root = java.nio.file.Files.createTempDirectory("graft_store_up").toString
+    val store = new MasterStore(root, numBuckets = 2)
+    val r1 = Pipeline.runBatch(spark, store,
+      msgs("up1", "2024-01-01 00:00:00").toDS(), okTransport, okTransport,
+      now = ts("2024-01-02 00:00:00"), updateProcessed = false)
+    assert(r1.solrOk == 1, "delivery happened")
+    val after = store.read(spark).collect().head
+    assert(after.getAs[String]("status") == null)
+    assert(after.getAs[String]("solr_checksum") == null)
+    assert(after.getAs[java.sql.Timestamp]("solr_processed") == null)
+
+    // no suppression possible: the identical payload re-sends next run
+    val r2 = Pipeline.runBatch(spark, store,
+      spark.emptyDataset[UpdateMessage], okTransport, okTransport,
+      force = true, now = ts("2024-01-03 00:00:00"))
+    assert(r2.solrOk == 1, "unstamped record stays due")
+    assert(store.read(spark).collect().head.getAs[String]("status") == "success",
+      "default mode stamps again")
+  }
+
   test("failed delivery re-drives: null'd sink checksum defeats P4 suppression") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_store_rd").toString
