@@ -53,7 +53,12 @@ object Cli {
       rebuildProbe: Option[graft.operators.Rebuild.StatusProbe] = None,
       rebuildCfg: graft.operators.Rebuild.Config = graft.operators.Rebuild.Config(),
       rebuildSleep: Long => Unit = Thread.sleep(_),
-      rebuildClock: () => Long = System.currentTimeMillis _)
+      rebuildClock: () => Long = System.currentTimeMillis _,
+      // -c/--validate_solr compares an old and a new search core; like the
+      // rebuild probe, the two per-document fetchers are injected (the
+      // sandbox has no live cores)
+      validateFetchers: Option[(graft.operators.ValidateSolr.DocFetcher,
+        graft.operators.ValidateSolr.DocFetcher)] = None)
 
   private class LogTransport(name: String, out: String => Unit) extends Sinks.Transport {
     def send(payloads: Seq[String]): Unit =
@@ -328,6 +333,34 @@ object Cli {
       return 0
     }
 
+    if (a.contains("validate_solr")) {
+      // run.py -c (run.py:864-889) → adsmp/validate.py compare_solr: pull
+      // each named bibcode from both cores and field-compare with the
+      // tolerance rules; summary counts mirror pipeline_mismatch logging
+      val bibs = namedBibcodes()
+      if (bibs.isEmpty) { out("error: --validate_solr needs -b or -n"); return 2 }
+      val (oldCore, newCore) = deps.validateFetchers.getOrElse(
+        { out("error: --validate_solr needs old/new core fetchers " +
+            "(no live search cluster configured)"); return 2 })
+      val reports = graft.operators.ValidateSolr
+        .compareBibcodes(spark, bibs, oldCore, newCore)
+        .collect().sortBy(_.bibcode)
+      for (r <- reports) r.status match {
+        case "missing-both" => out(s"${r.bibcode}: not in either core")
+        case "missing-old"  => out(s"${r.bibcode}: missing from old core")
+        case "missing-new"  => out(s"${r.bibcode}: missing from new core")
+        case "ok" => out(s"${r.bibcode}: no mismatched fields")
+        case _ =>
+          out(s"${r.bibcode}: ${r.mismatched.size} mismatches " +
+            s"(${r.mismatched.mkString(",")}), ${r.missingRequired} missing " +
+            s"required new fields, ${r.notInOld} fields not in old, " +
+            s"${r.notInNew} fields not in new, ${r.missing} in neither")
+      }
+      val bad = reports.count(r => r.status != "ok")
+      out(s"validated ${reports.length} bibcodes: ${reports.length - bad} clean, $bad flagged")
+      return 0
+    }
+
     if (a.contains("update-scix-id")) {
       // run.py --update-scix-id --scix-id-flag ... (tasks.py:211-280);
       // the -all variants sweep the whole table, the rest need -b/-n
@@ -442,10 +475,12 @@ object Cli {
     val aliases = Map("-d" -> "--diagnostics", "-k" -> "--kv", "-r" -> "--index",
       "-f" -> "--force_indexing", "-o" -> "--force_processing",
       "-s" -> "--since", "-b" -> "--bibcodes", "-n" -> "--filename",
-      "-a" -> "--augment", "-x" -> "--rebuild-collection")
+      "-a" -> "--augment", "-x" -> "--rebuild-collection",
+      "-c" -> "--validate_solr", "-e" -> "--batch_size")
     val valued = Set("index", "since", "bibcodes", "filename", "action",
       "store", "sitemap-store", "out", "watermark-dir", "priority", "days-back",
-      "scix-id-flag", "ingest")
+      "scix-id-flag", "ingest", "batch_size", "solr-collection",
+      "classifier_batch")
     // -r's letters are optional (nargs='?'): a following token that is not
     // a flag is its value, otherwise the default applies
     val optionalValued = Set("index")
