@@ -283,6 +283,27 @@ object Cli {
       return if (res.ok) 0 else 1
     }
 
+    if (a.contains("boost-all")) {
+      // run.py --boost-all (run.py:973-976 + process_all_boost
+      // run.py:333-364): sweep every record in the store into boost-request
+      // messages, delivered in -e/--batch_size groups. The reference pages
+      // the table driver-side with yield_per; here the sweep is a
+      // distributed map with partition-local batched sends — no driver loop
+      val batchSize = a.get("batch_size").map(_.toInt).getOrElse(100)
+      import spark.implicits._
+      val requests = store.read(spark)
+        .as[graft.records.MasterRecord]
+        .map(r => (r.bibcode, org.json4s.jackson.JsonMethods.compact(
+          org.json4s.jackson.JsonMethods.render(IndexJob.boostRequest(r)))))
+      val status = Sinks.writeBulk(
+        requests.map { case (b, p) => (b, p, "", true) }
+          .toDF("bibcode", "payload", "checksum", "changed"),
+        deps.bulkTransport, batchSize = batchSize).collect()
+      out(s"boost-all requests sent: ${status.count(_.ok)}/${status.length} " +
+        s"(batch size $batchSize)")
+      return 0
+    }
+
     if (a.contains("boost") || a.contains("augment")) {
       // run.py --boost / -a --augment: project the named records into
       // boost-scorer / aff-augment request messages and push them through

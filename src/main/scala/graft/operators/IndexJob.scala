@@ -84,7 +84,8 @@ object IndexJob {
     * request_classify): sent only when the bib data carries a non-empty
     * title; the title flattens to its first element like the reference's
     * protobuf build. `operationStep` is classify or classify_verify. */
-  def classifyRequest(rec: MasterRecord, operationStep: String): Option[JObject] = {
+  def classifyRequest(rec: MasterRecord, operationStep: String,
+      outputPath: Option[String] = None): Option[JObject] = {
     val bib = rec.bib_data.map(SolrTransform.parse).getOrElse(JNothing)
     val title = bib \ "title" match {
       case JArray(JString(t) :: _) => t
@@ -92,14 +93,25 @@ object IndexJob {
       case _ => ""
     }
     if (title.isEmpty) None
-    else Some(JObject(List(
-      "bibcode" -> JString(rec.bibcode),
-      "scix_id" -> JString(rec.scix_id.getOrElse("")),
-      "title" -> JString(title),
-      "abstract" -> (bib \ "abstract" match {
-        case JString(a) => JString(a); case _ => JString("") }),
-      "operation_step" -> JString(operationStep))))
+    else Some(classifyEntry(rec.bibcode, title, bib \ "abstract" match {
+      case JString(a) => a; case _ => "" }, operationStep, outputPath,
+      scixId = Some(rec.scix_id.getOrElse(""))))
   }
+
+  /** One classify_requests entry (app.py:711-719 auto, :746-755 manual —
+    * the manual batch path also stamps `output_path`, the input file's
+    * basename, so the classifier writes verdicts next to the request). */
+  def classifyEntry(bibcode: String, title: String, abstractText: String,
+      operationStep: String, outputPath: Option[String] = None,
+      scixId: Option[String] = None): JObject =
+    JObject(List(
+      "bibcode" -> JString(bibcode)) ++
+      scixId.map(s => "scix_id" -> JString(s): (String, JValue)).toList ++
+      List(
+        "title" -> (JString(title): JValue),
+        "abstract" -> (JString(abstractText): JValue),
+        "operation_step" -> (JString(operationStep): JValue)) ++
+      outputPath.map(p => "output_path" -> JString(p): (String, JValue)).toList)
 
   /** One sink payload: bibcode, rendered JSON, its checksum, and whether
     * the checksum differs from the stored one (i.e. a write is due). */
