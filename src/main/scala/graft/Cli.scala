@@ -108,6 +108,36 @@ object Cli {
       (fromList ++ fromFile).distinct
     }
 
+    // Distributed twin of namedBibcodes for the sweep commands: a -n file
+    // is read as a Spark text source, so a million-line list never lands
+    // on the driver — downstream selection is a left_semi join, not an
+    // isin literal (the reference streams the same lists with yield_per,
+    // run.py:431-436)
+    def namedBibcodesDS(): Option[org.apache.spark.sql.Dataset[String]] = {
+      import spark.implicits._
+      val fromList = a.get("bibcodes").toSeq.flatMap(_.split("\\s+")).filter(_.nonEmpty)
+      val listDs = if (fromList.nonEmpty) Some(fromList.toDS()) else None
+      val fileDs = a.get("filename").map(f =>
+        spark.read.textFile(f).map(_.trim).filter(_.nonEmpty))
+      (listDs, fileDs) match {
+        case (Some(l), Some(f)) => Some(l.union(f).distinct())
+        case (Some(l), None)    => Some(l.distinct())
+        case (None, Some(f))    => Some(f.distinct())
+        case _                  => None
+      }
+    }
+
+    // One distributed pass over a sink-status frame → (ok, total). A
+    // single agg job so the underlying mapPartitions transports fire
+    // exactly once; nothing per-record ever reaches the driver (the old
+    // .collect()-to-count here was an OOM at the reference's 28.8M rows)
+    def sinkCounts(status: org.apache.spark.sql.Dataset[Sinks.SinkStatus]): (Long, Long) = {
+      val r = status.toDF().agg(
+        coalesce(sum(when(col("ok"), 1L).otherwise(0L)), lit(0L)),
+        count(lit(1))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
     if (a.contains("diagnostics")) {
       val master = store.read(spark)
       out(s"store=$storeRoot version=${store.currentVersion.getOrElse(0L)} " +
@@ -126,17 +156,16 @@ object Cli {
     }
 
     if (a.contains("delete")) {
-      val doomed = namedBibcodes()
-      if (doomed.isEmpty) { out("error: --delete needs -b or -n"); return 2 }
-      import spark.implicits._
+      val doomed = namedBibcodesDS().getOrElse(
+        { out("error: --delete needs -b or -n"); return 2 })
       val sm = sitemapStore
       val res = MergeEngine.deleteByBibcodes(store.read(spark),
         sm.read(spark), doomed.toDF("bibcode"))
-      val sinkOk = Sinks.deleteByBibcodes(doomed.toDS(),
-        Seq(deps.solrTransport, deps.bulkTransport)).collect().count(_.ok)
+      val (sinkOk, total) = sinkCounts(Sinks.deleteByBibcodes(doomed,
+        Seq(deps.solrTransport, deps.bulkTransport)))
       store.write(res.master)
       sm.write(res.sitemap)
-      out(s"deleted ${doomed.length} bibcodes (sink ok=$sinkOk)")
+      out(s"deleted $total bibcodes (sink ok=$sinkOk)")
       return 0
     }
 
@@ -295,12 +324,11 @@ object Cli {
         .as[graft.records.MasterRecord]
         .map(r => (r.bibcode, org.json4s.jackson.JsonMethods.compact(
           org.json4s.jackson.JsonMethods.render(IndexJob.boostRequest(r)))))
-      val status = Sinks.writeBulk(
+      val (okCnt, total) = sinkCounts(Sinks.writeBulk(
         requests.map { case (b, p) => (b, p, "", true) }
           .toDF("bibcode", "payload", "checksum", "changed"),
-        deps.bulkTransport, batchSize = batchSize).collect()
-      out(s"boost-all requests sent: ${status.count(_.ok)}/${status.length} " +
-        s"(batch size $batchSize)")
+        deps.bulkTransport, batchSize = batchSize))
+      out(s"boost-all requests sent: $okCnt/$total (batch size $batchSize)")
       return 0
     }
 
@@ -309,11 +337,11 @@ object Cli {
       // boost-scorer / aff-augment request messages and push them through
       // the bulk transport (the reference queues them to the respective
       // pipelines). Distributed build, partition-local sends.
-      val bibs = namedBibcodes()
-      if (bibs.isEmpty) { out("error: --boost/--augment need -b or -n"); return 2 }
+      val keys = namedBibcodesDS().getOrElse(
+        { out("error: --boost/--augment need -b or -n"); return 2 })
       import spark.implicits._
       val selected = store.read(spark)
-        .filter(col("bibcode").isin(bibs: _*))
+        .join(keys.toDF("bibcode"), Seq("bibcode"), "left_semi")
         .as[graft.records.MasterRecord]
       val requests =
         if (a.contains("boost"))
@@ -323,11 +351,11 @@ object Cli {
           selected.flatMap(r => IndexJob.affAugmentRequest(r).map(j =>
             org.json4s.jackson.JsonMethods.compact(
               org.json4s.jackson.JsonMethods.render(j))))
-      val status = Sinks.writeBulk(
+      val (okCnt, total) = sinkCounts(Sinks.writeBulk(
         requests.map(p => ("", p, "", true)).toDF("bibcode", "payload", "checksum", "changed"),
-        deps.bulkTransport).collect()
+        deps.bulkTransport))
       out(s"${if (a.contains("boost")) "boost" else "augment"} requests sent: " +
-        s"${status.count(_.ok)}/${status.length}")
+        s"$okCnt/$total")
       return 0
     }
 
@@ -337,20 +365,20 @@ object Cli {
       // request messages — bibcode, first title, abstract, operation_step
       // — and push them through the bulk transport. Records without a
       // title are skipped, as in prepare_bibcode.
-      val bibs = namedBibcodes()
-      if (bibs.isEmpty) { out("error: --classify needs -b or -n"); return 2 }
+      val keys = namedBibcodesDS().getOrElse(
+        { out("error: --classify needs -b or -n"); return 2 })
       val step = if (a.contains("classify_verify")) "classify_verify" else "classify"
       import spark.implicits._
       val requests = store.read(spark)
-        .filter(col("bibcode").isin(bibs: _*))
+        .join(keys.toDF("bibcode"), Seq("bibcode"), "left_semi")
         .as[graft.records.MasterRecord]
         .flatMap(r => IndexJob.classifyRequest(r, step).map(j =>
           org.json4s.jackson.JsonMethods.compact(
             org.json4s.jackson.JsonMethods.render(j))))
-      val status = Sinks.writeBulk(
+      val (okCnt, total) = sinkCounts(Sinks.writeBulk(
         requests.map(p => ("", p, "", true)).toDF("bibcode", "payload", "checksum", "changed"),
-        deps.bulkTransport).collect()
-      out(s"classify requests ($step) sent: ${status.count(_.ok)}/${status.length}")
+        deps.bulkTransport))
+      out(s"classify requests ($step) sent: $okCnt/$total")
       return 0
     }
 
@@ -389,32 +417,39 @@ object Cli {
         { out("error: --update-scix-id needs --scix-id-flag"); return 2 })
       val all = rawFlag.endsWith("-all")
       val flag = rawFlag.stripSuffix("-all")
-      val only = if (all) None else Some(namedBibcodes())
-      if (only.exists(_.isEmpty)) {
-        out(s"error: --scix-id-flag $rawFlag needs -b or -n"); return 2
-      }
+      val only =
+        if (all) None
+        else namedBibcodesDS() match {
+          case Some(ds) => Some(ds.toDF("bibcode"))
+          case None =>
+            out(s"error: --scix-id-flag $rawFlag needs -b or -n"); return 2
+        }
       store.write(MergeEngine.updateScixIds(store.read(spark), flag, only))
-      out(s"scix-id $flag applied (${only.map(_.length.toString).getOrElse("all")} records)")
+      out(s"scix-id $flag applied (${only.map(_ => "named").getOrElse("all")} records)")
       return 0
     }
 
     if (a.contains("index_failed")) {
       // run.py --index_failed (run.py:425-471): everything whose status is
       // neither success nor retrying, with bib_data, re-driven under
-      // force + ignore_checksums across all three sinks
+      // force + ignore_checksums across all three sinks. The failed set
+      // stays a Dataset end-to-end (left_semi inside runBatch) — the
+      // reference streams the same query with yield_per (run.py:431-436)
+      // and after a mass sink outage this set is corpus-sized
+      import spark.implicits._
       val failed = store.read(spark)
         .filter(col("bib_data").isNotNull &&
           col("status").isNotNull && !col("status").isin("success", "retrying"))
-        .select(col("bibcode")).collect().map(_.getString(0)).toSeq
-      if (failed.isEmpty) { out("no failed bibcodes to reindex"); return 0 }
-      import spark.implicits._
+        .select(col("bibcode")).as[String]
+      val nFailed = failed.count()
+      if (nFailed == 0) { out("no failed bibcodes to reindex"); return 0 }
       val report = Pipeline.runBatch(spark, store,
         spark.emptyDataset[graft.records.UpdateMessage],
         deps.solrTransport, deps.bulkTransport,
         force = true, ignoreChecksums = true, now = now,
         restrictTo = Some(failed),
         updateProcessed = !a.contains("no-update-processed"))
-      out(s"reindexed ${failed.length} previously failed bibcodes: " +
+      out(s"reindexed $nFailed previously failed bibcodes: " +
         s"solrOk=${report.solrOk} solrFailed=${report.solrFailed}")
       return if (report.solrFailed > 0) 1 else 0
     }
@@ -453,10 +488,7 @@ object Cli {
       if (sinks.isEmpty) { out("error: -r needs at least one of s/m/l"); return 2 }
       val force = a.contains("force_indexing") || a.contains("force_processing")
       val ignoreChecksums = a.contains("force_indexing") || a.contains("ignore_checksums")
-      val restrict = namedBibcodes() match {
-        case Nil => None
-        case bs  => Some(bs)
-      }
+      val restrict = namedBibcodesDS()
       import spark.implicits._
       // a targeted -b/-n run bypasses the watermark window (the reference
       // queues named bibcodes directly) and must not advance it either

@@ -39,7 +39,7 @@ object Pipeline {
       now: Timestamp = new Timestamp(0),
       metricsStore: Option[MasterStore] = None,
       sinks: Set[String] = Set("solr", "metrics", "links"),
-      restrictTo: Option[Seq[String]] = None,
+      restrictTo: Option[Dataset[String]] = None,
       sinceOverride: Option[Timestamp] = None,
       updateProcessed: Boolean = true): RunReport = {
     import spark.implicits._
@@ -82,9 +82,14 @@ object Pipeline {
     // payloads whose checksum still matches the stored one; a -b/-n
     // bibcode list (restrictTo) narrows the sweep to the named records
     val gated = master.as[MasterRecord].filter(IndexJob.eligible(since, force))
+    // a -b/-n restriction is a left_semi join against the key frame, never
+    // an isin literal: a hand-list stays a broadcast-hash semi (AQE sees a
+    // tiny side), while a mass --index_failed re-drive shuffles on bibcode
+    // like any other join — no million-literal plan, no driver list
     val selected = restrictTo match {
-      case Some(bibs) => gated.filter(col("bibcode").isin(bibs: _*))
-      case None       => gated
+      case Some(keys) =>
+        gated.join(keys.toDF("bibcode"), Seq("bibcode"), "left_semi").as[MasterRecord]
+      case None => gated
     }
     val batch0 = IndexJob.run(selected, ignoreChecksums = ignoreChecksums)
     val batch = IndexJob.IndexBatch(

@@ -138,12 +138,17 @@ object MergeEngine {
     * bibcodes (the non-`-all` CLI variants); rows outside the scope are
     * untouched. One column rewrite — no shuffle, no join. */
   def updateScixIds(master: DataFrame, flag: String,
-      only: Option[Seq[String]] = None): DataFrame = {
+      only: Option[DataFrame] = None): DataFrame = {
     require(Set("update", "force", "reset")(flag),
       s"scix-id flag must be update/force/reset, got $flag")
-    val inScope = only match {
-      case Some(bibs) => col("bibcode").isin(bibs: _*)
-      case None       => lit(true)
+    // scope via a marker left join, not an isin literal — a -n file of a
+    // million bibcodes must stay a join, never a million-node expression
+    val (scoped, inScope) = only match {
+      case Some(keys) =>
+        (master.join(keys.select(col("bibcode")).distinct()
+            .withColumn("__in_scope", lit(true)), Seq("bibcode"), "left"),
+          coalesce(col("__in_scope"), lit(false)))
+      case None => (master, lit(true))
     }
     val next = flag match {
       case "update" =>
@@ -156,7 +161,7 @@ object MergeEngine {
       case "reset" =>
         when(inScope, lit(null).cast("string")).otherwise(col("scix_id"))
     }
-    master.withColumn("scix_id", next)
+    scoped.withColumn("scix_id", next).drop("__in_scope")
   }
 
   /** Column order of the master snapshot (mirrors [[MasterRecord]]). */
