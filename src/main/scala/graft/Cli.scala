@@ -26,7 +26,16 @@ import graft.streaming.Watermark
   *     -s | --since <ISO ts>          override the watermark window
   *     -b | --bibcodes "b1 b2"        restrict to named bibcodes
   *     -n | --filename <file>         restrict to bibcodes listed in a file
+  *     --solr-collection <name|url>   rewrite this run's SOLR targets
+  *                                  (collection_to_urls, run.py:235-255)
   *   --delete (-b | -n)             cascade-delete the named bibcodes
+  *   --classify [--classify_verify] (-b | -n)  queue classifier requests;
+  *     --manual -n <csv>              batch-classify a header CSV
+  *                                  (bibcode[,title[,abstract]]) in
+  *                                  --classifier_batch groups with
+  *                                  output_path stamping (app.py:728-772)
+  *     --validate_classifier          dump the request message to a file
+  *                                  instead of queueing it
   *   --manage-sitemap --action add|force-update|remove|bootstrap|
   *                              delete-table|update-robots  (-b | -n)
   *                                  mutate the sitemap state table; the
@@ -58,9 +67,19 @@ object Cli {
       // rebuild probe, the two per-document fetchers are injected (the
       // sandbox has no live cores)
       validateFetchers: Option[(graft.operators.ValidateSolr.DocFetcher,
-        graft.operators.ValidateSolr.DocFetcher)] = None)
+        graft.operators.ValidateSolr.DocFetcher)] = None,
+      // --solr-collection resolves against these configured update URLs
+      // (the reference's SOLR_URLS, config.py) via collection_to_urls;
+      // the factory builds a transport per resolved target URL
+      solrUrls: Seq[String] = Seq("http://localhost:9983/solr/collection1/update"),
+      solrTransportFor: String => Sinks.Transport =
+        url => new LogTransport(s"solr@$url", println(_)),
+      // --classify --validate_classifier dumps the request message here
+      // instead of queueing it (the reference writes
+      // ./classifier_request.json, app.py:758-764)
+      classifierRequestFile: String = "classifier_request.json")
 
-  private class LogTransport(name: String, out: String => Unit) extends Sinks.Transport {
+  class LogTransport(name: String, out: String => Unit) extends Sinks.Transport {
     def send(payloads: Seq[String]): Unit =
       out(s"[$name] delivered batch of ${payloads.size}")
   }
@@ -81,8 +100,17 @@ object Cli {
     if (rc != 0) sys.exit(rc)
   }
 
-  /** Parse + dispatch; returns a process exit code. */
+  /** Parse + dispatch; returns a process exit code. The cached -b/-n key
+    * dataset (if any command materialized one) is unpersisted on every
+    * exit path so spec-shared sessions don't accumulate cache entries. */
   def run(spark: SparkSession, argv: Seq[String], deps: Deps): Int = {
+    val keysCache = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Dataset[String]]
+    try dispatch(spark, argv, deps, keysCache)
+    finally keysCache.foreach(_.unpersist(blocking = false))
+  }
+
+  private def dispatch(spark: SparkSession, argv: Seq[String], deps: Deps,
+      keysCache: scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Dataset[String]]): Int = {
     import deps.out
     val a = parse(argv) match {
       case Right(v) => v
@@ -112,20 +140,36 @@ object Cli {
     // is read as a Spark text source, so a million-line list never lands
     // on the driver — downstream selection is a left_semi join, not an
     // isin literal (the reference streams the same lists with yield_per,
-    // run.py:431-436)
+    // run.py:431-436). The dataset is cached so every downstream action
+    // sees ONE consistent materialization of the file (the delete path
+    // evaluates it three times; a file mutated mid-run must not hand
+    // different key sets to different jobs), and an existing-but-empty
+    // file resolves to None so the '-b or -n' guards keep their exit-2
+    // usage error instead of running a silent no-op.
     def namedBibcodesDS(): Option[org.apache.spark.sql.Dataset[String]] = {
       import spark.implicits._
       val fromList = a.get("bibcodes").toSeq.flatMap(_.split("\\s+")).filter(_.nonEmpty)
       val listDs = if (fromList.nonEmpty) Some(fromList.toDS()) else None
       val fileDs = a.get("filename").map(f =>
         spark.read.textFile(f).map(_.trim).filter(_.nonEmpty))
-      (listDs, fileDs) match {
+      val combined = (listDs, fileDs) match {
         case (Some(l), Some(f)) => Some(l.union(f).distinct())
         case (Some(l), None)    => Some(l.distinct())
         case (None, Some(f))    => Some(f.distinct())
         case _                  => None
       }
+      combined.flatMap { ds =>
+        val pinned = ds.cache()
+        keysCache += pinned
+        if (pinned.head(1).isEmpty) None else Some(pinned)
+      }
     }
+    def keysFlagged: Boolean = a.contains("bibcodes") || a.contains("filename")
+    // usage error text: distinguish "no flag given" from "flag given but
+    // the resolved key set is empty" (an empty -n file must not no-op)
+    def needKeys(cmd: String): String =
+      if (keysFlagged) s"error: $cmd resolved an empty bibcode set"
+      else s"error: $cmd needs -b or -n"
 
     // One distributed pass over a sink-status frame → (ok, total). A
     // single agg job so the underlying mapPartitions transports fire
@@ -136,6 +180,18 @@ object Cli {
         coalesce(sum(when(col("ok"), 1L).otherwise(0L)), lit(0L)),
         count(lit(1))).head()
       (r.getLong(0), r.getLong(1))
+    }
+
+    // --solr-collection (run.py:734-738, 1050): rewrite this run's SOLR
+    // sink targets — the T22 URL rewrite applied to the configured update
+    // URLs — and fan the batch out to every resolved target. Absent, the
+    // run uses the configured default transport untouched.
+    def solrSink(): Sinks.Transport = a.get("solr-collection").filter(_.nonEmpty) match {
+      case None => deps.solrTransport
+      case some =>
+        val targets = Sinks.collectionToUrls(some, deps.solrUrls)
+        out(s"reindexing to solr url ${targets.mkString(";")}")
+        Sinks.fanout(targets.map(deps.solrTransportFor))
     }
 
     if (a.contains("diagnostics")) {
@@ -157,7 +213,7 @@ object Cli {
 
     if (a.contains("delete")) {
       val doomed = namedBibcodesDS().getOrElse(
-        { out("error: --delete needs -b or -n"); return 2 })
+        { out(needKeys("--delete")); return 2 })
       val sm = sitemapStore
       val res = MergeEngine.deleteByBibcodes(store.read(spark),
         sm.read(spark), doomed.toDF("bibcode"))
@@ -296,10 +352,13 @@ object Cli {
       val lock = new graft.operators.Rebuild.Lock(
         java.nio.file.Paths.get(storeRoot).resolve("rebuild.locked"))
       import spark.implicits._
+      // the reference passes --solr-collection through to the rebuild
+      // (run.py:979) so the full sweep lands in the standby collection
+      val rebuildSolr = solrSink()
       val res = graft.operators.Rebuild.run(probe, () => {
         val r = Pipeline.runBatch(spark, store,
           spark.emptyDataset[graft.records.UpdateMessage],
-          deps.solrTransport, deps.bulkTransport,
+          rebuildSolr, deps.bulkTransport,
           force = true, ignoreChecksums = true, now = now)
         r.solrFailed == 0
       }, lock, deps.rebuildCfg, deps.rebuildSleep, deps.rebuildClock)
@@ -338,7 +397,7 @@ object Cli {
       // the bulk transport (the reference queues them to the respective
       // pipelines). Distributed build, partition-local sends.
       val keys = namedBibcodesDS().getOrElse(
-        { out("error: --boost/--augment need -b or -n"); return 2 })
+        { out(needKeys("--boost/--augment")); return 2 })
       import spark.implicits._
       val selected = store.read(spark)
         .join(keys.toDF("bibcode"), Seq("bibcode"), "left_semi")
@@ -365,9 +424,66 @@ object Cli {
       // request messages — bibcode, first title, abstract, operation_step
       // — and push them through the bulk transport. Records without a
       // title are skipped, as in prepare_bibcode.
-      val keys = namedBibcodesDS().getOrElse(
-        { out("error: --classify needs -b or -n"); return 2 })
       val step = if (a.contains("classify_verify")) "classify_verify" else "classify"
+      if (a.contains("manual")) {
+        // run.py --manual (app.py:728-772): the -n file is a CSV with a
+        // header row (bibcode[,title[,abstract]]); rows carrying their own
+        // title/abstract are classified as-is, the rest are looked up from
+        // the store (one left join, never a per-row driver fetch); rows
+        // resolving to no title are skipped. Entries go out in
+        // --classifier_batch groups; with --validate_classifier the
+        // message is dumped to a file instead of queued (check_boolean).
+        val file = a.get("filename").filter(_.nonEmpty).getOrElse(
+          { out("error: --classify --manual needs -n <csv>"); return 2 })
+        val batch = a.get("classifier_batch").map(_.toInt).getOrElse(500)
+        val outputPath = file.split('.').head // app.py:755 filename.split('.')[0]
+        import spark.implicits._
+        val csv = spark.read.option("header", "true").csv(file)
+        if (!csv.columns.contains("bibcode")) {
+          out("error: --manual CSV needs a bibcode column"); return 2
+        }
+        def opt(c: String) =
+          if (csv.columns.contains(c)) col(c) else lit(null).cast("string")
+        val entries = csv
+          .select(col("bibcode"), opt("title").as("__t"), opt("abstract").as("__a"))
+          .join(store.read(spark).select(col("bibcode"), col("bib_data")),
+            Seq("bibcode"), "left_outer")
+          .as[(String, Option[String], Option[String], Option[String])]
+          .flatMap { case (bib, t, ab, bibData) =>
+            IndexJob.manualClassifyEntry(bib, t, ab, bibData, step, outputPath)
+              .map(j => org.json4s.jackson.JsonMethods.compact(
+                org.json4s.jackson.JsonMethods.render(j)))
+          }
+        if (a.contains("validate_classifier")) {
+          // stream the entries into one classify_requests message on disk;
+          // toLocalIterator keeps driver memory at one row, so even a huge
+          // manual file dumps without materializing
+          val path = deps.classifierRequestFile
+          val w = new java.io.PrintWriter(
+            java.nio.file.Files.newBufferedWriter(java.nio.file.Paths.get(path)))
+          try {
+            w.print("{\"classify_requests\":[")
+            val it = entries.toLocalIterator()
+            var first = true
+            while (it.hasNext) {
+              if (!first) w.print(",")
+              w.print(it.next()); first = false
+            }
+            w.print("]}")
+          } finally w.close()
+          out(s"classifier request written to $path")
+          return 0
+        }
+        val (okCnt, total) = sinkCounts(Sinks.writeBulk(
+          entries.map(p => ("", p, "", true))
+            .toDF("bibcode", "payload", "checksum", "changed"),
+          deps.bulkTransport, batchSize = batch))
+        out(s"classify requests ($step, manual) sent: $okCnt/$total " +
+          s"(batch size $batch)")
+        return 0
+      }
+      val keys = namedBibcodesDS().getOrElse(
+        { out(needKeys("--classify")); return 2 })
       import spark.implicits._
       val requests = store.read(spark)
         .join(keys.toDF("bibcode"), Seq("bibcode"), "left_semi")
@@ -422,10 +538,13 @@ object Cli {
         else namedBibcodesDS() match {
           case Some(ds) => Some(ds.toDF("bibcode"))
           case None =>
-            out(s"error: --scix-id-flag $rawFlag needs -b or -n"); return 2
+            out(needKeys(s"--scix-id-flag $rawFlag")); return 2
         }
       store.write(MergeEngine.updateScixIds(store.read(spark), flag, only))
-      out(s"scix-id $flag applied (${only.map(_ => "named").getOrElse("all")} records)")
+      // the named variant reports how many keys it applied (the reference
+      // surface logs the applied-record count); keys is cached, so the
+      // count is one small agg over materialized blocks, no re-read
+      out(s"scix-id $flag applied (${only.map(_.count().toString).getOrElse("all")} records)")
       return 0
     }
 
@@ -489,6 +608,11 @@ object Cli {
       val force = a.contains("force_indexing") || a.contains("force_processing")
       val ignoreChecksums = a.contains("force_indexing") || a.contains("ignore_checksums")
       val restrict = namedBibcodesDS()
+      // an empty -b/-n must hard-fail: falling through with restrict=None
+      // would silently turn a targeted run into a full watermark sweep
+      if (restrict.isEmpty && keysFlagged) {
+        out(needKeys("-r")); return 2
+      }
       import spark.implicits._
       // a targeted -b/-n run bypasses the watermark window (the reference
       // queues named bibcodes directly) and must not advance it either
@@ -500,7 +624,7 @@ object Cli {
       val report = graft.operators.Scheduling.withPriority(spark, priority) {
         Pipeline.runBatch(spark, store,
           spark.emptyDataset[graft.records.UpdateMessage],
-          deps.solrTransport, deps.bulkTransport,
+          solrSink(), deps.bulkTransport,
           watermarkDir = watermarkDir,
           force = force, ignoreChecksums = ignoreChecksums, now = now,
           sinks = sinks, restrictTo = restrict,

@@ -82,22 +82,50 @@ object DedupCatalog extends Catalog {
     val beta = threshold / (1 + threshold)
     val prefixLen = greatest(
       col("setsize") - ceil(lit(beta) * col("setsize")) + 2, lit(1L))
-    // cached: the candidate self-join reads the postings twice
+    // cached: the candidate self-join reads the postings twice. rn and
+    // setsize ride along for the positional filter below
     val postings = ranked
       .filter(col("rn") <= prefixLen &&
         (col("df") <= dfCap || col("rn") <= keepRarest))
-      .select(col("doc_id"), col("bucket"), col("s"))
+      .select(col("doc_id"), col("bucket"), col("s"), col("rn"), col("setsize"))
       .cache()
+    // ppjoin positional + symmetric length filters, both exact:
+    //  - J ≥ t forces min ≥ t·max on set sizes (I ≤ min, U ≥ max);
+    //  - the global (df, s) rank order is shared by every doc, so a pair's
+    //    EARLIEST common shingle at ranks (i, j) has all I common shingles
+    //    at ranks ≥ (i, j) — overlap ≤ min(|A|−i, |B|−j)+1, which must
+    //    reach α = ⌈β(|A|+|B|)⌉. A qualifying pair always passes at its
+    //    earliest match, so keeping pairs where ANY match passes loses
+    //    nothing; the filters just strip the single-rare-shingle
+    //    coincidence pairs that otherwise dominate the verify input.
+    val alpha = ceil(lit(beta) * (col("a.setsize") + col("b.setsize")))
+    val bound = least(col("a.setsize") - col("a.rn"),
+      col("b.setsize") - col("b.rn")) + 1
     val cand = postings.as("a").join(postings.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
-          abs(col("a.bucket") - col("b.bucket")) <= 1)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          abs(col("a.bucket") - col("b.bucket")) <= 1 &&
+          col("b.setsize") >= lit(threshold) * col("a.setsize") &&
+          col("a.setsize") >= lit(threshold) * col("b.setsize") &&
+          bound >= alpha)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.setsize").as("size_a"), col("b.setsize").as("size_b"))
       .distinct()
-    val dim = docs.select(col("doc_id"), col("sh"))
-    cand.join(dim.as("da"), col("doc_a") === col("da.doc_id"))
-      .join(dim.as("db"), col("doc_b") === col("db.doc_id"))
+    // exact verify WITHOUT shipping shingle arrays through join shuffles
+    // (the old form carried both docs' full arrays per candidate row —
+    // hundreds of MB of shuffle at sf0.1, unbounded at corpus scale):
+    // count common shingles on the full inverted index restricted to the
+    // candidate pairs, then J = I / (|A| + |B| − I). All codegen'd
+    // primitive ops, no UDF, shuffles carry only (ids, one shingle).
+    val full = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    val isect = cand
+      .join(full.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))
+      .join(full.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    // inner join is lossless: every candidate pair shares ≥1 shingle by
+    // construction, so it has an isect row
+    cand.join(isect, Seq("doc_a", "doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        graft.functions.TextHashes.jaccardStringsUdf(col("da.sh"), col("db.sh")).as("jaccard"))
+        (col("inter") / (col("size_a") + col("size_b") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -132,21 +132,24 @@ object RecordCatalog extends Catalog {
         lit("2024-01-01 00:00:00").cast("timestamp").as("bib_data_updated"),
         lit(null).cast("string").as("status"))
       // each action eagerly inspects its input state (fill level, remove
-      // stats), so the intermediate states are cached — without the pins
-      // every collect would recompute the whole upstream chain. A real
-      // driver persists state to the store between actions (see Cli), so
-      // this chained lineage only exists in the synthetic workflow
+      // stats), so every intermediate state is materialized ONCE with its
+      // lineage truncated (eager localCheckpoint): the later actions'
+      // inspection collects and the final plan then scan a few hundred
+      // in-memory rows instead of re-deriving the bootstrap→generate→
+      // remove chain (three ordinal shuffles deep) per job. A real driver
+      // persists state to the store between actions (see Cli) — this
+      // chained lineage only exists in the synthetic workflow
       val boot = SitemapState.bootstrap(SitemapState.empty(s),
-        master.filter(col("id") % 7 =!= 0), maxPerFile = 64)
+        master.filter(col("id") % 7 =!= 0), maxPerFile = 64).localCheckpoint()
       val gen = SitemapState.markGenerated(boot,
-        boot.select(col("sitemap_filename")), ts("2024-06-01T00:00:00Z")).cache()
+        boot.select(col("sitemap_filename")), ts("2024-06-01T00:00:00Z")).localCheckpoint()
       val removed = SitemapState.remove(gen,
-        master.filter(col("id") % 5 === 0).select(col("bibcode"))).state.cache()
+        master.filter(col("id") % 5 === 0).select(col("bibcode"))).state.localCheckpoint()
       val added = SitemapState.add(removed, master,
         master.filter(col("id") % 7 === 0).select(col("bibcode")), maxPerFile = 64)
-      // NB: the ordinal pins stay cached until the caller materializes this
-      // frame — releasePinned() here would un-pin the partitioning the
-      // lazy plan still depends on
+      // NB: the LAST action's ordinal pin stays cached until the caller
+      // materializes this frame — releasePinned() here would un-pin the
+      // partitioning the lazy plan still depends on
       added.select(col("bibcode"), col("sitemap_filename"), col("update_flag"))
         .orderBy("bibcode")
     }),

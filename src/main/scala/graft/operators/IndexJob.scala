@@ -113,6 +113,30 @@ object IndexJob {
         "operation_step" -> (JString(operationStep): JValue)) ++
       outputPath.map(p => "output_path" -> JString(p): (String, JValue)).toList)
 
+  /** Manual-mode classify entry resolution (app.py:735-755): a CSV row
+    * carrying its own title or abstract is used as-is; otherwise the
+    * store's bib_data is consulted (prepare_bibcode). Rows resolving to
+    * no title are skipped, and every entry is stamped with `output_path`
+    * (the input file's name sans extension, app.py:755) so the classifier
+    * writes verdicts next to the request. */
+  def manualClassifyEntry(bibcode: String, csvTitle: Option[String],
+      csvAbstract: Option[String], bibData: Option[String],
+      operationStep: String, outputPath: String): Option[JObject] = {
+    val (title, abstr) =
+      if (csvTitle.exists(_.nonEmpty) || csvAbstract.exists(_.nonEmpty))
+        (csvTitle.getOrElse(""), csvAbstract.getOrElse(""))
+      else {
+        val bib = bibData.map(SolrTransform.parse).getOrElse(JNothing)
+        (bib \ "title" match {
+          case JArray(JString(t) :: _) => t
+          case JString(t)              => t
+          case _                       => ""
+        }, bib \ "abstract" match { case JString(a) => a; case _ => "" })
+      }
+    if (title.isEmpty) None
+    else Some(classifyEntry(bibcode, title, abstr, operationStep, Some(outputPath)))
+  }
+
   /** One sink payload: bibcode, rendered JSON, its checksum, and whether
     * the checksum differs from the stored one (i.e. a write is due). */
   case class SinkPayload(bibcode: String, payload: String, checksum: String, changed: Boolean)

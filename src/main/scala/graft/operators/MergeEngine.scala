@@ -136,7 +136,9 @@ object MergeEngine {
     * `force` regenerates for every record with bib_data (nulls those
     * without), `reset` nulls the column. `only` scopes the sweep to named
     * bibcodes (the non-`-all` CLI variants); rows outside the scope are
-    * untouched. One column rewrite — no shuffle, no join. */
+    * untouched. The unscoped sweep is one column rewrite with no shuffle;
+    * a scoped run adds a marker left join against the key set (a shuffle
+    * on bibcode at scale, never an isin literal). */
   def updateScixIds(master: DataFrame, flag: String,
       only: Option[DataFrame] = None): DataFrame = {
     require(Set("update", "force", "reset")(flag),

@@ -34,6 +34,33 @@ object Sinks {
   case class SinkStatus(bibcode: String, ok: Boolean,
       retriedSolo: Boolean, bodyStripped: Boolean)
 
+  /** run.py:235-255 `collection_to_urls`: resolve a `--solr-collection`
+    * value against the configured SOLR update URLs. A full http(s) URL
+    * wins outright; a bare collection name replaces the collection path
+    * segment (second-to-last) of every configured URL — the T22 rewrite
+    * applied to the sink targets; no value keeps the configured list.
+    * Deduplicated, because two configured targets on the same server
+    * collapse to one URL once rewritten to the same collection. */
+  def collectionToUrls(collection: Option[String], configured: Seq[String]): Seq[String] =
+    collection.filter(_.nonEmpty) match {
+      case Some(c) if c.startsWith("http") => Seq(c)
+      case Some(c) =>
+        configured.map { u =>
+          val parts = u.split("/")
+          if (parts.length >= 2) parts(parts.length - 2) = c
+          parts.mkString("/")
+        }.distinct
+      case None => configured.distinct
+    }
+
+  /** One transport that multiplexes a batch to several targets (the
+    * reference POSTs every payload to each SOLR_URL, solr_updater.py
+    * update_solr's url loop); any target failing fails the batch so the
+    * caller's retry ladder engages. */
+  def fanout(targets: Seq[Transport]): Transport = new Transport {
+    def send(payloads: Seq[String]): Unit = targets.foreach(_.send(payloads))
+  }
+
   /** Remove the `body` field from a rendered SOLR doc (the reference's
     * last-ditch retry strips the fulltext body, app.py:415-427). */
   def stripBody(payload: String): String =

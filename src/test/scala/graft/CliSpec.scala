@@ -347,6 +347,139 @@ class CliSpec extends AnyFunSuite with SparkSpec {
     assert(Cli.run(spark, argvBase ++ Seq("--classify"), d) == 2, "needs bibcodes")
   }
 
+  test("--solr-collection rewrites this run's sink targets (run.py:235-255)") {
+    import spark.implicits._
+    // collection_to_urls unit surface: name rewrite, full-URL passthrough,
+    // dedup of same-server targets
+    assert(Sinks.collectionToUrls(None,
+      Seq("http://s1/solr/collection1/update")) ==
+      Seq("http://s1/solr/collection1/update"))
+    assert(Sinks.collectionToUrls(Some("collection2"),
+      Seq("http://s1/solr/collection1/update", "http://s2/solr/collection1/update")) ==
+      Seq("http://s1/solr/collection2/update", "http://s2/solr/collection2/update"))
+    assert(Sinks.collectionToUrls(Some("collection2"),
+      Seq("http://s1/solr/c1/update", "http://s1/solr/c2/update")) ==
+      Seq("http://s1/solr/collection2/update"), "same server collapses")
+    assert(Sinks.collectionToUrls(Some("http://other/c9/update"),
+      Seq("http://s1/solr/c1/update")) == Seq("http://other/c9/update"))
+
+    val root = java.nio.file.Files.createTempDirectory("graft_cli6").toString
+    val store = new graft.sources.MasterStore(s"$root/master")
+    val log = collection.mutable.Buffer.empty[String]
+    val (_, d0) = deps(log)
+    Pipeline.runBatch(spark, store, Seq(
+      records.UpdateMessage("2024Col.....1....A", "metadata",
+        """{"title": ["one"]}""", Timestamp.valueOf("2024-01-01 00:00:00"))).toDS(),
+      d0.solrTransport, d0.bulkTransport, now = Timestamp.valueOf("2024-01-02 00:00:00"))
+
+    // the factory builds a per-URL counting transport, so the test sees
+    // both which targets were resolved and that each received the batch
+    val d = d0.copy(
+      solrUrls = Seq("http://s1/solr/collection1/update",
+        "http://s2/solr/collection1/update"),
+      solrTransportFor = url => new CliSpec.UrlCountingTransport(url))
+    CliSpec.urlDeliveries.clear()
+    log.clear()
+    assert(Cli.run(spark, Seq("--store", s"$root/master", "-r", "s", "-f",
+      "--solr-collection", "collection2"), d) == 0)
+    assert(log.exists(l => l.contains("reindexing to solr url") &&
+      l.contains("http://s1/solr/collection2/update") &&
+      l.contains("http://s2/solr/collection2/update")), s"got $log")
+    assert(CliSpec.urlDeliveries.get("http://s1/solr/collection2/update") == 1 &&
+      CliSpec.urlDeliveries.get("http://s2/solr/collection2/update") == 1,
+      s"fanout delivered to both rewritten targets: ${CliSpec.urlDeliveries}")
+  }
+
+  test("--classify --manual: CSV batch classify with output_path stamping") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_cli7").toString
+    val store = new graft.sources.MasterStore(s"$root/master")
+    val log = collection.mutable.Buffer.empty[String]
+    val (_, d0) = deps(log)
+    val argvBase = Seq("--store", s"$root/master")
+    // 2024Man.....2....B exists in the store with a title; the CSV row for
+    // it carries none, so the store lookup path must resolve it
+    Pipeline.runBatch(spark, store, Seq(
+      records.UpdateMessage("2024Man.....2....B", "metadata",
+        """{"bibcode": "2024Man.....2....B", "title": ["from store"], "abstract": "sa"}""",
+        Timestamp.valueOf("2024-01-01 00:00:00"))).toDS(),
+      d0.solrTransport, d0.bulkTransport, now = Timestamp.valueOf("2024-01-02 00:00:00"))
+
+    val csv = java.nio.file.Paths.get(root, "manual_batch.csv")
+    java.nio.file.Files.write(csv,
+      ("bibcode,title,abstract\n" +
+        "2024Man.....1....A,Own Title,Own abstract\n" + // CSV-supplied fields
+        "2024Man.....2....B,,\n" +                      // store lookup
+        "2024Man.....3....C,,\n"                        // nowhere → skipped
+        ).getBytes("UTF-8"))
+
+    // --manual without -n is a usage error (app.py only batches from a file)
+    assert(Cli.run(spark, argvBase ++ Seq("--classify", "--manual"), d0) == 2)
+
+    log.clear()
+    assert(Cli.run(spark, argvBase ++ Seq("--classify", "--manual",
+      "-n", csv.toString, "--classifier_batch", "10"), d0) == 0)
+    assert(log.exists(_.contains("classify requests (classify, manual) sent: 2/2")),
+      s"titleless row skipped, store row resolved: $log")
+
+    // --validate_classifier (check_boolean): the message is dumped to a
+    // file instead of queued, entries stamped with output_path = the input
+    // file sans extension (app.py:755-764)
+    val dump = java.nio.file.Paths.get(root, "classifier_request.json")
+    val d = d0.copy(classifierRequestFile = dump.toString)
+    log.clear()
+    assert(Cli.run(spark, argvBase ++ Seq("--classify_verify", "--manual",
+      "-n", csv.toString, "--validate_classifier"), d) == 0)
+    assert(log.exists(_.contains(s"classifier request written to $dump")), s"got $log")
+    val json = new String(java.nio.file.Files.readAllBytes(dump), "UTF-8")
+    import org.json4s._
+    val reqs = (org.json4s.jackson.JsonMethods.parse(json) \ "classify_requests")
+      .asInstanceOf[JArray].arr
+    assert(reqs.size == 2)
+    val byBib = reqs.map(r => ((r \ "bibcode").values.toString, r)).toMap
+    assert((byBib("2024Man.....1....A") \ "title").values == "Own Title")
+    assert((byBib("2024Man.....2....B") \ "title").values == "from store")
+    assert(reqs.forall(r => (r \ "operation_step").values == "classify_verify"))
+    val expectedOut = csv.toString.split('.').head
+    assert(reqs.forall(r => (r \ "output_path").values == expectedOut),
+      "entries stamped with the input file sans extension")
+  }
+
+  test("an existing-but-empty -n file keeps the exit-2 usage error") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_cli8").toString
+    val store = new graft.sources.MasterStore(s"$root/master")
+    val log = collection.mutable.Buffer.empty[String]
+    val (_, d) = deps(log)
+    val argvBase = Seq("--store", s"$root/master")
+    Pipeline.runBatch(spark, store, Seq(
+      records.UpdateMessage("2024Emp.....1....A", "metadata",
+        """{"title": ["one"]}""", Timestamp.valueOf("2024-01-01 00:00:00"))).toDS(),
+      d.solrTransport, d.bulkTransport, now = Timestamp.valueOf("2024-01-02 00:00:00"))
+    val v0 = store.currentVersion
+    val empty = java.nio.file.Paths.get(root, "empty.txt")
+    java.nio.file.Files.write(empty, "\n \n".getBytes("UTF-8"))
+
+    for (cmd <- Seq(Seq("--delete"), Seq("--boost"), Seq("--classify"),
+      Seq("--update-scix-id", "--scix-id-flag", "reset"))) {
+      log.clear()
+      assert(Cli.run(spark, argvBase ++ cmd ++ Seq("-n", empty.toString), d) == 2,
+        s"$cmd with empty -n must not no-op")
+      assert(log.exists(_.contains("empty bibcode set")), s"got $log")
+    }
+    // -r with an empty -n must NOT fall back to a full watermark sweep
+    log.clear()
+    assert(Cli.run(spark, argvBase ++ Seq("-r", "-f", "-n", empty.toString), d) == 2)
+    assert(log.exists(_.contains("empty bibcode set")), s"got $log")
+    assert(store.currentVersion == v0, "no store rewrite happened")
+
+    // --update-scix-id reports the applied key count, not a placeholder
+    log.clear()
+    assert(Cli.run(spark, argvBase ++ Seq("--update-scix-id",
+      "--scix-id-flag", "reset", "-b", "2024Emp.....1....A"), d) == 0)
+    assert(log.exists(_.contains("scix-id reset applied (1 records)")), s"got $log")
+  }
+
   test("parser: aliases, optional -r letters, errors") {
     assert(Cli.parse(Seq("-r", "-f")) ==
       Right(Map("index" -> "sml", "force_indexing" -> "")))
@@ -364,5 +497,11 @@ object CliSpec {
   val batches = new java.util.concurrent.atomic.AtomicInteger(0)
   class CountingTransport extends Sinks.Transport with Serializable {
     def send(p: Seq[String]): Unit = { batches.incrementAndGet(); () }
+  }
+  /** Per-URL delivery counter for the --solr-collection fanout check (static
+    * for the same serializability reason). */
+  val urlDeliveries = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  class UrlCountingTransport(url: String) extends Sinks.Transport with Serializable {
+    def send(p: Seq[String]): Unit = { urlDeliveries.merge(url, 1, (a, b) => a + b); () }
   }
 }

@@ -331,4 +331,85 @@ class MergeEngineSpec extends AnyFunSuite with SparkSpec {
       MergeEngine.markProcessed(master, done, "bogus", None, now)
     }
   }
+
+  test("update_storage sequence: per-slot stamps, monotonic updated, stable " +
+    "id/scix, delete changelog (test_app.py:294-351 test_update_records)") {
+    import spark.implicits._
+    // the reference writes the SAME payload into bib/nonbib/orcid slots in
+    // sequence and asserts after each step; the scix id literal it pins
+    // comes from an external non-vendored lib, so here the assertion is
+    // shape + determinism instead of the literal
+    val payload = """{"foo": "bar", "hey": 1, "title": "Test record abc"}"""
+    var master = MergeEngine.emptyMaster(spark)
+    var lastUpdated: Timestamp = null
+    var id0: Long = -1L
+    var scix0: String = null
+    for ((slot, i) <- Seq("metadata", "nonbib_data", "orcid_claims").zipWithIndex) {
+      val t = ts(s"2024-01-0${i + 1}T00:00:00Z")
+      master = MergeEngine.upsert(master,
+        Seq(UpdateMessage("abc", slot, payload, t)).toDS()).master
+      val r = master.collect().head
+      val slotCol = MasterRecord.typeToSlot(slot)
+      assert(r.getAs[String](slotCol) == payload, s"$slotCol written")
+      assert(r.getAs[Timestamp](s"${slotCol}_updated") == t, s"$slotCol stamped")
+      if (lastUpdated != null)
+        assert(lastUpdated.before(r.getAs[Timestamp]("updated")),
+          "updated advances with every slot write")
+      lastUpdated = r.getAs[Timestamp]("updated")
+      if (i == 0) { id0 = r.getAs[Long]("id"); scix0 = r.getAs[String]("scix_id") }
+      else {
+        assert(r.getAs[Long]("id") == id0, "id is stable across updates")
+        assert(r.getAs[String]("scix_id") == scix0, "scix is stable across updates")
+      }
+    }
+    assert(scix0 != null && scix0.matches(
+      "scix:[0-9A-HJKMNP-TV-Z]{4}-[0-9A-HJKMNP-TV-Z]{4}-[0-9A-HJKMNP-TV-Z]{4}"))
+
+    // fulltext lands in its slot without touching the others
+    master = MergeEngine.upsert(master, Seq(UpdateMessage("abc", "fulltext",
+      """{"body": "foo bar"}""", ts("2024-01-04T00:00:00Z"))).toDS()).master
+    val r = master.collect().head
+    assert(r.getAs[String]("fulltext") == """{"body": "foo bar"}""")
+    assert(r.getAs[Timestamp]("fulltext_updated") == ts("2024-01-04T00:00:00Z"))
+    assert(r.getAs[String]("bib_data") == payload)
+    assert(r.getAs[Timestamp]("processed") == null,
+      "never-indexed record has no processed stamp")
+
+    // delete: record gone, permanent changelog row carries the old record
+    val del = MergeEngine.deleteByBibcodes(master,
+      graft.operators.SitemapState.empty(spark), Seq("abc").toDF("bibcode"))
+    assert(del.master.count() == 0)
+    val logRow = del.changeLog.collect().head
+    assert(logRow.getAs[String]("key") == "abc" &&
+      logRow.getAs[String]("ctype") == "deleted" &&
+      logRow.getAs[Boolean]("permanent"))
+    assert(logRow.getAs[String]("oldvalue").contains("Test record abc"),
+      "changelog serializes the deleted record")
+  }
+
+  test("bulk operations on empty inputs are no-ops " +
+    "(test_app.py:2693 test_bulk_operations_empty_scenarios)") {
+    import spark.implicits._
+    val master = MergeEngine.upsert(MergeEngine.emptyMaster(spark), Seq(
+      UpdateMessage("b1", "metadata", "{}", ts("2024-01-01T00:00:00Z"))).toDS()).master
+    // compare in canonical column order: the anti-join inside delete moves
+    // the join key to the front of the schema (values must be identical)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(master.columns.map(col): _*).collect().map(_.toString).sorted.toSeq
+    val before = rows(master)
+
+    val up = MergeEngine.upsert(master, spark.emptyDataset[UpdateMessage])
+    assert(rows(up.master) == before, "empty upsert batch leaves every row intact")
+    assert(up.changeLog.count() == 0, "and logs nothing")
+
+    val del = MergeEngine.deleteByBibcodes(master,
+      graft.operators.SitemapState.empty(spark), bibsEmpty)
+    assert(rows(del.master) == before)
+    assert(del.changeLog.count() == 0)
+  }
+
+  private def bibsEmpty = {
+    import spark.implicits._
+    Seq.empty[String].toDF("bibcode")
+  }
 }

@@ -1,0 +1,250 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+import graft.operators.{Sitemap, SitemapState}
+import graft.sources.MasterStore
+
+/** The reference's long-tail sitemap sequences, ported case by case:
+  * orphan SitemapInfo cleanup (adsmp/tests/test_tasks.py:1199-1501),
+  * multi-file regeneration and regeneration-after-deletion
+  * (test_tasks.py:2394-2750), the `_execute_remove_action` scenario matrix
+  * (adsmp/tests/test_app.py:3361-3895), and multi-batch rollover with
+  * interleaved removes (test_tasks.py:2129-2210, 3769-3865). Each test
+  * names the reference test it ports. */
+class SitemapSequenceSpec extends AnyFunSuite with SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def masterOf(rows: Seq[(Long, String, String, String, String)]): DataFrame = {
+    import spark.implicits._
+    rows.map { case (id, bib, bd, bdu, st) =>
+      (id, bib, Option(bd), Option(bdu).map(ts), Option(st))
+    }.toDF("id", "bibcode", "bib_data", "bib_data_updated", "status")
+  }
+
+  /** Pre-built SitemapInfo rows: (record_id, bibcode, filename, flag). */
+  private def stateOf(rows: Seq[(Long, String, String, Boolean)]): DataFrame = {
+    import spark.implicits._
+    rows.map { case (id, bib, f, flag) =>
+      records.SitemapEntry(id, bib, f, Some(ts("2024-01-01 00:00:00")),
+        Some(ts("2024-02-01 00:00:00")), flag)
+    }.toDS().toDF()
+  }
+
+  private def bibs(bs: String*): DataFrame = {
+    import spark.implicits._
+    bs.toDF("bibcode")
+  }
+
+  private def stateMap(state: DataFrame): Map[String, (String, Boolean)] =
+    state.collect().map(r => r.getAs[String]("bibcode") ->
+      (r.getAs[String]("sitemap_filename"), r.getAs[Boolean]("update_flag"))).toMap
+
+  test("orphaned entries are swept, valid ones survive with their linkage " +
+    "(test_task_cleanup_invalid_sitemaps_orphaned_entries_cleanup/_verification)") {
+    // three entries share a file; two records vanish from master → orphans
+    val state = stateOf(Seq(
+      (1L, "2023OrphanCleanup1A", "sitemap_bib_1.xml", false),
+      (2L, "2023OrphanCleanup2B", "sitemap_bib_1.xml", false),
+      (3L, "2023ValidCleanup3C", "sitemap_bib_1.xml", false)))
+    val master = masterOf(Seq(
+      (3L, "2023ValidCleanup3C", """{"title": "Test Record"}""",
+        "2024-01-01 00:00:00", "success")))
+    val res = SitemapState.cleanupInvalid(state, master)
+    val m = stateMap(res.state)
+    assert(m.keySet == Set("2023ValidCleanup3C"), "both orphans removed")
+    assert(res.filesToDelete.isEmpty && res.filesToUpdate == Seq("sitemap_bib_1.xml"),
+      "the survivor's file regenerates, nothing is deleted")
+    assert(res.state.collect().head.getAs[Long]("record_id") == 3L,
+      "the surviving entry keeps its Records linkage")
+
+    // part 3: a table of only valid entries is a no-op
+    val valid = stateOf(Seq((3L, "2023ValidCleanup3C", "sitemap_bib_1.xml", false)))
+    val res2 = SitemapState.cleanupInvalid(valid, master)
+    assert(stateMap(res2.state).keySet == Set("2023ValidCleanup3C"))
+    assert(res2.filesToDelete.isEmpty && res2.filesToUpdate.isEmpty)
+  }
+
+  test("every invalid shape is swept in one pass; mixed file flags, pure file " +
+    "deletes (test_task_cleanup_invalid_sitemaps_comprehensive_invalid_cases)") {
+    val state = stateOf(Seq(
+      (1L, "2023NoData..1..1A", "sitemap_bib_mixed.xml", false),     // bib_data null
+      (2L, "2023SolrFailed..1..1D", "sitemap_bib_mixed.xml", false), // solr-failed
+      (3L, "2023Retrying..1..1E", "sitemap_bib_mixed.xml", false),   // retrying
+      (4L, "2023ValidMixed..1..1G", "sitemap_bib_mixed.xml", false), // valid, same file
+      (5L, "2023ValidRecord..1..1F", "sitemap_bib_valid.xml", false))) // valid, own file
+    val master = masterOf(Seq(
+      (1L, "2023NoData..1..1A", null, null, "success"),
+      (2L, "2023SolrFailed..1..1D", """{"title": "Test"}""", "2024-01-01 00:00:00", "solr-failed"),
+      (3L, "2023Retrying..1..1E", """{"title": "Test"}""", "2024-01-01 00:00:00", "retrying"),
+      (4L, "2023ValidMixed..1..1G", """{"title": "Valid Mixed"}""", "2024-01-01 00:00:00", "success"),
+      (5L, "2023ValidRecord..1..1F", """{"title": "Valid"}""", "2024-01-01 00:00:00", "success")))
+    val res = SitemapState.cleanupInvalid(state, master)
+    val m = stateMap(res.state)
+    assert(m.keySet == Set("2023ValidMixed..1..1G", "2023ValidRecord..1..1F"),
+      "all three invalid shapes removed, both valid records remain")
+    assert(res.filesToUpdate == Seq("sitemap_bib_mixed.xml"),
+      "the mixed file regenerates")
+    assert(res.filesToDelete.isEmpty, "no file lost all members")
+    assert(m("2023ValidMixed..1..1G")._2, "the mixed file's survivor is flagged")
+    assert(!m("2023ValidRecord..1..1F")._2, "the untouched file is NOT flagged")
+  }
+
+  test("remove: mixed existing/non-existing keys, empty input, no-match " +
+    "(test_execute_remove_action_mixed_scenarios/_empty_input/_no_matching_records)") {
+    val state = stateOf(Seq(
+      (1L, "2023MixedTest..1..1A", "sitemap_bib_1.xml", false),
+      (2L, "2023MixedTest..1..2A", "sitemap_bib_1.xml", false)))
+
+    // mixed: the two existing rows go, unknowns are ignored, the emptied
+    // file is reported for deletion
+    val mixed = SitemapState.remove(state,
+      bibs("2023MixedTest..1..1A", "2023MixedTest..1..2A",
+        "2023NonExist..1..1A", "2023NonExist..1..2A"))
+    assert(mixed.state.count() == 0)
+    assert(mixed.filesToDelete == Seq("sitemap_bib_1.xml"))
+    assert(mixed.filesToUpdate.isEmpty)
+
+    // no matching records: state untouched, no files reported
+    val noMatch = SitemapState.remove(state, bibs("2023Nope..1..1A"))
+    assert(stateMap(noMatch.state) == stateMap(state))
+    assert(noMatch.filesToDelete.isEmpty && noMatch.filesToUpdate.isEmpty)
+
+    // empty input: identical no-op
+    val empty = SitemapState.remove(state, bibs())
+    assert(stateMap(empty.state) == stateMap(state))
+    assert(empty.filesToDelete.isEmpty && empty.filesToUpdate.isEmpty)
+  }
+
+  test("remove: partial removal updates both files, deletes neither " +
+    "(test_execute_remove_action_partial_file_removal)") {
+    val state = stateOf(Seq(
+      (1L, "2023PartialTest..1..1A", "sitemap_bib_1.xml", false),
+      (2L, "2023PartialTest..1..2A", "sitemap_bib_1.xml", false),
+      (3L, "2023PartialTest..1..3A", "sitemap_bib_1.xml", false),
+      (4L, "2023PartialTest..1..4A", "sitemap_bib_2.xml", false),
+      (5L, "2023PartialTest..1..5A", "sitemap_bib_2.xml", false)))
+    val res = SitemapState.remove(state,
+      bibs("2023PartialTest..1..2A", "2023PartialTest..1..4A"))
+    assert(res.filesToDelete.isEmpty, "both files keep members")
+    assert(res.filesToUpdate == Seq("sitemap_bib_1.xml", "sitemap_bib_2.xml"))
+    val byFile = res.state.collect()
+      .groupBy(_.getAs[String]("sitemap_filename"))
+      .view.mapValues(_.length).toMap
+    assert(byFile == Map("sitemap_bib_1.xml" -> 2, "sitemap_bib_2.xml" -> 1))
+    // exactly one survivor per shrunken file is flagged (min record_id)
+    val flagged = res.state.filter(col("update_flag")).collect()
+      .map(r => r.getAs[String]("bibcode")).toSet
+    assert(flagged == Set("2023PartialTest..1..1A", "2023PartialTest..1..5A"))
+  }
+
+  test("multi-batch rollover with interleaved removes: holes stay, fills " +
+    "continue (test_task_manage_sitemap_bootstrap/add_action_batch_processing, " +
+    "test_batch_processing_mixed_records)") {
+    // bootstrap 25 records at 10/file → files 1..3 (10, 10, 5)
+    val master0 = masterOf((1L to 25L).map(i =>
+      (i, f"B$i%03d", "{}", "2024-01-01 00:00:00", "success")))
+    val boot = SitemapState.bootstrap(SitemapState.empty(spark), master0, maxPerFile = 10)
+    val m0 = stateMap(boot)
+    assert(m0("B001")._1 == "sitemap_bib_1.xml" && m0("B010")._1 == "sitemap_bib_1.xml")
+    assert(m0("B011")._1 == "sitemap_bib_2.xml" && m0("B025")._1 == "sitemap_bib_3.xml")
+
+    // remove 5 from file 1 — holes form and MUST NOT be refilled
+    val removed = SitemapState.remove(boot,
+      bibs("B001", "B002", "B003", "B004", "B005")).state
+
+    // add 12 new records: file 3 fills 5→10, the rest roll into file 4
+    val master1 = masterOf((1L to 37L).map(i =>
+      (i, f"B$i%03d", "{}", "2024-01-01 00:00:00", "success")))
+    val added = SitemapState.add(removed, master1,
+      bibs((26 to 37).map(i => f"B$i%03d"): _*), maxPerFile = 10)
+    val m1 = stateMap(added)
+    assert((26 to 30).forall(i => m1(f"B$i%03d")._1 == "sitemap_bib_3.xml"),
+      "fill continues in the numerically-last file")
+    assert((31 to 37).forall(i => m1(f"B$i%03d")._1 == "sitemap_bib_4.xml"),
+      "rollover at the boundary, not into file 1's holes")
+    assert(added.filter(col("sitemap_filename") === "sitemap_bib_1.xml").count() == 5,
+      "file 1 keeps its holes")
+    // sticky: no pre-existing assignment moved across the whole sequence
+    assert((6 to 25).forall(i => m1(f"B$i%03d")._1 == m0(f"B$i%03d")._1))
+
+    // second add batch: re-adding existing + new ones continues file 4
+    val master2 = masterOf((1L to 40L).map(i =>
+      (i, f"B$i%03d", "{}", "2024-01-01 00:00:00", "success")))
+    val added2 = SitemapState.add(added, master2,
+      bibs("B020", "B038", "B039", "B040"), maxPerFile = 10)
+    val m2 = stateMap(added2)
+    assert(m2("B020")._1 == m1("B020")._1, "re-add never moves a record")
+    assert(Seq("B038", "B039", "B040").forall(b => m2(b)._1 == "sitemap_bib_4.xml"),
+      "next batch keeps filling file 4 (7+3 = 10)")
+  }
+
+  test("multiple flagged files regenerate disjointly and flags reset " +
+    "(test_task_update_sitemap_files_multiple_files)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_seq_multi").toString
+    val stateStore = new MasterStore(s"$root/smstate", empty = SitemapState.empty)
+    stateStore.write(stateOf(Seq(
+      (1L, "2023MultiFile1A", "sitemap_bib_1.xml", true),
+      (2L, "2023MultiFile1B", "sitemap_bib_1.xml", true),
+      (3L, "2023MultiFile2A", "sitemap_bib_2.xml", true),
+      (4L, "2023MultiFile2B", "sitemap_bib_2.xml", true))))
+    val n = Pipeline.runManagedSitemaps(spark, stateStore, s"$root/out",
+      ts("2024-06-01 00:00:00"))
+    assert(n == 2, "both flagged files regenerated")
+    def read(f: String) = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/out/ads/$f")), "UTF-8")
+    val c1 = read("sitemap_bib_1.xml"); val c2 = read("sitemap_bib_2.xml")
+    assert(c1.contains("2023MultiFile1A") && c1.contains("2023MultiFile1B") &&
+      !c1.contains("2023MultiFile2A"), "file 1 holds exactly its members")
+    assert(c2.contains("2023MultiFile2A") && c2.contains("2023MultiFile2B") &&
+      !c2.contains("2023MultiFile1A"), "file 2 holds exactly its members")
+    // all flags reset, lastmoddate stamped
+    val after = stateStore.read(spark)
+    assert(after.filter(col("update_flag")).count() == 0)
+    assert(after.filter(col("filename_lastmoddate") =!=
+      lit(ts("2024-06-01 00:00:00"))).count() == 0)
+    // the index lists both files plus the static page
+    val idx = read("sitemap_index.xml")
+    assert(idx.contains("sitemap_bib_1.xml") && idx.contains("sitemap_bib_2.xml") &&
+      idx.contains("sitemap_static.xml"))
+  }
+
+  test("regeneration after record deletion drops the doomed URL and keeps " +
+    "the file (test_task_update_sitemap_files_after_record_deletion, " +
+    "test_delete_by_bibcode_marks_sitemap_files_for_regeneration)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_seq_del").toString
+    val stateStore = new MasterStore(s"$root/smstate", empty = SitemapState.empty)
+    val master = masterOf(Seq(
+      (1L, "2023DelTest..1..1A", "{}", "2024-01-01 00:00:00", "success"),
+      (2L, "2023DelTest..1..2A", "{}", "2024-01-01 00:00:00", "success"),
+      (3L, "2023DelTest..1..3A", "{}", "2024-01-01 00:00:00", "success")))
+    stateStore.write(SitemapState.bootstrap(SitemapState.empty(spark), master,
+      maxPerFile = 10))
+    Pipeline.runManagedSitemaps(spark, stateStore, s"$root/out",
+      ts("2024-06-01 00:00:00"))
+    def content() = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/out/ads/sitemap_bib_1.xml")), "UTF-8")
+    assert(content().contains("2023DelTest..1..2A"))
+
+    // cascade-delete marks the file for regeneration via its survivor
+    val res = graft.operators.MergeEngine.deleteByBibcodes(master,
+      stateStore.read(spark), bibs("2023DelTest..1..2A"))
+    stateStore.write(res.sitemap)
+    val flagged = stateStore.read(spark).filter(col("update_flag"))
+      .select(col("bibcode")).as[String].collect().toSet
+    assert(flagged == Set("2023DelTest..1..1A"),
+      "exactly the min-record_id survivor is flagged")
+    val n = Pipeline.runManagedSitemaps(spark, stateStore, s"$root/out",
+      ts("2024-06-02 00:00:00"))
+    assert(n == 1)
+    val c = content()
+    assert(!c.contains("2023DelTest..1..2A"), "deleted record's URL is gone")
+    assert(c.contains("2023DelTest..1..1A") && c.contains("2023DelTest..1..3A"),
+      "the survivors remain in the regenerated file")
+  }
+}
