@@ -243,7 +243,14 @@ object Pipeline {
         try out.write(content.getBytes("UTF-8")) finally out.close()
       }
       put("sitemap_static.xml", Sitemap.renderStaticSitemap(site))
-      put("sitemap_index.xml", Sitemap.renderIndex(site, allFiles.toSeq,
+      // the reference indexes only files that physically exist in THIS
+      // site's tree (tasks.py:930-936, an os.path.exists per filename): a
+      // table entry whose file vanished (or was never rendered here) must
+      // not be listed. Driver-side existence probes over ≤ corpus/50k
+      // names per site
+      val present = allFiles.filter { case (name, _) =>
+        fs.exists(new org.apache.hadoop.fs.Path(dir, name)) }
+      put("sitemap_index.xml", Sitemap.renderIndex(site, present.toSeq,
         staticFirst = Seq("sitemap_static.xml" -> today)))
       put("robots.txt", Sitemap.renderRobots(site))
     }

@@ -70,9 +70,17 @@ object Sinks {
       case _ => payload
     }
 
-  /** S6 — SOLR-style sink: batch send; on failure per-doc retry; on doc
-    * failure one more attempt with `body` stripped. Expects columns
-    * (bibcode, payload). */
+  /** A solo-send failure earns the body-strip retry only when the error
+    * looks body-related — the reference inspects the exception text
+    * (app.py:413, including its string-formatting-bug alias) and treats
+    * every other failure as final. */
+  private def bodyRelated(e: Throwable): Boolean =
+    Option(e.getMessage).exists(m => m.contains("body") ||
+      m.contains("not all arguments converted during string formatting"))
+
+  /** S6 — SOLR-style sink: batch send; on failure per-doc retry; on a
+    * body-related doc failure one more attempt with `body` stripped
+    * (app.py:381-430). Expects columns (bibcode, payload). */
   def writeSolr(docs: DataFrame, transport: Transport,
       batchSize: Int = 1000): Dataset[SinkStatus] = {
     val spark = docs.sparkSession
@@ -90,7 +98,7 @@ object Sinks {
                   transport.send(Seq(payload))
                   SinkStatus(bibcode, ok = true, retriedSolo = true, bodyStripped = false)
                 } catch {
-                  case _: Throwable =>
+                  case e: Throwable if bodyRelated(e) =>
                     try {
                       transport.send(Seq(stripBody(payload)))
                       SinkStatus(bibcode, ok = true, retriedSolo = true, bodyStripped = true)
@@ -98,6 +106,8 @@ object Sinks {
                       case _: Throwable =>
                         SinkStatus(bibcode, ok = false, retriedSolo = true, bodyStripped = true)
                     }
+                  case _: Throwable =>
+                    SinkStatus(bibcode, ok = false, retriedSolo = true, bodyStripped = false)
                 }
               }
           }

@@ -49,6 +49,22 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     } finally query.stop()
   }
 
+  test("restricting to a bibcode the store does not have indexes nothing " +
+    "and fails nothing (test_tasks.py:442 test_task_index_records_no_such_bibcode)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_store_nsb").toString
+    val store = new MasterStore(root)
+    Pipeline.runBatch(spark, store, msgs("real1", "2024-01-01 00:00:00").toDS(),
+      okTransport, okTransport, now = ts("2024-01-02 00:00:00"))
+    val report = Pipeline.runBatch(spark, store,
+      spark.emptyDataset[UpdateMessage], okTransport, okTransport,
+      force = true, now = ts("2024-01-03 00:00:00"),
+      restrictTo = Some(Seq("definitely-not-there").toDS()))
+    assert(report.indexed == 0 && report.solrOk == 0 && report.solrFailed == 0,
+      "an unknown bibcode is simply not found — no delivery, no failure")
+    assert(store.read(spark).count() == 1, "the store is untouched")
+  }
+
   test("boost and aff-augment request builders") {
     val rec = graft.records.MasterRecord.empty("bb").copy(
       scix_id = Some("scix:AAAA-BBBB-CCCC"),

@@ -29,10 +29,11 @@ class SinksSpec extends AnyFunSuite with SparkSpec {
 
   test("S6 batch failure falls back per-doc; poisoned doc strips body then fails") {
     // the transport rejects any payload containing the poison marker in a
-    // body field, and rejects multi-doc batches containing it
+    // body field, and rejects multi-doc batches containing it; the error
+    // text mentions body, which is what licenses the strip retry
     val t = new Transport {
       def send(p: Seq[String]): Unit =
-        if (p.exists(_.contains("POISON"))) throw new RuntimeException("boom")
+        if (p.exists(_.contains("POISON"))) throw new RuntimeException("body failed")
     }
     val poisoned = """{"body": "POISON", "title": "t2"}"""
     val healthyAfterStrip = Sinks.stripBody(poisoned)
@@ -68,6 +69,43 @@ class SinksSpec extends AnyFunSuite with SparkSpec {
     val statuses = stamped.collect().map(r =>
       r.getAs[String]("bibcode") -> r.getAs[String]("status")).toMap
     assert(statuses("b2") == "solr-failed" && statuses("b1") == null)
+  }
+
+  test("S6 ladder call counts: body-related failures earn the strip retry, " +
+    "generic ones fail straight away (test_app.py:90-244 test_index_solr)") {
+    // 'mix of reasons': batch fails; doc A's solo raises a body error →
+    // strip retry (which also fails); doc B's solo raises a generic error
+    // → NO strip retry. Reference sequence is exactly 4 transport calls.
+    val calls = spark.sparkContext.collectionAccumulator[Int]("calls")
+    val t1 = new Transport {
+      def send(p: Seq[String]): Unit = {
+        calls.add(p.length)
+        if (p.length > 1) throw new RuntimeException("503")
+        if (p.exists(_.contains("\"A\""))) throw new RuntimeException("body failed")
+        if (p.exists(_.contains("bad"))) throw new RuntimeException("failed")
+      }
+    }
+    val a = """{"id": "A", "body": "bad body"}"""
+    val b = """{"id": "B", "marker": "bad"}"""
+    val st1 = Sinks.writeSolr(docsDf("A" -> a, "B" -> b).coalesce(1), t1)
+      .collect().map(s => s.bibcode -> s).toMap
+    assert(calls.value.size == 4,
+      s"batch + A solo + A stripped + B solo = 4 calls, got ${calls.value}")
+    assert(!st1("A").ok && st1("A").bodyStripped, "A exhausted the full ladder")
+    assert(!st1("B").ok && !st1("B").bodyStripped, "B failed without a strip retry")
+
+    // 'mix of failure and success': A's strip retry succeeds, B sails solo
+    val t2 = new Transport {
+      def send(p: Seq[String]): Unit = {
+        if (p.length > 1) throw new RuntimeException("503")
+        if (p.exists(_.contains("bad body"))) throw new RuntimeException("body failed")
+      }
+    }
+    val st2 = Sinks.writeSolr(
+      docsDf("A" -> a, "B" -> """{"id": "B", "body": "good body"}""").coalesce(1), t2)
+      .collect().map(s => s.bibcode -> s).toMap
+    assert(st2("A").ok && st2("A").bodyStripped, "A recovered once body was stripped")
+    assert(st2("B").ok && st2("B").retriedSolo && !st2("B").bodyStripped)
   }
 
   test("S7 bulk sink: batch failure falls back per-row without body strip") {

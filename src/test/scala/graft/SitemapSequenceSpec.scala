@@ -183,6 +183,26 @@ class SitemapSequenceSpec extends AnyFunSuite with SparkSpec {
       "next batch keeps filling file 4 (7+3 = 10)")
   }
 
+  test("current fill state: highest-numbered file wins ties, a full last " +
+    "file rolls the fill forward (test_get_current_sitemap_state_performance)") {
+    // five files with EQUAL counts — the state is the highest index, not
+    // the largest count
+    val equal = stateOf((1L to 15L).map(i =>
+      (i, f"S$i%03d", s"sitemap_bib_${(i - 1) / 3 + 1}.xml", false)))
+    val f1 = SitemapState.currentFill(equal, maxPerFile = 10)
+    assert(f1.index == 5 && f1.count == 3,
+      "ties resolve to the highest numbered file")
+    // last file exactly at capacity: the next add must open file 6
+    val full = stateOf((1L to 15L).map(i =>
+      (i, f"S$i%03d", s"sitemap_bib_${(i - 1) / 3 + 1}.xml", false)))
+    val f2 = SitemapState.currentFill(full, maxPerFile = 3)
+    assert(f2.index == 6 && f2.count == 0,
+      "a full last file advances the fill to the next (empty) index")
+    // empty table starts at file 1
+    val f0 = SitemapState.currentFill(SitemapState.empty(spark), maxPerFile = 10)
+    assert(f0.index == 1 && f0.count == 0)
+  }
+
   test("multiple flagged files regenerate disjointly and flags reset " +
     "(test_task_update_sitemap_files_multiple_files)") {
     val root = java.nio.file.Files.createTempDirectory("graft_seq_multi").toString
@@ -211,6 +231,66 @@ class SitemapSequenceSpec extends AnyFunSuite with SparkSpec {
     val idx = read("sitemap_index.xml")
     assert(idx.contains("sitemap_bib_1.xml") && idx.contains("sitemap_bib_2.xml") &&
       idx.contains("sitemap_static.xml"))
+  }
+
+  test("index generation with an empty table still writes a valid index " +
+    "holding only the static entry (test_task_update_sitemap_index_empty_database)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_seq_empty").toString
+    val stateStore = new MasterStore(s"$root/smstate", empty = SitemapState.empty)
+    val n = Pipeline.runManagedSitemaps(spark, stateStore, s"$root/out",
+      ts("2024-06-01 00:00:00"))
+    assert(n == 0, "nothing to regenerate")
+    for (site <- Seq("ads", "scix")) {
+      val p = java.nio.file.Paths.get(s"$root/out/$site/sitemap_index.xml")
+      assert(java.nio.file.Files.exists(p), s"index written for $site")
+      val idx = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      assert(idx.contains("<?xml version=\"1.0\" encoding=\"UTF-8\"?>") &&
+        idx.contains("<sitemapindex") && idx.contains("</sitemapindex>"))
+      assert("<sitemap>".r.findAllIn(idx).size == 1,
+        "only the static sitemap entry is listed")
+    }
+  }
+
+  test("index generation skips table entries whose physical file is missing " +
+    "(test_task_update_sitemap_index_missing_files)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_seq_missing").toString
+    val stateStore = new MasterStore(s"$root/smstate", empty = SitemapState.empty)
+    // entry exists in the table, is NOT flagged (so no regeneration), and
+    // its physical file was never written
+    stateStore.write(stateOf(Seq(
+      (1L, "2023Missing..1..1A", "sitemap_bib_missing.xml", false))))
+    val n = Pipeline.runManagedSitemaps(spark, stateStore, s"$root/out",
+      ts("2024-06-01 00:00:00"))
+    assert(n == 0)
+    val idx = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/out/ads/sitemap_index.xml")), "UTF-8")
+    assert(!idx.contains("sitemap_bib_missing.xml"),
+      "a table entry with no physical file is not indexed")
+    assert("<sitemap>".r.findAllIn(idx).size == 1, "only the static entry remains")
+  }
+
+  test("one flagged file renders into every site tree with that site's URLs " +
+    "(test_task_generate_single_sitemap_multi_site)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_seq_sites").toString
+    val stateStore = new MasterStore(s"$root/smstate", empty = SitemapState.empty)
+    stateStore.write(stateOf(Seq(
+      (1L, "2023MultiSite..1..1A", "sitemap_bib_1.xml", true))))
+    Pipeline.runManagedSitemaps(spark, stateStore, s"$root/out",
+      ts("2024-06-01 00:00:00"))
+    def read(site: String) = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/out/$site/sitemap_bib_1.xml")), "UTF-8")
+    val ads = read("ads"); val scix = read("scix")
+    assert(ads.contains(
+      "https://ui.adsabs.harvard.edu/abs/2023MultiSite..1..1A/abstract"))
+    assert(scix.contains(
+      "https://scixplorer.org/abs/2023MultiSite..1..1A/abstract"))
+    assert(!ads.contains("scixplorer") && !scix.contains("adsabs"),
+      "each tree carries only its own site's URLs")
+    // and each site's index points at its own sitemap base
+    def idx(site: String) = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/out/$site/sitemap_index.xml")), "UTF-8")
+    assert(idx("ads").contains("https://ui.adsabs.harvard.edu/sitemap/sitemap_bib_1.xml"))
+    assert(idx("scix").contains("https://scixplorer.org/sitemap/sitemap_bib_1.xml"))
   }
 
   test("regeneration after record deletion drops the doomed URL and keeps " +
