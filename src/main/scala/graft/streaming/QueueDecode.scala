@@ -94,11 +94,25 @@ object QueueDecode {
           case Some(t) if SingleTypes.contains(t) =>
             str(obj \ "bibcode") match {
               case Some(bib) =>
-                val payload = obj \ "payload" match {
-                  case JNothing => null
-                  case p => JsonMethods.compact(JsonMethods.render(p))
+                // a classify response stores ONLY its collections list in
+                // the classifications slot (tasks.py:90-95 extracts
+                // payload['collections'] before update_storage); a message
+                // without one is an error, as the reference's KeyError is
+                obj \ "payload" match {
+                  case JNothing =>
+                    // payload-less envelope (e.g. a deleted-status slot
+                    // clear) stays a valid null-payload message
+                    Seq(Decoded(ok = true, bib, t, null, ts, status, json, null))
+                  case p =>
+                    val body = if (t == "classify") p \ "collections" else p
+                    body match {
+                      case JNothing =>
+                        reject("classify message without collections")
+                      case b =>
+                        Seq(Decoded(ok = true, bib, t,
+                          JsonMethods.compact(JsonMethods.render(b)), ts, status, json, null))
+                    }
                 }
-                Seq(Decoded(ok = true, bib, t, payload, ts, status, json, null))
               case None => reject("missing bibcode")
             }
           case Some(t) if ListTypes.contains(t) =>

@@ -66,6 +66,51 @@ class QueueDecodeSpec extends AnyFunSuite with SparkSpec {
       "missing type", "missing bibcode", "list envelope without records"))
   }
 
+  test("augment envelope stores the whole payload in the augments slot " +
+    "(test_tasks:166 test_task_update_record_augments)") {
+    import spark.implicits._
+    val d = decode(
+      """{"type":"augment","bibcode":"B1","timestamp":1000,"payload":{"aff":["MIT"],"aff_canonical":["Massachusetts Institute of Technology"]}}""")
+    val m = QueueDecode.messages(d).collect()
+    assert(m.length == 1 && m.head.mtype == "augment")
+    assert(m.head.payload.contains("aff_canonical"), "full payload retained")
+    val master = MergeEngine.upsert(MergeEngine.emptyMaster(spark),
+      QueueDecode.messages(d)).master
+    assert(master.selectExpr("get_json_object(augments, '$.aff[0]')")
+      .as[String].collect().toSeq == Seq("MIT"))
+  }
+
+  test("classify envelope stores ONLY its collections list " +
+    "(tasks.py:90-95 payload['collections'] extraction)") {
+    import spark.implicits._
+    val d = decode(
+      """{"type":"classify","bibcode":"B1","timestamp":1000,"payload":{"collections":["astrophysics","heliophysics"],"scores":[0.9,0.4]}}""")
+    val m = QueueDecode.messages(d).collect()
+    assert(m.length == 1 && m.head.mtype == "classify")
+    assert(m.head.payload == """["astrophysics","heliophysics"]""",
+      "the classifications slot holds the bare collections list")
+    // a classify response without collections is an error, like the
+    // reference's KeyError
+    val bad = decode(
+      """{"type":"classify","bibcode":"B2","timestamp":1000,"payload":{"scores":[1.0]}}""")
+    val r = QueueDecode.rejects(bad).collect()
+    assert(r.length == 1 && r.head._2 == "classify message without collections")
+    // payload-less deleted-status classify still clears the slot
+    val del = decode(
+      """{"type":"classify","bibcode":"B1","timestamp":2000,"status":"deleted"}""")
+    assert(QueueDecode.messages(del).collect().head.status.contains("deleted"))
+  }
+
+  test("boost envelope lands in the boost_factors slot (test_tasks boost path)") {
+    import spark.implicits._
+    val d = decode(
+      """{"type":"boost","bibcode":"B1","timestamp":1000,"payload":{"boost_basic":0.4,"boost_final":0.7}}""")
+    val master = MergeEngine.upsert(MergeEngine.emptyMaster(spark),
+      QueueDecode.messages(d)).master
+    assert(master.selectExpr("get_json_object(boost_factors, '$.boost_final')")
+      .as[String].collect().toSeq == Seq("0.7"))
+  }
+
   test("deleted status passes through on both single and protobuf-int forms") {
     val d = decode(
       """{"type":"metadata","bibcode":"B1","timestamp":1,"status":"deleted"}""",
