@@ -15,6 +15,10 @@ run / fork := true
 // sbt's "[success] Total time..." epilogue otherwise lands after it and
 // breaks last-line parsers reading the bench harness's stdout.
 Global / showSuccess := false
+// ... and the forked run's stdout must reach the console raw, not routed
+// through sbt's logger, which would prefix every line (incl. the JSON
+// line) with "[info] ".
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
