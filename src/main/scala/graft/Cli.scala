@@ -589,8 +589,12 @@ object Cli {
       if (nRejects > 0)
         rejects.toDF("raw", "reason").write.mode("append")
           .json(s"$storeRoot-quarantine")
+      // ingest forwards a boost request per touched record, the queue
+      // topology's task_update_record → task_boost_request edge
+      // (tasks.py:104-111); --no-boost-requests turns it off
       val report = Pipeline.runBatch(spark, store, messages,
-        deps.solrTransport, deps.bulkTransport, now = now)
+        deps.solrTransport, deps.bulkTransport, now = now,
+        forwardBoostRequests = !a.contains("no-boost-requests"))
       decoded.unpersist()
       out(s"ingested=${report.merged} rejected=$nRejects " +
         s"solrOk=${report.solrOk} solrFailed=${report.solrFailed} " +

@@ -41,7 +41,8 @@ object Pipeline {
       sinks: Set[String] = Set("solr", "metrics", "links"),
       restrictTo: Option[Dataset[String]] = None,
       sinceOverride: Option[Timestamp] = None,
-      updateProcessed: Boolean = true): RunReport = {
+      updateProcessed: Boolean = true,
+      forwardBoostRequests: Boolean = false): RunReport = {
     import spark.implicits._
 
     // ST1: incremental window from the stored watermark; an explicit
@@ -72,6 +73,22 @@ object Pipeline {
       Sinks.deleteByBibcodes(doomed.toDS(), Seq(solrTransport, bulkTransport)).collect()
     val master = master0.cache()
     val mergedCount = master.count()
+
+    // the reference queues a boost-pipeline request for every record an
+    // ingest message touched (task_update_record/task_augment_record →
+    // task_boost_request, adsmp/tasks.py:104-111), except for boost
+    // responses themselves — forwarding those would loop the pipeline
+    if (forwardBoostRequests) {
+      val touched = updates.filter(!isFullDelete && col("mtype") =!= "boost")
+        .select(col("bibcode")).distinct()
+      val requests = master.join(touched, Seq("bibcode"), "left_semi")
+        .as[MasterRecord]
+        .map(r => (r.bibcode, org.json4s.jackson.JsonMethods.compact(
+          org.json4s.jackson.JsonMethods.render(IndexJob.boostRequest(r)))))
+        .toDF("bibcode", "payload")
+      // one distributed pass fires the partition-local batched sends
+      Sinks.writeBulk(requests, bulkTransport).count()
+    }
 
     // P1-P3 gate + payload builds + P4 checksum suppression. The payload
     // frames are cached: each is consumed three times (sink write, stamp

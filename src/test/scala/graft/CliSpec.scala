@@ -47,6 +47,12 @@ class CliSpec extends AnyFunSuite with SparkSpec {
     assert(Cli.run(spark, argvBase ++ Seq("-d"), d) == 0)
     assert(log.exists(_.contains("records=2")), s"got: $log")
 
+    // --manage-sitemap without --action / with an unknown action is a
+    // usage error (test_run.py:329-363 action validation)
+    assert(Cli.run(spark, argvBase ++ Seq("--manage-sitemap"), d) == 2)
+    assert(Cli.run(spark, argvBase ++
+      Seq("--manage-sitemap", "--action", "frobnicate"), d) == 2)
+
     // bootstrap sitemaps: state populated, both site trees rendered
     assert(Cli.run(spark, argvBase ++
       Seq("--manage-sitemap", "--action", "bootstrap"), d) == 0)
@@ -175,10 +181,21 @@ class CliSpec extends AnyFunSuite with SparkSpec {
     assert(entries == Set("2024Auto.....1....A"), s"got $entries")
     assert(new java.io.File(s"$root/sitemaps/ads/sitemap_bib_1.xml").exists)
 
-    // the record goes solr-failed → cleanup sweeps it and deletes the file
-    val failed = store.read(spark).withColumn("status",
-      when(col("bibcode") === "2024Auto.....1....A", lit("solr-failed"))
-        .otherwise(col("status")))
+    // a record whose SOLR delivery moved recently is picked up too, even
+    // with stale bib_data (test_run.py:546
+    // test_update_sitemaps_auto_with_solr_processed_updates)
+    store.write(store.read(spark).withColumn("solr_processed",
+      when(col("bibcode") === "2024Auto.....2....B",
+        lit(Timestamp.valueOf("2024-05-31 12:00:00")).cast("timestamp"))
+        .otherwise(col("solr_processed"))))
+    assert(Cli.run(spark, argvBase ++
+      Seq("--update-sitemaps-auto", "--days-back", "7"), d) == 0)
+    assert(smStore.read(spark).collect().map(_.getAs[String]("bibcode")).toSet ==
+      Set("2024Auto.....1....A", "2024Auto.....2....B"),
+      "solr_processed movement alone qualifies a record")
+
+    // both records go solr-failed → cleanup sweeps them and deletes the file
+    val failed = store.read(spark).withColumn("status", lit("solr-failed"))
     store.write(failed)
     assert(Cli.run(spark, argvBase ++ Seq("--cleanup-invalid-sitemaps"), d) == 0)
     assert(smStore.read(spark).count() == 0)

@@ -65,6 +65,36 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(store.read(spark).count() == 1, "the store is untouched")
   }
 
+  test("ingest forwards one boost request per touched record, never for " +
+    "boost responses (tasks.py:104-111 task_update_record → task_boost_request)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_store_bf").toString
+    val store = new MasterStore(root)
+    val boostPayloads = spark.sparkContext.collectionAccumulator[String]("boost")
+    val recordingBulk = new Sinks.Transport {
+      def send(p: Seq[String]): Unit = p.foreach(boostPayloads.add)
+    }
+    val batch = (msgs("bf1", "2024-01-01 00:00:00") ++
+      msgs("bf2", "2024-01-01 00:00:00") :+
+      UpdateMessage("bf1", "boost", """{"boost_final": 0.9}""",
+        ts("2024-01-01 01:00:00"))).toDS()
+    // solr-only run: the bulk transport sees ONLY the boost-request leg
+    Pipeline.runBatch(spark, store, batch, okTransport, recordingBulk,
+      now = ts("2024-01-02 00:00:00"), sinks = Set("solr"),
+      forwardBoostRequests = true)
+    val sent = boostPayloads.value
+    assert(sent.size == 2, s"one request per touched record: $sent")
+    import scala.jdk.CollectionConverters._
+    assert(sent.asScala.forall(_.contains("\"status\":\"updated\"")) &&
+      sent.asScala.exists(_.contains("bf1")) && sent.asScala.exists(_.contains("bf2")))
+    // without the flag (default), nothing is forwarded
+    boostPayloads.reset()
+    Pipeline.runBatch(spark, store, msgs("bf3", "2024-01-03 00:00:00").toDS(),
+      okTransport, recordingBulk, now = ts("2024-01-04 00:00:00"),
+      sinks = Set("solr"))
+    assert(boostPayloads.value.isEmpty, "fan-out is opt-in")
+  }
+
   test("boost and aff-augment request builders") {
     val rec = graft.records.MasterRecord.empty("bb").copy(
       scix_id = Some("scix:AAAA-BBBB-CCCC"),
