@@ -19,7 +19,17 @@ class CliSpec extends AnyFunSuite with SparkSpec {
       out = buf += _))
   }
 
-  test("full operator session: ingest, bootstrap, reindex -f, remove, delete") {
+  test("full operator session: ingest, bootstrap, reindex -f, remove, delete " +
+    "(test_populate_sitemap_table_add_action, " +
+    "test_populate_sitemap_table_remove_action, " +
+    "test_populate_sitemap_table_delete_table_action, " +
+    "test_populate_sitemap_table_update_robots_action, " +
+    "test_populate_sitemap_table_all_actions, test_update_sitemap_files, " +
+    "test_action_validation_missing_action, test_missing_action_causes_sys_exit, " +
+    "test_valid_command_line_execution_flow, test_backup_sitemap_files, " +
+    "test_delete_contents, test_delete_sitemap_files, " +
+    "test_task_manage_sitemap_delete_table_action, " +
+    "test_task_manage_sitemap_update_robots_action)") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_cli").toString
     val store = new graft.sources.MasterStore(s"$root/master")
@@ -154,7 +164,10 @@ class CliSpec extends AnyFunSuite with SparkSpec {
     assert(q == Set("unknown type frobnicate", "not a JSON object"))
   }
 
-  test("cron surface: auto sitemap update, cleanup, delete_obsolete") {
+  test("cron surface: auto sitemap update, cleanup, delete_obsolete " +
+    "(test_update_sitemaps_auto_with_records, " +
+    "test_update_sitemaps_auto_with_solr_processed_updates, " +
+    "test_cleanup_invalid_sitemaps)") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_cli2").toString
     val store = new graft.sources.MasterStore(s"$root/master")
@@ -217,7 +230,8 @@ class CliSpec extends AnyFunSuite with SparkSpec {
     assert(Cli.run(spark, argvBase ++ Seq("--delete_obsolete"), d) == 2)
   }
 
-  test("maintenance surface: scix-id flags and index_failed") {
+  test("maintenance surface: scix-id flags and index_failed " +
+    "(test_task_update_scixid, test_reindex_failed_bibcodes)") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_cli3").toString
     val store = new graft.sources.MasterStore(s"$root/master")
@@ -462,7 +476,8 @@ class CliSpec extends AnyFunSuite with SparkSpec {
       "entries stamped with the input file sans extension")
   }
 
-  test("an existing-but-empty -n file keeps the exit-2 usage error") {
+  test("an existing-but-empty -n file keeps the exit-2 usage error " +
+    "(test_actions_requiring_bibcodes_without_bibcodes_causes_sys_exit)") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_cli8").toString
     val store = new graft.sources.MasterStore(s"$root/master")

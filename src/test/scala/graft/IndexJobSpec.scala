@@ -40,7 +40,8 @@ class IndexJobSpec extends AnyFunSuite with SparkSpec {
     assert(names(force = true) == Set("c1", "c2"), "force needs only bib_data")
   }
 
-  test("eligibility: already-processed suppression with 1972 default (P3)") {
+  test("eligibility: already-processed suppression with 1972 default " +
+    "(P3, test_task_update_solr)") {
     import spark.implicits._
     val base = completeRecord("p1").copy(
       augments = Some("{}"), augments_updated = Some(ts("2024-01-01T00:00:00Z")))
@@ -78,6 +79,37 @@ class IndexJobSpec extends AnyFunSuite with SparkSpec {
     assert(third.solr.count() == 1, "--force_indexing bypasses suppression")
   }
 
+  test("ignore_checksums re-sends every sink's unchanged payload; absent " +
+    "metrics/links data is skipped without failing (test_ignore_checksums_solr, " +
+    "test_ignore_checksums_datalinks, test_ignore_checksums_metrics, " +
+    "test_index_metrics_no_data, test_task_index_links_no_data)") {
+    import spark.implicits._
+    val rec = completeRecord("ic1").copy(
+      metrics = Some("""{"reads": [1]}"""),
+      metrics_updated = Some(ts("2024-01-05T00:00:00Z")),
+      nonbib_data = Some("""{"data_links_rows": [{"url": ["http://x/a"]}]}"""))
+    val first = IndexJob.run(spark.createDataset(Seq(rec)))
+    val stamped = rec.copy(
+      solr_checksum = Some(first.solr.collect().head.getAs[String]("checksum")),
+      metrics_checksum = Some(first.metrics.collect().head.getAs[String]("checksum")),
+      datalinks_checksum = Some(first.links.collect().head.getAs[String]("checksum")))
+    // all three sinks suppressed on the unchanged replay...
+    val quiet = IndexJob.run(spark.createDataset(Seq(stamped)))
+    assert(quiet.solr.count() == 0 && quiet.metrics.count() == 0 &&
+      quiet.links.count() == 0)
+    // ...and all three re-send under --ignore_checksums, flagged unchanged
+    val forced = IndexJob.run(spark.createDataset(Seq(stamped)), ignoreChecksums = true)
+    assert(forced.solr.count() == 1 && forced.metrics.count() == 1 &&
+      forced.links.count() == 1)
+    assert(forced.solr.collect().head.getAs[Boolean]("changed") == false)
+
+    // a record with no metrics payload and no link source produces zero
+    // rows on those sinks — a skip, not a failure (the solr doc still goes)
+    val bare = completeRecord("ic2")
+    val b = IndexJob.run(spark.createDataset(Seq(bare)), ignoreChecksums = true)
+    assert(b.solr.count() == 1 && b.metrics.count() == 0 && b.links.count() == 0)
+  }
+
   test("solr payload gets identifier completeness fix (T16)") {
     import spark.implicits._
     val rec = completeRecord("2024Test.........X")
@@ -100,7 +132,8 @@ class IndexJobSpec extends AnyFunSuite with SparkSpec {
         graft.transform.SolrTransform.parse("""{"downloads": [1, 2]}""")))
   }
 
-  test("resolver links: nonbib rows preferred, bib fallback builds ESOURCE pair (T14)") {
+  test("resolver links: nonbib rows preferred, bib fallback builds ESOURCE " +
+    "pair (T14, test_generate_links_for_resolver)") {
     val withNonbib = completeRecord("l1").copy(
       nonbib_data = Some("""{"data_links_rows": [{"url": ["http://arxiv.org/abs/1902.09522"]}]}"""))
     val j1 = IndexJob.linksForResolver(withNonbib).get

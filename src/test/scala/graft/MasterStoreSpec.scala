@@ -10,8 +10,12 @@ import graft.sources.MasterStore
 
 /** Snapshot-store durability semantics (SURVEY.md §7.4 risk 2; the
   * engine-side replacement for the reference's transactional Postgres
-  * rollback story, adsmp/tests/test_app.py:2502-2747 bulk operations +
-  * error handling): every mutation batch is a new immutable snapshot
+  * rollback story: test_bulk_insert_and_update_operations,
+  * test_bulk_update_sitemap_records, test_bulk_insert_sitemap_records,
+  * test_bulk_operations_error_handling, test_get_records_bulk_performance,
+  * test_get_sitemap_info_bulk_performance — the bulk getters/setters those
+  * tests time collapse here into snapshot reads/writes): every mutation
+  * batch is a new immutable snapshot
   * behind an atomic CURRENT swap, so a crashed writer can never tear the
   * table and a failed batch simply never advances the pointer. */
 class MasterStoreSpec extends AnyFunSuite with SparkSpec {

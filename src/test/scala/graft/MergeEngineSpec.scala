@@ -15,7 +15,8 @@ class MergeEngineSpec extends AnyFunSuite with SparkSpec {
 
   def ts(s: String): Timestamp = Timestamp.from(java.time.Instant.parse(s))
 
-  test("M1 upsert: insert, slot replace, newest-wins within batch, scix assignment") {
+  test("M1 upsert: insert, slot replace, newest-wins within batch, scix " +
+    "assignment (test_task_update_record_nonbib, _fulltext, test_avoid_duplicates)") {
     import spark.implicits._
     val master = MergeEngine.emptyMaster(spark)
     val batch = Seq(
@@ -59,7 +60,9 @@ class MergeEngineSpec extends AnyFunSuite with SparkSpec {
       "pre-image comes from the pre-batch master")
   }
 
-  test("M2 cascading delete flags one survivor per affected file") {
+  test("M2 cascading delete flags one survivor per affected file " +
+    "(test_delete_by_bibcode_with_sitemap, " +
+    "test_delete_by_bibcode_marks_sitemap_files_for_regeneration)") {
     import spark.implicits._
     val master = MergeEngine.upsert(MergeEngine.emptyMaster(spark), Seq(
       UpdateMessage("b1", "metadata", "{}", ts("2024-01-01T00:00:00Z")),
@@ -94,7 +97,7 @@ class MergeEngineSpec extends AnyFunSuite with SparkSpec {
     assert(Set("p", "q").contains(resolved("p")), "cycle resolves without hanging")
   }
 
-  test("M3 rename repoints chain and masters") {
+  test("M3 rename repoints chain and masters (test_rename_bibcode)") {
     import spark.implicits._
     val master = MergeEngine.upsert(MergeEngine.emptyMaster(spark), Seq(
       UpdateMessage("old", "metadata", "{}", ts("2024-01-01T00:00:00Z"))).toDS()).master
@@ -281,7 +284,8 @@ class MergeEngineSpec extends AnyFunSuite with SparkSpec {
       "process_bibcode merges only the six slots; everything else is recs[0]'s")
   }
 
-  test("M1 deleted-status message clears its slot, record survives") {
+  test("M1 deleted-status message clears its slot, record survives " +
+    "(test_task_update_record_delete)") {
     import spark.implicits._
     // test_tasks.py:104-121: fulltext/orcid/nonbib deletes clear the slot
     // but keep the record
@@ -313,7 +317,7 @@ class MergeEngineSpec extends AnyFunSuite with SparkSpec {
     assert(mixed.getAs[String]("orcid_claims") == """{"x": 9}""", "later update wins")
   }
 
-  test("M4 mark-processed stamps only the hit rows") {
+  test("M4 mark-processed stamps only the hit rows (test_mark_processed)") {
     import spark.implicits._
     val master = MergeEngine.upsert(MergeEngine.emptyMaster(spark), Seq(
       UpdateMessage("b1", "metadata", "{}", ts("2024-01-01T00:00:00Z")),

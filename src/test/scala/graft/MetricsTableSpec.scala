@@ -25,7 +25,7 @@ class MetricsTableSpec extends AnyFunSuite with SparkSpec {
   def byBib(df: org.apache.spark.sql.DataFrame) =
     df.collect().map(r => r.getAs[String]("bibcode") -> r).toMap
 
-  test("insert, update, id stability (test_update_records)") {
+  test("insert, update, id stability (test_update_records, test_update_metrics)") {
     val t0 = MetricsTable.emptyTable(spark)
     val v1 = MetricsTable.upsert(t0,
       rows("bib1" -> """{"refereed": true, "author_num": 1}"""))
@@ -102,7 +102,7 @@ class MetricsTableSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("seq"))
   }
 
-  test("M8 delete by bibcode") {
+  test("M8 delete by bibcode (test_delete_metrics)") {
     import spark.implicits._
     val v = MetricsTable.upsert(MetricsTable.emptyTable(spark), rows(
       "keep" -> "{}", "drop" -> "{}"))

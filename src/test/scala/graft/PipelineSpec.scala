@@ -126,7 +126,8 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       "prepare_bibcode skips records without a title")
   }
 
-  test("update_processed=false delivers without touching records-table state") {
+  test("update_processed=false delivers without touching records-table state " +
+    "(test_index_datalinks_update_processed_false)") {
     import spark.implicits._
     // run.py --update-processed / app.py index_* update_processed=False:
     // sends happen, but no processed/checksum/status lands — success or
@@ -151,7 +152,8 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       "default mode stamps again")
   }
 
-  test("failed delivery re-drives: null'd sink checksum defeats P4 suppression") {
+  test("failed delivery re-drives: null'd sink checksum defeats P4 suppression " +
+    "(test_index_metrics_database_failure, test_update_records_db_error)") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_store_rd").toString
     val store = new MasterStore(root, numBuckets = 2)
@@ -219,7 +221,10 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(r3.solrOk == 1, "ignore_checksums re-sends the unchanged payload")
   }
 
-  test("links sink alone: failure nulls only the datalinks checksum (test_app.py:382-509)") {
+  test("links sink alone: failure nulls only the datalinks checksum " +
+    "(test_index_datalinks_success, test_index_datalinks_service_failure, " +
+    "test_index_datalinks_service_only_batch_failure, " +
+    "test_task_index_records_links, test_task_index_links_no_data)") {
     import spark.implicits._
     // index_datalinks success/failure: only the selected sink stamps its
     // checksum; the other per-sink checksums stay untouched (None), and a

@@ -21,7 +21,8 @@ class QueueDecodeSpec extends AnyFunSuite with SparkSpec {
     QueueDecode.decode(spark.createDataset(lines), t0)
   }
 
-  test("single fulltext envelope stores its body slot (test_tasks:131)") {
+  test("single fulltext envelope stores its body slot " +
+    "(test_task_update_record_fulltext)") {
     import spark.implicits._
     val d = decode(
       """{"type":"fulltext","bibcode":"2015ApJ...815..133S","timestamp":1700000001000,"payload":{"body":"INTRODUCTION"}}""")
@@ -37,7 +38,9 @@ class QueueDecodeSpec extends AnyFunSuite with SparkSpec {
     assert(row.toSeq == Seq(("2015ApJ...815..133S", "INTRODUCTION")))
   }
 
-  test("nonbib and metrics list envelopes fan out per element (test_tasks:155,208)") {
+  test("nonbib and metrics list envelopes fan out per element " +
+    "(test_task_update_record_nonbib_list, test_task_update_record_metrics_list, " +
+    "test_task_update_record_metrics, test_task_update_record_augments_list)") {
     val d = decode(
       """{"type":"nonbib_records","timestamp":1700000002000,"records":[{"bibcode":"2003ASPC..295..361M","boost":3},{"bibcode":"3003ASPC..295..361Z","boost":4}]}""",
       """{"type":"metrics_records","timestamp":1700000003000,"records":[{"bibcode":"2015ApJ...815..133S"},{"bibcode":"3015ApJ...815..133Z"}]}""")
@@ -125,7 +128,8 @@ class QueueDecodeSpec extends AnyFunSuite with SparkSpec {
     assert(QueueDecode.messages(d).collect().head.ts == t0)
   }
 
-  test("decoded stream drives the store: slot-deleted clears, record survives (test_tasks:104)") {
+  test("decoded stream drives the store: slot-deleted clears, record survives " +
+    "(test_task_update_record_delete)") {
     import spark.implicits._
     val put = decode(
       """{"type":"fulltext","bibcode":"B1","timestamp":1000,"payload":{"foo":"bar"}}""",

@@ -57,7 +57,8 @@ class RebuildSpec extends AnyFunSuite {
     "collection1" -> CoreStatus("/data/one", 900, 5L << 30),
     "collection2" -> CoreStatus("/data/two", 1500, 2L << 30))
 
-  test("happy path: settle, commit, floors met, swap verified, lock released") {
+  test("happy path: settle, commit, floors met, swap verified, lock released " +
+    "(test_reindex, test_monitor_solr_writes)") {
     val clock = new Clock
     val probe = new CannedProbe(healthyCores,
       pendingScript = Seq(50, 20, 5, 0, 0, 0, 0, 0, 0), clock)

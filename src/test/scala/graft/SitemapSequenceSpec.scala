@@ -45,7 +45,8 @@ class SitemapSequenceSpec extends AnyFunSuite with SparkSpec {
       (r.getAs[String]("sitemap_filename"), r.getAs[Boolean]("update_flag"))).toMap
 
   test("orphaned entries are swept, valid ones survive with their linkage " +
-    "(test_task_cleanup_invalid_sitemaps_orphaned_entries_cleanup/_verification)") {
+    "(test_task_cleanup_invalid_sitemaps_orphaned_entries_cleanup, " +
+    "test_task_cleanup_invalid_sitemaps_orphaned_entries_verification)") {
     // three entries share a file; two records vanish from master → orphans
     val state = stateOf(Seq(
       (1L, "2023OrphanCleanup1A", "sitemap_bib_1.xml", false),
@@ -95,7 +96,9 @@ class SitemapSequenceSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("remove: mixed existing/non-existing keys, empty input, no-match " +
-    "(test_execute_remove_action_mixed_scenarios/_empty_input/_no_matching_records)") {
+    "(test_execute_remove_action_mixed_scenarios, " +
+    "test_execute_remove_action_empty_input, " +
+    "test_execute_remove_action_no_matching_records)") {
     val state = stateOf(Seq(
       (1L, "2023MixedTest..1..1A", "sitemap_bib_1.xml", false),
       (2L, "2023MixedTest..1..2A", "sitemap_bib_1.xml", false)))
@@ -118,6 +121,13 @@ class SitemapSequenceSpec extends AnyFunSuite with SparkSpec {
     val empty = SitemapState.remove(state, bibs())
     assert(stateMap(empty.state) == stateMap(state))
     assert(empty.filesToDelete.isEmpty && empty.filesToUpdate.isEmpty)
+
+    // add with an empty batch is the same no-op
+    // (test_process_sitemap_batch_empty_input)
+    val master = masterOf(Seq((1L, "2023MixedTest..1..1A",
+      """{"title": "Test Record"}""", "2024-01-01 00:00:00", "success")))
+    val addEmpty = SitemapState.add(state, master, bibs())
+    assert(stateMap(addEmpty) == stateMap(state))
   }
 
   test("remove: partial removal updates both files, deletes neither " +
@@ -143,7 +153,9 @@ class SitemapSequenceSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("multi-batch rollover with interleaved removes: holes stay, fills " +
-    "continue (test_task_manage_sitemap_bootstrap/add_action_batch_processing, " +
+    "continue (test_task_manage_sitemap_bootstrap_action_batch_processing, " +
+    "test_task_manage_sitemap_add_action_batch_processing, " +
+    "test_task_manage_sitemap_remove_action_batch_processing, " +
     "test_batch_processing_mixed_records)") {
     // bootstrap 25 records at 10/file → files 1..3 (10, 10, 5)
     val master0 = masterOf((1L to 25L).map(i =>
@@ -234,7 +246,8 @@ class SitemapSequenceSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("index generation with an empty table still writes a valid index " +
-    "holding only the static entry (test_task_update_sitemap_index_empty_database)") {
+    "holding only the static entry (test_task_update_sitemap_index_empty_database, " +
+    "test_task_update_sitemap_index_generation, test_task_generate_sitemap_index)") {
     val root = java.nio.file.Files.createTempDirectory("graft_seq_empty").toString
     val stateStore = new MasterStore(s"$root/smstate", empty = SitemapState.empty)
     val n = Pipeline.runManagedSitemaps(spark, stateStore, s"$root/out",
@@ -295,7 +308,8 @@ class SitemapSequenceSpec extends AnyFunSuite with SparkSpec {
 
   test("regeneration after record deletion drops the doomed URL and keeps " +
     "the file (test_task_update_sitemap_files_after_record_deletion, " +
-    "test_delete_by_bibcode_marks_sitemap_files_for_regeneration)") {
+    "test_delete_by_bibcode_marks_sitemap_files_for_regeneration, " +
+    "test_sitemap_file_regeneration_after_deletion_and_cleanup)") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_seq_del").toString
     val stateStore = new MasterStore(s"$root/smstate", empty = SitemapState.empty)

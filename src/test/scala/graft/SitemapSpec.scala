@@ -23,7 +23,7 @@ class SitemapSpec extends AnyFunSuite with SparkSpec {
     assert(kept == Set("b1", "b2"))
   }
 
-  test("P7 inclusion matrix: all 17 reference scenarios (test_app.py:606-818)") {
+  test("P7 inclusion matrix: all 17 reference scenarios (test_should_include_in_sitemap_comprehensive)") {
     import spark.implicits._
     val base = 1700000000000L
     def t(deltaMs: Long): Option[java.sql.Timestamp] =

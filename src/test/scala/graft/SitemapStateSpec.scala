@@ -33,7 +33,8 @@ class SitemapStateSpec extends AnyFunSuite with SparkSpec {
     state.collect().map(r => r.getAs[String]("bibcode") ->
       (r.getAs[String]("sitemap_filename"), r.getAs[Boolean]("update_flag"))).toMap
 
-  test("bootstrap assigns all included records in id order and flags everything") {
+  test("bootstrap assigns all included records in id order and flags everything " +
+    "(test_task_manage_sitemap_bootstrap_with_solr_filtering)") {
     val master = masterOf(Seq(
       (1L, "b1", "{}", "2024-01-01 00:00:00", null),
       (2L, "b2", "{}", "2024-01-02 00:00:00", null),
@@ -58,7 +59,8 @@ class SitemapStateSpec extends AnyFunSuite with SparkSpec {
     assert(stateMap(again).keySet == Set("b1"), "existing table left unchanged")
   }
 
-  test("add fills the last file to its boundary before rolling over") {
+  test("add fills the last file to its boundary before rolling over " +
+    "(test_process_sitemap_batch_file_rollover, test_max_records_per_sitemap_logic)") {
     val master = masterOf((1L to 5L).map(i =>
       (i, s"b$i", "{}", f"2024-01-0$i 00:00:00", null)))
     val st1 = SitemapState.add(SitemapState.empty(spark), master, bibs("b1", "b2"),
@@ -91,7 +93,10 @@ class SitemapStateSpec extends AnyFunSuite with SparkSpec {
     assert(stateMap(st2).view.mapValues(_._1).toMap == before)
   }
 
-  test("add flags a new record and one whose data is newer than its file") {
+  test("add flags a new record and one whose data is newer than its file " +
+    "(test_process_sitemap_batch_add_action_with_stale_file, " +
+    "test_process_sitemap_batch_add_action_with_never_generated_file, " +
+    "test_process_sitemap_batch_new_vs_existing_records)") {
     val master0 = masterOf(Seq((1L, "b1", "{}", "2024-01-01 00:00:00", null)))
     val st1 = SitemapState.add(SitemapState.empty(spark), master0, bibs("b1"))
     // generate, then the data moves forward
@@ -106,7 +111,9 @@ class SitemapStateSpec extends AnyFunSuite with SparkSpec {
       "lastmoddate advanced to the data timestamp (repeat-add dedup marker)")
   }
 
-  test("add does NOT flag a record whose data is older than its generated file") {
+  test("add does NOT flag a record whose data is older than its generated file " +
+    "(test_process_sitemap_batch_add_action_with_recent_file, " +
+    "test_add_action_timestamp_logic)") {
     val master = masterOf(Seq((1L, "b1", "{}", "2024-01-01 00:00:00", null)))
     val st1 = SitemapState.add(SitemapState.empty(spark), master, bibs("b1"))
     val st2 = SitemapState.markGenerated(st1,
@@ -115,7 +122,11 @@ class SitemapStateSpec extends AnyFunSuite with SparkSpec {
     assert(stateMap(st3)("b1")._2 == false, "stale data does not re-flag")
   }
 
-  test("force-update flags matched records regardless of timestamps") {
+  test("force-update flags matched records regardless of timestamps " +
+    "(test_process_sitemap_batch_force_update_with_recent_file, " +
+    "test_process_sitemap_batch_force_update_with_stale_file, " +
+    "test_force_update_workflow, " +
+    "test_task_manage_sitemap_force_update_action_with_solr_filtering)") {
     val master = masterOf(Seq(
       (1L, "b1", "{}", "2024-01-01 00:00:00", null),
       (2L, "b2", "{}", "2024-01-02 00:00:00", null)))
@@ -128,7 +139,9 @@ class SitemapStateSpec extends AnyFunSuite with SparkSpec {
     assert(m("b2")._2 == false, "unnamed rows untouched")
   }
 
-  test("add applies the SOLR inclusion filter") {
+  test("add applies the SOLR inclusion filter " +
+    "(test_process_sitemap_batch_solr_filtering, " +
+    "test_task_manage_sitemap_add_action_with_solr_filtering)") {
     val master = masterOf(Seq(
       (1L, "ok", "{}", "2024-01-01 00:00:00", "success"),
       (2L, "nobib", null, null, null),
@@ -139,7 +152,9 @@ class SitemapStateSpec extends AnyFunSuite with SparkSpec {
     assert(stateMap(st).keySet == Set("ok"))
   }
 
-  test("remove reconciles files: empties deleted, survivors' files flagged once") {
+  test("remove reconciles files: empties deleted, survivors' files flagged once " +
+    "(test_execute_remove_action_basic_functionality, " +
+    "test_execute_remove_action_empty_files_detection)") {
     val master = masterOf((1L to 5L).map(i =>
       (i, s"b$i", "{}", f"2024-01-0$i 00:00:00", null)))
     val st1 = SitemapState.add(SitemapState.empty(spark), master,
@@ -168,7 +183,8 @@ class SitemapStateSpec extends AnyFunSuite with SparkSpec {
       "continuation looks only at the last file (app.py:1018-1071); the hole in file 1 stays")
   }
 
-  test("cleanup removes entries that became invalid, including orphans") {
+  test("cleanup removes entries that became invalid, including orphans " +
+    "(test_cleanup_invalid_sitemaps, test_task_cleanup_invalid_sitemaps_with_file_flagging)") {
     // from tasks.py:482-585 / test_tasks.py:856-1360: entries whose record
     // went solr-failed, lost bib_data, or vanished entirely are swept out
     // with the standard remove reconciliation
@@ -199,7 +215,11 @@ class SitemapStateSpec extends AnyFunSuite with SparkSpec {
     assert(again.filesToDelete.isEmpty && again.filesToUpdate.isEmpty)
   }
 
-  test("full workflow: render pending files per site, stamp, converge to idle") {
+  test("full workflow: render pending files per site, stamp, converge to idle " +
+    "(test_task_update_sitemap_files_full_workflow, " +
+    "test_task_update_sitemap_files_orchestration, " +
+    "test_task_update_sitemap_files_no_updates_needed, " +
+    "test_process_sitemap_batch_integration, test_file_generation_integration)") {
     val master = masterOf(Seq(
       (1L, "2023A&A...1....1A", "{}", "2024-01-01 00:00:00", null),
       (2L, "2023B.....2....2B", "{}", "2024-01-02 00:00:00", null),

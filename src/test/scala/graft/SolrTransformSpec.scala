@@ -142,7 +142,7 @@ class SolrTransformSpec extends AnyFunSuite {
     case _ => Nil
   }
 
-  test("golden: pre-augment doc (test_solr_updater.py:332-372)") {
+  test("golden: pre-augment doc (test_solr_transformer, test_solr_updater.py:332-372)") {
     val doc = transform(baseRecord(withAugment = false))
     assert(strsOf(field(doc, "aff")) == Seq("-", "-", "-", "-"),
       "aff comes from bib data when augment absent")
@@ -246,7 +246,7 @@ class SolrTransformSpec extends AnyFunSuite {
     }
   }
 
-  test("links_data precedence matrix (test_solr_updater.py:616-700)") {
+  test("links_data precedence matrix (test_links_data_merge)") {
     val now = ts("2024-06-01T00:00:00Z")
     val dayBefore = ts("2024-05-31T00:00:00Z")
 
@@ -301,7 +301,7 @@ class SolrTransformSpec extends AnyFunSuite {
     assert(!transform(emptyBib).obj.toMap.contains("property"))
   }
 
-  test("extract_data_pipeline edge cases (test_solr_updater.py:702-815)") {
+  test("extract_data_pipeline edge cases (test_extract_data_pipeline)") {
     // simbad object without space → id with empty type
     val d1 = extractDataPipeline(parse(
       """{"simbad_objects": ["947046 "], "ned_objects": ["MESSIER_031 G", "SN_1885A "]}""")).toMap

@@ -27,7 +27,8 @@ class TemplatesSpec extends AnyFunSuite with SparkSpec {
       .collect().head.getString(0)
   }
 
-  test("robots.txt: sitemap pointer, per-crawler sections, path policy") {
+  test("robots.txt: sitemap pointer, per-crawler sections, path policy " +
+    "(test_robots_txt_template, test_task_update_robots_files_creation)") {
     val robots = Sitemap.renderRobots(ads)
     assert(robots.startsWith(
       "Sitemap: https://ui.adsabs.harvard.edu/sitemap/sitemap_index.xml\n"))
@@ -54,7 +55,8 @@ class TemplatesSpec extends AnyFunSuite with SparkSpec {
     assert(teoma.contains("Disallow: /full/") && !teoma.contains("Allow: /full/"))
   }
 
-  test("robots.txt: multi-site content differs only in the sitemap URL") {
+  test("robots.txt: multi-site content differs only in the sitemap URL " +
+    "(test_robots_txt_multi_site_content, test_template_consistency_across_sites)") {
     val a = Sitemap.renderRobots(ads)
     val s = Sitemap.renderRobots(scix)
     assert(a != s)
@@ -63,7 +65,8 @@ class TemplatesSpec extends AnyFunSuite with SparkSpec {
       "policy body is identical across sites")
   }
 
-  test("url entry golden string per site (test_templates.py:376-396)") {
+  test("url entry golden string per site (test_multi_site_url_patterns, " +
+    "test_sitemap_file_template)") {
     val adsEntry = urlEntryOf("2023ApJ...123..456A", "2024-01-15", ads)
     assert(adsEntry == "\n<url><loc>https://ui.adsabs.harvard.edu/abs/2023ApJ...123..456A/abstract</loc><lastmod>2024-01-15</lastmod></url>")
     val scixEntry = urlEntryOf("2023ApJ...123..456A", "2024-01-15", scix)
@@ -71,7 +74,9 @@ class TemplatesSpec extends AnyFunSuite with SparkSpec {
     assert(adsEntry != scixEntry)
   }
 
-  test("XML escaping: every special character, html.escape parity") {
+  test("XML escaping: every special character, html.escape parity " +
+    "(test_xml_escaping_fix, test_template_special_characters_handling, " +
+    "test_url_formatting_edge_cases)") {
     // (input, expected-escaped) pairs from test_templates.py:526-533 —
     // html.escape uses &#x27; for the apostrophe, not &apos;
     val cases = Seq(
@@ -90,7 +95,9 @@ class TemplatesSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  test("sitemap index entry escaping and golden shape (test_templates.py:548-571)") {
+  test("sitemap index entry escaping and golden shape " +
+    "(test_sitemap_index_xml_escaping, test_sitemap_index_template, " +
+    "test_sitemap_index_multi_site_entries)") {
     val weird = Sitemap.Site("X", "https://example.com",
       "https://example.com/sitemap?param=test&other=value", "{bibcode}")
     val entry = Sitemap.sitemapIndexEntry(weird, "sitemap_bib_1.xml", "2025-08-20")
@@ -102,7 +109,8 @@ class TemplatesSpec extends AnyFunSuite with SparkSpec {
       "\n            <sitemap>\n            <loc>https://ui.adsabs.harvard.edu/sitemap/sitemap_bib_2.xml</loc>\n            <lastmod>2024-02-01</lastmod>\n            </sitemap>")
   }
 
-  test("static page sitemap golden: ads is help/about/blog, scix adds home@1.0") {
+  test("static page sitemap golden: ads is help/about/blog, scix adds home@1.0 " +
+    "(test_template_files_exist)") {
     val adsStatic = Sitemap.renderStaticSitemap(ads)
     assert(adsStatic ==
       """<?xml version="1.0" encoding="UTF-8"?>
@@ -132,7 +140,8 @@ class TemplatesSpec extends AnyFunSuite with SparkSpec {
     parseXml(adsStatic); parseXml(scixStatic)
   }
 
-  test("rendered documents are well-formed XML end to end") {
+  test("rendered documents are well-formed XML end to end " +
+    "(test_multiple_entries_ads_and_scix)") {
     import spark.implicits._
     val records = Seq(
       (1L, "1980Ap&SS..68..111M", "2024-01-01"),
