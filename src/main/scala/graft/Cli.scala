@@ -260,15 +260,29 @@ object Cli {
           out("sitemap table truncated (old snapshot backed up" +
             parked.map(p => s"; files parked at $p").getOrElse("") + ")")
         case "update-robots" =>
+          // per-site failures are logged and skipped (tasks.py:865-867);
+          // the action fails wholesale only when NO site could be updated
+          // (tasks.py:655-659 'Failed to update robots.txt files')
+          var robotsUpdated = 0
           for (key <- Sitemap.Sites.keys.toSeq.sorted) {
-            val site = Sitemap.Sites(key)
-            val dir = new org.apache.hadoop.fs.Path(s"$outRoot/$key")
-            val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            fs.mkdirs(dir)
-            val o = fs.create(new org.apache.hadoop.fs.Path(dir, "robots.txt"), true)
-            try o.write(Sitemap.renderRobots(site).getBytes("UTF-8")) finally o.close()
+            try {
+              val site = Sitemap.Sites(key)
+              val dir = new org.apache.hadoop.fs.Path(s"$outRoot/$key")
+              val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              if (!fs.mkdirs(dir) && !fs.getFileStatus(dir).isDirectory)
+                throw new java.io.IOException(s"cannot create $dir")
+              val o = fs.create(new org.apache.hadoop.fs.Path(dir, "robots.txt"), true)
+              try o.write(Sitemap.renderRobots(site).getBytes("UTF-8")) finally o.close()
+              robotsUpdated += 1
+            } catch {
+              case e: Exception =>
+                out(s"failed to update robots.txt for site $key: ${e.getMessage}")
+            }
           }
-          out("robots.txt regenerated for all sites")
+          if (robotsUpdated == 0) {
+            out("error: failed to update robots.txt files"); return 2
+          }
+          out(s"robots.txt regenerated for $robotsUpdated sites")
         case other =>
           out(s"error: unknown --action $other"); return 2
       }

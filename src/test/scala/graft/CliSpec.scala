@@ -512,6 +512,67 @@ class CliSpec extends AnyFunSuite with SparkSpec {
     assert(log.exists(_.contains("scix-id reset applied (1 records)")), s"got $log")
   }
 
+  test("update-robots: a failing site is skipped, all-fail is an error " +
+    "(test_task_manage_sitemap_update_robots_action_error_handling)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_cli9").toString
+    val store = new graft.sources.MasterStore(s"$root/master")
+    val log = collection.mutable.Buffer.empty[String]
+    val (_, d) = deps(log)
+    Pipeline.runBatch(spark, store, Seq(
+      records.UpdateMessage("2024Rob.....1....A", "metadata",
+        """{"title": ["one"]}""", Timestamp.valueOf("2024-01-01 00:00:00"))).toDS(),
+      d.solrTransport, d.bulkTransport, now = Timestamp.valueOf("2024-01-02 00:00:00"))
+    val argv = Seq("--store", s"$root/master", "--out", s"$root/sitemaps",
+      "--manage-sitemap", "--action", "update-robots")
+
+    // block the ads site dir with a plain file: ads fails, scix proceeds
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/sitemaps"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$root/sitemaps/ads"),
+      "not a directory".getBytes)
+    log.clear()
+    assert(Cli.run(spark, argv, d) == 0, s"one healthy site is enough: $log")
+    assert(log.exists(_.contains("failed to update robots.txt for site ads")), s"got $log")
+    assert(log.exists(_.contains("robots.txt regenerated for 1 sites")), s"got $log")
+    assert(new java.io.File(s"$root/sitemaps/scix/robots.txt").exists,
+      "the healthy site still got its file")
+
+    // every site blocked → wholesale failure (tasks.py:655-659)
+    val root2 = java.nio.file.Files.createTempDirectory("graft_cli9b").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$root2/sitemaps"),
+      "not a directory".getBytes)
+    log.clear()
+    assert(Cli.run(spark, Seq("--store", s"$root/master", "--out", s"$root2/sitemaps",
+      "--manage-sitemap", "--action", "update-robots"), d) == 2)
+    assert(log.exists(_.contains("error: failed to update robots.txt files")), s"got $log")
+  }
+
+  test("task failures propagate out of the CLI, never swallowed " +
+    "(test_populate_sitemap_table_with_exception, " +
+    "test_update_sitemap_files_with_exception, " +
+    "test_update_sitemaps_auto_with_exception)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cli10").toString
+    val log = collection.mutable.Buffer.empty[String]
+    val (_, d) = deps(log)
+    // corrupt the sitemap store's pointer: any command that reads it must
+    // surface the failure, exactly as run.py re-raises its task errors
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/smstate"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$root/smstate/CURRENT"),
+      "garbage".getBytes)
+    val argvBase = Seq("--store", s"$root/master",
+      "--sitemap-store", s"$root/smstate", "--out", s"$root/sitemaps")
+    intercept[NumberFormatException] {
+      Cli.run(spark, argvBase ++ Seq("--update-sitemap-files"), d)
+    }
+    intercept[NumberFormatException] {
+      Cli.run(spark, argvBase ++ Seq("--update-sitemaps-auto"), d)
+    }
+    intercept[NumberFormatException] {
+      Cli.run(spark, argvBase ++
+        Seq("--manage-sitemap", "--action", "add", "-b", "x"), d)
+    }
+  }
+
   test("parser: aliases, optional -r letters, errors") {
     assert(Cli.parse(Seq("-r", "-f")) ==
       Right(Map("index" -> "sml", "force_indexing" -> "")))
