@@ -26,7 +26,8 @@ class CliSpec extends AnyFunSuite with SparkSpec {
     "test_populate_sitemap_table_update_robots_action, " +
     "test_populate_sitemap_table_all_actions, test_update_sitemap_files, " +
     "test_action_validation_missing_action, test_missing_action_causes_sys_exit, " +
-    "test_valid_command_line_execution_flow, test_backup_sitemap_files, " +
+    "test_valid_command_line_execution_flow, test_integration_with_task_calls, " +
+    "test_backup_sitemap_files, " +
     "test_delete_contents, test_delete_sitemap_files, " +
     "test_task_manage_sitemap_delete_table_action, " +
     "test_task_manage_sitemap_update_robots_action)") {
@@ -99,6 +100,13 @@ class CliSpec extends AnyFunSuite with SparkSpec {
       "-b", "2024Test.....2....B"), d) == 0)
     assert(log.exists(l => l.contains("indexed=1") && l.contains("metricsOk=0")),
       s"letters restrict the sinks: $log")
+
+    // force-update re-flags an already-generated record over the CLI
+    // (test_populate_sitemap_table_force_update_action)
+    log.clear()
+    assert(Cli.run(spark, argvBase ++ Seq("--manage-sitemap", "--action",
+      "force-update", "-b", "2024Test.....1....A"), d) == 0)
+    assert(log.exists(_.contains("manage-sitemap force-update done")), s"got $log")
 
     // remove one bibcode from the sitemap state; its file regenerates
     log.clear()

@@ -108,7 +108,9 @@ class SinksSpec extends AnyFunSuite with SparkSpec {
     assert(st2("B").ok && st2("B").retriedSolo && !st2("B").bodyStripped)
   }
 
-  test("S7 bulk sink: batch failure falls back per-row without body strip") {
+  test("S7 bulk sink: batch failure falls back per-row without body strip " +
+    "(the grouped(batchSize) send is the engine's analog of the " +
+    "reference's chunked() batching helper, test_chunked)") {
     val solo = spark.sparkContext.longAccumulator("solo")
     val t = new Transport {
       def send(p: Seq[String]): Unit = {

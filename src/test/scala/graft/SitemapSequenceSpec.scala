@@ -152,11 +152,33 @@ class SitemapSequenceSpec extends AnyFunSuite with SparkSpec {
     assert(flagged == Set("2023PartialTest..1..1A", "2023PartialTest..1..5A"))
   }
 
+  test("remove at batch scale: one pass over a thousand-row state " +
+    "(test_execute_remove_action_performance_with_large_batch)") {
+    // the reference times a 1000-record remove through its batched driver
+    // loop; here the same shape is one distributed pass regardless of
+    // batch size — assert the reconciliation stays exact at this width
+    val state = stateOf((1L to 1000L).map(i =>
+      (i, f"L$i%04d", s"sitemap_bib_${(i - 1) / 100 + 1}.xml", false)))
+    // remove all of file 3 (201..300) and half of file 7 (601..650)
+    val doomed = ((201 to 300) ++ (601 to 650)).map(i => f"L$i%04d")
+    val res = SitemapState.remove(state, {
+      import spark.implicits._
+      doomed.toDF("bibcode")
+    })
+    assert(res.state.count() == 850)
+    assert(res.filesToDelete == Seq("sitemap_bib_3.xml"))
+    assert(res.filesToUpdate == Seq("sitemap_bib_7.xml"))
+    val flagged = res.state.filter(col("update_flag")).collect()
+      .map(_.getAs[String]("bibcode")).toSeq
+    assert(flagged == Seq("L0651"), "exactly the min-id survivor of file 7")
+  }
+
   test("multi-batch rollover with interleaved removes: holes stay, fills " +
     "continue (test_task_manage_sitemap_bootstrap_action_batch_processing, " +
     "test_task_manage_sitemap_add_action_batch_processing, " +
     "test_task_manage_sitemap_remove_action_batch_processing, " +
-    "test_batch_processing_mixed_records)") {
+    "test_batch_processing_mixed_records, " +
+    "test_process_sitemap_batch_session_persistence)") {
     // bootstrap 25 records at 10/file → files 1..3 (10, 10, 5)
     val master0 = masterOf((1L to 25L).map(i =>
       (i, f"B$i%03d", "{}", "2024-01-01 00:00:00", "success")))

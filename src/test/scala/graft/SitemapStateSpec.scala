@@ -139,9 +139,10 @@ class SitemapStateSpec extends AnyFunSuite with SparkSpec {
     assert(m("b2")._2 == false, "unnamed rows untouched")
   }
 
-  test("add applies the SOLR inclusion filter " +
-    "(test_process_sitemap_batch_solr_filtering, " +
-    "test_task_manage_sitemap_add_action_with_solr_filtering)") {
+  test("add applies the SOLR inclusion filter; bibcodes absent from master " +
+    "are skipped gracefully (test_process_sitemap_batch_solr_filtering, " +
+    "test_task_manage_sitemap_add_action_with_solr_filtering, " +
+    "test_process_sitemap_batch_error_handling)") {
     val master = masterOf(Seq(
       (1L, "ok", "{}", "2024-01-01 00:00:00", "success"),
       (2L, "nobib", null, null, null),
