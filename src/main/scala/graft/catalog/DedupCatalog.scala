@@ -164,19 +164,34 @@ object DedupCatalog extends Catalog {
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-      // verify dim is corpus-derived: shuffle-join it on doc_id (no
-      // broadcast hint — at corpus scale broadcasting it OOMs the driver;
-      // AQE still picks a broadcast locally when the stats allow)
-      val dim = base.select(col("doc_id"), col("sh"), col("mh"))
-      val est = (0 until 8).map(i =>
-        when(element_at(col("da.mh"), i + 1) === element_at(col("db.mh"), i + 1), 1)
-          .otherwise(0)).reduce(_ + _) / 8.0
-      cand.join(dim.as("da"), col("doc_a") === col("da.doc_id"))
-        .join(dim.as("db"), col("doc_b") === col("db.doc_id"))
+      // exact verify by inverted-index intersection counts (same shape as
+      // lenbandJaccard): shuffles carry (id, id, shingle) rows, never the
+      // per-pair document arrays the old dim-join shipped. A band
+      // collision without any shared shingle yields no isect row — the
+      // inner join drops it, which the jaccard >= t filter would anyway.
+      val sizes = base.select(col("doc_id"), size(col("sh")).as("setsize"))
+      val full = base.select(col("doc_id"), explode(col("sh")).as("s"))
+      val isect = cand
+        .join(full.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))
+        .join(full.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+      val verified = cand
+        .join(sizes.select(col("doc_id").as("doc_a"), col("setsize").as("size_a")), Seq("doc_a"))
+        .join(sizes.select(col("doc_id").as("doc_b"), col("setsize").as("size_b")), Seq("doc_b"))
+        .join(isect, Seq("doc_a", "doc_b"))
         .select(col("doc_a"), col("doc_b"),
-          graft.functions.TextHashes.jaccardStringsUdf(col("da.sh"), col("db.sh")).as("jaccard"),
-          est.as("est_jaccard"))
+          (col("inter") / (col("size_a") + col("size_b") - col("inter"))).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
+      // the minhash estimate rides along only for the few surviving pairs,
+      // so the 8-long signature arrays never enter the candidate shuffles
+      val mhDim = base.select(col("doc_id"), col("mh"))
+      val est = (0 until 8).map(i =>
+        when(element_at(col("mha"), i + 1) === element_at(col("mhb"), i + 1), 1)
+          .otherwise(0)).reduce(_ + _) / 8.0
+      verified
+        .join(mhDim.select(col("doc_id").as("doc_a"), col("mh").as("mha")), Seq("doc_a"))
+        .join(mhDim.select(col("doc_id").as("doc_b"), col("mh").as("mhb")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("jaccard"), est.as("est_jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
