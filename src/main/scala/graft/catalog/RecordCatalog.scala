@@ -139,12 +139,18 @@ object RecordCatalog extends Catalog {
       // remove chain (three ordinal shuffles deep) per job. A real driver
       // persists state to the store between actions (see Cli) — this
       // chained lineage only exists in the synthetic workflow
+      // coalesce(8): the state is a few hundred rows — without it every
+      // downstream inspection job schedules 32 tasks per stage just to
+      // touch a handful of rows each
       val boot = SitemapState.bootstrap(SitemapState.empty(s),
-        master.filter(col("id") % 7 =!= 0), maxPerFile = 64).localCheckpoint()
+        master.filter(col("id") % 7 =!= 0), maxPerFile = 64)
+        .coalesce(8).localCheckpoint()
       val gen = SitemapState.markGenerated(boot,
-        boot.select(col("sitemap_filename")), ts("2024-06-01T00:00:00Z")).localCheckpoint()
+        boot.select(col("sitemap_filename")), ts("2024-06-01T00:00:00Z"))
+        .coalesce(8).localCheckpoint()
       val removed = SitemapState.remove(gen,
-        master.filter(col("id") % 5 === 0).select(col("bibcode"))).state.localCheckpoint()
+        master.filter(col("id") % 5 === 0).select(col("bibcode"))).state
+        .coalesce(8).localCheckpoint()
       val added = SitemapState.add(removed, master,
         master.filter(col("id") % 7 === 0).select(col("bibcode")), maxPerFile = 64)
       // NB: the LAST action's ordinal pin stays cached until the caller
