@@ -554,11 +554,13 @@ object Cli {
           case None =>
             out(needKeys(s"--scix-id-flag $rawFlag")); return 2
         }
+      // count the records the scoped sweep actually matched BEFORE the
+      // rewrite (a -b list may name bibcodes the store doesn't have —
+      // reporting the key-set size would inflate the audit trail)
+      val applied = only.map(keys =>
+        store.read(spark).join(keys, Seq("bibcode"), "left_semi").count().toString)
       store.write(MergeEngine.updateScixIds(store.read(spark), flag, only))
-      // the named variant reports how many keys it applied (the reference
-      // surface logs the applied-record count); keys is cached, so the
-      // count is one small agg over materialized blocks, no re-read
-      out(s"scix-id $flag applied (${only.map(_.count().toString).getOrElse("all")} records)")
+      out(s"scix-id $flag applied (${applied.getOrElse("all")} records)")
       return 0
     }
 
@@ -612,6 +614,7 @@ object Cli {
       decoded.unpersist()
       out(s"ingested=${report.merged} rejected=$nRejects " +
         s"solrOk=${report.solrOk} solrFailed=${report.solrFailed} " +
+        s"boostOk=${report.boostOk} boostFailed=${report.boostFailed} " +
         s"version=${report.version}")
       return if (report.solrFailed > 0) 1 else 0
     }

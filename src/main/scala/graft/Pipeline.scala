@@ -23,7 +23,8 @@ object Pipeline {
       merged: Long,
       indexed: Long,
       solrOk: Long, solrFailed: Long,
-      metricsOk: Long, linksOk: Long)
+      metricsOk: Long, linksOk: Long,
+      boostOk: Long = 0L, boostFailed: Long = 0L)
 
   /** One micro-batch: the batch analog of the reference's
     * `cron → reindex → task_index_records → sinks → mark_processed`. */
@@ -77,18 +78,26 @@ object Pipeline {
     // the reference queues a boost-pipeline request for every record an
     // ingest message touched (task_update_record/task_augment_record →
     // task_boost_request, adsmp/tasks.py:104-111), except for boost
-    // responses themselves — forwarding those would loop the pipeline
-    if (forwardBoostRequests) {
-      val touched = updates.filter(!isFullDelete && col("mtype") =!= "boost")
-        .select(col("bibcode")).distinct()
-      val requests = master.join(touched, Seq("bibcode"), "left_semi")
-        .as[MasterRecord]
-        .map(r => (r.bibcode, org.json4s.jackson.JsonMethods.compact(
-          org.json4s.jackson.JsonMethods.render(IndexJob.boostRequest(r)))))
-        .toDF("bibcode", "payload")
-      // one distributed pass fires the partition-local batched sends
-      Sinks.writeBulk(requests, bulkTransport).count()
-    }
+    // responses themselves — forwarding those would loop the pipeline.
+    // Delivery counts surface in the report: a dead bulk endpoint must
+    // not silently lose the whole boost leg
+    val (boostOk, boostFailed) =
+      if (!forwardBoostRequests) (0L, 0L)
+      else {
+        val touched = updates.filter(!isFullDelete && col("mtype") =!= "boost")
+          .select(col("bibcode")).distinct()
+        val requests = master.join(touched, Seq("bibcode"), "left_semi")
+          .as[MasterRecord]
+          .map(r => (r.bibcode, org.json4s.jackson.JsonMethods.compact(
+            org.json4s.jackson.JsonMethods.render(IndexJob.boostRequest(r)))))
+          .toDF("bibcode", "payload")
+        // one distributed agg fires the partition-local batched sends and
+        // counts outcomes without collecting per-record statuses
+        val r = Sinks.writeBulk(requests, bulkTransport).toDF().agg(
+          coalesce(sum(when(col("ok"), 1L).otherwise(0L)), lit(0L)),
+          count(lit(1))).head()
+        (r.getLong(0), r.getLong(1) - r.getLong(0))
+      }
 
     // P1-P3 gate + payload builds + P4 checksum suppression. The payload
     // frames are cached: each is consumed three times (sink write, stamp
@@ -186,7 +195,8 @@ object Pipeline {
       solrOk = solrStatus.filter(_.ok).count(),
       solrFailed = solrStatus.filter(!_.ok).count(),
       metricsOk = metricsStatus.filter(_.ok).count(),
-      linksOk = linksStatus.filter(_.ok).count())
+      linksOk = linksStatus.filter(_.ok).count(),
+      boostOk = boostOk, boostFailed = boostFailed)
 
     // release this batch's caches — in runStream a leak here would grow
     // executor storage by four datasets per micro-batch
@@ -261,12 +271,12 @@ object Pipeline {
       }
       put("sitemap_static.xml", Sitemap.renderStaticSitemap(site))
       // the reference indexes only files that physically exist in THIS
-      // site's tree (tasks.py:930-936, an os.path.exists per filename): a
-      // table entry whose file vanished (or was never rendered here) must
-      // not be listed. Driver-side existence probes over ≤ corpus/50k
-      // names per site
-      val present = allFiles.filter { case (name, _) =>
-        fs.exists(new org.apache.hadoop.fs.Path(dir, name)) }
+      // site's tree (tasks.py:930-936): one listStatus per site instead of
+      // its per-filename os.path.exists — ≤ corpus/50k names would
+      // otherwise mean tens of thousands of sequential driver RPCs per
+      // regeneration cycle on HDFS/object stores
+      val onDisk = fs.listStatus(dir).map(_.getPath.getName).toSet
+      val present = allFiles.filter { case (name, _) => onDisk(name) }
       put("sitemap_index.xml", Sitemap.renderIndex(site, present.toSeq,
         staticFirst = Seq("sitemap_static.xml" -> today)))
       put("robots.txt", Sitemap.renderRobots(site))

@@ -46,8 +46,12 @@ object Sinks {
       case Some(c) if c.startsWith("http") => Seq(c)
       case Some(c) =>
         configured.map { u =>
+          // a well-formed update URL has at least scheme//host/collection/
+          // tail (5 '/'-segments); anything shorter has no collection
+          // segment to rewrite — replacing parts(length-2) there would
+          // clobber the HOST, so the URL passes through untouched
           val parts = u.split("/")
-          if (parts.length >= 2) parts(parts.length - 2) = c
+          if (parts.length >= 5) parts(parts.length - 2) = c
           parts.mkString("/")
         }.distinct
       case None => configured.distinct
@@ -56,7 +60,12 @@ object Sinks {
   /** One transport that multiplexes a batch to several targets (the
     * reference POSTs every payload to each SOLR_URL, solr_updater.py
     * update_solr's url loop); any target failing fails the batch so the
-    * caller's retry ladder engages. */
+    * caller's retry ladder engages. NOTE the ladder then re-sends (and on
+    * a body-related error, body-strips) against ALL targets, healthy ones
+    * included — deliberately matching the reference, whose solo and strip
+    * retries also pass the full solr_urls list (app.py:403,417); SOLR
+    * updates are idempotent upserts, so the healthy target converges to
+    * the same final doc the failing one gets. */
   def fanout(targets: Seq[Transport]): Transport = new Transport {
     def send(payloads: Seq[String]): Unit = targets.foreach(_.send(payloads))
   }

@@ -99,9 +99,14 @@ object QueueDecode {
                 // payload['collections'] before update_storage); a message
                 // without one is an error, as the reference's KeyError is
                 obj \ "payload" match {
-                  case JNothing =>
-                    // payload-less envelope (e.g. a deleted-status slot
-                    // clear) stays a valid null-payload message
+                  case p if p == JNothing || status.contains("deleted") =>
+                    // payload-less envelopes and deleted-status messages
+                    // carry no usable payload: the merge nulls the slot
+                    // (or deletes the record) regardless, and the
+                    // reference handles status=deleted BEFORE the classify
+                    // collections extraction (tasks.py:60-77 vs :90-95),
+                    // so a deleted classify message must never hit the
+                    // missing-collections error
                     Seq(Decoded(ok = true, bib, t, null, ts, status, json, null))
                   case p =>
                     val body = if (t == "classify") p \ "collections" else p

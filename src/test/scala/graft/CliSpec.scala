@@ -401,6 +401,9 @@ class CliSpec extends AnyFunSuite with SparkSpec {
       Seq("http://s1/solr/collection2/update"), "same server collapses")
     assert(Sinks.collectionToUrls(Some("http://other/c9/update"),
       Seq("http://s1/solr/c1/update")) == Seq("http://other/c9/update"))
+    assert(Sinks.collectionToUrls(Some("c2"), Seq("http://s1/update")) ==
+      Seq("http://s1/update"),
+      "a URL with no collection segment passes through, its host untouched")
 
     val root = java.nio.file.Files.createTempDirectory("graft_cli6").toString
     val store = new graft.sources.MasterStore(s"$root/master")
@@ -513,10 +516,11 @@ class CliSpec extends AnyFunSuite with SparkSpec {
     assert(log.exists(_.contains("empty bibcode set")), s"got $log")
     assert(store.currentVersion == v0, "no store rewrite happened")
 
-    // --update-scix-id reports the applied key count, not a placeholder
+    // --update-scix-id reports how many records the sweep MATCHED — a
+    // named bibcode the store doesn't have must not inflate the count
     log.clear()
     assert(Cli.run(spark, argvBase ++ Seq("--update-scix-id",
-      "--scix-id-flag", "reset", "-b", "2024Emp.....1....A"), d) == 0)
+      "--scix-id-flag", "reset", "-b", "2024Emp.....1....A 2024Bogus....9....Z"), d) == 0)
     assert(log.exists(_.contains("scix-id reset applied (1 records)")), s"got $log")
   }
 

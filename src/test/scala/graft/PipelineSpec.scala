@@ -79,11 +79,13 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       UpdateMessage("bf1", "boost", """{"boost_final": 0.9}""",
         ts("2024-01-01 01:00:00"))).toDS()
     // solr-only run: the bulk transport sees ONLY the boost-request leg
-    Pipeline.runBatch(spark, store, batch, okTransport, recordingBulk,
+    val report = Pipeline.runBatch(spark, store, batch, okTransport, recordingBulk,
       now = ts("2024-01-02 00:00:00"), sinks = Set("solr"),
       forwardBoostRequests = true)
     val sent = boostPayloads.value
     assert(sent.size == 2, s"one request per touched record: $sent")
+    assert(report.boostOk == 2 && report.boostFailed == 0,
+      "delivery outcomes surface in the report, not just the transport")
     import scala.jdk.CollectionConverters._
     assert(sent.asScala.forall(_.contains("\"status\":\"updated\"")) &&
       sent.asScala.exists(_.contains("bf1")) && sent.asScala.exists(_.contains("bf2")))

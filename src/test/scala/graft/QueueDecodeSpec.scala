@@ -98,10 +98,16 @@ class QueueDecodeSpec extends AnyFunSuite with SparkSpec {
       """{"type":"classify","bibcode":"B2","timestamp":1000,"payload":{"scores":[1.0]}}""")
     val r = QueueDecode.rejects(bad).collect()
     assert(r.length == 1 && r.head._2 == "classify message without collections")
-    // payload-less deleted-status classify still clears the slot
+    // deleted-status classify messages clear the slot whether or not a
+    // payload rides along — the reference checks status before the
+    // collections extraction (tasks.py:60-77 vs :90-95), so neither form
+    // may hit the missing-collections error
     val del = decode(
-      """{"type":"classify","bibcode":"B1","timestamp":2000,"status":"deleted"}""")
-    assert(QueueDecode.messages(del).collect().head.status.contains("deleted"))
+      """{"type":"classify","bibcode":"B1","timestamp":2000,"status":"deleted"}""",
+      """{"type":"classify","bibcode":"B2","timestamp":2000,"status":"deleted","payload":{}}""")
+    val dm = QueueDecode.messages(del).collect()
+    assert(dm.length == 2 && dm.forall(_.status.contains("deleted")))
+    assert(dm.forall(_.payload == null), "deleted messages carry no payload")
   }
 
   test("boost envelope lands in the boost_factors slot (test_tasks boost path)") {
