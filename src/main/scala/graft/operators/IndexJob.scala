@@ -150,6 +150,16 @@ object IndexJob {
     * expressions — pushed to the scan. */
   def eligible(since: Option[Timestamp], force: Boolean) = {
     val p1 = since.map(s => col("updated") >= lit(s)).getOrElse(lit(true))
+    // run.py:153-159's outer skip: anything processed since its last
+    // arrival is done, regardless of which OPTIONAL slots exist. Without
+    // it a record that never received the optional augments slot can
+    // never satisfy the four-slot alreadyDone check below and would be
+    // re-transformed on every unbounded sweep — at the reference's 28.8M
+    // rows that is a near-full reprocess per run
+    val p0 =
+      if (force) lit(true)
+      else !(coalesce(col("processed"), lit(Epoch1972)) >
+        coalesce(col("updated"), lit(Epoch1972)))
     val complete = col("bib_data_updated").isNotNull &&
       col("orcid_claims_updated").isNotNull && col("nonbib_data_updated").isNotNull
     val p2 = if (force) col("bib_data_updated").isNotNull else complete
@@ -160,7 +170,7 @@ object IndexJob {
       col("nonbib_data_updated").isNotNull && (col("nonbib_data_updated") < processedOr1972) &&
       col("orcid_claims_updated").isNotNull && (col("orcid_claims_updated") < processedOr1972)
     val p3 = if (force) lit(true) else !alreadyDone
-    p1 && p2 && p3
+    p0 && p1 && p2 && p3
   }
 
   /** Build the requested payload streams for one selection of master

@@ -35,7 +35,9 @@ object MediaHeaders {
         b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')
       Some(ImageMeta("gif", le16(b, 6), le16(b, 8)))
     else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
-      Some(ImageMeta("bmp", le32(b, 18).toInt, le32(b, 22).toInt))
+      // biHeight is SIGNED: negative means a top-down bitmap (common for
+      // Windows tooling) — libraries report the magnitude
+      Some(ImageMeta("bmp", le32(b, 18).toInt, math.abs(le32(b, 22).toInt)))
     else if (b.length >= 4 && b(0) == 0xff.toByte && b(1) == 0xd8.toByte)
       parseJpegSof(b)
     else None
@@ -47,15 +49,22 @@ object MediaHeaders {
     var i = 2
     while (i + 3 < b.length) {
       if (b(i) != 0xff.toByte) return None // lost marker sync
-      val marker = u8(b, i + 1)
-      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) i += 2 // standalone
+      // the spec allows any number of 0xFF fill bytes before a marker
+      var j = i + 1
+      while (j < b.length && b(j) == 0xff.toByte) j += 1
+      if (j + 1 >= b.length) return None
+      val marker = u8(b, j)
+      // standalone markers (no length field): SOI, RSTn, EOI, TEM
+      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7) ||
+          marker == 0xd9 || marker == 0x01) i = j + 1
       else if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2) {
-        if (i + 8 >= b.length) return None
-        return Some(ImageMeta("jpeg", be16(b, i + 7), be16(b, i + 5)))
+        if (j + 8 >= b.length) return None
+        return Some(ImageMeta("jpeg", be16(b, j + 6), be16(b, j + 4)))
       } else {
-        val len = be16(b, i + 2)
+        if (j + 2 >= b.length) return None
+        val len = be16(b, j + 1)
         if (len < 2) return None
-        i += 2 + len
+        i = j + 1 + len
       }
     }
     None
@@ -79,7 +88,12 @@ object MediaHeaders {
         rate = le32(b, i + 12).toInt
         byteRate = le32(b, i + 16)
       } else if (id == "data") dataLen = len
-      i += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
+      // len is an UNSIGNED 32-bit field: a malformed value larger than the
+      // remaining buffer must end the walk — truncating it with .toInt
+      // could go negative and leave the cursor stuck (an infinite loop on
+      // adversarial bytes). Chunks are word-aligned.
+      if (len > b.length - i - 8) i = b.length
+      else i += 8 + len.toInt + (len.toInt & 1)
     }
     if (rate <= 0) None
     else Some(AudioMeta("wav", rate,

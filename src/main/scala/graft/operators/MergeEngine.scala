@@ -191,16 +191,11 @@ object MergeEngine {
     val newMaster = master.join(d, Seq("bibcode"), "left_anti")
 
     val affectedFiles = sitemap.join(d, Seq("bibcode"), "left_semi")
-      .select(col("sitemap_filename")).distinct()
+      .select(col("sitemap_filename"))
     val survivors = sitemap.join(d, Seq("bibcode"), "left_anti")
-    // flag the min-id surviving row of each affected file (app.py:84-118)
-    val w = Window.partitionBy(col("sitemap_filename")).orderBy(col("record_id"))
-    val newSitemap = survivors
-      .join(affectedFiles, Seq("sitemap_filename"), "left_semi")
-      .withColumn("rn", row_number().over(w))
-      .withColumn("update_flag", col("update_flag") || (col("rn") === 1))
-      .drop("rn")
-      .unionByName(survivors.join(affectedFiles, Seq("sitemap_filename"), "left_anti"))
+    // flag the min-id surviving row of each affected file — the shared W2
+    // helper, so this path and the remove action flag identical survivors
+    val newSitemap = SitemapState.flagSurvivors(survivors, affectedFiles)
 
     val log = master.join(d, Seq("bibcode"), "left_semi")
       .select(col("bibcode").as("key"), lit("deleted").as("ctype"),

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.expressions.Window
 
 /** Sitemap subsystem (SURVEY.md §2.7/§3.3; reference adsmp/tasks.py:585-1182,
@@ -92,14 +93,6 @@ object Sitemap {
       .join(offDf, Seq("__pid"))
       .withColumn(out, col("__offset") + col("__rn") - 1)
       .drop("__pid", "__rn", "__offset")
-  }
-
-  private implicit class SeqAsJava[A](s: Seq[A]) {
-    def asJava: java.util.List[A] = {
-      val l = new java.util.ArrayList[A](s.length)
-      s.foreach(l.add)
-      l
-    }
   }
 
   /** W1 — sequential file bucketing (tasks.py:719-737, app.py:1019-1141):

@@ -127,6 +127,22 @@ object SitemapState {
     updated.unionByName(added)
   }
 
+  /** W2 — flag the min-record_id surviving member of every affected file
+    * so the whole file regenerates without its removed members
+    * (app.py:84-118). ONE implementation shared by the remove action and
+    * the cascading delete ([[MergeEngine.deleteByBibcodes]]) — the two
+    * paths must flag the same survivor row for the same file. Rows whose
+    * filename is null or not affected pass through untouched. */
+  def flagSurvivors(survivors: DataFrame, affectedFiles: DataFrame): DataFrame = {
+    val affected = affectedFiles.select(col("sitemap_filename")).distinct()
+    val w = Window.partitionBy(col("sitemap_filename")).orderBy(col("record_id"))
+    survivors.join(affected, Seq("sitemap_filename"), "left_semi")
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("update_flag", col("update_flag") || (col("__rn") === 1))
+      .drop("__rn")
+      .unionByName(survivors.join(affected, Seq("sitemap_filename"), "left_anti"))
+  }
+
   /** `remove` (app.py:1263-1315): drop the named rows; files left empty are
     * reported for deletion, files that still have members get exactly one
     * surviving row flagged (the min-record_id row, app.py:84-118) so the
@@ -151,20 +167,11 @@ object SitemapState {
     val filesToDelete = stats.collect { case (f, false) => f }.sorted.toSeq
     val filesToUpdate = stats.collect { case (f, true) => f }.sorted.toSeq
     val survivors = marked.filter(col("__doomed").isNull).drop("__doomed")
-    // flag the min-record_id survivor of each shrunken file; the window
-    // ranks only those files' rows (the name list is a driver-side literal,
-    // so this is a pure filter — no second join against the state)
-    val flagged =
-      if (filesToUpdate.isEmpty) survivors
-      else {
-        val inUpd = col("sitemap_filename").isin(filesToUpdate: _*)
-        val w = Window.partitionBy(col("sitemap_filename")).orderBy(col("record_id"))
-        survivors.filter(coalesce(inUpd, lit(false)))
-          .withColumn("__rn", row_number().over(w))
-          .withColumn("update_flag", col("update_flag") || (col("__rn") === 1))
-          .drop("__rn")
-          .unionByName(survivors.filter(col("sitemap_filename").isNull || !inUpd))
-      }
+    // files that lost members (emptied ones have no survivor to flag, so
+    // including them is vacuous); flagging itself is the shared W2 helper
+    val affected = marked.filter(col("__doomed"))
+      .select(col("sitemap_filename"))
+    val flagged = flagSurvivors(survivors, affected)
     RemoveResult(flagged.select(columns.map(col): _*), filesToDelete, filesToUpdate)
   }
 

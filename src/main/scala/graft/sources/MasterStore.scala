@@ -83,15 +83,11 @@ class MasterStore(val root: String, numBuckets: Int = 8,
   /** Drop all snapshots older than the live one (the reference's
     * truncate+backup M6 keeps one generation too). */
   def vacuum(): Unit = currentVersion.foreach { live =>
-    val dir = Paths.get(root)
-    if (Files.exists(dir)) {
-      Files.list(dir).forEach { p =>
-        val name = p.getFileName.toString
-        if (name.startsWith("v_") && name.stripPrefix("v_").toLong != live) {
-          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-            .forEach(f => Files.delete(f))
-        }
-      }
+    for (v <- versions if v != live) {
+      val walk = Files.walk(versionDir(v))
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+      finally walk.close()
     }
   }
 
@@ -99,12 +95,18 @@ class MasterStore(val root: String, numBuckets: Int = 8,
     val dir = Paths.get(root)
     if (!Files.exists(dir)) Nil
     else {
-      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
-      Files.list(dir).forEach { p =>
-        val n = p.getFileName.toString
-        if (n.startsWith("v_")) out += n.stripPrefix("v_").toLong
-      }
-      out.sorted.toSeq
+      // Files.list holds an open DirectoryStream until closed — a
+      // long-lived driver calling this per micro-batch would otherwise
+      // leak one fd per call until GC finalizes them
+      val listing = Files.list(dir)
+      try {
+        val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+        listing.forEach { p =>
+          val n = p.getFileName.toString
+          if (n.startsWith("v_")) out += n.stripPrefix("v_").toLong
+        }
+        out.sorted.toSeq
+      } finally listing.close()
     }
   }
 }

@@ -87,47 +87,14 @@ object Sinks {
     Option(e.getMessage).exists(m => m.contains("body") ||
       m.contains("not all arguments converted during string formatting"))
 
-  /** S6 — SOLR-style sink: batch send; on failure per-doc retry; on a
-    * body-related doc failure one more attempt with `body` stripped
-    * (app.py:381-430). Expects columns (bibcode, payload). */
-  def writeSolr(docs: DataFrame, transport: Transport,
-      batchSize: Int = 1000): Dataset[SinkStatus] = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select("bibcode", "payload").as[(String, String)]
-      .mapPartitions { rows =>
-        rows.grouped(batchSize).flatMap { batch =>
-          try {
-            transport.send(batch.map(_._2))
-            batch.iterator.map { case (b, _) => SinkStatus(b, ok = true, retriedSolo = false, bodyStripped = false) }
-          } catch {
-            case _: Throwable =>
-              batch.iterator.map { case (bibcode, payload) =>
-                try {
-                  transport.send(Seq(payload))
-                  SinkStatus(bibcode, ok = true, retriedSolo = true, bodyStripped = false)
-                } catch {
-                  case e: Throwable if bodyRelated(e) =>
-                    try {
-                      transport.send(Seq(stripBody(payload)))
-                      SinkStatus(bibcode, ok = true, retriedSolo = true, bodyStripped = true)
-                    } catch {
-                      case _: Throwable =>
-                        SinkStatus(bibcode, ok = false, retriedSolo = true, bodyStripped = true)
-                    }
-                  case _: Throwable =>
-                    SinkStatus(bibcode, ok = false, retriedSolo = true, bodyStripped = false)
-                }
-              }
-          }
-        }
-      }
-  }
-
-  /** S7/S8 — bulk-then-per-row sink (metrics upsert / links PUT): batch
-    * send, per-row fallback, no body-strip ladder. */
-  def writeBulk(rows: DataFrame, transport: Transport,
-      batchSize: Int = 1000): Dataset[SinkStatus] = {
+  /** The shared retry ladder: batch send, and on a batch failure a per-doc
+    * solo retry whose failure handling is the one place the two sinks
+    * differ — `onSoloFailure` decides the final status for a doc whose
+    * solo send threw. Runs inside mapPartitions so RPC amortization and
+    * the fallback are partition-local control flow. */
+  private def writeWithLadder(rows: DataFrame, transport: Transport,
+      batchSize: Int)(
+      onSoloFailure: (String, String, Throwable) => SinkStatus): Dataset[SinkStatus] = {
     val spark = rows.sparkSession
     import spark.implicits._
     rows.select("bibcode", "payload").as[(String, String)]
@@ -135,7 +102,8 @@ object Sinks {
         it.grouped(batchSize).flatMap { batch =>
           try {
             transport.send(batch.map(_._2))
-            batch.iterator.map { case (b, _) => SinkStatus(b, ok = true, retriedSolo = false, bodyStripped = false) }
+            batch.iterator.map { case (b, _) =>
+              SinkStatus(b, ok = true, retriedSolo = false, bodyStripped = false) }
           } catch {
             case _: Throwable =>
               batch.iterator.map { case (bibcode, payload) =>
@@ -143,14 +111,38 @@ object Sinks {
                   transport.send(Seq(payload))
                   SinkStatus(bibcode, ok = true, retriedSolo = true, bodyStripped = false)
                 } catch {
-                  case _: Throwable =>
-                    SinkStatus(bibcode, ok = false, retriedSolo = true, bodyStripped = false)
+                  case e: Throwable => onSoloFailure(bibcode, payload, e)
                 }
               }
           }
         }
       }
   }
+
+  /** S6 — SOLR-style sink: batch send; on failure per-doc retry; on a
+    * body-related doc failure one more attempt with `body` stripped
+    * (app.py:381-430). Expects columns (bibcode, payload). */
+  def writeSolr(docs: DataFrame, transport: Transport,
+      batchSize: Int = 1000): Dataset[SinkStatus] =
+    writeWithLadder(docs, transport, batchSize) { (bibcode, payload, e) =>
+      if (bodyRelated(e))
+        try {
+          transport.send(Seq(stripBody(payload)))
+          SinkStatus(bibcode, ok = true, retriedSolo = true, bodyStripped = true)
+        } catch {
+          case _: Throwable =>
+            SinkStatus(bibcode, ok = false, retriedSolo = true, bodyStripped = true)
+        }
+      else SinkStatus(bibcode, ok = false, retriedSolo = true, bodyStripped = false)
+    }
+
+  /** S7/S8 — bulk-then-per-row sink (metrics upsert / links PUT): batch
+    * send, per-row fallback, no body-strip ladder. */
+  def writeBulk(rows: DataFrame, transport: Transport,
+      batchSize: Int = 1000): Dataset[SinkStatus] =
+    writeWithLadder(rows, transport, batchSize) { (bibcode, _, _) =>
+      SinkStatus(bibcode, ok = false, retriedSolo = true, bodyStripped = false)
+    }
 
   /** S11 — delete sink: per-bibcode delete command against every URL; a
     * bibcode counts deleted only when all endpoints succeed

@@ -77,12 +77,21 @@ object IngestStream {
       if (flush) state.update(prev.copy(everEmitted = true))
       if (flush) Iterator.single(toRecord(bibcode, prev)) else Iterator.empty
     } else {
-      // newest-wins within the batch per slot (same as MergeEngine.upsert)
+      // newest-wins within the batch per slot (same as MergeEngine.upsert).
+      // A deleted-status message CLEARS its slot rather than storing a
+      // null payload — a null entry would count toward completeness and
+      // emit a record whose bib_data is Some(null), which the transform
+      // NPEs on (the merge path already handles the same message as a
+      // slot clear; the gate must agree)
       val next = msgs.foldLeft(prev) { (st, m) =>
         MasterRecord.typeToSlot.get(m.mtype) match {
           case Some(slot) if st.arrivals.get(slot).forall(_ <= m.ts.getTime) =>
-            st.copy(payloads = st.payloads + (slot -> m.payload),
-              arrivals = st.arrivals + (slot -> m.ts.getTime))
+            if (m.status.contains("deleted") || m.payload == null)
+              st.copy(payloads = st.payloads - slot,
+                arrivals = st.arrivals + (slot -> m.ts.getTime))
+            else
+              st.copy(payloads = st.payloads + (slot -> m.payload),
+                arrivals = st.arrivals + (slot -> m.ts.getTime))
           case _ => st
         }
       }
@@ -155,12 +164,20 @@ object RetrySchedule {
   * incremental run; Structured Streaming replaces it with the checkpoint.
   */
 object Watermark {
+  private def exists(spark: SparkSession, p: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+  }
+
   def read(spark: SparkSession, path: String, key: String): Option[Timestamp] = {
     import spark.implicits._
+    // only a genuinely missing dir means "no watermark" — a transient FS
+    // error must propagate, or the caller would silently fall back to a
+    // full-corpus reprocess
     def readDir(p: String) =
-      try spark.read.parquet(p).filter($"key" === key)
+      if (!exists(spark, p)) None
+      else spark.read.parquet(p).filter($"key" === key)
         .select($"value").as[Timestamp].collect().headOption
-      catch { case _: Throwable => None }
     // fall back to the parked backup if a crashed advance left no live dir
     readDir(path).orElse(readDir(path + ".old"))
   }
@@ -182,11 +199,14 @@ object Watermark {
     import spark.implicits._
     import org.apache.hadoop.fs.Path
     // other keys' values must survive the swap even when recovering from
-    // a crash that left only the backup dir
+    // a crash that left only the backup dir. Missing dir → no data; any
+    // OTHER failure (transient FS error, corrupt file) propagates — a
+    // swallowed error here would rewrite the store with only the advanced
+    // key and permanently drop every other stream's watermark
     def keysOf(p: String): Option[Seq[(String, Timestamp)]] =
-      try Some(spark.read.parquet(p).filter($"key" =!= key)
+      if (!exists(spark, p)) None
+      else Some(spark.read.parquet(p).filter($"key" =!= key)
         .as[(String, Timestamp)].collect().toSeq)
-      catch { case _: Throwable => None }
     val existing = keysOf(path).orElse(keysOf(path + ".old"))
       .getOrElse(Seq.empty)
     val next = existing :+ (key -> value)
