@@ -53,6 +53,26 @@ class IndexJobSpec extends AnyFunSuite with SparkSpec {
     assert(forced == Set("p1", "p2"), "force re-indexes suppressed records")
   }
 
+  test("outer processed>updated skip suppresses augment-less records too " +
+    "(run.py:153-159; the four-slot check alone would re-select them forever)") {
+    import spark.implicits._
+    // no augments slot — alreadyDone (P3) can never hold for this record
+    val done = completeRecord("o1").copy(
+      processed = Some(ts("2024-06-01T00:00:00Z"))) // after updated 2024-01-04
+    val fresh = completeRecord("o2") // never processed
+    val touched = completeRecord("o3").copy(
+      processed = Some(ts("2024-06-01T00:00:00Z")),
+      updated = Some(ts("2024-07-01T00:00:00Z"))) // arrival after processing
+    val ds = spark.createDataset(Seq(done, fresh, touched))
+    val sel = ds.filter(IndexJob.eligible(None, force = false))
+      .collect().map(_.bibcode).toSet
+    assert(sel == Set("o2", "o3"),
+      "processed-since-last-arrival is done regardless of optional slots")
+    val forced = ds.filter(IndexJob.eligible(None, force = true))
+      .collect().map(_.bibcode).toSet
+    assert(forced == Set("o1", "o2", "o3"))
+  }
+
   test("P1 incremental window") {
     import spark.implicits._
     val older = completeRecord("w1").copy(updated = Some(ts("2024-01-01T00:00:00Z")))

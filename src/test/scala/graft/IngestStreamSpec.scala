@@ -101,6 +101,43 @@ class IngestStreamSpec extends AnyFunSuite with SparkSpec {
     assert(!tState.getTimeoutTimestampMs.isPresent, "no perpetual timer for dormant records")
   }
 
+  test("a deleted-status slot message CLEARS the slot in the gate — it must " +
+    "not count toward completeness as a null payload") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    // complete record in state; a deleted bib_data arrives
+    val full = IngestStream.SlotState(
+      Map("bib_data" -> "{}", "nonbib_data" -> "{}", "orcid_claims" -> "{}"),
+      Map("bib_data" -> 1000L, "nonbib_data" -> 1000L, "orcid_claims" -> 1000L),
+      everEmitted = true)
+    val state = TestGroupState.create[IngestStream.SlotState](
+      org.apache.spark.api.java.Optional.of(full),
+      org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+      2000L, org.apache.spark.api.java.Optional.empty[Long], hasTimedOut = false)
+    val out = IngestStream.gate(0L)("d1",
+      Iterator(UpdateMessage("d1", "metadata", null,
+        ts("2024-01-01T00:00:05Z"), status = Some("deleted"))),
+      state).toList
+    assert(state.get.payloads.get("bib_data").isEmpty,
+      "the slot is gone, not present-with-null")
+    // the re-emission (everEmitted) carries a record without bib_data —
+    // downstream transforms see None, never Some(null)
+    assert(out.forall(_.bib_data.isEmpty))
+
+    // a fresh record whose ONLY arrival is a deleted slot never completes
+    val empty = TestGroupState.create[IngestStream.SlotState](
+      org.apache.spark.api.java.Optional.empty[IngestStream.SlotState],
+      org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+      2000L, org.apache.spark.api.java.Optional.empty[Long], hasTimedOut = false)
+    val none = IngestStream.gate(0L)("d2",
+      Iterator(
+        UpdateMessage("d2", "metadata", null, ts("2024-01-01T00:00:01Z"),
+          status = Some("deleted")),
+        UpdateMessage("d2", "nonbib_data", "{}", ts("2024-01-01T00:00:02Z")),
+        UpdateMessage("d2", "orcid_claims", "{}", ts("2024-01-01T00:00:03Z"))),
+      empty).toList
+    assert(none.isEmpty, "cleared bib_data keeps the record gated")
+  }
+
   test("ST5 retry schedule: 10s x20 + 30s x30 + 60s x50, ~90 min budget") {
     import graft.streaming.RetrySchedule
     assert(RetrySchedule.delay(0) == Some(10))

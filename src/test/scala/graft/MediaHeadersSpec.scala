@@ -66,6 +66,28 @@ class MediaHeadersSpec extends AnyFunSuite {
     assert(MediaHeaders.parseWav("RIFFxxxx".getBytes) == None)
   }
 
+  test("malformed containers terminate: oversized RIFF chunk, fill-byte " +
+    "JPEG, top-down BMP") {
+    // a RIFF chunk claiming 0xFFFFFFF8 bytes must end the walk, not spin
+    // the cursor in place forever
+    val evil = "RIFF".getBytes ++ le32(100) ++ "WAVE".getBytes ++
+      "JUNK".getBytes ++ Array[Byte](0xf8.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte) ++
+      new Array[Byte](8)
+    assert(MediaHeaders.parseWav(evil).isEmpty, "no fmt chunk reachable → None")
+
+    // spec-valid JPEG with 0xFF fill bytes before the SOF marker
+    val filled: Array[Byte] =
+      Array[Byte](0xff.toByte, 0xd8.toByte) ++
+        Array[Byte](0xff.toByte, 0xff.toByte, 0xff.toByte, 0xc0.toByte) ++ be16(17) ++
+        Array[Byte](8) ++ be16(480) ++ be16(640) ++ new Array[Byte](10)
+    assert(MediaHeaders.parseImage(filled).contains(
+      MediaHeaders.ImageMeta("jpeg", 640, 480)))
+
+    // top-down BMP stores a negative biHeight; libraries report magnitude
+    assert(MediaHeaders.parseImage(bmp(640, -480)).contains(
+      MediaHeaders.ImageMeta("bmp", 640, 480)))
+  }
+
   test("decodeMeta prefers the real parse; non-media falls back to the stub") {
     val (w, h, _, _) = Multimodal.decodeMeta(png(12, 34), "image")
     assert((w, h) == (12, 34), "real header wins")
