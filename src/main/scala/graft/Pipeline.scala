@@ -62,18 +62,24 @@ object Pipeline {
     // is NULL, which !filter would silently DROP — not keep
     val isFullDelete = col("mtype") === "metadata" &&
       coalesce(col("status") === "deleted", lit(false))
+    // the doomed set stays a Dataset end-to-end: anti-join for the row
+    // drop, distributed count to fire the sink deletes — a mass-deletion
+    // batch must never become a driver list or an isin literal (the same
+    // scale bug class the -n/--index_failed paths already fixed)
     val doomed = updates.filter(isFullDelete)
-      .select(col("bibcode")).distinct().as[String].collect().toSeq
+      .select(col("bibcode")).distinct().as[String].cache()
+    val anyDoomed = doomed.head(1).nonEmpty
 
     // M1 merge
     val merged = MergeEngine.upsert(store.read(spark), updates.filter(!isFullDelete))
     val master0 =
-      if (doomed.isEmpty) merged.master
-      else merged.master.filter(!col("bibcode").isin(doomed: _*))
-    if (doomed.nonEmpty)
-      Sinks.deleteByBibcodes(doomed.toDS(), Seq(solrTransport, bulkTransport)).collect()
+      if (!anyDoomed) merged.master
+      else merged.master.join(doomed.toDF("bibcode"), Seq("bibcode"), "left_anti")
+    if (anyDoomed)
+      Sinks.deleteByBibcodes(doomed, Seq(solrTransport, bulkTransport)).count()
     val master = master0.cache()
     val mergedCount = master.count()
+    doomed.unpersist(blocking = false)
 
     // the reference queues a boost-pipeline request for every record an
     // ingest message touched (task_update_record/task_augment_record →
