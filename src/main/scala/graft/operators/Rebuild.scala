@@ -22,6 +22,16 @@ object Rebuild {
   /** One core's view from the admin endpoint (reindex.py:186-207). */
   case class CoreStatus(dataDir: String, numDocs: Long, sizeInBytes: Long)
 
+  /** str_to_datetime (reindex.py:204-213): the sink reports searcher
+    * timestamps both with and without milliseconds; parse either, timezone
+    * naive (UTC millis). A real [[StatusProbe]] uses this to turn the
+    * mbean's registeredAt string into the millis the monitor compares. */
+  def parseSolrTime(s: String): Long =
+    // ISO_LOCAL_DATE_TIME accepts an optional fraction of any precision,
+    // matching strptime's %f fallback pair in the reference
+    java.time.LocalDateTime.parse(s.stripSuffix("Z"))
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+
   /** The pollable sink surface. Implementations may throw — the monitor
     * applies the reference's bounded error tolerance where it applies. */
   trait StatusProbe {

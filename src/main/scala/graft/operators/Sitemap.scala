@@ -120,10 +120,17 @@ object Sitemap {
   }
 
   /** format_url_entry (templates/__init__.py:49-54) as a column expression:
-    * '\n<url><loc>{url}</loc><lastmod>{date}</lastmod></url>'. */
+    * '\n<url><loc>{url}</loc><lastmod>{date}</lastmod></url>'. A pattern
+    * with no {bibcode} placeholder passes through unsubstituted — Python's
+    * str.format leaves such a pattern untouched rather than raising
+    * (test_templates.py test_template_error_handling). */
   def urlEntry(bibcode: Column, lastmod: Column, site: Site): Column = {
-    val Array(prefix, suffix) = site.absUrlPattern.split("\\{bibcode\\}", 2)
-    concat(lit("\n<url><loc>"), lit(prefix), xmlEscape(bibcode), lit(suffix),
+    val loc = site.absUrlPattern.split("\\{bibcode\\}", 2) match {
+      case Array(prefix, suffix) =>
+        concat(lit(prefix), xmlEscape(bibcode), lit(suffix))
+      case _ => lit(site.absUrlPattern)
+    }
+    concat(lit("\n<url><loc>"), loc,
       lit("</loc><lastmod>"), lastmod, lit("</lastmod></url>"))
   }
 

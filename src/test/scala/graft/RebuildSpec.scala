@@ -181,6 +181,18 @@ class RebuildSpec extends AnyFunSuite {
     assert(!probe.swapped)
   }
 
+  test("sink timestamps parse with and without milliseconds, timezone naive " +
+    "(test_reindex.py test_date)") {
+    val plain = Rebuild.parseSolrTime("2020-03-15T19:32:15Z")
+    val millis = Rebuild.parseSolrTime("2020-03-15T19:32:15.314Z")
+    assert(millis - plain == 314L)
+    assert(plain == java.time.LocalDateTime.of(2020, 3, 15, 19, 32, 15)
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+    intercept[java.time.format.DateTimeParseException] {
+      Rebuild.parseSolrTime("not-a-date")
+    }
+  }
+
   test("default floors match the reference deployment") {
     val d = Config()
     assert(d.minCommittedDocs == 17500000L && d.minIndexSizeGb == 200.0)

@@ -139,6 +139,40 @@ class SitemapStateSpec extends AnyFunSuite with SparkSpec {
     assert(m("b2")._2 == false, "unnamed rows untouched")
   }
 
+  test("force-update over a 100-record mixed-status corpus: success rows " +
+    "flagged, solr-failed rows untouched, file layout preserved " +
+    "(test_task_manage_sitemap_force_update_action_batch_processing)") {
+    import spark.implicits._
+    // 80/20-style status mix as in the reference (even ids solr-failed),
+    // pre-assigned across exactly two files regardless of status — the
+    // reference seeds SitemapInfo rows directly, bypassing the inclusion
+    // filter, so the state table must tolerate rows force-update skips
+    val master = masterOf((1L to 100L).map(i =>
+      (i, f"2023ForceBatch..$i%03d..${i}%03dA", s"""{"title":"Test Force Batch $i"}""",
+        "2024-01-01 00:00:00", if (i % 2 == 1) "success" else "solr-failed")))
+    val preState = (1L to 100L).map { i =>
+      (i, f"2023ForceBatch..$i%03d..${i}%03dA",
+        s"sitemap_bib_${(i - 1) / 50 + 1}.xml",
+        ts("2024-01-01 00:00:00"), ts("2024-06-01 00:00:00"), false)
+    }.toDF(SitemapState.columns: _*)
+    val allBibs = master.select(col("bibcode"))
+    val st = SitemapState.add(preState, master, allBibs, force = true)
+    assert(st.count() == 100, "all 100 rows still present")
+    assert(st.select(col("sitemap_filename")).distinct().count() == 2,
+      "still exactly two sitemap files")
+    val byStatus = st.join(master.select(col("bibcode"), col("status")), Seq("bibcode"))
+      .groupBy(col("status"), col("update_flag")).count()
+      .collect().map(r => (r.getString(0), r.getBoolean(1)) -> r.getLong(2)).toMap
+    assert(byStatus(("success", true)) == 50,
+      "every success record marked for update")
+    assert(byStatus(("solr-failed", false)) == 50,
+      "solr-failed records are not marked for update")
+    val moved = st.join(preState.select(col("bibcode"),
+        col("sitemap_filename").as("__pre")), Seq("bibcode"))
+      .filter(col("sitemap_filename") =!= col("__pre")).count()
+    assert(moved == 0, "no record changed file")
+  }
+
   test("add applies the SOLR inclusion filter; bibcodes absent from master " +
     "are skipped gracefully (test_process_sitemap_batch_solr_filtering, " +
     "test_task_manage_sitemap_add_action_with_solr_filtering, " +

@@ -74,6 +74,20 @@ class TemplatesSpec extends AnyFunSuite with SparkSpec {
     assert(adsEntry != scixEntry)
   }
 
+  test("error handling: unknown site raises, a pattern with no {bibcode} " +
+    "placeholder passes through unsubstituted (test_template_error_handling)") {
+    // load_template('nonexistent_template.xml') raises — the engine analog
+    // is the Sites registry lookup
+    intercept[NoSuchElementException] { Sitemap.Sites("nonexistent") }
+    // format_url_entry(..., 'no-placeholder'): Python str.format leaves a
+    // placeholder-less pattern untouched; no exception, loc = the pattern
+    val broken = Sitemap.Site("X", "https://example.com",
+      "https://example.com/sitemap", "no-placeholder")
+    val entry = urlEntryOf("2023ApJ...123..456A", "2024-01-15", broken)
+    assert(entry ==
+      "\n<url><loc>no-placeholder</loc><lastmod>2024-01-15</lastmod></url>")
+  }
+
   test("XML escaping: every special character, html.escape parity " +
     "(test_xml_escaping_fix, test_template_special_characters_handling, " +
     "test_url_formatting_edge_cases)") {
