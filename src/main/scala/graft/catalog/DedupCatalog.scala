@@ -129,6 +129,31 @@ object DedupCatalog extends Catalog {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** SimHash near-dup pairs (doc_a < doc_b, hamming ≤ 6): 4 LSH bands ×
+    * 15 bits over the 60-bit fingerprint. Shared by the pair query and the
+    * cluster-assignment query. Fingerprints are cached pre-join — the
+    * simhash expression is ~1000× the cost of the join probe, so it must
+    * evaluate once per doc, not once per join side per reference. */
+  private def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), simhash60(col("text")).as("simhash"))
+      .select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(k => struct(
+          lit(k).as("band_idx"),
+          (expr(s"simhash div ${1L << (15 * k)}") % 32768L).as("band_val"))): _*)).as("band"))
+      .select(col("doc_id"), col("simhash"),
+        col("band.band_idx").as("band_idx"), col("band.band_val").as("band_val"))
+      .cache()
+    base.as("a").join(base.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 6)
+      .distinct()
+  }
+
   def queries: Map[String, QFn] = Map(
 
     // ── Exact dedup: group by full-content hash, keep lowest id ──
@@ -226,25 +251,29 @@ object DedupCatalog extends Catalog {
     // candidates multiplicatively. Fingerprints are cached pre-join — the
     // simhash expression is ~1000× the cost of the join probe, so it must
     // evaluate once per doc, not once per join side per reference. ──
-    "dd_simhash_pairs" -> ((s, d) => {
-      val base = Tables.documents(s, d)
-        .select(col("doc_id"), simhash60(col("text")).as("simhash"))
-        .select(col("doc_id"), col("simhash"),
-          explode(array((0 until 4).map(k => struct(
-            lit(k).as("band_idx"),
-            (expr(s"simhash div ${1L << (15 * k)}") % 32768L).as("band_val"))): _*)).as("band"))
-        .select(col("doc_id"), col("simhash"),
-          col("band.band_idx").as("band_idx"), col("band.band_val").as("band_val"))
-        .cache()
-      base.as("a").join(base.as("b"),
-          col("a.band_idx") === col("b.band_idx") &&
-            col("a.band_val") === col("b.band_val") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
-        .filter(col("hamming") <= 6)
-        .distinct()
-        .orderBy(col("doc_a"), col("doc_b"))
+    "dd_simhash_pairs" -> ((s, d) =>
+      simhashPairs(s, d).orderBy(col("doc_a"), col("doc_b"))),
+
+    // ── Cluster assignment: connected components over the simhash
+    // near-dup pair graph (graft.operators.Components — min-label
+    // propagation, O(diameter) shuffle rounds), so a dedup pipeline keeps
+    // one canonical document per cluster instead of reasoning about raw
+    // pairs. Singleton docs never enter the loop: the label frame holds
+    // only docs that appear in a pair, and everyone else rejoins as their
+    // own cluster at the end. ──
+    "dd_cluster_assign" -> ((s, d) => {
+      val comp = graft.operators.Components.assign(
+        simhashPairs(s, d).select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      val assigned = Tables.documents(s, d).select(col("doc_id"))
+        .join(comp.select(col("node").as("doc_id"), col("cluster_id")),
+          Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+      assigned
+        .select(col("doc_id"), col("cluster_id"),
+          count(lit(1)).over(w).as("cluster_size"),
+          (col("doc_id") === col("cluster_id")).as("is_canonical"))
+        .orderBy(col("doc_id"))
     }),
 
     // ── Embedding-cosine near-dup: nearest same-label neighbor per vector.
@@ -347,6 +376,30 @@ object DedupCatalog extends Catalog {
            ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
          WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
          ORDER BY doc_a, doc_b""",
+    "dd_cluster_assign" ->
+      s"""WITH RECURSIVE
+         s AS (SELECT doc_id, $Simhash60Sql AS simhash FROM documents),
+         bands AS (SELECT doc_id, simhash, t.k AS band_idx,
+             (simhash // (CASE t.k WHEN 0 THEN 1 WHEN 1 THEN 32768
+                          WHEN 2 THEN 1073741824 ELSE 35184372088832 END)::BIGINT) % 32768 AS band_val
+           FROM s, generate_series(0, 3) t(k)),
+         pairs AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a JOIN bands b
+             ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.simhash, b.simhash)) <= 6),
+         edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                   UNION SELECT doc_b, doc_a FROM pairs),
+         reach AS (SELECT src, dst FROM edges
+                   UNION SELECT r.src, e.dst FROM reach r JOIN edges e
+                     ON r.dst = e.src AND e.dst <> r.src),
+         lbl AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+                 FROM reach GROUP BY src)
+         SELECT d.doc_id,
+           COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+           COUNT(*) OVER (PARTITION BY COALESCE(l.cluster_id, d.doc_id)) AS cluster_size,
+           d.doc_id = COALESCE(l.cluster_id, d.doc_id) AS is_canonical
+         FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id
+         ORDER BY d.doc_id""",
     "dd_embedding_neardup" ->
       s"""WITH p AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
              ${cosineSql("a.embedding", "b.embedding")} AS cos_sim

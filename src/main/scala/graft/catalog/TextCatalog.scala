@@ -72,6 +72,41 @@ object TextCatalog extends Catalog {
         .orderBy(col("doc_id"))
     }),
 
+    // ── Deterministic stratified sampling: hash-bucket the doc key and
+    // keep a per-language permille rate. No RNG — the sample is
+    // reproducible across runs/retries (a rerun of a failed partition
+    // must select the same rows), and at 100 TB it is a pure map-side
+    // filter that pushes nothing through a shuffle. The hash is salted so
+    // the sample is independent of every other hash use of doc_id. ──
+    "tx_sample_hash" -> ((s, d) => {
+      val rate = when(col("lang") === "en", 500L)
+        .when(col("lang").isin("fr", "es"), 250L)
+        .otherwise(100L)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          pmod(PortableHash.hash64(concat(lit("sample:"), col("doc_id").cast("string"))),
+            lit(1000L)).as("bucket"), rate.as("rate_permille"))
+        .withColumn("sampled", col("bucket") < col("rate_permille"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── Token-budget shard packing (graft.operators.Packing): documents
+    // fill fixed-budget training shards per language in doc_id order via a
+    // DISTRIBUTED exclusive prefix sum — range-partition on (lang,
+    // doc_id), per-(partition, lang) subtotals, broadcast offsets,
+    // partition-local window. A plain lang-partitioned window would
+    // funnel each language through one task at scale. ──
+    "tx_pack_budget" -> ((s, d) => {
+      val withTokens = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      graft.operators.Packing
+        .packByBudget(withTokens, "lang", "doc_id", "n_tokens", budget = 2000L)
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("cum_before"), col("shard_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── Document fingerprint: min rolling-hash over 5-gram word shingles ──
     "tx_fingerprint" -> ((s, d) => {
       val words = split(col("text"), " ")
@@ -121,6 +156,26 @@ object TextCatalog extends Catalog {
            CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
            CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens
          FROM documents ORDER BY doc_id""",
+    "tx_sample_hash" ->
+      s"""WITH b AS (SELECT doc_id, lang,
+             ${PortableHash.hash64Sql("'sample:' || CAST(doc_id AS VARCHAR)")} % 1000 AS bucket,
+             CASE WHEN lang = 'en' THEN 500
+                  WHEN lang IN ('fr', 'es') THEN 250
+                  ELSE 100 END::BIGINT AS rate_permille
+           FROM documents)
+         SELECT doc_id, lang, bucket, rate_permille,
+           bucket < rate_permille AS sampled
+         FROM b ORDER BY doc_id""",
+    "tx_pack_budget" ->
+      """WITH t AS (SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents)
+         SELECT doc_id, lang, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+           COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2000 AS shard_id
+         FROM t ORDER BY doc_id""",
     "tx_fingerprint" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
          sh AS (SELECT doc_id,

@@ -67,4 +67,25 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     } yield (ia, ib)).toSet
     assert(got == want, s"prefix filtering must not lose pairs: got $got want $want")
   }
+
+  test("connected components: chains, cycles, duplicate/reversed edges, " +
+    "and separate components all resolve to min-id labels") {
+    import spark.implicits._
+    // component A: a 5-node chain given in mixed orientation (worst
+    // diameter shape for label propagation); component B: a cycle with a
+    // chord, plus duplicate and self-loop edges; node 50-51: a plain pair
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L),  // chain 1-2-3-4-5
+      (10L, 11L), (11L, 12L), (12L, 10L),      // cycle
+      (12L, 13L), (10L, 13L),                  // chord + dup path
+      (13L, 13L),                              // self-loop
+      (10L, 11L),                              // duplicate edge
+      (50L, 51L)).toDF("src", "dst")
+    val got = graft.operators.Components.assign(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(got(_) == 1L), s"chain collapses to 1: $got")
+    assert(Seq(10L, 11L, 12L, 13L).forall(got(_) == 10L), s"cycle to 10: $got")
+    assert(got(50L) == 50L && got(51L) == 50L)
+    assert(got.size == 11, "exactly the nodes present in edges are labeled")
+  }
 }
