@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.operators.Components
+
+/** Property test for the connected-components operator against a
+  * driver-side union-find reference: on random graphs (including dense
+  * blobs, chains, and isolated pairs), every node's distributed label must
+  * equal the min node id of its union-find component, and exactly the
+  * nodes present in edges are labeled. Random exploration is bounded
+  * (small graphs, few trials) because every trial runs real Spark jobs;
+  * the point is graph-shape coverage, not volume. */
+class ComponentsPropSpec extends AnyFunSuite with SparkSpec {
+
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x
+      else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- edges if a != b) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).filter(_ => true).distinct
+    nodes.map(v => v -> find(v)).toMap
+  }
+
+  test("distributed labels equal union-find min-id components on random graphs") {
+    import spark.implicits._
+    val genEdges: Gen[Seq[(Long, Long)]] = for {
+      n <- Gen.choose(2, 25)
+      m <- Gen.choose(1, 40)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong)
+        b <- Gen.choose(0L, n.toLong)
+      } yield (a, b))
+    } yield edges.filter { case (a, b) => a != b }.distinct
+
+    // a chain is the adversarial diameter shape — always include one
+    val chain = (0L until 12L).map(i => (i + 1, i))
+
+    val prop = Prop.forAll(genEdges) { edges0 =>
+      val edges = if (edges0.isEmpty) chain else edges0
+      val got = Components.assign(edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = unionFind(0, edges)
+      got == want
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12).withWorkers(1), prop)
+    assert(res.passed, s"union-find property failed: ${res.status}")
+
+    // and the explicit chain once, deterministically
+    val gotChain = Components.assign(chain.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotChain == (0L to 12L).map(_ -> 0L).toMap)
+  }
+}
