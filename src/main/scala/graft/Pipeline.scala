@@ -24,7 +24,8 @@ object Pipeline {
       indexed: Long,
       solrOk: Long, solrFailed: Long,
       metricsOk: Long, linksOk: Long,
-      boostOk: Long = 0L, boostFailed: Long = 0L)
+      boostOk: Long = 0L, boostFailed: Long = 0L,
+      augmentOk: Long = 0L, augmentFailed: Long = 0L)
 
   /** One micro-batch: the batch analog of the reference's
     * `cron → reindex → task_index_records → sinks → mark_processed`. */
@@ -99,6 +100,28 @@ object Pipeline {
           .toDF("bibcode", "payload")
         // one distributed agg fires the partition-local batched sends and
         // counts outcomes without collecting per-record statuses
+        val r = Sinks.writeBulk(requests, bulkTransport).toDF().agg(
+          coalesce(sum(when(col("ok"), 1L).otherwise(0L)), lit(0L)),
+          count(lit(1))).head()
+        (r.getLong(0), r.getLong(1) - r.getLong(0))
+      }
+
+    // a metadata update additionally requests affiliation augmentation
+    // (tasks.py:192-196 — the aff pipeline answers with its own augment
+    // message later); only records whose bib data carries a non-empty aff
+    // list produce a request (app.py:628-653), so the builder's None rows
+    // drop out before the send
+    val (augmentOk, augmentFailed) =
+      if (!forwardBoostRequests) (0L, 0L)
+      else {
+        val metaTouched = updates.filter(!isFullDelete && col("mtype") === "metadata")
+          .select(col("bibcode")).distinct()
+        val requests = master.join(metaTouched, Seq("bibcode"), "left_semi")
+          .as[MasterRecord]
+          .flatMap(r => IndexJob.affAugmentRequest(r).map(j =>
+            (r.bibcode, org.json4s.jackson.JsonMethods.compact(
+              org.json4s.jackson.JsonMethods.render(j)))))
+          .toDF("bibcode", "payload")
         val r = Sinks.writeBulk(requests, bulkTransport).toDF().agg(
           coalesce(sum(when(col("ok"), 1L).otherwise(0L)), lit(0L)),
           count(lit(1))).head()
@@ -202,7 +225,8 @@ object Pipeline {
       solrFailed = solrStatus.filter(!_.ok).count(),
       metricsOk = metricsStatus.filter(_.ok).count(),
       linksOk = linksStatus.filter(_.ok).count(),
-      boostOk = boostOk, boostFailed = boostFailed)
+      boostOk = boostOk, boostFailed = boostFailed,
+      augmentOk = augmentOk, augmentFailed = augmentFailed)
 
     // release this batch's caches — in runStream a leak here would grow
     // executor storage by four datasets per micro-batch

@@ -189,7 +189,8 @@ class MergeEngineSpec extends AnyFunSuite with SparkSpec {
       "exactly the lowest surviving record_id carries the flag (app.py:84-118)")
   }
 
-  test("M3 rename onto an existing bibcode, then duplicate merge heals") {
+  test("M3 rename onto an existing bibcode, then duplicate merge heals " +
+    "(test_fix_db_duplicates.py test_duplicates)") {
     import spark.implicits._
     val master = MergeEngine.upsert(MergeEngine.emptyMaster(spark), Seq(
       UpdateMessage("old", "metadata", """{"v": "from-old"}""", ts("2024-02-01T00:00:00Z")),

@@ -97,6 +97,38 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(boostPayloads.value.isEmpty, "fan-out is opt-in")
   }
 
+  test("a metadata update with an aff list also requests affiliation " +
+    "augmentation; non-metadata touches do not (tasks.py:192-196 " +
+    "test_task_update_record)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_store_aug").toString
+    val store = new MasterStore(root)
+    val payloads = spark.sparkContext.collectionAccumulator[String]("bulk")
+    val recordingBulk = new Sinks.Transport {
+      def send(p: Seq[String]): Unit = p.foreach(payloads.add)
+    }
+    val batch = Seq(
+      UpdateMessage("aug1", "metadata",
+        """{"bibcode": "aug1", "title": ["T"], "aff": ["CfA"], "author": ["A, B."]}""",
+        ts("2024-01-01 00:00:00")),
+      UpdateMessage("aug2", "nonbib_data", """{"boost": 0.4}""",
+        ts("2024-01-01 00:00:00"))).toDS()
+    val report = Pipeline.runBatch(spark, store, batch, okTransport, recordingBulk,
+      now = ts("2024-01-02 00:00:00"), sinks = Set("solr"),
+      forwardBoostRequests = true)
+    import scala.jdk.CollectionConverters._
+    val sent = payloads.value.asScala
+    // two boost requests (one per touched record) + exactly one augment
+    // request, for the metadata-touched record that has an aff list
+    assert(report.boostOk == 2, s"boost per touched record: $sent")
+    assert(report.augmentOk == 1 && report.augmentFailed == 0)
+    val augs = sent.filter(p => p.contains("\"aff\":") && !p.contains("\"status\":"))
+    assert(augs.size == 1 && augs.head.contains("aug1") &&
+      augs.head.contains("CfA"), s"augment payload: $augs")
+    // aug2 was touched only via nonbib_data — no augment request for it
+    assert(!augs.exists(_.contains("aug2")))
+  }
+
   test("boost and aff-augment request builders") {
     val rec = graft.records.MasterRecord.empty("bb").copy(
       scix_id = Some("scix:AAAA-BBBB-CCCC"),

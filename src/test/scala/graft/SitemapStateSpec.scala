@@ -219,7 +219,8 @@ class SitemapStateSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("cleanup removes entries that became invalid, including orphans " +
-    "(test_cleanup_invalid_sitemaps, test_task_cleanup_invalid_sitemaps_with_file_flagging)") {
+    "(test_task_cleanup_invalid_sitemaps, " +
+    "test_task_cleanup_invalid_sitemaps_with_file_flagging)") {
     // from tasks.py:482-585 / test_tasks.py:856-1360: entries whose record
     // went solr-failed, lost bib_data, or vanished entirely are swept out
     // with the standard remove reconciliation
