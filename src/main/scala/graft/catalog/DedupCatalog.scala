@@ -276,6 +276,52 @@ object DedupCatalog extends Catalog {
         .orderBy(col("doc_id"))
     }),
 
+    // ── Incremental near-dup: dedup an incoming BATCH against the
+    // standing corpus — the production shape at 100 TB, where re-running
+    // all-pairs LSH over the whole corpus per crawl is a non-starter. The
+    // corpus side's banded minhash fingerprints are exactly what the
+    // full-corpus query computes, i.e. at scale a PERSISTED fingerprint
+    // index keyed (band_idx, band_val) that each new batch equi-joins
+    // into; only band collisions reach the exact-Jaccard verify, and the
+    // verify shuffles carry (id, id, shingle) rows, never documents. The
+    // batch here is doc_id % 10 == 7, standing in for today's crawl. New
+    // docs matching no corpus doc pass through with dup_of = NULL. ──
+    "dd_incremental" -> ((s, d) => {
+      val base = shingled(s, d)
+        .withColumn("mh", graft.functions.TextHashes.minhashesUdf(8)(col("text")))
+        .cache()
+      def bands(df: DataFrame) = df.select(col("doc_id"),
+        explode(array((0 until 4).map(k => struct(
+          lit(k).as("band_idx"),
+          (element_at(col("mh"), 2 * k + 1) * Mersenne31 +
+            element_at(col("mh"), 2 * k + 2)).as("band_val"))): _*)).as("band"))
+        .select(col("doc_id"), col("band.band_idx").as("band_idx"),
+          col("band.band_val").as("band_val"))
+      val isNew = col("doc_id") % 10 === 7
+      val cand = bands(base.filter(isNew)).as("a")
+        .join(bands(base.filter(!isNew)).as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_val") === col("b.band_val"))
+        .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("old_id"))
+        .distinct()
+      val sizes = base.select(col("doc_id"), size(col("sh")).as("setsize"))
+      val full = base.select(col("doc_id"), explode(col("sh")).as("s"))
+      val isect = cand
+        .join(full.select(col("doc_id").as("new_id"), col("s")), Seq("new_id"))
+        .join(full.select(col("doc_id").as("old_id"), col("s")), Seq("old_id", "s"))
+        .groupBy(col("new_id"), col("old_id")).agg(count(lit(1)).as("inter"))
+      val best = cand
+        .join(sizes.select(col("doc_id").as("new_id"), col("setsize").as("size_n")), Seq("new_id"))
+        .join(sizes.select(col("doc_id").as("old_id"), col("setsize").as("size_o")), Seq("old_id"))
+        .join(isect, Seq("new_id", "old_id"))
+        .filter(col("inter") / (col("size_n") + col("size_o") - col("inter")) >= 0.5)
+        .groupBy(col("new_id")).agg(min(col("old_id")).as("dup_of"))
+      base.filter(isNew).select(col("doc_id"))
+        .join(best.withColumnRenamed("new_id", "doc_id"), Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("dup_of"), col("dup_of").isNotNull.as("is_dup"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── Embedding-cosine near-dup: nearest same-label neighbor per vector.
     // GOLD-STANDARD CHECK, deliberately all-pairs-within-label: it defines
     // the exact answer the approximate paths are judged against. At corpus
@@ -400,6 +446,26 @@ object DedupCatalog extends Catalog {
            d.doc_id = COALESCE(l.cluster_id, d.doc_id) AS is_canonical
          FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id
          ORDER BY d.doc_id""",
+    "dd_incremental" -> {
+      val mhList = (0 until 8).map(k =>
+        minhashSql("hs", MinhashA(k), MinhashB(k))).mkString("[", ", ", "]")
+      s"""WITH sh AS (SELECT doc_id, $Shingles3Sql AS sh FROM documents),
+         hs AS (SELECT doc_id, sh, list_transform(sh, s -> ${hash31Sql("s")}) AS hs FROM sh),
+         mh AS (SELECT doc_id, sh, $mhList AS mh FROM hs),
+         bands AS (SELECT doc_id, sh, mh, t.k AS band_idx,
+             mh[2*t.k+1] * $Mersenne31 + mh[2*t.k+2] AS band_val
+           FROM mh, generate_series(0, 3) t(k)),
+         cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id,
+             len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+           FROM bands a JOIN bands b
+             ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+           WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7),
+         best AS (SELECT new_id, MIN(old_id) AS dup_of FROM cand
+           WHERE jaccard >= 0.5 GROUP BY 1)
+         SELECT d.doc_id, b.dup_of, b.dup_of IS NOT NULL AS is_dup
+         FROM documents d LEFT JOIN best b ON d.doc_id = b.new_id
+         WHERE d.doc_id % 10 = 7 ORDER BY d.doc_id"""
+    },
     "dd_embedding_neardup" ->
       s"""WITH p AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
              ${cosineSql("a.embedding", "b.embedding")} AS cos_sim

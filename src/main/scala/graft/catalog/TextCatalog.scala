@@ -107,6 +107,99 @@ object TextCatalog extends Catalog {
         .orderBy(col("doc_id"))
     }),
 
+    // ── Benchmark decontamination: flag corpus documents sharing word
+    // n-grams with a held-out eval set (the train/test-overlap screen every
+    // LM data pipeline runs before training; n=3 here so the synthetic
+    // corpus exercises the graded-overlap path — production uses n≈13,
+    // which is only this constant). The eval side is docs with
+    // doc_id % 97 == 0, standing in for an external benchmark suite.
+    //
+    // Scale design: n-grams are hashed to 64-bit before the join so the
+    // broadcast side and the shuffle keys are fixed-width longs, never
+    // strings. The eval n-gram set is broadcast — sized by the BENCHMARK
+    // (thousands of docs however big the corpus is), so the corpus side
+    // streams map-side against it with no shuffle at all; overlap counts
+    // then reduce with map-side partial aggregation. ──
+    "tx_decontaminate" -> ((s, d) => {
+      val words = split(col("text"), " ")
+      val grams = array_distinct(transform(
+        sequence(lit(1), greatest(size(words) - 2, lit(1))),
+        i => PortableHash.hash64(array_join(slice(words, i, lit(3)), " "))))
+      val base = Tables.documents(s, d).select(col("doc_id"), grams.as("ng"))
+      val isEval = col("doc_id") % 97 === 0
+      val evalNg = base.filter(isEval)
+        .select(explode(col("ng")).as("ng")).distinct()
+      val hits = base.filter(!isEval)
+        .select(col("doc_id"), explode(col("ng")).as("ng"))
+        .join(broadcast(evalNg), Seq("ng"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("overlap_ngrams"))
+      Tables.documents(s, d).select(col("doc_id")).filter(!isEval)
+        .join(hits, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("overlap_ngrams"), lit(0L)).as("overlap_ngrams"),
+          (coalesce(col("overlap_ngrams"), lit(0L)) >= 2).as("contaminated"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── Repetition-quality filter (the Gopher/MassiveText repetition
+    // rules, word-granular): duplicate-word fraction and top-bigram
+    // fraction, with the paper's 0.18 top-2-gram threshold. All per-row
+    // array expressions — map-side, zero shuffle, whole-stage codegen;
+    // the O(distinct·n) top-bigram count is bounded by document length,
+    // not corpus size. ──
+    "tx_rep_quality" -> ((s, d) => {
+      val words = split(col("text"), " ")
+      val nWords = size(words).cast("long")
+      val bigrams = transform(
+        sequence(lit(1), greatest(size(words) - 1, lit(1))),
+        i => array_join(slice(words, i, lit(2)), " "))
+      val topBigram = array_max(transform(array_distinct(bigrams),
+        b => size(filter(bigrams, x => x === b))))
+      val dupFrac = round(lit(1.0) -
+        size(array_distinct(words)).cast("double") / nWords.cast("double"), 6)
+      val topFrac = round(
+        topBigram.cast("double") / size(bigrams).cast("double"), 6)
+      Tables.documents(s, d)
+        .select(col("doc_id"), nWords.as("n_words"),
+          dupFrac.as("dup_word_frac"), topFrac.as("top_bigram_frac"))
+        .withColumn("low_quality",
+          col("dup_word_frac") > 0.5 || col("top_bigram_frac") > 0.18)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── Temperature-balanced language sampling (the multilingual-LM
+    // resampling rule: q_l ∝ p_l^α, α = 0.3): rare languages are kept
+    // whole, dominant ones down-sampled to the tempered share. Selection
+    // is the same deterministic salted-hash gate as tx_sample_hash — a
+    // rerun of a failed partition must pick the same rows, so no RNG.
+    //
+    // Scale design: the per-language stats frame has one row per LANGUAGE
+    // (bounded, corpus-size-independent), built by a map-side-combined
+    // count; it is explicitly broadcast back, so the corpus-side pass is
+    // a pure map filter — the only shuffle in the whole plan is the
+    // ~|langs|-row count aggregation. keep_micro is materialized as an
+    // integer so the per-row gate compares longs, not floats. ──
+    "tx_temperature_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+      val withShare = counts
+        .crossJoin(counts.agg(sum(col("cnt")).as("total")))
+        .withColumn("share", col("cnt").cast("double") / col("total").cast("double"))
+        .withColumn("adj", pow(col("share"), lit(0.3)))
+        .cache()
+      val weights = withShare
+        .crossJoin(withShare.agg(sum(col("adj")).as("z")))
+        .select(col("lang"),
+          floor(least(lit(1.0), (col("adj") / col("z")) / col("share")) * 1e6)
+            .cast("long").as("keep_micro"))
+      docs.join(broadcast(weights), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("keep_micro"),
+          (pmod(PortableHash.hash64(
+            concat(lit("tsample:"), col("doc_id").cast("string"))),
+            lit(1000000L)) < col("keep_micro")).as("sampled"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── Document fingerprint: min rolling-hash over 5-gram word shingles ──
     "tx_fingerprint" -> ((s, d) => {
       val words = split(col("text"), " ")
@@ -176,6 +269,47 @@ object TextCatalog extends Catalog {
            COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2000 AS shard_id
          FROM t ORDER BY doc_id""",
+    "tx_decontaminate" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         g AS (SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, greatest(len(words) - 2, 1)),
+             i -> ${PortableHash.hash64Sql("array_to_string(words[i:i+2], ' ')")})) AS ng
+           FROM w),
+         ev AS (SELECT DISTINCT unnest(ng) AS ng FROM g WHERE doc_id % 97 = 0),
+         hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS overlap_ngrams
+           FROM (SELECT doc_id, unnest(ng) AS ng FROM g WHERE doc_id % 97 <> 0) c
+           JOIN ev USING (ng) GROUP BY 1)
+         SELECT d.doc_id,
+           CAST(COALESCE(h.overlap_ngrams, 0) AS BIGINT) AS overlap_ngrams,
+           COALESCE(h.overlap_ngrams, 0) >= 2 AS contaminated
+         FROM documents d LEFT JOIN hits h USING (doc_id)
+         WHERE d.doc_id % 97 <> 0 ORDER BY doc_id""",
+    "tx_rep_quality" ->
+      """WITH f AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         b AS (SELECT doc_id, words, list_transform(
+             generate_series(1, greatest(len(words) - 1, 1)),
+             i -> array_to_string(words[i:i+1], ' ')) AS bigrams
+           FROM f),
+         m AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words,
+             round(1.0 - CAST(len(list_distinct(words)) AS DOUBLE) / len(words), 6) AS dup_word_frac,
+             round(CAST(list_max(list_transform(list_distinct(bigrams),
+               x -> len(list_filter(bigrams, y -> y = x)))) AS DOUBLE) / len(bigrams), 6) AS top_bigram_frac
+           FROM b)
+         SELECT doc_id, n_words, dup_word_frac, top_bigram_frac,
+           dup_word_frac > 0.5 OR top_bigram_frac > 0.18 AS low_quality
+         FROM m ORDER BY doc_id""",
+    "tx_temperature_sample" ->
+      s"""WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY 1),
+         t AS (SELECT SUM(cnt) AS total FROM c),
+         s AS (SELECT lang, CAST(cnt AS DOUBLE) / total AS share,
+             pow(CAST(cnt AS DOUBLE) / total, 0.3) AS adj FROM c, t),
+         z AS (SELECT SUM(adj) AS z FROM s),
+         w AS (SELECT lang,
+             CAST(floor(least(1.0, (adj / z.z) / share) * 1e6) AS BIGINT) AS keep_micro
+           FROM s, z)
+         SELECT d.doc_id, d.lang, w.keep_micro,
+           ${PortableHash.hash64Sql("'tsample:' || CAST(doc_id AS VARCHAR)")} % 1000000 < w.keep_micro AS sampled
+         FROM documents d JOIN w USING (lang) ORDER BY d.doc_id""",
     "tx_fingerprint" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
          sh AS (SELECT doc_id,

@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Row
+
+/** Planted-case checks for the round-6 training-data operators
+  * (tx_decontaminate, tx_rep_quality, tx_temperature_sample,
+  * dd_incremental) — the DuckDB oracle pins their value-level output on
+  * the synthetic corpus; these specs pin the SEMANTICS on hand-built
+  * documents where the right answer is known by construction. */
+class TrainingDataOpsSpec extends AnyFunSuite with SparkSpec {
+
+  /** Write (doc_id, text, lang, source) rows as a documents.parquet the
+    * catalog queries can read, return the table dir. */
+  private def docsDir(rows: Seq[(Long, String, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_docs").toString
+    rows.toDF("doc_id", "text", "lang")
+      .withColumn("source", org.apache.spark.sql.functions.lit("src0"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")).cast("long"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("dd_incremental matches new-batch docs against the corpus only, " +
+    "min-id tie-break, pass-through for novel docs") {
+    val corpusText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val d = docsDir(Seq(
+      (2L, corpusText, "en"),                       // corpus original
+      (3L, corpusText, "en"),                       // corpus-internal dup of 2 (must NOT appear)
+      (5L, "one two three four five six seven eight nine ten", "en"),
+      (7L, corpusText + " lambda", "en"),           // batch: near-dup of 2 and 3 → dup_of = 2
+      (17L, "red green blue cyan magenta yellow black white gray pink", "en"), // batch: novel
+      (27L, corpusText, "en")))                     // batch: exact dup → dup_of = 2
+    val out = SparkEntry.queries("dd_incremental")(spark, d).collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(out.length == 3, "one row per batch doc, corpus docs absent")
+    assert(byId(7L).getLong(1) == 2L && byId(7L).getBoolean(2),
+      "near-dup resolves to the LOWEST matching corpus id")
+    assert(byId(27L).getLong(1) == 2L && byId(27L).getBoolean(2))
+    assert(byId(17L).isNullAt(1) && !byId(17L).getBoolean(2),
+      "novel batch doc passes through with dup_of = NULL")
+  }
+
+  test("tx_decontaminate counts distinct shared n-grams vs the eval set; " +
+    "flag needs >= 2 overlapping trigrams") {
+    val evalText = "zebra quokka wombat narwhal axolotl pangolin" // doc_id 0 → eval
+    val d = docsDir(Seq(
+      (0L, evalText, "en"),
+      // 4-word span copied from eval → 2 shared trigrams → contaminated
+      (5L, "filler quokka wombat narwhal axolotl other words here", "en"),
+      // one 3-word span → 1 shared trigram → counted, NOT flagged
+      (12L, "filler zebra quokka wombat unrelated tail words", "en"),
+      (30L, "completely different content with no overlap at all", "en")))
+    val out = SparkEntry.queries("tx_decontaminate")(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(!out.contains(0L), "eval docs are not scored")
+    assert(out(5L) == ((2L, true)), s"got ${out(5L)}")
+    assert(out(12L) == ((1L, false)), "single-trigram coincidence is below threshold")
+    assert(out(30L) == ((0L, false)))
+  }
+
+  test("tx_rep_quality: duplicate-word and top-bigram fractions with the " +
+    "Gopher 0.18 threshold") {
+    val d = docsDir(Seq(
+      (1L, "spam spam spam spam", "en"),            // dup 0.75, top-bigram 3/3
+      (2L, "one two three four five six", "en")))   // all distinct, top-bigram 1/5 > 0.18!
+    val out = SparkEntry.queries("tx_rep_quality")(spark, d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getDouble(2) == 0.75 && out(1L).getDouble(3) == 1.0 &&
+      out(1L).getBoolean(4))
+    // 6 words → 5 bigrams, each unique → top fraction 0.2, above the 0.18
+    // paper threshold only because the doc is tiny — the flag fires, which
+    // is exactly Gopher's documented short-doc bias
+    assert(out(2L).getDouble(2) == 0.0 && out(2L).getDouble(3) == 0.2)
+  }
+
+  test("tx_temperature_sample boosts rare languages to full retention and " +
+    "tempers dominant ones (alpha = 0.3)") {
+    val rows = (1L to 90L).map(i => (i, s"en doc $i", "en")) ++
+      (101L to 110L).map(i => (i, s"de doc $i", "de"))
+    val out = SparkEntry.queries("tx_temperature_sample")(spark, docsDir(rows))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    val keepBy = out.groupBy(_._2).map { case (l, rs) => l -> rs.head._3 }
+    // share_de = .1 → q_de/share_de = (.1^.3/z)/.1 > 1 → clipped to keep all
+    assert(keepBy("de") == 1000000L, s"rare language kept whole: $keepBy")
+    // share_en = .9 → tempered share ~.66 → keep ~732k of 1e6
+    assert(keepBy("en") > 700000L && keepBy("en") < 770000L, s"$keepBy")
+    assert(out.filter(_._2 == "de").forall(_._4), "every rare-lang doc sampled")
+    val enKept = out.count(r => r._2 == "en" && r._4)
+    assert(enKept > 0 && enKept < 90, "dominant language is down-sampled")
+  }
+}
