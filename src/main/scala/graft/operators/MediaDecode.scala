@@ -1,0 +1,125 @@
+package graft.operators
+
+/** Real pixel/sample decoding for the codec-FREE media containers — pure
+  * JVM byte math, no codec libraries, so these are genuine decoders, not
+  * stubs: uncompressed BMP (BI_RGB 24/32-bit) to row-major top-down RGB,
+  * and WAV PCM-16 to interleaved samples, plus the two feature passes a
+  * training pipeline runs on them (nearest-neighbor resample, RMS
+  * loudness). With these, [[Multimodal]]'s decode stub is confined to the
+  * formats that genuinely need a codec library (PNG/GIF/JPEG inflate/DCT,
+  * compressed audio, video) — swap points documented there.
+  *
+  * Everything here is per-row compute inside a map/mapPartitions operator:
+  * no shuffle, scales with input splits, and the decoded buffers live only
+  * for the row (the columnar store keeps the opaque payload; only small
+  * typed features re-enter the relational plan).
+  */
+object MediaDecode {
+
+  /** Row-major, top-down, tightly-packed RGB (3 bytes/pixel). */
+  case class Bitmap(width: Int, height: Int, rgb: Array[Byte])
+
+  /** Interleaved PCM-16 samples across channels. */
+  case class Pcm(sampleRate: Int, channels: Int, samples: Array[Short])
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    u8(b, i).toLong | (u8(b, i + 1).toLong << 8) | (u8(b, i + 2).toLong << 16) |
+      (u8(b, i + 3).toLong << 24)
+
+  /** Decode an uncompressed (BI_RGB) 24- or 32-bit BMP. Bottom-up rows
+    * (positive biHeight) are flipped to top-down; 32-bit BGRA drops the
+    * alpha byte; 24-bit rows honor the 4-byte stride padding. Returns
+    * None for compressed/paletted BMPs (those need a real codec). */
+  def decodeBmp(b: Array[Byte]): Option[Bitmap] = {
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    val pixOff = le32(b, 10).toInt
+    val width = le32(b, 18).toInt
+    val heightRaw = le32(b, 22).toInt
+    val bpp = le16(b, 28)
+    val compression = le32(b, 30)
+    val height = math.abs(heightRaw)
+    val topDown = heightRaw < 0
+    if (compression != 0L || (bpp != 24 && bpp != 32)) return None
+    if (width <= 0 || height == 0 || pixOff < 54) return None
+    val bytesPerPx = bpp / 8
+    val rowSize = ((width * bytesPerPx + 3) / 4) * 4
+    if (pixOff.toLong + rowSize.toLong * height > b.length) return None
+    val rgb = new Array[Byte](width * height * 3)
+    var y = 0
+    while (y < height) {
+      val srcRow = if (topDown) y else height - 1 - y
+      var x = 0
+      while (x < width) {
+        val s = pixOff + srcRow * rowSize + x * bytesPerPx
+        val d = (y * width + x) * 3
+        // BMP stores BGR(A)
+        rgb(d) = b(s + 2); rgb(d + 1) = b(s + 1); rgb(d + 2) = b(s)
+        x += 1
+      }
+      y += 1
+    }
+    Some(Bitmap(width, height, rgb))
+  }
+
+  /** Nearest-neighbor resample — the real pixel pass behind
+    * [[Multimodal.resize]] for decodable payloads. */
+  def resizeNearest(bm: Bitmap, outW: Int, outH: Int): Bitmap = {
+    require(outW > 0 && outH > 0)
+    val out = new Array[Byte](outW * outH * 3)
+    var y = 0
+    while (y < outH) {
+      val sy = math.min(bm.height - 1, y * bm.height / outH)
+      var x = 0
+      while (x < outW) {
+        val sx = math.min(bm.width - 1, x * bm.width / outW)
+        val s = (sy * bm.width + sx) * 3
+        val d = (y * outW + x) * 3
+        out(d) = bm.rgb(s); out(d + 1) = bm.rgb(s + 1); out(d + 2) = bm.rgb(s + 2)
+        x += 1
+      }
+      y += 1
+    }
+    Bitmap(outW, outH, out)
+  }
+
+  /** Decode WAV PCM-16 (audioFormat 1, 16 bits/sample) to interleaved
+    * samples. Chunk-walks like [[MediaHeaders.parseWav]]; returns None
+    * for non-PCM or non-16-bit payloads (codec territory). */
+  def decodeWavPcm(b: Array[Byte]): Option[Pcm] = {
+    if (b.length < 44 || !(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
+    var i = 12
+    var fmt = 0; var channels = 0; var rate = 0; var bits = 0
+    var dataOff = -1; var dataLen = 0
+    while (i + 8 <= b.length) {
+      val id = new String(b, i, 4, "US-ASCII")
+      val len = le32(b, i + 4)
+      if (len > b.length - i - 8) { i = b.length }
+      else {
+        if (id == "fmt " && len >= 16) {
+          fmt = le16(b, i + 8); channels = le16(b, i + 10)
+          rate = le32(b, i + 12).toInt; bits = le16(b, i + 22)
+        } else if (id == "data") { dataOff = i + 8; dataLen = len.toInt }
+        i += 8 + len.toInt + (len.toInt & 1)
+      }
+    }
+    if (fmt != 1 || bits != 16 || rate <= 0 || channels <= 0 || dataOff < 0) return None
+    val n = dataLen / 2
+    val samples = new Array[Short](n)
+    var k = 0
+    while (k < n) {
+      samples(k) = le16(b, dataOff + 2 * k).toShort
+      k += 1
+    }
+    Some(Pcm(rate, channels, samples))
+  }
+
+  /** RMS loudness over all channels, in [0, 1] of full scale. */
+  def rms(p: Pcm): Double =
+    if (p.samples.isEmpty) 0.0
+    else math.sqrt(p.samples.foldLeft(0.0) { (acc, s) =>
+      val v = s / 32768.0; acc + v * v
+    } / p.samples.length)
+}

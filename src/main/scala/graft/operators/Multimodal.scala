@@ -7,10 +7,15 @@ import org.apache.spark.sql.functions._
   * typed metadata, processed by batch-shaped per-partition operators.
   *
   * The Spark-side plumbing is real — schemas, partitioning, batch
-  * iteration, feature vectors — while the actual media codecs are STUBBED
-  * with deterministic byte math (this container ships no image/audio
-  * libraries). Each stub is marked; swapping it for a real decoder changes
-  * no plan shape. The design mirrors how a 100 TB media pipeline runs:
+  * iteration, feature vectors — and so is decode for everything that
+  * doesn't need a codec library: container headers (PNG/GIF/BMP/JPEG/WAV,
+  * [[MediaHeaders]]) and pixel/sample decoding for uncompressed BMP and
+  * WAV PCM-16 ([[MediaDecode]], incl. a real nearest-neighbor resample).
+  * Only codec-requiring work (PNG/GIF/JPEG inflate/DCT, compressed audio,
+  * video frames) is STUBBED with deterministic byte math — this container
+  * ships no codec libraries. Each stub is marked; swapping it for a real
+  * codec changes no plan shape. The design mirrors how a 100 TB media
+  * pipeline runs:
   * opaque bytes flow through columnar storage untouched, codec work
   * happens once per partition batch (amortizing per-batch setup the way
   * `mapInPandas`/Arrow batches do in PySpark), and only small typed
@@ -62,10 +67,33 @@ object Multimodal {
     }
   }
 
-  /** STUB feature extractor: an 8-dim float embedding from byte windows
-    * (stands in for a vision/audio model forward pass). Deterministic in
-    * the payload, so tests and the oracle can pin it. */
+  /** Feature extractor: an 8-dim float embedding. For DECODABLE payloads
+    * (uncompressed BMP, WAV PCM-16 — [[MediaDecode]]) the features are
+    * computed over the REAL decoded pixels/samples, which is the honest
+    * analog of a model forward pass over decoded media; for everything
+    * else the accumulation runs over raw payload bytes as a marked STUB
+    * (stands in for codec + model; deterministic so tests and the oracle
+    * can pin it — the synthetic corpus always takes this path). */
   def embed(bytes: Array[Byte], dims: Int = 8): Array[Float] = {
+    MediaDecode.decodeBmp(bytes) match {
+      case Some(bm) => return accumulate(bm.rgb, dims)
+      case None =>
+    }
+    MediaDecode.decodeWavPcm(bytes) match {
+      case Some(pcm) =>
+        val out = new Array[Float](dims)
+        var i = 0
+        while (i < pcm.samples.length) {
+          out(i % dims) += math.abs(pcm.samples(i) / 32768.0f)
+          i += 1
+        }
+        return out
+      case None =>
+    }
+    accumulate(bytes, dims) // STUB path: raw payload bytes
+  }
+
+  private def accumulate(bytes: Array[Byte], dims: Int): Array[Float] = {
     val out = new Array[Float](dims)
     var i = 0
     while (i < bytes.length) {
@@ -104,16 +132,25 @@ object Multimodal {
     }
   }
 
-  /** Resize plumbing: target box per asset, aspect-preserving integer
-    * math; the pixel pass is stubbed to a length calculation. */
+  /** Resize: target box per asset, aspect-preserving integer math. For
+    * decodable payloads (uncompressed BMP) the resample is REAL —
+    * nearest-neighbor over decoded pixels ([[MediaDecode.resizeNearest]]);
+    * other formats report the target geometry with the pixel pass stubbed
+    * to a length calculation (needs a codec library). */
   def resize(assets: Dataset[MediaAsset], maxSide: Int): Dataset[Resized] = {
     val spark = assets.sparkSession
     import spark.implicits._
     assets.filter(_.kind == "image").map { a =>
       val scale = math.min(1.0, maxSide.toDouble / math.max(math.max(a.width, a.height), 1))
       val (w, h) = (math.max(1, (a.width * scale).toInt), math.max(1, (a.height * scale).toInt))
-      // STUB pixel resample: output size = w*h*3 (RGB), bytes untouched
-      Resized(a.media_id, w, h, w * h * 3)
+      MediaDecode.decodeBmp(a.bytes) match {
+        case Some(bm) =>
+          val out = MediaDecode.resizeNearest(bm, w, h)
+          Resized(a.media_id, out.width, out.height, out.rgb.length)
+        case None =>
+          // STUB pixel resample: output size = w*h*3 (RGB), bytes untouched
+          Resized(a.media_id, w, h, w * h * 3)
+      }
     }
   }
 
