@@ -200,6 +200,33 @@ object TextCatalog extends Catalog {
         .orderBy(col("doc_id"))
     }),
 
+    // ── Unigram-LM scoring (the CCNet/perplexity-filter shape, unigram
+    // order): score every document by its average token log-probability
+    // under a language model estimated FROM the corpus itself, then flag
+    // the tail. Two-pass: (1) unigram counts — a map-side-combined
+    // groupBy on the token, vocab-sized output, Zipf-skewed keys are
+    // exactly what AQE skew-join handles; (2) tokens re-join the model
+    // and reduce per doc. At 100 TB the model table is vocab-sized (≪
+    // corpus), so pass 2's join is a broadcast in practice — but the plan
+    // does not REQUIRE it, so a giant vocab degrades to a shuffle join
+    // instead of an OOM. round(6) absorbs cross-engine sum-order ulps. ──
+    "tx_unigram_logprob" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("w"))
+      val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      val total = uni.agg(sum(col("cnt")).as("total"))
+      val scored = toks.join(uni, Seq("w")).crossJoin(total)
+        .select(col("doc_id"),
+          log(col("cnt").cast("double") / col("total").cast("double")).as("lp"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), round(avg(col("lp")), 6).as("avg_logprob"))
+      scored
+        .withColumn("ppl", round(exp(-col("avg_logprob")), 4))
+        .withColumn("low_quality", col("avg_logprob") < -6.0)
+        .orderBy(col("doc_id"))
+    }),
+
     // ── Document fingerprint: min rolling-hash over 5-gram word shingles ──
     "tx_fingerprint" -> ((s, d) => {
       val words = split(col("text"), " ")
@@ -310,6 +337,17 @@ object TextCatalog extends Catalog {
          SELECT d.doc_id, d.lang, w.keep_micro,
            ${PortableHash.hash64Sql("'tsample:' || CAST(doc_id AS VARCHAR)")} % 1000000 < w.keep_micro AS sampled
          FROM documents d JOIN w USING (lang) ORDER BY d.doc_id""",
+    "tx_unigram_logprob" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         uni AS (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY 1),
+         tot AS (SELECT SUM(cnt) AS total FROM uni),
+         scored AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             round(AVG(ln(CAST(cnt AS DOUBLE) / total)), 6) AS avg_logprob
+           FROM toks JOIN uni USING (w), tot GROUP BY doc_id)
+         SELECT doc_id, n_tokens, avg_logprob,
+           round(exp(-avg_logprob), 4) AS ppl,
+           avg_logprob < -6.0 AS low_quality
+         FROM scored ORDER BY doc_id""",
     "tx_fingerprint" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
          sh AS (SELECT doc_id,

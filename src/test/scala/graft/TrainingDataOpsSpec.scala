@@ -77,6 +77,27 @@ class TrainingDataOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out(2L).getDouble(2) == 0.0 && out(2L).getDouble(3) == 0.2)
   }
 
+  test("tx_unigram_logprob: common-word docs score higher than rare-word " +
+    "docs under the corpus-estimated model") {
+    // corpus: "the" appears 7 times of 10 tokens, "xyzzy" once
+    val d = docsDir(Seq(
+      (1L, "the the the", "en"),
+      (2L, "the the the the", "en"),
+      (3L, "xyzzy quux plugh", "en")))
+    val out = SparkEntry.queries("tx_unigram_logprob")(spark, d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val lpThe = math.log(7.0 / 10.0)
+    assert(out(1L).getLong(1) == 3)
+    assert(math.abs(out(1L).getDouble(2) -
+      BigDecimal(lpThe).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    val lpRare = math.log(1.0 / 10.0)
+    assert(math.abs(out(3L).getDouble(2) -
+      BigDecimal(lpRare).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(out(1L).getDouble(2) > out(3L).getDouble(2),
+      "rare-token docs sit lower under the model")
+    assert(out(3L).getDouble(3) > out(1L).getDouble(3), "…and at higher perplexity")
+  }
+
   test("tx_temperature_sample boosts rare languages to full retention and " +
     "tempers dominant ones (alpha = 0.3)") {
     val rows = (1L to 90L).map(i => (i, s"en doc $i", "en")) ++
