@@ -108,6 +108,39 @@ class SinksSpec extends AnyFunSuite with SparkSpec {
     assert(st2("B").ok && st2("B").retriedSolo && !st2("B").bodyStripped)
   }
 
+  test("S6 ladder call counts match the reference matrix: solo recovery " +
+    "is 3 sends, total exhaustion is 5 (test_app.py:90-244 test_index_solr)") {
+    // group 503 → each doc solo succeeds: batch + 2 solos = 3 sends, both ok
+    val calls3 = spark.sparkContext.collectionAccumulator[Int]("calls3")
+    val t3 = new Transport {
+      def send(p: Seq[String]): Unit = {
+        calls3.add(p.length)
+        if (p.length > 1) throw new RuntimeException("503")
+      }
+    }
+    val a = """{"id": "A", "body": "bad body"}"""
+    val b = """{"id": "B", "body": "bad body"}"""
+    val st3 = Sinks.writeSolr(docsDf("A" -> a, "B" -> b).coalesce(1), t3)
+      .collect().map(s => s.bibcode -> s).toMap
+    assert(calls3.value.size == 3, s"batch + A solo + B solo: ${calls3.value}")
+    assert(st3("A").ok && st3("B").ok)
+    assert(st3("A").retriedSolo && !st3("A").bodyStripped)
+
+    // every rung fails for both docs: batch + (solo + strip) × 2 = 5 sends
+    val calls5 = spark.sparkContext.collectionAccumulator[Int]("calls5")
+    val t5 = new Transport {
+      def send(p: Seq[String]): Unit = {
+        calls5.add(p.length)
+        throw new RuntimeException(if (p.length > 1) "503" else "body failed")
+      }
+    }
+    val st5 = Sinks.writeSolr(docsDf("A" -> a, "B" -> b).coalesce(1), t5)
+      .collect().map(s => s.bibcode -> s).toMap
+    assert(calls5.value.size == 5, s"full exhaustion is 5 sends: ${calls5.value}")
+    assert(!st5("A").ok && st5("A").bodyStripped &&
+      !st5("B").ok && st5("B").bodyStripped)
+  }
+
   test("S7 bulk sink: batch failure falls back per-row without body strip " +
     "(the grouped(batchSize) send is the engine's analog of the " +
     "reference's chunked() batching helper, test_chunked)") {
