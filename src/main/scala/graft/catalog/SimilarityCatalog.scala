@@ -93,6 +93,41 @@ object SimilarityCatalog extends Catalog {
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ── One k-means Lloyd iteration over the corpus (the clustering
+    // primitive behind SemDeDup-style curation and IVF cell training):
+    // M-step — per-cell centroid means via posexplode + map-side-combined
+    // avg (the shuffle carries (cell, dim, partial) rows, k·64·partitions,
+    // never vectors); E-step — every vector scores against the BROADCAST
+    // k×64 centroid table map-side and keeps its nearest (squared
+    // euclidean via the ‖v‖²−2v·c+‖c‖² form, one compiled dot per pair).
+    // Ranking on the ROUNDED distance makes the argmin reproducible across
+    // engines. At larger k the E-step cross product is restricted by the
+    // IVF candidate join above instead of scored exhaustively. ──
+    "sim_kmeans_step" -> ((s, d) => {
+      val e = vecs(s, d)
+      val cent = e
+        .select(col("label").as("clabel"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy(col("clabel"), col("i")).agg(avg(col("x")).as("m"))
+        .groupBy(col("clabel"))
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+          s => s("m")).as("c"))
+        .withColumn("cnorm2", graft.functions.VectorOps.dotUdf(col("c"), col("c")))
+      val scored = e
+        .withColumn("vnorm2", graft.functions.VectorOps.dotUdf(col("v"), col("v")))
+        .crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("label"), col("clabel"),
+          round(col("vnorm2") -
+            lit(2.0) * graft.functions.VectorOps.dotUdf(col("v"), col("c")) +
+            col("cnorm2"), 6).as("dist2"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("dist2"), col("clabel"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("label").as("old_label"),
+          col("clabel").as("new_label"), col("dist2"),
+          (col("label") =!= col("clabel")).as("changed"))
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -135,6 +170,26 @@ object SimilarityCatalog extends Catalog {
            FROM embeddings e JOIN q ON e.label = q.qcell AND e.vec_id <> q.query_id)
          SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank FROM p) t
-         WHERE rank <= 3 ORDER BY query_id, rank"""
+         WHERE rank <= 3 ORDER BY query_id, rank""",
+    "sim_kmeans_step" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+         cent AS (SELECT clabel, list(m ORDER BY i) AS c
+           FROM (SELECT clabel, i, AVG(x) AS m
+                 FROM (SELECT label AS clabel,
+                         unnest(embedding)::DOUBLE AS x,
+                         unnest(generate_series(1, len(embedding))) AS i
+                       FROM e)
+                 GROUP BY clabel, i)
+           GROUP BY clabel),
+         scored AS (SELECT vec_id, label, clabel,
+             round(${dotSql("e.embedding", "e.embedding")}
+               - 2.0 * ${dotSql("e.embedding", "cent.c")}
+               + ${dotSql("cent.c", "cent.c")}, 6) AS dist2
+           FROM e CROSS JOIN cent)
+         SELECT vec_id, label AS old_label, clabel AS new_label, dist2,
+           label <> clabel AS changed
+         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY dist2, clabel) AS rn FROM scored) t
+         WHERE rn = 1 ORDER BY vec_id"""
   )
 }

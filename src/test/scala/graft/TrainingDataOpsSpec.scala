@@ -24,6 +24,28 @@ class TrainingDataOpsSpec extends AnyFunSuite with SparkSpec {
     dir
   }
 
+  test("sim_kmeans_step reassigns a vector that sits nearer the other " +
+    "cell's centroid") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_vecs").toString
+    // label 0 clusters near (0,0); label 1 near (10,10) — but vec 3,
+    // initialized into label 0, sits at (9,9): the Lloyd step must move it
+    Seq(
+      (0L, Array(0.0f, 0.0f), 0),
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(10.0f, 10.0f), 1),
+      (4L, Array(10.0f, 9.0f), 1),
+      (3L, Array(9.0f, 9.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("sim_kmeans_step")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(3L).getInt(2) == 1 && out(3L).getBoolean(4),
+      "outlier jumps to the nearer centroid")
+    assert(Seq(0L, 1L, 2L, 4L).forall(id => !out(id).getBoolean(4)),
+      "well-placed vectors keep their cell")
+  }
+
   test("dd_incremental matches new-batch docs against the corpus only, " +
     "min-id tie-break, pass-through for novel docs") {
     val corpusText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
