@@ -227,6 +227,32 @@ object TextCatalog extends Catalog {
         .orderBy(col("doc_id"))
     }),
 
+    // ── Context-window chunking: split documents into overlapping
+    // fixed-size training chunks (64-token windows, stride 48 → 16-token
+    // overlap), the doc→sample splitter that feeds sequence packing
+    // (tx_pack_budget downstream). A pure generator: per-row window
+    // arithmetic + explode, zero shuffle, output rows ∝ corpus tokens /
+    // stride. The tail window clamps (slice never reads past the end) and
+    // every doc yields ≥ 1 chunk so no document silently vanishes. ──
+    "tx_chunk_split" -> ((s, d) => {
+      val ChunkLen = 64
+      val Stride = 48
+      val words = split(col("text"), " ")
+      val n = size(words).cast("long")
+      val nChunks = greatest(
+        ceil((n - lit(ChunkLen)).cast("double") / lit(Stride)).cast("long") + 1L,
+        lit(1L))
+      val chunks = transform(sequence(lit(0L), nChunks - 1), k =>
+        struct(k.as("chunk_idx"),
+          slice(words, (k * Stride + 1).cast("int"), lit(ChunkLen)).as("w")))
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(chunks).as("c"))
+        .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+          size(col("c.w")).cast("long").as("n_tokens"),
+          PortableHash.hash64(array_join(col("c.w"), " ")).as("chunk_hash"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // ── Document fingerprint: min rolling-hash over 5-gram word shingles ──
     "tx_fingerprint" -> ((s, d) => {
       val words = split(col("text"), " ")
@@ -337,6 +363,19 @@ object TextCatalog extends Catalog {
          SELECT d.doc_id, d.lang, w.keep_micro,
            ${PortableHash.hash64Sql("'tsample:' || CAST(doc_id AS VARCHAR)")} % 1000000 < w.keep_micro AS sampled
          FROM documents d JOIN w USING (lang) ORDER BY d.doc_id""",
+    "tx_chunk_split" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         c AS (SELECT doc_id,
+             unnest(list_transform(
+               generate_series(0, CAST(greatest(
+                 ceil((len(words) - 64) / 48.0) + 1, 1) AS BIGINT) - 1),
+               k -> struct_pack(chunk_idx := k,
+                 w := words[k*48+1 : k*48+64]))) AS ch
+           FROM w)
+         SELECT doc_id, ch.chunk_idx AS chunk_idx,
+           CAST(len(ch.w) AS BIGINT) AS n_tokens,
+           ${PortableHash.hash64Sql("array_to_string(ch.w, ' ')")} AS chunk_hash
+         FROM c ORDER BY doc_id, chunk_idx""",
     "tx_unigram_logprob" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
          uni AS (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY 1),

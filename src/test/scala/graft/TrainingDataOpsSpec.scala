@@ -99,6 +99,19 @@ class TrainingDataOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out(2L).getDouble(2) == 0.0 && out(2L).getDouble(3) == 0.2)
   }
 
+  test("tx_chunk_split: 64-token windows at stride 48, tail clamps, " +
+    "short docs yield one chunk") {
+    val long = (1 to 100).map(i => s"w$i").mkString(" ")  // 100 tokens → 2 chunks
+    val d = docsDir(Seq((1L, long, "en"), (2L, "a b c", "en")))
+    val out = SparkEntry.queries("tx_chunk_split")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out((1L, 0L)) == 64, "first window is full")
+    assert(out((1L, 1L)) == 52, "tail window clamps: tokens 49..100")
+    assert(out((2L, 0L)) == 3 && !out.contains((2L, 1L)),
+      "short doc yields exactly one chunk")
+    assert(out.size == 3)
+  }
+
   test("tx_unigram_logprob: common-word docs score higher than rare-word " +
     "docs under the corpus-estimated model") {
     // corpus: "the" appears 7 times of 10 tokens, "xyzzy" once
