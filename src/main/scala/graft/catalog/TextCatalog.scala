@@ -181,12 +181,15 @@ object TextCatalog extends Catalog {
     // integer so the per-row gate compares longs, not floats. ──
     "tx_temperature_sample" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+      // cached at the COUNT layer: everything below derives from this
+      // ≤|langs|-row frame, so the corpus is aggregated exactly once (an
+      // uncached counts frame is re-scanned by its own total) and the
+      // share/adj arithmetic re-runs only over the tiny cached rows
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("cnt")).cache()
       val withShare = counts
         .crossJoin(counts.agg(sum(col("cnt")).as("total")))
         .withColumn("share", col("cnt").cast("double") / col("total").cast("double"))
         .withColumn("adj", pow(col("share"), lit(0.3)))
-        .cache()
       val weights = withShare
         .crossJoin(withShare.agg(sum(col("adj")).as("z")))
         .select(col("lang"),

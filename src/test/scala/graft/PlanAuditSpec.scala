@@ -1,0 +1,102 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits: the scale story is a property of the PLAN, not
+  * of a small-SF timing, so pin it like any other behavior. Each assert
+  * is a shape invariant that must survive refactors — filters reaching
+  * the parquet scan, map-side ops staying shuffle-free, dedup candidate
+  * generation staying equi-join (never cartesian), bounded dims being
+  * broadcast. Checked against the pre-execution plan (AQE's initial
+  * plan), so the invariants hold regardless of runtime re-planning. */
+class PlanAuditSpec extends AnyFunSuite with SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  /** Distinct shuffle exchanges (a shared subtree prints repeatedly but
+    * keeps one plan_id — count ids, not lines). */
+  private def exchanges(p: String): Int =
+    "(?m)(?<!Broadcast)Exchange \\S+[^\\n]*plan_id=(\\d+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet.size
+
+  test("map-side text ops carry no shuffle beyond the presentation sort") {
+    for (q <- Seq("tx_lang_id", "tx_quality_score", "tx_token_count",
+        "tx_fingerprint", "tx_rep_quality", "tx_sample_hash", "tx_chunk_split")) {
+      val p = plan(q)
+      assert(exchanges(p) == 1,
+        s"$q must shuffle only for the final orderBy — got:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"$q is a pure per-row transform")
+    }
+  }
+
+  test("scan pruning: the pushed filter and pruned schema reach parquet") {
+    val p = plan("s2_scan_prune")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(!p.replaceAll("(?s)ReadSchema: [^\\n]*", "")
+      .contains("fulltext"), "untouched wide columns stay out of the scan")
+  }
+
+  test("exact dedup is one aggregation exchange plus the output sort") {
+    val p = plan("dd_exact_dedup")
+    assert(exchanges(p) <= 2, s"partial agg + orderBy only:\n$p")
+    assert(p.contains("HashAggregate"), "map-side partial combine present")
+  }
+
+  test("LSH candidate generation joins on band keys — never cartesian") {
+    for (q <- Seq("dd_minhash_lsh", "dd_simhash_pairs", "dd_incremental",
+        "dd_lenband_jaccard")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q candidates must come from equi-joins:\n${p.take(2000)}")
+    }
+  }
+
+  test("ANN paths broadcast the bounded side only") {
+    // query sets / centroid tables are bounded; the corpus must never be
+    // the build side of a broadcast
+    for (q <- Seq("sim_ann_bruteforce", "sim_ann_ivf")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastExchange"), s"$q broadcasts the query set")
+      assert(!p.contains("CartesianProduct"), q)
+    }
+    // the kmeans E-step IS a deliberate broadcast cross product over the
+    // k×dim centroid table — broadcast NLJ is the wanted shape, a plain
+    // (shuffled) cartesian is not
+    val km = plan("sim_kmeans_step")
+    assert(km.contains("BroadcastNestedLoopJoin") && !km.contains("CartesianProduct"),
+      s"centroids broadcast to the corpus:\n${km.take(2000)}")
+  }
+
+  test("decontamination keeps the corpus side map-only against a " +
+    "broadcast eval set") {
+    val p = plan("tx_decontaminate")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"eval n-grams and per-doc counts both come back via broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      "no sort-merge join: the corpus side streams map-side")
+  }
+
+  test("temperature sampling reduces to one tiny count shuffle plus a " +
+    "broadcast of the per-language weights") {
+    val p = plan("tx_temperature_sample")
+    assert(p.contains("BroadcastExchange"), "weights table is broadcast")
+    // corpus-sized shuffles: exactly one (the per-language count) plus the
+    // presentation sort; every other exchange is a SinglePartition fold of
+    // the ≤|langs|-row stats frame
+    val corpusShuffles = "(?m)Exchange hashpartitioning\\([^\\n]*plan_id=(\\d+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet.size
+    assert(corpusShuffles == 1, s"corpus aggregates exactly once:\n$p")
+    assert("(?m)Exchange rangepartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("the M1 merge co-partitions on bibcode: one shuffle per side, no " +
+    "broadcast of the master") {
+    val p = plan("m1_upsert_merge")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+}
