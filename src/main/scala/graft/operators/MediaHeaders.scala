@@ -25,22 +25,31 @@ object MediaHeaders {
 
   /** PNG (spec: 8-byte signature, IHDR width/height big-endian at 16/20),
     * GIF87a/89a (logical screen uint16 LE at 6/8), BMP (BITMAPINFOHEADER
-    * int32 LE at 18/22), JPEG (SOF0/1/2 marker scan). */
+    * int32 LE at 18/22), JPEG (SOF0/1/2 marker scan).
+    *
+    * Dimension fields are range-checked: a 32-bit width/height with the
+    * sign bit set (or zero) is not a big image, it is a malformed or
+    * adversarial header — image libraries reject these, so this parser
+    * answers None rather than reporting a negative dimension (found by
+    * MediaBytesPropSpec fuzzing; note `math.abs(Int.MinValue)` is still
+    * negative, which the positivity check also rejects). */
   def parseImage(b: Array[Byte]): Option[ImageMeta] = {
-    if (b.length >= 24 &&
-        b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
-        b(4) == 0x0d && b(5) == 0x0a && b(6) == 0x1a && b(7) == 0x0a)
-      Some(ImageMeta("png", be32(b, 16).toInt, be32(b, 20).toInt))
-    else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
-        b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')
-      Some(ImageMeta("gif", le16(b, 6), le16(b, 8)))
-    else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
-      // biHeight is SIGNED: negative means a top-down bitmap (common for
-      // Windows tooling) — libraries report the magnitude
-      Some(ImageMeta("bmp", le32(b, 18).toInt, math.abs(le32(b, 22).toInt)))
-    else if (b.length >= 4 && b(0) == 0xff.toByte && b(1) == 0xd8.toByte)
-      parseJpegSof(b)
-    else None
+    val parsed =
+      if (b.length >= 24 &&
+          b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+          b(4) == 0x0d && b(5) == 0x0a && b(6) == 0x1a && b(7) == 0x0a)
+        Some(ImageMeta("png", be32(b, 16).toInt, be32(b, 20).toInt))
+      else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+          b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+        Some(ImageMeta("gif", le16(b, 6), le16(b, 8)))
+      else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
+        // biHeight is SIGNED: negative means a top-down bitmap (common for
+        // Windows tooling) — libraries report the magnitude
+        Some(ImageMeta("bmp", le32(b, 18).toInt, math.abs(le32(b, 22).toInt)))
+      else if (b.length >= 4 && b(0) == 0xff.toByte && b(1) == 0xd8.toByte)
+        parseJpegSof(b)
+      else None
+    parsed.filter(m => m.width > 0 && m.height > 0)
   }
 
   /** Walk JPEG marker segments to the first SOF0/SOF1/SOF2 frame header:

@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.operators.{MediaDecode, MediaHeaders}
+
+/** The media byte parsers consume UNTRUSTED payloads (a crawl's binary
+  * columns), so fuzz them: on arbitrary bytes — including mutated valid
+  * headers, the nastier case — every parser must return (Option/None),
+  * never throw, and never hang. Any parse that does succeed must satisfy
+  * its own invariants (positive dims, buffer sizes consistent). */
+class MediaBytesPropSpec extends AnyFunSuite {
+
+  private val arbitraryBytes: Gen[Array[Byte]] =
+    Gen.chooseNum(0, 200).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray))
+
+  /** Valid-ish magic prefixes spliced onto random tails — exercises the
+    * deep parser paths instead of bailing at the signature check. */
+  private val magicBytes: Gen[Array[Byte]] = for {
+    magic <- Gen.oneOf(
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a),
+      "GIF89a".getBytes, "BM".getBytes,
+      Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte),
+      "RIFF1234WAVE".getBytes)
+    tail <- arbitraryBytes
+  } yield magic ++ tail
+
+  private def run(name: String, p: Prop): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), p)
+    assert(r.passed, s"$name: $r")
+  }
+
+  test("parsers and decoders never throw on arbitrary or magic-prefixed bytes") {
+    val all = Gen.oneOf(arbitraryBytes, magicBytes)
+    run("total", Prop.forAll(all) { b =>
+      val img = MediaHeaders.parseImage(b)
+      val wav = MediaHeaders.parseWav(b)
+      val bmp = MediaDecode.decodeBmp(b)
+      val pcm = MediaDecode.decodeWavPcm(b)
+      img.forall(m => m.width >= 0 && m.height >= 0) &&
+        wav.forall(m => m.sampleRate > 0 && m.durationMs >= 0) &&
+        bmp.forall(x => x.width > 0 && x.height > 0 &&
+          x.rgb.length == x.width * x.height * 3) &&
+        pcm.forall(x => x.sampleRate > 0 && x.samples != null)
+    })
+  }
+
+  test("multimodal decodeMeta/embed stay total on arbitrary payloads") {
+    import graft.operators.Multimodal
+    val kinds = Gen.oneOf("image", "audio", "video")
+    run("meta", Prop.forAll(Gen.oneOf(arbitraryBytes, magicBytes), kinds) { (b, k) =>
+      val (w, h, sr, dur) = Multimodal.decodeMeta(b, k)
+      val emb = Multimodal.embed(b)
+      w >= 0 && h >= 0 && sr >= 0 && dur >= 0 && emb.length == 8 &&
+        emb.forall(v => !v.isNaN)
+    })
+  }
+}
