@@ -152,4 +152,28 @@ class QueueDecodeSpec extends AnyFunSuite with SparkSpec {
     assert(row.head.isNullAt(1), "deleted slot cleared")
     assert(!row.head.isNullAt(2), "record survives with its other slots")
   }
+
+  test("fuzz: decodeOne is total — arbitrary strings and mutated JSON " +
+    "always yield a decode or a reasoned reject, never a throw") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val ts = new Timestamp(0L)
+    val jsonish = Gen.oneOf(
+      Gen.asciiPrintableStr,
+      Gen.oneOf(
+        """{"bibcode": null}""", """[1, 2, {"x": []}]""", """{"status":""",
+        """{"bibcode": 7, "type": "metadata", "payload": 3}""",
+        """{"bibcode": "b", "type": ["metadata"], "payload": {}}""",
+        """{"bibcode": "b", "type": "nonbib_records", "payload": {"not": "a list"}}""",
+        "\u0000\ufffd", "{}", "null", "[]", ""),
+      Gen.listOf(Gen.oneOf('{', '}', '[', ']', '"', ':', ',', 'a', '1', ' '))
+        .map(_.mkString))
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500),
+      Prop.forAll(jsonish) { s =>
+        val out = QueueDecode.decodeOne(s, ts)
+        out.nonEmpty && out.forall(d =>
+          if (d.ok) d.reason.isEmpty && d.bibcode.nonEmpty
+          else d.reason.nonEmpty && d.raw == s)
+      })
+    assert(r.passed, r.toString)
+  }
 }
