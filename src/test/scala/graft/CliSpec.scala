@@ -594,6 +594,26 @@ class CliSpec extends AnyFunSuite with SparkSpec {
     assert(Cli.parse(Seq("--since")).isLeft, "valued flag without value")
     assert(Cli.parse(Seq("stray")).isLeft, "non-flag argument rejected")
   }
+  test("fuzz: parse is total over arbitrary token streams and never " +
+    "admits an unvalued required flag") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val tokens = Gen.oneOf(
+      Gen.oneOf("-r", "-b", "-n", "-d", "-f", "--delete", "--since",
+        "--manage-sitemap", "--action", "add", "remove", "sml", "b1,b2",
+        "--boost-all", "--priority", "--", "-", ""),
+      Gen.asciiPrintableStr.map(_.take(12)))
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500),
+      Prop.forAll(Gen.listOf(tokens)) { argv =>
+        Cli.parse(argv) match {
+          case Right(m) =>
+            // every parsed key is either a known no-value flag or carries
+            // its value; -r always resolves to a concrete letter set
+            m.get("index").forall(_.nonEmpty)
+          case Left(err) => err.nonEmpty
+        }
+      })
+    assert(r.passed, r.toString)
+  }
 }
 
 object CliSpec {
