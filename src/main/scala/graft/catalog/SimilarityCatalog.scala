@@ -77,6 +77,37 @@ object SimilarityCatalog extends Catalog {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ── Multi-probe LSH: probe the query's bucket AND the 8 buckets one
+    // signature-bit away (the Lv et al. multi-probe trick) — near misses
+    // on a single hyperplane are the dominant LSH failure mode, so the 9
+    // probes buy most of the recall a second hash table would, without a
+    // second index. Still a pure equi-join: the probe set explodes on the
+    // (small, broadcast) QUERY side — 9 rows per query — while the corpus
+    // keeps one signature row each, so corpus-side work stays ∝ bucket
+    // occupancy and nothing re-fingerprints. ──
+    "sim_ann_multiprobe" -> ((s, d) => {
+      val corpus = vecs(s, d)
+        .withColumn("norm", graft.functions.VectorOps.normUdf(col("v")))
+        .withColumn("sig", graft.functions.VectorOps.lshSigUdf8(col("v")))
+        .cache()
+      val probes = array(lit(0) +: (0 until 8).map(j => lit(1 << j)): _*)
+      val qs = corpus.filter(col("vec_id") >= 20 && col("vec_id") < 25)
+        .select(col("vec_id").as("query_id"), col("sig").as("qsig"),
+          col("v").as("qv"), col("norm").as("qnorm"))
+        .withColumn("probe_sig",
+          explode(transform(probes, m => col("qsig").bitwiseXOR(m))))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      corpus.join(broadcast(qs),
+          col("sig") === col("probe_sig") && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          cosPrecomputed(col("qv"), col("qnorm"), col("v"), col("norm")).as("cos_sim"))
+        .distinct()
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ── IVF-style cell-restricted top-k: probe only the query's cell ──
     "sim_ann_ivf" -> ((s, d) => {
       val corpus = vecs(s, d)
@@ -162,6 +193,18 @@ object SimilarityCatalog extends Catalog {
          SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank FROM p) t
          WHERE rank <= 5 ORDER BY query_id, rank""",
+    "sim_ann_multiprobe" ->
+      s"""WITH sigs AS (
+           SELECT vec_id, embedding, ${lshSigSql("embedding")} AS sig FROM embeddings),
+         q AS (SELECT vec_id AS query_id, sig AS qsig, embedding AS qv
+             FROM sigs WHERE vec_id >= 20 AND vec_id < 25),
+         p AS (SELECT DISTINCT q.query_id, e.vec_id AS neighbor_id,
+             ${cosineSql("q.qv", "e.embedding")} AS cos_sim
+           FROM sigs e JOIN q
+             ON bit_count(xor(e.sig, q.qsig)) <= 1 AND e.vec_id <> q.query_id)
+         SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank FROM p) t
+         WHERE rank <= 3 ORDER BY query_id, rank""",
     "sim_ann_ivf" ->
       s"""WITH q AS (SELECT vec_id AS query_id, label AS qcell, embedding AS qv
              FROM embeddings WHERE vec_id >= 3 AND vec_id < 13),
