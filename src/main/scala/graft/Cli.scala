@@ -615,6 +615,7 @@ object Cli {
       out(s"ingested=${report.merged} rejected=$nRejects " +
         s"solrOk=${report.solrOk} solrFailed=${report.solrFailed} " +
         s"boostOk=${report.boostOk} boostFailed=${report.boostFailed} " +
+        s"augmentOk=${report.augmentOk} augmentFailed=${report.augmentFailed} " +
         s"version=${report.version}")
       return if (report.solrFailed > 0) 1 else 0
     }

@@ -90,4 +90,30 @@ class CanonicalJsonSpec extends AnyFunSuite {
       "nested" -> JObject(List("k" -> JDouble(2.5)))))
     assert(JsonMethods.parse(CanonicalJson.serialize(doc)) == doc)
   }
+
+  test("fuzz: checksum and serialize are total over arbitrary JSON values " +
+    "and strings (every master payload passes through them each batch)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.json4s._
+    val leaf: Gen[JValue] = Gen.oneOf(
+      Gen.asciiPrintableStr.map(JString(_)),
+      Gen.chooseNum(Long.MinValue, Long.MaxValue).map(JInt(_)),
+      Gen.chooseNum(-1e300, 1e300).map(JDouble(_)),
+      Gen.oneOf(JNull, JBool(true), JBool(false), JNothing))
+    def tree(depth: Int): Gen[JValue] =
+      if (depth == 0) leaf
+      else Gen.oneOf(leaf,
+        Gen.listOfN(3, tree(depth - 1)).map(JArray(_)),
+        Gen.listOfN(3, Gen.zip(Gen.alphaNumStr.map(_.take(8)), tree(depth - 1)))
+          .map(fs => JObject(fs.map { case (k, v) => JField(k, v) })))
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300),
+      Prop.forAll(tree(3), Gen.asciiPrintableStr) { (v, s) =>
+        val c1 = CanonicalJson.checksumOf(v)
+        val c2 = CanonicalJson.checksum(s)
+        val ser = CanonicalJson.serialize(v)
+        c1.length > 0 && c2.startsWith("0x") && ser != null &&
+          CanonicalJson.checksumOf(v) == c1  // deterministic
+      })
+    assert(r.passed, r.toString)
+  }
 }
