@@ -37,9 +37,15 @@ object Components {
     * component). Nodes absent from `edges` are absent from the result —
     * callers left-join and coalesce to self for singletons. */
   def assign(edges: DataFrame, maxIters: Int = 50): DataFrame = {
+    // pinned hash partitioning on src, cached ONCE: the edge list is the
+    // largest frame in the algorithm and every round joins it on src — a
+    // plain cache would still re-exchange it per round, while the explicit
+    // repartition makes the cached blocks satisfy the join's distribution
+    // so only the (shrinking) label frame moves each round
     val bidir = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
+      .repartition(col("src"))
       .cache()
     var comp = bidir.groupBy(col("src"))
       .agg(min(col("dst")).as("__nbr"))
