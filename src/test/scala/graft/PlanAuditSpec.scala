@@ -59,11 +59,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
   test("ANN paths broadcast the bounded side only") {
     // query sets / centroid tables are bounded; the corpus must never be
     // the build side of a broadcast
-    for (q <- Seq("sim_ann_bruteforce", "sim_ann_ivf")) {
+    for (q <- Seq("sim_ann_bruteforce", "sim_ann_ivf", "sim_ann_lsh",
+        "sim_ann_multiprobe")) {
       val p = plan(q)
       assert(p.contains("BroadcastExchange"), s"$q broadcasts the query set")
       assert(!p.contains("CartesianProduct"), q)
     }
+    // multi-probe in particular must stay an equi-join on probe signatures
+    // (a hamming<=1 theta-join would nested-loop the corpus)
+    assert(!plan("sim_ann_multiprobe").contains("BroadcastNestedLoopJoin"),
+      "probe fan-out explodes the query side, never theta-joins")
     // the kmeans E-step IS a deliberate broadcast cross product over the
     // k×dim centroid table — broadcast NLJ is the wanted shape, a plain
     // (shuffled) cartesian is not
