@@ -126,6 +126,51 @@ object SimilarityCatalog extends Catalog {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ── SemDeDup (Abbas et al. 2023): semantic dedup inside embedding
+    // clusters — within each cell, any pair with cosine above the
+    // threshold keeps only the member CLOSER to the cell centroid (ties →
+    // lower vec_id), the paper's keep-the-prototype rule. The threshold
+    // is data-dependent (the paper uses ~0.95 on real encoder
+    // embeddings); the synthetic corpus is near-orthogonal, so 0.35
+    // exercises the rule here — it is one constant. Work ∝ within-cell pairs (the cell
+    // structure is the candidate generator, as in the ANN paths);
+    // centroids are a broadcast k×dim table; comparisons use the same
+    // round(6) values both engines compute, so the keep/drop decision is
+    // reproducible bit-for-bit. ──
+    "dd_semdedup" -> ((s, d) => {
+      val e = vecs(s, d)
+        .withColumn("norm", graft.functions.VectorOps.normUdf(col("v")))
+      val cent = e
+        .select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy(col("label"), col("i")).agg(avg(col("x")).as("m"))
+        .groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+          s => s("m")).as("c"))
+        .withColumn("cnorm", sqrt(graft.functions.VectorOps.dotUdf(col("c"), col("c"))))
+      val withSim = e.join(broadcast(cent), Seq("label"))
+        .select(col("vec_id"), col("label"), col("v"), col("norm"),
+          round(graft.functions.VectorOps.dotUdf(col("v"), col("c")) /
+            (col("norm") * col("cnorm")), 6).as("centroid_sim"))
+        .cache()
+      // a vector drops iff some same-cell near-twin beats it: closer to
+      // the centroid, or equally close with a lower id
+      val beat = withSim.as("a").join(withSim.as("b"),
+          col("a.label") === col("b.label") &&
+            col("a.vec_id") =!= col("b.vec_id") &&
+            round(graft.functions.VectorOps.dotUdf(col("a.v"), col("b.v")) /
+              (col("a.norm") * col("b.norm")), 6) >= 0.35 &&
+            (col("b.centroid_sim") > col("a.centroid_sim") ||
+              (col("b.centroid_sim") === col("a.centroid_sim") &&
+                col("b.vec_id") < col("a.vec_id"))))
+        .select(col("a.vec_id").as("vec_id")).distinct()
+        .withColumn("dropped", lit(true))
+      withSim.select(col("vec_id"), col("label"), col("centroid_sim"))
+        .join(beat, Seq("vec_id"), "left_outer")
+        .select(col("vec_id"), col("label"), col("centroid_sim"),
+          coalesce(col("dropped"), lit(false)).as("dropped"))
+        .orderBy(col("vec_id"))
+    }),
+
     // ── One k-means Lloyd iteration over the corpus (the clustering
     // primitive behind SemDeDup-style curation and IVF cell training):
     // M-step — per-cell centroid means via posexplode + map-side-combined
@@ -214,6 +259,32 @@ object SimilarityCatalog extends Catalog {
          SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank FROM p) t
          WHERE rank <= 3 ORDER BY query_id, rank""",
+    "dd_semdedup" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+         cent AS (SELECT label, list(m ORDER BY i) AS c
+           FROM (SELECT label, i, AVG(x) AS m
+                 FROM (SELECT label,
+                         unnest(embedding)::DOUBLE AS x,
+                         unnest(generate_series(1, len(embedding))) AS i
+                       FROM e)
+                 GROUP BY label, i)
+           GROUP BY label),
+         sims AS (SELECT vec_id, e.label,
+             round(${dotSql("e.embedding", "cent.c")}
+               / (sqrt(${dotSql("e.embedding", "e.embedding")})
+                  * sqrt(${dotSql("cent.c", "cent.c")})), 6) AS centroid_sim,
+             embedding
+           FROM e JOIN cent USING (label)),
+         beat AS (SELECT DISTINCT a.vec_id
+           FROM sims a JOIN sims b
+             ON a.label = b.label AND a.vec_id <> b.vec_id
+             AND ${cosineSql("a.embedding", "b.embedding")} >= 0.35
+             AND (b.centroid_sim > a.centroid_sim
+                  OR (b.centroid_sim = a.centroid_sim AND b.vec_id < a.vec_id)))
+         SELECT s.vec_id, s.label, s.centroid_sim,
+           b.vec_id IS NOT NULL AS dropped
+         FROM sims s LEFT JOIN beat b ON s.vec_id = b.vec_id
+         ORDER BY s.vec_id""",
     "sim_kmeans_step" ->
       s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
          cent AS (SELECT clabel, list(m ORDER BY i) AS c

@@ -46,6 +46,28 @@ class TrainingDataOpsSpec extends AnyFunSuite with SparkSpec {
       "well-placed vectors keep their cell")
   }
 
+  test("dd_semdedup drops the near-twin farther from its cell centroid, " +
+    "keeps the prototype and unrelated members") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdd").toString
+    // cell 0: vec 1 at (1,0) near the centroid; vec 2 a near-twin of 1 but
+    // farther out; vec 3 orthogonal (no pair). Centroid ≈ (0.7, 0.35).
+    Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(1.0f, 0.05f), 0),
+      (3L, Array(0.0f, 1.0f), 0),
+      (9L, Array(5.0f, 5.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("dd_semdedup")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    // vecs 1 and 2 are a >0.35-cosine pair; 2 sits closer to the centroid
+    // (its +y component leans toward vec 3's pull), so 1 drops
+    assert(out.values.count(identity) == 1, s"exactly one of the twins drops: $out")
+    assert(out(1L) ^ out(2L), "the drop lands on one twin")
+    assert(!out(3L) && !out(9L), "singletons and other cells never drop")
+  }
+
   test("dd_incremental matches new-batch docs against the corpus only, " +
     "min-id tie-break, pass-through for novel docs") {
     val corpusText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
