@@ -185,4 +185,35 @@ class SitemapSpec extends AnyFunSuite with SparkSpec {
     val need = Sitemap.filesNeedingUpdate(sm).collect().map(_.getString(1)).toSet
     assert(need == Set("b1", "b2"), "whole flagged file regenerates")
   }
+
+  test("fuzz: rendered sitemap files stay well-formed XML for arbitrary " +
+    "bibcode strings (escaping is load-bearing for crawlers)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val factory = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    val nasty = Gen.oneOf(
+      Gen.asciiPrintableStr.map(_.take(24)),
+      Gen.oneOf("a&b<c>d\"e'f", "]]>", "<![CDATA[x]]>", "&amp;&#x27;",
+        "bib{bibcode}", "</loc></url><url><loc>injected", "\u00e9\u4e2d\u6587"))
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40),
+      Prop.forAll(Gen.listOfN(3, nasty)) { bibs =>
+        val df = bibs.zipWithIndex
+          .map { case (b, i) => (i.toLong + 1, b, "2024-01-01") }
+          .toDF("id", "bibcode", "lastmod")
+        val rendered = Sitemap.renderFiles(
+          Sitemap.assignFilenames(df, maxPerFile = 10), Sitemap.Sites("scix"))
+          .collect()
+        rendered.forall { row =>
+          val content = row.getAs[String]("content")
+          val builder = factory.newDocumentBuilder()
+          builder.setErrorHandler(null)
+          val doc = builder.parse(new java.io.ByteArrayInputStream(
+            content.getBytes("UTF-8")))
+          // well-formed AND no structural injection: exactly one <loc> per
+          // input row survives parsing
+          doc.getElementsByTagName("loc").getLength == bibs.length
+        }
+      })
+    assert(r.passed, r.toString)
+  }
 }
