@@ -358,6 +358,40 @@ object RelationalCatalog extends Catalog {
         .withColumn("flagged", row_number().over(w) === 1)
         .select(col("doc_id"), col("source"), col("flagged"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ── Sessionization: gap-based session assignment per user (30-min
+    // inactivity closes a session) — the classic event-analytics operator,
+    // lag + running sum over a per-USER window. Scales horizontally: the
+    // partition key is user_id (cardinality ∝ corpus), never a global
+    // window; in Structured Streaming the same semantics run as
+    // flatMapGroupsWithState with an inactivity timeout. Ordering ties
+    // break on event_id so the assignment is deterministic. ──
+    "ev_sessionize" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val newSession = when(lag(col("ts"), 1).over(byUser).isNull ||
+        col("ts").cast("long") - lag(col("ts"), 1).over(byUser).cast("long") > 1800L, 1L)
+        .otherwise(0L)
+      Tables.events(s, d)
+        .withColumn("session_idx",
+          sum(newSession).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("event_id"), col("user_id"), col("session_idx"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ── Tumbling-window aggregation: per (hour, event_type) counts and
+    // value sums — the batch form of a Structured Streaming
+    // watermark+window aggregation, and a map-side-combined groupBy here
+    // (shuffle carries one partial row per (window, type, partition)).
+    // The window key is emitted as epoch seconds so the oracle compare is
+    // integer-exact across engines. ──
+    "ev_tumbling_window" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("window_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("value_sum"))
+        .orderBy(col("window_start"), col("event_type"))
     })
   )
 
@@ -524,6 +558,21 @@ object RelationalCatalog extends Catalog {
     "w2_one_per_group_flag" ->
       """SELECT doc_id, source,
            (ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) = 1) AS flagged
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+    "ev_sessionize" ->
+      """WITH x AS (SELECT event_id, user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch(ts)::BIGINT - epoch(lag(ts) OVER w)::BIGINT > 1800
+                  THEN 1 ELSE 0 END AS new_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT event_id, user_id,
+           CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+         FROM x ORDER BY event_id""",
+    "ev_tumbling_window" ->
+      """SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start, event_type,
+           COUNT(*) AS n, round(SUM(value), 6) AS value_sum
+         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""
   )
 }
