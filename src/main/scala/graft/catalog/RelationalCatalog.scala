@@ -380,6 +380,34 @@ object RelationalCatalog extends Catalog {
         .orderBy(col("event_id"))
     }),
 
+    // ── Funnel analysis: per user, the earliest view → click → purchase
+    // chain with each step landing within an hour of the previous — the
+    // standard product-analytics conversion query. Three min-aggregations
+    // and three joins, ALL keyed on user_id, so on a cluster the whole
+    // funnel runs in one user-partitioned exchange reused across stages
+    // (no step ever joins on a hot key: the funnel key is the user).
+    // Epoch-second integers keep the step arithmetic engine-exact. ──
+    "ev_funnel" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts").cast("long").as("t"))
+      def step(evType: String, prev: DataFrame, prevCol: String, asCol: String) =
+        e.filter(col("event_type") === evType)
+          .join(prev, Seq("user_id"))
+          .filter(col("t") > col(prevCol) && col("t") <= col(prevCol) + 3600L)
+          .groupBy(col("user_id")).agg(min(col("t")).as(asCol))
+      val views = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("t")).as("view_t"))
+      val clicks = step("click", views, "view_t", "click_t")
+      val purchases = step("purchase", clicks, "click_t", "purchase_t")
+      views
+        .join(clicks, Seq("user_id"), "left_outer")
+        .join(purchases, Seq("user_id"), "left_outer")
+        .select(col("user_id"), col("view_t"), col("click_t"), col("purchase_t"),
+          (lit(1L) + when(col("click_t").isNotNull, 1L).otherwise(0L) +
+            when(col("purchase_t").isNotNull, 1L).otherwise(0L)).as("reached_step"))
+        .orderBy(col("user_id"))
+    }),
+
     // ── Tumbling-window aggregation: per (hour, event_type) counts and
     // value sums — the batch form of a Structured Streaming
     // watermark+window aggregation, and a map-side-combined groupBy here
@@ -562,7 +590,7 @@ object RelationalCatalog extends Catalog {
     "ev_sessionize" ->
       """WITH x AS (SELECT event_id, user_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL
-                  OR epoch(ts)::BIGINT - epoch(lag(ts) OVER w)::BIGINT > 1800
+                  OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
                   THEN 1 ELSE 0 END AS new_s
            FROM events
            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
@@ -570,6 +598,20 @@ object RelationalCatalog extends Catalog {
            CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
          FROM x ORDER BY event_id""",
+    "ev_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+         v AS (SELECT user_id, MIN(t) AS view_t FROM e
+               WHERE event_type = 'view' GROUP BY 1),
+         c AS (SELECT e.user_id, MIN(t) AS click_t FROM e JOIN v USING (user_id)
+               WHERE event_type = 'click' AND t > view_t AND t <= view_t + 3600
+               GROUP BY 1),
+         p AS (SELECT e.user_id, MIN(t) AS purchase_t FROM e JOIN c USING (user_id)
+               WHERE event_type = 'purchase' AND t > click_t AND t <= click_t + 3600
+               GROUP BY 1)
+         SELECT v.user_id, v.view_t, c.click_t, p.purchase_t,
+           1 + (c.click_t IS NOT NULL)::BIGINT + (p.purchase_t IS NOT NULL)::BIGINT AS reached_step
+         FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+         ORDER BY v.user_id""",
     "ev_tumbling_window" ->
       """SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start, event_type,
            COUNT(*) AS n, round(SUM(value), 6) AS value_sum
