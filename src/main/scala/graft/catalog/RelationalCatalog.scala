@@ -408,6 +408,29 @@ object RelationalCatalog extends Catalog {
         .orderBy(col("user_id"))
     }),
 
+    // ── Cohort retention: users grouped by first-activity day (the
+    // cohort), counted by how many distinct users of each cohort are
+    // active again N days later — the other standard product-analytics
+    // rollup. Shapes: one user-keyed min-agg (cohort assignment), one
+    // broadcast-friendly join back onto activity, then a count-distinct
+    // keyed on (cohort, day_offset) — partial-aggregated map-side; no
+    // user-level data survives past the first join, so the rollup's
+    // shuffle width is |cohorts| × |offsets|, not |events|. ──
+    "ev_retention" -> ((s, d) => {
+      val acts = Tables.events(s, d)
+        .select(col("user_id"),
+          unix_timestamp(date_trunc("day", col("ts"))).as("day"))
+        .distinct()
+      val cohorts = acts.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      acts.join(cohorts, Seq("user_id"))
+        .select(col("cohort_day"),
+          ((col("day") - col("cohort_day")) / 86400L).cast("long").as("day_offset"),
+          col("user_id"))
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
     // ── Tumbling-window aggregation: per (hour, event_type) counts and
     // value sums — the batch form of a Structured Streaming
     // watermark+window aggregation, and a map-side-combined groupBy here
@@ -612,6 +635,16 @@ object RelationalCatalog extends Catalog {
            1 + (c.click_t IS NOT NULL)::BIGINT + (p.purchase_t IS NOT NULL)::BIGINT AS reached_step
          FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
          ORDER BY v.user_id""",
+    "ev_retention" ->
+      """WITH acts AS (SELECT DISTINCT user_id,
+             CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day
+           FROM events),
+         cohorts AS (SELECT user_id, MIN(day) AS cohort_day FROM acts GROUP BY 1)
+         SELECT cohort_day,
+           CAST((day - cohort_day) / 86400 AS BIGINT) AS day_offset,
+           COUNT(DISTINCT a.user_id) AS n_users
+         FROM acts a JOIN cohorts USING (user_id)
+         GROUP BY 1, 2 ORDER BY cohort_day, day_offset""",
     "ev_tumbling_window" ->
       """SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start, event_type,
            COUNT(*) AS n, round(SUM(value), 6) AS value_sum

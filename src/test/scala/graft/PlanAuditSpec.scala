@@ -104,4 +104,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     val p = plan("m1_upsert_merge")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("event analytics stay user-keyed: sessionize windows partition by " +
+    "user, the funnel never goes cartesian") {
+    val sess = plan("ev_sessionize")
+    assert(sess.contains("partitionBy" ) || sess.contains("hashpartitioning(user_id"),
+      s"per-user window, not a global one:\n${sess.take(1500)}")
+    assert(!sess.contains("SinglePartition") ||
+      "(?m)Exchange SinglePartition".r.findAllIn(sess).isEmpty,
+      "no global-ordering funnel through one task")
+    val fn = plan("ev_funnel")
+    assert(!fn.contains("CartesianProduct") && !fn.contains("BroadcastNestedLoopJoin"),
+      s"funnel joins stay keyed on user_id:\n${fn.take(1500)}")
+  }
 }
