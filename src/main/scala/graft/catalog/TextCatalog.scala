@@ -256,6 +256,26 @@ object TextCatalog extends Catalog {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    // ── Per-domain quota: keep at most K documents per source (the
+    // anti-domination cap every web-corpus pipeline applies so one domain
+    // cannot flood the training mix). Selection ranks by a salted hash —
+    // i.e. a deterministic uniform sample WITHIN each domain, reproducible
+    // under retries like tx_sample_hash. The window partitions by SOURCE
+    // (cardinality ∝ corpus, no global ordering); domains smaller than K
+    // pass through whole. ──
+    "tx_domain_cap" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val rankHash = PortableHash.hash64(
+        concat(lit("domcap:"), col("doc_id").cast("string")))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(rankHash, col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .withColumn("kept", col("rank") <= 10)
+        .orderBy(col("doc_id"))
+    }),
+
     // ── Document fingerprint: min rolling-hash over 5-gram word shingles ──
     "tx_fingerprint" -> ((s, d) => {
       val words = split(col("text"), " ")
@@ -366,6 +386,14 @@ object TextCatalog extends Catalog {
          SELECT d.doc_id, d.lang, w.keep_micro,
            ${PortableHash.hash64Sql("'tsample:' || CAST(doc_id AS VARCHAR)")} % 1000000 < w.keep_micro AS sampled
          FROM documents d JOIN w USING (lang) ORDER BY d.doc_id""",
+    "tx_domain_cap" ->
+      s"""SELECT doc_id, source,
+           CAST(ROW_NUMBER() OVER (PARTITION BY source
+             ORDER BY ${PortableHash.hash64Sql("'domcap:' || CAST(doc_id AS VARCHAR)")}, doc_id)
+             AS BIGINT) AS rank,
+           ROW_NUMBER() OVER (PARTITION BY source
+             ORDER BY ${PortableHash.hash64Sql("'domcap:' || CAST(doc_id AS VARCHAR)")}, doc_id) <= 10 AS kept
+         FROM documents ORDER BY doc_id""",
     "tx_chunk_split" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
          c AS (SELECT doc_id,
