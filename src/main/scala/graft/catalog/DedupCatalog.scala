@@ -340,7 +340,7 @@ object DedupCatalog extends Catalog {
       val pairs = e.as("a").join(e.as("b"),
           col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
         .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
-          round(VectorOps.dotUdf(col("a.v"), col("b.v")) /
+          round(org.apache.spark.sql.graftnative.NativeExpressions.dotCol(col("a.v"), col("b.v")) /
             (col("a.norm") * col("b.norm")), 6).as("cos_sim"))
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("vec_id"))

@@ -23,7 +23,7 @@ object SimilarityCatalog extends Catalog {
 
   /** Corpus side with precomputed norms (one dot per candidate pair). */
   private def cosPrecomputed(qv: Column, qnorm: Column, v: Column, norm: Column): Column =
-    round(graft.functions.VectorOps.dotUdf(qv, v) / (qnorm * norm), 6)
+    round(org.apache.spark.sql.graftnative.NativeExpressions.dotCol(qv, v) / (qnorm * norm), 6)
 
   private def dotSql(x: String, y: String) =
     s"list_sum(list_transform(generate_series(1, len($x)), i -> $x[i]::DOUBLE * $y[i]::DOUBLE))"
@@ -146,10 +146,10 @@ object SimilarityCatalog extends Catalog {
         .groupBy(col("label"))
         .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
           s => s("m")).as("c"))
-        .withColumn("cnorm", sqrt(graft.functions.VectorOps.dotUdf(col("c"), col("c"))))
+        .withColumn("cnorm", sqrt(org.apache.spark.sql.graftnative.NativeExpressions.dotCol(col("c"), col("c"))))
       val withSim = e.join(broadcast(cent), Seq("label"))
         .select(col("vec_id"), col("label"), col("v"), col("norm"),
-          round(graft.functions.VectorOps.dotUdf(col("v"), col("c")) /
+          round(org.apache.spark.sql.graftnative.NativeExpressions.dotCol(col("v"), col("c")) /
             (col("norm") * col("cnorm")), 6).as("centroid_sim"))
         .cache()
       // a vector drops iff some same-cell near-twin beats it: closer to
@@ -157,7 +157,7 @@ object SimilarityCatalog extends Catalog {
       val beat = withSim.as("a").join(withSim.as("b"),
           col("a.label") === col("b.label") &&
             col("a.vec_id") =!= col("b.vec_id") &&
-            round(graft.functions.VectorOps.dotUdf(col("a.v"), col("b.v")) /
+            round(org.apache.spark.sql.graftnative.NativeExpressions.dotCol(col("a.v"), col("b.v")) /
               (col("a.norm") * col("b.norm")), 6) >= 0.35 &&
             (col("b.centroid_sim") > col("a.centroid_sim") ||
               (col("b.centroid_sim") === col("a.centroid_sim") &&
@@ -189,13 +189,13 @@ object SimilarityCatalog extends Catalog {
         .groupBy(col("clabel"))
         .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
           s => s("m")).as("c"))
-        .withColumn("cnorm2", graft.functions.VectorOps.dotUdf(col("c"), col("c")))
+        .withColumn("cnorm2", org.apache.spark.sql.graftnative.NativeExpressions.dotCol(col("c"), col("c")))
       val scored = e
-        .withColumn("vnorm2", graft.functions.VectorOps.dotUdf(col("v"), col("v")))
+        .withColumn("vnorm2", org.apache.spark.sql.graftnative.NativeExpressions.dotCol(col("v"), col("v")))
         .crossJoin(broadcast(cent))
         .select(col("vec_id"), col("label"), col("clabel"),
           round(col("vnorm2") -
-            lit(2.0) * graft.functions.VectorOps.dotUdf(col("v"), col("c")) +
+            lit(2.0) * org.apache.spark.sql.graftnative.NativeExpressions.dotCol(col("v"), col("c")) +
             col("cnorm2"), 6).as("dist2"))
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("dist2"), col("clabel"))

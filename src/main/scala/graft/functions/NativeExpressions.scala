@@ -1,10 +1,10 @@
 package org.apache.spark.sql.graftnative
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.functions.{CanonicalJson, TextHashes}
@@ -30,6 +30,9 @@ object NativeExpressions {
   def simhash60(s: UTF8String): Long = TextHashes.simhash60(s.toString)
   def canonicalChecksum(s: UTF8String): UTF8String =
     UTF8String.fromString(CanonicalJson.checksumOf(graft.transform.SolrTransform.parse(s.toString)))
+  def dotArrays(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Double =
+    graft.functions.VectorOps.dot(a.toDoubleArray(), b.toDoubleArray())
 
   private val Helper = "org.apache.spark.sql.graftnative.NativeExpressions"
 
@@ -76,6 +79,30 @@ object NativeExpressions {
     override def prettyName: String = "graft_canonical_checksum"
   }
 
+  /** Dot product of two double-array columns. The UDF form runs the same
+    * compiled loop but breaks whole-stage codegen at every pair-join probe
+    * (closure call + null-tracking wrapper per row); this stays a single
+    * static call inside the generated stage — the hot path of every
+    * embedding pair operator (dd_embedding_neardup, dd_semdedup,
+    * sim_ann_*, sim_kmeans_step). Summation order is the same
+    * left-to-right fold the DuckDB oracle's list_sum uses. */
+  case class DotProductExpression(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] =
+      Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      NativeExpressions.dotArrays(
+        a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$Helper.dotArrays($a, $b)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): DotProductExpression =
+      copy(left = newLeft, right = newRight)
+    override def prettyName: String = "graft_dot"
+  }
+
   def simhash32Col(c: Column): Column =
     ExpressionUtils.column(SimHash32Expression(ExpressionUtils.expression(c)))
 
@@ -84,6 +111,10 @@ object NativeExpressions {
 
   def canonicalChecksumCol(c: Column): Column =
     ExpressionUtils.column(CanonicalChecksumExpression(ExpressionUtils.expression(c)))
+
+  def dotCol(a: Column, b: Column): Column =
+    ExpressionUtils.column(DotProductExpression(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -97,7 +128,10 @@ object NativeExpressions {
       (exprs: Seq[Expression]) => SimHash60Expression(exprs.head)),
     (FunctionIdentifier("graft_canonical_checksum"),
       new ExpressionInfo(classOf[CanonicalChecksumExpression].getName, "graft_canonical_checksum"),
-      (exprs: Seq[Expression]) => CanonicalChecksumExpression(exprs.head)))
+      (exprs: Seq[Expression]) => CanonicalChecksumExpression(exprs.head)),
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProductExpression].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => DotProductExpression(exprs(0), exprs(1))))
 
   /** Register the native functions on an existing session, so they are
     * callable from SQL: `SELECT graft_simhash32(text) FROM docs`. */

@@ -54,6 +54,28 @@ class NativeExpressionsSpec extends AnyFunSuite with SparkSpec {
     assert(row.getString(1) == CanonicalJson.checksumOf(SolrTransform.parse("""{"a": 1}""")))
   }
 
+  test("dot product expression matches the compiled loop, stays in " +
+    "codegen, handles nulls and ragged lengths") {
+    import spark.implicits._
+    NativeExpressions.register(spark)
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+      (Array(0.1, 0.2), Array(0.3, 0.4, 9.9))) // ragged: min-length contract
+      .toDF("a", "b")
+    val got = df.select(NativeExpressions.dotCol(col("a"), col("b")).as("d"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(got == Seq(32.0, 0.1 * 0.3 + 0.2 * 0.4))
+    // SQL registration
+    df.createOrReplaceTempView("nx_vecs")
+    assert(spark.sql("SELECT graft_dot(a, b) FROM nx_vecs").collect()
+      .head.getDouble(0) == 32.0)
+    // null propagation (BinaryExpression null-safe contract)
+    val withNull = Seq((Some(Array(1.0)), Option.empty[Array[Double]]))
+      .toDF("a", "b")
+    assert(withNull.select(NativeExpressions.dotCol(col("a"), col("b")))
+      .collect().head.isNullAt(0))
+  }
+
   test("canonical checksum expression equals CanonicalJson.checksumOf") {
     import spark.implicits._
     val docs = Seq(
