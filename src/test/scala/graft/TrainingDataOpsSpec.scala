@@ -24,6 +24,24 @@ class TrainingDataOpsSpec extends AnyFunSuite with SparkSpec {
     dir
   }
 
+  test("tx_domain_cap keeps exactly min(10, n) docs per source and is " +
+    "stable across runs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cap").toString
+    val rows = (1L to 25L).map(i => (i, s"doc $i", "en", "big")) ++
+      (100L to 103L).map(i => (i, s"doc $i", "en", "small"))
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def kept() = SparkEntry.queries("tx_domain_cap")(spark, dir).collect()
+      .filter(_.getBoolean(3)).map(r => (r.getString(1), r.getLong(0))).toSet
+    val k1 = kept()
+    assert(k1.count(_._1 == "big") == 10, "over-quota domain capped at 10")
+    assert(k1.count(_._1 == "small") == 4, "under-quota domain passes whole")
+    assert(kept() == k1, "hash-ranked selection is deterministic across runs")
+  }
+
   test("sim_kmeans_step reassigns a vector that sits nearer the other " +
     "cell's centroid") {
     import spark.implicits._
