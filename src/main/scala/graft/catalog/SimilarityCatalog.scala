@@ -126,6 +126,47 @@ object SimilarityCatalog extends Catalog {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ── IVF with nprobe=2: rank cells by query→centroid distance and
+    // probe the two nearest — the standard fix for recall loss at cell
+    // boundaries (a query near a Voronoi edge has true neighbors in the
+    // adjacent cell that nprobe=1 never sees). Cell ranking happens on
+    // the broadcast k×dim centroid table (k rows per query, map-side);
+    // candidate generation stays an equi-join on the cell id, so corpus
+    // work is ∝ occupancy of the two probed cells. Ranking on rounded
+    // distances keeps the probe choice engine-exact. ──
+    "sim_ann_ivf_nprobe2" -> ((s, d) => {
+      val corpus = vecs(s, d)
+        .withColumn("norm", graft.functions.VectorOps.normUdf(col("v")))
+      val cent = corpus
+        .select(col("label").as("clabel"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy(col("clabel"), col("i")).agg(avg(col("x")).as("m"))
+        .groupBy(col("clabel"))
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+          s => s("m")).as("c"))
+        .withColumn("cnorm2",
+          org.apache.spark.sql.graftnative.NativeExpressions.dotCol(col("c"), col("c")))
+      val qs = corpus.filter(col("vec_id") >= 3 && col("vec_id") < 13)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+      val wc = Window.partitionBy(col("query_id")).orderBy(col("cd"), col("clabel"))
+      val probed = qs.crossJoin(broadcast(cent))
+        .select(col("query_id"), col("qv"), col("qnorm"), col("clabel"),
+          round(org.apache.spark.sql.graftnative.NativeExpressions.dotCol(col("qv"), col("qv")) -
+            lit(2.0) * org.apache.spark.sql.graftnative.NativeExpressions.dotCol(col("qv"), col("c")) +
+            col("cnorm2"), 6).as("cd"))
+        .withColumn("rk", row_number().over(wc))
+        .filter(col("rk") <= 2)
+        .select(col("query_id"), col("qv"), col("qnorm"), col("clabel"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      corpus.join(broadcast(probed),
+          col("label") === col("clabel") && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          cosPrecomputed(col("qv"), col("qnorm"), col("v"), col("norm")).as("cos_sim"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ── SemDeDup (Abbas et al. 2023): semantic dedup inside embedding
     // clusters — within each cell, any pair with cosine above the
     // threshold keeps only the member CLOSER to the cell centroid (ties →
@@ -256,6 +297,32 @@ object SimilarityCatalog extends Catalog {
          p AS (SELECT q.query_id, e.vec_id AS neighbor_id,
              ${cosineSql("q.qv", "e.embedding")} AS cos_sim
            FROM embeddings e JOIN q ON e.label = q.qcell AND e.vec_id <> q.query_id)
+         SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank FROM p) t
+         WHERE rank <= 3 ORDER BY query_id, rank""",
+    "sim_ann_ivf_nprobe2" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+         cent AS (SELECT clabel, list(m ORDER BY i) AS c
+           FROM (SELECT clabel, i, AVG(x) AS m
+                 FROM (SELECT label AS clabel,
+                         unnest(embedding)::DOUBLE AS x,
+                         unnest(generate_series(1, len(embedding))) AS i
+                       FROM e)
+                 GROUP BY clabel, i)
+           GROUP BY clabel),
+         q AS (SELECT vec_id AS query_id, embedding AS qv FROM e
+               WHERE vec_id >= 3 AND vec_id < 13),
+         qc AS (SELECT query_id, qv, clabel FROM (
+             SELECT q.query_id, q.qv, cent.clabel,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                 round(${dotSql("q.qv", "q.qv")}
+                   - 2.0 * ${dotSql("q.qv", "cent.c")}
+                   + ${dotSql("cent.c", "cent.c")}, 6), cent.clabel) AS rk
+             FROM q CROSS JOIN cent) t
+           WHERE rk <= 2),
+         p AS (SELECT qc.query_id, e.vec_id AS neighbor_id,
+             ${cosineSql("qc.qv", "e.embedding")} AS cos_sim
+           FROM e JOIN qc ON e.label = qc.clabel AND e.vec_id <> qc.query_id)
          SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank FROM p) t
          WHERE rank <= 3 ORDER BY query_id, rank""",
