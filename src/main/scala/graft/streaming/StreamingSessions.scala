@@ -19,6 +19,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * the `withWatermark` contract upstream). At cluster scale state shards
   * by user across executors like every keyed-state operator, and state
   * size is O(open sessions), not O(events).
+  *
+  * Late data: Spark 4 filters watermark-late rows BEFORE this operator
+  * (verified by spec — a straggler event hours behind the watermark never
+  * invokes the function), so closed sessions stay closed. The timeout
+  * registration still clamps to just past the current watermark as
+  * defense-in-depth: `setTimeoutTimestamp` rejects deadlines at or below
+  * the watermark, and a config that relaxes late-row filtering (e.g.
+  * multiple-stateful-operator pipelines) must degrade to a late session,
+  * not a crashed query.
   */
 object StreamingSessions {
 
@@ -65,7 +74,10 @@ object StreamingSessions {
             }
             open.foreach { o =>
               state.update(o)
-              state.setTimeoutTimestamp(o._2 + GapMs)
+              // clamp: a late-data session's natural deadline can be ≤ the
+              // current watermark, which setTimeoutTimestamp rejects
+              state.setTimeoutTimestamp(math.max(o._2 + GapMs,
+                state.getCurrentWatermarkMs() + 1))
             }
             closed.result().iterator
           }

@@ -61,6 +61,40 @@ class StreamingSessionsSpec extends AnyFunSuite with SparkSpec {
     } finally query.stop()
   }
 
+  test("a watermark-late straggler is dropped before the operator; the " +
+    "stream neither crashes nor reopens the closed session") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = session.sqlContext
+
+    val input = MemoryStream[Event]
+    val query = StreamingSessions.sessionize(
+      input.toDS().withWatermark("ts", "0 seconds").as[Event])
+      .writeStream.format("memory").queryName("sessions3")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // advance the watermark far ahead with user 9
+      input.addData(ev(9, 1, 600))
+      query.processAllAvailable()
+      // user 8's event is hours LATE: Spark 4's watermark contract filters
+      // it before the stateful operator, so no session may appear for user
+      // 8 — and the query must survive (a pre-Spark-4-style passthrough
+      // would register a below-watermark timeout, which the operator's
+      // clamp also tolerates)
+      input.addData(ev(8, 2, 20))
+      query.processAllAvailable()
+      input.addData(ev(9, 3, 610))
+      query.processAllAvailable()
+      input.addData(ev(9, 4, 620))
+      query.processAllAvailable()
+      assert(query.isActive, "late data never kills the stream")
+      val got = session.sql("SELECT * FROM sessions3").as[Session].collect()
+        .map(s => (s.user_id, s.n_events)).toSet
+      assert(!got.exists(_._1 == 8L),
+        s"watermark-late rows are dropped, not sessionized: $got")
+    } finally query.stop()
+  }
+
   test("within-batch events split into multiple sessions in one pass") {
     val session = spark
     import session.implicits._
