@@ -276,6 +276,30 @@ object TextCatalog extends Catalog {
         .orderBy(col("doc_id"))
     }),
 
+    // ── Cross-document span duplication: for each document, the fraction
+    // of its distinct word-5-grams that also occur in OTHER documents —
+    // the corpus-wide repetition filter (boilerplate, mirrored pages,
+    // license blocks) that within-document tx_rep_quality cannot see.
+    // Shape: one df-count over hashed 5-grams (map-side combined, keys
+    // are fixed-width longs) joined back to the exploded doc side, then a
+    // per-doc conditional average. Work ∝ corpus tokens; the only
+    // wide shuffle carries (gram_hash, count) pairs. ──
+    "tx_span_dup_frac" -> ((s, d) => {
+      val words = split(col("text"), " ")
+      val grams = array_distinct(transform(
+        sequence(lit(1), greatest(size(words) - 4, lit(1))),
+        i => PortableHash.hash64(array_join(slice(words, i, lit(5)), " "))))
+      val exploded = Tables.documents(s, d)
+        .select(col("doc_id"), explode(grams).as("g"))
+      val dfs = exploded.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      exploded.join(dfs, Seq("g"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          round(avg(when(col("df") > 1, 1.0).otherwise(0.0)), 6).as("dup_frac"))
+        .withColumn("boilerplate", col("dup_frac") > 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
     // ── Document fingerprint: min rolling-hash over 5-gram word shingles ──
     "tx_fingerprint" -> ((s, d) => {
       val words = split(col("text"), " ")
@@ -386,6 +410,17 @@ object TextCatalog extends Catalog {
          SELECT d.doc_id, d.lang, w.keep_micro,
            ${PortableHash.hash64Sql("'tsample:' || CAST(doc_id AS VARCHAR)")} % 1000000 < w.keep_micro AS sampled
          FROM documents d JOIN w USING (lang) ORDER BY d.doc_id""",
+    "tx_span_dup_frac" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             generate_series(1, greatest(len(words) - 4, 1)),
+             i -> ${PortableHash.hash64Sql("array_to_string(words[i:i+4], ' ')")}))) AS g
+           FROM w),
+         dfs AS (SELECT g, COUNT(*) AS df FROM g GROUP BY 1)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+           round(AVG(CASE WHEN df > 1 THEN 1.0 ELSE 0.0 END), 6) AS dup_frac,
+           round(AVG(CASE WHEN df > 1 THEN 1.0 ELSE 0.0 END), 6) > 0.5 AS boilerplate
+         FROM g JOIN dfs USING (g) GROUP BY doc_id ORDER BY doc_id""",
     "tx_domain_cap" ->
       s"""SELECT doc_id, source,
            CAST(ROW_NUMBER() OVER (PARTITION BY source
