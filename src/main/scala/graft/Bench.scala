@@ -49,6 +49,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // second, SHORT line: the driver's tail-capture has truncated the
+    // front of the long per-query line in past rounds (r4, r6), losing
+    // the headline "metric":"total" field — a line this short always
+    // survives whole
+    println(s"""{"total":$total,"n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -607,10 +607,13 @@ object Cli {
           .json(s"$storeRoot-quarantine")
       // ingest forwards a boost request per touched record, the queue
       // topology's task_update_record → task_boost_request edge
-      // (tasks.py:104-111); --no-boost-requests turns it off
+      // (tasks.py:104-111); --no-boost-requests turns it off. Affiliation
+      // augment is gated SEPARATELY (--no-augment-requests): the reference
+      // fires it on every metadata update regardless of the boost gate
       val report = Pipeline.runBatch(spark, store, messages,
         deps.solrTransport, deps.bulkTransport, now = now,
-        forwardBoostRequests = !a.contains("no-boost-requests"))
+        forwardBoostRequests = !a.contains("no-boost-requests"),
+        forwardAugmentRequests = !a.contains("no-augment-requests"))
       decoded.unpersist()
       out(s"ingested=${report.merged} rejected=$nRejects " +
         s"solrOk=${report.solrOk} solrFailed=${report.solrFailed} " +

@@ -44,7 +44,8 @@ object Pipeline {
       restrictTo: Option[Dataset[String]] = None,
       sinceOverride: Option[Timestamp] = None,
       updateProcessed: Boolean = true,
-      forwardBoostRequests: Boolean = false): RunReport = {
+      forwardBoostRequests: Boolean = false,
+      forwardAugmentRequests: Boolean = false): RunReport = {
     import spark.implicits._
 
     // ST1: incremental window from the stored watermark; an explicit
@@ -110,9 +111,12 @@ object Pipeline {
     // (tasks.py:192-196 — the aff pipeline answers with its own augment
     // message later); only records whose bib data carries a non-empty aff
     // list produce a request (app.py:628-653), so the builder's None rows
-    // drop out before the send
+    // drop out before the send. In the reference this fires UNCONDITIONALLY
+    // on metadata updates — only the boost leg is gated (by
+    // IGNORED_BOOST_PAYLOAD_TYPES/TESTING_MODE) — so augment has its OWN
+    // gate here rather than riding the boost flag
     val (augmentOk, augmentFailed) =
-      if (!forwardBoostRequests) (0L, 0L)
+      if (!forwardAugmentRequests) (0L, 0L)
       else {
         val metaTouched = updates.filter(!isFullDelete && col("mtype") === "metadata")
           .select(col("bibcode")).distinct()

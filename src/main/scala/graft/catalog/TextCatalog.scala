@@ -190,10 +190,14 @@ object TextCatalog extends Catalog {
         .crossJoin(counts.agg(sum(col("cnt")).as("total")))
         .withColumn("share", col("cnt").cast("double") / col("total").cast("double"))
         .withColumn("adj", pow(col("share"), lit(0.3)))
+      // round(6) before the floor: Spark (Java Math.pow) and the oracle
+      // (C pow) may differ in the last ulp, and an ulp that crosses an
+      // integer boundary would flip keep_micro by 1 — deriving from the
+      // same 6-decimal value makes the gate engine-independent
       val weights = withShare
         .crossJoin(withShare.agg(sum(col("adj")).as("z")))
         .select(col("lang"),
-          floor(least(lit(1.0), (col("adj") / col("z")) / col("share")) * 1e6)
+          floor(round(least(lit(1.0), (col("adj") / col("z")) / col("share")), 6) * 1e6)
             .cast("long").as("keep_micro"))
       docs.join(broadcast(weights), Seq("lang"))
         .select(col("doc_id"), col("lang"), col("keep_micro"),
@@ -280,19 +284,20 @@ object TextCatalog extends Catalog {
     // of its distinct word-5-grams that also occur in OTHER documents —
     // the corpus-wide repetition filter (boilerplate, mirrored pages,
     // license blocks) that within-document tx_rep_quality cannot see.
-    // Shape: one df-count over hashed 5-grams (map-side combined, keys
-    // are fixed-width longs) joined back to the exploded doc side, then a
-    // per-doc conditional average. Work ∝ corpus tokens; the only
-    // wide shuffle carries (gram_hash, count) pairs. ──
+    // Shape: ONE derivation of the exploded gram frame — the per-gram
+    // document frequency is an unordered count window over the gram hash
+    // (one shuffle on fixed-width longs, no join-back, no second scan of
+    // documents), then a per-doc conditional average. Work ∝ corpus
+    // tokens; the only wide shuffles carry (gram_hash) then (doc_id). ──
     "tx_span_dup_frac" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
       val words = split(col("text"), " ")
       val grams = array_distinct(transform(
         sequence(lit(1), greatest(size(words) - 4, lit(1))),
         i => PortableHash.hash64(array_join(slice(words, i, lit(5)), " "))))
-      val exploded = Tables.documents(s, d)
+      Tables.documents(s, d)
         .select(col("doc_id"), explode(grams).as("g"))
-      val dfs = exploded.groupBy(col("g")).agg(count(lit(1)).as("df"))
-      exploded.join(dfs, Seq("g"))
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("g"))))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_grams"),
           round(avg(when(col("df") > 1, 1.0).otherwise(0.0)), 6).as("dup_frac"))
@@ -364,10 +369,10 @@ object TextCatalog extends Catalog {
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
            FROM documents)
          SELECT doc_id, lang, n_tokens,
-           COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
-           COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2000 AS shard_id
+           CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before,
+           CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2000 AS BIGINT) AS shard_id
          FROM t ORDER BY doc_id""",
     "tx_decontaminate" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
@@ -405,7 +410,7 @@ object TextCatalog extends Catalog {
              pow(CAST(cnt AS DOUBLE) / total, 0.3) AS adj FROM c, t),
          z AS (SELECT SUM(adj) AS z FROM s),
          w AS (SELECT lang,
-             CAST(floor(least(1.0, (adj / z.z) / share) * 1e6) AS BIGINT) AS keep_micro
+             CAST(floor(round(least(1.0, (adj / z.z) / share), 6) * 1e6) AS BIGINT) AS keep_micro
            FROM s, z)
          SELECT d.doc_id, d.lang, w.keep_micro,
            ${PortableHash.hash64Sql("'tsample:' || CAST(doc_id AS VARCHAR)")} % 1000000 < w.keep_micro AS sampled

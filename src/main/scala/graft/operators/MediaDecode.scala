@@ -1,13 +1,14 @@
 package graft.operators
 
-/** Real pixel/sample decoding for the codec-FREE media containers — pure
-  * JVM byte math, no codec libraries, so these are genuine decoders, not
-  * stubs: uncompressed BMP (BI_RGB 24/32-bit) to row-major top-down RGB,
-  * and WAV PCM-16 to interleaved samples, plus the two feature passes a
-  * training pipeline runs on them (nearest-neighbor resample, RMS
-  * loudness). With these, [[Multimodal]]'s decode stub is confined to the
-  * formats that genuinely need a codec library (PNG/GIF/JPEG inflate/DCT,
-  * compressed audio, video) — swap points documented there.
+/** Real pixel/sample decoding with zero external dependencies: our own
+  * byte-math decoders for uncompressed BMP (BI_RGB 24/32-bit, to
+  * row-major top-down RGB) and WAV PCM-16 (to interleaved samples), the
+  * JDK's `javax.imageio` for PNG/GIF/JPEG pixels ([[decodeImage]]), and
+  * the two feature passes a training pipeline runs on the decodes
+  * (nearest-neighbor resample, RMS loudness). With these,
+  * [[Multimodal]]'s decode stub is confined to the formats that
+  * genuinely need a codec LIBRARY the JDK lacks (video frames,
+  * compressed audio) — swap points documented there.
   *
   * Everything here is per-row compute inside a map/mapPartitions operator:
   * no shuffle, scales with input splits, and the decoded buffers live only
@@ -35,18 +36,28 @@ object MediaDecode {
   def decodeBmp(b: Array[Byte]): Option[Bitmap] = {
     if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
     val pixOff = le32(b, 10).toInt
-    val width = le32(b, 18).toInt
+    val widthRaw = le32(b, 18).toInt
     val heightRaw = le32(b, 22).toInt
     val bpp = le16(b, 28)
     val compression = le32(b, 30)
-    val height = math.abs(heightRaw)
     val topDown = heightRaw < 0
     if (compression != 0L || (bpp != 24 && bpp != 32)) return None
-    if (width <= 0 || height == 0 || pixOff < 54) return None
+    // Header fields are UNTRUSTED: every size derivation stays in Long
+    // until proven to fit. Int math here lets width ≈ 2^30 at 24bpp wrap
+    // rowSize negative (sliding past the bounds guard into a wrapped
+    // allocation), and abs(Int.MinValue) is itself still negative.
+    val widthL = widthRaw.toLong
+    val heightL = math.abs(heightRaw.toLong)
+    if (widthL <= 0 || heightL <= 0 || pixOff < 54) return None
     val bytesPerPx = bpp / 8
-    val rowSize = ((width * bytesPerPx + 3) / 4) * 4
-    if (pixOff.toLong + rowSize.toLong * height > b.length) return None
-    val rgb = new Array[Byte](width * height * 3)
+    val rowSizeL = ((widthL * bytesPerPx + 3) / 4) * 4
+    val rgbLenL = widthL * heightL * 3
+    if (pixOff.toLong + rowSizeL * heightL > b.length || rgbLenL > Int.MaxValue)
+      return None
+    val width = widthL.toInt
+    val height = heightL.toInt
+    val rowSize = rowSizeL.toInt
+    val rgb = new Array[Byte](rgbLenL.toInt)
     var y = 0
     while (y < height) {
       val srcRow = if (topDown) y else height - 1 - y
@@ -62,6 +73,53 @@ object MediaDecode {
     }
     Some(Bitmap(width, height, rgb))
   }
+
+  // ImageIO's default behavior writes a disk-backed cache file per
+  // decode — wrong on executors; flip it to in-memory once per JVM.
+  private lazy val imageIoReady: Boolean = {
+    System.setProperty("java.awt.headless", "true")
+    javax.imageio.ImageIO.setUseCache(false)
+    true
+  }
+
+  /** Decode any JDK-decodable image container — PNG, GIF, JPEG (and BMP
+    * variants beyond BI_RGB) via `javax.imageio.ImageIO`, which ships in
+    * the JDK and runs headless — normalized to the same top-down
+    * tightly-packed RGB [[Bitmap]]. Our own [[decodeBmp]] runs first: it
+    * is allocation-checked against adversarial headers and covers the
+    * uncompressed fast path without the AWT color-model machinery.
+    * Returns None (never throws) on anything ImageIO cannot read —
+    * which keeps video and compressed audio as the only formats left to
+    * a real codec library. */
+  def decodeImage(b: Array[Byte]): Option[Bitmap] =
+    decodeBmp(b).orElse(decodeImageIo(b))
+
+  private def decodeImageIo(b: Array[Byte]): Option[Bitmap] =
+    try {
+      require(imageIoReady)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        if (w <= 0 || h <= 0 || w.toLong * h * 3 > Int.MaxValue) None
+        else {
+          // one bulk getRGB: handles every color model (palette GIF,
+          // gray PNG, YCbCr JPEG) by converting to default sRGB ints
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
+          val rgb = new Array[Byte](w * h * 3)
+          var i = 0
+          while (i < px.length) {
+            val p = px(i)
+            rgb(3 * i) = ((p >> 16) & 0xff).toByte
+            rgb(3 * i + 1) = ((p >> 8) & 0xff).toByte
+            rgb(3 * i + 2) = (p & 0xff).toByte
+            i += 1
+          }
+          Some(Bitmap(w, h, rgb))
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Nearest-neighbor resample — the real pixel pass behind
     * [[Multimodal.resize]] for decodable payloads. */

@@ -7,15 +7,16 @@ import org.apache.spark.sql.functions._
   * typed metadata, processed by batch-shaped per-partition operators.
   *
   * The Spark-side plumbing is real — schemas, partitioning, batch
-  * iteration, feature vectors — and so is decode for everything that
-  * doesn't need a codec library: container headers (PNG/GIF/BMP/JPEG/WAV,
-  * [[MediaHeaders]]) and pixel/sample decoding for uncompressed BMP and
-  * WAV PCM-16 ([[MediaDecode]], incl. a real nearest-neighbor resample).
-  * Only codec-requiring work (PNG/GIF/JPEG inflate/DCT, compressed audio,
-  * video frames) is STUBBED with deterministic byte math — this container
-  * ships no codec libraries. Each stub is marked; swapping it for a real
-  * codec changes no plan shape. The design mirrors how a 100 TB media
-  * pipeline runs:
+  * iteration, feature vectors — and so is decode for everything the JVM
+  * can read without an external library: container headers
+  * (PNG/GIF/BMP/JPEG/WAV, [[MediaHeaders]]), pixel decode for
+  * BMP/PNG/GIF/JPEG ([[MediaDecode.decodeImage]], JDK `javax.imageio`
+  * for the compressed formats), WAV PCM-16 samples, and a real
+  * nearest-neighbor resample. Only codec-LIBRARY work (video frames,
+  * compressed audio) is STUBBED with deterministic byte math — this
+  * container ships no codecs. Each stub is marked; swapping it for a
+  * real codec changes no plan shape. The design mirrors how a 100 TB
+  * media pipeline runs:
   * opaque bytes flow through columnar storage untouched, codec work
   * happens once per partition batch (amortizing per-batch setup the way
   * `mapInPandas`/Arrow batches do in PySpark), and only small typed
@@ -68,14 +69,14 @@ object Multimodal {
   }
 
   /** Feature extractor: an 8-dim float embedding. For DECODABLE payloads
-    * (uncompressed BMP, WAV PCM-16 — [[MediaDecode]]) the features are
-    * computed over the REAL decoded pixels/samples, which is the honest
-    * analog of a model forward pass over decoded media; for everything
-    * else the accumulation runs over raw payload bytes as a marked STUB
-    * (stands in for codec + model; deterministic so tests and the oracle
-    * can pin it — the synthetic corpus always takes this path). */
+    * (BMP/PNG/GIF/JPEG pixels, WAV PCM-16 samples — [[MediaDecode]]) the
+    * features are computed over the REAL decoded pixels/samples, which is
+    * the honest analog of a model forward pass over decoded media; for
+    * everything else the accumulation runs over raw payload bytes as a
+    * marked STUB (stands in for codec + model; deterministic so tests and
+    * the oracle can pin it — the synthetic corpus always takes this path). */
   def embed(bytes: Array[Byte], dims: Int = 8): Array[Float] = {
-    MediaDecode.decodeBmp(bytes) match {
+    MediaDecode.decodeImage(bytes) match {
       case Some(bm) => return accumulate(bm.rgb, dims)
       case None =>
     }
@@ -133,17 +134,17 @@ object Multimodal {
   }
 
   /** Resize: target box per asset, aspect-preserving integer math. For
-    * decodable payloads (uncompressed BMP) the resample is REAL —
+    * decodable payloads (BMP/PNG/GIF/JPEG) the resample is REAL —
     * nearest-neighbor over decoded pixels ([[MediaDecode.resizeNearest]]);
-    * other formats report the target geometry with the pixel pass stubbed
-    * to a length calculation (needs a codec library). */
+    * non-image payloads report the target geometry with the pixel pass
+    * stubbed to a length calculation. */
   def resize(assets: Dataset[MediaAsset], maxSide: Int): Dataset[Resized] = {
     val spark = assets.sparkSession
     import spark.implicits._
     assets.filter(_.kind == "image").map { a =>
       val scale = math.min(1.0, maxSide.toDouble / math.max(math.max(a.width, a.height), 1))
       val (w, h) = (math.max(1, (a.width * scale).toInt), math.max(1, (a.height * scale).toInt))
-      MediaDecode.decodeBmp(a.bytes) match {
+      MediaDecode.decodeImage(a.bytes) match {
         case Some(bm) =>
           val out = MediaDecode.resizeNearest(bm, w, h)
           Resized(a.media_id, out.width, out.height, out.rgb.length)

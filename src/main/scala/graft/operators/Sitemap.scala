@@ -125,11 +125,15 @@ object Sitemap {
     * str.format leaves such a pattern untouched rather than raising
     * (test_templates.py test_template_error_handling). */
   def urlEntry(bibcode: Column, lastmod: Column, site: Site): Column = {
-    val loc = site.absUrlPattern.split("\\{bibcode\\}", 2) match {
-      case Array(prefix, suffix) =>
-        concat(lit(prefix), xmlEscape(bibcode), lit(suffix))
-      case _ => lit(site.absUrlPattern)
-    }
+    // Python str.format substitutes EVERY {bibcode} occurrence, so the
+    // escaped bibcode is interleaved between ALL split segments; the -1
+    // limit keeps a trailing empty segment so a pattern ENDING in the
+    // placeholder still substitutes at the end
+    val segs = site.absUrlPattern.split("\\{bibcode\\}", -1)
+    val loc =
+      if (segs.length == 1) lit(site.absUrlPattern)
+      else concat(segs.map(s => lit(s): Column).toSeq
+        .flatMap(p => Seq(p, xmlEscape(bibcode))).dropRight(1): _*)
     concat(lit("\n<url><loc>"), loc,
       lit("</loc><lastmod>"), lastmod, lit("</lastmod></url>"))
   }

@@ -27,23 +27,48 @@ class MediaBytesPropSpec extends AnyFunSuite {
     tail <- arbitraryBytes
   } yield magic ++ tail
 
+  private def le32(v: Int): Array[Byte] =
+    Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  /** Structured BI_RGB headers: valid magic, compression 0, bpp 24/32,
+    * but ARBITRARY 32-bit geometry/offset fields (biased toward
+    * wrap-prone magnitudes). Random tails almost never pass the four
+    * zero compression bytes + bpp check at once, so without this the
+    * fuzzer bails at the signature gates and the size math — where the
+    * sign-wrap allocation trap lived — goes unfuzzed. */
+  private val i32: Gen[Int] = Gen.frequency(
+    3 -> Gen.chooseNum(Int.MinValue, Int.MaxValue),
+    2 -> Gen.oneOf(0, 1, 2, 54, 0x18000, 0x2aaaaaab, 0x40000000,
+      Int.MaxValue, Int.MinValue, -1))
+  private val bmpStructured: Gen[Array[Byte]] = for {
+    w <- i32; h <- i32; off <- i32; bpp <- Gen.oneOf(24, 32)
+  } yield "BM".getBytes ++ le32(254) ++ le32(0) ++ le32(off) ++
+    le32(40) ++ le32(w) ++ le32(h) ++ Array[Byte](1, 0, bpp.toByte, 0) ++
+    le32(0) ++ le32(0) ++ le32(2835) ++ le32(2835) ++ le32(0) ++ le32(0) ++
+    new Array[Byte](200)
+
   private def run(name: String, p: Prop): Unit = {
     val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), p)
     assert(r.passed, s"$name: $r")
   }
 
-  test("parsers and decoders never throw on arbitrary or magic-prefixed bytes") {
-    val all = Gen.oneOf(arbitraryBytes, magicBytes)
+  test("parsers and decoders never throw on arbitrary, magic-prefixed, " +
+    "or structured-header bytes") {
+    val all = Gen.oneOf(arbitraryBytes, magicBytes, bmpStructured)
     run("total", Prop.forAll(all) { b =>
       val img = MediaHeaders.parseImage(b)
       val wav = MediaHeaders.parseWav(b)
       val bmp = MediaDecode.decodeBmp(b)
       val pcm = MediaDecode.decodeWavPcm(b)
+      val any = MediaDecode.decodeImage(b)
       img.forall(m => m.width >= 0 && m.height >= 0) &&
         wav.forall(m => m.sampleRate > 0 && m.durationMs >= 0) &&
         bmp.forall(x => x.width > 0 && x.height > 0 &&
           x.rgb.length == x.width * x.height * 3) &&
-        pcm.forall(x => x.sampleRate > 0 && x.samples != null)
+        pcm.forall(x => x.sampleRate > 0 && x.samples != null) &&
+        any.forall(x => x.width > 0 && x.height > 0 &&
+          x.rgb.length == x.width * x.height * 3)
     })
   }
 

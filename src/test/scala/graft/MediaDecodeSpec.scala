@@ -69,6 +69,90 @@ class MediaDecodeSpec extends AnyFunSuite with SparkSpec {
     assert(MediaDecode.decodeBmp("not a bitmap at all".getBytes).isEmpty)
   }
 
+  /** A syntactically-valid BI_RGB header with arbitrary (untrusted)
+    * geometry fields and a small real payload. */
+  private def bmpHeader(w: Int, h: Int, bpp: Int = 24): Array[Byte] =
+    "BM".getBytes ++ le32(254) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(w) ++ le32(h) ++ Array[Byte](1, 0, bpp.toByte, 0) ++
+      le32(0) ++ le32(0) ++ le32(2835) ++ le32(2835) ++ le32(0) ++ le32(0) ++
+      new Array[Byte](200)
+
+  test("adversarial BMP geometry never throws: wrap-prone widths, " +
+    "Int.MinValue height, giant products all refuse cleanly") {
+    // width 2^30 at 24bpp wraps Int rowSize negative — the historical
+    // trap: a negative rowSize slides past `pixOff + rowSize*h > len`
+    // and into a wrapped allocation
+    assert(MediaDecode.decodeBmp(bmpHeader(0x40000000, 2)).isEmpty)
+    assert(MediaDecode.decodeBmp(bmpHeader(0x40000000, 2, bpp = 32)).isEmpty)
+    // abs(Int.MinValue) is still negative in Int math
+    assert(MediaDecode.decodeBmp(bmpHeader(2, Int.MinValue)).isEmpty)
+    // width*height*3 above Int.MaxValue must refuse, not wrap
+    assert(MediaDecode.decodeBmp(bmpHeader(0x18000, 0x18000)).isEmpty)
+    assert(MediaDecode.decodeBmp(bmpHeader(-2, 2)).isEmpty)
+    assert(MediaDecode.decodeBmp(bmpHeader(2, 0)).isEmpty)
+    // and a well-formed 2×2 still decodes after all the guards
+    assert(MediaDecode.decodeBmp(bmp24(2, 2, rgb2x2)).nonEmpty)
+  }
+
+  test("decodeImage reads PNG/GIF/JPEG pixels via the JDK ImageIO — " +
+    "lossless formats byte-exact, JPEG by geometry") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    val img = new BufferedImage(2, 2, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000); img.setRGB(1, 0, 0x00ff00)
+    img.setRGB(0, 1, 0x0000ff); img.setRGB(1, 1, 0xffffff)
+    def enc(fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(ImageIO.write(img, fmt, bos), s"JDK writer for $fmt present")
+      bos.toByteArray
+    }
+    val png = MediaDecode.decodeImage(enc("png")).get
+    assert(png.width == 2 && png.height == 2 && png.rgb.toSeq == rgb2x2.toSeq,
+      "PNG is lossless: decoded pixels match the source exactly")
+    // the JDK GIF WRITER quantizes its palette (white comes back blue on
+    // a 2×2), so the contract pinned here is decode-side: our RGB
+    // normalization must match ImageIO's own read of the same bytes
+    val gifBytes = enc("gif")
+    val gifRef = ImageIO.read(new java.io.ByteArrayInputStream(gifBytes))
+    val gif = MediaDecode.decodeImage(gifBytes).get
+    for (y <- 0 until 2; x <- 0 until 2) {
+      val p = gifRef.getRGB(x, y)
+      val d = (y * 2 + x) * 3
+      assert(gif.rgb(d) == ((p >> 16) & 0xff).toByte &&
+        gif.rgb(d + 1) == ((p >> 8) & 0xff).toByte &&
+        gif.rgb(d + 2) == (p & 0xff).toByte,
+        s"palette GIF pixel ($x,$y) matches the JDK's own decode")
+    }
+    val jpg = MediaDecode.decodeImage(enc("jpg")).get
+    assert(jpg.width == 2 && jpg.height == 2 && jpg.rgb.length == 12,
+      "JPEG is lossy: pin the geometry and buffer shape")
+    // BMP still routes through our own checked decoder
+    assert(MediaDecode.decodeImage(bmp24(2, 2, rgb2x2)).get.rgb.toSeq == rgb2x2.toSeq)
+    // non-image bytes refuse without throwing (stub fallback relies on it)
+    assert(MediaDecode.decodeImage("plain text, no magic".getBytes).isEmpty)
+  }
+
+  test("embed and resize consume real PNG pixels, not container bytes") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    val img = new BufferedImage(2, 2, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000); img.setRGB(1, 0, 0x00ff00)
+    img.setRGB(0, 1, 0x0000ff); img.setRGB(1, 1, 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    val pngBytes = bos.toByteArray
+    // same accumulation as the BMP test: each dim sees two 255s → 2.0;
+    // the old stub path would have folded PNG container/IDAT bytes
+    assert(Multimodal.embed(pngBytes, dims = 3).toSeq == Seq(2.0f, 2.0f, 2.0f))
+    val session = spark
+    import session.implicits._
+    val asset = Multimodal.MediaAsset(7L, "image", pngBytes,
+      width = 2, height = 2, sample_rate = 0, duration_ms = 0L)
+    val out = Multimodal.resize(Seq(asset).toDS(), maxSide = 1).collect().head
+    assert(out.out_width == 1 && out.out_height == 1 && out.n_bytes == 3,
+      "resample runs over decoded PNG pixels")
+  }
+
   test("nearest-neighbor resample picks exact source pixels") {
     val bm = Bitmap(2, 2, rgb2x2)
     val up = MediaDecode.resizeNearest(bm, 4, 4)

@@ -115,7 +115,7 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
         ts("2024-01-01 00:00:00"))).toDS()
     val report = Pipeline.runBatch(spark, store, batch, okTransport, recordingBulk,
       now = ts("2024-01-02 00:00:00"), sinks = Set("solr"),
-      forwardBoostRequests = true)
+      forwardBoostRequests = true, forwardAugmentRequests = true)
     import scala.jdk.CollectionConverters._
     val sent = payloads.value.asScala
     // two boost requests (one per touched record) + exactly one augment
@@ -127,6 +127,32 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       augs.head.contains("CfA"), s"augment payload: $augs")
     // aug2 was touched only via nonbib_data — no augment request for it
     assert(!augs.exists(_.contains("aug2")))
+  }
+
+  test("aff augment is gated independently of boost: the reference fires " +
+    "request_aff_augment on every metadata update while only the boost leg " +
+    "honors the boost gate (tasks.py:192-196)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_store_aug2").toString
+    val store = new MasterStore(root)
+    val payloads = spark.sparkContext.collectionAccumulator[String]("bulk2")
+    val recordingBulk = new Sinks.Transport {
+      def send(p: Seq[String]): Unit = p.foreach(payloads.add)
+    }
+    val batch = Seq(
+      UpdateMessage("aug3", "metadata",
+        """{"bibcode": "aug3", "title": ["T"], "aff": ["MIT"], "author": ["C, D."]}""",
+        ts("2024-01-01 00:00:00"))).toDS()
+    // boost OFF, augment ON — the augment request must still go out
+    val report = Pipeline.runBatch(spark, store, batch, okTransport, recordingBulk,
+      now = ts("2024-01-02 00:00:00"), sinks = Set("solr"),
+      forwardBoostRequests = false, forwardAugmentRequests = true)
+    import scala.jdk.CollectionConverters._
+    val sent = payloads.value.asScala
+    assert(report.boostOk == 0 && report.boostFailed == 0, "boost leg is off")
+    assert(report.augmentOk == 1 && report.augmentFailed == 0,
+      s"augment fires without the boost gate: $sent")
+    assert(sent.size == 1 && sent.head.contains("aug3") && sent.head.contains("MIT"))
   }
 
   test("boost and aff-augment request builders") {

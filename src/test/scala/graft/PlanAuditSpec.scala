@@ -99,6 +99,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert("(?m)Exchange rangepartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("span-dup derives the exploded gram table exactly once: a single " +
+    "documents scan feeding a count window, no join-back") {
+    val p = plan("tx_span_dup_frac")
+    assert("(?i)scan parquet".r.findAllIn(p).size == 1,
+      s"one scan of documents — the df-count must not re-derive the grams:\n$p")
+    assert(!p.contains("Join"),
+      "per-gram document frequency comes from a window, not a join-back")
+  }
+
   test("the M1 merge co-partitions on bibcode: one shuffle per side, no " +
     "broadcast of the master") {
     val p = plan("m1_upsert_merge")

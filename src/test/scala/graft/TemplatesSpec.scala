@@ -86,6 +86,13 @@ class TemplatesSpec extends AnyFunSuite with SparkSpec {
     val entry = urlEntryOf("2023ApJ...123..456A", "2024-01-15", broken)
     assert(entry ==
       "\n<url><loc>no-placeholder</loc><lastmod>2024-01-15</lastmod></url>")
+    // Python str.format substitutes EVERY occurrence — a pattern using the
+    // placeholder twice (path + query, say) gets the bibcode in both spots,
+    // including a trailing one
+    val twice = Sitemap.Site("X", "https://example.com",
+      "https://example.com/sitemap", "https://example.com/abs/{bibcode}?canonical={bibcode}")
+    assert(urlEntryOf("2020A&A...1B", "2024-01-15", twice) ==
+      "\n<url><loc>https://example.com/abs/2020A&amp;A...1B?canonical=2020A&amp;A...1B</loc><lastmod>2024-01-15</lastmod></url>")
   }
 
   test("XML escaping: every special character, html.escape parity " +
