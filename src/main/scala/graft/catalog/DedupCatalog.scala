@@ -164,6 +164,59 @@ object DedupCatalog extends Catalog {
         .orderBy(col("keep_id"))
     }),
 
+    // ── Exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    // Data Makes Language Models Better"): find verbatim token runs
+    // shared across documents and score each doc by how much of it is
+    // covered by cross-document duplicated spans. The distributed shape
+    // is the sorted-group approximation of the paper's suffix array —
+    // hash every sliding W-token window and GROUP BY WINDOW HASH, never
+    // all-pairs: a hash is cross-doc duplicated iff min(doc_id) ≠
+    // max(doc_id) over its partition (two codegen'd window aggs — no
+    // collected set, and no join-back re-deriving the windows, the
+    // tx_span_dup_frac lesson). Overlapping duplicated windows then
+    // merge into covered-token intervals with one sorted-array fold per
+    // doc. Work ∝ corpus tokens; the wide shuffles carry fixed-width
+    // (hash) then (doc_id) keys, so the plan survives 100× unchanged. ──
+    "dd_exact_substring" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val W = 8
+      val words = split(col("text"), " ")
+      val n = size(words)
+      val wins = transform(sequence(lit(1), greatest(n - (W - 1), lit(1))),
+        i => struct(i.cast("long").as("s"),
+          hash64(array_join(slice(words, i, lit(W)), " ")).as("h")))
+      val exploded = Tables.documents(s, d)
+        .select(col("doc_id"), n.cast("long").as("n_tokens"), explode(wins).as("w"))
+        .select(col("doc_id"), col("n_tokens"), col("w.s").as("s"), col("w.h").as("h"))
+      val byHash = Window.partitionBy(col("h"))
+      val flagged = exploded.withColumn("dup",
+        min(col("doc_id")).over(byHash) =!= max(col("doc_id")).over(byHash))
+      val perDoc = flagged.groupBy(col("doc_id"))
+        .agg(max(col("n_tokens")).as("n_tokens"),
+          count(lit(1)).as("n_windows"),
+          sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_windows"),
+          sort_array(collect_list(when(col("dup"), col("s")))).as("starts"))
+      // interval-union length over sorted starts: consecutive duplicated
+      // windows closer than W overlap, so each contributes its gap; the
+      // last (and a short doc's only) window contributes its clamped width
+      val k = size(col("starts"))
+      val covered = when(k === 0, lit(0L)).otherwise(
+        aggregate(
+          zip_with(
+            slice(col("starts"), lit(1), k - 1),
+            slice(col("starts"), lit(2), k - 1),
+            (a, b) => least(b - a, lit(W.toLong))),
+          lit(0L), (acc, x) => acc + x)
+          + least(lit(W.toLong), col("n_tokens") - element_at(col("starts"), -1) + 1L))
+      perDoc
+        .withColumn("covered_tokens", covered)
+        .withColumn("dup_frac",
+          round(col("covered_tokens").cast("double") / col("n_tokens").cast("double"), 6))
+        .select(col("doc_id"), col("n_tokens"), col("n_windows"),
+          col("n_dup_windows"), col("covered_tokens"), col("dup_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── MinHash + LSH near-dup: shingle → 8 minhashes → 4 bands of 2 →
     // band-bucket equi-join → exact-Jaccard verify on candidates only.
     // The banded frame is cached before the self-join: fingerprints are
@@ -381,6 +434,32 @@ object DedupCatalog extends Catalog {
       s"""SELECT ${hash64Sql("text")} AS content_hash,
            MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY keep_id""",
+    "dd_exact_substring" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         win AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens,
+             unnest(list_transform(generate_series(1, greatest(len(words) - 7, 1)),
+               i -> struct_pack(s := CAST(i AS BIGINT),
+                 h := ${hash64Sql("array_to_string(words[i:i+7], ' ')")}))) AS u
+           FROM w),
+         f AS (SELECT doc_id, n_tokens, u.s AS s,
+             MIN(doc_id) OVER (PARTITION BY u.h) <> MAX(doc_id) OVER (PARTITION BY u.h) AS dup
+           FROM win),
+         p AS (SELECT doc_id, MAX(n_tokens) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_windows,
+             CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+             list_sort(list(s) FILTER (WHERE dup)) AS starts
+           FROM f GROUP BY doc_id),
+         c AS (SELECT doc_id, n_tokens, n_windows, n_dup_windows,
+             CAST(CASE WHEN COALESCE(len(starts), 0) = 0 THEN 0
+               ELSE COALESCE(list_sum(list_transform(
+                   generate_series(1, len(starts) - 1),
+                   i -> least(starts[i + 1] - starts[i], 8))), 0)
+                 + least(8, n_tokens - starts[len(starts)] + 1)
+               END AS BIGINT) AS covered_tokens
+           FROM p)
+         SELECT doc_id, n_tokens, n_windows, n_dup_windows, covered_tokens,
+           round(CAST(covered_tokens AS DOUBLE) / n_tokens, 6) AS dup_frac
+         FROM c ORDER BY doc_id""",
     "dd_minhash_lsh" -> {
       val mhList = (0 until 8).map(k =>
         minhashSql("hs", MinhashA(k), MinhashB(k))).mkString("[", ", ", "]")

@@ -247,6 +247,34 @@ object TransformCatalog extends Catalog {
         .orderBy(col("key"))
     }),
 
+    // ── M3: rename with alias-graph maintenance (MergeEngine.renameBibcode)
+    // — repoint the chain at the new key, add old→new, rewrite the master
+    // key, then resolve the REPOINTED graph to fixpoint. The semi-join of
+    // chain roots against the renamed master ties both outputs together:
+    // if the master rewrite were skipped, every chain that now roots at
+    // the new key would drop from the result. Rename itself is a map-side
+    // column rewrite + one tiny union; the closure is the same pointer-
+    // doubling loop as J7 (log-depth rounds, edge-partitioned joins). ──
+    "m3_rename_alias" -> ((s, d) => {
+      import s.implicits._
+      val aliases = Tables.nation(s, d)
+        .select(col("n_nationkey").cast("long").cast("string").as("key"),
+          when(col("n_nationkey") % 5 === 0, col("n_nationkey"))
+            .otherwise(col("n_nationkey") - 1).cast("long").cast("string").as("target"))
+        .map(r => graft.records.IdentifierAlias(r.getString(0), r.getString(1)))
+      val master = Tables.nation(s, d)
+        .select(col("n_nationkey").cast("long").cast("string").as("bibcode"))
+      val res = graft.operators.MergeEngine.renameBibcode(master, aliases, "0", "999")
+      val roots = graft.operators.MergeEngine
+        .resolveAliases(res.aliases.as[graft.records.IdentifierAlias])
+        .select(col("key").cast("long").as("key"),
+          col("target").cast("long").as("root"))
+      roots.join(res.master.select(col("bibcode").cast("long").as("root")),
+          Seq("root"), "left_semi")
+        .select(col("key"), col("root"))
+        .orderBy(col("key"))
+    }),
+
     // ── M2: cascading delete — anti-join rewrite + affected-group recount ──
     "m2_delete_cascade" -> ((s, d) => {
       val doomed = Tables.documents(s, d).filter(col("lang") === "zh")
@@ -411,6 +439,33 @@ object TransformCatalog extends Catalog {
                 ELSE max(val) END AS val,
            max(gen) AS gen
          FROM u GROUP BY key ORDER BY key""",
+    "m3_rename_alias" ->
+      """WITH RECURSIVE mapping AS (
+           SELECT CAST(n_nationkey AS BIGINT) AS key,
+                  CAST(CASE WHEN n_nationkey % 5 = 0 THEN n_nationkey
+                       ELSE n_nationkey - 1 END AS BIGINT) AS target
+           FROM nation),
+         renamed AS (
+           SELECT key, CASE WHEN target = 0 THEN 999 ELSE target END AS target
+           FROM mapping
+           UNION SELECT 0, 999),
+         walk(key, target) AS (
+           SELECT key, target FROM renamed
+           UNION ALL
+           SELECT w.key, m.target FROM walk w JOIN renamed m ON w.target = m.key
+           WHERE w.target <> m.target),
+         roots AS (
+           SELECT w.key, MIN(w.target) AS root FROM walk w
+           WHERE NOT EXISTS (SELECT 1 FROM renamed r
+             WHERE r.key = w.target AND r.target <> w.target)
+           GROUP BY w.key),
+         master AS (
+           SELECT CAST(CASE WHEN n_nationkey = 0 THEN 999
+                       ELSE n_nationkey END AS BIGINT) AS bibcode
+           FROM nation)
+         SELECT r.key, r.root FROM roots r
+         WHERE EXISTS (SELECT 1 FROM master m WHERE m.bibcode = r.root)
+         ORDER BY r.key""",
     "m2_delete_cascade" ->
       """SELECT source, COUNT(*) AS n_after FROM documents
          WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE lang = 'zh')

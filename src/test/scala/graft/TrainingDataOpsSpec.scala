@@ -24,6 +24,32 @@ class TrainingDataOpsSpec extends AnyFunSuite with SparkSpec {
     dir
   }
 
+  test("dd_exact_substring: cross-doc verbatim runs are found, overlapping " +
+    "duplicated windows merge into one covered span, within-doc-only " +
+    "repeats don't count") {
+    // docs 1+2 share one verbatim 8-token run (one shared window each);
+    // doc 3 is all-unique; docs 4+5 share a 10-token run, so their three
+    // consecutive shared windows (starts 1 apart) must MERGE to a
+    // 10-token covered interval, not 3×8
+    val dir = docsDir(Seq(
+      (1L, "x1 x2 x3 s1 s2 s3 s4 s5 s6 s7 s8 y1 y2", "en"),
+      (2L, "s1 s2 s3 s4 s5 s6 s7 s8 z1 z2 z3 z4", "en"),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12", "en"),
+      (4L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10", "en"),
+      (5L, "p q t1 t2 t3 t4 t5 t6 t7 t8 t9 t10", "en")))
+    val out = SparkEntry.queries("dd_exact_substring")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))).toMap
+    assert(out(1L) == ((13L, 6L, 1L, 8L, 0.615385)),
+      "one shared window mid-doc covers exactly its 8 tokens")
+    assert(out(2L) == ((12L, 5L, 1L, 8L, 0.666667)))
+    assert(out(3L) == ((12L, 5L, 0L, 0L, 0.0)), "unique doc: zero coverage")
+    assert(out(4L) == ((10L, 3L, 3L, 10L, 1.0)),
+      "3 overlapping shared windows merge to the 10-token run — full doc")
+    assert(out(5L) == ((12L, 5L, 3L, 10L, 0.833333)),
+      "same run shifted by an offset still merges to 10 covered tokens")
+  }
+
   test("tx_domain_cap keeps exactly min(10, n) docs per source and is " +
     "stable across runs") {
     import spark.implicits._
