@@ -83,6 +83,44 @@ class MergeEngineSpec extends AnyFunSuite with SparkSpec {
     assert(log.length == 1 && log.head.getAs[Boolean]("permanent"))
   }
 
+  test("changelog CONTENT per mutation: delete logs type 'deleted' with " +
+    "the serialized pre-image of the whole record, rename logs the old→new " +
+    "edge, both permanent — and slot updates stay non-permanent " +
+    "(test_update_records tail, adsmp/tests/test_app.py:4139-4148, " +
+    "test_rename_bibcode)") {
+    import spark.implicits._
+    val up = MergeEngine.upsert(MergeEngine.emptyMaster(spark), Seq(
+      UpdateMessage("cl1", "metadata", """{"title": ["kept"]}""",
+        ts("2024-01-01T00:00:00Z"))).toDS())
+    assert(up.changeLog.collect().forall(!_.getAs[Boolean]("permanent")),
+      "ordinary slot updates are non-permanent audit rows")
+    // delete: the log row must carry the full serialized old record, so an
+    // operator can answer "what did we delete" from the log alone
+    val sitemap = Seq(SitemapEntry(1, "cl1", "sitemap_bib_1.xml",
+      None, None, update_flag = false)).toDF()
+    val del = MergeEngine.deleteByBibcodes(up.master, sitemap,
+      Seq("cl1").toDF("bibcode"))
+    val dLog = del.changeLog.collect()
+    assert(dLog.length == 1)
+    val dRow = dLog.head
+    assert(dRow.getAs[String]("key") == "cl1")
+    assert(dRow.getAs[String]("ctype") == "deleted")
+    assert(dRow.getAs[Boolean]("permanent"), "deletes are permanent log rows")
+    val old = dRow.getAs[String]("oldvalue")
+    assert(old.contains("\"bibcode\":\"cl1\"") &&
+      old.contains("""{\"title\": [\"kept\"]}"""),
+      s"pre-image serializes the record including its slots: $old")
+    // rename: key is the OLD bibcode, oldvalue the new one, permanent
+    val ren = MergeEngine.renameBibcode(up.master,
+      spark.emptyDataset[IdentifierAlias], "cl1", "cl1new")
+    val rLog = ren.changeLog.collect()
+    assert(rLog.length == 1)
+    assert(rLog.head.getAs[String]("key") == "cl1" &&
+      rLog.head.getAs[String]("ctype") == "renamed" &&
+      rLog.head.getAs[String]("oldvalue") == "cl1new" &&
+      rLog.head.getAs[Boolean]("permanent"))
+  }
+
   test("J7 alias chains resolve to terminal targets, cycles terminate") {
     import spark.implicits._
     val aliases = Seq(
