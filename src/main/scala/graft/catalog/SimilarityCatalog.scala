@@ -167,6 +167,42 @@ object SimilarityCatalog extends Catalog {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ── ANN quality evaluation: recall@3 of the IVF(nprobe=1) probe
+    // against exact brute-force ground truth, per query — the
+    // index-quality gate every embedding pipeline runs before trusting
+    // an ANN path with its retrieval. Ground truth is inherently a full
+    // scan, which is why recall is evaluated on a SAMPLED query set (10
+    // queries here): cost is |sample|×corpus with the broadcast query
+    // pattern of sim_ann_bruteforce, corpus never shuffles. Both
+    // rankings derive from ONE scored frame: rank_all is a row_number
+    // and the within-cell rank a cumulative conditional count over the
+    // SAME window sort, so the plan carries a single exchange+sort. ──
+    "sim_ann_recall" -> ((s, d) => {
+      val corpus = vecs(s, d)
+        .withColumn("norm", graft.functions.VectorOps.normUdf(col("v")))
+      val qs = corpus.filter(col("vec_id") >= 3 && col("vec_id") < 13)
+        .select(col("vec_id").as("query_id"), col("label").as("qcell"),
+          col("v").as("qv"), col("norm").as("qnorm"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranked = corpus.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (col("label") === col("qcell")).as("in_cell"),
+          cosPrecomputed(col("qv"), col("qnorm"), col("v"), col("norm")).as("cos_sim"))
+        .withColumn("rank_all", row_number().over(w))
+        .withColumn("cell_rank",
+          sum(when(col("in_cell"), 1L).otherwise(0L)).over(cum))
+      val probedHit = col("in_cell") && col("cell_rank") <= 3
+      ranked.groupBy(col("query_id"))
+        .agg(sum(when(col("rank_all") <= 3, 1L).otherwise(0L)).as("n_truth"),
+          sum(when(probedHit, 1L).otherwise(0L)).as("n_probed"),
+          sum(when(probedHit && col("rank_all") <= 3, 1L).otherwise(0L)).as("n_hits"))
+        .withColumn("recall_at_3",
+          round(col("n_hits").cast("double") / col("n_truth").cast("double"), 6))
+        .orderBy(col("query_id"))
+    }),
+
     // ── SemDeDup (Abbas et al. 2023): semantic dedup inside embedding
     // clusters — within each cell, any pair with cosine above the
     // threshold keeps only the member CLOSER to the cell centroid (ties →
@@ -291,6 +327,29 @@ object SimilarityCatalog extends Catalog {
          SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank FROM p) t
          WHERE rank <= 3 ORDER BY query_id, rank""",
+    "sim_ann_recall" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, label AS qcell, embedding AS qv
+             FROM embeddings WHERE vec_id >= 3 AND vec_id < 13),
+         p AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+             e.label = q.qcell AS in_cell,
+             ${cosineSql("q.qv", "e.embedding")} AS cos_sim
+           FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
+         r AS (SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cos_sim DESC, neighbor_id) AS rank_all,
+             SUM(CASE WHEN in_cell THEN 1 ELSE 0 END) OVER (
+               PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cell_rank
+           FROM p)
+         SELECT query_id,
+           CAST(SUM(CASE WHEN rank_all <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+           CAST(SUM(CASE WHEN in_cell AND cell_rank <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_probed,
+           CAST(SUM(CASE WHEN in_cell AND cell_rank <= 3 AND rank_all <= 3
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           round(CAST(SUM(CASE WHEN in_cell AND cell_rank <= 3 AND rank_all <= 3
+               THEN 1 ELSE 0 END) AS DOUBLE)
+             / SUM(CASE WHEN rank_all <= 3 THEN 1 ELSE 0 END), 6) AS recall_at_3
+         FROM r GROUP BY query_id ORDER BY query_id""",
     "sim_ann_ivf" ->
       s"""WITH q AS (SELECT vec_id AS query_id, label AS qcell, embedding AS qv
              FROM embeddings WHERE vec_id >= 3 AND vec_id < 13),

@@ -50,10 +50,16 @@ object MediaDecode {
     val heightL = math.abs(heightRaw.toLong)
     if (widthL <= 0 || heightL <= 0 || pixOff < 54) return None
     val bytesPerPx = bpp / 8
+    // ≤ ~2^33 — safe; but rowSizeL * heightL can exceed 2^63 when both
+    // dims are ~2^31 (the w=h=Int.MaxValue corner wraps LONG math too),
+    // so the fit check is DIVISION-form: no product is ever formed that
+    // could overflow. Once it passes, rowSize·height ≤ avail ≤ 2^31 and
+    // rgbLen ≤ avail (rowSize ≥ 3·width), so the Int casts are exact.
     val rowSizeL = ((widthL * bytesPerPx + 3) / 4) * 4
+    val avail = b.length.toLong - pixOff
+    if (avail < rowSizeL || heightL > avail / rowSizeL) return None
     val rgbLenL = widthL * heightL * 3
-    if (pixOff.toLong + rowSizeL * heightL > b.length || rgbLenL > Int.MaxValue)
-      return None
+    if (rgbLenL > Int.MaxValue) return None
     val width = widthL.toInt
     val height = heightL.toInt
     val rowSize = rowSizeL.toInt
@@ -94,31 +100,50 @@ object MediaDecode {
   def decodeImage(b: Array[Byte]): Option[Bitmap] =
     decodeBmp(b).orElse(decodeImageIo(b))
 
+  /** Pixel-count ceiling for ImageIO decodes (64 Mpx ≈ a 256 MB getRGB
+    * buffer) — a per-task allocation bound, not an image-size opinion. */
+  private val MaxImageIoPixels = 1L << 26
+
   private def decodeImageIo(b: Array[Byte]): Option[Bitmap] =
     try {
       require(imageIoReady)
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
-      if (img == null) None
-      else {
-        val w = img.getWidth
-        val h = img.getHeight
-        if (w <= 0 || h <= 0 || w.toLong * h * 3 > Int.MaxValue) None
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(b))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (readers == null || !readers.hasNext) None
         else {
-          // one bulk getRGB: handles every color model (palette GIF,
-          // gray PNG, YCbCr JPEG) by converting to default sRGB ints
-          val px = img.getRGB(0, 0, w, h, null, 0, w)
-          val rgb = new Array[Byte](w * h * 3)
-          var i = 0
-          while (i < px.length) {
-            val p = px(i)
-            rgb(3 * i) = ((p >> 16) & 0xff).toByte
-            rgb(3 * i + 1) = ((p >> 8) & 0xff).toByte
-            rgb(3 * i + 2) = (p & 0xff).toByte
-            i += 1
-          }
-          Some(Bitmap(w, h, rgb))
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, true, true)
+            // header-only dimension probe BEFORE any pixel read:
+            // ImageIO's readers allocate buffers sized by the UNTRUSTED
+            // header, so a crafted 1×2^31 image would OutOfMemoryError
+            // the task inside read() — an Error, which no NonFatal
+            // handler sees (the decodeBmp lesson, one layer down; found
+            // by the structured-header fuzzer)
+            val w = reader.getWidth(0)
+            val h = reader.getHeight(0)
+            if (w <= 0 || h <= 0 || w.toLong * h > MaxImageIoPixels) None
+            else {
+              val img = reader.read(0)
+              // one bulk getRGB: handles every color model (palette GIF,
+              // gray PNG, YCbCr JPEG) by converting to default sRGB ints
+              val px = img.getRGB(0, 0, w, h, null, 0, w)
+              val rgb = new Array[Byte](w * h * 3)
+              var i = 0
+              while (i < px.length) {
+                val p = px(i)
+                rgb(3 * i) = ((p >> 16) & 0xff).toByte
+                rgb(3 * i + 1) = ((p >> 8) & 0xff).toByte
+                rgb(3 * i + 2) = (p & 0xff).toByte
+                i += 1
+              }
+              Some(Bitmap(w, h, rgb))
+            }
+          } finally reader.dispose()
         }
-      }
+      } finally if (iis != null) iis.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Nearest-neighbor resample — the real pixel pass behind

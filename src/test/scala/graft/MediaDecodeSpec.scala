@@ -90,6 +90,17 @@ class MediaDecodeSpec extends AnyFunSuite with SparkSpec {
     assert(MediaDecode.decodeBmp(bmpHeader(0x18000, 0x18000)).isEmpty)
     assert(MediaDecode.decodeBmp(bmpHeader(-2, 2)).isEmpty)
     assert(MediaDecode.decodeBmp(bmpHeader(2, 0)).isEmpty)
+    // w=h=Int.MaxValue overflows even LONG products (rowSize*height >
+    // 2^63 wrapped to a tiny positive, allocating a 3-byte rgb buffer
+    // the pixel loop then overran) — the division-form guard refuses it
+    assert(MediaDecode.decodeBmp(bmpHeader(Int.MaxValue, Int.MaxValue)).isEmpty)
+    assert(MediaDecode.decodeBmp(bmpHeader(Int.MaxValue, Int.MaxValue, bpp = 32)).isEmpty)
+    // the ImageIO fallback must ALSO refuse dimension bombs without
+    // decoding: its readers allocate from the untrusted header, and an
+    // OutOfMemoryError there is an Error no NonFatal handler would see —
+    // the header-only dimension probe rejects before any pixel read
+    assert(MediaDecode.decodeImage(bmpHeader(1, Int.MaxValue, bpp = 32)).isEmpty)
+    assert(MediaDecode.decodeImage(bmpHeader(Int.MaxValue, 1, bpp = 32)).isEmpty)
     // and a well-formed 2×2 still decodes after all the guards
     assert(MediaDecode.decodeBmp(bmp24(2, 2, rgb2x2)).nonEmpty)
   }

@@ -108,6 +108,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       "per-gram document frequency comes from a window, not a join-back")
   }
 
+  test("exact-substring dedup: one documents scan, duplication from window " +
+    "aggs over the gram hash — no join, no cartesian") {
+    val p = plan("dd_exact_substring")
+    assert("(?i)scan parquet".r.findAllIn(p).size == 1,
+      s"the window table derives once:\n$p")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      "cross-doc detection is min/max windows on the hash partition")
+  }
+
   test("the M1 merge co-partitions on bibcode: one shuffle per side, no " +
     "broadcast of the master") {
     val p = plan("m1_upsert_merge")
