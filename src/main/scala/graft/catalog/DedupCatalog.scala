@@ -273,6 +273,65 @@ object DedupCatalog extends Catalog {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // ── MinHash estimator calibration: the index-quality report for the
+    // dedup family (the dedup analog of sim_ann_recall) — over ALL band
+    // candidates (no similarity floor, LEFT-joined intersection counts so
+    // zero-overlap band collisions land in bucket 0), compare the
+    // 8-signature Jaccard estimate against exact Jaccard, aggregated per
+    // true-Jaccard decile: pair count, mean estimate, mean truth, mean
+    // absolute error. This is what picks (num_hashes, bands, rows) before
+    // trusting LSH at corpus scale. Same candidate-equi-join shape as
+    // dd_minhash_lsh — work ∝ candidate pairs, output ≤ 10 rows. Per-pair
+    // doubles are exact cross-engine (correctly-rounded division); only
+    // the decile AVGs are sum-order-sensitive, and round(6) absorbs that.
+    "dd_minhash_calibration" -> ((s, d) => {
+      val base = shingled(s, d)
+        .withColumn("mh", graft.functions.TextHashes.minhashesUdf(8)(col("text")))
+        .cache()
+      val bands = base.select(col("doc_id"),
+        explode(array((0 until 4).map(k => struct(
+          lit(k).as("band_idx"),
+          (element_at(col("mh"), 2 * k + 1) * Mersenne31 +
+            element_at(col("mh"), 2 * k + 2)).as("band_val"))): _*)).as("band"))
+        .select(col("doc_id"), col("band.band_idx").as("band_idx"),
+          col("band.band_val").as("band_val"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_val") === col("b.band_val") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val sizes = base.select(col("doc_id"), size(col("sh")).as("setsize"))
+      val full = base.select(col("doc_id"), explode(col("sh")).as("s"))
+      val isect = cand
+        .join(full.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))
+        .join(full.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+      val mhDim = base.select(col("doc_id"), col("mh"))
+      val est = (0 until 8).map(i =>
+        when(element_at(col("mha"), i + 1) === element_at(col("mhb"), i + 1), 1)
+          .otherwise(0)).reduce(_ + _) / 8.0
+      val pairs = cand
+        .join(sizes.select(col("doc_id").as("doc_a"), col("setsize").as("size_a")), Seq("doc_a"))
+        .join(sizes.select(col("doc_id").as("doc_b"), col("setsize").as("size_b")), Seq("doc_b"))
+        .join(isect, Seq("doc_a", "doc_b"), "left")
+        .withColumn("inter", coalesce(col("inter"), lit(0L)))
+        .join(mhDim.select(col("doc_id").as("doc_a"), col("mh").as("mha")), Seq("doc_a"))
+        .join(mhDim.select(col("doc_id").as("doc_b"), col("mh").as("mhb")), Seq("doc_b"))
+        .select(
+          (col("inter") / (col("size_a") + col("size_b") - col("inter"))).as("jaccard"),
+          est.as("est_jaccard"))
+      pairs
+        .withColumn("bucket",
+          least(floor(col("jaccard") * 10).cast("long"), lit(9L)))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg(col("est_jaccard")), 6).as("mean_est"),
+          round(avg(col("jaccard")), 6).as("mean_true"),
+          round(avg(abs(col("est_jaccard") - col("jaccard"))), 6).as("mae"))
+        .orderBy(col("bucket"))
+    }),
+
     // ── Length-banded n-gram Jaccard via a prefix-filtered inverted index
     // (see lenbandJaccard below). DfCap scales with the corpus; the
     // rarest-K floor keeps mass-duplicated docs discoverable even when
@@ -478,6 +537,31 @@ object DedupCatalog extends Catalog {
              ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
          SELECT doc_a, doc_b, jaccard, est_jaccard FROM cand
          WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"""
+    },
+    "dd_minhash_calibration" -> {
+      val mhList = (0 until 8).map(k =>
+        minhashSql("hs", MinhashA(k), MinhashB(k))).mkString("[", ", ", "]")
+      val estTerms = (1 to 8).map(i =>
+        s"CASE WHEN a.mh[$i] = b.mh[$i] THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH sh AS (SELECT doc_id, $Shingles3Sql AS sh FROM documents),
+         hs AS (SELECT doc_id, sh, list_transform(sh, s -> ${hash31Sql("s")}) AS hs FROM sh),
+         mh AS (SELECT doc_id, sh, $mhList AS mh FROM hs),
+         bands AS (SELECT doc_id, sh, mh, t.k AS band_idx,
+             mh[2*t.k+1] * $Mersenne31 + mh[2*t.k+2] AS band_val
+           FROM mh, generate_series(0, 3) t(k)),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.sh, b.sh))
+               / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard,
+             ($estTerms) / 8.0 AS est_jaccard
+           FROM bands a JOIN bands b
+             ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+         bk AS (SELECT least(CAST(floor(jaccard * 10) AS BIGINT), 9) AS bucket,
+             jaccard, est_jaccard FROM cand)
+         SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           round(AVG(est_jaccard), 6) AS mean_est,
+           round(AVG(jaccard), 6) AS mean_true,
+           round(AVG(abs(est_jaccard - jaccard)), 6) AS mae
+         FROM bk GROUP BY bucket ORDER BY bucket"""
     },
     "dd_lenband_jaccard" ->
       s"""WITH sh AS (SELECT doc_id, n_chars, $Shingles3Sql AS sh FROM documents),

@@ -315,6 +315,128 @@ object TextCatalog extends Catalog {
         .select(col("doc_id"),
           array_min(transform(shingles, sh => PortableHash.hash64(sh))).as("fingerprint"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ── TF-IDF keyword extraction: the top-3 most characteristic terms
+    // per document — the classic corpus-statistics summarizer (domain
+    // tagging, topic routing, search-index boosting). Three bounded
+    // shuffles: tf is a map-side-combined groupBy(doc, term); df derives
+    // FROM the tf frame (already one row per doc×term, so counting rows
+    // counts documents — no second corpus scan, no count_distinct); the
+    // corpus size joins in as a 1-row broadcast. The final top-3 window
+    // partitions by doc_id (cardinality ∝ corpus — no hot key). tfidf is
+    // rounded to 6 BEFORE ranking so the cross-engine ln() ulp cannot
+    // reorder near-ties; the term tie-break makes rank total. ──
+    "tx_tfidf_keywords" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val tf = toks.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(df, Seq("term")).crossJoin(broadcast(n))
+        .withColumn("tfidf", round(
+          col("tf").cast("double") *
+            log(col("n_docs").cast("double") / col("df").cast("double")), 6))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("term"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("term"),
+          col("tf"), col("df"), col("tfidf"))
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
+    // ── Per-language top-K n-grams: the boilerplate-DISCOVERY query (the
+    // span/rep filters score docs against known repetition; this one
+    // surfaces WHAT repeats, for filter-list curation). Counting is a
+    // map-side-combined groupBy on (lang, bigram) — vocab-sized output.
+    // The final window partitions by lang — a handful of hot keys at
+    // corpus scale — but the rank ≤ 10 filter is written in the form
+    // Catalyst's InferWindowGroupLimit recognizes, so the physical plan
+    // inserts a PARTIAL WindowGroupLimit before the exchange: every map
+    // task forwards at most its local top-10 per language, and the lang
+    // window ranks ≤ 10×partitions survivors. That IS the two-phase
+    // top-k — native, no hand-rolled salt (PlanAuditSpec pins it). ──
+    "tx_ngram_topk" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val words = split(col("text"), " ")
+      val bigrams = transform(
+        sequence(lit(1), greatest(size(words) - 1, lit(1))),
+        i => array_join(slice(words, i, lit(2)), " "))
+      val counts = Tables.documents(s, d)
+        .select(col("lang"), explode(bigrams).as("bigram"))
+        .groupBy(col("lang"), col("bigram")).agg(count(lit(1)).as("cnt"))
+      val wLang = Window.partitionBy(col("lang"))
+        .orderBy(col("cnt").desc, col("bigram"))
+      counts
+        .withColumn("rank", row_number().over(wLang).cast("long"))
+        .filter(col("rank") <= 10)
+        .select(col("lang"), col("rank"), col("bigram"), col("cnt"))
+        .orderBy(col("lang"), col("rank"))
+    }),
+
+    // ── Exact per-language token-length quantiles: the corpus-profile
+    // report every mix decision (chunk length, packing budget, length
+    // filters) reads first. Spark's exact `percentile` aggregates a
+    // value→count map, so memory is ∝ DISTINCT lengths (bounded by the
+    // longest document, not the corpus) — exact quantiles are safe here
+    // at any scale, unlike on an unbounded-cardinality column (where
+    // approx_percentile is the right call). One map-side-combined
+    // aggregation, |langs| output rows. ──
+    "tx_length_quantiles" -> ((s, d) => {
+      val n = size(split(col("text"), " ")).cast("long")
+      Tables.documents(s, d)
+        .select(col("lang"), n.as("n_tokens"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          percentile(col("n_tokens"),
+            array(lit(0.25), lit(0.5), lit(0.75), lit(0.95))).as("qs"))
+        .select(col("lang"), col("n_docs"),
+          round(element_at(col("qs"), 1), 6).as("p25"),
+          round(element_at(col("qs"), 2), 6).as("p50"),
+          round(element_at(col("qs"), 3), 6).as("p75"),
+          round(element_at(col("qs"), 4), 6).as("p95"))
+        .orderBy(col("lang"))
+    }),
+
+    // ── CCNet-style quality bucketing (Wenzek et al. 2020): split each
+    // language into head/middle/tail terciles by unigram-LM score — the
+    // shape CCNet uses with wiki-trained KenLM perplexity; the LM here is
+    // the corpus unigram model of tx_unigram_logprob. The tercile is NOT
+    // a per-lang ntile window (|langs| hot keys funneling the corpus
+    // through single tasks): the per-lang rank comes from the
+    // distributed range-partition + offset prefix sum (Packing, value=1)
+    // over a struct sort key, and ⌊rank·3/n⌋ reproduces NTILE's
+    // first-buckets-get-the-remainder split exactly. avg_logprob is
+    // rounded to 6 before ordering (cross-engine ln ulps), doc_id breaks
+    // ties totally. ──
+    "tx_ccnet_bucket" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("w"))
+      val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      val total = uni.agg(sum(col("cnt")).as("total"))
+      val perDoc = toks.join(uni, Seq("w")).crossJoin(broadcast(total))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(round(avg(log(col("cnt").cast("double") / col("total").cast("double"))), 6)
+          .as("avg_logprob"))
+      val nLang = perDoc.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+      val ordered = perDoc
+        .withColumn("__one", lit(1L))
+        .withColumn("__ord",
+          struct((-col("avg_logprob")).as("nlp"), col("doc_id").as("id")))
+      val ranked = graft.operators.Packing
+        .exclusiveGroupCumsum(ordered, "lang", "__ord", "__one", "rank0")
+      ranked.join(broadcast(nLang), Seq("lang"))
+        .withColumn("tercile", expr("CAST(rank0 * 3 DIV n_lang AS BIGINT) + 1"))
+        .withColumn("bucket",
+          when(col("tercile") === 1, "head")
+            .when(col("tercile") === 2, "middle").otherwise("tail"))
+        .select(col("doc_id"), col("lang"), col("avg_logprob"),
+          col("tercile"), col("bucket"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -466,6 +588,49 @@ object TextCatalog extends Catalog {
            FROM w)
          SELECT doc_id,
            list_min(list_transform(shingles, s -> ${PortableHash.hash64Sql("s")})) AS fingerprint
-         FROM sh ORDER BY doc_id"""
+         FROM sh ORDER BY doc_id""",
+    "tx_tfidf_keywords" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+         df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         sc AS (SELECT doc_id, term, tf, df,
+             round(CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+           FROM tf JOIN df USING (term), n),
+         r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+             ORDER BY tfidf DESC, term) AS rank FROM sc)
+         SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df, tfidf
+         FROM r WHERE rank <= 3 ORDER BY doc_id, rank""",
+    "tx_ngram_topk" ->
+      """WITH w AS (SELECT lang, string_split(text, ' ') AS words FROM documents),
+         b AS (SELECT lang, unnest(list_transform(
+             generate_series(1, greatest(len(words) - 1, 1)),
+             i -> array_to_string(words[i:i+1], ' '))) AS bigram FROM w),
+         c AS (SELECT lang, bigram, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2),
+         r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+             ORDER BY cnt DESC, bigram) AS rank FROM c)
+         SELECT lang, CAST(rank AS BIGINT) AS rank, bigram, cnt
+         FROM r WHERE rank <= 10 ORDER BY lang, rank""",
+    "tx_length_quantiles" ->
+      """WITH t AS (SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             FROM documents),
+         q AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             quantile_cont(n_tokens, [0.25, 0.5, 0.75, 0.95]) AS qs
+           FROM t GROUP BY 1)
+         SELECT lang, n_docs, round(qs[1], 6) AS p25, round(qs[2], 6) AS p50,
+           round(qs[3], 6) AS p75, round(qs[4], 6) AS p95
+         FROM q ORDER BY lang""",
+    "tx_ccnet_bucket" ->
+      """WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
+         uni AS (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY 1),
+         tot AS (SELECT SUM(cnt) AS total FROM uni),
+         sc AS (SELECT doc_id, lang,
+             round(AVG(ln(CAST(cnt AS DOUBLE) / total)), 6) AS avg_logprob
+           FROM toks JOIN uni USING (w), tot GROUP BY doc_id, lang),
+         r AS (SELECT *, NTILE(3) OVER (PARTITION BY lang
+             ORDER BY avg_logprob DESC, doc_id) AS tercile FROM sc)
+         SELECT doc_id, lang, avg_logprob, CAST(tercile AS BIGINT) AS tercile,
+           CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+         FROM r ORDER BY doc_id"""
   )
 }

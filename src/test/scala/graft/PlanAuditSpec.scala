@@ -108,6 +108,32 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       "per-gram document frequency comes from a window, not a join-back")
   }
 
+  test("ccnet bucketing ranks via the distributed range-partition prefix " +
+    "sum — no per-language ntile funnel") {
+    val p = plan("tx_ccnet_bucket")
+    assert(!p.toLowerCase.contains("ntile"),
+      "a lang-partitioned NTILE window would funnel each language through one task")
+    assert("(?m)Exchange rangepartitioning".r.findAllIn(p).nonEmpty,
+      s"per-lang rank comes from the Packing range-partition shape:\n${p.take(2000)}")
+  }
+
+  test("ngram top-k prunes map-side: a Partial WindowGroupLimit keeps the " +
+    "vocab-sized frame out of the per-language window") {
+    val p = plan("tx_ngram_topk")
+    assert(p.contains("WindowGroupLimit") &&
+      "WindowGroupLimit [^\\n]*Partial".r.findAllIn(p).nonEmpty,
+      s"InferWindowGroupLimit must fire — every mapper forwards ≤ 10 rows " +
+        s"per language, the native two-phase top-k:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("minhash calibration generates candidates by band equi-join, " +
+    "never cartesian, and never broadcasts the corpus") {
+    val p = plan("dd_minhash_calibration")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs leak into the calibration path:\n${p.take(2000)}")
+  }
+
   test("exact-substring dedup: one documents scan, duplication from window " +
     "aggs over the gram hash — no join, no cartesian") {
     val p = plan("dd_exact_substring")

@@ -214,4 +214,97 @@ class TrainingDataOpsSpec extends AnyFunSuite with SparkSpec {
     val enKept = out.count(r => r._2 == "en" && r._4)
     assert(enKept > 0 && enKept < 90, "dominant language is down-sampled")
   }
+
+  test("tx_tfidf_keywords ranks a doc's distinctive terms above corpus-wide " +
+    "ones, with exact tf/df/tfidf values") {
+    // n_docs = 3; "the" in every doc → idf 0; "zebra" only in doc 1
+    val d = docsDir(Seq(
+      (1L, "zebra zebra the cat", "en"),
+      (2L, "the dog runs", "en"),
+      (3L, "the bird sings high", "en")))
+    val doc1 = SparkEntry.queries("tx_tfidf_keywords")(spark, d).collect()
+      .filter(_.getLong(0) == 1L)
+      .map(r => r.getLong(1) -> ((r.getString(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(doc1(1L) == (("zebra", 2L, 1L, r6(2 * math.log(3.0)))),
+      s"tf=2, df=1 term dominates: $doc1")
+    assert(doc1(2L) == (("cat", 1L, 1L, r6(math.log(3.0)))))
+    assert(doc1(3L) == (("the", 1L, 3L, 0.0)),
+      "a term in every document carries zero idf")
+  }
+
+  test("tx_ngram_topk counts bigrams per language and the salted two-phase " +
+    "top-10 equals the direct top-10 under the (cnt, bigram) order") {
+    // "a b" occurs 3×, "b a" 2× in en; plus 12 once-seen bigrams whose
+    // top-10 must be the 10 lexicographically-smallest — exercises the
+    // tie-break surviving the salted local phase intact
+    val d = docsDir(Seq(
+      (1L, "a b a b a b", "en"),
+      (2L, "g01 g02 g03 g04 g05 g06 g07 g08 g09 g10 g11 g12 g13", "fr")))
+    val out = SparkEntry.queries("tx_ngram_topk")(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val en = out.filter(_._1 == "en").sortBy(_._2)
+    assert(en.map(t => (t._3, t._4)).toSeq == Seq(("a b", 3L), ("b a", 2L)))
+    val fr = out.filter(_._1 == "fr").sortBy(_._2)
+    assert(fr.length == 10, "exactly K survive for a 12-bigram language")
+    assert(fr.map(_._3).toSeq ==
+      (1 to 10).map(i => f"g$i%02d g${i + 1}%02d").toSeq,
+      s"equal counts fall back to lexicographic bigram order: ${fr.toSeq}")
+    assert(fr.forall(_._4 == 1L))
+  }
+
+  test("tx_length_quantiles interpolates exact quantiles per language") {
+    // en token lengths {1,2,3,4}: p25 at rank .25*(4-1)=0.75 → 1.75, etc.
+    val d = docsDir(Seq(
+      (1L, "w", "en"), (2L, "w w", "en"), (3L, "w w w", "en"),
+      (4L, "w w w w", "en"), (5L, "x x x x x", "de")))
+    val out = SparkEntry.queries("tx_length_quantiles")(spark, d).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(out("en") == ((4L, 1.75, 2.5, 3.25, 3.85)), s"$out")
+    assert(out("de") == ((1L, 5.0, 5.0, 5.0, 5.0)),
+      "a single-doc language pins every quantile to its one length")
+  }
+
+  test("tx_ccnet_bucket: terciles split 3/2/2 for 7 docs and order by " +
+    "unigram score — common-word docs land in head, rare-word in tail") {
+    // 7 en docs; the more "the" (the dominant corpus token) a doc has,
+    // the higher its avg logprob → head. Unique-token docs sink to tail.
+    val d = docsDir(Seq(
+      (1L, "the the the the", "en"),
+      (2L, "the the the q1", "en"),
+      (3L, "the the q2 q3", "en"),
+      (4L, "the q4 q5 q6", "en"),
+      (5L, "q7 q8 q9 q10", "en"),
+      (6L, "q11 q12 q13 q14", "en"),
+      (7L, "q15 q16 q17 q18", "en")))
+    val out = SparkEntry.queries("tx_ccnet_bucket")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getLong(3), r.getString(4)))
+    assert(out.groupBy(_._3).view.mapValues(_.length).toMap ==
+      Map(1L -> 3, 2L -> 2, 3L -> 2),
+      s"NTILE(3) over 7 rows gives the remainder to the first bucket: ${out.toSeq}")
+    assert(out.filter(_._4 == "head").map(_._1).toSet == Set(1L, 2L, 3L),
+      "the three most-common-worded docs are the head")
+    val byBucket = out.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(byBucket(1L).min >= byBucket(2L).max &&
+      byBucket(2L).min >= byBucket(3L).max,
+      "bucket boundaries follow the score ordering")
+  }
+
+  test("dd_minhash_calibration: an identical pair lands in the top decile " +
+    "with a perfect estimate and zero error") {
+    val d = docsDir(Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "en"),
+      (2L, "alpha beta gamma delta epsilon zeta", "en"),
+      (3L, "one two three four five six seven", "en")))
+    val out = SparkEntry.queries("dd_minhash_calibration")(spark, d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(out.contains(9L), s"identical docs must collide in every band: $out")
+    assert(out(9L) == ((1L, 1.0, 1.0, 0.0)),
+      s"J=1 pair: est 1.0, truth 1.0, zero error: $out")
+  }
 }
