@@ -443,6 +443,48 @@ object RelationalCatalog extends Catalog {
           col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("value_sum"))
         .orderBy(col("window_start"), col("event_type"))
+    }),
+
+    // ── As-of join: attribute each purchase to the user's latest view at
+    // or before it — the canonical event-attribution operator Spark has
+    // no built-in for (DuckDB's native ASOF JOIN is the oracle). The
+    // distributed shape is NOT a range join (which Spark would nested-
+    // loop or band-join): union both sides tagged, then one per-user
+    // window where `last(_, ignoreNulls)` carries the most recent view
+    // forward into every later purchase row — a single shuffle on
+    // user_id (cardinality ∝ users, no hot key), linear scan per
+    // partition, and the same plan at any scale. Determinism: views are
+    // pre-deduped to one per (user, second) keeping the max event_id —
+    // ASOF's tie behavior is otherwise engine-defined — and at equal
+    // timestamps the view sorts before the purchase (inclusive ≤). ──
+    "ev_asof_join" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts").cast("long").as("t"))
+      val views = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("t"))
+        .agg(max(col("event_id")).as("view_id"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("t"), col("value"))
+      val tagged = purchases
+        .select(col("user_id"), col("t"), lit(1).as("side"),
+          col("event_id"), col("value"), lit(null).cast("long").as("view_id"))
+        .unionByName(views.select(col("user_id"), col("t"), lit(0).as("side"),
+          lit(null).cast("long").as("event_id"),
+          lit(null).cast("double").as("value"), col("view_id")))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      tagged
+        .withColumn("m", last(
+          when(col("side") === 0,
+            struct(col("view_id").as("view_id"), col("t").as("view_t"))),
+          ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(col("event_id"), col("user_id"), col("t"), col("value"),
+          col("m.view_id").as("view_id"), col("m.view_t").as("view_t"),
+          (col("t") - col("m.view_t")).as("gap_sec"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -648,6 +690,16 @@ object RelationalCatalog extends Catalog {
     "ev_tumbling_window" ->
       """SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start, event_type,
            COUNT(*) AS n, round(SUM(value), 6) AS value_sum
-         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""
+         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    "ev_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+         v AS (SELECT user_id, t AS view_t, MAX(event_id) AS view_id
+           FROM e WHERE event_type = 'view' GROUP BY 1, 2),
+         p AS (SELECT event_id, user_id, t, value FROM e WHERE event_type = 'purchase')
+         SELECT p.event_id, p.user_id, p.t, p.value, v.view_id, v.view_t,
+           p.t - v.view_t AS gap_sec
+         FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.view_t <= p.t
+         ORDER BY p.event_id"""
   )
 }

@@ -281,6 +281,37 @@ object SimilarityCatalog extends Catalog {
           col("clabel").as("new_label"), col("dist2"),
           (col("label") =!= col("clabel")).as("changed"))
         .orderBy(col("vec_id"))
+    }),
+
+    // ── Product-quantization code assignment (Jégou et al. 2011), the
+    // compression half of IVF-PQ: split each 64-dim vector into 8
+    // subvectors of 8 dims and replace each with the id of its nearest
+    // codeword. The codebook here is data-derived-but-deterministic (the
+    // subvectors of vec_id 0..3 → 8×4 codewords); in production it comes
+    // from k-means (sim_kmeans_step) and the assignment plan is THIS one.
+    // Shape: corpus explodes ×8 (map-side), codebook (8×4 rows) joins
+    // BROADCAST on the subspace key, argmin is a min(struct) aggregation
+    // (map-side combined, no window). Corpus never shuffles wider than
+    // (vec_id, sub) partials; 100× data = same plan. ──
+    "sim_pq_assign" -> ((s, d) => {
+      val v = vecs(s, d)
+      def subvecs(vc: Column) = transform(sequence(lit(0), lit(7)),
+        m => struct(m.cast("long").as("sub"), slice(vc, m * 8 + 1, lit(8)).as("sv")))
+      val corpus = v.select(col("vec_id"), explode(subvecs(col("v"))).as("s"))
+        .select(col("vec_id"), col("s.sub").as("sub"), col("s.sv").as("sv"))
+      val codebook = v.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("code_id"), explode(subvecs(col("v"))).as("c"))
+        .select(col("code_id"), col("c.sub").as("sub"), col("c.sv").as("cv"))
+      val dist = round(aggregate(
+        zip_with(col("sv"), col("cv"), (x, c) => (x - c) * (x - c)),
+        lit(0.0), (acc, x) => acc + x), 6)
+      corpus.join(broadcast(codebook), Seq("sub"))
+        .select(col("vec_id"), col("sub"), col("code_id"), dist.as("dist"))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min(struct(col("dist"), col("code_id"))).as("m"))
+        .select(col("vec_id"), col("sub"), col("m.code_id").as("code"),
+          col("m.dist").as("dist2"))
+        .orderBy(col("vec_id"), col("sub"))
     })
   )
 
@@ -430,6 +461,20 @@ object SimilarityCatalog extends Catalog {
            label <> clabel AS changed
          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
                  ORDER BY dist2, clabel) AS rn FROM scored) t
-         WHERE rn = 1 ORDER BY vec_id"""
+         WHERE rn = 1 ORDER BY vec_id""",
+    "sim_pq_assign" ->
+      """WITH v AS (SELECT vec_id,
+             list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings),
+         subs AS (SELECT vec_id, t.m AS sub, emb[t.m*8+1 : t.m*8+8] AS sv
+           FROM v, generate_series(0, 7) t(m)),
+         cb AS (SELECT vec_id AS code_id, sub, sv AS cv FROM subs WHERE vec_id < 4),
+         d AS (SELECT s.vec_id, s.sub, c.code_id,
+             round(list_sum(list_transform(generate_series(1, 8),
+               i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))), 6) AS dist
+           FROM subs s JOIN cb c USING (sub))
+         SELECT vec_id, sub, code_id AS code, dist AS dist2
+         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                 ORDER BY dist, code_id) AS rn FROM d) t
+         WHERE rn = 1 ORDER BY vec_id, sub"""
   )
 }

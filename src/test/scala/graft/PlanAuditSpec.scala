@@ -127,6 +127,23 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
   }
 
+  test("as-of join is the union+window shape: one user shuffle, no join " +
+    "operator at all") {
+    val p = plan("ev_asof_join")
+    assert(!p.contains("Join"),
+      s"as-of must not plan as a (range) join — the union+last-window " +
+        s"form is linear per user partition:\n${p.take(2000)}")
+    assert("(?m)Exchange hashpartitioning\\(user_id".r.findAllIn(p).nonEmpty, p)
+  }
+
+  test("PQ assignment broadcasts the codebook; the corpus never shuffles " +
+    "wider than its (vec_id, sub) partial aggregate") {
+    val p = plan("sim_pq_assign")
+    assert(p.contains("BroadcastExchange") && p.contains("BroadcastHashJoin"),
+      s"8×4 codebook is the broadcast side:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("minhash calibration generates candidates by band equi-join, " +
     "never cartesian, and never broadcasts the corpus") {
     val p = plan("dd_minhash_calibration")

@@ -293,6 +293,63 @@ class TrainingDataOpsSpec extends AnyFunSuite with SparkSpec {
       "bucket boundaries follow the score ordering")
   }
 
+  test("ev_asof_join attributes each purchase to the latest view at or " +
+    "before it, per user, with deterministic tie handling") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_asof").toString
+    def ns(sec: Long) = sec * 1000000000L
+    // user 1: views at t=10 (id 100) and t=20 (ids 101,102 — same second,
+    // max id wins), purchases at t=20 (inclusive match) and t=15;
+    // user 2: purchase with NO prior view (its view comes later)
+    Seq(
+      (100L, ns(10), 1L, "view", 1.0, "{}"),
+      (101L, ns(20), 1L, "view", 1.0, "{}"),
+      (102L, ns(20), 1L, "view", 1.0, "{}"),
+      (200L, ns(20), 1L, "purchase", 9.5, "{}"),
+      (201L, ns(15), 1L, "purchase", 4.0, "{}"),
+      (300L, ns(5), 2L, "purchase", 7.0, "{}"),
+      (301L, ns(8), 2L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("ev_asof_join")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(200L).getLong(4) == 102L && out(200L).getLong(5) == 20L &&
+      out(200L).getLong(6) == 0L,
+      "same-second view matches (inclusive) and the max event_id represents the tie")
+    assert(out(201L).getLong(4) == 100L && out(201L).getLong(6) == 5L,
+      "an earlier purchase sees only the earlier view")
+    assert(out(300L).isNullAt(4) && out(300L).isNullAt(5) && out(300L).isNullAt(6),
+      "no prior view → null attribution, the purchase row still survives")
+  }
+
+  test("sim_pq_assign quantizes each 8-dim subspace independently to the " +
+    "nearest codeword, ties to the smaller code id") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    def const(x: Float) = Array.fill(64)(x)
+    // vecs 0..3 ARE the codebook (codewords constant 0,1,2,3 per dim);
+    // 10: nearest code 1 everywhere; 11: split halves → codes 0 and 3;
+    // 12: exactly between codes 1 and 2 → tie falls to code 1
+    Seq(
+      (0L, const(0f), 0), (1L, const(1f), 0),
+      (2L, const(2f), 0), (3L, const(3f), 0),
+      (10L, const(1.25f), 1),
+      (11L, (Array.fill(32)(0f) ++ Array.fill(32)(3f)), 1),
+      (12L, const(1.5f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("sim_pq_assign")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    for (sub <- 0L to 7L) {
+      assert(out((1L, sub)) == ((1L, 0.0)), "a codeword quantizes to itself")
+      assert(out((10L, sub)) == ((1L, 0.5)), s"8 × 0.25² = 0.5 to code 1: $out")
+      assert(out((12L, sub))._1 == 1L, "equidistant between 1 and 2 → smaller id")
+      assert(out((11L, sub))._1 == (if (sub < 4) 0L else 3L),
+        "subspaces quantize independently")
+    }
+  }
+
   test("dd_minhash_calibration: an identical pair lands in the top decile " +
     "with a perfect estimate and zero error") {
     val d = docsDir(Seq(
