@@ -293,27 +293,80 @@ object SimilarityCatalog extends Catalog {
     // BROADCAST on the subspace key, argmin is a min(struct) aggregation
     // (map-side combined, no window). Corpus never shuffles wider than
     // (vec_id, sub) partials; 100× data = same plan. ──
-    "sim_pq_assign" -> ((s, d) => {
-      val v = vecs(s, d)
-      def subvecs(vc: Column) = transform(sequence(lit(0), lit(7)),
-        m => struct(m.cast("long").as("sub"), slice(vc, m * 8 + 1, lit(8)).as("sv")))
-      val corpus = v.select(col("vec_id"), explode(subvecs(col("v"))).as("s"))
-        .select(col("vec_id"), col("s.sub").as("sub"), col("s.sv").as("sv"))
-      val codebook = v.filter(col("vec_id") < 4)
-        .select(col("vec_id").as("code_id"), explode(subvecs(col("v"))).as("c"))
-        .select(col("code_id"), col("c.sub").as("sub"), col("c.sv").as("cv"))
-      val dist = round(aggregate(
-        zip_with(col("sv"), col("cv"), (x, c) => (x - c) * (x - c)),
-        lit(0.0), (acc, x) => acc + x), 6)
-      corpus.join(broadcast(codebook), Seq("sub"))
-        .select(col("vec_id"), col("sub"), col("code_id"), dist.as("dist"))
-        .groupBy(col("vec_id"), col("sub"))
-        .agg(min(struct(col("dist"), col("code_id"))).as("m"))
-        .select(col("vec_id"), col("sub"), col("m.code_id").as("code"),
-          col("m.dist").as("dist2"))
-        .orderBy(col("vec_id"), col("sub"))
+    "sim_pq_assign" -> ((s, d) =>
+      pqCodes(s, d)
+        .select(col("vec_id"), col("sub"), col("code"), col("dist2"))
+        .orderBy(col("vec_id"), col("sub"))),
+
+    // ── IVF-PQ search with asymmetric distance computation (ADC): the
+    // query builds a per-subspace lookup table of distances to every
+    // codeword (8×4 = 32 entries per query), and a candidate's
+    // approximate distance is the SUM of 8 table entries selected by its
+    // stored codes — the corpus side never touches raw floats at query
+    // time. Shape: the LUT (|queries|×32 rows) is the broadcast side of
+    // an equi-join on (sub, code) restricted to the query's IVF cell;
+    // the corpus contributes only its code table. At 100 TB this is the
+    // whole point of PQ: the scanned side is 8 small ints per vector,
+    // 32× narrower than the embeddings, and the plan is the same
+    // broadcast-join-then-partial-agg at any corpus size. ──
+    "sim_ann_ivfpq" -> ((s, d) => {
+      val codes = pqCodes(s, d)
+      val qs = subspaced(s, d).filter(col("vec_id") >= 3 && col("vec_id") < 13)
+        .select(col("vec_id").as("query_id"), col("label").as("qcell"),
+          col("sub"), col("sv").as("qv"))
+      val cb = codebook(s, d)
+      val lut = qs.join(cb, Seq("sub"))
+        .select(col("query_id"), col("qcell"), col("sub"), col("code_id"),
+          sqdist(col("qv"), col("cv")).as("d2"))
+      val pairs = codes
+        .join(broadcast(lut),
+          codes("sub") === lut("sub") && col("code") === col("code_id") &&
+            codes("label") === col("qcell") && codes("vec_id") =!= col("query_id"))
+        .groupBy(col("query_id"), codes("vec_id").as("neighbor_id"))
+        .agg(round(sum(col("d2")), 6).as("approx_d2"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("approx_d2"), col("neighbor_id"))
+      pairs.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("neighbor_id"), col("approx_d2"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
     })
   )
+
+  /** Squared euclidean distance between two equal-length double arrays
+    * (sequential left fold — the same accumulation order both engines use). */
+  private def sqdist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, c) => (x - c) * (x - c)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Each vector exploded into its 8 PQ subspaces of 8 dims. */
+  private def subspaced(s: SparkSession, d: String) = {
+    val sv = transform(sequence(lit(0), lit(7)),
+      m => struct(m.cast("long").as("sub"), slice(col("v"), m * 8 + 1, lit(8)).as("sv")))
+    vecs(s, d).select(col("vec_id"), col("label"), explode(sv).as("s"))
+      .select(col("vec_id"), col("label"), col("s.sub").as("sub"), col("s.sv").as("sv"))
+  }
+
+  /** Deterministic data-derived codebook: the subvectors of vec_id 0..3
+    * (8 subspaces × 4 codewords). Production swaps in k-means centroids
+    * (sim_kmeans_step); every consumer keeps the same plan. */
+  private def codebook(s: SparkSession, d: String) =
+    subspaced(s, d).filter(col("vec_id") < 4)
+      .select(col("vec_id").as("code_id"), col("sub"), col("sv").as("cv"))
+
+  /** PQ code assignment per (vector, subspace): nearest codeword by
+    * rounded squared distance, ties to the smaller code id. Argmin is a
+    * map-side-combinable min(struct) aggregation against the broadcast
+    * codebook — no window, no corpus-wide sort. */
+  private def pqCodes(s: SparkSession, d: String) =
+    subspaced(s, d)
+      .join(broadcast(codebook(s, d)), Seq("sub"))
+      .select(col("vec_id"), col("label"), col("sub"), col("code_id"),
+        round(sqdist(col("sv"), col("cv")), 6).as("dist"))
+      .groupBy(col("vec_id"), col("label"), col("sub"))
+      .agg(min(struct(col("dist"), col("code_id"))).as("m"))
+      .select(col("vec_id"), col("label"), col("sub"),
+        col("m.code_id").as("code"), col("m.dist").as("dist2"))
 
   /** DuckDB mirror of VectorOps.lshSig: same coefficients (portable hash
     * of "plane:dim"), same left-to-right double accumulation, same strict
@@ -475,6 +528,36 @@ object SimilarityCatalog extends Catalog {
          SELECT vec_id, sub, code_id AS code, dist AS dist2
          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
                  ORDER BY dist, code_id) AS rn FROM d) t
-         WHERE rn = 1 ORDER BY vec_id, sub"""
+         WHERE rn = 1 ORDER BY vec_id, sub""",
+    "sim_ann_ivfpq" ->
+      """WITH v AS (SELECT vec_id, label,
+             list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings),
+         subs AS (SELECT vec_id, label, t.m AS sub, emb[t.m*8+1 : t.m*8+8] AS sv
+           FROM v, generate_series(0, 7) t(m)),
+         cb AS (SELECT vec_id AS code_id, sub, sv AS cv FROM subs WHERE vec_id < 4),
+         da AS (SELECT s.vec_id, s.label, s.sub, c.code_id,
+             round(list_sum(list_transform(generate_series(1, 8),
+               i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))), 6) AS dist
+           FROM subs s JOIN cb c USING (sub)),
+         codes AS (SELECT vec_id, label, sub, code_id AS code
+           FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                   ORDER BY dist, code_id) AS rn FROM da) t
+           WHERE rn = 1),
+         q AS (SELECT vec_id AS query_id, label AS qcell, sub, sv AS qv
+           FROM subs WHERE vec_id >= 3 AND vec_id < 13),
+         lut AS (SELECT q.query_id, q.qcell, q.sub, c.code_id,
+             list_sum(list_transform(generate_series(1, 8),
+               i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS d2
+           FROM q JOIN cb c USING (sub)),
+         pairs AS (SELECT l.query_id, co.vec_id AS neighbor_id,
+             round(SUM(l.d2), 6) AS approx_d2
+           FROM codes co JOIN lut l
+             ON co.sub = l.sub AND co.code = l.code_id
+             AND co.label = l.qcell AND co.vec_id <> l.query_id
+           GROUP BY 1, 2)
+         SELECT query_id, neighbor_id, approx_d2, CAST(rank AS INT) AS rank
+         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY approx_d2, neighbor_id) AS rank FROM pairs) t
+         WHERE rank <= 3 ORDER BY query_id, rank"""
   )
 }

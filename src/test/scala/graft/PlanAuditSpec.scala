@@ -144,6 +144,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("IVF-PQ search broadcasts the query LUT against the corpus code " +
+    "table — equi-join only, corpus floats never cross the exchange") {
+    val p = plan("sim_ann_ivfpq")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the |queries|×32 LUT is the broadcast side:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("minhash calibration generates candidates by band equi-join, " +
     "never cartesian, and never broadcasts the corpus") {
     val p = plan("dd_minhash_calibration")

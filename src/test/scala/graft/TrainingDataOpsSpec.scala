@@ -350,6 +350,32 @@ class TrainingDataOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("sim_ann_ivfpq ranks cell-mates by summed LUT distances over their " +
+    "stored codes — never touching corpus floats at query time") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    def const(x: Float) = Array.fill(64)(x)
+    // same layout as the PQ spec: codebook = vecs 0..3; queries are
+    // vec_id ∈ [3, 13) → 3 (cell 0) and 10,11,12 (cell 1)
+    Seq(
+      (0L, const(0f), 0), (1L, const(1f), 0),
+      (2L, const(2f), 0), (3L, const(3f), 0),
+      (10L, const(1.25f), 1),
+      (11L, (Array.fill(32)(0f) ++ Array.fill(32)(3f)), 1),
+      (12L, const(1.5f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("sim_ann_ivfpq")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    // q10 (const 1.25): 12 codes to 1 everywhere → 8 subs × 8·0.25² = 4;
+    // 11 codes split 0/3 → 4×(8·1.25²) + 4×(8·1.75²) = 148
+    assert(out((10L, 1)) == ((12L, 4.0)) && out((10L, 2)) == ((11L, 148.0)),
+      s"ADC sums the per-subspace LUT entries of the stored codes: $out")
+    // q3 (cell 0, const 3): nearest cell-mate by code distance is 2
+    assert(out((3L, 1)) == ((2L, 64.0)), s"$out")
+  }
+
   test("dd_minhash_calibration: an identical pair lands in the top decile " +
     "with a perfect estimate and zero error") {
     val d = docsDir(Seq(
