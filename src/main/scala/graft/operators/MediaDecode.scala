@@ -40,15 +40,26 @@ object MediaDecode {
     val heightRaw = le32(b, 22).toInt
     val bpp = le16(b, 28)
     val compression = le32(b, 30)
-    val topDown = heightRaw < 0
     if (compression != 0L || (bpp != 24 && bpp != 32)) return None
     // Header fields are UNTRUSTED: every size derivation stays in Long
     // until proven to fit. Int math here lets width ≈ 2^30 at 24bpp wrap
     // rowSize negative (sliding past the bounds guard into a wrapped
     // allocation), and abs(Int.MinValue) is itself still negative.
+    if (pixOff < 54) return None
+    decodeDib(b, pixOff, b.length - pixOff, widthRaw, heightRaw, bpp)
+  }
+
+  /** Decode a raw BI_RGB DIB pixel array at `off` spanning at most
+    * `limit` bytes (an AVI frame chunk, or a BMP's pixel section) with
+    * fully UNTRUSTED dimensions — the shared core of [[decodeBmp]] and
+    * [[decodeAviFrames]]. Negative `heightRaw` means top-down rows. */
+  private[operators] def decodeDib(b: Array[Byte], off: Int, limit: Int,
+      widthRaw: Int, heightRaw: Int, bpp: Int): Option[Bitmap] = {
+    if (off < 0 || limit < 0 || off > b.length) return None
+    val topDown = heightRaw < 0
     val widthL = widthRaw.toLong
     val heightL = math.abs(heightRaw.toLong)
-    if (widthL <= 0 || heightL <= 0 || pixOff < 54) return None
+    if (widthL <= 0 || heightL <= 0 || (bpp != 24 && bpp != 32)) return None
     val bytesPerPx = bpp / 8
     // ≤ ~2^33 — safe; but rowSizeL * heightL can exceed 2^63 when both
     // dims are ~2^31 (the w=h=Int.MaxValue corner wraps LONG math too),
@@ -56,7 +67,7 @@ object MediaDecode {
     // could overflow. Once it passes, rowSize·height ≤ avail ≤ 2^31 and
     // rgbLen ≤ avail (rowSize ≥ 3·width), so the Int casts are exact.
     val rowSizeL = ((widthL * bytesPerPx + 3) / 4) * 4
-    val avail = b.length.toLong - pixOff
+    val avail = math.min(limit.toLong, b.length.toLong - off)
     if (avail < rowSizeL || heightL > avail / rowSizeL) return None
     val rgbLenL = widthL * heightL * 3
     if (rgbLenL > Int.MaxValue) return None
@@ -69,7 +80,7 @@ object MediaDecode {
       val srcRow = if (topDown) y else height - 1 - y
       var x = 0
       while (x < width) {
-        val s = pixOff + srcRow * rowSize + x * bytesPerPx
+        val s = off + srcRow * rowSize + x * bytesPerPx
         val d = (y * width + x) * 3
         // BMP stores BGR(A)
         rgb(d) = b(s + 2); rgb(d + 1) = b(s + 1); rgb(d + 2) = b(s)
@@ -205,4 +216,78 @@ object MediaDecode {
     else math.sqrt(p.samples.foldLeft(0.0) { (acc, s) =>
       val v = s / 32768.0; acc + v * v
     } / p.samples.length)
+
+  /** One decoded video frame: byte offset of its chunk payload in the
+    * container (provenance) + the pixels. */
+  case class VideoFrame(offset: Long, bitmap: Bitmap)
+
+  private def fourcc(b: Array[Byte], i: Int): String =
+    new String(Array(b(i), b(i + 1), b(i + 2), b(i + 3)),
+      java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Decode the video frames of an UNCOMPRESSED ('DIB '/BI_RGB) AVI:
+    * RIFF walk → `hdrl` for the 'vids' stream's BITMAPINFOHEADER
+    * (width/height/bpp, compression must be 0) → `movi` for the `##db`
+    * raw-DIB frame chunks, each decoded by [[decodeDib]] under its own
+    * chunk limit. Returns None for anything that is not a RIFF-AVI or
+    * whose video stream needs a real codec ('00dc' compressed frames,
+    * non-BI_RGB formats) — THAT is where the declared codec stub now
+    * starts; the container walk and raw-frame pixel path are real.
+    *
+    * Robustness: every chunk size is untrusted — offsets advance in Long,
+    * a size past the buffer ends the walk, odd sizes pad per RIFF, and
+    * `maxFrames` bounds total decoded allocation (each frame is already
+    * dimension-checked by decodeDib's division-form guards). Never
+    * throws on adversarial bytes. */
+  def decodeAviFrames(b: Array[Byte], maxFrames: Int = 64): Option[Vector[VideoFrame]] = {
+    if (b.length < 12 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ")
+      return None
+    var width = 0; var height = 0; var bpp = 0
+    var compression = -1L; var isVids = false
+    val frames = Vector.newBuilder[VideoFrame]
+    var nFrames = 0
+
+    // walk one LIST body [lo, hi); returns false to abort the whole parse
+    def walk(lo: Long, hi: Long, depth: Int): Boolean = {
+      if (depth > 8) return true // malformed recursion bomb: stop quietly
+      var i = lo
+      while (i + 8 <= hi && i + 8 <= b.length) {
+        val id = fourcc(b, i.toInt)
+        val len = le32(b, i.toInt + 4)
+        val dataOff = i + 8
+        val dataEnd = dataOff + len
+        if (dataEnd > hi || dataEnd > b.length) return true // truncated: stop
+        id match {
+          case "LIST" if len >= 4 =>
+            val listType = fourcc(b, dataOff.toInt)
+            if (listType == "hdrl" || listType == "strl" || listType == "movi") {
+              if (!walk(dataOff + 4, dataEnd, depth + 1)) return false
+            }
+          case "strh" if len >= 8 =>
+            // a new stream header scopes the following strf
+            isVids = fourcc(b, dataOff.toInt) == "vids"
+          case "strf" if isVids && len >= 20 =>
+            width = le32(b, dataOff.toInt + 4).toInt
+            height = le32(b, dataOff.toInt + 8).toInt
+            bpp = le16(b, dataOff.toInt + 14)
+            compression = le32(b, dataOff.toInt + 16)
+          case _ if id.length == 4 && id.endsWith("db") =>
+            // raw-DIB frame: decodable only once a BI_RGB strf was seen
+            if (compression != 0L) return false
+            if (nFrames < maxFrames) {
+              decodeDib(b, dataOff.toInt, len.toInt, width, height, bpp)
+                .foreach { bm => frames += VideoFrame(dataOff, bm); nFrames += 1 }
+            }
+          case _ if id.endsWith("dc") =>
+            return false // compressed frames: genuinely needs a codec
+          case _ => // audio/index/other chunks: skip
+        }
+        i = dataEnd + (len & 1L) // RIFF pads chunks to even sizes
+      }
+      true
+    }
+    if (!walk(12L, b.length.toLong, 0)) return None
+    if (compression != 0L || (bpp != 24 && bpp != 32)) return None
+    Some(frames.result())
+  }
 }

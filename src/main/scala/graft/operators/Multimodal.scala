@@ -11,10 +11,11 @@ import org.apache.spark.sql.functions._
   * can read without an external library: container headers
   * (PNG/GIF/BMP/JPEG/WAV, [[MediaHeaders]]), pixel decode for
   * BMP/PNG/GIF/JPEG ([[MediaDecode.decodeImage]], JDK `javax.imageio`
-  * for the compressed formats), WAV PCM-16 samples, and a real
-  * nearest-neighbor resample. Only codec-LIBRARY work (video frames,
-  * compressed audio) is STUBBED with deterministic byte math — this
-  * container ships no codecs. Each stub is marked; swapping it for a
+  * for the compressed formats), WAV PCM-16 samples, uncompressed-AVI
+  * video frames ([[MediaDecode.decodeAviFrames]]), and a real
+  * nearest-neighbor resample. Only codec-LIBRARY work (compressed video
+  * frames, compressed audio) is STUBBED with deterministic byte math —
+  * this container ships no codecs. Each stub is marked; swapping it for a
   * real codec changes no plan shape. The design mirrors how a 100 TB
   * media pipeline runs:
   * opaque bytes flow through columnar storage untouched, codec work
@@ -117,18 +118,34 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling: one output row per sampled frame (every `stride`
-    * bytes stands in for every-Nth-frame). A generator-shaped flatMap —
-    * no shuffle, output proportional to frames kept. */
+  /** Frame sampling: one output row per sampled frame. A generator-shaped
+    * flatMap — no shuffle, output proportional to frames kept.
+    *
+    * Payloads that parse as an UNCOMPRESSED AVI get REAL frames
+    * ([[MediaDecode.decodeAviFrames]]): `stride` counts FRAMES (every
+    * stride-th decoded frame emits), `offset` is the frame chunk's byte
+    * position in the container, and `frame_bytes` is the decoded RGB.
+    * Anything else falls back to the declared stub — a byte slice every
+    * `stride` BYTES stands in for a decoded frame — which is now
+    * confined to codec-compressed video. */
   def sampleFrames(assets: Dataset[MediaAsset], stride: Int, frameSize: Int): Dataset[Frame] = {
     val spark = assets.sparkSession
     import spark.implicits._
     assets.filter(_.kind == "video").flatMap { a =>
-      Iterator.range(0, math.max(a.bytes.length, 1), stride).zipWithIndex.map {
-        case (off, idx) =>
-          // STUB frame decode: a byte slice stands in for the decoded frame
-          Frame(a.media_id, idx, off.toLong,
-            a.bytes.slice(off, math.min(off + frameSize, a.bytes.length)))
+      MediaDecode.decodeAviFrames(a.bytes) match {
+        case Some(frames) =>
+          frames.iterator.zipWithIndex
+            .filter { case (_, i) => i % math.max(stride, 1) == 0 }
+            .zipWithIndex.map { case ((f, _), outIdx) =>
+              Frame(a.media_id, outIdx, f.offset, f.bitmap.rgb)
+            }
+        case None =>
+          Iterator.range(0, math.max(a.bytes.length, 1), stride).zipWithIndex.map {
+            case (off, idx) =>
+              // STUB frame decode: a byte slice stands in for the frame
+              Frame(a.media_id, idx, off.toLong,
+                a.bytes.slice(off, math.min(off + frameSize, a.bytes.length)))
+          }
       }
     }
   }

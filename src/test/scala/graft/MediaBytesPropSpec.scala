@@ -48,6 +48,29 @@ class MediaBytesPropSpec extends AnyFunSuite {
     le32(0) ++ le32(0) ++ le32(2835) ++ le32(2835) ++ le32(0) ++ le32(0) ++
     new Array[Byte](200)
 
+  /** Structured AVI containers: real RIFF framing (so the chunk walk runs
+    * deep) with ARBITRARY strf geometry and chunk-size fields — the AVI
+    * analog of bmpStructured; random tails bail at the 12-byte magic. */
+  private val aviStructured: Gen[Array[Byte]] = for {
+    w <- i32; h <- i32; comp <- Gen.oneOf(0, 0, 1, -1)
+    bpp <- Gen.oneOf(24, 32, 8); frameLen <- Gen.chooseNum(0, 64)
+    badSize <- i32
+  } yield {
+    def chunk(id: String, data: Array[Byte]) =
+      id.getBytes ++ le32(data.length) ++ data ++
+        (if (data.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    def list(t: String, body: Array[Byte]) = chunk("LIST", t.getBytes ++ body)
+    val strh = chunk("strh", "vids".getBytes ++ new Array[Byte](52))
+    val strf = chunk("strf", le32(40) ++ le32(w) ++ le32(h) ++
+      Array[Byte](1, 0, bpp.toByte, 0) ++ le32(comp) ++ new Array[Byte](20))
+    val hdrl = list("hdrl", chunk("avih", new Array[Byte](56)) ++
+      list("strl", strh ++ strf))
+    val movi = list("movi", chunk("00db", new Array[Byte](frameLen)) ++
+      "01wb".getBytes ++ le32(badSize)) // trailing chunk with a wild size
+    val body = "AVI ".getBytes ++ hdrl ++ movi
+    "RIFF".getBytes ++ le32(body.length) ++ body
+  }
+
   private def run(name: String, p: Prop): Unit = {
     val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), p)
     assert(r.passed, s"$name: $r")
@@ -55,20 +78,23 @@ class MediaBytesPropSpec extends AnyFunSuite {
 
   test("parsers and decoders never throw on arbitrary, magic-prefixed, " +
     "or structured-header bytes") {
-    val all = Gen.oneOf(arbitraryBytes, magicBytes, bmpStructured)
+    val all = Gen.oneOf(arbitraryBytes, magicBytes, bmpStructured, aviStructured)
     run("total", Prop.forAll(all) { b =>
       val img = MediaHeaders.parseImage(b)
       val wav = MediaHeaders.parseWav(b)
       val bmp = MediaDecode.decodeBmp(b)
       val pcm = MediaDecode.decodeWavPcm(b)
       val any = MediaDecode.decodeImage(b)
+      val avi = MediaDecode.decodeAviFrames(b)
       img.forall(m => m.width >= 0 && m.height >= 0) &&
         wav.forall(m => m.sampleRate > 0 && m.durationMs >= 0) &&
         bmp.forall(x => x.width > 0 && x.height > 0 &&
           x.rgb.length == x.width * x.height * 3) &&
         pcm.forall(x => x.sampleRate > 0 && x.samples != null) &&
         any.forall(x => x.width > 0 && x.height > 0 &&
-          x.rgb.length == x.width * x.height * 3)
+          x.rgb.length == x.width * x.height * 3) &&
+        avi.forall(_.forall(f => f.offset >= 0 && f.bitmap.width > 0 &&
+          f.bitmap.rgb.length == f.bitmap.width * f.bitmap.height * 3))
     })
   }
 

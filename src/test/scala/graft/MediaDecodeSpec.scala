@@ -47,6 +47,41 @@ class MediaDecodeSpec extends AnyFunSuite with SparkSpec {
     255.toByte, 0, 0,   0, 255.toByte, 0,
     0, 0, 255.toByte,   255.toByte, 255.toByte, 255.toByte)
 
+  /** DIB pixel payload (no file header) for one frame: bottom-up BGR
+    * rows, 4-byte stride — what an uncompressed AVI '00db' chunk holds. */
+  private def dibFrame(w: Int, h: Int, rgbTopDown: Array[Byte]): Array[Byte] = {
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val px = new Array[Byte](rowSize * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val s = (y * w + x) * 3
+      val d = (h - 1 - y) * rowSize + x * 3
+      px(d) = rgbTopDown(s + 2); px(d + 1) = rgbTopDown(s + 1); px(d + 2) = rgbTopDown(s)
+    }
+    px
+  }
+
+  private def chunk(id: String, data: Array[Byte]): Array[Byte] =
+    id.getBytes ++ le32(data.length) ++ data ++
+      (if (data.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+
+  private def list(listType: String, body: Array[Byte]): Array[Byte] =
+    chunk("LIST", listType.getBytes ++ body)
+
+  /** Minimal uncompressed AVI: hdrl with a 'vids'/BI_RGB stream of the
+    * given geometry, movi with one '00db' chunk per frame. */
+  private def avi(w: Int, h: Int, bpp: Int, frames: Seq[Array[Byte]],
+      compression: Int = 0, frameId: String = "00db"): Array[Byte] = {
+    val strh = chunk("strh", "vids".getBytes ++ "DIB ".getBytes ++ le32(0) ++
+      Array.fill[Byte](44)(0))
+    val strf = chunk("strf", le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++
+      le16(bpp) ++ le32(compression) ++ Array.fill[Byte](20)(0))
+    val hdrl = list("hdrl", chunk("avih", Array.fill[Byte](56)(0)) ++
+      list("strl", strh ++ strf))
+    val movi = list("movi", frames.flatMap(f => chunk(frameId, f)).toArray)
+    val body = "AVI ".getBytes ++ hdrl ++ movi
+    "RIFF".getBytes ++ le32(body.length) ++ body
+  }
+
   test("BMP 24-bit decodes to top-down RGB, bottom-up and top-down storage") {
     for (td <- Seq(false, true)) {
       val bm = MediaDecode.decodeBmp(bmp24(2, 2, rgb2x2, topDown = td)).get
@@ -210,5 +245,63 @@ class MediaDecodeSpec extends AnyFunSuite with SparkSpec {
     val out = Multimodal.resize(Seq(asset).toDS(), maxSide = 1).collect().head
     assert(out.out_width == 1 && out.out_height == 1 && out.n_bytes == 3,
       "n_bytes is the REAL resampled buffer length")
+  }
+
+  test("uncompressed AVI decodes real frames: bottom-up DIB rows flip, " +
+    "offsets point at the frame chunks, frame order preserved") {
+    val inverted = rgb2x2.map(b => (~b).toByte)
+    val bytes = avi(2, 2, 24, Seq(dibFrame(2, 2, rgb2x2), dibFrame(2, 2, inverted)))
+    val frames = MediaDecode.decodeAviFrames(bytes).get
+    assert(frames.length == 2)
+    assert(frames(0).bitmap.width == 2 && frames(0).bitmap.height == 2)
+    assert(frames(0).bitmap.rgb.toSeq == rgb2x2.toSeq,
+      "frame 0 pixels decode exactly, rows flipped to top-down")
+    assert(frames(1).bitmap.rgb.toSeq == inverted.toSeq, "frame 1 differs")
+    assert(frames(0).offset < frames(1).offset &&
+      frames.forall(f => f.offset > 12 && f.offset < bytes.length),
+      "offsets are real container positions")
+  }
+
+  test("AVI guards: compressed streams, dimension bombs, and truncation " +
+    "return None or skip — never throw") {
+    val f = dibFrame(2, 2, rgb2x2)
+    assert(MediaDecode.decodeAviFrames(avi(2, 2, 24, Seq(f), compression = 1)).isEmpty,
+      "non-BI_RGB video needs a codec — declared stub boundary")
+    assert(MediaDecode.decodeAviFrames(avi(2, 2, 24, Seq(f), frameId = "00dc")).isEmpty,
+      "compressed frame chunks refuse even with a BI_RGB strf")
+    assert(MediaDecode.decodeAviFrames(avi(Int.MaxValue, Int.MaxValue, 24, Seq(f)))
+      .exists(_.isEmpty),
+      "a dimension-bomb strf yields no frames (decodeDib division guard)")
+    assert(MediaDecode.decodeAviFrames("RIFF".getBytes ++ le32(99999) ++
+      "AVI ".getBytes ++ "LIST".getBytes ++ le32(Int.MaxValue)).forall(_.isEmpty),
+      "a chunk size past the buffer ends the walk quietly, no frames")
+    assert(MediaDecode.decodeAviFrames(wavPcm(8000, Array[Short](1))).isEmpty,
+      "a RIFF that is not an AVI is not video")
+    // frame chunk shorter than one row: skipped, the valid frame survives
+    val mixed = avi(2, 2, 24, Seq(Array[Byte](1, 2, 3), f))
+    assert(MediaDecode.decodeAviFrames(mixed).get.length == 1)
+  }
+
+  test("sampleFrames emits decoded RGB for uncompressed AVI (stride in " +
+    "frames) and falls back to the byte-slice stub otherwise") {
+    val session = spark
+    import session.implicits._
+    def asset(id: Long, bytes: Array[Byte]) =
+      Multimodal.MediaAsset(id, "video", bytes,
+        width = 0, height = 0, sample_rate = 0, duration_ms = 0L)
+    val inverted = rgb2x2.map(b => (~b).toByte)
+    val vid = avi(2, 2, 24,
+      Seq(dibFrame(2, 2, rgb2x2), dibFrame(2, 2, inverted), dibFrame(2, 2, rgb2x2)))
+    val out = Multimodal.sampleFrames(
+      Seq(asset(1L, vid), asset(2L, "not a container".getBytes)).toDS(),
+      stride = 2, frameSize = 4).collect()
+    val real = out.filter(_.media_id == 1L).sortBy(_.frame_idx)
+    assert(real.length == 2, "stride 2 keeps frames 0 and 2")
+    assert(real(0).frame_bytes.toSeq == rgb2x2.toSeq &&
+      real(1).frame_bytes.toSeq == rgb2x2.toSeq,
+      "sampled frames carry DECODED pixels, not container slices")
+    val stub = out.filter(_.media_id == 2L)
+    assert(stub.nonEmpty && stub.forall(_.frame_bytes.length <= 4),
+      "undecodable payloads keep the documented byte-slice stub")
   }
 }
