@@ -485,6 +485,31 @@ object RelationalCatalog extends Catalog {
           col("m.view_id").as("view_id"), col("m.view_t").as("view_t"),
           (col("t") - col("m.view_t")).as("gap_sec"))
         .orderBy(col("event_id"))
+    }),
+
+    // ── Attribution window: for each purchase, how many views the same
+    // user made in the preceding hour (exclusive of the purchase instant)
+    // — the many-match companion of ev_asof_join's latest-one. The range
+    // predicate rides INSIDE a user-keyed equi-join, so the plan is a
+    // shuffle on user_id with per-user sort-merge — never a band join or
+    // nested loop over time; per-user event counts bound the pair work
+    // and the user key's cardinality scales with the corpus. ──
+    "ev_attribution_window" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts").cast("long").as("t"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("t").as("view_t"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("t"))
+      purchases.join(views,
+          purchases("user_id") === views("user_id") &&
+            col("view_t") >= col("t") - 3600L && col("view_t") < col("t"),
+          "left_outer")
+        .groupBy(col("event_id"), purchases("user_id").as("user_id"), col("t"))
+        .agg(count(col("view_t")).as("n_views"),
+          coalesce(max(col("view_t")), lit(null).cast("long")).as("last_view_t"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -700,6 +725,17 @@ object RelationalCatalog extends Catalog {
          SELECT p.event_id, p.user_id, p.t, p.value, v.view_id, v.view_t,
            p.t - v.view_t AS gap_sec
          FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.view_t <= p.t
-         ORDER BY p.event_id"""
+         ORDER BY p.event_id""",
+    "ev_attribution_window" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+         v AS (SELECT user_id, t AS view_t FROM e WHERE event_type = 'view'),
+         p AS (SELECT event_id, user_id, t FROM e WHERE event_type = 'purchase')
+         SELECT p.event_id, p.user_id, p.t,
+           CAST(COUNT(v.view_t) AS BIGINT) AS n_views,
+           MAX(v.view_t) AS last_view_t
+         FROM p LEFT JOIN v ON p.user_id = v.user_id
+           AND v.view_t >= p.t - 3600 AND v.view_t < p.t
+         GROUP BY 1, 2, 3 ORDER BY p.event_id"""
   )
 }

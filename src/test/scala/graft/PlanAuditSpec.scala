@@ -136,6 +136,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert("(?m)Exchange hashpartitioning\\(user_id".r.findAllIn(p).nonEmpty, p)
   }
 
+  test("attribution window keys the range predicate on the user equi-join " +
+    "— no band join, no nested loop over time") {
+    val p = plan("ev_attribution_window")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the time-range predicate must ride inside the user_id join:\n${p.take(2000)}")
+  }
+
   test("PQ assignment broadcasts the codebook; the corpus never shuffles " +
     "wider than its (vec_id, sub) partial aggregate") {
     val p = plan("sim_pq_assign")

@@ -320,6 +320,17 @@ class TrainingDataOpsSpec extends AnyFunSuite with SparkSpec {
       "an earlier purchase sees only the earlier view")
     assert(out(300L).isNullAt(4) && out(300L).isNullAt(5) && out(300L).isNullAt(6),
       "no prior view → null attribution, the purchase row still survives")
+
+    // the windowed companion on the same events: the window is STRICTLY
+    // before the purchase, so both t=20 purchases and views exclude each
+    // other and only the t=10 view counts; user 2's purchase sees none
+    val win = SparkEntry.queries("ev_attribution_window")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4))))
+      .toMap
+    assert(win(200L) == ((1L, 10L)),
+      s"same-instant views fall outside the strict window: $win")
+    assert(win(201L) == ((1L, 10L)), s"$win")
+    assert(win(300L) == ((0L, -1L)), "zero views → count 0, null last_view_t")
   }
 
   test("sim_pq_assign quantizes each 8-dim subspace independently to the " +
