@@ -401,6 +401,43 @@ object TextCatalog extends Catalog {
         .orderBy(col("lang"))
     }),
 
+    // ── DSIR importance weights (Xie et al. 2023, "Data Selection for
+    // Language Models via Importance Resampling"): score every raw
+    // document by how much its hashed-feature distribution looks like
+    // the TARGET domain — here the corpus' own 'en' slice stands in for
+    // the target (production points this at a curated target set; the
+    // plan is identical). Features are hashed-unigram buckets (B=64),
+    // so BOTH distribution models are B-row tables: one token-keyed
+    // map-side-combined count each, then a 64-row broadcast back onto
+    // the token stream — the whole model traffic is O(B) regardless of
+    // corpus size, the trick that makes DSIR run at dataset scale.
+    // Add-one smoothing keeps empty buckets finite; per-token log ratios
+    // average per doc and round(6) absorbs cross-engine ln/sum ulps. ──
+    "tx_dsir_weight" -> ((s, d) => {
+      val B = 64
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("w"))
+        .withColumn("b", pmod(
+          PortableHash.hash64(concat(lit("dsir:"), col("w"))), lit(B.toLong)))
+      val tgt = toks.filter(col("lang") === "en")
+        .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+      val raw = toks.groupBy(col("b")).agg(count(lit(1)).as("cs"))
+      val tTot = tgt.agg(sum(col("ct")).as("t_total"))
+      val sTot = raw.agg(sum(col("cs")).as("s_total"))
+      val model = raw.join(tgt, Seq("b"), "left_outer")
+        .crossJoin(broadcast(tTot)).crossJoin(broadcast(sTot))
+        .select(col("b"),
+          (log((coalesce(col("ct"), lit(0L)) + 1.0) / (col("t_total") + B)) -
+            log((col("cs") + 1.0) / (col("s_total") + B))).as("log_ratio"))
+      toks.join(broadcast(model), Seq("b"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          round(avg(col("log_ratio")), 6).as("avg_log_ratio"))
+        .withColumn("upweighted", col("avg_log_ratio") > 0.0)
+        .orderBy(col("doc_id"))
+    }),
+
     // ── CCNet-style quality bucketing (Wenzek et al. 2020): split each
     // language into head/middle/tail terciles by unigram-LM score — the
     // shape CCNet uses with wiki-trained KenLM perplexity; the LM here is
@@ -620,6 +657,22 @@ object TextCatalog extends Catalog {
          SELECT lang, n_docs, round(qs[1], 6) AS p25, round(qs[2], 6) AS p50,
            round(qs[3], 6) AS p75, round(qs[4], 6) AS p95
          FROM q ORDER BY lang""",
+    "tx_dsir_weight" ->
+      s"""WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
+         tb AS (SELECT doc_id, lang,
+             ${PortableHash.hash64Sql("'dsir:' || w")} % 64 AS b FROM toks),
+         tgt AS (SELECT b, COUNT(*) AS ct FROM tb WHERE lang = 'en' GROUP BY 1),
+         raw AS (SELECT b, COUNT(*) AS cs FROM tb GROUP BY 1),
+         tt AS (SELECT SUM(ct) AS t_total FROM tgt),
+         st AS (SELECT SUM(cs) AS s_total FROM raw),
+         model AS (SELECT r.b,
+             ln((COALESCE(t.ct, 0) + 1.0) / (tt.t_total + 64))
+               - ln((r.cs + 1.0) / (st.s_total + 64)) AS log_ratio
+           FROM raw r LEFT JOIN tgt t ON r.b = t.b, tt, st)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           round(AVG(m.log_ratio), 6) AS avg_log_ratio,
+           round(AVG(m.log_ratio), 6) > 0.0 AS upweighted
+         FROM tb JOIN model m USING (b) GROUP BY doc_id ORDER BY doc_id""",
     "tx_ccnet_bucket" ->
       """WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
          uni AS (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY 1),

@@ -108,6 +108,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       "per-gram document frequency comes from a window, not a join-back")
   }
 
+  test("DSIR scoring broadcasts the 64-row feature model back onto the " +
+    "token stream — model traffic is O(B), not O(corpus)") {
+    val p = plan("tx_dsir_weight")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the bucket model joins broadcast:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
   test("ccnet bucketing ranks via the distributed range-partition prefix " +
     "sum — no per-language ntile funnel") {
     val p = plan("tx_ccnet_bucket")

@@ -387,6 +387,27 @@ class TrainingDataOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out((3L, 1)) == ((2L, 64.0)), s"$out")
   }
 
+  test("tx_dsir_weight upweights docs whose hashed-feature profile matches " +
+    "the target slice and downweights the rest") {
+    // target slice = lang 'en'; its vocabulary is disjoint from de's, so
+    // en-vocabulary buckets carry all the target mass
+    val d = docsDir(Seq(
+      (1L, "alpha beta gamma alpha beta", "en"),
+      (2L, "alpha gamma beta beta", "en"),
+      (3L, "zeta eta theta iota", "de"),
+      (4L, "zeta theta eta eta zeta", "de")))
+    val out = SparkEntry.queries("tx_dsir_weight")(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3))))
+      .toMap
+    assert(out.size == 4, "every raw doc gets a weight")
+    assert(out(1L)._1 == 5 && out(2L)._1 == 4)
+    for (en <- Seq(1L, 2L); de <- Seq(3L, 4L))
+      assert(out(en)._2 > out(de)._2,
+        s"target-like docs score above off-target docs: $out")
+    assert(out(1L)._3 && out(2L)._3 && !out(3L)._3 && !out(4L)._3,
+      s"the upweighted flag follows the sign: $out")
+  }
+
   test("dd_minhash_calibration: an identical pair lands in the top decile " +
     "with a perfect estimate and zero error") {
     val d = docsDir(Seq(
