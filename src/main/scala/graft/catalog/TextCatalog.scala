@@ -319,20 +319,27 @@ object TextCatalog extends Catalog {
 
     // ── TF-IDF keyword extraction: the top-3 most characteristic terms
     // per document — the classic corpus-statistics summarizer (domain
-    // tagging, topic routing, search-index boosting). Three bounded
-    // shuffles: tf is a map-side-combined groupBy(doc, term); df derives
-    // FROM the tf frame (already one row per doc×term, so counting rows
-    // counts documents — no second corpus scan, no count_distinct); the
-    // corpus size joins in as a 1-row broadcast. The final top-3 window
-    // partitions by doc_id (cardinality ∝ corpus — no hot key). tfidf is
-    // rounded to 6 BEFORE ranking so the cross-engine ln() ulp cannot
-    // reorder near-ties; the term tie-break makes rank total. ──
+    // tagging, topic routing, search-index boosting). tf is a map-side-
+    // combined groupBy(doc, term), CACHED so df derives from it instead
+    // of re-scanning and re-exploding the corpus (the tx_span_dup_frac
+    // lesson — on a real cluster this cache is the persisted tf table
+    // every IR stack keeps). df counts tf's rows per term (one row per
+    // doc×term, so row count = document frequency — no count_distinct),
+    // and deliberately NOT as a term-partitioned window: a stopword's
+    // window partition would be one task holding most of the corpus,
+    // while the groupBy+join pair partial-aggregates map-side and AQE
+    // splits any skewed join key. The corpus size joins in as a 1-row
+    // broadcast. The final top-3 window partitions by doc_id
+    // (cardinality ∝ corpus, InferWindowGroupLimit prunes it map-side).
+    // tfidf is rounded to 6 BEFORE ranking so the cross-engine ln() ulp
+    // cannot reorder near-ties; the term tie-break makes rank total. ──
     "tx_tfidf_keywords" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       val tf = toks.groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
+        .cache()
       val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
       val scored = tf.join(df, Seq("term")).crossJoin(broadcast(n))

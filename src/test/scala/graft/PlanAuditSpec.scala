@@ -108,6 +108,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       "per-gram document frequency comes from a window, not a join-back")
   }
 
+  test("tfidf derives the tokenized tf frame once: both the scored side " +
+    "and the df count read the tf cache, not fresh corpus scans") {
+    val p = plan("tx_tfidf_keywords")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      s"tf and df must both consume the cached tf table (a FileScan in the " +
+        s"plan text inside InMemoryRelation is the cache's recipe, not a " +
+        s"live scan):\n${p.take(2000)}")
+  }
+
   test("DSIR scoring broadcasts the 64-row feature model back onto the " +
     "token stream — model traffic is O(B), not O(corpus)") {
     val p = plan("tx_dsir_weight")
