@@ -434,6 +434,40 @@ object DedupCatalog extends Catalog {
         .orderBy(col("doc_id"))
     }),
 
+    // ── Bloom-pruned exact incremental dedup: classify a new batch
+    // against the corpus by content hash, with a driver-built Bloom
+    // sketch (~10 bits/key at 1% fpp, the same shape Spark's own
+    // runtime-filter injection broadcasts) pruning the probe side BEFORE
+    // the shuffle join: definitely-novel docs — the overwhelming
+    // majority of a healthy crawl batch — never enter the exchange, and
+    // only might-contain survivors pay the exact verify join. The OUTPUT
+    // is exact regardless of the sketch: Bloom filters have no false
+    // negatives, and false positives resolve to null in the left join —
+    // which is why a value-level oracle can check an approximately-
+    // accelerated plan. Sketch memory is items×10 bits on the driver;
+    // past driver scale, swap to per-partition sketches or drop the
+    // prune (the join is already co-partitioned and exact). ──
+    "dd_bloom_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), hash64(col("text")).as("content_hash"))
+      val isNew = col("doc_id") % 10 === 7
+      val batch = docs.filter(isNew)
+      val corpus = docs.filter(!isNew).cache()
+      val bloom = corpus.stat.bloomFilter("content_hash",
+        math.max(corpus.count(), 1000L), 0.01)
+      val mightContain = udf((h: Long) => bloom.mightContainLong(h))
+      val owners = corpus.groupBy(col("content_hash"))
+        .agg(min(col("doc_id")).as("dup_of"))
+      val checked = batch.filter(mightContain(col("content_hash")))
+        .join(owners, Seq("content_hash"), "left_outer")
+      val novel = batch.filter(!mightContain(col("content_hash")))
+        .withColumn("dup_of", lit(null).cast("long"))
+      checked.select(col("doc_id"), col("dup_of"))
+        .unionByName(novel.select(col("doc_id"), col("dup_of")))
+        .withColumn("is_dup", col("dup_of").isNotNull)
+        .orderBy(col("doc_id"))
+    }),
+
     // ── Embedding-cosine near-dup: nearest same-label neighbor per vector.
     // GOLD-STANDARD CHECK, deliberately all-pairs-within-label: it defines
     // the exact answer the approximate paths are judged against. At corpus
@@ -609,6 +643,13 @@ object DedupCatalog extends Catalog {
            d.doc_id = COALESCE(l.cluster_id, d.doc_id) AS is_canonical
          FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id
          ORDER BY d.doc_id""",
+    "dd_bloom_incremental" ->
+      s"""WITH h AS (SELECT doc_id, ${hash64Sql("text")} AS content_hash FROM documents),
+         b AS (SELECT doc_id, content_hash FROM h WHERE doc_id % 10 = 7),
+         c AS (SELECT content_hash, MIN(doc_id) AS dup_of FROM h
+               WHERE doc_id % 10 <> 7 GROUP BY 1)
+         SELECT b.doc_id, c.dup_of, c.dup_of IS NOT NULL AS is_dup
+         FROM b LEFT JOIN c USING (content_hash) ORDER BY b.doc_id""",
     "dd_incremental" -> {
       val mhList = (0 until 8).map(k =>
         minhashSql("hs", MinhashA(k), MinhashB(k))).mkString("[", ", ", "]")

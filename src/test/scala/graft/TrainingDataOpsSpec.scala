@@ -387,6 +387,28 @@ class TrainingDataOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out((3L, 1)) == ((2L, 64.0)), s"$out")
   }
 
+  test("dd_bloom_incremental classifies a batch exactly despite the " +
+    "approximate prune: dups resolve to the lowest corpus owner, novel " +
+    "docs pass, and a bloom false positive cannot flip a verdict") {
+    // batch = doc_id % 10 == 7; corpus = the rest
+    val d = docsDir(Seq(
+      (1L, "corpus text one", "en"),
+      (2L, "shared duplicate body", "en"),
+      (3L, "twice in the corpus", "en"),
+      (11L, "twice in the corpus", "en"),
+      (7L, "shared duplicate body", "en"),   // dup of 2
+      (17L, "genuinely novel content", "en"), // novel
+      (27L, "twice in the corpus", "en")))    // dup of min(3, 11)
+    val out = SparkEntry.queries("dd_bloom_incremental")(spark, d).collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1L else r.getLong(1)), r.getBoolean(2)))
+      .toMap
+    assert(out.keySet == Set(7L, 17L, 27L), "only batch docs classify")
+    assert(out(7L) == ((2L, true)), s"$out")
+    assert(out(27L) == ((3L, true)), "multi-copy content resolves to the lowest owner")
+    assert(out(17L) == ((-1L, false)), "novel content passes with null owner")
+  }
+
   test("tx_dsir_weight upweights docs whose hashed-feature profile matches " +
     "the target slice and downweights the rest") {
     // target slice = lang 'en'; its vocabulary is disjoint from de's, so
