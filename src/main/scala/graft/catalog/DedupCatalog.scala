@@ -180,14 +180,17 @@ object DedupCatalog extends Catalog {
     "dd_exact_substring" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val W = 8
-      val words = split(col("text"), " ")
-      val n = size(words)
-      val wins = transform(sequence(lit(1), greatest(n - (W - 1), lit(1))),
-        i => struct(i.cast("long").as("s"),
-          hash64(array_join(slice(words, i, lit(W)), " ")).as("h")))
+      val n = size(split(col("text"), " "))
+      // compiled window hashing + posexplode: the window START is just the
+      // array position + 1, so no per-window struct is built at all (and
+      // the interpreted slice/join/hash HOF this replaces dominated the
+      // query's runtime — the tx_ngram_topk measurement)
       val exploded = Tables.documents(s, d)
-        .select(col("doc_id"), n.cast("long").as("n_tokens"), explode(wins).as("w"))
-        .select(col("doc_id"), col("n_tokens"), col("w.s").as("s"), col("w.h").as("h"))
+        .select(col("doc_id"), n.cast("long").as("n_tokens"),
+          posexplode(graft.functions.TextHashes
+            .windowHashesUdf(W, distinct = false)(col("text"))).as(Seq("p", "h")))
+        .select(col("doc_id"), col("n_tokens"),
+          (col("p") + 1).cast("long").as("s"), col("h"))
       val byHash = Window.partitionBy(col("h"))
       val flagged = exploded.withColumn("dup",
         min(col("doc_id")).over(byHash) =!= max(col("doc_id")).over(byHash))

@@ -291,12 +291,12 @@ object TextCatalog extends Catalog {
     // tokens; the only wide shuffles carry (gram_hash) then (doc_id). ──
     "tx_span_dup_frac" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val words = split(col("text"), " ")
-      val grams = array_distinct(transform(
-        sequence(lit(1), greatest(size(words) - 4, lit(1))),
-        i => PortableHash.hash64(array_join(slice(words, i, lit(5)), " "))))
+      // compiled gram hashing (TextHashes.windowHashes): the interpreted
+      // transform/slice/array_join HOF was this query's dominant cost
       Tables.documents(s, d)
-        .select(col("doc_id"), explode(grams).as("g"))
+        .select(col("doc_id"),
+          explode(graft.functions.TextHashes
+            .windowHashesUdf(5, distinct = true)(col("text"))).as("g"))
         .withColumn("df", count(lit(1)).over(Window.partitionBy(col("g"))))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_grams"),
@@ -368,12 +368,12 @@ object TextCatalog extends Catalog {
     // top-k — native, no hand-rolled salt (PlanAuditSpec pins it). ──
     "tx_ngram_topk" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val words = split(col("text"), " ")
-      val bigrams = transform(
-        sequence(lit(1), greatest(size(words) - 1, lit(1))),
-        i => array_join(slice(words, i, lit(2)), " "))
+      // compiled bigram UDF, not the slice/array_join HOF: lambda HOFs
+      // evaluate interpreted per element and dominated the dedup shingle
+      // runtime (TextHashes history); same trade here
       val counts = Tables.documents(s, d)
-        .select(col("lang"), explode(bigrams).as("bigram"))
+        .select(col("lang"),
+          explode(graft.functions.TextHashes.bigramsUdf(col("text"))).as("bigram"))
         .groupBy(col("lang"), col("bigram")).agg(count(lit(1)).as("cnt"))
       val wLang = Window.partitionBy(col("lang"))
         .orderBy(col("cnt").desc, col("bigram"))

@@ -97,6 +97,60 @@ object TextHashes {
     seen.toArray(new Array[String](seen.size))
   }
 
+  /** Word bigrams, NON-distinct, in document order (matches the HOF/SQL
+    * defs: windows starting at 1..max(len-1, 1), slice of up to 2 words —
+    * a single-word doc yields that word). */
+  def bigrams(text: String): Array[String] = {
+    val words = text.split(" ", -1)
+    val n = math.max(words.length - 1, 1)
+    val out = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      out(i) =
+        if (i + 1 < words.length) words(i) + " " + words(i + 1) else words(i)
+      i += 1
+    }
+    out
+  }
+
+  /** hash64 of every word-n-gram window (windows start at 1..max(len-(n-1),
+    * 1); the tail window of a short doc clamps — same window rule as
+    * shingles3). `distinct` keeps first occurrences only. Compiled
+    * replacement for `transform(sequence(...), i -> hash64(array_join(
+    * slice(words, i, n))))`, whose interpreted lambda dominated the gram
+    * pipelines the way the shingle HOF once dominated dedup. */
+  def windowHashes(text: String, n: Int, distinct: Boolean): Array[Long] = {
+    val words = text.split(" ", -1)
+    val cnt = math.max(words.length - (n - 1), 1)
+    val sb = new java.lang.StringBuilder
+    def gram(start: Int): String = {
+      sb.setLength(0)
+      val end = math.min(start + n, words.length)
+      var j = start
+      while (j < end) {
+        if (j > start) sb.append(' ')
+        sb.append(words(j))
+        j += 1
+      }
+      sb.toString
+    }
+    if (distinct) {
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      var i = 0
+      while (i < cnt) { seen.add(hash64(gram(i))); i += 1 }
+      val out = new Array[Long](seen.size)
+      val it = seen.iterator
+      var k = 0
+      while (it.hasNext) { out(k) = it.next(); k += 1 }
+      out
+    } else {
+      val out = new Array[Long](cnt)
+      var i = 0
+      while (i < cnt) { out(i) = hash64(gram(i)); i += 1 }
+      out
+    }
+  }
+
   /** 31-bit hashes of the distinct shingles. */
   def shingleHashes(text: String): Array[Long] = shingles3(text).map(hash31)
 
@@ -139,6 +193,10 @@ object TextHashes {
     udf(jaccardStrings _).apply(a, b)
   }
   val shingles3Udf: Column => Column = { c => udf(shingles3 _).apply(c) }
+  val bigramsUdf: Column => Column = { c => udf(bigrams _).apply(c) }
+  def windowHashesUdf(n: Int, distinct: Boolean): Column => Column = { c =>
+    udf((t: String) => windowHashes(t, n, distinct)).apply(c)
+  }
   val shingleHashesUdf: Column => Column = { c => udf(shingleHashes _).apply(c) }
   def minhashesUdf(k: Int): Column => Column = { c =>
     udf((t: String) => minhashes(t, k)).apply(c)
