@@ -16,16 +16,23 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects; read the
-    // raw int64 and truncate to microseconds — exactly what DuckDB (µs-native)
-    // does on its side of the oracle, so both engines see identical instants.
+    // events.parquet has shipped ts as either TIMESTAMP(NANOS) (which Spark 4
+    // rejects without nanosAsLong) or plain TIMESTAMP(MICROS); normalize both
+    // to a session-UTC TimestampType so every downstream query and oracle sees
+    // identical microsecond instants regardless of the generator's vintage.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    if (name == "events") {
+      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      df.schema("ts").dataType match {
+        case LongType => // epoch nanos as int64: truncate to µs like DuckDB does
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType => // naive µs: same wall-clock, session tz is UTC
+          df.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => df
+      }
+    } else df
   }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
