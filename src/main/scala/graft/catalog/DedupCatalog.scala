@@ -107,25 +107,24 @@ object DedupCatalog extends Catalog {
           col("b.setsize") >= lit(threshold) * col("a.setsize") &&
           col("a.setsize") >= lit(threshold) * col("b.setsize") &&
           bound >= alpha)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.setsize").as("size_a"), col("b.setsize").as("size_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // exact verify WITHOUT shipping shingle arrays through join shuffles
-    // (the old form carried both docs' full arrays per candidate row —
-    // hundreds of MB of shuffle at sf0.1, unbounded at corpus scale):
-    // count common shingles on the full inverted index restricted to the
-    // candidate pairs, then J = I / (|A| + |B| − I). All codegen'd
-    // primitive ops, no UDF, shuffles carry only (ids, one shingle).
-    val full = docs.select(col("doc_id"), explode(col("sh")).as("s"))
-    val isect = cand
-      .join(full.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))
-      .join(full.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-    // inner join is lossless: every candidate pair shares ≥1 shingle by
-    // construction, so it has an isect row
-    cand.join(isect, Seq("doc_a", "doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        (col("inter") / (col("size_a") + col("size_b") - col("inter"))).as("jaccard"))
+    // exact verify: re-attach each side's shingle-set ARRAY to the pair
+    // and evaluate J with codegen'd Catalyst collection expressions.
+    // History: the r2 form carried string arrays per candidate (hundreds
+    // of MB of shuffle), the r3 fix exploded an inverted index so shuffles
+    // carried (ids, one shingle) — O(cand × doclen) narrow ROWS through
+    // two wide shuffles. With shingles pre-hashed to fixed-width longs the
+    // trade flips back: the same O(cand × doclen) bytes now move in
+    // O(cand) rows (8 B/element, no per-element string headers), the two
+    // joins key on a single long each, and per-pair set intersection runs
+    // as a per-row hash probe inside codegen instead of a 50×-row shuffle
+    // expansion. Both forms scale linearly in candidates × doc length;
+    // this one pays ~50× less per-row shuffle machinery.
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -338,10 +337,17 @@ object DedupCatalog extends Catalog {
     // ── Length-banded n-gram Jaccard via a prefix-filtered inverted index
     // (see lenbandJaccard below). DfCap scales with the corpus; the
     // rarest-K floor keeps mass-duplicated docs discoverable even when
-    // every one of their shingles is over the cap ──
+    // every one of their shingles is over the cap. Shingles enter the
+    // pipeline as 60-bit portable hashes, not strings: every downstream
+    // shuffle (df aggregation, postings self-join, verify joins) carries
+    // fixed-width longs, and join probes compare one word instead of
+    // hashing variable-length text — the same pre-hashing the gram
+    // pipelines (tx_span_dup_frac, dd_exact_substring) use. The oracle
+    // hashes identically, so values stay engine-exact. ──
     "dd_lenband_jaccard" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-        .select(col("doc_id"), shingles3(col("text")).as("sh"),
+        .select(col("doc_id"),
+          graft.functions.TextHashes.windowHashesUdf(3, distinct = true)(col("text")).as("sh"),
           expr("n_chars div 64").as("bucket"))
         .cache()
       val dfCap = math.max(100L, docs.count() / 50) // ~2% of the corpus
@@ -601,7 +607,9 @@ object DedupCatalog extends Catalog {
          FROM bk GROUP BY bucket ORDER BY bucket"""
     },
     "dd_lenband_jaccard" ->
-      s"""WITH sh AS (SELECT doc_id, n_chars, $Shingles3Sql AS sh FROM documents),
+      s"""WITH sh AS (SELECT doc_id, n_chars,
+           list_distinct(list_transform($Shingles3Sql, s -> ${hash64Sql("s")})) AS sh
+         FROM documents),
          bk AS (SELECT doc_id, sh, unnest([n_chars // 64, n_chars // 64 + 1]) AS bucket FROM sh)
          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
