@@ -37,15 +37,31 @@ object Components {
     * component). Nodes absent from `edges` are absent from the result —
     * callers left-join and coalesce to self for singletons. */
   def assign(edges: DataFrame, maxIters: Int = 50): DataFrame = {
+    // cache the directed edges first: the bidirectional union reads them
+    // twice, and when the caller's `edges` is itself a join pipeline
+    // (simhash band collisions, LSH candidates) an uncached union would
+    // re-run that pipeline once per direction
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .cache()
+    val m = e.count()
     // pinned hash partitioning on src, cached ONCE: the edge list is the
     // largest frame in the algorithm and every round joins it on src — a
     // plain cache would still re-exchange it per round, while the explicit
     // repartition makes the cached blocks satisfy the join's distribution
-    // so only the (shrinking) label frame moves each round
-    val bidir = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .filter(col("src") =!= col("dst"))
-      .repartition(col("src"))
+    // so only the (shrinking) label frame moves each round. The width is
+    // sized to the graph (~2M edges ≈ 32 MB per partition), capped at the
+    // session's configured shuffle width: a near-dup graph of tens of
+    // thousands of edges runs its rounds on a couple of partitions (each
+    // round's cost is task-scheduling latency, not compute), while a
+    // trillion-edge graph uses everything the cluster is configured for.
+    val confParts =
+      e.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = math.max(1L,
+      math.min(confParts.toLong, (2 * m + 1999999) / 2000000)).toInt
+    val bidir = e
+      .union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(parts, col("src"))
       .cache()
     var comp = bidir.groupBy(col("src"))
       .agg(min(col("dst")).as("__nbr"))
@@ -55,17 +71,25 @@ object Components {
     var converged = false
     var iters = 0
     while (!converged && iters < maxIters) {
-      // propagate: every node's label flows to its neighbors, keep the min
-      val nbrMin = comp.join(bidir, col("node") === col("src"))
-        .groupBy(col("dst"))
-        .agg(min(col("cluster_id")).as("__nbr_min"))
-        .select(col("dst").as("node"), col("__nbr_min"))
-      val stepped = comp.join(nbrMin, Seq("node"), "left_outer")
-        .select(col("node"),
-          least(col("cluster_id"), coalesce(col("__nbr_min"), col("cluster_id")))
-            .as("cluster_id"),
-          (col("__nbr_min").isNotNull && col("__nbr_min") < col("cluster_id"))
-            .as("__changed"))
+      // propagate: every node's label flows to its neighbors; the
+      // neighbor-label rows and each node's own-label row union into ONE
+      // min aggregation. The own row carries the previous label in __old
+      // (each node has exactly one, so max() recovers it), which makes
+      // change detection a per-row comparison instead of a join-back —
+      // the round runs 3 exchanges (comp→edge partitioning, the node agg,
+      // the compress probe) where the join+agg+join form ran 6.
+      // Every bidir node appears as src (the union is symmetric), so comp
+      // covers all of cand's nodes and the union loses nobody.
+      val cand = comp.join(bidir, col("node") === col("src"))
+        .select(col("dst").as("node"), col("cluster_id"),
+          lit(null).cast("long").as("__old"))
+      val own = comp.select(col("node"), col("cluster_id"),
+        col("cluster_id").as("__old"))
+      val stepped = cand.union(own)
+        .groupBy(col("node"))
+        .agg(min(col("cluster_id")).as("cluster_id"), max(col("__old")).as("__old"))
+        .select(col("node"), col("cluster_id"),
+          (col("cluster_id") < col("__old")).as("__changed"))
       // compress: node → label(label(node)); labels only shrink and always
       // name a node of the same component, so this is safe and halves the
       // remaining chain depth
@@ -85,6 +109,7 @@ object Components {
       throw new IllegalStateException(
         s"connected components did not converge in $maxIters rounds")
     bidir.unpersist(blocking = false)
+    e.unpersist(blocking = false)
     comp
   }
 }
