@@ -481,8 +481,92 @@ object TextCatalog extends Catalog {
         .select(col("doc_id"), col("lang"), col("avg_logprob"),
           col("tercile"), col("bucket"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ── PII redaction: regex detection + scrub of emails / E.164-style
+    // phone numbers / IPv4 addresses — the compliance pass every crawl
+    // corpus takes before training. The synthetic corpus carries no PII,
+    // so each doc deterministically PLANTS its own from doc_id (the
+    // tx_domain_cap planted-corpus pattern, identical in both engines);
+    // detection must then find exactly what was planted. Pure map-side
+    // regex work: at 100 TB an embarrassingly parallel scan-adjacent
+    // transform, zero shuffles beyond the output sort, and the three
+    // patterns are written in the Java-regex/RE2 common dialect so the
+    // same strings run unchanged in Spark codegen and the oracle. ──
+    "tx_pii_scrub" -> ((s, d) => {
+      val m5 = col("doc_id") % 5
+      val planted = concat(col("text"),
+        when(m5 === 0, concat(lit(" contact user"),
+          col("doc_id").cast("string"), lit("@mail.example.com now")))
+        .when(m5 === 1, concat(lit(" call +1555"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" today")))
+        .when(m5 === 2, concat(lit(" host 10."),
+          (col("doc_id") % 256).cast("string"), lit("."),
+          ((col("doc_id") * 7) % 256).cast("string"), lit(".9 logged")))
+        .when(m5 === 3, concat(lit(" mail a.b"),
+          col("doc_id").cast("string"), lit("@x.org and ip 192.168.1."),
+          (col("doc_id") % 200).cast("string"), lit(" end")))
+        .otherwise(lit("")))
+      def nMatches(c: org.apache.spark.sql.Column, re: String) =
+        size(regexp_extract_all(c, lit(re), lit(0))).cast("long")
+      Tables.documents(s, d)
+        .select(col("doc_id"), planted.as("pii_text"))
+        .select(col("doc_id"),
+          nMatches(col("pii_text"), PiiEmailRe).as("n_emails"),
+          nMatches(col("pii_text"), PiiIpRe).as("n_ips"),
+          nMatches(col("pii_text"), PiiPhoneRe).as("n_phones"),
+          regexp_replace(regexp_replace(regexp_replace(col("pii_text"),
+            PiiEmailRe, "[EMAIL]"), PiiIpRe, "[IP]"), PiiPhoneRe, "[PHONE]")
+            .as("clean_text"))
+        .withColumn("pii_total",
+          col("n_emails") + col("n_ips") + col("n_phones"))
+        .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+          col("pii_total"), col("clean_text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── URL/domain quality filter: the C4/RefinedWeb-style source gate —
+    // drop documents whose origin domain is blocklisted, spam-TLD'd,
+    // tracker-hosted, or suspiciously deep. The corpus' `source` column is
+    // a bare label, so the URL is deterministically planted from
+    // (source, doc_id) in both engines; the FILTER logic (blocklist
+    // membership, TLD class, subdomain depth, tracker prefix) is the
+    // operator under test. Map-side only: the blocklist is a literal
+    // IN-list (at scale: a broadcast lookup), every feature is a string
+    // expression beside the scan, no shuffle beyond the output sort. ──
+    "tx_url_filter" -> ((s, d) => {
+      val tld = when(col("doc_id") % 3 === 0, ".com")
+        .when(col("doc_id") % 3 === 1, ".info").otherwise(".org")
+      val sub = when(col("doc_id") % 5 === 0, "ads.")
+        .when(col("doc_id") % 5 === 1, "cdn.static.").otherwise("")
+      val host = concat(sub, lit("w"), (col("doc_id") % 7).cast("string"),
+        lit("."), col("source"), tld)
+      val url = concat(lit("https://"), host, lit("/p/"),
+        col("doc_id").cast("string"))
+      val depth = (length(host) -
+        length(regexp_replace(host, "\\.", ""))).cast("long")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), url.as("url"),
+          depth.as("subdomain_depth"),
+          sub.startsWith("ads.").as("is_tracker"),
+          (tld === ".info").as("spam_tld"),
+          col("source").isInCollection(UrlBlocklist).as("blocked_domain"))
+        .withColumn("kept",
+          !col("is_tracker") && !col("spam_tld") && !col("blocked_domain") &&
+            col("subdomain_depth") <= 2)
+        .orderBy(col("doc_id"))
     })
   )
+
+  /** PII patterns in the Java-regex/RE2 common dialect (no lookaround, no
+    * backrefs) so Spark and DuckDB match identically. */
+  private val PiiEmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PiiIpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val PiiPhoneRe = "\\+\\d{7,15}"
+
+  /** Blocked origin labels for tx_url_filter (at scale: a broadcast
+    * blocklist table). */
+  private val UrlBlocklist = Seq("src3", "src7", "src13")
 
   private def hitsSql(markers: Seq[String]) =
     s"CAST(len(list_filter(string_split(text, ' '), w -> list_contains(${markers.mkString("['", "','", "']")}, w))) AS BIGINT)"
@@ -691,6 +775,47 @@ object TextCatalog extends Catalog {
              ORDER BY avg_logprob DESC, doc_id) AS tercile FROM sc)
          SELECT doc_id, lang, avg_logprob, CAST(tercile AS BIGINT) AS tercile,
            CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
-         FROM r ORDER BY doc_id"""
+         FROM r ORDER BY doc_id""",
+    "tx_pii_scrub" ->
+      s"""WITH p AS (SELECT doc_id, text || CASE doc_id % 5
+           WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com now'
+           WHEN 1 THEN ' call +1555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+           WHEN 2 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+             || CAST((doc_id * 7) % 256 AS VARCHAR) || '.9 logged'
+           WHEN 3 THEN ' mail a.b' || CAST(doc_id AS VARCHAR) || '@x.org and ip 192.168.1.'
+             || CAST(doc_id % 200 AS VARCHAR) || ' end'
+           ELSE '' END AS pii_text
+         FROM documents),
+         c AS (SELECT doc_id,
+           CAST(len(regexp_extract_all(pii_text, '$PiiEmailRe')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(pii_text, '$PiiIpRe')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(pii_text, '$PiiPhoneRe')) AS BIGINT) AS n_phones,
+           regexp_replace(regexp_replace(regexp_replace(pii_text,
+             '$PiiEmailRe', '[EMAIL]', 'g'), '$PiiIpRe', '[IP]', 'g'),
+             '$PiiPhoneRe', '[PHONE]', 'g') AS clean_text
+         FROM p)
+         SELECT doc_id, n_emails, n_ips, n_phones,
+           n_emails + n_ips + n_phones AS pii_total, clean_text
+         FROM c ORDER BY doc_id""",
+    "tx_url_filter" ->
+      s"""WITH u AS (SELECT doc_id, source,
+           CASE doc_id % 3 WHEN 0 THEN '.com' WHEN 1 THEN '.info' ELSE '.org' END AS tld,
+           CASE doc_id % 5 WHEN 0 THEN 'ads.' WHEN 1 THEN 'cdn.static.' ELSE '' END AS sub
+         FROM documents),
+         h AS (SELECT doc_id, source, tld, sub,
+           sub || 'w' || CAST(doc_id % 7 AS VARCHAR) || '.' || source || tld AS host
+         FROM u),
+         f AS (SELECT doc_id, source,
+           'https://' || host || '/p/' || CAST(doc_id AS VARCHAR) AS url,
+           CAST(length(host) - length(replace(host, '.', '')) AS BIGINT) AS subdomain_depth,
+           starts_with(sub, 'ads.') AS is_tracker,
+           tld = '.info' AS spam_tld,
+           source IN (${UrlBlocklist.map("'" + _ + "'").mkString(", ")}) AS blocked_domain
+         FROM h)
+         SELECT doc_id, source, url, subdomain_depth, is_tracker, spam_tld,
+           blocked_domain,
+           (NOT is_tracker) AND (NOT spam_tld) AND (NOT blocked_domain)
+             AND subdomain_depth <= 2 AS kept
+         FROM f ORDER BY doc_id"""
   )
 }

@@ -444,4 +444,62 @@ class TrainingDataOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out(9L) == ((1L, 1.0, 1.0, 0.0)),
       s"J=1 pair: est 1.0, truth 1.0, zero error: $out")
   }
+
+  /** docsDir with a caller-chosen source column (tx_url_filter branches
+    * on it). */
+  private def docsDir4(rows: Seq[(Long, String, String, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_docs").toString
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")).cast("long"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("tx_pii_scrub: each planted PII class is counted and redacted, " +
+    "a clean doc passes through untouched") {
+    val d = docsDir(Seq(
+      (10L, "hello world", "en"),  // %5=0: email
+      (11L, "quick brown fox", "en"),  // %5=1: phone
+      (12L, "lazy dog", "en"),  // %5=2: ip
+      (13L, "pack my box", "en"),  // %5=3: email + ip
+      (14L, "five boxing wizards", "en")))  // %5=4: nothing planted
+    val out = SparkEntry.queries("tx_pii_scrub")(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))).toMap
+    assert(out(10L) == ((1L, 0L, 0L, 1L,
+      "hello world contact [EMAIL] now")))
+    assert(out(11L) == ((0L, 0L, 1L, 1L,
+      "quick brown fox call [PHONE] today")))
+    assert(out(12L) == ((0L, 1L, 0L, 1L,
+      "lazy dog host [IP] logged")))
+    assert(out(13L) == ((1L, 1L, 0L, 2L,
+      "pack my box mail [EMAIL] and ip [IP] end")),
+      s"a doc with two PII classes counts and scrubs both: ${out(13L)}")
+    assert(out(14L) == ((0L, 0L, 0L, 0L, "five boxing wizards")),
+      "no planted PII: untouched text, zero counts")
+  }
+
+  test("tx_url_filter: tracker subdomains, spam TLDs, blocklisted " +
+    "sources, and deep hosts are each dropped; a plain host is kept") {
+    val d = docsDir4(Seq(
+      (15L, "a", "en", "src3"),  // ads. tracker AND blocked source
+      (16L, "b", "en", "src0"),  // cdn.static. depth-4 host, .info TLD
+      (17L, "c", "en", "src0"),  // bare host, .org: the keeper
+      (18L, "d", "en", "src7")))  // clean shape but blocklisted
+    val out = SparkEntry.queries("tx_url_filter")(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), r.getLong(3),
+        r.getBoolean(4), r.getBoolean(5), r.getBoolean(6), r.getBoolean(7))))
+      .toMap
+    assert(out(15L) == (("https://ads.w1.src3.com/p/15", 3L,
+      true, false, true, false)), s"tracker + blocklist: ${out(15L)}")
+    assert(out(16L) == (("https://cdn.static.w2.src0.info/p/16", 4L,
+      false, true, false, false)), s"spam TLD + deep host: ${out(16L)}")
+    assert(out(17L) == (("https://w3.src0.org/p/17", 2L,
+      false, false, false, true)), s"plain host survives: ${out(17L)}")
+    assert(out(18L) == (("https://w4.src7.com/p/18", 2L,
+      false, false, true, false)), s"blocklist alone drops: ${out(18L)}")
+  }
 }
