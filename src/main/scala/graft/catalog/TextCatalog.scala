@@ -422,14 +422,22 @@ object TextCatalog extends Catalog {
     // average per doc and round(6) absorbs cross-engine ln/sum ulps. ──
     "tx_dsir_weight" -> ((s, d) => {
       val B = 64
-      val toks = Tables.documents(s, d)
+      // tokenize ONCE into a cached (doc, lang, bucket)-count table — at
+      // most docs×64 rows, the persisted feature table a production DSIR
+      // keeps — so the target model, the raw model, and the per-doc
+      // scoring all derive from it instead of each re-exploding the
+      // corpus token stream (the tx_span_dup_frac / tfidf lesson)
+      val bt = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
           explode(split(col("text"), " ")).as("w"))
         .withColumn("b", pmod(
           PortableHash.hash64(concat(lit("dsir:"), col("w"))), lit(B.toLong)))
-      val tgt = toks.filter(col("lang") === "en")
-        .groupBy(col("b")).agg(count(lit(1)).as("ct"))
-      val raw = toks.groupBy(col("b")).agg(count(lit(1)).as("cs"))
+        .groupBy(col("doc_id"), col("lang"), col("b"))
+        .agg(count(lit(1)).as("c"))
+        .cache()
+      val tgt = bt.filter(col("lang") === "en")
+        .groupBy(col("b")).agg(sum(col("c")).as("ct"))
+      val raw = bt.groupBy(col("b")).agg(sum(col("c")).as("cs"))
       val tTot = tgt.agg(sum(col("ct")).as("t_total"))
       val sTot = raw.agg(sum(col("cs")).as("s_total"))
       val model = raw.join(tgt, Seq("b"), "left_outer")
@@ -437,10 +445,12 @@ object TextCatalog extends Catalog {
         .select(col("b"),
           (log((coalesce(col("ct"), lit(0L)) + 1.0) / (col("t_total") + B)) -
             log((col("cs") + 1.0) / (col("s_total") + B))).as("log_ratio"))
-      toks.join(broadcast(model), Seq("b"))
+      // per-token average = bucket-count-weighted average (exact)
+      bt.join(broadcast(model), Seq("b"))
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tokens"),
-          round(avg(col("log_ratio")), 6).as("avg_log_ratio"))
+        .agg(sum(col("c")).as("n_tokens"),
+          round(sum(col("c").cast("double") * col("log_ratio")) / sum(col("c")), 6)
+            .as("avg_log_ratio"))
         .withColumn("upweighted", col("avg_log_ratio") > 0.0)
         .orderBy(col("doc_id"))
     }),
@@ -457,14 +467,24 @@ object TextCatalog extends Catalog {
     // rounded to 6 before ordering (cross-engine ln ulps), doc_id breaks
     // ties totally. ──
     "tx_ccnet_bucket" -> ((s, d) => {
-      val toks = Tables.documents(s, d)
+      // tokenize ONCE into a cached per-doc term-frequency table (the
+      // tfidf pattern): the unigram LM and the per-doc scoring both
+      // derive from tf instead of re-exploding the corpus, and the
+      // per-token average becomes a tf-weighted average (exact)
+      val tf = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
           explode(split(col("text"), " ")).as("w"))
-      val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"), col("lang"), col("w"))
+        .agg(count(lit(1)).as("tf"))
+        .cache()
+      val uni = tf.groupBy(col("w")).agg(sum(col("tf")).as("cnt"))
       val total = uni.agg(sum(col("cnt")).as("total"))
-      val perDoc = toks.join(uni, Seq("w")).crossJoin(broadcast(total))
+      val perDoc = tf.join(uni, Seq("w")).crossJoin(broadcast(total))
         .groupBy(col("doc_id"), col("lang"))
-        .agg(round(avg(log(col("cnt").cast("double") / col("total").cast("double"))), 6)
+        .agg(round(
+          sum(col("tf").cast("double") *
+            log(col("cnt").cast("double") / col("total").cast("double"))) /
+            sum(col("tf")), 6)
           .as("avg_logprob"))
       val nLang = perDoc.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
       val ordered = perDoc
