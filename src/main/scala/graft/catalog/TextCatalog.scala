@@ -503,6 +503,29 @@ object TextCatalog extends Catalog {
         .orderBy(col("doc_id"))
     }),
 
+    // ── Source-mixture reweighting: the data-mixing step before
+    // training — per-source token shares vs a target distribution
+    // (uniform here; production points this at DoReMi/curated weights),
+    // yielding the per-source sampling weight, capped at 5 epochs the way
+    // real mixes bound upsampling of tiny sources. One map-side-combined
+    // aggregation to |sources| rows plus a 1-row broadcast total: the
+    // whole query's shuffle traffic is O(|sources|) at any corpus size. ──
+    "tx_mix_weights" -> ((s, d) => {
+      val per = Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      val tot = per.agg(sum(col("n_tokens")).as("t_total"),
+        count(lit(1)).as("n_sources"))
+      val target = col("t_total").cast("double") / col("n_sources")
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("n_tokens").cast("double") / col("t_total"), 6).as("token_share"),
+          round(least(target / col("n_tokens"), lit(5.0)), 6).as("weight"),
+          (target / col("n_tokens") > 5.0).as("capped"))
+        .orderBy(col("source"))
+    }),
+
     // ── PII redaction: regex detection + scrub of emails / E.164-style
     // phone numbers / IPv4 addresses — the compliance pass every crawl
     // corpus takes before training. The synthetic corpus carries no PII,
@@ -796,6 +819,16 @@ object TextCatalog extends Catalog {
          SELECT doc_id, lang, avg_logprob, CAST(tercile AS BIGINT) AS tercile,
            CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
          FROM r ORDER BY doc_id""",
+    "tx_mix_weights" ->
+      """WITH per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         FROM documents GROUP BY source),
+         tot AS (SELECT SUM(n_tokens) AS t_total, COUNT(*) AS n_sources FROM per)
+         SELECT source, n_docs, n_tokens,
+           round(CAST(n_tokens AS DOUBLE) / t_total, 6) AS token_share,
+           round(least((CAST(t_total AS DOUBLE) / n_sources) / n_tokens, 5.0), 6) AS weight,
+           (CAST(t_total AS DOUBLE) / n_sources) / n_tokens > 5.0 AS capped
+         FROM per, tot ORDER BY source""",
     "tx_pii_scrub" ->
       s"""WITH p AS (SELECT doc_id, text || CASE doc_id % 5
            WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com now'

@@ -458,6 +458,26 @@ class TrainingDataOpsSpec extends AnyFunSuite with SparkSpec {
     dir
   }
 
+  test("tx_mix_weights: a dominant source is downweighted below 1, a tiny " +
+    "one is upweighted and capped at 5 epochs") {
+    // src0: 32 tokens of 40 total; src1: 6; src2: 2 (uniform target:
+    // 40/3 ≈ 13.33 tokens each → weights 0.416667, 2.222222, 5.0 capped)
+    val d = docsDir4(Seq(
+      (1L, ("w " * 15).trim, "en", "src0"),
+      (2L, ("w " * 17).trim, "en", "src0"),
+      (3L, "a b c d e f", "en", "src1"),
+      (4L, "x y", "en", "src2")))
+    val out = SparkEntry.queries("tx_mix_weights")(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(out("src0") == ((2L, 32L, 0.8, 0.416667, false)),
+      s"dominant source downweighted: ${out("src0")}")
+    assert(out("src1") == ((1L, 6L, 0.15, 2.222222, false)),
+      s"small source upweighted: ${out("src1")}")
+    assert(out("src2") == ((1L, 2L, 0.05, 5.0, true)),
+      s"tiny source hits the 5-epoch cap: ${out("src2")}")
+  }
+
   test("tx_pii_scrub: each planted PII class is counted and redacted, " +
     "a clean doc passes through untouched") {
     val d = docsDir(Seq(
