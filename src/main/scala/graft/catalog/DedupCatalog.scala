@@ -303,25 +303,24 @@ object DedupCatalog extends Catalog {
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-      val sizes = base.select(col("doc_id"), size(col("sh")).as("setsize"))
-      val full = base.select(col("doc_id"), explode(col("sh")).as("s"))
-      val isect = cand
-        .join(full.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))
-        .join(full.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
-        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-      val mhDim = base.select(col("doc_id"), col("mh"))
+      // exact-Jaccard verify in the lenband array form: one join per pair
+      // side attaches (shingle set, minhash signature) together, and the
+      // set overlap evaluates as a codegen'd per-row array_intersect —
+      // this replaced a 6-join plan (pair×shingle expansion for the
+      // intersection, two size joins, two signature joins) with 2 joins
+      // moving the same O(cand × doclen) bytes in O(cand) rows. A band
+      // collision does not guarantee a shared shingle (minhash values can
+      // collide across disjoint sets); array_intersect yields 0 there,
+      // which the old left-join+coalesce encoded explicitly.
       val est = (0 until 8).map(i =>
         when(element_at(col("mha"), i + 1) === element_at(col("mhb"), i + 1), 1)
           .otherwise(0)).reduce(_ + _) / 8.0
       val pairs = cand
-        .join(sizes.select(col("doc_id").as("doc_a"), col("setsize").as("size_a")), Seq("doc_a"))
-        .join(sizes.select(col("doc_id").as("doc_b"), col("setsize").as("size_b")), Seq("doc_b"))
-        .join(isect, Seq("doc_a", "doc_b"), "left")
-        .withColumn("inter", coalesce(col("inter"), lit(0L)))
-        .join(mhDim.select(col("doc_id").as("doc_a"), col("mh").as("mha")), Seq("doc_a"))
-        .join(mhDim.select(col("doc_id").as("doc_b"), col("mh").as("mhb")), Seq("doc_b"))
-        .select(
-          (col("inter") / (col("size_a") + col("size_b") - col("inter"))).as("jaccard"),
+        .join(base.select(col("doc_id").as("doc_a"),
+          col("sh").as("sh_a"), col("mh").as("mha")), Seq("doc_a"))
+        .join(base.select(col("doc_id").as("doc_b"),
+          col("sh").as("sh_b"), col("mh").as("mhb")), Seq("doc_b"))
+        .select(jaccard(col("sh_a"), col("sh_b")).as("jaccard"),
           est.as("est_jaccard"))
       pairs
         .withColumn("bucket",
