@@ -181,6 +181,26 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     val p = plan("dd_minhash_calibration")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"all-pairs leak into the calibration path:\n${p.take(2000)}")
+    assert(p.contains("array_intersect"),
+      "the exact verify is per-row set math on the attached arrays, " +
+        "not a pair-by-shingle join expansion")
+  }
+
+  test("lenband Jaccard verifies pairs on attached hash arrays: per-row " +
+    "array_intersect, no pair-by-shingle re-expansion after the candidate " +
+    "join") {
+    val p = plan("dd_lenband_jaccard")
+    assert(p.contains("array_intersect"),
+      s"the verify must be the array form:\n${p.take(2000)}")
+    // the only explodes are the inverted-index build: df counts + ranked
+    // postings derive the exploded select twice, and the cached postings
+    // subtree PRINTS under both sides of the candidate self-join — four
+    // textual occurrences. The old pair-by-shingle verify added two more
+    // (the re-exploded full index under each verify join); pin that they
+    // stay gone.
+    assert("(?m)Generate explode".r.findAllIn(p).size <= 4,
+      s"an extra explode means the verify re-expanded the corpus:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
   test("exact-substring dedup: one documents scan, duplication from window " +
