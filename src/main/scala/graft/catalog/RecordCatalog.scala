@@ -247,6 +247,37 @@ object RecordCatalog extends Catalog {
         .orderBy("bibcode")
     }),
 
+    // ── P9 per-mode projection: the index job's mode gating
+    // (adsmp/tasks.py:349-357 load_only lists) — each run produces rows
+    // only for its enabled sinks. Every fixture record carries metadata +
+    // metrics; every third additionally gets a nonbib payload with
+    // data_links_rows so the links leg is non-trivial. Output is the
+    // 3-runs × 3-sinks count matrix (9 rows — the operator-named-report
+    // pattern; the count actions are over already-computed sink frames). ──
+    "p9_mode_projection" -> ((s, _) => {
+      import s.implicits._
+      val linksMsgs = (1 to 24).filter(_ % 3 == 0).map { i =>
+        val bib = f"2024Fixt.$i%03d..001X"
+        UpdateMessage(bib, "nonbib_data",
+          s"""{"data_links_rows": [{"url": ["http://x/$i"], "title": [""],
+              "item_count": 0, "link_type": "ESOURCE", "link_sub_type": "DATA"}]}""",
+          new Timestamp(ts("2024-01-01T00:00:00Z").getTime + i * 1000 + 500))
+      }
+      val master = MergeEngine.upsert(MergeEngine.emptyMaster(s),
+        s.createDataset(fixtureUpdates(24) ++ linksMsgs)).master.as[MasterRecord]
+        .filter(IndexJob.eligible(None, force = false))
+      def one(label: String, modes: Set[String]) = {
+        val b = IndexJob.run(master, modes = modes)
+        Seq((label, "solr", b.solr.count()), (label, "metrics", b.metrics.count()),
+          (label, "links", b.links.count()))
+      }
+      (one("all", Set("solr", "metrics", "links")) ++
+        one("solr_only", Set("solr")) ++
+        one("metrics_links", Set("metrics", "links")))
+        .toDF("run", "sink", "n_rows")
+        .orderBy("run", "sink")
+    }),
+
     // ── ST2 completeness gate run in batch mode over the same state
     // machine the stream uses (rows-only; semantics in IngestStreamSpec) ──
     "st2_completeness_gate" -> ((s, _) => {
@@ -343,6 +374,20 @@ object RecordCatalog extends Catalog {
            TRUE AS has_bib,
            (i % 2 = 0) AS has_fulltext
          FROM generate_series(10, 24) AS t(i) ORDER BY bibcode""",
+    // 24 fixture records, all with metadata+metrics, every third (8 of
+    // 24) with a links-bearing nonbib payload; counts are closed-form
+    "p9_mode_projection" ->
+      """SELECT run, sink, n_rows FROM (VALUES
+           ('all', 'links', CAST(8 AS BIGINT)),
+           ('all', 'metrics', CAST(24 AS BIGINT)),
+           ('all', 'solr', CAST(24 AS BIGINT)),
+           ('metrics_links', 'links', CAST(8 AS BIGINT)),
+           ('metrics_links', 'metrics', CAST(24 AS BIGINT)),
+           ('metrics_links', 'solr', CAST(0 AS BIGINT)),
+           ('solr_only', 'links', CAST(0 AS BIGINT)),
+           ('solr_only', 'metrics', CAST(0 AS BIGINT)),
+           ('solr_only', 'solr', CAST(24 AS BIGINT))
+         ) AS t(run, sink, n_rows) ORDER BY run, sink""",
     "w1_distributed_bucketing" ->
       """SELECT doc_id,
            'sitemap_bib_' || CAST(CAST(floor((ROW_NUMBER() OVER (ORDER BY doc_id) - 1 + 25) / 64) AS BIGINT) + 1 AS VARCHAR) || '.xml' AS sitemap_filename
