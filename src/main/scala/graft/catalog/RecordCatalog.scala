@@ -263,9 +263,12 @@ object RecordCatalog extends Catalog {
               "item_count": 0, "link_type": "ESOURCE", "link_sub_type": "DATA"}]}""",
           new Timestamp(ts("2024-01-01T00:00:00Z").getTime + i * 1000 + 500))
       }
+      // cached: nine sink counts read this frame — without the cache each
+      // count action re-runs the whole merge pipeline
       val master = MergeEngine.upsert(MergeEngine.emptyMaster(s),
         s.createDataset(fixtureUpdates(24) ++ linksMsgs)).master.as[MasterRecord]
         .filter(IndexJob.eligible(None, force = false))
+        .cache()
       def one(label: String, modes: Set[String]) = {
         val b = IndexJob.run(master, modes = modes)
         Seq((label, "solr", b.solr.count()), (label, "metrics", b.metrics.count()),
