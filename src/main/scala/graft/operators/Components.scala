@@ -8,17 +8,21 @@ import org.apache.spark.sql.functions._
   * yields edges, this collapses them into per-document cluster labels so
   * dedup keeps one canonical representative per cluster.
   *
-  * Scale design: each round is two shuffle joins — push every node's label
-  * to its neighbors and keep the min (one join + map-side-combined min
-  * agg), then compress paths by re-pointing each node at its label's label
-  * (pointer doubling, so chain-shaped components converge in O(log
-  * diameter) rounds instead of O(diameter); near-dup graphs are mostly
-  * dense, but the synthetic-corpus near-dup graph showed exactly the
-  * chain-y tail that needs it). Every round ends in an EAGER
+  * Scale design: each round pushes every node's label to its neighbors
+  * and unions in the own-label rows so one map-side-combined min
+  * aggregation both propagates and detects change, then compresses paths
+  * by re-pointing each node at its label's label (pointer doubling, so
+  * chain-shaped components converge in O(log diameter) rounds instead of
+  * O(diameter); near-dup graphs are mostly dense, but the
+  * synthetic-corpus near-dup graph showed exactly the chain-y tail that
+  * needs it) — three exchanges per round. Every round ends in an EAGER
   * localCheckpoint: an iterative frame that merely caches keeps its whole
-  * logical plan, and since each round references the previous frame twice
-  * the plan tree doubles per round — 15 rounds of that OOMed an 8 GB
-  * driver on a 50-document corpus before any executor did real work. The
+  * logical plan, and since each round references the previous frame
+  * several times the plan tree grows geometrically — 15 rounds of that
+  * OOMed an 8 GB driver on a 50-document corpus before any executor did
+  * real work. (A persist-instead-of-checkpoint variant with a 3-round
+  * checkpoint window benched consistently SLOWER at sf0.1 — 5.2 s vs
+  * 3.2 s — so the per-round checkpoint stays.) The
   * checkpoint truncates lineage to the materialized blocks, making plan
   * size (and driver memory) constant per round. On a multi-node cluster
   * swap localCheckpoint for reliable checkpointing (spark.checkpoint.dir)
