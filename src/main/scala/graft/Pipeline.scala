@@ -253,13 +253,17 @@ object Pipeline {
       solrTransport: Sinks.Transport,
       bulkTransport: Sinks.Transport,
       checkpointDir: String,
-      force: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
+      force: Boolean = false,
+      forwardBoostRequests: Boolean = false,
+      forwardAugmentRequests: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
     updates.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[UpdateMessage], batchId: Long) =>
         val report = runBatch(spark, store, batch, solrTransport, bulkTransport,
           watermarkDir = None, force = force,
-          now = new Timestamp(System.currentTimeMillis()))
+          now = new Timestamp(System.currentTimeMillis()),
+          forwardBoostRequests = forwardBoostRequests,
+          forwardAugmentRequests = forwardAugmentRequests)
         spark.sparkContext.setJobDescription(
           s"graft micro-batch $batchId -> snapshot v${report.version}")
         ()

@@ -40,7 +40,13 @@ object DedupCatalog extends Catalog {
         graft.functions.TextHashes.shingleHashesUdf(col("text")).as("hs"))
 
   /** Length-banded n-gram Jaccard with prefix-filtered candidate
-    * generation. `docs` must carry (doc_id, sh: array<string>, bucket).
+    * generation. `docs` must carry (doc_id, sh, bucket) where `sh` is the
+    * DISTINCT shingle set in any equality-comparable element type — the
+    * catalog feeds 60-bit window hashes (array<long>, the scale choice:
+    * fixed-width join keys and compact verify arrays); specs feed
+    * array<string> fixtures. Whatever the type, the oracle must derive
+    * the same elements (the hashed caller mirrors with
+    * list_distinct(list_transform(..., hash64))).
     *
     * Candidate generation is an exact-recall prefix filter (the
     * Bayardo/ppjoin family, symmetric-join form): rank each doc's

@@ -508,7 +508,7 @@ object RelationalCatalog extends Catalog {
           "left_outer")
         .groupBy(col("event_id"), purchases("user_id").as("user_id"), col("t"))
         .agg(count(col("view_t")).as("n_views"),
-          coalesce(max(col("view_t")), lit(null).cast("long")).as("last_view_t"))
+          max(col("view_t")).as("last_view_t"))
         .orderBy(col("event_id"))
     })
   )

@@ -377,12 +377,19 @@ object SimilarityCatalog extends Catalog {
     aggregate(zip_with(a, b, (x, c) => (x - c) * (x - c)),
       lit(0.0), (acc, x) => acc + x)
 
-  /** Each vector exploded into its 8 PQ subspaces of 8 dims. */
+  /** Each vector exploded into its 8 PQ subspaces of 8 dims. CACHED: one
+    * IVF-PQ query composes this through pqCodes, codebook, and the query
+    * side, which would otherwise scan + explode the embeddings three or
+    * four times per execution (the single-derivation rule). The frame is
+    * |vectors|×8 rows of 8-dim slices; Spark's cache manager dedupes the
+    * identical plan across the helper calls, so every consumer reads the
+    * one in-memory copy. */
   private def subspaced(s: SparkSession, d: String) = {
     val sv = transform(sequence(lit(0), lit(7)),
       m => struct(m.cast("long").as("sub"), slice(col("v"), m * 8 + 1, lit(8)).as("sv")))
     vecs(s, d).select(col("vec_id"), col("label"), explode(sv).as("s"))
       .select(col("vec_id"), col("label"), col("s.sub").as("sub"), col("s.sv").as("sv"))
+      .cache()
   }
 
   /** Deterministic data-derived codebook: the subvectors of vec_id 0..3

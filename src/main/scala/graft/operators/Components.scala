@@ -72,6 +72,10 @@ object Components {
       .select(col("src").as("node"),
         least(col("__nbr"), col("src")).as("cluster_id"))
       .localCheckpoint(true)
+    // the seed checkpoint materialized bidir's cache, and bidir was e's
+    // last reader — release the directed copy before the rounds instead
+    // of holding ~1.5x the edge set in storage for the whole loop
+    e.unpersist(blocking = false)
     var converged = false
     var iters = 0
     while (!converged && iters < maxIters) {
@@ -113,7 +117,6 @@ object Components {
       throw new IllegalStateException(
         s"connected components did not converge in $maxIters rounds")
     bidir.unpersist(blocking = false)
-    e.unpersist(blocking = false)
     comp
   }
 }

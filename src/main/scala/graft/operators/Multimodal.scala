@@ -131,16 +131,19 @@ object Multimodal {
   def sampleFrames(assets: Dataset[MediaAsset], stride: Int, frameSize: Int): Dataset[Frame] = {
     val spark = assets.sparkSession
     import spark.implicits._
+    // clamp once for BOTH branches: a zero/negative stride would throw in
+    // Iterator.range on the stub path (the AVI path already clamped)
+    val step = math.max(stride, 1)
     assets.filter(_.kind == "video").flatMap { a =>
       MediaDecode.decodeAviFrames(a.bytes) match {
         case Some(frames) =>
           frames.iterator.zipWithIndex
-            .filter { case (_, i) => i % math.max(stride, 1) == 0 }
+            .filter { case (_, i) => i % step == 0 }
             .zipWithIndex.map { case ((f, _), outIdx) =>
               Frame(a.media_id, outIdx, f.offset, f.bitmap.rgb)
             }
         case None =>
-          Iterator.range(0, math.max(a.bytes.length, 1), stride).zipWithIndex.map {
+          Iterator.range(0, math.max(a.bytes.length, 1), step).zipWithIndex.map {
             case (off, idx) =>
               // STUB frame decode: a byte slice stands in for the frame
               Frame(a.media_id, idx, off.toLong,
