@@ -28,8 +28,16 @@ object Tables {
       df.schema("ts").dataType match {
         case LongType => // epoch nanos as int64: truncate to µs like DuckDB does
           df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        case TimestampNTZType => // naive µs: same wall-clock, session tz is UTC
-          df.withColumn("ts", col("ts").cast(TimestampType))
+        case TimestampNTZType =>
+          // naive µs mean UTC wall-clock instants. The cast interprets the
+          // wall clock in the SESSION time zone, so shift back by that
+          // zone's offset: an identity under the UTC sessions every entry
+          // point configures, and still correct (instead of silently
+          // shifted vs the DuckDB oracle) under any other caller's tz.
+          import org.apache.spark.sql.functions.from_utc_timestamp
+          val tz = spark.conf.get("spark.sql.session.timeZone")
+          df.withColumn("ts",
+            from_utc_timestamp(col("ts").cast(TimestampType), tz))
         case _ => df
       }
     } else df

@@ -383,7 +383,13 @@ object SimilarityCatalog extends Catalog {
     * four times per execution (the single-derivation rule). The frame is
     * |vectors|×8 rows of 8-dim slices; Spark's cache manager dedupes the
     * identical plan across the helper calls, so every consumer reads the
-    * one in-memory copy. */
+    * one in-memory copy. Catalog caches are SESSION-SCOPED BY DESIGN:
+    * nothing unpersists them, because the catalog serves repeated
+    * interactive/bench queries over one fixed corpus and re-deriving the
+    * slice frame per query would cost more than the pinned storage; a
+    * caller embedding these plans in a long-lived service with rotating
+    * corpora should clear them via spark.catalog.clearCache() between
+    * corpus swaps. */
   private def subspaced(s: SparkSession, d: String) = {
     val sv = transform(sequence(lit(0), lit(7)),
       m => struct(m.cast("long").as("sub"), slice(col("v"), m * 8 + 1, lit(8)).as("sv")))

@@ -25,8 +25,10 @@ import org.apache.spark.sql.functions._
   * 3.2 s — so the per-round checkpoint stays.) The
   * checkpoint truncates lineage to the materialized blocks, making plan
   * size (and driver memory) constant per round. On a multi-node cluster
-  * swap localCheckpoint for reliable checkpointing (spark.checkpoint.dir)
-  * if executor loss mid-algorithm must be survivable; the algorithm is
+  * where executor loss mid-algorithm must be survivable, set
+  * spark.graft.components.reliableCheckpoint=true (plus a
+  * SparkContext.setCheckpointDir) and every round checkpoints to the
+  * reliable store instead of executor-local blocks; the algorithm is
   * unchanged.
   *
   * Convergence detection rides the propagation step only: when no node saw
@@ -59,10 +61,23 @@ object Components {
     // thousands of edges runs its rounds on a couple of partitions (each
     // round's cost is task-scheduling latency, not compute), while a
     // trillion-edge graph uses everything the cluster is configured for.
-    val confParts =
-      e.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // some managed runtimes set shuffle.partitions to a non-numeric value
+    // (e.g. "auto"); the sizing heuristic degrades to defaultParallelism
+    // there instead of crashing before any work
+    val confParts = scala.util.Try(
+      e.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+      .getOrElse(e.sparkSession.sparkContext.defaultParallelism)
     val parts = math.max(1L,
       math.min(confParts.toLong, (2 * m + 1999999) / 2000000)).toInt
+    // per-round lineage pin: executor-local blocks by default (fastest),
+    // or the reliable checkpoint store when the caller opts in for
+    // executor-loss survivability on a real cluster
+    val reliable = e.sparkSession.conf
+      .getOption("spark.graft.components.reliableCheckpoint")
+      .exists(_.equalsIgnoreCase("true")) &&
+      e.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def pin(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
     val bidir = e
       .union(e.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(parts, col("src"))
@@ -71,7 +86,7 @@ object Components {
       .agg(min(col("dst")).as("__nbr"))
       .select(col("src").as("node"),
         least(col("__nbr"), col("src")).as("cluster_id"))
-      .localCheckpoint(true)
+    comp = pin(comp)
     // the seed checkpoint materialized bidir's cache, and bidir was e's
     // last reader — release the directed copy before the rounds instead
     // of holding ~1.5x the edge set in storage for the whole loop
@@ -108,7 +123,7 @@ object Components {
         .select(col("x.node").as("node"),
           coalesce(col("__lc"), col("x.cluster_id")).as("cluster_id"),
           col("x.__changed").as("__changed"))
-      val next = flat.localCheckpoint(true)
+      val next = pin(flat)
       converged = next.filter(col("__changed")).limit(1).count() == 0
       comp = next.drop("__changed")
       iters += 1

@@ -59,4 +59,23 @@ class ComponentsPropSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(gotChain == (0L to 12L).map(_ -> 0L).toMap)
   }
+
+  test("the reliable-checkpoint flag produces identical labels (cluster " +
+    "fault-tolerance path, Components.scala scaladoc)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val chain = (0L until 12L).map(i => (i + 1, i)) ++ Seq((20L, 21L), (21L, 22L))
+    try {
+      spark.sparkContext.setCheckpointDir(dir)
+      spark.conf.set("spark.graft.components.reliableCheckpoint", "true")
+      val got = Components.assign(chain.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = (0L to 12L).map(_ -> 0L).toMap ++
+        Seq(20L, 21L, 22L).map(_ -> 20L).toMap
+      assert(got == want)
+    } finally {
+      spark.conf.set("spark.graft.components.reliableCheckpoint", "false")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
