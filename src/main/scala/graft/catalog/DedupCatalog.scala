@@ -134,19 +134,22 @@ object DedupCatalog extends Catalog {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** SimHash near-dup pairs (doc_a < doc_b, hamming ≤ 6): 4 LSH bands ×
-    * 15 bits over the 60-bit fingerprint. Shared by the pair query and the
-    * cluster-assignment query. Fingerprints are cached pre-join — the
-    * simhash expression is ~1000× the cost of the join probe, so it must
-    * evaluate once per doc, not once per join side per reference. */
-  private def simhashPairs(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.documents(s, d)
-      .select(col("doc_id"), simhash60(col("text")).as("simhash"))
-      .select(col("doc_id"), col("simhash"),
+  /** Banded-Hamming near-dup pairs over ANY 60-bit fingerprint frame
+    * `(doc_id, fp)`: 4 LSH bands × 15 bits generate candidates by
+    * equi-join (never cartesian), exact Hamming verify keeps doc_a < doc_b
+    * pairs within `maxHamming`. One plan shape serves every
+    * Hamming-fingerprint family — text simhash (dd_simhash_pairs) and
+    * image dHash (dd_phash_pairs) — exactly as one shuffle shape should.
+    * Fingerprints are cached pre-join: the fingerprint expression is
+    * ~1000× the cost of the join probe, so it must evaluate once per doc,
+    * not once per join side per reference. */
+  private def bandedHammingPairs(fps: DataFrame, maxHamming: Int): DataFrame = {
+    val base = fps
+      .select(col("doc_id"), col("fp"),
         explode(array((0 until 4).map(k => struct(
           lit(k).as("band_idx"),
-          (expr(s"simhash div ${1L << (15 * k)}") % 32768L).as("band_val"))): _*)).as("band"))
-      .select(col("doc_id"), col("simhash"),
+          (expr(s"fp div ${1L << (15 * k)}") % 32768L).as("band_val"))): _*)).as("band"))
+      .select(col("doc_id"), col("fp"),
         col("band.band_idx").as("band_idx"), col("band.band_val").as("band_val"))
       .cache()
     base.as("a").join(base.as("b"),
@@ -154,10 +157,19 @@ object DedupCatalog extends Catalog {
           col("a.band_val") === col("b.band_val") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
-      .filter(col("hamming") <= 6)
+        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** SimHash near-dup pairs (doc_a < doc_b, hamming ≤ 6). Shared by the
+    * pair query and the cluster-assignment query (Spark's cache manager
+    * dedupes the identical banded plan across both). */
+  private def simhashPairs(s: SparkSession, d: String): DataFrame =
+    bandedHammingPairs(
+      Tables.documents(s, d)
+        .select(col("doc_id"), simhash60(col("text")).as("fp")),
+      maxHamming = 6)
 
   def queries: Map[String, QFn] = Map(
 
@@ -379,6 +391,22 @@ object DedupCatalog extends Catalog {
     // evaluate once per doc, not once per join side per reference. ──
     "dd_simhash_pairs" -> ((s, d) =>
       simhashPairs(s, d).orderBy(col("doc_a"), col("doc_b"))),
+
+    // ── Image near-dup pairs: 60-bit perceptual dHash
+    // (graft.operators.Multimodal.dhash60 — real pixel decode for real
+    // images, byte-grid stub for the synthetic corpus) through the SAME
+    // banded-Hamming plan as the text simhash family. The threshold is
+    // looser than simhash's (8 vs 6): a byte-level edit moves more dHash
+    // grid cells than a word-level edit moves simhash terms. ASCII/image
+    // filters mirror MultimodalCatalog.DhashGridSql's oracle constraint. ──
+    "dd_phash_pairs" -> ((s, d) => {
+      val imgs = Tables.documents(s, d)
+        .filter(col("doc_id") % 3 === 0 && col("text").rlike("^[\\x00-\\x7F]*$"))
+        .select(col("doc_id"),
+          graft.operators.Multimodal.dhash60Udf(col("text")).as("fp"))
+      bandedHammingPairs(imgs, maxHamming = 8)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
 
     // ── Cluster assignment: connected components over the simhash
     // near-dup pair graph (graft.operators.Components — min-label
@@ -635,6 +663,22 @@ object DedupCatalog extends Catalog {
            ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
          WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
          ORDER BY doc_a, doc_b""",
+    "dd_phash_pairs" -> {
+      import MultimodalCatalog.{DhashGridSql, Dhash60FromGridSql}
+      s"""WITH img AS (SELECT doc_id, $DhashGridSql AS grid FROM documents
+           WHERE doc_id % 3 = 0 AND regexp_matches(text, '^[\\x00-\\x7F]*$$')),
+         f AS (SELECT doc_id, $Dhash60FromGridSql AS fp FROM img),
+         bands AS (SELECT doc_id, fp, t.k AS band_idx,
+             (fp // (CASE t.k WHEN 0 THEN 1 WHEN 1 THEN 32768
+                      WHEN 2 THEN 1073741824 ELSE 35184372088832 END)::BIGINT) % 32768 AS band_val
+           FROM f, generate_series(0, 3) t(k))
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+         FROM bands a JOIN bands b
+           ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.fp, b.fp)) <= 8
+         ORDER BY doc_a, doc_b"""
+    },
     "dd_cluster_assign" ->
       s"""WITH RECURSIVE
          s AS (SELECT doc_id, $Simhash60Sql AS simhash FROM documents),

@@ -19,6 +19,24 @@ object MultimodalCatalog extends Catalog {
   private def hSql = s"(('0x' || substr(md5(text), 1, 15))::BIGINT % $P)"
   private val kindSql = "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
 
+  /** DuckDB mirror of [[Multimodal.dhash60]]'s STUB grid path — the 7×10
+    * byte grid grid[i] = bytes[i mod len] — valid for ASCII payloads where
+    * substr-per-char equals byte indexing (both phash queries filter to
+    * ASCII for exactly this reason; real images take the decode path,
+    * spec-verified in MultimodalSpec with real BMPs). */
+  val DhashGridSql: String =
+    """list_transform(range(0, 70), i ->
+         CASE WHEN octet_length(encode(text)) = 0 THEN 0
+         ELSE ord(substr(text, CAST(i % octet_length(encode(text)) AS INT) + 1, 1)) END)"""
+
+  /** Packs a `grid` list column into the 60-bit dHash (6 horizontal
+    * brightness diffs × 10 rows; 1-based list indexing). */
+  val Dhash60FromGridSql: String =
+    """CAST(list_sum(list_transform(range(0, 60), b ->
+         CASE WHEN grid[CAST((b // 6) * 7 + (b % 6) AS INT) + 2]
+                 > grid[CAST((b // 6) * 7 + (b % 6) AS INT) + 1]
+         THEN CAST(pow(2.0, b) AS BIGINT) ELSE 0 END)) AS BIGINT)"""
+
   def queries: Map[String, QFn] = Map(
 
     // ── decode: opaque bytes → typed metadata row ──
@@ -49,6 +67,21 @@ object MultimodalCatalog extends Catalog {
       Multimodal.resize(
         Multimodal.mediaFromDocuments(Tables.documents(s, d)), maxSide = 256)
         .toDF().orderBy("media_id")
+    }),
+
+    // ── perceptual hash: 60-bit dHash per image asset, the fingerprint
+    // dd_phash_pairs bands for image near-dup detection. Pure map-side
+    // per-asset compute — the hash is 8 bytes however large the image,
+    // which is what makes image dedup feasible at 100 TB: only
+    // fingerprints ever reach a shuffle. ASCII filter: see DhashGridSql. ──
+    "mm_phash" -> ((s, d) => {
+      import s.implicits._
+      val ascii = Tables.documents(s, d).filter(col("text").rlike("^[\\x00-\\x7F]*$"))
+      Multimodal.mediaFromDocuments(ascii)
+        .filter(_.kind == "image")
+        .map(a => (a.media_id, Multimodal.dhash60(a.bytes)))
+        .toDF("media_id", "phash")
+        .orderBy("media_id")
     }),
 
     // ── batch feature extraction → embedding head. The oracle folds the
@@ -109,6 +142,11 @@ object MultimodalCatalog extends Catalog {
          SELECT media_id, out_width, out_height,
            CAST(out_width * out_height * 3 AS INT) AS n_bytes
          FROM scaled ORDER BY media_id""",
+    "mm_phash" ->
+      s"""WITH img AS (SELECT doc_id, $DhashGridSql AS grid FROM documents
+           WHERE doc_id % 3 = 0 AND regexp_matches(text, '^[\\x00-\\x7F]*$$'))
+         SELECT doc_id AS media_id, $Dhash60FromGridSql AS phash
+         FROM img ORDER BY media_id""",
     "mm_embed" ->
       """SELECT doc_id AS media_id,
            floor(list_sum(list_transform(

@@ -175,6 +175,50 @@ object Multimodal {
     }
   }
 
+  /** 60-bit difference hash (dHash) — the perceptual fingerprint for image
+    * near-dup detection. Real images (BMP/PNG/GIF/JPEG) decode via
+    * [[MediaDecode.decodeImage]], resample to a 7-wide × 10-tall grayscale
+    * grid with the same nearest-neighbor kernel the resize operator uses,
+    * and each bit records whether brightness rises between horizontal
+    * neighbors (6 diffs × 10 rows = 60 bits). Non-decodable payloads (the
+    * synthetic corpus) derive the grid from the raw bytes with the
+    * declared deterministic STUB the DuckDB oracle reproduces —
+    * grid[i] = bytes[i mod len]. 60 bits rather than the textbook 64
+    * keeps the fingerprint in the sign-safe positive-BIGINT family shared
+    * with simhash60, so the same 4×15-bit LSH band split serves both
+    * (dd_simhash_pairs / dd_phash_pairs). */
+  def dhash60(bytes: Array[Byte]): Long = {
+    val gw = 7; val gh = 10
+    val grid: Array[Int] = MediaDecode.decodeImage(bytes) match {
+      case Some(bm) =>
+        val small = MediaDecode.resizeNearest(bm, gw, gh)
+        Array.tabulate(gw * gh) { i =>
+          ((small.rgb(i * 3) & 0xff) + (small.rgb(i * 3 + 1) & 0xff) +
+            (small.rgb(i * 3 + 2) & 0xff)) / 3
+        }
+      case None =>
+        if (bytes.isEmpty) new Array[Int](gw * gh)
+        else Array.tabulate(gw * gh)(i => bytes(i % bytes.length) & 0xff)
+    }
+    var h = 0L
+    var y = 0
+    while (y < gh) {
+      var x = 0
+      while (x < gw - 1) {
+        if (grid(y * gw + x + 1) > grid(y * gw + x)) h |= 1L << (y * 6 + x)
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
+  /** Column form of [[dhash60]] over a text-payload column (UTF-8 bytes —
+    * the synthetic corpus path; real pipelines apply it to the binary
+    * payload column directly). */
+  val dhash60Udf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((s: String) => if (s == null) 0L else dhash60(s.getBytes("UTF-8")))
+
   /** Build a deterministic media table from the documents table: the text
     * bytes stand in for the opaque payload; modality round-robins by id.
     * (The synthetic corpus has no real media; everything downstream only

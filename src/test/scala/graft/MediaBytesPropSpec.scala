@@ -104,8 +104,10 @@ class MediaBytesPropSpec extends AnyFunSuite {
     run("meta", Prop.forAll(Gen.oneOf(arbitraryBytes, magicBytes), kinds) { (b, k) =>
       val (w, h, sr, dur) = Multimodal.decodeMeta(b, k)
       val emb = Multimodal.embed(b)
+      val dh = Multimodal.dhash60(b)
       w >= 0 && h >= 0 && sr >= 0 && dur >= 0 && emb.length == 8 &&
-        emb.forall(v => !v.isNaN)
+        emb.forall(v => !v.isNaN) &&
+        dh >= 0L && (dh >> 60) == 0L && dh == Multimodal.dhash60(b)
     })
   }
 }

@@ -199,6 +199,24 @@ class MediaDecodeSpec extends AnyFunSuite with SparkSpec {
       "resample runs over decoded PNG pixels")
   }
 
+  test("dhash60 hashes decoded pixels: a left-to-right gradient sets every " +
+    "diff bit, a constant image none, and storage order doesn't matter") {
+    val (w, h) = (7, 10) // exactly the dHash grid — resample is identity
+    val grad = Array.tabulate(w * h * 3) { i => ((i / 3 % w) * 30).toByte }
+    for (td <- Seq(false, true))
+      assert(Multimodal.dhash60(bmp24(w, h, grad, topDown = td)) == (1L << 60) - 1,
+        s"brightness rises at every horizontal neighbor (topDown=$td)")
+    val const = Array.fill(w * h * 3)(77.toByte)
+    assert(Multimodal.dhash60(bmp24(w, h, const)) == 0L)
+    // identical pixels through different container storage → identical hash,
+    // and a one-pixel brightness spike flips only that neighborhood's bits
+    val spiked = grad.clone()
+    spiked(3 * (5 * w + 3)) = 255.toByte // row 5, col 3, R channel
+    val d = java.lang.Long.bitCount(
+      Multimodal.dhash60(bmp24(w, h, grad)) ^ Multimodal.dhash60(bmp24(w, h, spiked)))
+    assert(d >= 1 && d <= 2, s"local edit stays local: $d bits")
+  }
+
   test("nearest-neighbor resample picks exact source pixels") {
     val bm = Bitmap(2, 2, rgb2x2)
     val up = MediaDecode.resizeNearest(bm, 4, 4)
