@@ -567,6 +567,55 @@ object TextCatalog extends Catalog {
         .orderBy(col("doc_id"))
     }),
 
+    // ── PII breadth: SSN-shaped national ids and 16-digit card numbers
+    // with a REAL Luhn mod-10 check — the two detectors a production
+    // compliance pass adds beyond email/ip/phone. Same planted-corpus
+    // pattern as tx_pii_scrub; the planted card's validity varies
+    // naturally with doc_id, so the Luhn column discriminates (it is not
+    // constant-true). Luhn runs as nested codegen'd collection HOFs over
+    // position-indexed digits — no UDF — and redaction scrubs every card
+    // CANDIDATE (conservative compliance: a Luhn-failing 16-digit run is
+    // still not trainable text) while n_luhn_valid reports how many were
+    // verifiably real. Map-side only; the output sort is the lone shuffle. ──
+    "tx_pii_extended" -> ((s, d) => {
+      val m4 = col("doc_id") % 4
+      val ssn = concat(lit("523-"),
+        lpad(((col("doc_id") * 3) % 100).cast("string"), 2, "0"), lit("-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      val card = concat(lit("4"),
+        lpad((col("doc_id") % 1000000).cast("string"), 6, "0"),
+        lpad(((col("doc_id") * 7) % 1000000).cast("string"), 6, "0"),
+        lpad(((col("doc_id") * 13) % 1000).cast("string"), 3, "0"))
+      val planted = concat(col("text"),
+        when(m4 === 0, concat(lit(" id "), ssn, lit(" filed")))
+        .when(m4 === 1, concat(lit(" paid with "), card, lit(" ok")))
+        .when(m4 === 2, concat(lit(" cards "), card, lit(" and "), ssn, lit(" leaked")))
+        .otherwise(lit("")))
+      // Luhn over a 16-digit candidate: double every even left-index digit
+      // (= every second digit from the right at this fixed length),
+      // subtract 9 on overflow, valid iff the sum is ≡ 0 (mod 10)
+      def luhnValid(c: org.apache.spark.sql.Column) = {
+        val contrib = transform(sequence(lit(0), lit(15)), i => {
+          val dg = substring(c, (i + 1).cast("int"), lit(1)).cast("int")
+          when(i % 2 === 0, when(dg * 2 > 9, dg * 2 - 9).otherwise(dg * 2))
+            .otherwise(dg)
+        })
+        aggregate(contrib, lit(0), (a, x) => a + x) % 10 === 0
+      }
+      Tables.documents(s, d)
+        .select(col("doc_id"), planted.as("pii_text"))
+        .select(col("doc_id"), col("pii_text"),
+          regexp_extract_all(col("pii_text"), lit(PiiCardRe), lit(0)).as("cards"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("pii_text"), lit(PiiSsnRe), lit(0)))
+            .cast("long").as("n_ssn"),
+          size(col("cards")).cast("long").as("n_cards"),
+          size(filter(col("cards"), luhnValid _)).cast("long").as("n_luhn_valid"),
+          regexp_replace(regexp_replace(col("pii_text"),
+            PiiSsnRe, "[SSN]"), PiiCardRe, "[CARD]").as("clean_text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── URL/domain quality filter: the C4/RefinedWeb-style source gate —
     // drop documents whose origin domain is blocklisted, spam-TLD'd,
     // tracker-hosted, or suspiciously deep. The corpus' `source` column is
@@ -605,6 +654,8 @@ object TextCatalog extends Catalog {
   private val PiiEmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   private val PiiIpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   private val PiiPhoneRe = "\\+\\d{7,15}"
+  private val PiiSsnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  private val PiiCardRe = "\\b\\d{16}\\b"
 
   /** Blocked origin labels for tx_url_filter (at scale: a broadcast
     * blocklist table). */
@@ -849,6 +900,39 @@ object TextCatalog extends Catalog {
          SELECT doc_id, n_emails, n_ips, n_phones,
            n_emails + n_ips + n_phones AS pii_total, clean_text
          FROM c ORDER BY doc_id""",
+    "tx_pii_extended" -> {
+      val luhnDigit = (pos: String) =>
+        s"CAST(substr(cd, CAST($pos AS INT) + 1, 1) AS INT)"
+      s"""WITH ids AS (SELECT doc_id, text,
+           '523-' || lpad(CAST((doc_id * 3) % 100 AS VARCHAR), 2, '0') || '-'
+             || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS ssn,
+           '4' || lpad(CAST(doc_id % 1000000 AS VARCHAR), 6, '0')
+             || lpad(CAST((doc_id * 7) % 1000000 AS VARCHAR), 6, '0')
+             || lpad(CAST((doc_id * 13) % 1000 AS VARCHAR), 3, '0') AS card
+         FROM documents),
+         p AS (SELECT doc_id, text || CASE doc_id % 4
+           WHEN 0 THEN ' id ' || ssn || ' filed'
+           WHEN 1 THEN ' paid with ' || card || ' ok'
+           WHEN 2 THEN ' cards ' || card || ' and ' || ssn || ' leaked'
+           ELSE '' END AS pii_text
+         FROM ids),
+         c AS (SELECT doc_id,
+           CAST(len(regexp_extract_all(pii_text, '$PiiSsnRe')) AS BIGINT) AS n_ssn,
+           regexp_extract_all(pii_text, '$PiiCardRe') AS cards,
+           regexp_replace(regexp_replace(pii_text,
+             '$PiiSsnRe', '[SSN]', 'g'), '$PiiCardRe', '[CARD]', 'g') AS clean_text
+         FROM p)
+         SELECT doc_id, n_ssn, CAST(len(cards) AS BIGINT) AS n_cards,
+           CAST(len(list_filter(cards, cd ->
+             list_sum(list_transform(range(0, 16), i ->
+               CASE WHEN i % 2 = 0 THEN
+                 CASE WHEN 2 * ${luhnDigit("i")} > 9
+                      THEN 2 * ${luhnDigit("i")} - 9
+                      ELSE 2 * ${luhnDigit("i")} END
+               ELSE ${luhnDigit("i")} END)) % 10 = 0)) AS BIGINT) AS n_luhn_valid,
+           clean_text
+         FROM c ORDER BY doc_id"""
+    },
     "tx_url_filter" ->
       s"""WITH u AS (SELECT doc_id, source,
            CASE doc_id % 3 WHEN 0 THEN '.com' WHEN 1 THEN '.info' ELSE '.org' END AS tld,
