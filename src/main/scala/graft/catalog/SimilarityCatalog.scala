@@ -350,6 +350,40 @@ object SimilarityCatalog extends Catalog {
         .withColumn("fidelity_at_3",
           round(col("n_overlap").cast("double") / col("n_exact").cast("double"), 6))
         .orderBy(col("query_id"))
+    }),
+
+    // ── IVF-PQ end-to-end recall: ADC top-3 through the composed index
+    // (cell probe + quantized codes) against exact-L2 top-3 over the FULL
+    // corpus — the single quality number for the whole index.
+    // sim_ann_recall isolates the cell probe's loss and sim_pq_fidelity
+    // the quantization loss; this row is their composition, what an
+    // embedding pipeline actually gates deployment on. Truth is a
+    // broadcast-query brute-force scan (corpus never shuffles); the ADC
+    // side reuses the adcPairs plan, so everything expensive is shared
+    // with the sibling queries via the session-scoped caches. ──
+    "sim_ann_ivfpq_recall" -> ((s, d) => {
+      val v = vecs(s, d)
+      val qs = v.filter(col("vec_id") >= 3 && col("vec_id") < 13)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val wE = Window.partitionBy(col("query_id"))
+        .orderBy(col("d2"), col("neighbor_id"))
+      val truth = v.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(sqdist(col("qv"), col("v")), 6).as("d2"))
+        .withColumn("r", row_number().over(wE)).filter(col("r") <= 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val wA = Window.partitionBy(col("query_id"))
+        .orderBy(col("approx_d2"), col("neighbor_id"))
+      val adcTop = adcPairs(s, d)
+        .withColumn("r", row_number().over(wA)).filter(col("r") <= 3)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("in_adc"))
+      truth.join(adcTop, Seq("query_id", "neighbor_id"), "left_outer")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_truth"),
+          sum(coalesce(col("in_adc"), lit(0))).cast("long").as("n_hits"))
+        .withColumn("recall_at_3",
+          round(col("n_hits").cast("double") / col("n_truth").cast("double"), 6))
+        .orderBy(col("query_id"))
     })
   )
 
@@ -654,6 +688,52 @@ object SimilarityCatalog extends Catalog {
            CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
            round(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
              / CAST(COUNT(*) AS DOUBLE), 6) AS fidelity_at_3
+         FROM truth t LEFT JOIN adc a USING (query_id, neighbor_id)
+         GROUP BY t.query_id ORDER BY t.query_id""",
+    "sim_ann_ivfpq_recall" ->
+      """WITH v AS (SELECT vec_id, label,
+             list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings),
+         subs AS (SELECT vec_id, label, t.m AS sub, emb[t.m*8+1 : t.m*8+8] AS sv
+           FROM v, generate_series(0, 7) t(m)),
+         cb AS (SELECT vec_id AS code_id, sub, sv AS cv FROM subs WHERE vec_id < 4),
+         da AS (SELECT s.vec_id, s.label, s.sub, c.code_id,
+             round(list_sum(list_transform(generate_series(1, 8),
+               i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))), 6) AS dist
+           FROM subs s JOIN cb c USING (sub)),
+         codes AS (SELECT vec_id, label, sub, code_id AS code
+           FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                   ORDER BY dist, code_id) AS rn FROM da) t
+           WHERE rn = 1),
+         q AS (SELECT vec_id AS query_id, label AS qcell, sub, sv AS qv
+           FROM subs WHERE vec_id >= 3 AND vec_id < 13),
+         lut AS (SELECT q.query_id, q.qcell, q.sub, c.code_id,
+             list_sum(list_transform(generate_series(1, 8),
+               i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS d2
+           FROM q JOIN cb c USING (sub)),
+         pairs AS (SELECT l.query_id, co.vec_id AS neighbor_id,
+             round(SUM(l.d2), 6) AS approx_d2
+           FROM codes co JOIN lut l
+             ON co.sub = l.sub AND co.code = l.code_id
+             AND co.label = l.qcell AND co.vec_id <> l.query_id
+           GROUP BY 1, 2),
+         adc AS (SELECT query_id, neighbor_id
+           FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY approx_d2, neighbor_id) AS r FROM pairs) t
+           WHERE r <= 3),
+         qf AS (SELECT vec_id AS query_id, emb AS qv
+           FROM v WHERE vec_id >= 3 AND vec_id < 13),
+         ex AS (SELECT qf.query_id, e.vec_id AS neighbor_id,
+             round(list_sum(list_transform(generate_series(1, len(e.emb)),
+               i -> (qf.qv[i] - e.emb[i]) * (qf.qv[i] - e.emb[i]))), 6) AS d2
+           FROM v e JOIN qf ON e.vec_id <> qf.query_id),
+         truth AS (SELECT query_id, neighbor_id
+           FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY d2, neighbor_id) AS r FROM ex) t
+           WHERE r <= 3)
+         SELECT t.query_id, CAST(COUNT(*) AS BIGINT) AS n_truth,
+           CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           round(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS recall_at_3
          FROM truth t LEFT JOIN adc a USING (query_id, neighbor_id)
          GROUP BY t.query_id ORDER BY t.query_id"""
   )
