@@ -73,6 +73,54 @@ class StreamingTopKSpec extends AnyFunSuite with SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming↔batch equivalence: shard-merged emissions equal the " +
+    "batch tx_ngram_topk top-10 per language when capacity covers the " +
+    "shard vocabulary (space-saving is exact under capacity)") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = session.sqlContext
+    import org.apache.spark.sql.functions.{col, explode}
+
+    val d = "/root/testdata/sf0.001"
+    val batchTop = SparkEntry.queries("tx_ngram_topk")(session, d)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // the same corpus as a token stream: every bigram occurrence one Token
+    val toks = Tables.documents(session, d)
+      .select(col("lang"),
+        explode(graft.functions.TextHashes.bigramsUdf(col("text"))).as("gram"))
+      .as[(String, String)].collect()
+      .map { case (l, g) => Token(l, g) }
+    // size the sketch so no state group ever evicts: capacity ≥ the
+    // largest (lang, shard) vocabulary → the sketch is an exact counter
+    // and the merge must reproduce the batch ranking verbatim
+    val numShards = 4
+    val cap = toks.groupBy(t => (t.lang, math.floorMod(t.gram.hashCode, numShards)))
+      .valuesIterator.map(_.map(_.gram).distinct.size).max + 1
+
+    val input = MemoryStream[Token]
+    val query = StreamingTopK.topKStream(input.toDS(), numShards = numShards,
+        capacity = cap, k = 10)
+      .writeStream.format("memory").queryName("topk_equiv")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // three micro-batches: accumulation across batches must not matter
+      toks.grouped((toks.length + 2) / 3).foreach { b =>
+        input.addData(b.toSeq: _*)
+        query.processAllAvailable()
+      }
+      val merged = StreamingTopK.mergeTopK(session.table("topk_equiv"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+          r.getLong(3), r.getLong(4)))
+      assert(merged.forall(_._5 == 0L),
+        s"no eviction happened, every count is exact: ${merged.take(5).toSeq}")
+      assert(merged.map(t => (t._1, t._2, t._3, t._4)).sorted.toSeq ==
+        batchTop.sorted.toSeq,
+        "the streaming path and the batch path agree gram-for-gram")
+    } finally query.stop()
+  }
+
   test("a gram always routes to the same shard, so per-shard counts " +
     "never split") {
     val session = spark
