@@ -38,15 +38,26 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       cleanup()
     }
-    val results = ordered.map { case (name, fn) =>
+    def timedPass(dir: String): Seq[(String, Double)] = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, dir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       cleanup()
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jsonOf(results: Seq[(String, Double)]): String = results
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // Optional second scale factor (default sf0.01, "off" disables): a
+    // per-query timing at 10x-smaller data printed BEFORE the headline
+    // lines, so per-family scaling slope is visible from one artifact.
+    // The driver's parser reads the LAST lines, which stay unchanged.
+    val sfDir2 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR2", "/root/testdata/sf0.01")
+    if (sfDir2 != "off" && new java.io.File(sfDir2).isDirectory) {
+      val r2 = timedPass(sfDir2)
+      println(s"""{"metric":"total_sf2","value":${r2.map(_._2).sum},"unit":"sec","queries":${jsonOf(r2)},"sf":"$sfDir2"}""")
+    }
+    val results = timedPass(sfDir)
+    val qs = jsonOf(results)
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     // second, SHORT line: the driver's tail-capture has truncated the
