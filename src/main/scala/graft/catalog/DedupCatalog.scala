@@ -408,6 +408,24 @@ object DedupCatalog extends Catalog {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // ── Audio near-dup pairs: the 60-bit energy-envelope fingerprint
+    // (graft.operators.Multimodal.afp60 — real PCM envelope for real
+    // WAVs, byte-grid stub for the synthetic corpus) through the SAME
+    // banded-Hamming plan as the simhash/dHash families. Three
+    // modalities, one shuffle shape. The sf0.01 gate slice happens to
+    // plant no audio near-dups (closest pair: Hamming 13, i.e. noise
+    // floor — measured), so the 0-row result there is the correct
+    // answer; sf0.1 carries 35 value-checked pairs and the real-PCM
+    // path is pinned by MediaDecodeSpec's envelope tests. ──
+    "dd_afp_pairs" -> ((s, d) => {
+      val auds = Tables.documents(s, d)
+        .filter(col("doc_id") % 3 === 1 && col("text").rlike("^[\\x00-\\x7F]*$"))
+        .select(col("doc_id"),
+          graft.operators.Multimodal.afp60Udf(col("text")).as("fp"))
+      bandedHammingPairs(auds, maxHamming = 8)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // ── Cluster assignment: connected components over the simhash
     // near-dup pair graph (graft.operators.Components — min-label
     // propagation, O(diameter) shuffle rounds), so a dedup pipeline keeps
@@ -668,6 +686,22 @@ object DedupCatalog extends Catalog {
       s"""WITH img AS (SELECT doc_id, $DhashGridSql AS grid FROM documents
            WHERE doc_id % 3 = 0 AND regexp_matches(text, '^[\\x00-\\x7F]*$$')),
          f AS (SELECT doc_id, $Dhash60FromGridSql AS fp FROM img),
+         bands AS (SELECT doc_id, fp, t.k AS band_idx,
+             (fp // (CASE t.k WHEN 0 THEN 1 WHEN 1 THEN 32768
+                      WHEN 2 THEN 1073741824 ELSE 35184372088832 END)::BIGINT) % 32768 AS band_val
+           FROM f, generate_series(0, 3) t(k))
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+         FROM bands a JOIN bands b
+           ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.fp, b.fp)) <= 8
+         ORDER BY doc_a, doc_b"""
+    },
+    "dd_afp_pairs" -> {
+      import MultimodalCatalog.{AfpGridSql, Afp60FromGridSql}
+      s"""WITH aud AS (SELECT doc_id, $AfpGridSql AS grid FROM documents
+           WHERE doc_id % 3 = 1 AND regexp_matches(text, '^[\\x00-\\x7F]*$$')),
+         f AS (SELECT doc_id, $Afp60FromGridSql AS fp FROM aud),
          bands AS (SELECT doc_id, fp, t.k AS band_idx,
              (fp // (CASE t.k WHEN 0 THEN 1 WHEN 1 THEN 32768
                       WHEN 2 THEN 1073741824 ELSE 35184372088832 END)::BIGINT) % 32768 AS band_val

@@ -37,6 +37,22 @@ object MultimodalCatalog extends Catalog {
                  > grid[CAST((b // 6) * 7 + (b % 6) AS INT) + 1]
          THEN CAST(pow(2.0, b) AS BIGINT) ELSE 0 END)) AS BIGINT)"""
 
+  /** The audio fingerprint's 66-cell stub energy grid (11 frames × 6
+    * bands; same bytes[i mod len] family as [[DhashGridSql]]). */
+  val AfpGridSql: String =
+    """list_transform(range(0, 66), i ->
+         CASE WHEN octet_length(encode(text)) = 0 THEN 0
+         ELSE ord(substr(text, CAST(i % octet_length(encode(text)) AS INT) + 1, 1)) END)"""
+
+  /** Packs the energy grid into the 60-bit audio fingerprint: bit (t,b)
+    * set iff band b's energy rises from frame t to t+1 (TEMPORAL diff —
+    * grid cell t*6+b, 1-based list indexing). */
+  val Afp60FromGridSql: String =
+    """CAST(list_sum(list_transform(range(0, 60), b ->
+         CASE WHEN grid[CAST((b // 6 + 1) * 6 + (b % 6) AS INT) + 1]
+                 > grid[CAST((b // 6) * 6 + (b % 6) AS INT) + 1]
+         THEN CAST(pow(2.0, b) AS BIGINT) ELSE 0 END)) AS BIGINT)"""
+
   def queries: Map[String, QFn] = Map(
 
     // ── decode: opaque bytes → typed metadata row ──
@@ -81,6 +97,20 @@ object MultimodalCatalog extends Catalog {
         .filter(_.kind == "image")
         .map(a => (a.media_id, Multimodal.dhash60(a.bytes)))
         .toDF("media_id", "phash")
+        .orderBy("media_id")
+    }),
+
+    // ── audio fingerprint: 60-bit energy-envelope hash per audio asset,
+    // the fingerprint dd_afp_pairs bands for audio near-dup detection.
+    // Same map-side economics as mm_phash: 8 bytes per asset regardless
+    // of duration, so only fingerprints ever reach a shuffle. ──
+    "mm_afp" -> ((s, d) => {
+      import s.implicits._
+      val ascii = Tables.documents(s, d).filter(col("text").rlike("^[\\x00-\\x7F]*$"))
+      Multimodal.mediaFromDocuments(ascii)
+        .filter(_.kind == "audio")
+        .map(a => (a.media_id, Multimodal.afp60(a.bytes)))
+        .toDF("media_id", "afp")
         .orderBy("media_id")
     }),
 
@@ -147,6 +177,11 @@ object MultimodalCatalog extends Catalog {
            WHERE doc_id % 3 = 0 AND regexp_matches(text, '^[\\x00-\\x7F]*$$'))
          SELECT doc_id AS media_id, $Dhash60FromGridSql AS phash
          FROM img ORDER BY media_id""",
+    "mm_afp" ->
+      s"""WITH aud AS (SELECT doc_id, $AfpGridSql AS grid FROM documents
+           WHERE doc_id % 3 = 1 AND regexp_matches(text, '^[\\x00-\\x7F]*$$'))
+         SELECT doc_id AS media_id, $Afp60FromGridSql AS afp
+         FROM aud ORDER BY media_id""",
     "mm_embed" ->
       """SELECT doc_id AS media_id,
            floor(list_sum(list_transform(

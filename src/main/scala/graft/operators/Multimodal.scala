@@ -219,6 +219,56 @@ object Multimodal {
   val dhash60Udf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((s: String) => if (s == null) 0L else dhash60(s.getBytes("UTF-8")))
 
+  /** 60-bit audio energy-envelope fingerprint — the audio leg of the
+    * near-dup family (dd_afp_pairs), structured after the Haitsma-Kalker
+    * sign-of-energy-difference hash (A Highly Robust Audio Fingerprinting
+    * System, ISMIR 2002) with a time-domain energy envelope standing in
+    * for spectral bands (no FFT dependency in this sandbox). Real WAVs
+    * ([[MediaDecode.decodeWavPcm]]) split into 11 equal frames × 6
+    * sub-band windows; each cell is the mean |amplitude| of its window,
+    * and bit (t,b) records whether band b's energy RISES from frame t to
+    * frame t+1 (6 bands × 10 transitions = 60 bits). The temporal diff —
+    * vs dHash's spatial diff — is what makes it level-invariant-ish and
+    * genuinely a different fingerprint from the image hash on the same
+    * bytes. Non-decodable payloads (the synthetic corpus) use the same
+    * declared byte-grid STUB family as [[dhash60]]: cell i = bytes[i mod
+    * len], reproduced by the DuckDB oracle. 60 bits keeps it in the
+    * positive-BIGINT family the shared 4×15-bit LSH band split serves. */
+  def afp60(bytes: Array[Byte]): Long = {
+    val frames = 11; val bands = 6
+    val e: Array[Double] = MediaDecode.decodeWavPcm(bytes) match {
+      case Some(p) if p.samples.nonEmpty =>
+        val cells = frames * bands
+        Array.tabulate(cells) { i =>
+          val lo = (i.toLong * p.samples.length / cells).toInt
+          val hi = math.max(lo + 1, ((i + 1).toLong * p.samples.length / cells).toInt)
+          var acc = 0.0; var k = lo
+          while (k < hi) { acc += math.abs(p.samples(k) / 32768.0); k += 1 }
+          acc / (hi - lo)
+        }
+      case _ =>
+        if (bytes.isEmpty) new Array[Double](frames * bands)
+        else Array.tabulate(frames * bands)(i => (bytes(i % bytes.length) & 0xff).toDouble)
+    }
+    var h = 0L
+    var t = 0
+    while (t < frames - 1) {
+      var b = 0
+      while (b < bands) {
+        if (e((t + 1) * bands + b) > e(t * bands + b)) h |= 1L << (t * bands + b)
+        b += 1
+      }
+      t += 1
+    }
+    h
+  }
+
+  /** Column form of [[afp60]] over a text-payload column (UTF-8 bytes —
+    * the synthetic corpus path; real pipelines apply it to the binary
+    * payload column directly). */
+  val afp60Udf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((s: String) => if (s == null) 0L else afp60(s.getBytes("UTF-8")))
+
   /** Build a deterministic media table from the documents table: the text
     * bytes stand in for the opaque payload; modality round-robins by id.
     * (The synthetic corpus has no real media; everything downstream only

@@ -105,9 +105,11 @@ class MediaBytesPropSpec extends AnyFunSuite {
       val (w, h, sr, dur) = Multimodal.decodeMeta(b, k)
       val emb = Multimodal.embed(b)
       val dh = Multimodal.dhash60(b)
+      val af = Multimodal.afp60(b)
       w >= 0 && h >= 0 && sr >= 0 && dur >= 0 && emb.length == 8 &&
         emb.forall(v => !v.isNaN) &&
-        dh >= 0L && (dh >> 60) == 0L && dh == Multimodal.dhash60(b)
+        dh >= 0L && (dh >> 60) == 0L && dh == Multimodal.dhash60(b) &&
+        af >= 0L && (af >> 60) == 0L && af == Multimodal.afp60(b)
     })
   }
 }

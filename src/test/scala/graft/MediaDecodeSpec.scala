@@ -217,6 +217,30 @@ class MediaDecodeSpec extends AnyFunSuite with SparkSpec {
     assert(d >= 1 && d <= 2, s"local edit stays local: $d bits")
   }
 
+  test("afp60 hashes the decoded PCM energy envelope: a crescendo sets " +
+    "every transition bit, silence none, and gain changes don't move " +
+    "monotone transitions") {
+    // 11 frames × 6 bands = 66 windows; amplitude strictly rising per
+    // window → every frame-to-frame energy diff is positive → all 60 bits
+    val cells = 66
+    val rising = Array.tabulate(cells * 10)(i => ((i / 10 + 1) * 400).toShort)
+    assert(Multimodal.afp60(wavPcm(8000, rising)) == (1L << 60) - 1,
+      "energy rises at every frame transition")
+    assert(Multimodal.afp60(wavPcm(8000, Array.fill(cells * 10)(0.toShort))) == 0L,
+      "silence has no rising transitions")
+    // constant amplitude: no strict rise anywhere → 0
+    assert(Multimodal.afp60(wavPcm(8000, Array.fill(cells * 10)(5000.toShort))) == 0L)
+    // a uniform gain change preserves every sign-of-difference → identical
+    // fingerprint (the level-invariance the envelope hash is for)
+    val half = rising.map(s => (s / 2).toShort)
+    assert(Multimodal.afp60(wavPcm(8000, rising)) ==
+      Multimodal.afp60(wavPcm(8000, half)), "fingerprint is gain-invariant")
+    // non-WAV bytes fall back to the declared byte-grid stub
+    val stubBytes = Array.tabulate[Byte](66)(i => i.toByte)
+    assert(Multimodal.afp60(stubBytes) == (1L << 60) - 1,
+      "stub grid: strictly rising bytes set every temporal diff bit")
+  }
+
   test("nearest-neighbor resample picks exact source pixels") {
     val bm = Bitmap(2, 2, rgb2x2)
     val up = MediaDecode.resizeNearest(bm, 4, 4)

@@ -66,7 +66,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
 
   test("LSH candidate generation joins on band keys — never cartesian") {
     for (q <- Seq("dd_minhash_lsh", "dd_simhash_pairs", "dd_incremental",
-        "dd_lenband_jaccard")) {
+        "dd_lenband_jaccard", "dd_phash_pairs", "dd_afp_pairs")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin"),
