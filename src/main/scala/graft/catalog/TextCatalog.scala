@@ -305,6 +305,75 @@ object TextCatalog extends Catalog {
         .orderBy(col("doc_id"))
     }),
 
+    // ── Duplicated-span REMOVAL — the cleaning step tx_span_dup_frac
+    // only measures (C4's "deduplicate three-sentence spans", Raffel
+    // 2020; CCNet/RefinedWeb run the same shape): any word covered by a
+    // 5-gram that occurs in ≥ 2 distinct documents is dropped, and each
+    // document is reassembled from its surviving words. Plan shape at
+    // 100 TB: gram df is an equi-shuffle on the 64-bit gram hash
+    // (map-side partial count over fixed-width keys), covered positions
+    // derive by exploding dup grams only (the duplicated tail, not the
+    // corpus), and reassembly is a per-doc sort of surviving (pos, word)
+    // pairs — bounded by document length. The corpus text bytes cross a
+    // shuffle exactly once (the reassembly groupBy). ──
+    "tx_span_scrub" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val words = docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("p0", "word")))
+        .select(col("doc_id"), (col("p0") + 1).as("p"), col("word"))
+      val grams = docs.select(col("doc_id"),
+        posexplode(graft.functions.TextHashes
+          .windowHashesUdf(5, distinct = false)(col("text"))).as(Seq("gp0", "g")))
+        .select(col("doc_id"), (col("gp0") + 1).as("gp"), col("g"))
+      // df = distinct-doc count per gram; grams repeated inside one doc
+      // count once (a doc does not make its own spans "duplicated")
+      val dupG = grams.groupBy(col("g"))
+        .agg(count_distinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 2)
+      val covered = grams.join(dupG.select(col("g")), Seq("g"), "left_semi")
+        .select(col("doc_id"), explode(sequence(col("gp"), col("gp") + 4)).as("p"))
+        .distinct()
+      val kept = words.join(covered, Seq("doc_id", "p"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("p"), col("word")))),
+            x => x("word")), " ").as("clean_text"))
+      docs.select(col("doc_id"), size(split(col("text"), " ")).as("n_words"))
+        .join(kept, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          (col("n_words") - coalesce(col("n_kept"), lit(0L))).cast("long").as("n_removed"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── BPE merge statistic — the inner step of tokenizer induction
+    // (Sennrich 2016): the most frequent adjacent symbol pairs over the
+    // corpus, weighted by word frequency. The 100 TB shape is the whole
+    // point: the corpus collapses to the vocab×freq table first (a
+    // wordcount — map-side combined, shuffle keyed on the word), and
+    // pair counting then runs over DISTINCT words only — vocabulary-
+    // sized, not corpus-sized — so each additional merge iteration
+    // would rescan megabytes, not terabytes. Top-20 candidates by
+    // (count desc, pair asc) gives the learner its next merges;
+    // iterating = re-applying the winning merge to the symbol arrays
+    // of the vocab table, same plan. ──
+    "tx_bpe_step" -> ((s, d) => {
+      val vocab = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      val pairs = vocab
+        .filter(length(col("word")) > 1)
+        .select(col("freq"),
+          explode(expr("transform(sequence(1, length(word) - 1)," +
+            " i -> substr(word, i, 2))")).as("pair"))
+      pairs.groupBy(col("pair")).agg(sum(col("freq")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("pair"))
+        .limit(20)
+        .select(col("pair"), col("pair_count"))
+    }),
+
     // ── Document fingerprint: min rolling-hash over 5-gram word shingles ──
     "tx_fingerprint" -> ((s, d) => {
       val words = split(col("text"), " ")
@@ -769,6 +838,39 @@ object TextCatalog extends Catalog {
            round(AVG(CASE WHEN df > 1 THEN 1.0 ELSE 0.0 END), 6) AS dup_frac,
            round(AVG(CASE WHEN df > 1 THEN 1.0 ELSE 0.0 END), 6) > 0.5 AS boilerplate
          FROM g JOIN dfs USING (g) GROUP BY doc_id ORDER BY doc_id""",
+    "tx_span_scrub" ->
+      s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+         wp0 AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS p, ws FROM w),
+         wp AS (SELECT doc_id, p, ws[p] AS word FROM wp0),
+         g0 AS (SELECT doc_id, unnest(generate_series(1, greatest(len(ws) - 4, 1))) AS gp, ws FROM w),
+         g AS (SELECT doc_id, gp,
+             ${PortableHash.hash64Sql("array_to_string(ws[gp:gp+4], ' ')")} AS g
+           FROM g0),
+         dup AS (SELECT g FROM g GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+         cov AS (SELECT DISTINCT doc_id, p FROM
+           (SELECT doc_id, unnest(generate_series(gp, gp + 4)) AS p
+            FROM g JOIN dup USING (g))),
+         kept AS (SELECT wp.doc_id, wp.p, wp.word FROM wp
+           LEFT JOIN cov ON wp.doc_id = cov.doc_id AND wp.p = cov.p
+           WHERE cov.p IS NULL),
+         res AS (SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(word, ' ' ORDER BY p) AS clean_text
+           FROM kept GROUP BY doc_id)
+         SELECT d.doc_id,
+           CAST(len(string_split(d.text, ' ')) - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+           coalesce(clean_text, '') AS clean_text
+         FROM documents d LEFT JOIN res USING (doc_id) ORDER BY doc_id""",
+    "tx_bpe_step" ->
+      """WITH v AS (SELECT w AS word, COUNT(*) AS freq FROM
+           (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           WHERE length(w) > 0 GROUP BY w),
+         p AS (SELECT unnest(list_transform(
+               generate_series(1, length(word) - 1), i -> substr(word, i, 2))) AS pair,
+             freq
+           FROM v WHERE length(word) > 1)
+         SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count
+         FROM p GROUP BY pair
+         ORDER BY pair_count DESC, pair LIMIT 20""",
     "tx_domain_cap" ->
       s"""SELECT doc_id, source,
            CAST(ROW_NUMBER() OVER (PARTITION BY source
