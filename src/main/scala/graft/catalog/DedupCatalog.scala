@@ -426,6 +426,41 @@ object DedupCatalog extends Catalog {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // ── Video near-dup pairs: frame-level content matching — the
+    // content-ID shape, which is a DIFFERENT join geometry from the
+    // banded-Hamming families: two videos are near-duplicates iff they
+    // SHARE frames (≥ 2 distinct per-frame content hashes,
+    // graft.operators.Multimodal.frameHashes — dHash per decoded AVI
+    // frame for real video, the mm_frame_sample window grid for the
+    // synthetic corpus), however differently the surrounding footage is
+    // cut or reordered. Candidates come from an exact equi-join on the
+    // frame hash; overlap = shared / min(frame counts) is the containment
+    // score (a clip fully inside a longer video scores 1.0). At 100 TB
+    // the corpus-side table is (video, frame_hash) — set-sized, never
+    // raw frames — and production adds a lenband-style df cap dropping
+    // ubiquitous boilerplate frames (intro cards, black frames) before
+    // the join, exactly the stop-gram discipline of dd_lenband_jaccard. ──
+    "dd_video_pairs" -> ((s, d) => {
+      val fh = Tables.documents(s, d)
+        .filter(col("doc_id") % 3 === 2 && col("text").rlike("^[\\x00-\\x7F]*$"))
+        .select(col("doc_id"),
+          explode(graft.operators.Multimodal.frameHashesUdf(col("text"))).as("fh"))
+        .cache()
+      val nf = fh.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+      val shared = fh.as("a").join(fh.as("b"),
+          col("a.fh") === col("b.fh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared_frames"))
+        .filter(col("shared_frames") >= 2)
+      shared
+        .join(nf.select(col("doc_id").as("doc_a"), col("nf").as("nf_a")), Seq("doc_a"))
+        .join(nf.select(col("doc_id").as("doc_b"), col("nf").as("nf_b")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          col("shared_frames").cast("long").as("shared_frames"),
+          round(col("shared_frames") / least(col("nf_a"), col("nf_b")), 6).as("overlap"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // ── Cluster assignment: connected components over the simhash
     // near-dup pair graph (graft.operators.Components — min-label
     // propagation, O(diameter) shuffle rounds), so a dedup pipeline keeps
@@ -711,6 +746,27 @@ object DedupCatalog extends Catalog {
          FROM bands a JOIN bands b
            ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
          WHERE bit_count(xor(a.fp, b.fp)) <= 8
+         ORDER BY doc_a, doc_b"""
+    },
+    "dd_video_pairs" -> {
+      import graft.functions.PortableHash
+      s"""WITH vid AS (SELECT doc_id, text FROM documents
+           WHERE doc_id % 3 = 2 AND regexp_matches(text, '^[\\x00-\\x7F]*$$')),
+         fr AS (SELECT doc_id, text,
+             unnest(range(0, octet_length(encode(text)), 50)) AS off FROM vid),
+         fh AS (SELECT DISTINCT doc_id,
+             ${PortableHash.hash64Sql("substr(text, CAST(off AS INT) + 1, 16)")} AS fh
+           FROM fr),
+         nf AS (SELECT doc_id, COUNT(*) AS nf FROM fh GROUP BY 1),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             COUNT(*) AS shared_frames
+           FROM fh a JOIN fh b ON a.fh = b.fh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+         SELECT doc_a, doc_b, CAST(shared_frames AS BIGINT) AS shared_frames,
+           round(shared_frames / least(na.nf, nb.nf), 6) AS overlap
+         FROM pairs
+         JOIN nf na ON na.doc_id = doc_a
+         JOIN nf nb ON nb.doc_id = doc_b
          ORDER BY doc_a, doc_b"""
     },
     "dd_cluster_assign" ->

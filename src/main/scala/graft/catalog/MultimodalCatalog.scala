@@ -114,6 +114,24 @@ object MultimodalCatalog extends Catalog {
         .orderBy("media_id")
     }),
 
+    // ── video fingerprint: the distinct per-frame content-hash set per
+    // video asset (frame count + min hash as the row digest). The frame
+    // hashes are what dd_video_pairs equi-joins for frame-level match —
+    // set-sized output per asset, so like mm_phash/mm_afp only
+    // fingerprints ever shuffle. ──
+    "mm_vhash" -> ((s, d) => {
+      import s.implicits._
+      val ascii = Tables.documents(s, d).filter(col("text").rlike("^[\\x00-\\x7F]*$"))
+      Multimodal.mediaFromDocuments(ascii)
+        .filter(_.kind == "video")
+        .map(a => {
+          val fh = Multimodal.frameHashes(a.bytes)
+          (a.media_id, fh.length.toLong, if (fh.isEmpty) 0L else fh.min)
+        })
+        .toDF("media_id", "n_frames", "min_frame_hash")
+        .orderBy("media_id")
+    }),
+
     // ── batch feature extraction → embedding head. The oracle folds the
     // same bytes in double (ASCII-only rows so text chars == bytes); the
     // engine-side fold here is double too, same order, so floor(3dp) is
@@ -182,6 +200,17 @@ object MultimodalCatalog extends Catalog {
            WHERE doc_id % 3 = 1 AND regexp_matches(text, '^[\\x00-\\x7F]*$$'))
          SELECT doc_id AS media_id, $Afp60FromGridSql AS afp
          FROM aud ORDER BY media_id""",
+    "mm_vhash" ->
+      s"""WITH vid AS (SELECT doc_id, text FROM documents
+           WHERE doc_id % 3 = 2 AND regexp_matches(text, '^[\\x00-\\x7F]*$$')),
+         fr AS (SELECT doc_id, text,
+             unnest(range(0, octet_length(encode(text)), 50)) AS off FROM vid),
+         fh AS (SELECT DISTINCT doc_id,
+             ${PortableHash.hash64Sql("substr(text, CAST(off AS INT) + 1, 16)")} AS fh
+           FROM fr)
+         SELECT doc_id AS media_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+           MIN(fh) AS min_frame_hash
+         FROM fh GROUP BY doc_id ORDER BY media_id""",
     "mm_embed" ->
       """SELECT doc_id AS media_id,
            floor(list_sum(list_transform(

@@ -190,16 +190,25 @@ object Multimodal {
   def dhash60(bytes: Array[Byte]): Long = {
     val gw = 7; val gh = 10
     val grid: Array[Int] = MediaDecode.decodeImage(bytes) match {
-      case Some(bm) =>
-        val small = MediaDecode.resizeNearest(bm, gw, gh)
-        Array.tabulate(gw * gh) { i =>
-          ((small.rgb(i * 3) & 0xff) + (small.rgb(i * 3 + 1) & 0xff) +
-            (small.rgb(i * 3 + 2) & 0xff)) / 3
-        }
+      case Some(bm) => grayGrid(bm, gw, gh)
       case None =>
         if (bytes.isEmpty) new Array[Int](gw * gh)
         else Array.tabulate(gw * gh)(i => bytes(i % bytes.length) & 0xff)
     }
+    dhashOfGrid(grid, gw, gh)
+  }
+
+  /** Grayscale gw×gh resample of a decoded bitmap (shared by the image
+    * dHash and the per-frame video hash). */
+  private def grayGrid(bm: MediaDecode.Bitmap, gw: Int, gh: Int): Array[Int] = {
+    val small = MediaDecode.resizeNearest(bm, gw, gh)
+    Array.tabulate(gw * gh) { i =>
+      ((small.rgb(i * 3) & 0xff) + (small.rgb(i * 3 + 1) & 0xff) +
+        (small.rgb(i * 3 + 2) & 0xff)) / 3
+    }
+  }
+
+  private def dhashOfGrid(grid: Array[Int], gw: Int, gh: Int): Long = {
     var h = 0L
     var y = 0
     while (y < gh) {
@@ -212,6 +221,10 @@ object Multimodal {
     }
     h
   }
+
+  /** 60-bit dHash of one already-decoded frame bitmap. */
+  def dhash60Frame(bm: MediaDecode.Bitmap): Long =
+    dhashOfGrid(grayGrid(bm, 7, 10), 7, 10)
 
   /** Column form of [[dhash60]] over a text-payload column (UTF-8 bytes —
     * the synthetic corpus path; real pipelines apply it to the binary
@@ -268,6 +281,37 @@ object Multimodal {
     * payload column directly). */
   val afp60Udf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((s: String) => if (s == null) 0L else afp60(s.getBytes("UTF-8")))
+
+  /** Distinct per-frame content hashes of a video payload — the
+    * fingerprint set for frame-level video matching (dd_video_pairs, the
+    * content-ID shape: two videos near-duplicate iff they SHARE frames,
+    * however the surrounding footage is cut). Real uncompressed AVIs
+    * ([[MediaDecode.decodeAviFrames]]) hash each decoded frame with the
+    * image dHash ([[dhash60Frame]]) so re-encoded-but-visually-identical
+    * frames collide. Non-decodable payloads derive frames from the SAME
+    * sampling grid as mm_frame_sample (16-byte windows at 50-byte
+    * stride) hashed with the portable 64-bit hash, reproduced by the
+    * DuckDB oracle. Set semantics: a frame repeated within one video
+    * counts once. */
+  def frameHashes(bytes: Array[Byte]): Array[Long] = {
+    val hs: Seq[Long] = MediaDecode.decodeAviFrames(bytes) match {
+      case Some(frames) if frames.nonEmpty =>
+        frames.map(f => dhash60Frame(f.bitmap))
+      case _ =>
+        if (bytes.isEmpty) Seq.empty
+        else (0 until bytes.length by 50).map { off =>
+          val len = math.min(16, bytes.length - off)
+          graft.functions.TextHashes.hash64(
+            new String(bytes, off, len, java.nio.charset.StandardCharsets.UTF_8))
+        }
+    }
+    hs.distinct.toArray
+  }
+
+  /** Column form of [[frameHashes]] over a text-payload column. */
+  val frameHashesUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((s: String) => if (s == null) Array.empty[Long]
+      else frameHashes(s.getBytes("UTF-8")))
 
   /** Build a deterministic media table from the documents table: the text
     * bytes stand in for the opaque payload; modality round-robins by id.

@@ -241,6 +241,27 @@ class MediaDecodeSpec extends AnyFunSuite with SparkSpec {
       "stub grid: strictly rising bytes set every temporal diff bit")
   }
 
+  test("frameHashes hashes decoded AVI frames with the image dHash, " +
+    "dedupes repeats, and shared frames survive re-cutting") {
+    val gradA = Array.tabulate(7 * 10 * 3) { i => ((i / 3 % 7) * 30).toByte }
+    val gradB = gradA.map(b => (255 - (b & 0xff)).toByte)
+    val black = Array.fill(7 * 10 * 3)(0.toByte)
+    def f(px: Array[Byte]) = dibFrame(7, 10, px)
+    // same frame twice → one hash (set semantics); the hash IS the dHash
+    val hs = Multimodal.frameHashes(avi(7, 10, 24, Seq(f(gradA), f(gradA), f(black))))
+    assert(hs.length == 2)
+    assert(hs.contains(Multimodal.dhash60(bmp24(7, 10, gradA))),
+      "frame hash equals the standalone image dHash of the same pixels")
+    // a re-cut video (reordered + extra footage) still shares both frames
+    val recut = Multimodal.frameHashes(
+      avi(7, 10, 24, Seq(f(black), f(gradB), f(gradA))))
+    assert(hs.toSet.intersect(recut.toSet).size == 2,
+      "shared frames match independent of position and surrounding footage")
+    // non-AVI bytes fall back to the window-grid stub, still total
+    val stub = Multimodal.frameHashes(Array.tabulate[Byte](120)(_.toByte))
+    assert(stub.length == 3, "120 bytes at 50-stride → 3 windows")
+  }
+
   test("nearest-neighbor resample picks exact source pixels") {
     val bm = Bitmap(2, 2, rgb2x2)
     val up = MediaDecode.resizeNearest(bm, 4, 4)
