@@ -374,6 +374,80 @@ object TextCatalog extends Catalog {
         .select(col("pair"), col("pair_count"))
     }),
 
+    // ── Gopher-style quality filter pipeline (Rae 2021 §A.1.1): the
+    // composed keep/drop DECISION with the first failing rule as the
+    // reject reason — the operator a cleaning pipeline actually gates
+    // on, built from the same signals the individual tx_* rows measure.
+    // Rules in precedence order: word count in [20, 100k]; mean word
+    // length in [3, 10]; ≥ 2 distinct stopwords of the document's own
+    // language (rule passes vacuously for langs without a stoplist —
+    // here zh, matching Gopher's English-centric scoping); max single-
+    // word frequency ≤ 0.2 (the repetition rule). Everything except the
+    // repetition mode is map-side; the mode is a (doc, word) partial-agg
+    // groupBy — token-table shaped, the same shuffle family as
+    // tx_unigram_logprob. ──
+    "tx_filter_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val words = split(col("text"), " ")
+      val nWords = size(words).cast("long")
+      val avgLen = length(regexp_replace(col("text"), " ", "")).cast("double") /
+        nWords.cast("double")
+      val stopList = map(
+        lit("en"), typedLit(StopEn), lit("fr"), typedLit(StopFr),
+        lit("es"), typedLit(StopEs), lit("de"), typedLit(StopDe))
+      val nStops = size(array_intersect(array_distinct(words),
+        coalesce(element_at(stopList, col("lang")), typedLit(Seq.empty[String]))))
+      val base = docs.select(col("doc_id"), col("lang"), nWords.as("n_words"),
+        avgLen.as("avg_len"), nStops.as("n_stops"),
+        element_at(stopList, col("lang")).isNotNull.as("has_stoplist"))
+      val mode = docs.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("max_c"))
+      base.join(mode, Seq("doc_id"))
+        .withColumn("rep_ratio",
+          round(col("max_c").cast("double") / col("n_words"), 6))
+        .withColumn("reason",
+          when(col("n_words") < 20 || col("n_words") > 100000, lit("word_count"))
+            .when(col("avg_len") < 3.0 || col("avg_len") > 10.0, lit("word_length"))
+            .when(col("has_stoplist") && col("n_stops") < 2, lit("stopwords"))
+            .when(col("rep_ratio") > 0.2, lit("repetition"))
+            .otherwise(lit("")))
+        .select(col("doc_id"), (col("reason") === "").as("keep"),
+          col("reason"), col("n_words"), col("rep_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── Cross-source contamination matrix: pairwise 5-gram overlap
+    // between corpus sources — the report a mixing decision reads before
+    // upweighting a source (shared grams ⇒ double-counted evidence; a
+    // high-overlap pair means dedup BEFORE mixing). Plan: the corpus
+    // collapses to DISTINCT (source, gram) first — bounded by
+    // |sources| × vocab of grams, not corpus rows — then the pairwise
+    // counts are an equi-join on the gram hash; per-gram fan-out is
+    // bounded by |sources|², independent of corpus size. ──
+    "tx_source_overlap" -> ((s, d) => {
+      val grams = Tables.documents(s, d)
+        .select(col("source"),
+          explode(graft.functions.TextHashes
+            .windowHashesUdf(5, distinct = true)(col("text"))).as("g"))
+        .distinct()
+        .cache()
+      val sizes = grams.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val shared = grams.as("a").join(grams.as("b"),
+          col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("shared_grams"))
+      shared
+        .join(sizes.select(col("source").as("source_a"), col("n").as("n_a")), Seq("source_a"))
+        .join(sizes.select(col("source").as("source_b"), col("n").as("n_b")), Seq("source_b"))
+        .select(col("source_a"), col("source_b"),
+          col("shared_grams").cast("long").as("shared_grams"),
+          round(col("shared_grams") /
+            (col("n_a") + col("n_b") - col("shared_grams")), 6).as("jaccard"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
     // ── Document fingerprint: min rolling-hash over 5-gram word shingles ──
     "tx_fingerprint" -> ((s, d) => {
       val words = split(col("text"), " ")
@@ -838,6 +912,46 @@ object TextCatalog extends Catalog {
            round(AVG(CASE WHEN df > 1 THEN 1.0 ELSE 0.0 END), 6) AS dup_frac,
            round(AVG(CASE WHEN df > 1 THEN 1.0 ELSE 0.0 END), 6) > 0.5 AS boilerplate
          FROM g JOIN dfs USING (g) GROUP BY doc_id ORDER BY doc_id""",
+    "tx_filter_pipeline" -> {
+      def lst(ws: Seq[String]) = s"['${ws.mkString("','")}']"
+      s"""WITH wc AS (SELECT doc_id, w, COUNT(*) AS c FROM
+           (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+           GROUP BY 1, 2),
+         mx AS (SELECT doc_id, MAX(c) AS max_c FROM wc GROUP BY 1),
+         f AS (SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(length(replace(text, ' ', '')) AS DOUBLE)
+               / len(string_split(text, ' ')) AS avg_len,
+             len(list_intersect(list_distinct(string_split(text, ' ')),
+               CASE lang WHEN 'en' THEN ${lst(StopEn)} WHEN 'fr' THEN ${lst(StopFr)}
+                 WHEN 'es' THEN ${lst(StopEs)} WHEN 'de' THEN ${lst(StopDe)}
+                 ELSE [] END)) AS n_stops,
+             lang IN ('en', 'fr', 'es', 'de') AS has_stoplist
+           FROM documents),
+         r AS (SELECT f.doc_id, f.n_words,
+             round(CAST(max_c AS DOUBLE) / f.n_words, 6) AS rep_ratio,
+             CASE WHEN f.n_words < 20 OR f.n_words > 100000 THEN 'word_count'
+               WHEN avg_len < 3.0 OR avg_len > 10.0 THEN 'word_length'
+               WHEN has_stoplist AND n_stops < 2 THEN 'stopwords'
+               WHEN round(CAST(max_c AS DOUBLE) / f.n_words, 6) > 0.2 THEN 'repetition'
+               ELSE '' END AS reason
+           FROM f JOIN mx USING (doc_id))
+         SELECT doc_id, reason = '' AS keep, reason, n_words, rep_ratio
+         FROM r ORDER BY doc_id""" },
+    "tx_source_overlap" ->
+      s"""WITH w AS (SELECT source, string_split(text, ' ') AS words FROM documents),
+         g0 AS (SELECT source, unnest(list_distinct(list_transform(
+             generate_series(1, greatest(len(words) - 4, 1)),
+             i -> ${PortableHash.hash64Sql("array_to_string(words[i:i+4], ' ')")}))) AS g
+           FROM w),
+         g AS (SELECT DISTINCT source, g FROM g0),
+         n AS (SELECT source, COUNT(*) AS n FROM g GROUP BY 1),
+         sh AS (SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS shared
+           FROM g a JOIN g b ON a.g = b.g AND a.source < b.source GROUP BY 1, 2)
+         SELECT source_a, source_b, CAST(shared AS BIGINT) AS shared_grams,
+           round(shared / (na.n + nb.n - shared), 6) AS jaccard
+         FROM sh JOIN n na ON na.source = source_a JOIN n nb ON nb.source = source_b
+         ORDER BY source_a, source_b""",
     "tx_span_scrub" ->
       s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
          wp0 AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS p, ws FROM w),

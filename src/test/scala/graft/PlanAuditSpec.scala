@@ -66,7 +66,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
 
   test("LSH candidate generation joins on band keys — never cartesian") {
     for (q <- Seq("dd_minhash_lsh", "dd_simhash_pairs", "dd_incremental",
-        "dd_lenband_jaccard", "dd_phash_pairs", "dd_afp_pairs")) {
+        "dd_lenband_jaccard", "dd_phash_pairs", "dd_afp_pairs",
+        "dd_video_pairs", "tx_span_scrub", "tx_source_overlap")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin"),
