@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dedup-family throughput at corpus scale — the companion large-run to
+  * `BootstrapBench` for the LLM-pipeline side of the engine. Dedup is the
+  * headline operation of a 100 TB training-data pipeline; the sf0.1 bench
+  * exercises it at 5k documents, which says nothing about the shuffle
+  * behavior that decides whether MinHash-LSH survives a real corpus. This
+  * run synthesizes millions of documents with PLANTED duplicates, runs the
+  * production dedup shapes end-to-end, and reports throughput AND recall
+  * of the planted structure — a speed number without a quality number
+  * would be meaningless here.
+  *
+  * Corpus design (deterministic in doc_id; re-runs are byte-identical):
+  *  - ~120 words per document drawn from a 50k-word synthetic vocabulary
+  *    via the portable 64-bit hash (so text ≈ 800 B/doc — n documents ≈
+  *    n × 0.8 KB of text);
+  *  - 4 % exact duplicates: doc i with i % 25 == 1 repeats the text of
+  *    doc i - 1 verbatim;
+  *  - 4 % near duplicates: doc i with i % 25 == 13 copies doc i - 1 and
+  *    rewrites every 40th word (3 of 120 words; each rewrite kills ≤ 5
+  *    of the 116 5-gram shingles → shingle Jaccard ≈ 0.77, giving the
+  *    4-band × 2-row LSH an expected ≈ 0.97 recall — measured below,
+  *    not assumed).
+  *
+  * Timed stages (each its own wall-clock + docs/sec):
+  *  1. exact    — full-text hash groupBy, dup groups + members
+  *     (dd_exact_dedup's shape);
+  *  2. minhash  — 8 minhashes per doc from the 5-gram shingle hashes,
+  *     4 × 2 banded candidates by equi-join, pairs deduped
+  *     (dd_minhash_lsh's shape, shared TextHashes primitives);
+  *  3. verify   — recall: the fraction of planted pairs (exact + near)
+  *     the banded candidates contain. Exactness argument: an exact dup
+  *     shares all minhashes, so recall of planted exact pairs must be
+  *     1.0 — anything less is a bug, not tuning.
+  *
+  * Row count via SPARK_GRAFT_DEDUP_ROWS (default 1,000,000 ≈ 0.8 GB of
+  * text); SPARK_GRAFT_DEDUP_DIR for the workdir.
+  */
+object DedupBench {
+
+  /** Deterministic word: vocab index from the portable hash family. */
+  private def wordCol(seed: org.apache.spark.sql.Column) =
+    concat(lit("w"), pmod(xxhash64(seed), lit(50000L)).cast("string"))
+
+  def syntheticDocs(spark: SparkSession, n: Long): DataFrame = {
+    // base text for every doc id: 120 words keyed (id, position); exact
+    // and near dups re-derive from the PREDECESSOR id so the generator
+    // stays a pure map (no self-join): base(i-1) recomputes in place.
+    def textOf(id: org.apache.spark.sql.Column, mutate: Boolean) = {
+      val words = transform(sequence(lit(0), lit(119)), i => {
+        val w = wordCol(concat_ws(":", id.cast("string"), i.cast("string")))
+        if (mutate)
+          when(i % 40 === 7,
+            concat(lit("m"), wordCol(concat_ws(";", id.cast("string"), i.cast("string")))))
+            .otherwise(w)
+        else w
+      })
+      array_join(words, " ")
+    }
+    spark.range(n).toDF("doc_id")
+      .withColumn("role",
+        when(col("doc_id") % 25 === 1 && col("doc_id") > 0, lit("exact_dup"))
+          .when(col("doc_id") % 25 === 13, lit("near_dup"))
+          .otherwise(lit("base")))
+      .withColumn("text",
+        when(col("role") === "exact_dup", textOf(col("doc_id") - 1, mutate = false))
+          .when(col("role") === "near_dup", textOf(col("doc_id") - 1, mutate = true))
+          .otherwise(textOf(col("doc_id"), mutate = false)))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_DEDUP_ROWS", "1000000").toLong
+    val work = sys.env.getOrElse("SPARK_GRAFT_DEDUP_DIR", "target/dedup-bench")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .appName("graft-dedup-bench")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val dir = s"$work/docs"
+    val p = new org.apache.hadoop.fs.Path(work)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+
+    def secs(t0: Long): Double = (System.nanoTime() - t0) / 1e9
+
+    // fixture (untimed): write the corpus to parquet so every stage reads
+    // from storage like a real pipeline pass, not from a cached plan
+    val tFix = System.nanoTime()
+    val parts = math.max(32, (n / 250000L).toInt)
+    syntheticDocs(spark, n).repartition(parts, col("doc_id"))
+      .write.mode("overwrite").parquet(dir)
+    val fixtureS = secs(tFix)
+
+    val docs = spark.read.parquet(dir)
+
+    // ── stage 1: exact dedup (dd_exact_dedup shape) ────────────────────
+    val tEx = System.nanoTime()
+    val exactGroups = docs
+      .select(col("doc_id"), xxhash64(col("text")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("members"), min(col("doc_id")).as("canonical"))
+      .filter(col("members") > 1)
+    val (exGroups, exMembers) = {
+      val r = exactGroups.agg(count(lit(1)), sum(col("members"))).collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    val exactS = secs(tEx)
+
+    // ── stage 2: minhash-LSH candidate pairs (dd_minhash_lsh shape) ────
+    val tMh = System.nanoTime()
+    val Mersenne31 = 2147483647L
+    val fp = docs.select(col("doc_id"),
+        graft.functions.TextHashes.minhashesUdf(8)(col("text")).as("mh"))
+    val bands = fp.select(col("doc_id"),
+        explode(array((0 until 4).map(k => struct(
+          lit(k).as("band_idx"),
+          (element_at(col("mh"), 2 * k + 1) * Mersenne31 +
+            element_at(col("mh"), 2 * k + 2)).as("band_val"))): _*)).as("b"))
+      .select(col("doc_id"), col("b.band_idx").as("band_idx"), col("b.band_val").as("band_val"))
+    val pairs = bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .cache()
+    val nPairs = pairs.count()
+    val minhashS = secs(tMh)
+
+    // ── stage 3: planted-structure recall ──────────────────────────────
+    val tVer = System.nanoTime()
+    val planted = docs.filter(col("role") =!= "base")
+      .select((col("doc_id") - 1).as("doc_a"), col("doc_id").as("doc_b"), col("role"))
+    val found = planted.join(pairs, Seq("doc_a", "doc_b"), "left_semi")
+      .groupBy(col("role")).agg(count(lit(1)).as("found"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = planted.groupBy(col("role")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val verifyS = secs(tVer)
+    pairs.unpersist()
+
+    def recall(role: String): Double =
+      found.getOrElse(role, 0L).toDouble / math.max(total.getOrElse(role, 0L), 1L)
+    val exactRecall = recall("exact_dup")
+    val nearRecall = recall("near_dup")
+
+    val totalS = exactS + minhashS + verifyS
+    println(s"""{"metric":"dedup_docs_per_sec","value":${(n / totalS).round},""" +
+      s""""rows":$n,"fixture_sec":${f"$fixtureS%.1f"},""" +
+      s""""exact_sec":${f"$exactS%.1f"},"exact_dup_groups":$exGroups,"exact_dup_members":$exMembers,""" +
+      s""""minhash_sec":${f"$minhashS%.1f"},"candidate_pairs":$nPairs,""" +
+      s""""verify_sec":${f"$verifyS%.1f"},""" +
+      s""""exact_recall":$exactRecall,"near_recall":$nearRecall}""")
+    spark.stop()
+  }
+}
