@@ -434,9 +434,16 @@ object TextCatalog extends Catalog {
         .distinct()
         .cache()
       val sizes = grams.groupBy(col("source")).agg(count(lit(1)).as("n"))
-      val shared = grams.as("a").join(grams.as("b"),
-          col("a.g") === col("b.g") && col("a.source") < col("b.source"))
-        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      // per-gram source SET, then the a<b pair expansion map-side — one
+      // aggregation exchange instead of a self-join; the set (and so the
+      // fan-out) is bounded by |sources| however hot the gram
+      val shared = grams.groupBy(col("g"))
+        .agg(sort_array(collect_set(col("source"))).as("srcs"))
+        .filter(size(col("srcs")) >= 2)
+        .select(explode(col("srcs")).as("source_a"), col("srcs"))
+        .select(col("source_a"), explode(col("srcs")).as("source_b"))
+        .filter(col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
         .agg(count(lit(1)).as("shared_grams"))
       shared
         .join(sizes.select(col("source").as("source_a"), col("n").as("n_a")), Seq("source_a"))
