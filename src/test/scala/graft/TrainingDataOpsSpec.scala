@@ -522,4 +522,62 @@ class TrainingDataOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out(18L) == (("https://w4.src7.com/p/18", 2L,
       false, false, true, false)), s"blocklist alone drops: ${out(18L)}")
   }
+
+  test("tx_span_scrub removes exactly the words covered by cross-doc " +
+    "duplicated 5-grams; within-doc repeats and unique docs are untouched") {
+    // docs 1+2 share exactly one 5-gram (d1..d5): those 5 words vanish
+    // from both, surrounding words survive in order. doc 3 repeats its
+    // OWN 5-gram twice but shares nothing → untouched (df counts distinct
+    // docs). doc 4 is unique → untouched.
+    val dir = docsDir(Seq(
+      (1L, "a1 a2 d1 d2 d3 d4 d5 a3 a4", "en"),
+      (2L, "d1 d2 d3 d4 d5 b1 b2 b3 b4", "en"),
+      (3L, "r1 r2 r3 r4 r5 r1 r2 r3 r4 r5 c1", "en"),
+      (4L, "u1 u2 u3 u4 u5 u6 u7", "en")))
+    val out = SparkEntry.queries("tx_span_scrub")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out(1L) == ((5L, "a1 a2 a3 a4")),
+      "the shared gram's 5 words are removed, prefix+suffix kept in order")
+    assert(out(2L) == ((5L, "b1 b2 b3 b4")))
+    assert(out(3L) == ((0L, "r1 r2 r3 r4 r5 r1 r2 r3 r4 r5 c1")),
+      "a doc repeating its own gram is NOT scrubbed — df is cross-doc")
+    assert(out(4L) == ((0L, "u1 u2 u3 u4 u5 u6 u7")))
+  }
+
+  test("tx_bpe_step counts frequency-weighted adjacent character pairs — " +
+    "the hand-checked first BPE merge wins") {
+    // 'aab' ×3 → pairs aa,ab ×3; 'ab' ×2 → ab ×2; 'ba' ×1 → ba ×1.
+    // Totals: ab=5, aa=3, ba=1 → merge order ab, aa, ba.
+    val dir = docsDir(Seq(
+      (1L, "aab aab ab", "en"),
+      (2L, "aab ab ba", "en")))
+    val out = SparkEntry.queries("tx_bpe_step")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("ab", 5L), ("aa", 3L), ("ba", 1L)),
+      s"frequency-weighted pair counts in merge order: ${out.toSeq}")
+  }
+
+  test("tx_filter_pipeline applies the Gopher rules in precedence order " +
+    "with per-language stoplists and a vacuous pass for unsupported langs") {
+    // 30 distinct 6-char filler words keep avg word length mid-range
+    val pad = (1 to 30).map(i => f"fill$i%02d").mkString(" ")
+    val dir = docsDir(Seq(
+      (1L, s"the a of and $pad", "en"),   // all rules pass
+      (2L, "the a b c", "en"),            // 4 words → word_count
+      (3L, s"the $pad", "en"),            // 31 words, ONE stopword → stopwords
+      (4L, s"le la $pad", "fr"),          // french stoplist applies → keep
+      (5L, s"le la $pad", "zh"),          // zh: no stoplist → vacuous pass
+      (6L, ("repeat " * 10).trim + s" $pad the a", "en"))) // mode 10/42 > 0.2
+    val out = SparkEntry.queries("tx_filter_pipeline")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getString(2)))).toMap
+    assert(out(1L) == ((true, "")), s"clean doc keeps: ${out(1L)}")
+    assert(out(2L) == ((false, "word_count")))
+    assert(out(3L) == ((false, "stopwords")),
+      "one distinct stopword is below the two-stopword floor")
+    assert(out(4L) == ((true, "")), "French stoplist applies for lang=fr")
+    assert(out(5L) == ((true, "")),
+      "no stoplist for zh: the stopword rule passes vacuously")
+    assert(out(6L) == ((false, "repetition")),
+      "10/42 repeats of one word exceed the 0.2 mode ratio")
+  }
 }
