@@ -134,6 +134,39 @@ object DedupCatalog extends Catalog {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** (doc_id, fp) fingerprints for one media modality slice (doc_id mod 3
+    * picks the modality; ASCII filter mirrors the oracle's byte-indexing
+    * constraint). Shared by the per-modality pair rows and the cross-media
+    * cluster row. */
+  private def mediaFps(s: SparkSession, d: String, mod: Int,
+      fpUdf: org.apache.spark.sql.expressions.UserDefinedFunction): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("doc_id") % 3 === mod && col("text").rlike("^[\\x00-\\x7F]*$"))
+      .select(col("doc_id"), fpUdf(col("text")).as("fp"))
+
+  /** Video frame-set overlap pairs (≥ 2 shared frame hashes) with the
+    * containment score — shared by dd_video_pairs and the cross-media
+    * cluster row. */
+  private def videoSharedPairs(s: SparkSession, d: String): DataFrame = {
+    val fh = Tables.documents(s, d)
+      .filter(col("doc_id") % 3 === 2 && col("text").rlike("^[\\x00-\\x7F]*$"))
+      .select(col("doc_id"),
+        explode(graft.operators.Multimodal.frameHashesUdf(col("text"))).as("fh"))
+      .cache()
+    val nf = fh.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+    val shared = fh.as("a").join(fh.as("b"),
+        col("a.fh") === col("b.fh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_frames"))
+      .filter(col("shared_frames") >= 2)
+    shared
+      .join(nf.select(col("doc_id").as("doc_a"), col("nf").as("nf_a")), Seq("doc_a"))
+      .join(nf.select(col("doc_id").as("doc_b"), col("nf").as("nf_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        col("shared_frames").cast("long").as("shared_frames"),
+        round(col("shared_frames") / least(col("nf_a"), col("nf_b")), 6).as("overlap"))
+  }
+
   /** Banded-Hamming near-dup pairs over ANY 60-bit fingerprint frame
     * `(doc_id, fp)`: 4 LSH bands × 15 bits generate candidates by
     * equi-join (never cartesian), exact Hamming verify keeps doc_a < doc_b
@@ -399,14 +432,10 @@ object DedupCatalog extends Catalog {
     // looser than simhash's (8 vs 6): a byte-level edit moves more dHash
     // grid cells than a word-level edit moves simhash terms. ASCII/image
     // filters mirror MultimodalCatalog.DhashGridSql's oracle constraint. ──
-    "dd_phash_pairs" -> ((s, d) => {
-      val imgs = Tables.documents(s, d)
-        .filter(col("doc_id") % 3 === 0 && col("text").rlike("^[\\x00-\\x7F]*$"))
-        .select(col("doc_id"),
-          graft.operators.Multimodal.dhash60Udf(col("text")).as("fp"))
-      bandedHammingPairs(imgs, maxHamming = 8)
-        .orderBy(col("doc_a"), col("doc_b"))
-    }),
+    "dd_phash_pairs" -> ((s, d) =>
+      bandedHammingPairs(mediaFps(s, d, 0,
+          graft.operators.Multimodal.dhash60Udf), maxHamming = 8)
+        .orderBy(col("doc_a"), col("doc_b"))),
 
     // ── Audio near-dup pairs: the 60-bit energy-envelope fingerprint
     // (graft.operators.Multimodal.afp60 — real PCM envelope for real
@@ -417,14 +446,10 @@ object DedupCatalog extends Catalog {
     // floor — measured), so the 0-row result there is the correct
     // answer; sf0.1 carries 35 value-checked pairs and the real-PCM
     // path is pinned by MediaDecodeSpec's envelope tests. ──
-    "dd_afp_pairs" -> ((s, d) => {
-      val auds = Tables.documents(s, d)
-        .filter(col("doc_id") % 3 === 1 && col("text").rlike("^[\\x00-\\x7F]*$"))
-        .select(col("doc_id"),
-          graft.operators.Multimodal.afp60Udf(col("text")).as("fp"))
-      bandedHammingPairs(auds, maxHamming = 8)
-        .orderBy(col("doc_a"), col("doc_b"))
-    }),
+    "dd_afp_pairs" -> ((s, d) =>
+      bandedHammingPairs(mediaFps(s, d, 1,
+          graft.operators.Multimodal.afp60Udf), maxHamming = 8)
+        .orderBy(col("doc_a"), col("doc_b"))),
 
     // ── Video near-dup pairs: frame-level content matching — the
     // content-ID shape, which is a DIFFERENT join geometry from the
@@ -440,25 +465,45 @@ object DedupCatalog extends Catalog {
     // raw frames — and production adds a lenband-style df cap dropping
     // ubiquitous boilerplate frames (intro cards, black frames) before
     // the join, exactly the stop-gram discipline of dd_lenband_jaccard. ──
-    "dd_video_pairs" -> ((s, d) => {
-      val fh = Tables.documents(s, d)
-        .filter(col("doc_id") % 3 === 2 && col("text").rlike("^[\\x00-\\x7F]*$"))
-        .select(col("doc_id"),
-          explode(graft.operators.Multimodal.frameHashesUdf(col("text"))).as("fh"))
-        .cache()
-      val nf = fh.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
-      val shared = fh.as("a").join(fh.as("b"),
-          col("a.fh") === col("b.fh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("shared_frames"))
-        .filter(col("shared_frames") >= 2)
-      shared
-        .join(nf.select(col("doc_id").as("doc_a"), col("nf").as("nf_a")), Seq("doc_a"))
-        .join(nf.select(col("doc_id").as("doc_b"), col("nf").as("nf_b")), Seq("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          col("shared_frames").cast("long").as("shared_frames"),
-          round(col("shared_frames") / least(col("nf_a"), col("nf_b")), 6).as("overlap"))
-        .orderBy(col("doc_a"), col("doc_b"))
+    "dd_video_pairs" -> ((s, d) =>
+      videoSharedPairs(s, d).orderBy(col("doc_a"), col("doc_b"))),
+
+    // ── Cross-media duplicate groups: ONE connected-components pass over
+    // the union of all three modality pair graphs (image banded-Hamming,
+    // audio banded-Hamming, video frame-set overlap), assigning every
+    // ASCII-domain asset a canonical representative — the operation a
+    // dedup pipeline actually ships after pair generation, here proving
+    // the Components operator is fingerprint-agnostic. The modality
+    // slices are disjoint by construction (doc_id mod 3), so clusters
+    // stay within a modality; the UNION still matters operationally: one
+    // CC job over the whole asset universe instead of three, one
+    // canonical-id namespace, one output table. ──
+    "dd_media_cluster" -> ((s, d) => {
+      val edges =
+        bandedHammingPairs(mediaFps(s, d, 0,
+            graft.operators.Multimodal.dhash60Udf), maxHamming = 8)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(bandedHammingPairs(mediaFps(s, d, 1,
+            graft.operators.Multimodal.afp60Udf), maxHamming = 8)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+        .union(videoSharedPairs(s, d)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      val comp = graft.operators.Components.assign(edges)
+      val universe = Tables.documents(s, d)
+        .filter(col("text").rlike("^[\\x00-\\x7F]*$"))
+        .select(col("doc_id").as("media_id"),
+          element_at(typedLit(Seq("image", "audio", "video")),
+            (col("doc_id") % 3).cast("int") + 1).as("kind"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+      universe
+        .join(comp.select(col("node").as("media_id"), col("cluster_id")),
+          Seq("media_id"), "left_outer")
+        .select(col("media_id"), col("kind"),
+          coalesce(col("cluster_id"), col("media_id")).as("cluster_id"))
+        .select(col("media_id"), col("kind"), col("cluster_id"),
+          count(lit(1)).over(w).as("cluster_size"),
+          (col("media_id") === col("cluster_id")).as("is_canonical"))
+        .orderBy(col("media_id"))
     }),
 
     // ── Cluster assignment: connected components over the simhash
@@ -768,6 +813,54 @@ object DedupCatalog extends Catalog {
          JOIN nf na ON na.doc_id = doc_a
          JOIN nf nb ON nb.doc_id = doc_b
          ORDER BY doc_a, doc_b"""
+    },
+    "dd_media_cluster" -> {
+      import MultimodalCatalog.{DhashGridSql, Dhash60FromGridSql, AfpGridSql, Afp60FromGridSql}
+      val bandDiv = """(CASE t.k WHEN 0 THEN 1 WHEN 1 THEN 32768
+                        WHEN 2 THEN 1073741824 ELSE 35184372088832 END)::BIGINT"""
+      s"""WITH RECURSIVE
+         img AS (SELECT doc_id, $DhashGridSql AS grid FROM documents
+           WHERE doc_id % 3 = 0 AND regexp_matches(text, '^[\\x00-\\x7F]*$$')),
+         fimg AS (SELECT doc_id, $Dhash60FromGridSql AS fp FROM img),
+         aud AS (SELECT doc_id, $AfpGridSql AS grid FROM documents
+           WHERE doc_id % 3 = 1 AND regexp_matches(text, '^[\\x00-\\x7F]*$$')),
+         faud AS (SELECT doc_id, $Afp60FromGridSql AS fp FROM aud),
+         fps AS (SELECT * FROM fimg UNION ALL SELECT * FROM faud),
+         bands AS (SELECT doc_id, fp, t.k AS band_idx,
+             (fp // $bandDiv) % 32768 AS band_val
+           FROM fps, generate_series(0, 3) t(k)),
+         hpairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a JOIN bands b
+             ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+               AND a.doc_id < b.doc_id AND a.doc_id % 3 = b.doc_id % 3
+           WHERE bit_count(xor(a.fp, b.fp)) <= 8),
+         vid AS (SELECT doc_id, text FROM documents
+           WHERE doc_id % 3 = 2 AND regexp_matches(text, '^[\\x00-\\x7F]*$$')),
+         fr AS (SELECT doc_id, text,
+             unnest(range(0, octet_length(encode(text)), 50)) AS off FROM vid),
+         fh AS (SELECT DISTINCT doc_id,
+             ${graft.functions.PortableHash.hash64Sql("substr(text, CAST(off AS INT) + 1, 16)")} AS fh
+           FROM fr),
+         vpairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM fh a JOIN fh b ON a.fh = b.fh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM hpairs
+           UNION SELECT doc_a, doc_b FROM vpairs),
+         edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                   UNION SELECT doc_b, doc_a FROM pairs),
+         reach AS (SELECT src, dst FROM edges
+                   UNION SELECT r.src, e.dst FROM reach r JOIN edges e
+                     ON r.dst = e.src AND e.dst <> r.src),
+         lbl AS (SELECT src AS media_id, LEAST(src, MIN(dst)) AS cluster_id
+                 FROM reach GROUP BY src)
+         SELECT d.doc_id AS media_id,
+           CASE d.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+           COUNT(*) OVER (PARTITION BY COALESCE(l.cluster_id, d.doc_id)) AS cluster_size,
+           d.doc_id = COALESCE(l.cluster_id, d.doc_id) AS is_canonical
+         FROM documents d LEFT JOIN lbl l ON d.doc_id = l.media_id
+         WHERE regexp_matches(d.text, '^[\\x00-\\x7F]*$$')
+         ORDER BY media_id"""
     },
     "dd_cluster_assign" ->
       s"""WITH RECURSIVE
