@@ -374,6 +374,43 @@ object TextCatalog extends Catalog {
         .select(col("pair"), col("pair_count"))
     }),
 
+    // ── BPE iteration proof: apply the step-1 winning merge and recount
+    // — the loop body of tokenizer induction, shown distributed. The
+    // winning pair (from the same statistic tx_bpe_step ranks) joins the
+    // vocab table as a broadcast 1-row frame; application replaces its
+    // non-overlapping leftmost occurrences with a single atomic
+    // placeholder symbol (chr(1) — replace() semantics are identical in
+    // Spark and DuckDB), after which adjacent-symbol pairs are 2-char
+    // substrings again. Each iteration rescans the vocab-freq table
+    // only; the corpus is never touched after the initial wordcount. ──
+    "tx_bpe_apply" -> ((s, d) => {
+      val vocab = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        .cache()
+      val pairsOf = (wordCol: String) => vocab
+        .withColumn("w", expr(wordCol))
+        .filter(length(col("w")) > 1)
+        .select(col("freq"),
+          explode(expr("transform(sequence(1, length(w) - 1)," +
+            " i -> substr(w, i, 2))")).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("pair_count"))
+      val top1 = pairsOf("word")
+        .orderBy(col("pair_count").desc, col("pair")).limit(1)
+        .select(col("pair").as("merge_pair"))
+      vocab.crossJoin(broadcast(top1))
+        .withColumn("w", expr("replace(word, merge_pair, chr(1))"))
+        .filter(length(col("w")) > 1)
+        .select(col("merge_pair"), col("freq"),
+          explode(expr("transform(sequence(1, length(w) - 1)," +
+            " i -> substr(w, i, 2))")).as("pair"))
+        .groupBy(col("merge_pair"), col("pair")).agg(sum(col("freq")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("pair"))
+        .limit(10)
+        .select(col("merge_pair"), col("pair"), col("pair_count"))
+    }),
+
     // ── Gopher-style quality filter pipeline (Rae 2021 §A.1.1): the
     // composed keep/drop DECISION with the first failing rule as the
     // reject reason — the operator a cleaning pipeline actually gates
@@ -919,6 +956,26 @@ object TextCatalog extends Catalog {
            round(AVG(CASE WHEN df > 1 THEN 1.0 ELSE 0.0 END), 6) AS dup_frac,
            round(AVG(CASE WHEN df > 1 THEN 1.0 ELSE 0.0 END), 6) > 0.5 AS boilerplate
          FROM g JOIN dfs USING (g) GROUP BY doc_id ORDER BY doc_id""",
+    "tx_bpe_apply" ->
+      """WITH v AS (SELECT w AS word, COUNT(*) AS freq FROM
+           (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           WHERE length(w) > 0 GROUP BY w),
+         p1 AS (SELECT unnest(list_transform(
+               generate_series(1, length(word) - 1), i -> substr(word, i, 2))) AS pair,
+             freq
+           FROM v WHERE length(word) > 1),
+         top1 AS (SELECT pair AS merge_pair FROM
+           (SELECT pair, SUM(freq) AS s FROM p1 GROUP BY pair
+            ORDER BY s DESC, pair LIMIT 1)),
+         m AS (SELECT merge_pair, replace(word, merge_pair, chr(1)) AS w, freq
+           FROM v, top1),
+         p2 AS (SELECT merge_pair, unnest(list_transform(
+               generate_series(1, length(w) - 1), i -> substr(w, i, 2))) AS pair,
+             freq
+           FROM m WHERE length(w) > 1)
+         SELECT merge_pair, pair, CAST(SUM(freq) AS BIGINT) AS pair_count
+         FROM p2 GROUP BY merge_pair, pair
+         ORDER BY pair_count DESC, pair LIMIT 10""",
     "tx_filter_pipeline" -> {
       def lst(ws: Seq[String]) = s"['${ws.mkString("','")}']"
       s"""WITH wc AS (SELECT doc_id, w, COUNT(*) AS c FROM
