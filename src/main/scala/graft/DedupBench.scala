@@ -116,7 +116,7 @@ object DedupBench {
 
     // ── stage 2: minhash-LSH candidate pairs (dd_minhash_lsh shape) ────
     val tMh = System.nanoTime()
-    val Mersenne31 = 2147483647L
+    val Mersenne31 = graft.functions.PortableHash.Mersenne31
     val fp = docs.select(col("doc_id"),
         graft.functions.TextHashes.minhashesUdf(8)(col("text")).as("mh"))
     val bands = fp.select(col("doc_id"),

@@ -32,8 +32,11 @@ object Tables {
           // naive µs mean UTC wall-clock instants. The cast interprets the
           // wall clock in the SESSION time zone, so shift back by that
           // zone's offset: an identity under the UTC sessions every entry
-          // point configures, and still correct (instead of silently
-          // shifted vs the DuckDB oracle) under any other caller's tz.
+          // point configures, and correct under any fixed-offset session
+          // tz. Known residual: a geographic zone with DST misconverts by
+          // 1h for wall clocks inside its spring-forward gap (the cast
+          // resolves the nonexistent local time before the shift-back) —
+          // run with a UTC or fixed-offset session tz for oracle parity.
           import org.apache.spark.sql.functions.from_utc_timestamp
           val tz = spark.conf.get("spark.sql.session.timeZone")
           df.withColumn("ts",

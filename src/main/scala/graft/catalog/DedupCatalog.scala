@@ -148,10 +148,11 @@ object DedupCatalog extends Catalog {
     * containment score — shared by dd_video_pairs and the cross-media
     * cluster row. */
   private def videoSharedPairs(s: SparkSession, d: String): DataFrame = {
-    val fh = Tables.documents(s, d)
-      .filter(col("doc_id") % 3 === 2 && col("text").rlike("^[\\x00-\\x7F]*$"))
-      .select(col("doc_id"),
-        explode(graft.operators.Multimodal.frameHashesUdf(col("text"))).as("fh"))
+    // built on the same modality-slice helper as the Hamming families so
+    // the slice predicate lives in one place; fp here is the frame-hash
+    // ARRAY, exploded into the inverted (doc, frame-hash) index
+    val fh = mediaFps(s, d, 2, graft.operators.Multimodal.frameHashesUdf)
+      .select(col("doc_id"), explode(col("fp")).as("fh"))
       .cache()
     val nf = fh.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
     val shared = fh.as("a").join(fh.as("b"),

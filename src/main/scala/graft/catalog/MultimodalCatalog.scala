@@ -121,7 +121,11 @@ object MultimodalCatalog extends Catalog {
     // fingerprints ever shuffle. ──
     "mm_vhash" -> ((s, d) => {
       import s.implicits._
-      val ascii = Tables.documents(s, d).filter(col("text").rlike("^[\\x00-\\x7F]*$"))
+      // empty payloads are excluded rather than emitted as (id, 0, 0):
+      // the oracle's frame CTE naturally drops zero-frame assets, and a
+      // frameless "video" has no fingerprint to report
+      val ascii = Tables.documents(s, d)
+        .filter(col("text").rlike("^[\\x00-\\x7F]*$") && length(col("text")) > 0)
       Multimodal.mediaFromDocuments(ascii)
         .filter(_.kind == "video")
         .map(a => {

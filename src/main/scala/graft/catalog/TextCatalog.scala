@@ -389,23 +389,23 @@ object TextCatalog extends Catalog {
         .filter(length(col("word")) > 0)
         .groupBy(col("word")).agg(count(lit(1)).as("freq"))
         .cache()
-      val pairsOf = (wordCol: String) => vocab
-        .withColumn("w", expr(wordCol))
+      // ONE pair-count shape for both passes (a drifted copy would let
+      // the step statistic and the applied-merge recount diverge): input
+      // carries the symbol string in `w` plus any pass-through key cols
+      def pairCounts(df: org.apache.spark.sql.DataFrame, keys: Seq[String]) = df
         .filter(length(col("w")) > 1)
-        .select(col("freq"),
+        .select(keys.map(col) ++ Seq(col("freq"),
           explode(expr("transform(sequence(1, length(w) - 1)," +
-            " i -> substr(w, i, 2))")).as("pair"))
-        .groupBy(col("pair")).agg(sum(col("freq")).as("pair_count"))
-      val top1 = pairsOf("word")
+            " i -> substr(w, i, 2))")).as("pair")): _*)
+        .groupBy((keys :+ "pair").map(col): _*)
+        .agg(sum(col("freq")).as("pair_count"))
+      val top1 = pairCounts(vocab.withColumn("w", col("word")), Nil)
         .orderBy(col("pair_count").desc, col("pair")).limit(1)
         .select(col("pair").as("merge_pair"))
-      vocab.crossJoin(broadcast(top1))
-        .withColumn("w", expr("replace(word, merge_pair, chr(1))"))
-        .filter(length(col("w")) > 1)
-        .select(col("merge_pair"), col("freq"),
-          explode(expr("transform(sequence(1, length(w) - 1)," +
-            " i -> substr(w, i, 2))")).as("pair"))
-        .groupBy(col("merge_pair"), col("pair")).agg(sum(col("freq")).as("pair_count"))
+      pairCounts(
+        vocab.crossJoin(broadcast(top1))
+          .withColumn("w", expr("replace(word, merge_pair, chr(1))")),
+        Seq("merge_pair"))
         .orderBy(col("pair_count").desc, col("pair"))
         .limit(10)
         .select(col("merge_pair"), col("pair"), col("pair_count"))

@@ -76,8 +76,29 @@ object Components {
       .getOption("spark.graft.components.reliableCheckpoint")
       .exists(_.equalsIgnoreCase("true")) &&
       e.sparkSession.sparkContext.getCheckpointDir.isDefined
+    // reliable mode is a managed parquet round-trip rather than
+    // df.checkpoint: RDD checkpoint files are only reclaimed by the
+    // GC-driven cleaner (off by default), so a 50-round run would leave
+    // O(rounds × |nodes|) dead files in the store. Here each round's
+    // snapshot is deleted as soon as the next one is on disk — the store
+    // holds at most two live snapshots during a round and exactly one
+    // (the result the caller reads) after the loop.
+    val ckRoot = e.sparkSession.sparkContext.getCheckpointDir
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    var prevReliable: Option[org.apache.hadoop.fs.Path] = None
+    var round = 0
     def pin(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+      if (reliable) {
+        val spark = df.sparkSession
+        val dir = new org.apache.hadoop.fs.Path(ckRoot.get, s"graft-cc-$runId-r$round")
+        round += 1
+        df.write.mode("overwrite").parquet(dir.toString)
+        prevReliable.foreach { p =>
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+        }
+        prevReliable = Some(dir)
+        spark.read.parquet(dir.toString)
+      } else df.localCheckpoint(true)
     val bidir = e
       .union(e.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(parts, col("src"))

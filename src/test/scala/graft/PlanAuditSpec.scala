@@ -22,15 +22,23 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     * the renderer prints shared/cached subtrees across Spark versions. */
   private def generateNodes(name: String): Int = {
     import org.apache.spark.sql.execution.{GenerateExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     def walk(p: SparkPlan): Int = {
+      // AdaptiveSparkPlanExec is a LEAF node — collect() never descends
+      // into it, so an un-unwrapped walk returns 0 for every AQE plan and
+      // the assertion pins nothing. Recurse into each AQE node's current
+      // physical plan (and into cached subtrees, each counted once).
       val direct = p.collect { case g: GenerateExec => g }.size
+      val aqe = p.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
       val cached = p.collect {
         case s: InMemoryTableScanExec => s.relation.cachedPlan
       }.distinct
-      direct + cached.map(walk).sum
+      direct + aqe.map(walk).sum + cached.map(walk).sum
     }
-    walk(SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.count() // finalize AQE so executedPlan reflects the real stages
+    walk(df.queryExecution.executedPlan)
   }
 
   /** Distinct shuffle exchanges (a shared subtree prints repeatedly but
