@@ -234,6 +234,41 @@ object TextCatalog extends Catalog {
         .orderBy(col("doc_id"))
     }),
 
+    // ── Interpolated bigram-LM scoring — one model order up from
+    // tx_unigram_logprob, the shape of CCNet's KenLM quality signal
+    // (Wenzek 2020 uses a 5-gram; the table/join topology is identical
+    // at any order): P(w2|w1) = 0.7·c(w1w2)/c(w1) + 0.3·c(w2)/N, doc
+    // score = mean ln P over its transitions. Bigram extraction is a
+    // map-side transform over the split array (no shuffle); the LM
+    // tables are vocab- and bigram-vocab-sized aggregations the scoring
+    // pass equi-joins — at 100 TB those tables are the persisted model,
+    // built once and reused, exactly like the DSIR/CCNet tables. ──
+    "tx_bigram_logprob" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(explode(split(col("text"), " ")).as("w"))
+      val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      val total = uni.agg(sum(col("cnt")).as("total"))
+      val bg = docs.filter(size(split(col("text"), " ")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(split(text, ' ')) - 1)," +
+            " i -> struct(split(text, ' ')[i-1] AS w1, split(text, ' ')[i] AS w2))"))
+          .as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val bi = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      bg
+        .join(bi, Seq("w1", "w2"))
+        .join(uni.select(col("w").as("w1"), col("cnt").as("c1")), Seq("w1"))
+        .join(uni.select(col("w").as("w2"), col("cnt").as("c2")), Seq("w2"))
+        .crossJoin(total)
+        .select(col("doc_id"),
+          log(lit(0.7) * col("c12") / col("c1") +
+            lit(0.3) * col("c2") / col("total")).as("lp"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), round(avg(col("lp")), 6).as("avg_logprob"))
+        .withColumn("ppl", round(exp(-col("avg_logprob")), 4))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── Context-window chunking: split documents into overlapping
     // fixed-size training chunks (64-token windows, stride 48 → 16-token
     // overlap), the doc→sample splitter that feeds sequence packing
@@ -956,6 +991,25 @@ object TextCatalog extends Catalog {
            round(AVG(CASE WHEN df > 1 THEN 1.0 ELSE 0.0 END), 6) AS dup_frac,
            round(AVG(CASE WHEN df > 1 THEN 1.0 ELSE 0.0 END), 6) > 0.5 AS boilerplate
          FROM g JOIN dfs USING (g) GROUP BY doc_id ORDER BY doc_id""",
+    "tx_bigram_logprob" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         toks AS (SELECT unnest(ws) AS w FROM w),
+         uni AS (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY 1),
+         tot AS (SELECT SUM(cnt) AS total FROM uni),
+         bg0 AS (SELECT doc_id, unnest(generate_series(1, len(ws) - 1)) AS i, ws
+           FROM w WHERE len(ws) >= 2),
+         bg AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 FROM bg0),
+         bi AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+         scored AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             round(AVG(ln(0.7 * bi.c12 / u1.cnt + 0.3 * u2.cnt / tot.total)), 6)
+               AS avg_logprob
+           FROM bg JOIN bi USING (w1, w2)
+           JOIN uni u1 ON u1.w = bg.w1
+           JOIN uni u2 ON u2.w = bg.w2, tot
+           GROUP BY doc_id)
+         SELECT doc_id, n_bigrams, avg_logprob,
+           round(exp(-avg_logprob), 4) AS ppl
+         FROM scored ORDER BY doc_id""",
     "tx_bpe_apply" ->
       """WITH v AS (SELECT w AS word, COUNT(*) AS freq FROM
            (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
