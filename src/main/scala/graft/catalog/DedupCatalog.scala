@@ -199,6 +199,33 @@ object DedupCatalog extends Catalog {
   /** SimHash near-dup pairs (doc_a < doc_b, hamming ≤ 6). Shared by the
     * pair query and the cluster-assignment query (Spark's cache manager
     * dedupes the identical banded plan across both). */
+  /** Quality-canonical compaction given a near-dup pair graph: collapse
+    * each connected component to the doc with the most tokens (tie →
+    * lowest doc_id) and report per-source what the corpus kept/lost.
+    * `docs` = (doc_id, source, n_tokens); `pairs` = (src, dst) edges.
+    * Only new cost over cluster assignment: one shuffle on cluster_id
+    * (row_number — per-partition state bounded by cluster size) and a
+    * map-side-combined per-source rollup; document text never moves. */
+  def compact(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = graft.operators.Components.assign(pairs)
+    val assigned = docs
+      .join(comp.select(col("node").as("doc_id"), col("cluster_id")),
+        Seq("doc_id"), "left_outer")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+    assigned.withColumn("keep", row_number().over(w) === 1)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("n_tokens")).as("tokens_total"),
+        sum(when(col("keep"), col("n_tokens")).otherwise(0L)).as("tokens_kept"))
+      .withColumn("kept_frac",
+        round(col("tokens_kept").cast("double") / col("tokens_total").cast("double"), 6))
+      .orderBy(col("source"))
+  }
+
   private def simhashPairs(s: SparkSession, d: String): DataFrame =
     bandedHammingPairs(
       Tables.documents(s, d)
@@ -529,6 +556,24 @@ object DedupCatalog extends Catalog {
         .orderBy(col("doc_id"))
     }),
 
+    // ── Compaction: the step a dedup pipeline actually ships — collapse
+    // each near-dup cluster to ONE representative and account for what
+    // the corpus lost. Unlike dd_cluster_assign's min-id canonical, the
+    // kept doc is chosen by QUALITY (most tokens, tie → lowest id): when
+    // a crawl holds a full article and three truncated mirrors, min-id
+    // keeps whichever was crawled first, this keeps the longest. Plan
+    // shape: the only new cost over cluster assignment is one shuffle on
+    // cluster_id (row_number within clusters — per-partition state is
+    // bounded by cluster size) and a map-side-combined per-source rollup,
+    // both fixed-width; the corpus text never moves. ──
+    "dd_compact" -> ((s, d) =>
+      compact(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens")),
+        simhashPairs(s, d)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst")))),
+
     // ── Incremental near-dup: dedup an incoming BATCH against the
     // standing corpus — the production shape at 100 TB, where re-running
     // all-pairs LSH over the whole corpus per crawl is a non-starter. The
@@ -645,6 +690,27 @@ object DedupCatalog extends Catalog {
     * for xxhash64 bits on a real cluster. */
   private def simhash60(textCol: Column): Column =
     org.apache.spark.sql.graftnative.NativeExpressions.simhash60Col(textCol)
+
+  /** Shared recursive-CTE chain mirroring Components.assign over the
+    * simhash banded-Hamming pair graph: ends in lbl(doc_id, cluster_id);
+    * singleton docs are absent from lbl (callers COALESCE to self). */
+  private lazy val SimhashComponentsCte: String =
+    s"""s AS (SELECT doc_id, $Simhash60Sql AS simhash FROM documents),
+         bands AS (SELECT doc_id, simhash, t.k AS band_idx,
+             (simhash // (CASE t.k WHEN 0 THEN 1 WHEN 1 THEN 32768
+                          WHEN 2 THEN 1073741824 ELSE 35184372088832 END)::BIGINT) % 32768 AS band_val
+           FROM s, generate_series(0, 3) t(k)),
+         pairs AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a JOIN bands b
+             ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.simhash, b.simhash)) <= 6),
+         edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                   UNION SELECT doc_b, doc_a FROM pairs),
+         reach AS (SELECT src, dst FROM edges
+                   UNION SELECT r.src, e.dst FROM reach r JOIN edges e
+                     ON r.dst = e.src AND e.dst <> r.src),
+         lbl AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+                 FROM reach GROUP BY src)"""
 
   private val Simhash60Sql: String =
     s"""CAST(list_sum(list_transform(generate_series(0, 59), j ->
@@ -865,28 +931,30 @@ object DedupCatalog extends Catalog {
     },
     "dd_cluster_assign" ->
       s"""WITH RECURSIVE
-         s AS (SELECT doc_id, $Simhash60Sql AS simhash FROM documents),
-         bands AS (SELECT doc_id, simhash, t.k AS band_idx,
-             (simhash // (CASE t.k WHEN 0 THEN 1 WHEN 1 THEN 32768
-                          WHEN 2 THEN 1073741824 ELSE 35184372088832 END)::BIGINT) % 32768 AS band_val
-           FROM s, generate_series(0, 3) t(k)),
-         pairs AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           FROM bands a JOIN bands b
-             ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
-           WHERE bit_count(xor(a.simhash, b.simhash)) <= 6),
-         edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
-                   UNION SELECT doc_b, doc_a FROM pairs),
-         reach AS (SELECT src, dst FROM edges
-                   UNION SELECT r.src, e.dst FROM reach r JOIN edges e
-                     ON r.dst = e.src AND e.dst <> r.src),
-         lbl AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
-                 FROM reach GROUP BY src)
+         $SimhashComponentsCte
          SELECT d.doc_id,
            COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
            COUNT(*) OVER (PARTITION BY COALESCE(l.cluster_id, d.doc_id)) AS cluster_size,
            d.doc_id = COALESCE(l.cluster_id, d.doc_id) AS is_canonical
          FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id
          ORDER BY d.doc_id""",
+    "dd_compact" ->
+      s"""WITH RECURSIVE
+         $SimhashComponentsCte,
+         docs AS (SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+         asg AS (SELECT d.doc_id, d.source, d.n_tokens,
+             COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+           FROM docs d LEFT JOIN lbl l ON d.doc_id = l.doc_id),
+         pick AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+             ORDER BY n_tokens DESC, doc_id) = 1 AS keep FROM asg)
+         SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+           CAST(SUM(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept,
+           round(SUM(CASE WHEN keep THEN n_tokens ELSE 0 END)::DOUBLE
+             / SUM(n_tokens)::DOUBLE, 6) AS kept_frac
+         FROM pick GROUP BY source ORDER BY source""",
     "dd_bloom_incremental" ->
       s"""WITH h AS (SELECT doc_id, ${hash64Sql("text")} AS content_hash FROM documents),
          b AS (SELECT doc_id, content_hash FROM h WHERE doc_id % 10 = 7),

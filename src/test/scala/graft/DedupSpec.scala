@@ -41,6 +41,27 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(capped == 0, "df cap alone loses the whole cluster")
   }
 
+  test("compact keeps the most-token doc per cluster (tie → lowest id), " +
+    "passes singletons through, and accounts per source across " +
+    "cluster-spanning sources") {
+    import spark.implicits._
+    // cluster {1,2,3}: tokens 5,9,9 → keep 2 (max tokens, tie min id);
+    // 4 is a singleton (kept); cluster {5,6} spans sources: 6 (srcB, 7
+    // tokens) beats 5 (srcA, 4) → srcA loses all its clustered tokens
+    val docs = Seq(
+      (1L, "srcA", 5L), (2L, "srcA", 9L), (3L, "srcA", 9L),
+      (4L, "srcB", 6L), (5L, "srcA", 4L), (6L, "srcB", 7L))
+      .toDF("doc_id", "source", "n_tokens")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("src", "dst")
+    val out = DedupCatalog.compact(docs, pairs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out("srcA") == ((4L, 1L, 27L, 9L, 0.333333)),
+      "srcA: only doc 2 survives — 9 of 27 tokens kept")
+    assert(out("srcB") == ((2L, 2L, 13L, 13L, 1.0)),
+      "srcB: singleton 4 and cluster-winner 6 both kept")
+  }
+
   test("prefix filter keeps exact recall against brute force") {
     import spark.implicits._
     // near-dup pairs with assorted overlap levels around the threshold
