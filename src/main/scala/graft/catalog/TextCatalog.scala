@@ -20,6 +20,28 @@ object TextCatalog extends Catalog {
   private val StopEs = Seq("el", "los", "y", "que")
   private val StopDe = Seq("der", "die", "und", "das")
 
+  /** Hashed-feature classifier model shape (tx_quality_classifier): 64
+    * weight buckets, weights in [-1, 1] derived deterministically from the
+    * bucket index by the portable hash (a public stand-in for trained
+    * parameters — the oracle recomputes them, so inference is checked
+    * value-for-value). */
+  private val QcBuckets = 64
+  private val QcSalt = "qw"
+  private val QcBias = -0.1
+  private val QcScale = 4.0
+
+  /** Mean hashed-bucket weight of a word array — the raw (pre-sigmoid,
+    * pre-bias) margin of the linear model. Pure column expression: per
+    * word, bucket = hash64(word) % buckets, weight = (hash64(salt ||
+    * bucket) % 2001 - 1000) / 1000. Collisions sharing one weight IS the
+    * hashing trick, not a defect. */
+  def hashedClassifierRaw(words: org.apache.spark.sql.Column, buckets: Int,
+      salt: String): org.apache.spark.sql.Column =
+    aggregate(words, lit(0.0), (acc, w) =>
+      acc + (PortableHash.hash64(concat(lit(salt),
+        (PortableHash.hash64(w) % buckets).cast("string"))) % 2001 - 1000)
+        .cast("double") / 1000.0) / size(words).cast("double")
+
   def queries: Map[String, QFn] = Map(
 
     // ── Language ID: marker-word scoring with deterministic tie-break.
@@ -59,6 +81,31 @@ object TextCatalog extends Catalog {
         .select(col("doc_id"), nWords.as("n_words"),
           round(avgWordLen, 6).as("avg_word_len"),
           round(score, 6).as("quality_score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── Learned quality classifier, inference side (the fasttext-shaped
+    // linear model of CCNet/GPT-3-style quality filtering): bag-of-words
+    // with the HASHING TRICK — each word maps to one of 64 weight buckets,
+    // the doc's raw margin is the mean bucket weight, squashed by a
+    // sigmoid, thresholded into a keep decision. The engine's job is the
+    // INFERENCE plan, not the training: per-word bucket lookup + weight
+    // is a pure map-side column expression (zero shuffle, whole-stage
+    // codegen), which is what lets a 100 TB corpus be scored in one scan.
+    // The weight table here is a deterministic public stand-in for a
+    // trained model — derived from the bucket index by the same portable
+    // hash the oracle computes — so the oracle checks the full inference
+    // path value-for-value; swapping in real trained weights changes a
+    // 64-literal table, not the plan. ──
+    "tx_quality_classifier" -> ((s, d) => {
+      val words = filter(split(col("text"), " "), w => length(w) > 0)
+      val raw = hashedClassifierRaw(words, QcBuckets, QcSalt)
+      val margin = lit(QcBias) + lit(QcScale) * raw
+      Tables.documents(s, d)
+        .select(col("doc_id"), size(words).cast("long").as("n_words"),
+          round(raw, 6).as("raw_margin"),
+          round(lit(1.0) / (lit(1.0) + exp(-margin)), 6).as("clf_score"),
+          (margin >= 0).as("keep"))
         .orderBy(col("doc_id"))
     }),
 
@@ -914,6 +961,22 @@ object TextCatalog extends Catalog {
                  + (1.0 - least(abs(char_len / CAST(n_words AS DOUBLE) - 4.0) / 4.0, 1.0)) * 0.2,
                  6) AS quality_score
          FROM f ORDER BY doc_id""",
+    "tx_quality_classifier" -> {
+      val wSql = PortableHash.hash64Sql(
+        s"'$QcSalt' || CAST(${PortableHash.hash64Sql("x")} % $QcBuckets AS VARCHAR)")
+      s"""WITH w AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> len(x) > 0) AS words
+           FROM documents),
+         r AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words,
+             list_sum(list_transform(words,
+               x -> ($wSql % 2001 - 1000)::DOUBLE / 1000.0))
+               / CAST(len(words) AS DOUBLE) AS raw
+           FROM w)
+         SELECT doc_id, n_words, round(raw, 6) AS raw_margin,
+           round(1.0 / (1.0 + exp(-($QcBias + $QcScale * raw))), 6) AS clf_score,
+           ($QcBias + $QcScale * raw) >= 0 AS keep
+         FROM r ORDER BY doc_id"""
+    },
     "tx_token_count" ->
       """SELECT doc_id,
            CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,

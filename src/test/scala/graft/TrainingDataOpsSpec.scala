@@ -199,6 +199,40 @@ class TrainingDataOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out(3L).getDouble(3) > out(1L).getDouble(3), "…and at higher perplexity")
   }
 
+  test("tx_quality_classifier: margin is the mean bucket weight — " +
+    "repetition-invariant, averages across words, and words colliding " +
+    "into one bucket score identically (the hashing trick)") {
+    // independent reimplementation of the portable hash (md5 first 15 hex
+    // → long), as the oracle computes it — pins the weight derivation
+    def h64(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15), 16)
+    val words = (1 to 200).map(i => s"w$i")
+    val byBucket = words.groupBy(w => h64(w) % 64)
+    val (bkt, collide) = byBucket.filter(_._2.size >= 2).head
+    val expectedW = (h64("qw" + bkt) % 2001 - 1000).toDouble / 1000.0
+
+    val d = docsDir(Seq(
+      (1L, collide(0), "en"),
+      (2L, collide(1), "en"),                              // same bucket
+      (3L, s"${collide(0)} ${collide(0)} ${collide(0)}", "en"), // repeated
+      (4L, s"${collide(0)} zebra9", "en")))                // two-word mean
+    val out = SparkEntry.queries("tx_quality_classifier")(spark, d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(math.abs(out(1L).getDouble(2) - expectedW) < 1e-6,
+      "single-word margin equals the bucket weight the oracle derives")
+    assert(out(1L).getDouble(2) == out(2L).getDouble(2),
+      "bucket collision ⇒ identical weight")
+    assert(out(1L).getDouble(2) == out(3L).getDouble(2),
+      "mean weight is invariant to repeating the word")
+    val wZebra = (h64("qw" + (h64("zebra9") % 64)) % 2001 - 1000).toDouble / 1000.0
+    assert(math.abs(out(4L).getDouble(2) - BigDecimal((expectedW + wZebra) / 2.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+      "two-word doc averages the two bucket weights")
+    assert(out(1L).getBoolean(4) == (-0.1 + 4.0 * out(1L).getDouble(2) >= 0),
+      "keep decision matches the margin sign")
+  }
+
   test("tx_temperature_sample boosts rare languages to full retention and " +
     "tempers dominant ones (alpha = 0.3)") {
     val rows = (1L to 90L).map(i => (i, s"en doc $i", "en")) ++
