@@ -42,6 +42,31 @@ object TextCatalog extends Catalog {
         (PortableHash.hash64(w) % buckets).cast("string"))) % 2001 - 1000)
         .cast("double") / 1000.0) / size(words).cast("double")
 
+  /** Deterministic pseudo-shuffle + fixed-size shard packing over
+    * (doc_id, source, n_tokens): position = portable hash of the salted
+    * doc key (made strictly unique by suffixing the key itself —
+    * hash-collision ties would otherwise make the ordinal
+    * nondeterministic), global ordinal via the distributed prefix-sum,
+    * shard = ⌊ordinal / shardSize⌋, rolled up per shard. */
+  def shardShuffle(docs: org.apache.spark.sql.DataFrame,
+      shardSize: Long): org.apache.spark.sql.DataFrame = {
+    val keyed = docs
+      .withColumn("pos", PortableHash.hash64(
+        concat(lit("shuf:"), col("doc_id").cast("string"))))
+      .withColumn("pos_key", concat(lpad(col("pos").cast("string"), 19, "0"),
+        lit(":"), col("doc_id").cast("string")))
+      .withColumn("one", lit(1L))
+      .withColumn("all", lit(0))
+    graft.operators.Packing
+      .exclusiveGroupCumsum(keyed, "all", "pos_key", "one", "ordinal")
+      .withColumn("shard_id", floor(col("ordinal") / shardSize).cast("long"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("shard_tokens"),
+        count_distinct(col("source")).as("n_sources"))
+      .orderBy(col("shard_id"))
+  }
+
   def queries: Map[String, QFn] = Map(
 
     // ── Language ID: marker-word scoring with deterministic tie-break.
@@ -143,6 +168,25 @@ object TextCatalog extends Catalog {
     // doc_id), per-(partition, lang) subtotals, broadcast offsets,
     // partition-local window. A plain lang-partitioned window would
     // funnel each language through one task at scale. ──
+    // ── Deterministic global shuffle + shard assignment — the write-side
+    // of a training run: SGD wants document order decorrelated from crawl
+    // order (adjacent crawl docs share domains/topics), and the shuffle
+    // must be REPRODUCIBLE so a re-run of a failed stage or a resumed job
+    // lands every doc in the same shard (no RNG — the position is a
+    // salted hash of the doc key, the tx_sample_hash discipline). The
+    // global ordinal over hash order is the two-phase range-partition +
+    // per-partition-offset pattern (Packing.exclusiveGroupCumsum with a
+    // constant group — one subtotal row per partition reaches the
+    // driver), NOT a single-partition window; at 100 TB the plan is one
+    // range shuffle of fixed-width keys. Per-shard rollups then confirm
+    // the property the shuffle exists for: every shard sees every source. ──
+    "tx_shard_shuffle" -> ((s, d) =>
+      shardShuffle(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens")),
+        shardSize = 64L)),
+
     "tx_pack_budget" -> ((s, d) => {
       val withTokens = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
@@ -992,6 +1036,21 @@ object TextCatalog extends Catalog {
          SELECT doc_id, lang, bucket, rate_permille,
            bucket < rate_permille AS sampled
          FROM b ORDER BY doc_id""",
+    "tx_shard_shuffle" -> {
+      val posSql = PortableHash.hash64Sql("'shuf:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH t AS (SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             $posSql AS pos
+           FROM documents),
+         o AS (SELECT *, row_number() OVER (ORDER BY
+             lpad(CAST(pos AS VARCHAR), 19, '0') || ':' || CAST(doc_id AS VARCHAR))
+             - 1 AS ordinal FROM t)
+         SELECT CAST(ordinal // 64 AS BIGINT) AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+         FROM o GROUP BY 1 ORDER BY shard_id"""
+    },
     "tx_pack_budget" ->
       """WITH t AS (SELECT doc_id, lang,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
