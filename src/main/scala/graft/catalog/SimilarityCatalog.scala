@@ -361,6 +361,55 @@ object SimilarityCatalog extends Catalog {
     // broadcast-query brute-force scan (corpus never shuffles); the ADC
     // side reuses the adcPairs plan, so everything expensive is shared
     // with the sibling queries via the session-scoped caches. ──
+    // ── Scalar-quantization (SQ8) full-scan ANN — the OTHER standard
+    // compression point on the speed/recall curve: 4× smaller than raw
+    // floats (vs PQ's 32×) but near-lossless, searched by a full scan of
+    // reconstructed vectors instead of a cell probe. Query side is the
+    // broadcast; the corpus contributes only its code arrays. The 2×64
+    // min/max model is a one-row broadcast — no codebook join at all. ──
+    "sim_ann_sq8" -> ((s, d) => {
+      val qs = vecs(s, d).filter(col("vec_id") >= 3 && col("vec_id") < 13)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("approx_d2"), col("neighbor_id"))
+      sq8Rec(s, d).join(broadcast(qs), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(sqdist(col("qv"), col("rec")), 6).as("approx_d2"))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ── SQ8 end-to-end recall vs exact full-corpus truth — positions SQ8
+    // on the same quality axis as sim_ann_ivfpq_recall, so the
+    // compression choice (4× near-lossless scan vs 32× cell-probed ADC)
+    // is a measured tradeoff, not a guess. ──
+    "sim_ann_sq8_recall" -> ((s, d) => {
+      val v = vecs(s, d)
+      val qs = v.filter(col("vec_id") >= 3 && col("vec_id") < 13)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val wE = Window.partitionBy(col("query_id"))
+        .orderBy(col("d2"), col("neighbor_id"))
+      val truth = v.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(sqdist(col("qv"), col("v")), 6).as("d2"))
+        .withColumn("r", row_number().over(wE)).filter(col("r") <= 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val wA = Window.partitionBy(col("query_id"))
+        .orderBy(col("approx_d2"), col("neighbor_id"))
+      val sqTop = sq8Rec(s, d).join(broadcast(qs), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(sqdist(col("qv"), col("rec")), 6).as("approx_d2"))
+        .withColumn("r", row_number().over(wA)).filter(col("r") <= 3)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("in_sq"))
+      truth.join(sqTop, Seq("query_id", "neighbor_id"), "left_outer")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_truth"),
+          sum(coalesce(col("in_sq"), lit(0))).cast("long").as("n_hits"))
+        .withColumn("recall_at_3",
+          round(col("n_hits").cast("double") / col("n_truth").cast("double"), 6))
+        .orderBy(col("query_id"))
+    }),
+
     "sim_ann_ivfpq_recall" -> ((s, d) => {
       val v = vecs(s, d)
       val qs = v.filter(col("vec_id") >= 3 && col("vec_id") < 13)
@@ -403,6 +452,46 @@ object SimilarityCatalog extends Catalog {
           codes("label") === col("qcell") && codes("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), codes("vec_id").as("neighbor_id"))
       .agg(round(sum(col("d2")), 6).as("approx_d2"))
+  }
+
+  /** Per-dimension corpus (min, max) packed as two dim-length arrays in
+    * ONE row — the entire SQ8 "model" (a 2×64-double table, the scalar-
+    * quantization analog of the PQ codebook). Derived by a map-side-
+    * combined per-dim aggregate (64 groups), then packed so the corpus
+    * encode stays UN-exploded: a one-row broadcast against the corpus. */
+  private def sq8Stats(s: SparkSession, d: String) =
+    vecs(s, d).select(posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("dim")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("dim"), col("mn")))),
+          p => p("mn")).as("mns"),
+        transform(array_sort(collect_list(struct(col("dim"), col("mx")))),
+          p => p("mx")).as("mxs"))
+
+  /** SQ8 encode + reconstruct per vector: code_i = ⌊(x_i − mn_i)/(mx_i −
+    * mn_i) · 255⌋ (constant dims guard to scale 1), rec_i decodes the
+    * code back to the value grid. Everything is a per-row array
+    * transform against the broadcast one-row stats — the corpus never
+    * explodes and never shuffles; at 100 TB the scan side is the 4×-
+    * compressed code array, which is the point of SQ8. Cached
+    * session-scoped like the PQ slice frame (same design note). */
+  private def sq8Rec(s: SparkSession, d: String) = {
+    def scaleAt(i: Column) = {
+      val mn = element_at(col("mns"), i + 1)
+      val mx = element_at(col("mxs"), i + 1)
+      when(mx === mn, lit(1.0)).otherwise(mx - mn)
+    }
+    vecs(s, d).crossJoin(broadcast(sq8Stats(s, d)))
+      .select(col("vec_id"), col("label"),
+        transform(col("v"), (x, i) =>
+          floor((x - element_at(col("mns"), i + 1)) / scaleAt(i) * 255.0)
+            .cast("long")).as("codes"),
+        col("mns"), col("mxs"))
+      .select(col("vec_id"), col("label"), col("codes"),
+        transform(col("codes"), (c, i) =>
+          element_at(col("mns"), i + 1) +
+            c.cast("double") * scaleAt(i) / 255.0).as("rec"))
+      .cache()
   }
 
   /** Squared euclidean distance between two equal-length double arrays
@@ -735,6 +824,58 @@ object SimilarityCatalog extends Catalog {
            round(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
              / CAST(COUNT(*) AS DOUBLE), 6) AS recall_at_3
          FROM truth t LEFT JOIN adc a USING (query_id, neighbor_id)
+         GROUP BY t.query_id ORDER BY t.query_id""",
+    "sim_ann_sq8" ->
+      s"""WITH $Sq8PairsCte
+         SELECT query_id, neighbor_id, approx_d2, rank
+         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY approx_d2, neighbor_id) AS rank FROM pairs) t
+         WHERE rank <= 3 ORDER BY query_id, rank""",
+    "sim_ann_sq8_recall" ->
+      s"""WITH $Sq8PairsCte,
+         sq AS (SELECT query_id, neighbor_id
+           FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY approx_d2, neighbor_id) AS r FROM pairs) t
+           WHERE r <= 3),
+         ex AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+             round(list_sum(list_transform(generate_series(1, len(e.v)),
+               i -> (q.qv[i] - e.v[i]) * (q.qv[i] - e.v[i]))), 6) AS d2
+           FROM v e JOIN q ON e.vec_id <> q.query_id),
+         truth AS (SELECT query_id, neighbor_id
+           FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY d2, neighbor_id) AS r FROM ex) t
+           WHERE r <= 3)
+         SELECT t.query_id, CAST(COUNT(*) AS BIGINT) AS n_truth,
+           CAST(SUM(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           round(SUM(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS recall_at_3
+         FROM truth t LEFT JOIN sq s USING (query_id, neighbor_id)
          GROUP BY t.query_id ORDER BY t.query_id"""
   )
+
+  /** Shared CTE chain for the SQ8 oracles: per-dim min/max model, encode
+    * ⌊(x−mn)/scale·255⌋, decode back to the grid, all-pairs asymmetric
+    * distances for queries 3..12. Mirrors sq8Stats/sq8Rec exactly
+    * (constant dims guard to scale 1; same op order for IEEE parity). */
+  private val Sq8PairsCte: String =
+    """v AS (SELECT vec_id, label,
+             list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         d AS (SELECT t.i AS dim, MIN(v.v[t.i]) AS mn, MAX(v.v[t.i]) AS mx
+           FROM v, generate_series(1, 64) t(i) GROUP BY 1),
+         m AS (SELECT list(mn ORDER BY dim) AS mns, list(mx ORDER BY dim) AS mxs
+           FROM d),
+         r AS (SELECT vec_id, v,
+             list_transform(generate_series(1, len(v)), i ->
+               mns[i] + floor((v[i] - mns[i])
+                   / (CASE WHEN mxs[i] = mns[i] THEN 1.0 ELSE mxs[i] - mns[i] END)
+                   * 255.0)
+                 * (CASE WHEN mxs[i] = mns[i] THEN 1.0 ELSE mxs[i] - mns[i] END)
+                 / 255.0) AS rec
+           FROM v, m),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM v
+           WHERE vec_id >= 3 AND vec_id < 13),
+         pairs AS (SELECT q.query_id, r.vec_id AS neighbor_id,
+             round(list_sum(list_transform(generate_series(1, len(q.qv)),
+               i -> (q.qv[i] - r.rec[i]) * (q.qv[i] - r.rec[i]))), 6) AS approx_d2
+           FROM q JOIN r ON r.vec_id <> q.query_id)"""
 }

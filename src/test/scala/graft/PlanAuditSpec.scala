@@ -104,6 +104,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"centroids broadcast to the corpus:\n${km.take(2000)}")
   }
 
+  test("SQ8 scan keeps the corpus un-exploded: the one-row min/max model " +
+    "and the query set broadcast; encode/decode are per-row transforms") {
+    val p = plan("sim_ann_sq8")
+    assert(p.contains("BroadcastExchange"),
+      s"stats row + query set are the broadcast sides:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"),
+      "a plain cartesian would shuffle the corpus against the model row")
+    // the only Generate is the stats derivation's posexplode (cached once);
+    // the corpus-side encode must be array transforms, not an explode/agg
+    assert(generateNodes("sim_ann_sq8") <= 1,
+      s"corpus rows exploded on the scan side:\n${p.take(2000)}")
+  }
+
   test("decontamination keeps the corpus side map-only against a " +
     "broadcast eval set") {
     val p = plan("tx_decontaminate")

@@ -112,6 +112,35 @@ class TrainingDataOpsSpec extends AnyFunSuite with SparkSpec {
     assert(!out(3L) && !out(9L), "singletons and other cells never drop")
   }
 
+  test("sim_ann_sq8: integer grid points reconstruct exactly, a constant " +
+    "dimension guards to scale 1 (no NaN), and off-grid values collapse " +
+    "to the same cell (the lossy case)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sq8").toString
+    // dim1 range [0,255] → every integer is a grid point (rec exact);
+    // dim2 range [0,510] → grid step 2: corpus value 3 encodes to code 1,
+    // reconstructs to 2.0 — exactly the query's raw value, so the
+    // approximate distance collapses to 0 while the exact distance is 1;
+    // dim3 is constant 7 → mx = mn, the scale-1 guard (0/0 would NaN
+    // every distance and scramble every rank)
+    Seq(
+      (0L, Array(0.0f, 0.0f, 7.0f), 0),
+      (1L, Array(255.0f, 510.0f, 7.0f), 0),
+      (2L, Array(100.0f, 3.0f, 7.0f), 0),
+      (3L, Array(100.0f, 2.0f, 7.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("sim_ann_sq8")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(out.forall(_._1 == 3L), "vec 3 is the only query in range")
+    assert(out.map(r => (r._2, r._3)).toSeq == Seq(
+      (2L, 0.0),        // off-grid 3 → rec 2.0 == query: approx collapses
+      (0L, 10004.0),    // 100² + 2² — grid-exact reconstruction
+      (1L, 282089.0)),  // 155² + 508² — 510 → code 255 → rec 510 exact
+      s"reconstructed distances and ranking: ${out.toSeq}")
+    assert(out.map(_._4).toSeq == Seq(1, 2, 3))
+  }
+
   test("dd_incremental matches new-batch docs against the corpus only, " +
     "min-id tie-break, pass-through for novel docs") {
     val corpusText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
