@@ -18,7 +18,8 @@ object SparkEntry {
     DedupCatalog,
     SimilarityCatalog,
     RecordCatalog,
-    MultimodalCatalog)
+    MultimodalCatalog,
+    PrepPipelineCatalog)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

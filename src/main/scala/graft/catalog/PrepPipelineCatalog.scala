@@ -1,0 +1,222 @@
+package graft.catalog
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.PortableHash
+
+/** The composed corpus-preparation pipeline — the catalog's operators
+  * chained the way a training-data run actually executes them, in ONE
+  * declarative plan. Stage semantics are the individual operators'
+  * (tx_pii_scrub's plant+scrub, tx_filter_pipeline's four Gopher rules,
+  * dd_exact_dedup's min-id canonical, tx_decontaminate's 3-gram screen,
+  * tx_quality_classifier's hashed linear model); this catalog adds the
+  * COMPOSITION: each stage gates the next, and the output is the
+  * per-source funnel report a pipeline run publishes (how many documents
+  * and tokens survived each stage).
+  *
+  * Why one plan instead of five jobs: Catalyst sees the whole chain, so
+  * the corpus is scanned once, every map-side stage (scrub, filter,
+  * classifier) fuses into the same whole-stage-codegen pass, and only two
+  * shuffles remain at any corpus size — the content-hash exchange for
+  * exact dedup and the doc_id aggregation of contamination hits (the
+  * eval-set gram index stays a broadcast, sized by the benchmark, not
+  * the corpus). A 100 TB run keeps exactly this shape; materializing
+  * intermediate tables between stages (the reference's per-step flow,
+  * adsmp/run.py:60-116) would rewrite the corpus to storage five times.
+  *
+  * Stage choice notes: the repetition rule uses the per-row array form of
+  * the mode count (tx_rep_quality's justification — work bounded by
+  * document length, keeps the stage shuffle-free); a corpus of book-length
+  * documents would switch to tx_filter_pipeline's groupBy form, which is
+  * the same value with one extra doc_id-keyed exchange. Dedup keys docs
+  * that FAIL the filter by their own id so they never enter the hash
+  * pool (they are not candidates, and must not absorb a survivor's
+  * canonical slot).
+  */
+object PrepPipelineCatalog extends Catalog {
+
+  def queries: Map[String, QFn] = Map(
+
+    "pl_corpus_prep" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val raw = Tables.documents(s, d)
+      val isEval = col("doc_id") % 97 === 0
+
+      def gramHashes(textCol: org.apache.spark.sql.Column) = {
+        val ws = split(textCol, " ")
+        array_distinct(transform(
+          sequence(lit(1), greatest(size(ws) - 2, lit(1))),
+          i => PortableHash.hash64(array_join(slice(ws, i, lit(3)), " "))))
+      }
+      // benchmark gram index from the held-out docs' RAW text — bounded
+      // by the benchmark size, hence broadcastable at any corpus scale
+      val evalGrams = raw.filter(isEval)
+        .select(explode(gramHashes(col("text"))).as("ng")).distinct()
+
+      // stage 1: PII plant (fixture) + scrub — clean_text feeds everything
+      val scrubbed = raw.filter(!isEval)
+        .select(col("doc_id"), col("source"), col("lang"),
+          TextCatalog.piiPlanted.as("pii_text"))
+        .select(col("doc_id"), col("source"), col("lang"),
+          (TextCatalog.piiMatches(col("pii_text"), TextCatalog.PiiEmailRe) +
+            TextCatalog.piiMatches(col("pii_text"), TextCatalog.PiiIpRe) +
+            TextCatalog.piiMatches(col("pii_text"), TextCatalog.PiiPhoneRe))
+            .as("pii_total"),
+          TextCatalog.piiScrubbed(col("pii_text")).as("clean_text"))
+
+      // stage 2: Gopher rules on the scrubbed text (word count, word
+      // length, stopword floor, repetition) — all per-row expressions
+      val words = split(col("clean_text"), " ")
+      val nWords = size(words).cast("long")
+      val avgLen = length(regexp_replace(col("clean_text"), " ", ""))
+        .cast("double") / nWords.cast("double")
+      val stopList = map(
+        lit("en"), typedLit(TextCatalog.StopEn),
+        lit("fr"), typedLit(TextCatalog.StopFr),
+        lit("es"), typedLit(TextCatalog.StopEs),
+        lit("de"), typedLit(TextCatalog.StopDe))
+      val nStops = size(array_intersect(array_distinct(words),
+        coalesce(element_at(stopList, col("lang")),
+          typedLit(Seq.empty[String]))))
+      val repRatio = round(
+        array_max(transform(array_distinct(words),
+          w => size(filter(words, x => x === w)))).cast("double") /
+          nWords.cast("double"), 6)
+      val passFilter = !(nWords < 20 || nWords > 100000) &&
+        !(avgLen < 3.0 || avgLen > 10.0) &&
+        !(element_at(stopList, col("lang")).isNotNull && nStops < 2) &&
+        !(repRatio > 0.2)
+      val flagged = scrubbed.select(col("doc_id"), col("source"),
+        col("clean_text"), col("pii_total"), nWords.as("n_words"),
+        passFilter.as("pass_filter"))
+
+      // stage 3: exact dedup among filter survivors (min-id canonical);
+      // failed docs key by -id-1 — disjoint from the hash range (≥ 0)
+      val wHash = Window.partitionBy(col("content_hash"))
+      val withCanon = flagged
+        .withColumn("content_hash", when(col("pass_filter"),
+          PortableHash.hash64(col("clean_text")))
+          .otherwise(-col("doc_id") - 1))
+        .withColumn("canonical",
+          col("doc_id") === min(col("doc_id")).over(wHash))
+
+      // stage 4: decontamination — shared distinct 3-grams vs the
+      // broadcast benchmark index, ≥ 2 shared grams ⇒ contaminated
+      val overlap = withCanon
+        .select(col("doc_id"), explode(gramHashes(col("clean_text"))).as("ng"))
+        .join(broadcast(evalGrams), Seq("ng"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("overlap_ngrams"))
+
+      // stage 5: hashed-feature quality classifier on the scrubbed text
+      val clfKeep = (lit(TextCatalog.QcBias) + lit(TextCatalog.QcScale) *
+        TextCatalog.hashedClassifierRaw(
+          filter(words, w => length(w) > 0),
+          TextCatalog.QcBuckets, TextCatalog.QcSalt)) >= 0
+
+      val surv2 = col("pass_filter") && col("canonical")
+      val surv3 = surv2 && !col("contaminated")
+      val surv4 = surv3 && col("clf_keep")
+      withCanon.join(overlap, Seq("doc_id"), "left_outer")
+        .withColumn("contaminated",
+          coalesce(col("overlap_ngrams"), lit(0L)) >= 2)
+        .withColumn("clf_keep", clfKeep)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_raw"),
+          sum(col("pii_total")).as("pii_hits"),
+          sum(when(col("pass_filter"), 1L).otherwise(0L)).as("n_pass_filter"),
+          sum(when(surv2, 1L).otherwise(0L)).as("n_unique"),
+          sum(when(surv3, 1L).otherwise(0L)).as("n_decontam"),
+          sum(when(surv4, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(surv4, col("n_words")).otherwise(0L)).as("tokens_kept"))
+        .withColumn("kept_frac",
+          round(col("n_kept").cast("double") / col("n_raw").cast("double"), 6))
+        .orderBy(col("source"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "pl_corpus_prep" -> {
+      def lst(ws: Seq[String]) = s"['${ws.mkString("','")}']"
+      val gram3 = (src: String) =>
+        s"""list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split($src, ' ')) - 2, 1)),
+           i -> ${PortableHash.hash64Sql(s"array_to_string(string_split($src, ' ')[i:i+2], ' ')")}))"""
+      val wSql = PortableHash.hash64Sql(
+        s"'${TextCatalog.QcSalt}' || CAST(${PortableHash.hash64Sql("x")} % ${TextCatalog.QcBuckets} AS VARCHAR)")
+      s"""WITH ev AS (SELECT DISTINCT unnest(${gram3("text")}) AS ng
+           FROM documents WHERE doc_id % 97 = 0),
+         p AS (SELECT doc_id, source, lang, text || CASE doc_id % 5
+             WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com now'
+             WHEN 1 THEN ' call +1555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+             WHEN 2 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+               || CAST((doc_id * 7) % 256 AS VARCHAR) || '.9 logged'
+             WHEN 3 THEN ' mail a.b' || CAST(doc_id AS VARCHAR) || '@x.org and ip 192.168.1.'
+               || CAST(doc_id % 200 AS VARCHAR) || ' end'
+             ELSE '' END AS pii_text
+           FROM documents WHERE doc_id % 97 <> 0),
+         sc AS (SELECT doc_id, source, lang,
+             CAST(len(regexp_extract_all(pii_text, '${TextCatalog.PiiEmailRe}'))
+               + len(regexp_extract_all(pii_text, '${TextCatalog.PiiIpRe}'))
+               + len(regexp_extract_all(pii_text, '${TextCatalog.PiiPhoneRe}')) AS BIGINT) AS pii_total,
+             regexp_replace(regexp_replace(regexp_replace(pii_text,
+               '${TextCatalog.PiiEmailRe}', '[EMAIL]', 'g'),
+               '${TextCatalog.PiiIpRe}', '[IP]', 'g'),
+               '${TextCatalog.PiiPhoneRe}', '[PHONE]', 'g') AS clean_text
+           FROM p),
+         f AS (SELECT *, string_split(clean_text, ' ') AS words,
+             CAST(len(string_split(clean_text, ' ')) AS BIGINT) AS n_words
+           FROM sc),
+         g AS (SELECT *,
+             CAST(length(replace(clean_text, ' ', '')) AS DOUBLE) / len(words) AS avg_len,
+             len(list_intersect(list_distinct(words),
+               CASE lang WHEN 'en' THEN ${lst(TextCatalog.StopEn)}
+                 WHEN 'fr' THEN ${lst(TextCatalog.StopFr)}
+                 WHEN 'es' THEN ${lst(TextCatalog.StopEs)}
+                 WHEN 'de' THEN ${lst(TextCatalog.StopDe)} ELSE [] END)) AS n_stops,
+             lang IN ('en', 'fr', 'es', 'de') AS has_stoplist,
+             round(CAST(list_max(list_transform(list_distinct(words),
+               w -> len(list_filter(words, x -> x = w)))) AS DOUBLE)
+               / len(words), 6) AS rep_ratio
+           FROM f),
+         r AS (SELECT *,
+             NOT (n_words < 20 OR n_words > 100000)
+               AND NOT (avg_len < 3.0 OR avg_len > 10.0)
+               AND NOT (has_stoplist AND n_stops < 2)
+               AND NOT (rep_ratio > 0.2) AS pass_filter
+           FROM g),
+         h AS (SELECT *, CASE WHEN pass_filter
+               THEN ${PortableHash.hash64Sql("clean_text")}
+               ELSE -doc_id - 1 END AS content_hash
+           FROM r),
+         c AS (SELECT *, doc_id = MIN(doc_id) OVER (PARTITION BY content_hash)
+               AS canonical FROM h),
+         ov AS (SELECT doc_id, COUNT(*) AS overlap_ngrams
+           FROM (SELECT doc_id, unnest(${gram3("clean_text")}) AS ng FROM sc) t
+           JOIN ev USING (ng) GROUP BY 1),
+         q AS (SELECT doc_id,
+             list_sum(list_transform(
+               list_filter(string_split(clean_text, ' '), x -> len(x) > 0),
+               x -> ($wSql % 2001 - 1000)::DOUBLE / 1000.0))
+               / CAST(len(list_filter(string_split(clean_text, ' '),
+                 x -> len(x) > 0)) AS DOUBLE) AS raw
+           FROM sc),
+         st AS (SELECT c.*,
+             COALESCE(ov.overlap_ngrams, 0) >= 2 AS contaminated,
+             (${TextCatalog.QcBias} + ${TextCatalog.QcScale} * q.raw) >= 0 AS clf_keep
+           FROM c LEFT JOIN ov USING (doc_id) JOIN q USING (doc_id))
+         SELECT source, COUNT(*) AS n_raw,
+           CAST(SUM(pii_total) AS BIGINT) AS pii_hits,
+           CAST(SUM(CASE WHEN pass_filter THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_filter,
+           CAST(SUM(CASE WHEN pass_filter AND canonical THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+           CAST(SUM(CASE WHEN pass_filter AND canonical AND NOT contaminated
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_decontam,
+           CAST(SUM(CASE WHEN pass_filter AND canonical AND NOT contaminated
+             AND clf_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN pass_filter AND canonical AND NOT contaminated
+             AND clf_keep THEN n_words ELSE 0 END) AS BIGINT) AS tokens_kept,
+           round(SUM(CASE WHEN pass_filter AND canonical AND NOT contaminated
+             AND clf_keep THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6) AS kept_frac
+         FROM st GROUP BY source ORDER BY source"""
+    }
+  )
+}

@@ -15,20 +15,46 @@ import graft.functions.PortableHash
   */
 object TextCatalog extends Catalog {
 
-  private val StopEn = Seq("the", "a", "of", "and")
-  private val StopFr = Seq("le", "la", "et", "les")
-  private val StopEs = Seq("el", "los", "y", "que")
-  private val StopDe = Seq("der", "die", "und", "das")
+  private[catalog] val StopEn = Seq("the", "a", "of", "and")
+  private[catalog] val StopFr = Seq("le", "la", "et", "les")
+  private[catalog] val StopEs = Seq("el", "los", "y", "que")
+  private[catalog] val StopDe = Seq("der", "die", "und", "das")
+
+  /** Planted-PII fixture column (the synthetic corpus carries no PII, so
+    * deterministic spans are planted per doc to make scrub stages
+    * measurable — shared by tx_pii_scrub and pl_corpus_prep). */
+  private[catalog] def piiPlanted: org.apache.spark.sql.Column = {
+    val m5 = col("doc_id") % 5
+    concat(col("text"),
+      when(m5 === 0, concat(lit(" contact user"),
+        col("doc_id").cast("string"), lit("@mail.example.com now")))
+      .when(m5 === 1, concat(lit(" call +1555"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" today")))
+      .when(m5 === 2, concat(lit(" host 10."),
+        (col("doc_id") % 256).cast("string"), lit("."),
+        ((col("doc_id") * 7) % 256).cast("string"), lit(".9 logged")))
+      .when(m5 === 3, concat(lit(" mail a.b"),
+        col("doc_id").cast("string"), lit("@x.org and ip 192.168.1."),
+        (col("doc_id") % 200).cast("string"), lit(" end")))
+      .otherwise(lit("")))
+  }
+
+  private[catalog] def piiMatches(c: org.apache.spark.sql.Column, re: String) =
+    size(regexp_extract_all(c, lit(re), lit(0))).cast("long")
+
+  private[catalog] def piiScrubbed(c: org.apache.spark.sql.Column) =
+    regexp_replace(regexp_replace(regexp_replace(c,
+      PiiEmailRe, "[EMAIL]"), PiiIpRe, "[IP]"), PiiPhoneRe, "[PHONE]")
 
   /** Hashed-feature classifier model shape (tx_quality_classifier): 64
     * weight buckets, weights in [-1, 1] derived deterministically from the
     * bucket index by the portable hash (a public stand-in for trained
     * parameters — the oracle recomputes them, so inference is checked
     * value-for-value). */
-  private val QcBuckets = 64
-  private val QcSalt = "qw"
-  private val QcBias = -0.1
-  private val QcScale = 4.0
+  private[catalog] val QcBuckets = 64
+  private[catalog] val QcSalt = "qw"
+  private[catalog] val QcBias = -0.1
+  private[catalog] val QcScale = 4.0
 
   /** Mean hashed-bucket weight of a word array — the raw (pre-sigmoid,
     * pre-bias) margin of the linear model. Pure column expression: per
@@ -849,30 +875,13 @@ object TextCatalog extends Catalog {
     // patterns are written in the Java-regex/RE2 common dialect so the
     // same strings run unchanged in Spark codegen and the oracle. ──
     "tx_pii_scrub" -> ((s, d) => {
-      val m5 = col("doc_id") % 5
-      val planted = concat(col("text"),
-        when(m5 === 0, concat(lit(" contact user"),
-          col("doc_id").cast("string"), lit("@mail.example.com now")))
-        .when(m5 === 1, concat(lit(" call +1555"),
-          lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" today")))
-        .when(m5 === 2, concat(lit(" host 10."),
-          (col("doc_id") % 256).cast("string"), lit("."),
-          ((col("doc_id") * 7) % 256).cast("string"), lit(".9 logged")))
-        .when(m5 === 3, concat(lit(" mail a.b"),
-          col("doc_id").cast("string"), lit("@x.org and ip 192.168.1."),
-          (col("doc_id") % 200).cast("string"), lit(" end")))
-        .otherwise(lit("")))
-      def nMatches(c: org.apache.spark.sql.Column, re: String) =
-        size(regexp_extract_all(c, lit(re), lit(0))).cast("long")
       Tables.documents(s, d)
-        .select(col("doc_id"), planted.as("pii_text"))
+        .select(col("doc_id"), piiPlanted.as("pii_text"))
         .select(col("doc_id"),
-          nMatches(col("pii_text"), PiiEmailRe).as("n_emails"),
-          nMatches(col("pii_text"), PiiIpRe).as("n_ips"),
-          nMatches(col("pii_text"), PiiPhoneRe).as("n_phones"),
-          regexp_replace(regexp_replace(regexp_replace(col("pii_text"),
-            PiiEmailRe, "[EMAIL]"), PiiIpRe, "[IP]"), PiiPhoneRe, "[PHONE]")
-            .as("clean_text"))
+          piiMatches(col("pii_text"), PiiEmailRe).as("n_emails"),
+          piiMatches(col("pii_text"), PiiIpRe).as("n_ips"),
+          piiMatches(col("pii_text"), PiiPhoneRe).as("n_phones"),
+          piiScrubbed(col("pii_text")).as("clean_text"))
         .withColumn("pii_total",
           col("n_emails") + col("n_ips") + col("n_phones"))
         .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
@@ -964,9 +973,9 @@ object TextCatalog extends Catalog {
 
   /** PII patterns in the Java-regex/RE2 common dialect (no lookaround, no
     * backrefs) so Spark and DuckDB match identically. */
-  private val PiiEmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-  private val PiiIpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-  private val PiiPhoneRe = "\\+\\d{7,15}"
+  private[catalog] val PiiEmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private[catalog] val PiiIpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private[catalog] val PiiPhoneRe = "\\+\\d{7,15}"
   private val PiiSsnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
   private val PiiCardRe = "\\b\\d{16}\\b"
 

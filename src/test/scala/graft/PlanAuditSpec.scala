@@ -117,6 +117,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"corpus rows exploded on the scan side:\n${p.take(2000)}")
   }
 
+  test("the composed prep pipeline runs in one plan: map-side stages fuse, " +
+    "the benchmark gram index broadcasts, and the shuffle count stays " +
+    "fixed regardless of stage count") {
+    val p = plan("pl_corpus_prep")
+    assert(p.contains("BroadcastExchange"),
+      s"the eval-set gram index is the broadcast side:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // dedup hash exchange, contamination doc_id agg + join-back, final
+    // source rollup, presentation sort — scrub/filter/classifier add none
+    assert(exchanges(p) <= 6,
+      s"composition leaked extra shuffles (${exchanges(p)}):\n${p.take(3000)}")
+  }
+
   test("decontamination keeps the corpus side map-only against a " +
     "broadcast eval set") {
     val p = plan("tx_decontaminate")

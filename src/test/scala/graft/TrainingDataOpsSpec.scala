@@ -68,6 +68,60 @@ class TrainingDataOpsSpec extends AnyFunSuite with SparkSpec {
     assert(kept() == k1, "hash-ranked selection is deterministic across runs")
   }
 
+  test("pl_corpus_prep: every funnel stage fires on a corpus built to " +
+    "trip it — holdout excluded, short doc filtered, scrub-equalized " +
+    "twins deduped, eval-gram doc decontaminated, classifier gates last") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_prep").toString
+    // 24 words, 2 stopword types, max word freq 1/24 — passes all rules;
+    // ids 2 and 7 share it AND share doc_id%5 == 2, so their planted IP
+    // suffixes differ only in digits and scrub to the SAME clean text —
+    // the dedup stage only fires because redaction normalized them
+    val T = ((1 to 22).map(i => f"word$i%02d") ++ Seq("the", "a")).mkString(" ")
+    // passes the filter but shares the 3-grams (e1 e2 e3), (e2 e3 e4)
+    // with the held-out doc 0 → contaminated
+    val C = (Seq("e1", "e2", "e3", "e4") ++
+      (1 to 18).map(i => f"pad$i%02d") ++ Seq("the", "a")).mkString(" ")
+    // a distinct clean survivor, same construction as T
+    val K = ((1 to 22).map(i => f"keep$i%02d") ++ Seq("the", "a")).mkString(" ")
+    Seq(
+      (0L, "e1 e2 e3 e4 e5", "en", "srcA"),   // holdout (0 % 97 == 0)
+      (1L, "tiny doc", "en", "srcA"),          // fails word_count
+      (2L, T, "en", "srcA"),
+      (7L, T, "en", "srcB"),                   // scrub-twin of 2 → dropped
+      (4L, C, "en", "srcB"),                   // contaminated
+      (5L, K, "en", "srcB"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // independent model: does the classifier keep docs 2 and 5?
+    def h64(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15), 16)
+    def keepOf(cleanWords: Seq[String]): Boolean = {
+      val raw = cleanWords.map(w =>
+        (h64("qw" + (h64(w) % 64)) % 2001 - 1000).toDouble / 1000.0).sum / cleanWords.size
+      -0.1 + 4.0 * raw >= 0
+    }
+    val keep2 = keepOf(T.split(" ").toSeq ++ Seq("host", "[IP]", "logged"))
+    val keep5 = keepOf(K.split(" ").toSeq ++
+      Seq("contact", "[EMAIL]", "now")) // doc 5 % 5 == 0 → email plant
+
+    val out = SparkEntry.queries("pl_corpus_prep")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // srcA: raw {1,2}; 1 fails filter (pii: phone on 1, ip on 2 → 2 hits);
+    // 2 passes, is canonical (min id of the twin pair), not contaminated
+    assert(out("srcA") == ((2L, 2L, 1L, 1L, 1L, if (keep2) 1L else 0L)),
+      s"srcA funnel: ${out("srcA")} (clf keep2=$keep2)")
+    // srcB: raw {7,4,5}; all pass the filter (pii: ip on 7, email on 5);
+    // 7 loses dedup to 2, 4 is contaminated, 5 survives to the classifier
+    assert(out("srcB") == ((3L, 2L, 3L, 2L, 1L, if (keep5) 1L else 0L)),
+      s"srcB funnel: ${out("srcB")} (clf keep5=$keep5)")
+  }
+
   test("sim_kmeans_step reassigns a vector that sits nearer the other " +
     "cell's centroid") {
     import spark.implicits._
