@@ -35,6 +35,62 @@ import graft.functions.PortableHash
   */
 object PrepPipelineCatalog extends Catalog {
 
+  /** Distinct 3-gram hashes of a text column (the tx_decontaminate gram). */
+  def gramHashes(textCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val ws = split(textCol, " ")
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(ws) - 2, lit(1))),
+      i => PortableHash.hash64(array_join(slice(ws, i, lit(3)), " "))))
+  }
+
+  /** The STATELESS admission stages, shared structurally by the batch
+    * funnel and graft.streaming.StreamingPrep (so batch and stream can
+    * never drift): PII scrub, the four Gopher rules, the hashed-feature
+    * classifier, the dedup content key, and the doc's distinct 3-gram
+    * hashes. Input columns: (doc_id, source, lang, pii_text). Every
+    * output column is a per-row expression — no shuffle, streaming-safe.
+    * Docs failing the filter take -doc_id-1 as their content key
+    * (disjoint from the hash range ≥ 0) so they never enter the dedup
+    * pool or absorb a survivor's canonical slot. */
+  def admissionFlags(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val scrubbed = docs
+      .select(col("doc_id"), col("source"), col("lang"),
+        (TextCatalog.piiMatches(col("pii_text"), TextCatalog.PiiEmailRe) +
+          TextCatalog.piiMatches(col("pii_text"), TextCatalog.PiiIpRe) +
+          TextCatalog.piiMatches(col("pii_text"), TextCatalog.PiiPhoneRe))
+          .as("pii_total"),
+        TextCatalog.piiScrubbed(col("pii_text")).as("clean_text"))
+    val words = split(col("clean_text"), " ")
+    val nWords = size(words).cast("long")
+    val avgLen = length(regexp_replace(col("clean_text"), " ", ""))
+      .cast("double") / nWords.cast("double")
+    val stopList = map(
+      lit("en"), typedLit(TextCatalog.StopEn),
+      lit("fr"), typedLit(TextCatalog.StopFr),
+      lit("es"), typedLit(TextCatalog.StopEs),
+      lit("de"), typedLit(TextCatalog.StopDe))
+    val nStops = size(array_intersect(array_distinct(words),
+      coalesce(element_at(stopList, col("lang")),
+        typedLit(Seq.empty[String]))))
+    val repRatio = round(
+      array_max(transform(array_distinct(words),
+        w => size(filter(words, x => x === w)))).cast("double") /
+        nWords.cast("double"), 6)
+    val passFilter = !(nWords < 20 || nWords > 100000) &&
+      !(avgLen < 3.0 || avgLen > 10.0) &&
+      !(element_at(stopList, col("lang")).isNotNull && nStops < 2) &&
+      !(repRatio > 0.2)
+    val clfKeep = (lit(TextCatalog.QcBias) + lit(TextCatalog.QcScale) *
+      TextCatalog.hashedClassifierRaw(
+        filter(words, w => length(w) > 0),
+        TextCatalog.QcBuckets, TextCatalog.QcSalt)) >= 0
+    scrubbed.select(col("doc_id"), col("source"), col("clean_text"),
+      col("pii_total"), nWords.as("n_words"), passFilter.as("pass_filter"),
+      clfKeep.as("clf_keep"), gramHashes(col("clean_text")).as("grams"),
+      when(passFilter, PortableHash.hash64(col("clean_text")))
+        .otherwise(-col("doc_id") - 1).as("content_hash"))
+  }
+
   def queries: Map[String, QFn] = Map(
 
     "pl_corpus_prep" -> ((s, d) => {
@@ -42,76 +98,28 @@ object PrepPipelineCatalog extends Catalog {
       val raw = Tables.documents(s, d)
       val isEval = col("doc_id") % 97 === 0
 
-      def gramHashes(textCol: org.apache.spark.sql.Column) = {
-        val ws = split(textCol, " ")
-        array_distinct(transform(
-          sequence(lit(1), greatest(size(ws) - 2, lit(1))),
-          i => PortableHash.hash64(array_join(slice(ws, i, lit(3)), " "))))
-      }
       // benchmark gram index from the held-out docs' RAW text — bounded
       // by the benchmark size, hence broadcastable at any corpus scale
       val evalGrams = raw.filter(isEval)
         .select(explode(gramHashes(col("text"))).as("ng")).distinct()
 
-      // stage 1: PII plant (fixture) + scrub — clean_text feeds everything
-      val scrubbed = raw.filter(!isEval)
+      // stages 1+2+5 (stateless): PII plant (fixture) + scrub, Gopher
+      // rules, classifier, dedup key — the shared admission pass
+      val flagged = admissionFlags(raw.filter(!isEval)
         .select(col("doc_id"), col("source"), col("lang"),
-          TextCatalog.piiPlanted.as("pii_text"))
-        .select(col("doc_id"), col("source"), col("lang"),
-          (TextCatalog.piiMatches(col("pii_text"), TextCatalog.PiiEmailRe) +
-            TextCatalog.piiMatches(col("pii_text"), TextCatalog.PiiIpRe) +
-            TextCatalog.piiMatches(col("pii_text"), TextCatalog.PiiPhoneRe))
-            .as("pii_total"),
-          TextCatalog.piiScrubbed(col("pii_text")).as("clean_text"))
+          TextCatalog.piiPlanted.as("pii_text")))
 
-      // stage 2: Gopher rules on the scrubbed text (word count, word
-      // length, stopword floor, repetition) — all per-row expressions
-      val words = split(col("clean_text"), " ")
-      val nWords = size(words).cast("long")
-      val avgLen = length(regexp_replace(col("clean_text"), " ", ""))
-        .cast("double") / nWords.cast("double")
-      val stopList = map(
-        lit("en"), typedLit(TextCatalog.StopEn),
-        lit("fr"), typedLit(TextCatalog.StopFr),
-        lit("es"), typedLit(TextCatalog.StopEs),
-        lit("de"), typedLit(TextCatalog.StopDe))
-      val nStops = size(array_intersect(array_distinct(words),
-        coalesce(element_at(stopList, col("lang")),
-          typedLit(Seq.empty[String]))))
-      val repRatio = round(
-        array_max(transform(array_distinct(words),
-          w => size(filter(words, x => x === w)))).cast("double") /
-          nWords.cast("double"), 6)
-      val passFilter = !(nWords < 20 || nWords > 100000) &&
-        !(avgLen < 3.0 || avgLen > 10.0) &&
-        !(element_at(stopList, col("lang")).isNotNull && nStops < 2) &&
-        !(repRatio > 0.2)
-      val flagged = scrubbed.select(col("doc_id"), col("source"),
-        col("clean_text"), col("pii_total"), nWords.as("n_words"),
-        passFilter.as("pass_filter"))
-
-      // stage 3: exact dedup among filter survivors (min-id canonical);
-      // failed docs key by -id-1 — disjoint from the hash range (≥ 0)
+      // stage 3: exact dedup among filter survivors (min-id canonical)
       val wHash = Window.partitionBy(col("content_hash"))
-      val withCanon = flagged
-        .withColumn("content_hash", when(col("pass_filter"),
-          PortableHash.hash64(col("clean_text")))
-          .otherwise(-col("doc_id") - 1))
-        .withColumn("canonical",
-          col("doc_id") === min(col("doc_id")).over(wHash))
+      val withCanon = flagged.withColumn("canonical",
+        col("doc_id") === min(col("doc_id")).over(wHash))
 
       // stage 4: decontamination — shared distinct 3-grams vs the
       // broadcast benchmark index, ≥ 2 shared grams ⇒ contaminated
       val overlap = withCanon
-        .select(col("doc_id"), explode(gramHashes(col("clean_text"))).as("ng"))
+        .select(col("doc_id"), explode(col("grams")).as("ng"))
         .join(broadcast(evalGrams), Seq("ng"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("overlap_ngrams"))
-
-      // stage 5: hashed-feature quality classifier on the scrubbed text
-      val clfKeep = (lit(TextCatalog.QcBias) + lit(TextCatalog.QcScale) *
-        TextCatalog.hashedClassifierRaw(
-          filter(words, w => length(w) > 0),
-          TextCatalog.QcBuckets, TextCatalog.QcSalt)) >= 0
 
       val surv2 = col("pass_filter") && col("canonical")
       val surv3 = surv2 && !col("contaminated")
@@ -119,7 +127,6 @@ object PrepPipelineCatalog extends Catalog {
       withCanon.join(overlap, Seq("doc_id"), "left_outer")
         .withColumn("contaminated",
           coalesce(col("overlap_ngrams"), lit(0L)) >= 2)
-        .withColumn("clf_keep", clfKeep)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_raw"),
           sum(col("pii_total")).as("pii_hits"),
