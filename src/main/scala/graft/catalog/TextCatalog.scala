@@ -563,6 +563,56 @@ object TextCatalog extends Catalog {
         .select(col("merge_pair"), col("pair"), col("pair_count"))
     }),
 
+    // ── BPE ENCODE — the tokenizer loop closed: learn the top merge 4
+    // times in sequence (each round's pair statistic is computed on the
+    // vocab as rewritten by the previous rounds — real induction, not 4
+    // independent picks), then price every document in learned tokens.
+    // The 100 TB shape is the vocab-table trick end-to-end: all 4
+    // learning rounds AND the encode run over the DISTINCT-word table
+    // (vocabulary-sized), the chosen merge reaches the workers as a
+    // broadcast 1-row frame inside the plan (never collected), and the
+    // corpus is touched exactly once at the end — a token-table join
+    // (word → token count) in the tx_unigram_logprob shuffle family.
+    // chars_per_token is the metric a tokenizer is actually graded by. ──
+    "tx_bpe_encode" -> ((s, d) => {
+      val vocab = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        .cache()
+      def pairCounts(df: org.apache.spark.sql.DataFrame) = df
+        .filter(length(col("w")) > 1)
+        .select(col("freq"),
+          explode(expr("transform(sequence(1, length(w) - 1)," +
+            " i -> substr(w, i, 2))")).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("pair_count"))
+      var state = vocab.withColumn("w", col("word"))
+      for (k <- 1 to 4) {
+        val top1 = pairCounts(state)
+          .orderBy(col("pair_count").desc, col("pair")).limit(1)
+          .select(col("pair").as("mp"))
+        // LEFT join against the 1-row winner: when the vocab runs out of
+        // pairs before round 4, top1 is EMPTY and a cross join would
+        // annihilate the vocabulary — the round must no-op instead
+        state = state.join(broadcast(top1), lit(true), "left_outer")
+          .withColumn("w", when(col("mp").isNull, col("w"))
+            .otherwise(expr(s"replace(w, mp, chr($k))"))).drop("mp")
+          .cache() // two readers per round: next pair count + next rewrite
+      }
+      val wordTokens = state
+        .select(col("word"), length(col("w")).cast("long").as("n_tok"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .join(wordTokens, Seq("word"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("bpe_tokens"),
+          sum(length(col("word")).cast("long")).as("n_chars"))
+        .withColumn("chars_per_token",
+          round(col("n_chars").cast("double") / col("bpe_tokens").cast("double"), 6))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── Gopher-style quality filter pipeline (Rae 2021 §A.1.1): the
     // composed keep/drop DECISION with the first failing rule as the
     // reject reason — the operator a cleaning pipeline actually gates
@@ -1161,6 +1211,34 @@ object TextCatalog extends Catalog {
          SELECT merge_pair, pair, CAST(SUM(freq) AS BIGINT) AS pair_count
          FROM p2 GROUP BY merge_pair, pair
          ORDER BY pair_count DESC, pair LIMIT 10""",
+    "tx_bpe_encode" -> {
+      // four sequential merge stages, each generated from the previous
+      // state — sN mirrors the Spark loop's round N exactly
+      val stages = (1 to 4).map { k =>
+        s"""p$k AS (SELECT unnest(list_transform(
+               generate_series(1, length(w) - 1), i -> substr(w, i, 2))) AS pair, freq
+             FROM s${k - 1} WHERE length(w) > 1),
+           t$k AS (SELECT pair FROM (SELECT pair, SUM(freq) AS s FROM p$k
+             GROUP BY pair ORDER BY s DESC, pair LIMIT 1)),
+           s$k AS (SELECT word, freq, CASE WHEN (SELECT pair FROM t$k) IS NULL
+               THEN w ELSE replace(w, (SELECT pair FROM t$k), chr($k)) END AS w
+             FROM s${k - 1})"""
+      }.mkString(",\n         ")
+      s"""WITH v AS (SELECT w AS word, COUNT(*) AS freq FROM
+           (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           WHERE length(w) > 0 GROUP BY w),
+         s0 AS (SELECT word, freq, word AS w FROM v),
+         $stages,
+         wt AS (SELECT word, CAST(length(w) AS BIGINT) AS n_tok FROM s4),
+         dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           FROM documents)
+         SELECT doc_id, COUNT(*) AS n_words,
+           CAST(SUM(n_tok) AS BIGINT) AS bpe_tokens,
+           CAST(SUM(length(word)) AS BIGINT) AS n_chars,
+           round(SUM(length(word))::DOUBLE / SUM(n_tok), 6) AS chars_per_token
+         FROM dw JOIN wt USING (word) WHERE length(word) > 0
+         GROUP BY doc_id ORDER BY doc_id"""
+    },
     "tx_filter_pipeline" -> {
       def lst(ws: Seq[String]) = s"['${ws.mkString("','")}']"
       s"""WITH wc AS (SELECT doc_id, w, COUNT(*) AS c FROM

@@ -68,6 +68,25 @@ class TrainingDataOpsSpec extends AnyFunSuite with SparkSpec {
     assert(kept() == k1, "hash-ranked selection is deterministic across runs")
   }
 
+  test("tx_bpe_encode: merges are learned sequentially on the rewritten " +
+    "vocab (placeholders merge further), docs price in learned tokens, " +
+    "and exhausted rounds no-op instead of dropping the vocabulary") {
+    // vocab: abab ×3, cd ×3. round 1: 'ab' (count 6) → abab = ①①
+    // round 2: '①①' ties 'cd' at 3, wins the ascending tie-break → ②
+    // round 3: 'cd' → ③. round 4: NO pairs left anywhere — the round
+    // must pass the vocab through (the cross-join bug would return 0 rows)
+    val d = docsDir(Seq(
+      (1L, "abab abab cd", "en"),
+      (2L, "abab cd cd", "en")))
+    val out = SparkEntry.queries("tx_bpe_encode")(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    assert(out.size == 2, s"round 4 found no merge and must not drop docs: $out")
+    assert(out(1L) == ((3L, 3L, 10L, 3.333333)),
+      s"doc 1: abab→1 token twice, cd→1 token — 3 tokens over 10 chars: $out")
+    assert(out(2L) == ((3L, 3L, 8L, 2.666667)), s"doc 2: $out")
+  }
+
   test("pl_corpus_prep: every funnel stage fires on a corpus built to " +
     "trip it — holdout excluded, short doc filtered, scrub-equalized " +
     "twins deduped, eval-gram doc decontaminated, classifier gates last") {
