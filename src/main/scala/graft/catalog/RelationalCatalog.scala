@@ -494,6 +494,35 @@ object RelationalCatalog extends Catalog {
     // shuffle on user_id with per-user sort-merge — never a band join or
     // nested loop over time; per-user event counts bound the pair work
     // and the user key's cardinality scales with the corpus. ──
+    // ── Volume-anomaly detection over the tumbling counts: each
+    // (event_type, hour) window is z-scored against its type's TRAILING
+    // 24-window baseline (no peeking at the future — the batch form of
+    // what a streaming monitor alerts on). The per-type ordered window
+    // is NOT a corpus-scale funnel: its rows are the hourly summaries
+    // (bounded by elapsed time × |types|, ~10k rows/type-year), not
+    // events — the corpus-sized work is the groupBy beneath it, which
+    // partial-aggregates map-side. Degenerate baselines (fewer than 2
+    // trailing windows, or zero variance) yield a NULL z and never
+    // alert, rather than an engine-dependent inf. ──
+    "ev_anomaly" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("window_start")).rowsBetween(-24, -1)
+      Tables.events(s, d)
+        .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("window_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("base_mean", avg(col("n")).over(w))
+        .withColumn("base_std", stddev_samp(col("n")).over(w))
+        .withColumn("z", when(col("base_std") > 0,
+          round((col("n") - col("base_mean")) / col("base_std"), 6)))
+        .select(col("window_start"), col("event_type"), col("n"),
+          round(col("base_mean"), 6).as("base_mean"),
+          round(col("base_std"), 6).as("base_std"), col("z"),
+          coalesce(abs(col("z")) > 2.0, lit(false)).as("anomalous"))
+        .orderBy(col("event_type"), col("window_start"))
+    }),
+
     "ev_attribution_window" -> ((s, d) => {
       val e = Tables.events(s, d)
         .select(col("event_id"), col("user_id"), col("event_type"),
@@ -726,6 +755,20 @@ object RelationalCatalog extends Catalog {
            p.t - v.view_t AS gap_sec
          FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.view_t <= p.t
          ORDER BY p.event_id""",
+    "ev_anomaly" ->
+      """WITH c AS (SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start,
+             event_type, COUNT(*) AS n FROM events GROUP BY 1, 2),
+         b AS (SELECT *, AVG(n) OVER w AS base_mean,
+             stddev_samp(n) OVER w AS base_std FROM c
+           WINDOW w AS (PARTITION BY event_type ORDER BY window_start
+             ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+         SELECT window_start, event_type, n,
+           round(base_mean, 6) AS base_mean, round(base_std, 6) AS base_std,
+           CASE WHEN base_std > 0
+             THEN round((n - base_mean) / base_std, 6) END AS z,
+           COALESCE(abs(CASE WHEN base_std > 0
+             THEN round((n - base_mean) / base_std, 6) END) > 2.0, false) AS anomalous
+         FROM b ORDER BY event_type, window_start""",
     "ev_attribution_window" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
              CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),

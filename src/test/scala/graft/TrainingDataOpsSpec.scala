@@ -451,6 +451,46 @@ class TrainingDataOpsSpec extends AnyFunSuite with SparkSpec {
       "bucket boundaries follow the score ordering")
   }
 
+  test("ev_anomaly z-scores each hour against its type's trailing " +
+    "baseline: the spike alerts, warmup and zero-variance baselines " +
+    "yield null z and never alert") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_anom").toString
+    def ns(sec: Long) = sec * 1000000000L
+    // clicks per hour: 3, 5, 4, 4, 20 — the last hour is the spike;
+    // views are constant 2/hour — zero variance, must never alert
+    val clicks = Seq(3, 5, 4, 4, 20).zipWithIndex.flatMap { case (n, h) =>
+      (0 until n).map(i => (h * 100L + i, ns(h * 3600L + i), 1L, "click", 1.0, "{}"))
+    }
+    val views = (0 until 5).flatMap(h =>
+      (0 until 2).map(i => (9000L + h * 10 + i, ns(h * 3600L + i), 2L, "view", 1.0, "{}")))
+    (clicks ++ views)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("ev_anomaly")(spark, dir).collect()
+      .map(r => (r.getString(1), r.getLong(0)) ->
+        ((r.getLong(2), if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+          r.getBoolean(6)))).toMap
+    val spike = out(("click", 4 * 3600L))
+    val expZ = {
+      val base = Seq(3.0, 5.0, 4.0, 4.0)
+      val m = base.sum / 4
+      val sd = math.sqrt(base.map(x => (x - m) * (x - m)).sum / 3)
+      BigDecimal((20.0 - m) / sd).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(spike._1 == 20L && spike._2.contains(expZ) && spike._3,
+      s"the 20-event hour alerts at z=$expZ: $spike")
+    assert(out(("click", 0L))._2.isEmpty && !out(("click", 0L))._3,
+      "first window has no baseline — null z, no alert")
+    assert(out(("click", 3600L))._2.isEmpty,
+      "single-sample baseline has no sample stddev — null z")
+    assert((0 until 5).forall { h =>
+      val v = out(("view", h * 3600L)); v._2.isEmpty && !v._3
+    }, "zero-variance baseline never alerts (no engine-dependent inf)")
+    assert(!out(("click", 2 * 3600L))._3 && !out(("click", 3 * 3600L))._3,
+      "in-baseline hours stay quiet")
+  }
+
   test("ev_asof_join attributes each purchase to the latest view at or " +
     "before it, per user, with deterministic tie handling") {
     import spark.implicits._
