@@ -206,9 +206,14 @@ object DedupCatalog extends Catalog {
     * Only new cost over cluster assignment: one shuffle on cluster_id
     * (row_number — per-partition state bounded by cluster size) and a
     * map-side-combined per-source rollup; document text never moves. */
-  def compact(docs: DataFrame, pairs: DataFrame): DataFrame = {
+  def compact(docs: DataFrame, pairs: DataFrame): DataFrame =
+    compactOn(docs, graft.operators.Components.assign(pairs))
+
+  /** As [[compact]], over an already-computed components frame
+    * (node, cluster_id) — the catalog path shares the memoized
+    * simhash components with dd_cluster_assign. */
+  def compactOn(docs: DataFrame, comp: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val comp = graft.operators.Components.assign(pairs)
     val assigned = docs
       .join(comp.select(col("node").as("doc_id"), col("cluster_id")),
         Seq("doc_id"), "left_outer")
@@ -231,6 +236,22 @@ object DedupCatalog extends Catalog {
       Tables.documents(s, d)
         .select(col("doc_id"), simhash60(col("text")).as("fp")),
       maxHamming = 6)
+
+  /** Memoized connected components over the simhash pair graph, shared by
+    * dd_cluster_assign and dd_compact: Components.assign runs a driver-
+    * side iteration (per-round localCheckpoints), which Spark's plan
+    * cache cannot dedupe across queries the way it dedupes identical
+    * declarative subtrees — so without this, every consumer re-runs the
+    * whole loop. Session-scoped by design (the catalog-cache discipline);
+    * keyed per (session, dir). The label frame is |paired docs| rows. */
+  private val componentsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def simhashComponents(s: SparkSession, d: String): DataFrame =
+    componentsCache.computeIfAbsent(
+      System.identityHashCode(s) + ":" + d,
+      _ => graft.operators.Components.assign(
+        simhashPairs(s, d).select(col("doc_a").as("src"), col("doc_b").as("dst")))
+        .cache())
 
   def queries: Map[String, QFn] = Map(
 
@@ -542,8 +563,7 @@ object DedupCatalog extends Catalog {
     // only docs that appear in a pair, and everyone else rejoins as their
     // own cluster at the end. ──
     "dd_cluster_assign" -> ((s, d) => {
-      val comp = graft.operators.Components.assign(
-        simhashPairs(s, d).select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      val comp = simhashComponents(s, d)
       val assigned = Tables.documents(s, d).select(col("doc_id"))
         .join(comp.select(col("node").as("doc_id"), col("cluster_id")),
           Seq("doc_id"), "left_outer")
@@ -567,12 +587,11 @@ object DedupCatalog extends Catalog {
     // bounded by cluster size) and a map-side-combined per-source rollup,
     // both fixed-width; the corpus text never moves. ──
     "dd_compact" -> ((s, d) =>
-      compact(
+      compactOn(
         Tables.documents(s, d)
           .select(col("doc_id"), col("source"),
             size(split(col("text"), " ")).cast("long").as("n_tokens")),
-        simhashPairs(s, d)
-          .select(col("doc_a").as("src"), col("doc_b").as("dst")))),
+        simhashComponents(s, d))),
 
     // ── Incremental near-dup: dedup an incoming BATCH against the
     // standing corpus — the production shape at 100 TB, where re-running

@@ -50,7 +50,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
   test("map-side text ops carry no shuffle beyond the presentation sort") {
     for (q <- Seq("tx_lang_id", "tx_quality_score", "tx_token_count",
         "tx_fingerprint", "tx_rep_quality", "tx_sample_hash", "tx_chunk_split",
-        "tx_pii_scrub", "tx_pii_extended", "tx_url_filter")) {
+        "tx_pii_scrub", "tx_pii_extended", "tx_url_filter",
+        "tx_quality_classifier")) {
       val p = plan(q)
       assert(exchanges(p) == 1,
         s"$q must shuffle only for the final orderBy — got:\n$p")
