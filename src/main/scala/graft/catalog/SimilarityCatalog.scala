@@ -283,6 +283,48 @@ object SimilarityCatalog extends Catalog {
         .orderBy(col("vec_id"))
     }),
 
+    // ── K-MEANS TRAINED IN-PLAN — the Lloyd loop sim_kmeans_step is one
+    // round of, chained for 3 iterations with NOTHING collected to the
+    // driver: each round's M-step is the partial-aggregated (cell, dim)
+    // mean, packed per cell and broadcast back for the E-step argmin,
+    // and the next round reads the previous round's cached assignment.
+    // Output is the training curve — per-iteration inertia and moved
+    // points — i.e. the convergence evidence a clustering job publishes.
+    // At 100 TB each round is one corpus scan + a k×d-sized broadcast;
+    // rounds stack linearly, exactly like the production IVF trainer. ──
+    "sim_kmeans_train" -> ((s, d) => {
+      import org.apache.spark.sql.graftnative.NativeExpressions.dotCol
+      var state = vecs(s, d).select(col("vec_id"), col("v"), col("label"))
+      val rounds = (1 to 3).map { r =>
+        val cent = state
+          .select(col("label").as("clabel"), posexplode(col("v")).as(Seq("i", "x")))
+          .groupBy(col("clabel"), col("i")).agg(avg(col("x")).as("m"))
+          .groupBy(col("clabel"))
+          .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+            p => p("m")).as("c"))
+          .withColumn("cnorm2", dotCol(col("c"), col("c")))
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("dist2"), col("clabel"))
+        val assigned = state
+          .withColumn("vnorm2", dotCol(col("v"), col("v")))
+          .crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("v"), col("label").as("old_label"),
+            col("clabel"),
+            round(col("vnorm2") - lit(2.0) * dotCol(col("v"), col("c")) +
+              col("cnorm2"), 6).as("dist2"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("vec_id"), col("v"), col("clabel").as("label"),
+            col("dist2"), col("old_label"))
+          .cache() // read twice: the round stats and the next round's state
+        state = assigned.select(col("vec_id"), col("v"), col("label"))
+        assigned.agg(round(sum(col("dist2")), 6).as("inertia"),
+          sum(when(col("label") =!= col("old_label"), 1L).otherwise(0L))
+            .as("n_changed"))
+          .select(lit(r).as("iter"), col("inertia"), col("n_changed"))
+      }
+      rounds.reduce(_ unionAll _).orderBy(col("iter"))
+    }),
+
     // ── Product-quantization code assignment (Jégou et al. 2011), the
     // compression half of IVF-PQ: split each 64-dim vector into 8
     // subvectors of 8 dims and replace each with the id of its nearest
@@ -689,6 +731,35 @@ object SimilarityCatalog extends Catalog {
          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
                  ORDER BY dist2, clabel) AS rn FROM scored) t
          WHERE rn = 1 ORDER BY vec_id""",
+    "sim_kmeans_train" -> {
+      val rounds = (1 to 3).map { r =>
+        s"""c$r AS (SELECT clabel, list(m ORDER BY i) AS c
+             FROM (SELECT clabel, i, AVG(x) AS m
+                   FROM (SELECT label AS clabel, unnest(v)::DOUBLE AS x,
+                           unnest(generate_series(1, len(v))) AS i
+                         FROM a${r - 1})
+                   GROUP BY clabel, i)
+             GROUP BY clabel),
+           s$r AS (SELECT a.vec_id, a.v, a.label AS old_label, c.clabel,
+               round(${dotSql("a.v", "a.v")}
+                 - 2.0 * ${dotSql("a.v", "c.c")}
+                 + ${dotSql("c.c", "c.c")}, 6) AS dist2
+             FROM a${r - 1} a CROSS JOIN c$r c),
+           a$r AS (SELECT vec_id, v, clabel AS label, dist2, old_label
+             FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                     ORDER BY dist2, clabel) AS rn FROM s$r) t
+             WHERE rn = 1),
+           r$r AS (SELECT $r AS iter, round(SUM(dist2), 6) AS inertia,
+               CAST(SUM(CASE WHEN label <> old_label THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_changed
+             FROM a$r)"""
+      }.mkString(",\n         ")
+      s"""WITH a0 AS (SELECT vec_id, label,
+             list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         $rounds
+         SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL
+         SELECT * FROM r3 ORDER BY iter"""
+    },
     "sim_pq_assign" ->
       """WITH v AS (SELECT vec_id,
              list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings),

@@ -163,6 +163,30 @@ class TrainingDataOpsSpec extends AnyFunSuite with SparkSpec {
       "well-placed vectors keep their cell")
   }
 
+  test("sim_kmeans_train: the misplaced vector moves in round 1, later " +
+    "rounds are stable, and inertia never increases") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmt").toString
+    // same planted shape as the single-step test: vec 3 starts in label 0
+    // but sits at (9,9) beside cluster 1 — round 1 must move exactly it
+    Seq(
+      (0L, Array(0.0f, 0.0f), 0),
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(10.0f, 10.0f), 1),
+      (4L, Array(10.0f, 9.0f), 1),
+      (3L, Array(9.0f, 9.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("sim_kmeans_train")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2)))
+    assert(out.map(_._1).toSeq == Seq(1, 2, 3))
+    assert(out(0)._3 == 1L, s"round 1 moves exactly the outlier: ${out.toSeq}")
+    assert(out(1)._3 == 0L && out(2)._3 == 0L,
+      s"clean separation converges after one round: ${out.toSeq}")
+    assert(out(0)._2 >= out(1)._2 && out(1)._2 == out(2)._2,
+      s"inertia is non-increasing and flat once converged: ${out.toSeq}")
+  }
+
   test("dd_semdedup drops the near-twin farther from its cell centroid, " +
     "keeps the prototype and unrelated members") {
     import spark.implicits._
