@@ -84,49 +84,46 @@ object PrepPipelineCatalog extends Catalog {
       TextCatalog.hashedClassifierRaw(
         filter(words, w => length(w) > 0),
         TextCatalog.QcBuckets, TextCatalog.QcSalt)) >= 0
-    scrubbed.select(col("doc_id"), col("source"), col("clean_text"),
+    scrubbed.select(col("doc_id"), col("source"), col("lang"), col("clean_text"),
       col("pii_total"), nWords.as("n_words"), passFilter.as("pass_filter"),
       clfKeep.as("clf_keep"), gramHashes(col("clean_text")).as("grams"),
       when(passFilter, PortableHash.hash64(col("clean_text")))
         .otherwise(-col("doc_id") - 1).as("content_hash"))
   }
 
+  /** Row-level funnel flags — pl_corpus_prep before its per-source
+    * rollup: admission flags plus the two corpus-dependent stages
+    * (min-id canonical over the content hash; contamination vs the
+    * broadcast benchmark gram index). Shared with pl_train_manifest so
+    * "kept document" means exactly one thing across the pipelines. */
+  def funnelFlags(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val raw = Tables.documents(s, d)
+    val isEval = col("doc_id") % 97 === 0
+    val evalGrams = raw.filter(isEval)
+      .select(explode(gramHashes(col("text"))).as("ng")).distinct()
+    val flagged = admissionFlags(raw.filter(!isEval)
+      .select(col("doc_id"), col("source"), col("lang"),
+        TextCatalog.piiPlanted.as("pii_text")))
+    val wHash = Window.partitionBy(col("content_hash"))
+    val withCanon = flagged.withColumn("canonical",
+      col("doc_id") === min(col("doc_id")).over(wHash))
+    val overlap = withCanon
+      .select(col("doc_id"), explode(col("grams")).as("ng"))
+      .join(broadcast(evalGrams), Seq("ng"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("overlap_ngrams"))
+    withCanon.join(overlap, Seq("doc_id"), "left_outer")
+      .withColumn("contaminated",
+        coalesce(col("overlap_ngrams"), lit(0L)) >= 2)
+  }
+
   def queries: Map[String, QFn] = Map(
 
     "pl_corpus_prep" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val raw = Tables.documents(s, d)
-      val isEval = col("doc_id") % 97 === 0
-
-      // benchmark gram index from the held-out docs' RAW text — bounded
-      // by the benchmark size, hence broadcastable at any corpus scale
-      val evalGrams = raw.filter(isEval)
-        .select(explode(gramHashes(col("text"))).as("ng")).distinct()
-
-      // stages 1+2+5 (stateless): PII plant (fixture) + scrub, Gopher
-      // rules, classifier, dedup key — the shared admission pass
-      val flagged = admissionFlags(raw.filter(!isEval)
-        .select(col("doc_id"), col("source"), col("lang"),
-          TextCatalog.piiPlanted.as("pii_text")))
-
-      // stage 3: exact dedup among filter survivors (min-id canonical)
-      val wHash = Window.partitionBy(col("content_hash"))
-      val withCanon = flagged.withColumn("canonical",
-        col("doc_id") === min(col("doc_id")).over(wHash))
-
-      // stage 4: decontamination — shared distinct 3-grams vs the
-      // broadcast benchmark index, ≥ 2 shared grams ⇒ contaminated
-      val overlap = withCanon
-        .select(col("doc_id"), explode(col("grams")).as("ng"))
-        .join(broadcast(evalGrams), Seq("ng"))
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("overlap_ngrams"))
-
       val surv2 = col("pass_filter") && col("canonical")
       val surv3 = surv2 && !col("contaminated")
       val surv4 = surv3 && col("clf_keep")
-      withCanon.join(overlap, Seq("doc_id"), "left_outer")
-        .withColumn("contaminated",
-          coalesce(col("overlap_ngrams"), lit(0L)) >= 2)
+      funnelFlags(s, d)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_raw"),
           sum(col("pii_total")).as("pii_hits"),
@@ -138,19 +135,61 @@ object PrepPipelineCatalog extends Catalog {
         .withColumn("kept_frac",
           round(col("n_kept").cast("double") / col("n_raw").cast("double"), 6))
         .orderBy(col("source"))
+    }),
+
+    // ── The OTHER half of the pipeline: from "kept documents" to "what
+    // the training run reads" — temperature-resample the cleaned corpus
+    // per language (alpha 0.3, the tx_temperature_sample arithmetic on
+    // the KEPT set's shares, deterministic salted-hash selection), then
+    // pack selections into 2000-token shards per language (the
+    // distributed exclusive prefix sum — no single-partition window)
+    // and publish the per-shard manifest. Composition note: "kept" is
+    // funnelFlags' surv4, the SAME frame pl_corpus_prep rolls up, so
+    // the funnel report and the manifest can never disagree about which
+    // documents exist. Added plan cost over the funnel: one ≤|langs|-row
+    // weight derivation and the pack's range shuffle. ──
+    "pl_train_manifest" -> ((s, d) => {
+      val kept = funnelFlags(s, d)
+        .filter(col("pass_filter") && col("canonical") &&
+          !col("contaminated") && col("clf_keep"))
+        .select(col("doc_id"), col("lang"), col("n_words"))
+      val counts = kept.groupBy(col("lang")).agg(count(lit(1)).as("cnt")).cache()
+      val withShare = counts
+        .crossJoin(counts.agg(sum(col("cnt")).as("total")))
+        .withColumn("share", col("cnt").cast("double") / col("total").cast("double"))
+        .withColumn("adj", pow(col("share"), lit(0.3)))
+      // round(6) before the floor — the tx_temperature_sample ulp guard
+      val weights = withShare
+        .crossJoin(withShare.agg(sum(col("adj")).as("z")))
+        .select(col("lang"),
+          floor(round(least(lit(1.0), (col("adj") / col("z")) / col("share")), 6) * 1e6)
+            .cast("long").as("keep_micro"))
+      val sampled = kept.join(broadcast(weights), Seq("lang"))
+        .filter(pmod(PortableHash.hash64(
+          concat(lit("tsample:"), col("doc_id").cast("string"))),
+          lit(1000000L)) < col("keep_micro"))
+      graft.operators.Packing
+        .packByBudget(sampled.select(col("doc_id"), col("lang"), col("n_words")),
+          "lang", "doc_id", "n_words", budget = 2000L)
+        .groupBy(col("lang"), col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("shard_tokens"))
+        .orderBy(col("lang"), col("shard_id"))
     })
   )
 
-  def oracle: Map[String, String] = Map(
-    "pl_corpus_prep" -> {
-      def lst(ws: Seq[String]) = s"['${ws.mkString("','")}']"
-      val gram3 = (src: String) =>
-        s"""list_distinct(list_transform(
+  private def lst(ws: Seq[String]) = s"['${ws.mkString("','")}']"
+  private def gram3(src: String) =
+    s"""list_distinct(list_transform(
            generate_series(1, greatest(len(string_split($src, ' ')) - 2, 1)),
            i -> ${PortableHash.hash64Sql(s"array_to_string(string_split($src, ' ')[i:i+2], ' ')")}))"""
+
+  /** The funnel-flag CTE chain shared by both pipeline oracles — ends in
+    * st(doc_id, source, lang, n_words, pii_total, pass_filter,
+    * canonical, contaminated, clf_keep, …), mirroring funnelFlags. */
+  private lazy val FunnelCte: String = {
       val wSql = PortableHash.hash64Sql(
         s"'${TextCatalog.QcSalt}' || CAST(${PortableHash.hash64Sql("x")} % ${TextCatalog.QcBuckets} AS VARCHAR)")
-      s"""WITH ev AS (SELECT DISTINCT unnest(${gram3("text")}) AS ng
+      s"""ev AS (SELECT DISTINCT unnest(${gram3("text")}) AS ng
            FROM documents WHERE doc_id % 97 = 0),
          p AS (SELECT doc_id, source, lang, text || CASE doc_id % 5
              WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com now'
@@ -210,7 +249,12 @@ object PrepPipelineCatalog extends Catalog {
          st AS (SELECT c.*,
              COALESCE(ov.overlap_ngrams, 0) >= 2 AS contaminated,
              (${TextCatalog.QcBias} + ${TextCatalog.QcScale} * q.raw) >= 0 AS clf_keep
-           FROM c LEFT JOIN ov USING (doc_id) JOIN q USING (doc_id))
+           FROM c LEFT JOIN ov USING (doc_id) JOIN q USING (doc_id))"""
+  }
+
+  def oracle: Map[String, String] = Map(
+    "pl_corpus_prep" ->
+      s"""WITH $FunnelCte
          SELECT source, COUNT(*) AS n_raw,
            CAST(SUM(pii_total) AS BIGINT) AS pii_hits,
            CAST(SUM(CASE WHEN pass_filter THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_filter,
@@ -223,7 +267,29 @@ object PrepPipelineCatalog extends Catalog {
              AND clf_keep THEN n_words ELSE 0 END) AS BIGINT) AS tokens_kept,
            round(SUM(CASE WHEN pass_filter AND canonical AND NOT contaminated
              AND clf_keep THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6) AS kept_frac
-         FROM st GROUP BY source ORDER BY source"""
-    }
+         FROM st GROUP BY source ORDER BY source""",
+    "pl_train_manifest" ->
+      s"""WITH $FunnelCte,
+         kept AS (SELECT doc_id, lang, n_words FROM st
+           WHERE pass_filter AND canonical AND NOT contaminated AND clf_keep),
+         c2 AS (SELECT lang, COUNT(*) AS cnt FROM kept GROUP BY 1),
+         t2 AS (SELECT SUM(cnt) AS total FROM c2),
+         sh AS (SELECT lang, CAST(cnt AS DOUBLE) / total AS share,
+             pow(CAST(cnt AS DOUBLE) / total, 0.3) AS adj FROM c2, t2),
+         z2 AS (SELECT SUM(adj) AS z FROM sh),
+         w2 AS (SELECT lang,
+             CAST(floor(round(least(1.0, (adj / z2.z) / share), 6) * 1e6) AS BIGINT)
+               AS keep_micro
+           FROM sh, z2),
+         sampled AS (SELECT k.* FROM kept k JOIN w2 USING (lang)
+           WHERE ${PortableHash.hash64Sql("'tsample:' || CAST(doc_id AS VARCHAR)")}
+             % 1000000 < keep_micro),
+         packed AS (SELECT *, CAST(COALESCE(SUM(n_words) OVER (PARTITION BY lang
+             ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             // 2000 AS BIGINT) AS shard_id
+           FROM sampled)
+         SELECT lang, shard_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS shard_tokens
+         FROM packed GROUP BY 1, 2 ORDER BY lang, shard_id"""
   )
 }

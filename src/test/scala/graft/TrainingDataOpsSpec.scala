@@ -141,6 +141,30 @@ class TrainingDataOpsSpec extends AnyFunSuite with SparkSpec {
       s"srcB funnel: ${out("srcB")} (clf keep5=$keep5)")
   }
 
+  test("pl_train_manifest: shards are contiguous per language, respect the " +
+    "2000-token budget boundaries, and the manifest never claims more " +
+    "tokens than the funnel kept") {
+    val sf = "/root/testdata/sf0.001"
+    val funnel = SparkEntry.queries("pl_corpus_prep")(spark, sf).collect()
+    val tokensKept = funnel.map(_.getLong(7)).sum
+    val manifest = SparkEntry.queries("pl_train_manifest")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(manifest.nonEmpty && manifest.map(_._4).sum <= tokensKept,
+      "sampling only ever removes from the kept set")
+    manifest.groupBy(_._1).foreach { case (lang, shards) =>
+      val ids = shards.map(_._2).sorted.toSeq
+      assert(ids == (0L until ids.size).toSeq,
+        s"$lang shard ids are contiguous from 0: $ids")
+      // the first doc of shard k+1 had cum_before ≥ 2000(k+1), so the
+      // running total through shard k must reach that boundary
+      val cum = shards.sortBy(_._2).map(_._4).scanLeft(0L)(_ + _).drop(1)
+      cum.dropRight(1).zipWithIndex.foreach { case (c, k) =>
+        assert(c >= 2000L * (k + 1),
+          s"$lang shard $k closes past its budget boundary: $c")
+      }
+    }
+  }
+
   test("sim_kmeans_step reassigns a vector that sits nearer the other " +
     "cell's centroid") {
     import spark.implicits._
