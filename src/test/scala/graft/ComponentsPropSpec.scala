@@ -60,6 +60,36 @@ class ComponentsPropSpec extends AnyFunSuite with SparkSpec {
     assert(gotChain == (0L to 12L).map(_ -> 0L).toMap)
   }
 
+  test("compact keeps exactly one doc per component and conserves token " +
+    "mass on random graphs (property vs union-find)") {
+    import spark.implicits._
+    val genCase = for {
+      n <- Gen.choose(3, 20)
+      m <- Gen.choose(0, 25)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong - 1)
+        b <- Gen.choose(0L, n.toLong - 1)
+      } yield (a, b))
+    } yield (n, edges.filter { case (a, b) => a != b }.distinct)
+    val prop = Prop.forAll(genCase) { case (n, edges) =>
+      val docs = (0L until n.toLong).map(i =>
+        (i, if (i % 2 == 0) "sA" else "sB", 10L + i % 7))
+      val uf = unionFind(n, edges)
+      val nComponents = // labeled components + untouched singletons
+        uf.values.toSet.size + (docs.map(_._1).toSet -- uf.keySet).size
+      val out = graft.catalog.DedupCatalog.compact(
+        docs.toDF("doc_id", "source", "n_tokens"),
+        edges.toDF("src", "dst")).collect()
+      val keptTotal = out.map(_.getLong(2)).sum
+      val tokTotal = out.map(_.getLong(3)).sum
+      Prop(keptTotal == nComponents) :| s"one keep per component: $keptTotal vs $nComponents" &&
+        Prop(tokTotal == docs.map(_._3).sum) :| "token mass conserved" &&
+        Prop(out.map(_.getLong(1)).sum == n.toLong) :| "every doc accounted"
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("the reliable-checkpoint flag produces identical labels (cluster " +
     "fault-tolerance path, Components.scala scaladoc)") {
     import spark.implicits._
