@@ -593,6 +593,42 @@ object DedupCatalog extends Catalog {
             size(split(col("text"), " ")).cast("long").as("n_tokens")),
         simhashComponents(s, d))),
 
+    // ── URL dedup — the step a crawl pipeline runs BEFORE any content
+    // dedup: two fetches of the same resource differ only in URL noise
+    // (scheme/host case, www, default port, tracking params, fragments,
+    // trailing slash), so canonicalizing URLs collapses them without
+    // touching document bytes. Planted-URL fixture (the tx_pii_scrub
+    // discipline — the synthetic corpus carries no URLs); the
+    // normalization policy: lowercase scheme+host, strip www/default
+    // port/fragment, drop utm_* params, sort surviving params, strip the
+    // trailing slash. All per-row regex/array expressions; the dedup is
+    // one fixed-width groupBy on the canonical string — the exact
+    // dd_exact_dedup shape, upstream of it in a real pipeline. ──
+    "dd_url_dedup" -> ((s, d) => {
+      val id = col("doc_id")
+      val url = concat(lit("HTTPS://WWW.Site"), (id % 7).cast("string"),
+        lit(".COM:443/p/"), (id % 10).cast("string"),
+        when(id % 2 === 0, "/").otherwise(""),
+        lit("?utm_source=x&id="), (id % 3).cast("string"),
+        when(id % 5 === 0, "&utm_campaign=y").otherwise(""),
+        lit("#s"), id.cast("string"))
+      val scheme = lower(regexp_extract(url, "^([A-Za-z]+)://", 1))
+      val host = lower(regexp_extract(url,
+        "^[A-Za-z]+://(?:[Ww][Ww][Ww]\\.)?([^/:?#]+)", 1))
+      val path = regexp_replace(
+        regexp_extract(url, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1), "/+$", "")
+      val params = array_join(array_sort(filter(
+        split(regexp_extract(url, "\\?([^#]*)", 1), "&"),
+        p => !p.startsWith("utm_") && length(p) > 0)), "&")
+      val canonical = concat(scheme, lit("://"), host, path,
+        when(length(params) > 0, concat(lit("?"), params)).otherwise(""))
+      Tables.documents(s, d)
+        .select(id, canonical.as("canonical_url"))
+        .groupBy(col("canonical_url"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("keep_id"))
+    }),
+
     // ── Incremental near-dup: dedup an incoming BATCH against the
     // standing corpus — the production shape at 100 TB, where re-running
     // all-pairs LSH over the whole corpus per crawl is a non-starter. The
@@ -974,6 +1010,31 @@ object DedupCatalog extends Catalog {
            round(SUM(CASE WHEN keep THEN n_tokens ELSE 0 END)::DOUBLE
              / SUM(n_tokens)::DOUBLE, 6) AS kept_frac
          FROM pick GROUP BY source ORDER BY source""",
+    "dd_url_dedup" ->
+      """WITH u AS (SELECT doc_id,
+           'HTTPS://WWW.Site' || CAST(doc_id % 7 AS VARCHAR) || '.COM:443/p/'
+             || CAST(doc_id % 10 AS VARCHAR)
+             || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+             || '?utm_source=x&id=' || CAST(doc_id % 3 AS VARCHAR)
+             || (CASE WHEN doc_id % 5 = 0 THEN '&utm_campaign=y' ELSE '' END)
+             || '#s' || CAST(doc_id AS VARCHAR) AS url
+           FROM documents),
+         q AS (SELECT doc_id, url,
+             array_to_string(list_sort(list_filter(
+               string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+               p -> NOT starts_with(p, 'utm_') AND len(p) > 0)), '&') AS pq
+           FROM u),
+         c AS (SELECT doc_id,
+             lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) || '://'
+             || lower(regexp_extract(url,
+                  '^[A-Za-z]+://(?:[Ww][Ww][Ww]\.)?([^/:?#]+)', 1))
+             || regexp_replace(regexp_extract(url,
+                  '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '/+$', '')
+             || (CASE WHEN length(pq) > 0 THEN '?' || pq ELSE '' END)
+               AS canonical_url
+           FROM q)
+         SELECT canonical_url, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+         FROM c GROUP BY 1 ORDER BY keep_id""",
     "dd_bloom_incremental" ->
       s"""WITH h AS (SELECT doc_id, ${hash64Sql("text")} AS content_hash FROM documents),
          b AS (SELECT doc_id, content_hash FROM h WHERE doc_id % 10 = 7),

@@ -187,6 +187,22 @@ class TrainingDataOpsSpec extends AnyFunSuite with SparkSpec {
       "well-placed vectors keep their cell")
   }
 
+  test("dd_url_dedup canonicalizes case/www/port/fragment/tracking-param/" +
+    "slash noise and collapses URL variants 210 ids apart") {
+    // ids 30 and 240 agree on every canonical component (site id%7,
+    // path id%10, param id%3) but differ in every noise component the
+    // normalization strips; id 31 shares nothing
+    val d = docsDir(Seq((30L, "a b c", "en"), (240L, "d e f", "en"),
+      (31L, "g h i", "en")))
+    val out = SparkEntry.queries("dd_url_dedup")(spark, d).collect()
+      .map(r => r.getLong(1) -> ((r.getString(0), r.getLong(2)))).toMap
+    assert(out(30L) == (("https://site2.com/p/0?id=0", 2L)),
+      s"variants collapse to the pinned canonical form: $out")
+    assert(out(31L) == (("https://site3.com/p/1?id=1", 1L)),
+      s"distinct resource survives alone: $out")
+    assert(out.size == 2)
+  }
+
   test("sim_kmeans_train: the misplaced vector moves in round 1, later " +
     "rounds are stable, and inertia never increases") {
     import spark.implicits._
