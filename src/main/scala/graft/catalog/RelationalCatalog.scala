@@ -494,6 +494,30 @@ object RelationalCatalog extends Catalog {
     // shuffle on user_id with per-user sort-merge — never a band join or
     // nested loop over time; per-user event counts bound the pair work
     // and the user key's cardinality scales with the corpus. ──
+    // ── Top event-to-event transitions (the first-order Markov view of
+    // user behavior — what funnels are built FROM): per user, order
+    // events by time and pair each with its successor, count
+    // transitions globally, keep each source type's top 3. The lead()
+    // window shuffles once on user_id (cardinality ∝ users, same family
+    // as sessionize); transition counts partial-aggregate over
+    // |types|²-bounded keys; the top-k window runs over that tiny
+    // frame. Ties pin to (count desc, successor asc). ──
+    "ev_path_topk" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wU = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wT = Window.partitionBy(col("from_type"))
+        .orderBy(col("n").desc, col("to_type"))
+      Tables.events(s, d)
+        .withColumn("to_type", lead(col("event_type"), 1).over(wU))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rank", row_number().over(wT))
+        .filter(col("rank") <= 3)
+        .orderBy(col("from_type"), col("rank"))
+    }),
+
     // ── Volume-anomaly detection over the tumbling counts: each
     // (event_type, hour) window is z-scored against its type's TRAILING
     // 24-window baseline (no peeking at the future — the batch form of
@@ -755,6 +779,17 @@ object RelationalCatalog extends Catalog {
            p.t - v.view_t AS gap_sec
          FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.view_t <= p.t
          ORDER BY p.event_id""",
+    "ev_path_topk" ->
+      """WITH nxt AS (SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS to_type
+           FROM events),
+         c AS (SELECT from_type, to_type, COUNT(*) AS n FROM nxt
+           WHERE to_type IS NOT NULL GROUP BY 1, 2)
+         SELECT from_type, to_type, n, rank FROM
+           (SELECT *, ROW_NUMBER() OVER (PARTITION BY from_type
+              ORDER BY n DESC, to_type) AS rank FROM c) t
+         WHERE rank <= 3 ORDER BY from_type, rank""",
     "ev_anomaly" ->
       """WITH c AS (SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start,
              event_type, COUNT(*) AS n FROM events GROUP BY 1, 2),

@@ -160,6 +160,31 @@ object TextCatalog extends Catalog {
         .orderBy(col("doc_id"))
     }),
 
+    // ── Word-distribution entropy — the information-density signal
+    // quality filters pair with the repetition rules: boilerplate and
+    // keyword-stuffed docs have low entropy even when no single word
+    // dominates (which is all rep_quality's max-frequency rule sees).
+    // Shannon entropy over the word distribution plus the
+    // vocabulary-normalized form (÷ log2 distinct, the 0..1 scale that
+    // compares docs of different lengths). Per-row array expressions,
+    // O(distinct·n) bounded by document length — zero shuffle. ──
+    "tx_entropy" -> ((s, d) => {
+      val words = split(col("text"), " ")
+      val n = size(words).cast("double")
+      val nd = size(array_distinct(words)).cast("double")
+      val ent = aggregate(
+        transform(array_distinct(words), w => {
+          val p = size(filter(words, x => x === w)).cast("double") / n
+          -p * log2(p)
+        }), lit(0.0), (acc, x) => acc + x)
+      Tables.documents(s, d)
+        .select(col("doc_id"), size(words).cast("long").as("n_words"),
+          nd.cast("long").as("n_distinct"),
+          round(ent, 6).as("entropy"),
+          when(nd > 1, round(ent / log2(nd), 6)).as("norm_entropy"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── Token counting: whitespace tokens + BPE-ish regex pre-tokenizer ──
     "tx_token_count" -> ((s, d) => {
       Tables.documents(s, d)
@@ -1080,6 +1105,20 @@ object TextCatalog extends Catalog {
            ($QcBias + $QcScale * raw) >= 0 AS keep
          FROM r ORDER BY doc_id"""
     },
+    "tx_entropy" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         e AS (SELECT doc_id,
+             CAST(len(words) AS BIGINT) AS n_words,
+             CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct,
+             list_sum(list_transform(list_distinct(words), w ->
+               -(len(list_filter(words, x -> x = w))::DOUBLE / len(words))
+                 * log2(len(list_filter(words, x -> x = w))::DOUBLE / len(words))))
+               AS ent
+           FROM w)
+         SELECT doc_id, n_words, n_distinct, round(ent, 6) AS entropy,
+           CASE WHEN n_distinct > 1
+             THEN round(ent / log2(n_distinct::DOUBLE), 6) END AS norm_entropy
+         FROM e ORDER BY doc_id""",
     "tx_token_count" ->
       """SELECT doc_id,
            CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,

@@ -515,6 +515,48 @@ class TrainingDataOpsSpec extends AnyFunSuite with SparkSpec {
       "bucket boundaries follow the score ordering")
   }
 
+  test("tx_entropy: uniform docs hit the log2 ceiling, constant docs " +
+    "floor at zero with a null normalized form, and skew lands between") {
+    val d = docsDir(Seq(
+      (1L, "a a a a", "en"),
+      (2L, "a b c d", "en"),
+      (3L, "a a a b", "en")))
+    val out = SparkEntry.queries("tx_entropy")(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    assert(out(1L) == ((4L, 1L, 0.0, None)),
+      s"single-word doc: zero entropy, normalization undefined: $out")
+    assert(out(2L) == ((4L, 4L, 2.0, Some(1.0))),
+      s"uniform 4-word doc sits exactly at log2(4): $out")
+    val expected = -(0.75 * math.log(0.75) / math.log(2.0) +
+      0.25 * math.log(0.25) / math.log(2.0))
+    assert(out(3L)._1 == 4L && out(3L)._2 == 2L &&
+      math.abs(out(3L)._3 - expected) < 1e-6 &&
+      math.abs(out(3L)._4.get - expected) < 1e-6,
+      s"3:1 skew: H=$expected: $out")
+  }
+
+  test("ev_path_topk counts per-user consecutive transitions and ranks " +
+    "each source type's successors with deterministic ties") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_path").toString
+    def ns(sec: Long) = sec * 1000000000L
+    // u1: view→click→view→purchase; u2: view→click→click
+    Seq(
+      (1L, ns(10), 1L, "view", 1.0, "{}"), (2L, ns(20), 1L, "click", 1.0, "{}"),
+      (3L, ns(30), 1L, "view", 1.0, "{}"), (4L, ns(40), 1L, "purchase", 1.0, "{}"),
+      (5L, ns(10), 2L, "view", 1.0, "{}"), (6L, ns(20), 2L, "click", 1.0, "{}"),
+      (7L, ns(30), 2L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("ev_path_topk")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    assert(out.toSeq == Seq(
+      ("click", "click", 1L, 1), ("click", "view", 1L, 2),
+      ("view", "click", 2L, 1), ("view", "purchase", 1L, 2)),
+      s"transition counts, tie broken to successor asc: ${out.toSeq}")
+  }
+
   test("ev_anomaly z-scores each hour against its type's trailing " +
     "baseline: the spike alerts, warmup and zero-variance baselines " +
     "yield null z and never alert") {
