@@ -27,6 +27,8 @@ object Bench {
       // drop any caches a query materialized so timings stay independent
       // (incl. the sitemap ordinal pins, whose queue must drain too)
       graft.operators.Sitemap.releasePinned()
+      graft.operators.Packing.releasePinned()
+      graft.catalog.DedupCatalog.clearMemos()
       spark.catalog.clearCache()
     }
     // Untimed warmup pass: every query compiles its codegen and JITs its

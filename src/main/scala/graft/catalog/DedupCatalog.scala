@@ -246,6 +246,15 @@ object DedupCatalog extends Catalog {
     * keyed per (session, dir). The label frame is |paired docs| rows. */
   private val componentsCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Drop the memoized components (graft.Bench's per-query isolation:
+    * a memo surviving its cleanup would let the SECOND cluster query
+    * time only the label join, not the algorithm it claims to measure). */
+  def clearMemos(): Unit = {
+    componentsCache.forEach((_, df) => { df.unpersist(); () })
+    componentsCache.clear()
+  }
+
   private def simhashComponents(s: SparkSession, d: String): DataFrame =
     componentsCache.computeIfAbsent(
       System.identityHashCode(s) + ":" + d,
