@@ -51,7 +51,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     for (q <- Seq("tx_lang_id", "tx_quality_score", "tx_token_count",
         "tx_fingerprint", "tx_rep_quality", "tx_sample_hash", "tx_chunk_split",
         "tx_pii_scrub", "tx_pii_extended", "tx_url_filter",
-        "tx_quality_classifier")) {
+        "tx_quality_classifier", "tx_entropy")) {
       val p = plan(q)
       assert(exchanges(p) == 1,
         s"$q must shuffle only for the final orderBy — got:\n$p")
@@ -269,6 +269,108 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "broadcast of the master") {
     val p = plan("m1_upsert_merge")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("URL dedup is one fixed-width aggregation exchange plus the output " +
+    "sort — canonicalization is per-row, no join anywhere") {
+    val p = plan("dd_url_dedup")
+    assert(exchanges(p) <= 2, s"partial agg + orderBy only:\n$p")
+    assert(p.contains("HashAggregate"), "map-side partial combine present")
+    assert(!p.contains("Join"), "canonicalization must not join")
+  }
+
+  test("cluster compaction adds only the cluster_id shuffle and a " +
+    "map-side-combined source rollup on top of component assignment") {
+    val p = plan("dd_compact")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert("(?m)Exchange hashpartitioning\\(cluster_id".r.findAllIn(p).nonEmpty,
+      s"the keep-best window partitions by cluster:\n${p.take(2000)}")
+    assert(p.contains("HashAggregate"), "per-source rollup partial-aggregates")
+  }
+
+  test("cross-media clustering joins the component labels back by key — " +
+    "the union pair graph never goes cartesian") {
+    val p = plan("dd_media_cluster")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("(?m)Exchange hashpartitioning\\(cluster_id".r.findAllIn(p).nonEmpty,
+      s"cluster-size window partitions by cluster:\n${p.take(2000)}")
+  }
+
+  test("kmeans training keeps the per-round shape of the single step: " +
+    "centroids broadcast (the deliberate BNLJ), argmin prunes map-side, " +
+    "stats fold 1-row frames only") {
+    val p = plan("sim_kmeans_train")
+    assert(p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"k centroid rows broadcast against the corpus every round:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin"),
+      "no round may shuffle the corpus against the centroid table")
+    assert(p.contains("WindowGroupLimit"),
+      s"the per-vector argmin row_number filter must prune map-side:\n${p.take(2000)}")
+  }
+
+  test("shard shuffle rides the distributed prefix sum: range partition on " +
+    "the shuffle key, never a single-partition global window") {
+    val p = plan("tx_shard_shuffle")
+    assert("(?m)Exchange rangepartitioning".r.findAllIn(p).nonEmpty,
+      s"the ordinal comes from the Packing range-partition shape:\n${p.take(2000)}")
+    assert(!p.toLowerCase.contains("ntile") && !p.contains("CartesianProduct"), p)
+    // the only SinglePartition fold allowed is the ≤(partitions×groups)-row
+    // subtotal frame inside exclusiveGroupCumsum — the corpus itself must
+    // never funnel through one task
+    assert(!"(?m)Window \\[row_number".r.findAllIn(p).exists(_ => p.contains(
+      "Window [row_number(), Exchange SinglePartition")),
+      "no global row_number over the corpus")
+  }
+
+  test("path top-k prunes transitions map-side: WindowGroupLimit on " +
+    "from_type, lead() partitioned per user") {
+    val p = plan("ev_path_topk")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=3 must push a partial group limit below the exchange:\n${p.take(2000)}")
+    assert("(?m)Exchange hashpartitioning\\(user_id".r.findAllIn(p).nonEmpty,
+      "the transition lead() window is per-user, not global")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("anomaly detection z-scores the hourly summaries, not the events: " +
+    "trailing window partitions by event_type over the aggregated frame") {
+    val p = plan("ev_anomaly")
+    assert("(?m)Exchange hashpartitioning\\(event_type".r.findAllIn(p).nonEmpty,
+      s"the trailing-baseline window is per-type:\n${p.take(2000)}")
+    assert(!p.contains("Exchange SinglePartition"),
+      "no global-ordering funnel: baselines are per-type partitions")
+    assert(p.contains("HashAggregate"),
+      "the corpus-sized work is the map-side-combined hourly count")
+  }
+
+  test("BPE encode reuses the cached vocab across rounds; the 1-row merge " +
+    "winner broadcasts (deliberate BNLJ), nothing goes cartesian") {
+    val p = plan("tx_bpe_encode")
+    assert(!p.contains("CartesianProduct"),
+      s"the winner join must be the broadcast left-outer form:\n${p.take(2000)}")
+    assert(p.contains("InMemoryTableScan"),
+      "each round reads the previous round's cached vocab, not a fresh corpus scan")
+    assert(p.contains("BroadcastHashJoin"),
+      "the word→token-length table joins broadcast onto the token stream")
+  }
+
+  test("the training manifest composes sampling + packing without new " +
+    "corpus-wide shuffles: weights broadcast back, totals fold 1-row frames") {
+    val p = plan("pl_train_manifest")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      s"the per-language keep table is the broadcast side:\n${p.take(2000)}")
+    assert("(?m)Exchange rangepartitioning".r.findAllIn(p).nonEmpty,
+      "shard packing rides the distributed prefix sum")
+  }
+
+  test("the Gopher filter pipeline: signals are map-side, the repetition " +
+    "mode is a token-shaped partial agg joined back by doc_id — no " +
+    "cartesian, no nested loop") {
+    val p = plan("tx_filter_pipeline")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashAggregate"),
+      "the per-doc mode partial-aggregates map-side")
   }
 
   test("event analytics stay user-keyed: sessionize windows partition by " +
