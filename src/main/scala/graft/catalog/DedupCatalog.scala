@@ -134,6 +134,41 @@ object DedupCatalog extends Catalog {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Directed containment pairs (C(A,B) = |A∩B| / |A| ≥ t, A ≠ B) with
+    * exact-recall asymmetric prefix filtering — see the dd_containment
+    * catalog entry for the algorithm note. `docs` carries (doc_id, sh)
+    * with sh the DISTINCT shingle set (fixed-width hashes in the catalog
+    * path). Emits both directions when both clear t; verify is per-row
+    * set math on the attached arrays (the lenband discipline — candidate
+    * rows carry ids only until the final join-back). */
+  def containmentPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val inv = docs.select(col("doc_id"), size(col("sh")).as("setsize"),
+      explode(col("sh")).as("s"))
+    val dfs = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    // ⌊(1−t)|A|⌋ + 1 rarest shingles per probe doc; a qualifying pair
+    // must land ≥ 1 of them in the container, so recall is exact
+    val probe = inv.join(dfs, Seq("s"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= floor(lit(1.0 - threshold) * col("setsize")) + 1)
+      .select(col("doc_id").as("doc_a"), col("setsize").as("size_a"), col("s"))
+    val cand = probe.join(
+        inv.select(col("doc_id").as("doc_b"), col("setsize").as("size_b"), col("s")),
+        Seq("s"))
+      .filter(col("doc_a") =!= col("doc_b") &&
+        col("size_b") >= lit(threshold) * col("size_a"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(col("sh_a")).cast("double")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** (doc_id, fp) fingerprints for one media modality slice (doc_id mod 3
     * picks the modality; ASCII filter mirrors the oracle's byte-indexing
     * constraint). Shared by the per-modality pair rows and the cross-media
@@ -460,6 +495,33 @@ object DedupCatalog extends Catalog {
         .cache()
       val dfCap = math.max(100L, docs.count() / 50) // ~2% of the corpus
       lenbandJaccard(docs, threshold = 0.5, dfCap = dfCap)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // ── Containment near-dup: directed C(A,B) = |A∩B| / |A| over shingle
+    // sets — the asymmetric case the Jaccard families structurally miss.
+    // A page wrapped in boilerplate, a document quoted whole inside a
+    // larger one, a truncated mirror: containment is ~1 while Jaccard
+    // collapses toward |A|/|B| and slips under every symmetric threshold.
+    // Pipelines run this AFTER Jaccard dedup to kill subset copies.
+    // Candidate generation is the asymmetric prefix filter: rank each
+    // doc's shingles by global rarity (df asc, shingle) and probe only
+    // its ⌊(1−t)·|A|⌋ + 1 rarest against the FULL corpus index — if none
+    // of those prefix shingles is in B, then B misses > (1−t)|A| of A's
+    // shingles and C(A,B) < t, so recall is exact. Unlike the symmetric
+    // join there is no index-side prefix and no length band (a 50-word
+    // doc can sit inside a 50k-word one — that's the point); the size
+    // filter is the one real bound: |B| ≥ t·|A|. Probe traffic stays
+    // small because prefixes are rare-shingle-biased — a stop-shingle
+    // only enters a prefix when a doc has almost nothing rarer; at
+    // cluster scale the residual hot-posting skew is AQE skew-join
+    // territory, not a plan change. ──
+    "dd_containment" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.TextHashes.windowHashesUdf(3, distinct = true)(col("text")).as("sh"))
+        .cache()
+      containmentPairs(docs, threshold = 0.8)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -1019,6 +1081,15 @@ object DedupCatalog extends Catalog {
            round(SUM(CASE WHEN keep THEN n_tokens ELSE 0 END)::DOUBLE
              / SUM(n_tokens)::DOUBLE, 6) AS kept_frac
          FROM pick GROUP BY source ORDER BY source""",
+    "dd_containment" ->
+      s"""WITH sh AS (SELECT doc_id,
+           list_distinct(list_transform($Shingles3Sql, s -> ${hash64Sql("s")})) AS sh
+         FROM documents)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_intersect(a.sh, b.sh)) / len(a.sh) AS containment
+         FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+         WHERE len(list_intersect(a.sh, b.sh)) / len(a.sh) >= 0.8
+         ORDER BY doc_a, doc_b""",
     "dd_url_dedup" ->
       """WITH u AS (SELECT doc_id,
            'HTTPS://WWW.Site' || CAST(doc_id % 7 AS VARCHAR) || '.COM:443/p/'

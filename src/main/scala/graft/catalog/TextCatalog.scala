@@ -213,6 +213,30 @@ object TextCatalog extends Catalog {
         .orderBy(col("doc_id"))
     }),
 
+    // ── Stratified exact-k sampling: exactly min(k, |stratum|) documents
+    // per language, deterministically (salted-hash order, doc_id
+    // tiebreak) — the eval-set / ablation-split guarantee tx_sample_hash
+    // cannot give: a rate sample's stratum size is binomial, an eval set
+    // wants EXACTLY k. Rank-by-hash ≡ a uniform draw without replacement,
+    // and the salt makes it independent of the tx_sample_hash draw.
+    // Scale shape: the rank ≤ k filter plans as a two-phase
+    // WindowGroupLimit — every mapper forwards at most k rows per
+    // language, so the exchange carries ≤ k·|langs|·|mappers| rows, not
+    // the corpus (pinned in PlanAuditSpec). ──
+    "tx_stratified_k" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("pos"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          PortableHash.hash64(concat(lit("strk:"), col("doc_id").cast("string")))
+            .as("pos"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 60)
+        .select(col("doc_id"), col("lang"), col("rk").cast("long").as("rk"))
+        .orderBy(col("lang"), col("rk"))
+    }),
+
     // ── Token-budget shard packing (graft.operators.Packing): documents
     // fill fixed-budget training shards per language in doc_id order via a
     // DISTRIBUTED exclusive prefix sum — range-partition on (lang,
@@ -1124,6 +1148,13 @@ object TextCatalog extends Catalog {
            CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
            CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens
          FROM documents ORDER BY doc_id""",
+    "tx_stratified_k" ->
+      s"""WITH r AS (SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+               ${PortableHash.hash64Sql("'strk:' || CAST(doc_id AS VARCHAR)")}, doc_id) AS rk
+           FROM documents)
+         SELECT doc_id, lang, rk FROM r WHERE rk <= 60
+         ORDER BY lang, rk""",
     "tx_sample_hash" ->
       s"""WITH b AS (SELECT doc_id, lang,
              ${PortableHash.hash64Sql("'sample:' || CAST(doc_id AS VARCHAR)")} % 1000 AS bucket,

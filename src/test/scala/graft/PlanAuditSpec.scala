@@ -373,6 +373,25 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       "the per-doc mode partial-aggregates map-side")
   }
 
+  test("containment candidates come from the asymmetric prefix equi-join " +
+    "— never cartesian, verify on attached arrays") {
+    val p = plan("dd_containment")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"prefix probe joins the inverted index on the shingle key:\n${p.take(2000)}")
+    assert(p.contains("array_intersect"),
+      "the exact verify is per-row set math on the attached arrays")
+  }
+
+  test("stratified exact-k prunes map-side: WindowGroupLimit on lang keeps " +
+    "each mapper's contribution to k rows per stratum") {
+    val p = plan("tx_stratified_k")
+    assert(p.contains("WindowGroupLimit") &&
+      "WindowGroupLimit [^\\n]*Partial".r.findAllIn(p).nonEmpty,
+      s"rank<=k must prune below the exchange:\n${p.take(2000)}")
+    assert(!p.contains("Exchange SinglePartition"),
+      "per-language ranking, never a global funnel")
+  }
+
   test("event analytics stay user-keyed: sessionize windows partition by " +
     "user, the funnel never goes cartesian") {
     val sess = plan("ev_sessionize")
