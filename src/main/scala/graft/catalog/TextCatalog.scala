@@ -400,6 +400,41 @@ object TextCatalog extends Catalog {
         .orderBy(col("doc_id"))
     }),
 
+    // ── Min-K% Prob (Shi 2023): mean logprob of each document's k%
+    // LEAST-probable tokens under the reference LM — the membership-
+    // inference signal a pipeline runs to flag benchmark text or
+    // memorized content that slipped past n-gram decontamination. A
+    // normal document always carries some rare tokens (bottom-k mean
+    // stays low); text the model/corpus already contains scores
+    // anomalously high because even its rarest tokens are well-predicted.
+    // Same LM-table topology as tx_unigram_logprob (vocab-sized unigram
+    // table equi-joined onto the token stream — at 100 TB a persisted
+    // model table, built once); the extra work over avg-logprob is the
+    // per-doc bottom-k selection, done with a per-doc sorted logprob
+    // array whose size is bounded by the document's own token count —
+    // the same O(doc) state the text column itself occupies. ──
+    "tx_minkprob" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("w"))
+      val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      val total = uni.agg(sum(col("cnt")).as("total"))
+      val lp = toks.join(uni, Seq("w")).crossJoin(total)
+        .select(col("doc_id"),
+          log(col("cnt").cast("double") / col("total").cast("double")).as("lp"))
+      lp.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("lp"))).as("lps"),
+          count(lit(1)).as("n_tokens"))
+        .withColumn("n_k",
+          greatest(ceil(col("n_tokens") * lit(0.2)), lit(1.0)).cast("long"))
+        .withColumn("mink_score", round(
+          aggregate(slice(col("lps"), lit(1), col("n_k").cast("int")),
+            lit(0.0), (acc, x) => acc + x) / col("n_k").cast("double"), 6))
+        .select(col("doc_id"), col("n_tokens"), col("n_k"), col("mink_score"),
+          (col("mink_score") > -3.43).as("flag_memorized"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── Interpolated bigram-LM scoring — one model order up from
     // tx_unigram_logprob, the shape of CCNet's KenLM quality signal
     // (Wenzek 2020 uses a 5-gram; the table/join topology is identical
@@ -1403,6 +1438,22 @@ object TextCatalog extends Catalog {
            CAST(len(ch.w) AS BIGINT) AS n_tokens,
            ${PortableHash.hash64Sql("array_to_string(ch.w, ' ')")} AS chunk_hash
          FROM c ORDER BY doc_id, chunk_idx""",
+    "tx_minkprob" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         uni AS (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY 1),
+         tot AS (SELECT SUM(cnt) AS total FROM uni),
+         lp AS (SELECT doc_id, ln(CAST(cnt AS DOUBLE) / total) AS lp
+           FROM toks JOIN uni USING (w), tot),
+         g AS (SELECT doc_id, list_sort(list(lp)) AS lps,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens
+           FROM lp GROUP BY doc_id),
+         k AS (SELECT doc_id, n_tokens,
+             GREATEST(CAST(ceil(n_tokens * 0.2) AS BIGINT), 1) AS n_k, lps FROM g),
+         sc AS (SELECT doc_id, n_tokens, n_k,
+             round(list_sum(lps[1:CAST(n_k AS INT)]) / n_k, 6) AS mink_score FROM k)
+         SELECT doc_id, n_tokens, n_k, mink_score,
+           mink_score > -3.43 AS flag_memorized
+         FROM sc ORDER BY doc_id""",
     "tx_unigram_logprob" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
          uni AS (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY 1),

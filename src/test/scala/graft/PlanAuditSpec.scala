@@ -392,6 +392,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       "per-language ranking, never a global funnel")
   }
 
+  test("min-k scoring keeps the unigram-LM topology: token-shaped partial " +
+    "aggs, the 1-row total folds broadcast, nothing goes cartesian") {
+    val p = plan("tx_minkprob")
+    assert(!p.contains("CartesianProduct"),
+      s"the LM total must broadcast, not shuffle-cartesian:\n${p.take(2000)}")
+    assert(p.contains("HashAggregate"),
+      "vocab table and per-doc rollup both partial-aggregate map-side")
+  }
+
   test("event analytics stay user-keyed: sessionize windows partition by " +
     "user, the funnel never goes cartesian") {
     val sess = plan("ev_sessionize")
