@@ -498,6 +498,44 @@ object DedupCatalog extends Catalog {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // ── Content-defined chunking dedup (the Rabin/LBFS family): chunk
+    // boundaries are set by the CONTENT (positions where the hash of the
+    // trailing 8-char window has its low 6 bits zero, ~64-char expected
+    // chunks), not by fixed offsets — so an insertion early in a
+    // document shifts every fixed window but only ONE content-defined
+    // chunk, and the rest still dedup. This is the storage-layer
+    // complement to dd_exact_substring's fixed windows: byte-range
+    // dedup for snapshots/mirrors/appended crawls. Boundary detection
+    // and chunk hashing are per-row HOF transforms next to the scan
+    // (state = the doc's own boundary list); the dedup itself is one
+    // fixed-width groupBy on the 64-bit chunk hash — the dd_exact_dedup
+    // shape, so the shuffle carries (hash, len) pairs, never text. ──
+    "dd_cdc_chunks" -> ((s, d) => {
+      val text = col("text")
+      val n = length(text)
+      val bpos = filter(
+        transform(
+          when(n >= 8, sequence(lit(1), n - 7)).otherwise(array().cast("array<int>")),
+          i => when(pmod(graft.functions.PortableHash.hash64(
+            text.substr(i, lit(8))), lit(64)) === 0, i)),
+        x => x.isNotNull)
+      val bs = concat(array(lit(1)), bpos, array(n + 1))
+      val chunks = zip_with(
+        slice(bs, lit(1), size(bs) - 1), slice(bs, lit(2), size(bs) - 1),
+        (a, b) => struct(
+          graft.functions.PortableHash.hash64(text.substr(a, b - a)).as("h"),
+          (b - a).cast("long").as("l")))
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(chunks).as("c"))
+        .select(col("doc_id"), col("c.h").as("chunk_hash"), col("c.l").as("chunk_len"))
+        .groupBy(col("chunk_hash"))
+        .agg(min(col("chunk_len")).as("chunk_len"),
+          count_distinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occ"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("chunk_hash"))
+    }),
+
     // ── Containment near-dup: directed C(A,B) = |A∩B| / |A| over shingle
     // sets — the asymmetric case the Jaccard families structurally miss.
     // A page wrapped in boilerplate, a document quoted whole inside a
@@ -1081,6 +1119,27 @@ object DedupCatalog extends Catalog {
            round(SUM(CASE WHEN keep THEN n_tokens ELSE 0 END)::DOUBLE
              / SUM(n_tokens)::DOUBLE, 6) AS kept_frac
          FROM pick GROUP BY source ORDER BY source""",
+    "dd_cdc_chunks" ->
+      s"""WITH b AS (SELECT doc_id, text, len(text) AS n FROM documents),
+         pos AS (SELECT doc_id, text, n,
+             list_filter(list_transform(
+               generate_series(1, greatest(n - 7, 0)),
+               i -> CASE WHEN ${hash64Sql("substr(text, i, 8)")} % 64 = 0
+                    THEN i END), x -> x IS NOT NULL) AS bp
+           FROM b),
+         bnd AS (SELECT doc_id, text,
+             [CAST(1 AS BIGINT)] || bp || [CAST(n + 1 AS BIGINT)] AS bs FROM pos),
+         ch AS (SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(bs) - 1),
+               k -> struct_pack(
+                 h := ${hash64Sql("substr(text, bs[k], bs[k+1] - bs[k])")},
+                 l := CAST(bs[k+1] - bs[k] AS BIGINT)))) AS c
+           FROM bnd)
+         SELECT c.h AS chunk_hash, MIN(c.l) AS chunk_len,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_occ
+         FROM ch GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+         ORDER BY chunk_hash""",
     "dd_containment" ->
       s"""WITH sh AS (SELECT doc_id,
            list_distinct(list_transform($Shingles3Sql, s -> ${hash64Sql("s")})) AS sh

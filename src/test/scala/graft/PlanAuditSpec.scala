@@ -373,6 +373,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       "the per-doc mode partial-aggregates map-side")
   }
 
+  test("CDC dedup is per-row chunking plus one fixed-width aggregation " +
+    "exchange — boundary detection never leaves the scan") {
+    val p = plan("dd_cdc_chunks")
+    // 3 = the (chunk_hash, doc_id) distinct-count partial, the chunk_hash
+    // final agg, the presentation sort — all keyed on the fixed-width hash
+    assert(exchanges(p) <= 3, s"chunk-hash aggs + orderBy only:\n${p.take(2000)}")
+    assert(!p.contains("Join"), "chunking is content-local, no join anywhere")
+    assert(p.contains("HashAggregate"), "map-side partial combine present")
+  }
+
   test("containment candidates come from the asymmetric prefix equi-join " +
     "— never cartesian, verify on attached arrays") {
     val p = plan("dd_containment")
