@@ -148,16 +148,24 @@ object DedupCatalog extends Catalog {
     val dfs = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
     // ⌊(1−t)|A|⌋ + 1 rarest shingles per probe doc; a qualifying pair
-    // must land ≥ 1 of them in the container, so recall is exact
+    // must land ≥ 1 of them in the container, so recall is exact. The
+    // +2 (not +1) absorbs float undercount at the EXACT boundary:
+    // (1.0 − 0.8) is 0.1999…96 in IEEE, so ⌊(1−t)|A|⌋ can come out one
+    // short precisely when C(A,B) = t (seen live: |A|=10, |A∩B|=8 —
+    // prefix computed 2, needed 3). Over-inclusion costs one extra
+    // posting per doc; under-inclusion is a missed duplicate.
     val probe = inv.join(dfs, Seq("s"))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= floor(lit(1.0 - threshold) * col("setsize")) + 1)
+      .filter(col("rn") <= floor(lit(1.0 - threshold) * col("setsize")) + 2)
       .select(col("doc_id").as("doc_a"), col("setsize").as("size_a"), col("s"))
+    // the size bound gets the same one-unit slack: t·|A| as a double can
+    // land a hair ABOVE the exact rational (0.8·10 = 8.000…0004), which
+    // would veto the boundary pair the verify then proves qualifies
     val cand = probe.join(
         inv.select(col("doc_id").as("doc_b"), col("setsize").as("size_b"), col("s")),
         Seq("s"))
       .filter(col("doc_a") =!= col("doc_b") &&
-        col("size_b") >= lit(threshold) * col("size_a"))
+        col("size_b") >= lit(threshold) * col("size_a") - 1)
       .select(col("doc_a"), col("doc_b"))
       .distinct()
     cand
