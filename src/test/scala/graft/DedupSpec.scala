@@ -41,6 +41,35 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(capped == 0, "df cap alone loses the whole cluster")
   }
 
+  test("containment recall is exact at the threshold boundary and against " +
+    "brute force, including the asymmetric small-in-large case") {
+    import spark.implicits._
+    val t = 0.8
+    // doc 1 (10 shingles) has exactly 8 inside doc 2 → C(1→2) = 0.8, the
+    // EXACT boundary that float-undercut prefix/size bounds dropped (the
+    // sf0.1 regression this spec pins); C(2→1) = 8/8 = 1.0.
+    // doc 3 ⊂ doc 4 with |3| = 3 ≪ |4| = 30 — the size-skew case a
+    // symmetric length band would exclude by design.
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"s$i")),
+      (2L, (1 to 8).map(i => s"s$i")),
+      (3L, Seq("x1", "x2", "x3")),
+      (4L, (1 to 27).map(i => s"y$i") ++ Seq("x1", "x2", "x3")),
+      (5L, Seq("z1", "z2", "z3", "z4", "z5"))) // shares nothing
+      .toDF("doc_id", "sh")
+    val got = DedupCatalog.containmentPairs(docs, threshold = t)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = docs.collect().map(r => (r.getLong(0), r.getSeq[String](1).toSet))
+    val want = (for {
+      (ia, sa) <- all; (ib, sb) <- all
+      if ia != ib && sa.intersect(sb).size.toDouble / sa.size >= t
+    } yield (ia, ib)).toSet
+    assert(got == want, s"containment recall: got $got want $want")
+    assert(want.contains((1L, 2L)), "fixture must include the exact boundary")
+    assert(want.contains((3L, 4L)), "fixture must include the size-skew case")
+  }
+
   test("compact keeps the most-token doc per cluster (tie → lowest id), " +
     "passes singletons through, and accounts per source across " +
     "cluster-spanning sources") {
