@@ -314,12 +314,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert("(?m)Exchange rangepartitioning".r.findAllIn(p).nonEmpty,
       s"the ordinal comes from the Packing range-partition shape:\n${p.take(2000)}")
     assert(!p.toLowerCase.contains("ntile") && !p.contains("CartesianProduct"), p)
-    // the only SinglePartition fold allowed is the ≤(partitions×groups)-row
-    // subtotal frame inside exclusiveGroupCumsum — the corpus itself must
-    // never funnel through one task
-    assert(!"(?m)Window \\[row_number".r.findAllIn(p).exists(_ => p.contains(
-      "Window [row_number(), Exchange SinglePartition")),
-      "no global row_number over the corpus")
+    // the subtotal offsets come back via a driver collect of the
+    // ≤(partitions×groups)-row frame, so the PLAN carries no
+    // single-partition exchange at all — the corpus never funnels
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no global-ordering funnel anywhere in the shard plan:\n${p.take(2000)}")
   }
 
   test("path top-k prunes transitions map-side: WindowGroupLimit on " +
