@@ -152,13 +152,57 @@ object DedupBench {
     val exactRecall = recall("exact_dup")
     val nearRecall = recall("near_dup")
 
-    val totalS = exactS + minhashS + verifyS
+    // ── stage 4: content-defined chunking (dd_cdc_chunks shape) ────────
+    // chunk-store dedup ratio over the whole corpus, plus the planted-
+    // pair chunk containment that demonstrates WHY CDC: a mutation
+    // damages only the chunks containing it, so near-dup predecessors
+    // keep most chunks shared while every fixed-offset window past the
+    // edit would differ. Exact-dup containment must be exactly 1.0 (same
+    // text → same boundaries → same chunks) — an invariant, not tuning.
+    val tCdc = System.nanoTime()
+    val chunks = docs
+      .select(col("doc_id"), explode(graft.catalog.DedupCatalog.cdcChunks(col("text"))).as("c"))
+      .select(col("doc_id"), col("c.h").as("h"), col("c.l").as("l"))
+    val chunkStats = chunks
+      .groupBy(col("h")).agg(min(col("l")).as("l"), count(lit(1)).as("occ"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("l") * col("occ")).as("raw_bytes"),
+        sum(col("l")).as("stored_bytes"))
+      .collect()(0)
+    val (nChunks, rawBytes, storedBytes) =
+      (chunkStats.getLong(0), chunkStats.getLong(1), chunkStats.getLong(2))
+    val cdcS = secs(tCdc)
+
+    val tCont = System.nanoTime()
+    val plIds = planted.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+    val arr = chunks.join(plIds, Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id")).agg(collect_list(col("h")).as("hs"))
+    val contByRole = planted
+      .join(arr.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
+      .join(arr.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
+      .select(col("role"),
+        (size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
+          size(array_distinct(col("hs_a"))).cast("double")).as("cont"))
+      .groupBy(col("role")).agg(avg(col("cont")).as("avg"), min(col("cont")).as("min"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val cdcContS = secs(tCont)
+    val (exactCont, nearCont) = (
+      contByRole.getOrElse("exact_dup", (0.0, 0.0)),
+      contByRole.getOrElse("near_dup", (0.0, 0.0)))
+
+    val totalS = exactS + minhashS + verifyS + cdcS + cdcContS
     println(s"""{"metric":"dedup_docs_per_sec","value":${(n / totalS).round},""" +
       s""""rows":$n,"fixture_sec":${f"$fixtureS%.1f"},""" +
       s""""exact_sec":${f"$exactS%.1f"},"exact_dup_groups":$exGroups,"exact_dup_members":$exMembers,""" +
       s""""minhash_sec":${f"$minhashS%.1f"},"candidate_pairs":$nPairs,""" +
       s""""verify_sec":${f"$verifyS%.1f"},""" +
-      s""""exact_recall":$exactRecall,"near_recall":$nearRecall}""")
+      s""""exact_recall":$exactRecall,"near_recall":$nearRecall,""" +
+      s""""cdc_sec":${f"$cdcS%.1f"},"cdc_chunks":$nChunks,""" +
+      s""""cdc_raw_bytes":$rawBytes,"cdc_stored_bytes":$storedBytes,""" +
+      s""""cdc_dedup_ratio":${f"${rawBytes.toDouble / math.max(storedBytes, 1L)}%.4f"},""" +
+      s""""cdc_verify_sec":${f"$cdcContS%.1f"},""" +
+      s""""cdc_exact_containment":${f"${exactCont._1}%.4f"},""" +
+      s""""cdc_near_containment_avg":${f"${nearCont._1}%.4f"},""" +
+      s""""cdc_near_containment_min":${f"${nearCont._2}%.4f"}}""")
     spark.stop()
   }
 }

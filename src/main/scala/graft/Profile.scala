@@ -14,7 +14,12 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // time CONSTRUCTION separately: operators built on eager driver-side
+    // steps (the Packing prefix-sum subtotal collect, Components' rounds)
+    // do their real work inside fn(), which per-run timers would miss
+    val tc = System.nanoTime()
     val df = SparkEntry.queries(name)(spark, sfDir)
+    println(s"construct: ${(System.nanoTime() - tc) / 1e9}s")
     df.explain("formatted")
     (1 to 2).foreach { i =>
       val t0 = System.nanoTime()

@@ -134,6 +134,19 @@ object DedupCatalog extends Catalog {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Content-defined (hash, len) chunk structs for one text column —
+    * boundaries where the trailing 8-char window hash has its low 6 bits
+    * zero (~64-char expected chunks). Shared by the dd_cdc_chunks catalog
+    * row and DedupBench's corpus-scale stage so the benched shape IS the
+    * shipped shape. Compiled (TextHashes.cdcChunks): the equivalent HOF
+    * expression (`transform(sequence(1, n-7), i -> hash64(substr(text, i,
+    * 8)))` + zip_with over the boundary list) evaluated one interpreted
+    * md5 tree per CHARACTER and was the slowest map-side op in the
+    * catalog (11.7 s at sf0.1); the per-row state is still only the
+    * document's own boundary list. */
+  def cdcChunks(text: Column): Column =
+    graft.functions.TextHashes.cdcChunksUdf(text)
+
   /** Directed containment pairs (C(A,B) = |A∩B| / |A| ≥ t, A ≠ B) with
     * exact-recall asymmetric prefix filtering — see the dd_containment
     * catalog entry for the algorithm note. `docs` carries (doc_id, sh)
@@ -518,31 +531,16 @@ object DedupCatalog extends Catalog {
     // (state = the doc's own boundary list); the dedup itself is one
     // fixed-width groupBy on the 64-bit chunk hash — the dd_exact_dedup
     // shape, so the shuffle carries (hash, len) pairs, never text. ──
-    "dd_cdc_chunks" -> ((s, d) => {
-      val text = col("text")
-      val n = length(text)
-      val bpos = filter(
-        transform(
-          when(n >= 8, sequence(lit(1), n - 7)).otherwise(array().cast("array<int>")),
-          i => when(pmod(graft.functions.PortableHash.hash64(
-            text.substr(i, lit(8))), lit(64)) === 0, i)),
-        x => x.isNotNull)
-      val bs = concat(array(lit(1)), bpos, array(n + 1))
-      val chunks = zip_with(
-        slice(bs, lit(1), size(bs) - 1), slice(bs, lit(2), size(bs) - 1),
-        (a, b) => struct(
-          graft.functions.PortableHash.hash64(text.substr(a, b - a)).as("h"),
-          (b - a).cast("long").as("l")))
+    "dd_cdc_chunks" -> ((s, d) =>
       Tables.documents(s, d)
-        .select(col("doc_id"), explode(chunks).as("c"))
+        .select(col("doc_id"), explode(cdcChunks(col("text"))).as("c"))
         .select(col("doc_id"), col("c.h").as("chunk_hash"), col("c.l").as("chunk_len"))
         .groupBy(col("chunk_hash"))
         .agg(min(col("chunk_len")).as("chunk_len"),
           count_distinct(col("doc_id")).as("n_docs"),
           count(lit(1)).as("n_occ"))
         .filter(col("n_docs") >= 2)
-        .orderBy(col("chunk_hash"))
-    }),
+        .orderBy(col("chunk_hash"))),
 
     // ── Containment near-dup: directed C(A,B) = |A∩B| / |A| over shingle
     // sets — the asymmetric case the Jaccard families structurally miss.

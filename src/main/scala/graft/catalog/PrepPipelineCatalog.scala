@@ -35,13 +35,13 @@ import graft.functions.PortableHash
   */
 object PrepPipelineCatalog extends Catalog {
 
-  /** Distinct 3-gram hashes of a text column (the tx_decontaminate gram). */
-  def gramHashes(textCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val ws = split(textCol, " ")
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(ws) - 2, lit(1))),
-      i => PortableHash.hash64(array_join(slice(ws, i, lit(3)), " "))))
-  }
+  /** Distinct 3-gram hashes of a text column (the tx_decontaminate gram).
+    * Compiled (TextHashes.windowHashes) — the interpreted transform-HOF
+    * form (`transform(sequence(1, n-2), i -> hash64(array_join(slice(ws,
+    * i, 3))))`) evaluated one md5 expression tree per gram and dominated
+    * every funnel pass; same values, same first-occurrence order. */
+  def gramHashes(textCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.TextHashes.windowHashesUdf(3, distinct = true)(textCol)
 
   /** The STATELESS admission stages, shared structurally by the batch
     * funnel and graft.streaming.StreamingPrep (so batch and stream can
@@ -73,8 +73,7 @@ object PrepPipelineCatalog extends Catalog {
       coalesce(element_at(stopList, col("lang")),
         typedLit(Seq.empty[String]))))
     val repRatio = round(
-      array_max(transform(array_distinct(words),
-        w => size(filter(words, x => x === w)))).cast("double") /
+      TextCatalog.maxMultiplicity(words).cast("double") /
         nWords.cast("double"), 6)
     val passFilter = !(nWords < 20 || nWords > 100000) &&
       !(avgLen < 3.0 || avgLen > 10.0) &&
@@ -106,8 +105,19 @@ object PrepPipelineCatalog extends Catalog {
       .select(col("doc_id"), col("source"), col("lang"),
         TextCatalog.piiPlanted.as("pii_text")))
     val wHash = Window.partitionBy(col("content_hash"))
+    // cache: the flag frame has TWO consumers (the contamination branch
+    // and the final join-back), and the admission expressions are the
+    // pipeline's hot loop — PII regexes, the O(words²) repetition mode,
+    // classifier hashing, gram hashing. Uncached, Catalyst re-derives
+    // the whole chain per consumer (and per driver action in
+    // pl_train_manifest's sampling/packing phases — measured 32 s of
+    // construction at sf0.1, vs ~2 s with the single derivation). At
+    // production scale this cache IS the stage boundary a pipeline
+    // persists between admission and contamination passes. Session-
+    // scoped by the catalog-cache discipline (bench cleanup clears it).
     val withCanon = flagged.withColumn("canonical",
       col("doc_id") === min(col("doc_id")).over(wHash))
+      .cache()
     val overlap = withCanon
       .select(col("doc_id"), explode(col("grams")).as("ng"))
       .join(broadcast(evalGrams), Seq("ng"))
@@ -149,10 +159,15 @@ object PrepPipelineCatalog extends Catalog {
     // documents exist. Added plan cost over the funnel: one ≤|langs|-row
     // weight derivation and the pack's range shuffle. ──
     "pl_train_manifest" -> ((s, d) => {
+      // cache: sampling weights, the salted-hash selection, and the
+      // packing prefix sum each fire their own driver action over the
+      // kept set; three narrow columns, so materializing once is cheap
+      // and keeps those actions from re-running the funnel
       val kept = funnelFlags(s, d)
         .filter(col("pass_filter") && col("canonical") &&
           !col("contaminated") && col("clf_keep"))
         .select(col("doc_id"), col("lang"), col("n_words"))
+        .cache()
       val counts = kept.groupBy(col("lang")).agg(count(lit(1)).as("cnt")).cache()
       val withShare = counts
         .crossJoin(counts.agg(sum(col("cnt")).as("total")))

@@ -20,6 +20,25 @@ object TextCatalog extends Catalog {
   private[catalog] val StopEs = Seq("el", "los", "y", "que")
   private[catalog] val StopDe = Seq("der", "die", "und", "das")
 
+  /** Max multiplicity of any element of a string array — the repetition
+    * signal of the Gopher rules. Sorted-run scan: one array_sort plus one
+    * linear aggregate, O(n log n) per row. Replaces the count-per-distinct
+    * form `array_max(transform(array_distinct(a), x => size(filter(a, _
+    * === x))))`, which is O(n·distinct) — quadratic on natural text, i.e.
+    * a 10k-word document costs ~10⁸ comparisons instead of ~10⁵ (this was
+    * the admission pipeline's hot-loop bottleneck, not a theoretical
+    * concern). Value-identical, so the DuckDB oracles keep the explicit
+    * count-per-distinct form as an independent formulation. */
+  private[catalog] def maxMultiplicity(arr: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(array_sort(arr),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (st, w) => {
+        val run = when(w === st("prev"), st("run") + 1L).otherwise(1L)
+        struct(w.as("prev"), run.as("run"),
+          greatest(st("best"), run).as("best"))
+      },
+      st => st("best"))
+
   /** Planted-PII fixture column (the synthetic corpus carries no PII, so
     * deterministic spans are planted per doc to make scrub stages
     * measurable — shared by tx_pii_scrub and pl_corpus_prep). */
@@ -57,16 +76,15 @@ object TextCatalog extends Catalog {
   private[catalog] val QcScale = 4.0
 
   /** Mean hashed-bucket weight of a word array — the raw (pre-sigmoid,
-    * pre-bias) margin of the linear model. Pure column expression: per
-    * word, bucket = hash64(word) % buckets, weight = (hash64(salt ||
-    * bucket) % 2001 - 1000) / 1000. Collisions sharing one weight IS the
-    * hashing trick, not a defect. */
+    * pre-bias) margin of the linear model: per word, bucket =
+    * hash64(word) % buckets, weight = (hash64(salt || bucket) % 2001 -
+    * 1000) / 1000. Collisions sharing one weight IS the hashing trick,
+    * not a defect. Compiled (TextHashes.classifierRaw): the interpreted
+    * aggregate-HOF form paid two md5 expression trees per word and was
+    * the admission pipeline's second hot spot after gram hashing. */
   def hashedClassifierRaw(words: org.apache.spark.sql.Column, buckets: Int,
       salt: String): org.apache.spark.sql.Column =
-    aggregate(words, lit(0.0), (acc, w) =>
-      acc + (PortableHash.hash64(concat(lit(salt),
-        (PortableHash.hash64(w) % buckets).cast("string"))) % 2001 - 1000)
-        .cast("double") / 1000.0) / size(words).cast("double")
+    graft.functions.TextHashes.classifierRawUdf(buckets, salt)(words)
 
   /** Deterministic pseudo-shuffle + fixed-size shard packing over
     * (doc_id, source, n_tokens): position = portable hash of the salted
@@ -310,17 +328,16 @@ object TextCatalog extends Catalog {
     // ── Repetition-quality filter (the Gopher/MassiveText repetition
     // rules, word-granular): duplicate-word fraction and top-bigram
     // fraction, with the paper's 0.18 top-2-gram threshold. All per-row
-    // array expressions — map-side, zero shuffle, whole-stage codegen;
-    // the O(distinct·n) top-bigram count is bounded by document length,
-    // not corpus size. ──
+    // array expressions — map-side, zero shuffle; the top-bigram count
+    // is the O(n log n) sorted-run maxMultiplicity, bounded by document
+    // length, not corpus size. ──
     "tx_rep_quality" -> ((s, d) => {
       val words = split(col("text"), " ")
       val nWords = size(words).cast("long")
       val bigrams = transform(
         sequence(lit(1), greatest(size(words) - 1, lit(1))),
         i => array_join(slice(words, i, lit(2)), " "))
-      val topBigram = array_max(transform(array_distinct(bigrams),
-        b => size(filter(bigrams, x => x === b))))
+      val topBigram = maxMultiplicity(bigrams)
       val dupFrac = round(lit(1.0) -
         size(array_distinct(words)).cast("double") / nWords.cast("double"), 6)
       val topFrac = round(
@@ -387,7 +404,10 @@ object TextCatalog extends Catalog {
       val docs = Tables.documents(s, d)
       val toks = docs.select(col("doc_id"),
         explode(split(col("text"), " ")).as("w"))
-      val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      // cached: the vocab table feeds both the scoring join and the
+      // total fold — one derivation, not two corpus scans (the same
+      // persisted-LM-table reasoning as tx_bigram_logprob)
+      val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt")).cache()
       val total = uni.agg(sum(col("cnt")).as("total"))
       val scored = toks.join(uni, Seq("w")).crossJoin(total)
         .select(col("doc_id"),
@@ -417,7 +437,10 @@ object TextCatalog extends Catalog {
       val docs = Tables.documents(s, d)
       val toks = docs.select(col("doc_id"),
         explode(split(col("text"), " ")).as("w"))
-      val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      // cached: the vocab table feeds both the scoring join and the
+      // total fold — one derivation, not two corpus scans (the same
+      // persisted-LM-table reasoning as tx_bigram_logprob)
+      val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt")).cache()
       val total = uni.agg(sum(col("cnt")).as("total"))
       val lp = toks.join(uni, Seq("w")).crossJoin(total)
         .select(col("doc_id"),
@@ -440,14 +463,21 @@ object TextCatalog extends Catalog {
     // (Wenzek 2020 uses a 5-gram; the table/join topology is identical
     // at any order): P(w2|w1) = 0.7·c(w1w2)/c(w1) + 0.3·c(w2)/N, doc
     // score = mean ln P over its transitions. Bigram extraction is a
-    // map-side transform over the split array (no shuffle); the LM
-    // tables are vocab- and bigram-vocab-sized aggregations the scoring
-    // pass equi-joins — at 100 TB those tables are the persisted model,
-    // built once and reused, exactly like the DSIR/CCNet tables. ──
+    // map-side transform over the split array (no shuffle); the unigram
+    // table is a vocab-sized aggregation the scoring pass equi-joins —
+    // at 100 TB the persisted model, built once and reused, exactly like
+    // the DSIR/CCNet tables — while the transition count rides a window
+    // over the single exploded transition table (train-and-score in one
+    // pass; with a PERSISTED bigram model the join form returns, keyed
+    // the same way). ──
     "tx_bigram_logprob" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val toks = docs.select(explode(split(col("text"), " ")).as("w"))
-      val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      // the unigram table IS the model — cache it so its three consumers
+      // (c1 join, c2 join, the total fold) share one corpus derivation
+      // instead of three full scans (session-scoped, the catalog-cache
+      // discipline; at production scale this is the persisted LM table)
+      val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt")).cache()
       val total = uni.agg(sum(col("cnt")).as("total"))
       val bg = docs.filter(size(split(col("text"), " ")) >= 2)
         .select(col("doc_id"), explode(expr(
@@ -455,9 +485,15 @@ object TextCatalog extends Catalog {
             " i -> struct(split(text, ' ')[i-1] AS w1, split(text, ' ')[i] AS w2))"))
           .as("b"))
         .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      val bi = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      // c12 via a count window over the one exploded transition table —
+      // the tx_span_dup_frac shape: the groupBy+join-back form derived
+      // the explode TWICE and paid an extra corpus-wide shuffle for the
+      // same value (the window hashes bg on (w1,w2), exactly the keys
+      // the join would have; skew profile is identical)
+      val w12 = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("w1"), col("w2"))
       bg
-        .join(bi, Seq("w1", "w2"))
+        .withColumn("c12", count(lit(1)).over(w12))
         .join(uni.select(col("w").as("w1"), col("cnt").as("c1")), Seq("w1"))
         .join(uni.select(col("w").as("w2"), col("cnt").as("c2")), Seq("w2"))
         .crossJoin(total)
@@ -952,7 +988,10 @@ object TextCatalog extends Catalog {
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
           explode(split(col("text"), " ")).as("w"))
-      val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      // cached: the vocab table feeds both the scoring join and the
+      // total fold — one derivation, not two corpus scans (the same
+      // persisted-LM-table reasoning as tx_bigram_logprob)
+      val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt")).cache()
       val total = uni.agg(sum(col("cnt")).as("total"))
       val perDoc = toks.join(uni, Seq("w")).crossJoin(broadcast(total))
         .groupBy(col("doc_id"), col("lang"))

@@ -175,6 +175,53 @@ object TextHashes {
     out
   }
 
+  /** Hashed-feature linear-classifier raw score (= TextCatalog
+    * .hashedClassifierRaw's arithmetic): mean over words of the bucket
+    * weight, bucket = hash64(word) % buckets, weight = (hash64(salt ||
+    * bucket) % 2001 − 1000) / 1000. Two md5 evaluations per word made the
+    * interpreted aggregate the admission pipeline's second hot spot. */
+  def classifierRaw(words: Seq[String], buckets: Int, salt: String): Double = {
+    var sum = 0.0
+    var i = 0
+    val it = words.iterator
+    while (it.hasNext) {
+      val w = it.next()
+      sum += (hash64(salt + (hash64(w) % buckets).toString) % 2001 - 1000) / 1000.0
+      i += 1
+    }
+    sum / i
+  }
+
+  /** One content-defined chunk: 60-bit hash + length in chars. */
+  case class Chunk(h: Long, l: Long)
+
+  /** Content-defined chunking (= the expression form documented at
+    * graft.catalog.DedupCatalog.cdcChunks, bit-identical): boundaries at
+    * 1-based positions i ∈ [1, n−7] where hash64 of the 8-char window at
+    * i has its low 6 bits zero; chunks span consecutive boundaries of
+    * the list [1] ++ boundaries ++ [n+1] (a qualifying i=1 yields the
+    * same leading zero-length chunk as the HOF form — replicated, not
+    * cleaned up, so the oracle stays exact). One md5 per position made
+    * the interpreted HOF the slowest map-side op in the catalog. */
+  def cdcChunks(text: String): Array[Chunk] = {
+    val n = text.length
+    val bounds = scala.collection.mutable.ArrayBuffer[Int](1)
+    var i = 1
+    while (i <= n - 7) {
+      if (hash64(text.substring(i - 1, i + 7)) % 64 == 0) bounds += i
+      i += 1
+    }
+    bounds += n + 1
+    val out = new Array[Chunk](bounds.length - 1)
+    var k = 0
+    while (k < out.length) {
+      val a = bounds(k); val b = bounds(k + 1)
+      out(k) = Chunk(hash64(text.substring(a - 1, b - 1)), (b - a).toLong)
+      k += 1
+    }
+    out
+  }
+
   /** Exact Jaccard of two distinct-element string sets (compiled HashSet
     * intersection — same value as size(array_intersect)/size(array_union)
     * on already-distinct arrays). */
@@ -198,6 +245,10 @@ object TextHashes {
     udf((t: String) => windowHashes(t, n, distinct)).apply(c)
   }
   val shingleHashesUdf: Column => Column = { c => udf(shingleHashes _).apply(c) }
+  def classifierRawUdf(buckets: Int, salt: String): Column => Column = { c =>
+    udf((ws: Seq[String]) => classifierRaw(ws, buckets, salt)).apply(c)
+  }
+  val cdcChunksUdf: Column => Column = { c => udf(cdcChunks _).apply(c) }
   def minhashesUdf(k: Int): Column => Column = { c =>
     udf((t: String) => minhashes(t, k)).apply(c)
   }

@@ -70,6 +70,43 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(want.contains((3L, 4L)), "fixture must include the size-skew case")
   }
 
+  test("CDC chunks cover the text exactly, dedup identical text to " +
+    "identical chunks, and keep almost all chunks across an insertion — " +
+    "the property fixed-offset windows lack") {
+    import spark.implicits._
+    // deterministic pseudo-random text (LCG over a 16-char alphabet) so
+    // boundary density matches the ~1/64 mask expectation
+    def rndText(seed: Long, n: Int): String = {
+      var x = seed
+      val sb = new StringBuilder
+      for (_ <- 1 to n) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        sb.append(('a' + ((x >>> 60) & 15)).toChar)
+      }
+      sb.toString
+    }
+    val base = rndText(42L, 2000)
+    val inserted = base.substring(0, 500) + "INSERTED-SPAN-XYZ" + base.substring(500)
+    val docs = Seq((1L, base), (2L, base), (3L, inserted)).toDF("doc_id", "text")
+    val rows = docs
+      .select(col("doc_id"), explode(DedupCatalog.cdcChunks(col("text"))).as("c"))
+      .select(col("doc_id"), col("c.h").as("h"), col("c.l").as("l"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def of(id: Long) = rows.filter(_._1 == id).map(t => (t._2, t._3)).toSeq
+    // coverage: chunk lengths sum to the document length, no gaps/overlap
+    assert(of(1L).map(_._2).sum == base.length, "chunks tile the text exactly")
+    assert(of(3L).map(_._2).sum == inserted.length)
+    // determinism/dedup: identical text → identical chunk sequence
+    assert(of(1L) == of(2L), "same text must chunk identically")
+    // insertion resilience: boundaries are content-defined, so all chunks
+    // except the few overlapping the edit re-align and stay shared
+    val a = of(1L).map(_._1).toSet
+    val b = of(3L).map(_._1).toSet
+    assert(a.size >= 10, s"fixture needs enough chunks to be meaningful: ${a.size}")
+    assert((a -- b).size <= 3,
+      s"an insertion may damage only its neighborhood: lost ${(a -- b).size} of ${a.size}")
+  }
+
   test("compact keeps the most-token doc per cluster (tie → lowest id), " +
     "passes singletons through, and accounts per source across " +
     "cluster-spanning sources") {

@@ -401,6 +401,18 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       "per-language ranking, never a global funnel")
   }
 
+  test("bigram LM derives the transition table once: c12 is a count " +
+    "window over the single exploded frame, not a groupBy joined back") {
+    val p = plan("tx_bigram_logprob")
+    // c1, c2, and the total fold must all read the CACHED unigram model
+    // (a FileScan inside an InMemoryRelation is the cache's recipe, not a
+    // live scan — the tfidf pin's convention); the transitions stream is
+    // the one remaining live corpus scan
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      s"the unigram model must be derived once and cached:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("min-k scoring keeps the unigram-LM topology: token-shaped partial " +
     "aggs, the 1-row total folds broadcast, nothing goes cartesian") {
     val p = plan("tx_minkprob")
