@@ -49,8 +49,9 @@ object DedupBench {
     // base text for every doc id: 120 words keyed (id, position); exact
     // and near dups re-derive from the PREDECESSOR id so the generator
     // stays a pure map (no self-join): base(i-1) recomputes in place.
-    def textOf(id: org.apache.spark.sql.Column, mutate: Boolean) = {
-      val words = transform(sequence(lit(0), lit(119)), i => {
+    def textOf(id: org.apache.spark.sql.Column, mutate: Boolean,
+        nWords: Int = 120) = {
+      val words = transform(sequence(lit(0), lit(nWords - 1)), i => {
         val w = wordCol(concat_ws(":", id.cast("string"), i.cast("string")))
         if (mutate)
           when(i % 40 === 7,
@@ -64,10 +65,17 @@ object DedupBench {
       .withColumn("role",
         when(col("doc_id") % 25 === 1 && col("doc_id") > 0, lit("exact_dup"))
           .when(col("doc_id") % 25 === 13, lit("near_dup"))
+          // 4 % truncated-prefix copies (first 60 of the predecessor's 120
+          // words): shingle-contained in the predecessor but Jaccard ≈ 0.49
+          // — the asymmetric case the symmetric families miss BY DESIGN,
+          // planted for the containment stage's recall check
+          .when(col("doc_id") % 25 === 19 && col("doc_id") > 0, lit("contained"))
           .otherwise(lit("base")))
       .withColumn("text",
         when(col("role") === "exact_dup", textOf(col("doc_id") - 1, mutate = false))
           .when(col("role") === "near_dup", textOf(col("doc_id") - 1, mutate = true))
+          .when(col("role") === "contained",
+            textOf(col("doc_id") - 1, mutate = false, nWords = 60))
           .otherwise(textOf(col("doc_id"), mutate = false)))
   }
 
@@ -189,7 +197,33 @@ object DedupBench {
       contByRole.getOrElse("exact_dup", (0.0, 0.0)),
       contByRole.getOrElse("near_dup", (0.0, 0.0)))
 
-    val totalS = exactS + minhashS + verifyS + cdcS + cdcContS
+    // ── stage 5: containment join (dd_containment shape) ───────────────
+    // the planted truncated-prefix docs are shingle-CONTAINED in their
+    // predecessors (C = 1.0) while their Jaccard ≈ 0.49 sits under every
+    // symmetric threshold — exactly the asymmetric case this operator
+    // exists for. Recall of the planted containment pairs must be
+    // EXACTLY 1.0: the asymmetric prefix filter's recall proof (plus the
+    // float-boundary slack) is an invariant, not a tuned number.
+    val tCj = System.nanoTime()
+    val shingleSets = docs.select(col("doc_id"),
+      graft.functions.TextHashes.windowHashesUdf(3, distinct = true)(col("text")).as("sh"))
+    val cpairs = graft.catalog.DedupCatalog
+      .containmentPairs(shingleSets, threshold = 0.8)
+      .select(col("doc_a"), col("doc_b"))
+      .cache()
+    val nContPairs = cpairs.count()
+    val contJoinS = secs(tCj)
+    val tCr = System.nanoTime()
+    val plantedCont = docs.filter(col("role") === "contained")
+      .select(col("doc_id").as("doc_a"), (col("doc_id") - 1).as("doc_b"))
+    val totCont = plantedCont.count()
+    val foundCont = plantedCont.join(cpairs, Seq("doc_a", "doc_b"), "left_semi").count()
+    cpairs.unpersist()
+    val contRecallS = secs(tCr)
+    val contRecall = foundCont.toDouble / math.max(totCont, 1L)
+
+    val totalS = exactS + minhashS + verifyS + cdcS + cdcContS +
+      contJoinS + contRecallS
     println(s"""{"metric":"dedup_docs_per_sec","value":${(n / totalS).round},""" +
       s""""rows":$n,"fixture_sec":${f"$fixtureS%.1f"},""" +
       s""""exact_sec":${f"$exactS%.1f"},"exact_dup_groups":$exGroups,"exact_dup_members":$exMembers,""" +
@@ -202,7 +236,10 @@ object DedupBench {
       s""""cdc_verify_sec":${f"$cdcContS%.1f"},""" +
       s""""cdc_exact_containment":${f"${exactCont._1}%.4f"},""" +
       s""""cdc_near_containment_avg":${f"${nearCont._1}%.4f"},""" +
-      s""""cdc_near_containment_min":${f"${nearCont._2}%.4f"}}""")
+      s""""cdc_near_containment_min":${f"${nearCont._2}%.4f"},""" +
+      s""""containment_sec":${f"$contJoinS%.1f"},"containment_pairs":$nContPairs,""" +
+      s""""containment_verify_sec":${f"$contRecallS%.1f"},""" +
+      s""""containment_planted":$totCont,"containment_recall":$contRecall}""")
     spark.stop()
   }
 }
