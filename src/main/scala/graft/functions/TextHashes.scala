@@ -204,11 +204,17 @@ object TextHashes {
     * cleaned up, so the oracle stays exact). One md5 per position made
     * the interpreted HOF the slowest map-side op in the catalog. */
   def cdcChunks(text: String): Array[Chunk] = {
-    val n = text.length
+    // index by CODE POINTS, not UTF-16 code units: Spark substr/length
+    // and DuckDB substr/len both count code points, so a supplementary-
+    // plane character (emoji) under String.substring indexing would
+    // silently desync every boundary after it from the oracle
+    val cps = text.codePoints().toArray
+    val n = cps.length
+    def sub(a: Int, b: Int): String = new String(cps, a, b - a)
     val bounds = scala.collection.mutable.ArrayBuffer[Int](1)
     var i = 1
     while (i <= n - 7) {
-      if (hash64(text.substring(i - 1, i + 7)) % 64 == 0) bounds += i
+      if (hash64(sub(i - 1, i + 7)) % 64 == 0) bounds += i
       i += 1
     }
     bounds += n + 1
@@ -216,7 +222,7 @@ object TextHashes {
     var k = 0
     while (k < out.length) {
       val a = bounds(k); val b = bounds(k + 1)
-      out(k) = Chunk(hash64(text.substring(a - 1, b - 1)), (b - a).toLong)
+      out(k) = Chunk(hash64(sub(a - 1, b - 1)), (b - a).toLong)
       k += 1
     }
     out

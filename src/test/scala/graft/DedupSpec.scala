@@ -105,6 +105,16 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(a.size >= 10, s"fixture needs enough chunks to be meaningful: ${a.size}")
     assert((a -- b).size <= 3,
       s"an insertion may damage only its neighborhood: lost ${(a -- b).size} of ${a.size}")
+    // code-point discipline: Spark substr/length and DuckDB substr/len
+    // count code points, so supplementary-plane characters must tile by
+    // CODE POINTS (String.substring indexing would desync every boundary
+    // after the first emoji)
+    val emoji = rndText(7L, 300) + "😀😁" + rndText(9L, 300)
+    val eRows = Seq((9L, emoji)).toDF("doc_id", "text")
+      .select(explode(DedupCatalog.cdcChunks(col("text"))).as("c"))
+      .select(col("c.l")).collect().map(_.getLong(0))
+    assert(eRows.sum == emoji.codePointCount(0, emoji.length),
+      "chunks tile non-BMP text in code points, matching the engines' substr")
   }
 
   test("compact keeps the most-token doc per cluster (tie → lowest id), " +
