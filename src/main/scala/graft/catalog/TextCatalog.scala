@@ -577,6 +577,30 @@ object TextCatalog extends Catalog {
         .orderBy(col("doc_id"))
     }),
 
+    // ── First-occurrence novelty: the fraction of a document's distinct
+    // 3-grams whose FIRST corpus occurrence (min doc_id — ingestion
+    // order) is this document. The curation signal behind "the crawl is
+    // saturating": aggregate novelty falling across snapshots means new
+    // fetches mostly restate the standing corpus, and per-doc novelty ≈ 0
+    // identifies documents contributing nothing a dedup threshold would
+    // catch. Same plan family as tx_span_dup_frac: one exploded gram
+    // table, first-claimant via a min window on the 64-bit gram hash
+    // (fixed-width shuffle keys, map-side partial agg), per-doc rollup. ──
+    "tx_novelty" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(graft.functions.TextHashes
+            .windowHashesUdf(3, distinct = true)(col("text"))).as("g"))
+        .withColumn("first_doc", min(col("doc_id")).over(Window.partitionBy(col("g"))))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty",
+          round(col("n_novel").cast("double") / col("n_grams").cast("double"), 6))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── Duplicated-span REMOVAL — the cleaning step tx_span_dup_frac
     // only measures (C4's "deduplicate three-sentence spans", Raffel
     // 2020; CCNet/RefinedWeb run the same shape): any word covered by a
@@ -1305,6 +1329,17 @@ object TextCatalog extends Catalog {
          SELECT d.doc_id, d.lang, w.keep_micro,
            ${PortableHash.hash64Sql("'tsample:' || CAST(doc_id AS VARCHAR)")} % 1000000 < w.keep_micro AS sampled
          FROM documents d JOIN w USING (lang) ORDER BY d.doc_id""",
+    "tx_novelty" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             generate_series(1, greatest(len(words) - 2, 1)),
+             i -> ${PortableHash.hash64Sql("array_to_string(words[i:i+2], ' ')")}))) AS g
+           FROM w),
+         f AS (SELECT doc_id, g, MIN(doc_id) OVER (PARTITION BY g) AS first_doc FROM g)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           round(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) / (COUNT(*) * 1.0), 6) AS novelty
+         FROM f GROUP BY doc_id ORDER BY doc_id""",
     "tx_span_dup_frac" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
          g AS (SELECT doc_id, unnest(list_distinct(list_transform(

@@ -401,6 +401,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       "per-language ranking, never a global funnel")
   }
 
+  test("novelty derives the gram table once: first-claimant is a min " +
+    "window on the gram hash, no join-back, one documents scan") {
+    val p = plan("tx_novelty")
+    assert("(?i)scan parquet".r.findAllIn(p).size == 1,
+      s"one scan of documents:\n${p.take(1500)}")
+    assert(!p.contains("Join"),
+      "the first corpus occurrence comes from a window, not a join-back")
+  }
+
   test("bigram LM derives the transition table once: c12 is a count " +
     "window over the single exploded frame, not a groupBy joined back") {
     val p = plan("tx_bigram_logprob")
