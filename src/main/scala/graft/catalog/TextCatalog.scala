@@ -280,6 +280,28 @@ object TextCatalog extends Catalog {
             size(split(col("text"), " ")).cast("long").as("n_tokens")),
         shardSize = 64L)),
 
+    // ── Concat-stream packing — the OTHER packing semantic, the one a
+    // GPT-style trainer actually materializes: per language, documents
+    // concatenate into one token stream cut at exact multiples of the
+    // context budget, so a document may STRADDLE a shard boundary
+    // (shard_first ≠ shard_last) and is attributed to every shard its
+    // span touches. Contrast tx_pack_budget (first-fit: a doc stays
+    // whole in the shard where it starts — eval-shard semantics).
+    // Identical scale shape: the span columns are pure arithmetic on the
+    // same distributed exclusive prefix sum; no extra shuffle. ──
+    "tx_pack_concat" -> ((s, d) => {
+      val withTokens = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      graft.operators.Packing
+        .exclusiveGroupCumsum(withTokens, "lang", "doc_id", "n_tokens", "cum_before")
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_before"),
+          expr("cum_before DIV 2000").as("shard_first"),
+          expr("(cum_before + n_tokens - 1) DIV 2000").as("shard_last"))
+        .withColumn("straddles", col("shard_last") > col("shard_first"))
+        .orderBy(col("doc_id"))
+    }),
+
     "tx_pack_budget" -> ((s, d) => {
       val withTokens = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
@@ -1278,6 +1300,19 @@ object TextCatalog extends Catalog {
            CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
          FROM o GROUP BY 1 ORDER BY shard_id"""
     },
+    "tx_pack_concat" ->
+      """WITH t AS (SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (SELECT doc_id, lang, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+           FROM t)
+         SELECT doc_id, lang, n_tokens, cum_before,
+           CAST(cum_before // 2000 AS BIGINT) AS shard_first,
+           CAST((cum_before + n_tokens - 1) // 2000 AS BIGINT) AS shard_last,
+           (cum_before + n_tokens - 1) // 2000 > cum_before // 2000 AS straddles
+         FROM c ORDER BY doc_id""",
     "tx_pack_budget" ->
       """WITH t AS (SELECT doc_id, lang,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens

@@ -401,6 +401,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       "per-language ranking, never a global funnel")
   }
 
+  test("concat packing shares the shard-shuffle scale shape: range " +
+    "partition prefix sum, no single-partition window, span columns are " +
+    "pure arithmetic") {
+    val p = plan("tx_pack_concat")
+    assert("(?m)Exchange rangepartitioning".r.findAllIn(p).nonEmpty,
+      s"the cumulative stream rides the Packing range-partition shape:\n${p.take(2000)}")
+    assert(!p.contains("Exchange SinglePartition"),
+      "no per-language global-window funnel")
+  }
+
   test("novelty derives the gram table once: first-claimant is a min " +
     "window on the gram hash, no join-back, one documents scan") {
     val p = plan("tx_novelty")
