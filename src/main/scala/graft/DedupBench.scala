@@ -205,10 +205,16 @@ object DedupBench {
     // EXACTLY 1.0: the asymmetric prefix filter's recall proof (plus the
     // float-boundary slack) is an invariant, not a tuned number.
     val tCj = System.nanoTime()
+    // cached: containmentPairs consumes the shingle sets ~4 times (probe
+    // + index postings, two verify join-backs) — uncached, the 2M-row
+    // windowHashes UDF pass would recompute per consumer (the catalog
+    // path caches this frame too; the bench must bench the shipped shape)
     val shingleSets = docs.select(col("doc_id"),
       graft.functions.TextHashes.windowHashesUdf(3, distinct = true)(col("text")).as("sh"))
+      .cache()
     val cpairs = graft.catalog.DedupCatalog
-      .containmentPairs(shingleSets, threshold = 0.8)
+      .containmentPairs(shingleSets, threshold = 0.8,
+        dfCap = math.max(100L, n / 50))
       .select(col("doc_a"), col("doc_b"))
       .cache()
     val nContPairs = cpairs.count()
@@ -219,6 +225,7 @@ object DedupBench {
     val totCont = plantedCont.count()
     val foundCont = plantedCont.join(cpairs, Seq("doc_a", "doc_b"), "left_semi").count()
     cpairs.unpersist()
+    shingleSets.unpersist()
     val contRecallS = secs(tCr)
     val contRecall = foundCont.toDouble / math.max(totCont, 1L)
 

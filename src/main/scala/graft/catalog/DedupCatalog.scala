@@ -148,35 +148,104 @@ object DedupCatalog extends Catalog {
     graft.functions.TextHashes.cdcChunksUdf(text)
 
   /** Directed containment pairs (C(A,B) = |A∩B| / |A| ≥ t, A ≠ B) with
-    * exact-recall asymmetric prefix filtering — see the dd_containment
-    * catalog entry for the algorithm note. `docs` carries (doc_id, sh)
-    * with sh the DISTINCT shingle set (fixed-width hashes in the catalog
-    * path). Emits both directions when both clear t; verify is per-row
-    * set math on the attached arrays (the lenband discipline — candidate
-    * rows carry ids only until the final join-back). */
-  def containmentPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val inv = docs.select(col("doc_id"), size(col("sh")).as("setsize"),
-      explode(col("sh")).as("s"))
-    val dfs = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
-    // ⌊(1−t)|A|⌋ + 1 rarest shingles per probe doc; a qualifying pair
-    // must land ≥ 1 of them in the container, so recall is exact. The
-    // +2 (not +1) absorbs float undercount at the EXACT boundary:
-    // (1.0 − 0.8) is 0.1999…96 in IEEE, so ⌊(1−t)|A|⌋ can come out one
-    // short precisely when C(A,B) = t (seen live: |A|=10, |A∩B|=8 —
-    // prefix computed 2, needed 3). Over-inclusion costs one extra
-    // posting per doc; under-inclusion is a missed duplicate.
-    val probe = inv.join(dfs, Seq("s"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= floor(lit(1.0 - threshold) * col("setsize")) + 2)
-      .select(col("doc_id").as("doc_a"), col("setsize").as("size_a"), col("s"))
+    * asymmetric prefix filtering and a df-capped container index.
+    * `docs` carries (doc_id, sh) with sh the DISTINCT shingle set
+    * (fixed-width hashes in the catalog path; string fixtures in specs).
+    * Emits both directions when both clear t; verify is per-row set math
+    * on the attached arrays (the lenband discipline — candidate rows
+    * carry ids only until the final join-back).
+    *
+    * Plan shape (the 100 TB story): BOTH sides of the candidate join are
+    * derived map-side from each doc's own shingle ARRAY — no global
+    * df-join-back, no corpus-wide per-posting window sort (the r8 form
+    * ranked every posting by global rarity, which at 12B docs means
+    * sorting ~600B (doc, shingle, df) rows; this form sorts ≤ doc-length
+    * arrays in place). The only shuffles are the df aggregation (map-side
+    * combined, skipped entirely when dfCap is off), the candidate
+    * equi-join, and the verify join-backs.
+    *
+    * Per doc, order the shingles COLD-FIRST: shingles with df ≤ dfCap in
+    * canonical (hash/lexical) order, then hot shingles (df > dfCap) by
+    * (df asc, shingle). Then
+    *   prefix(A) = first ⌊(1−t)|A|⌋+2 of ordered(A)      (probe side)
+    *   index(B)  = cold(B) ∪ (hot(B) ∩ prefix(B))        (container side)
+    * The hot set is TINY by construction — ≤ total postings / dfCap, so
+    * ≤ 50·avgDocLen entries at dfCap = corpus/50 regardless of corpus
+    * size — and ships as one broadcast map; everything else is per-row.
+    *
+    * Recall argument. Pigeonhole: C(A,B) ≥ t means B misses ≤ (1−t)|A| of
+    * A's shingles, so ANY ⌊(1−t)|A|⌋+2-subset of A intersects B — rarity
+    * ordering was only ever a traffic optimization, not a correctness
+    * requirement. Hence ≥1 s ∈ prefix(A) ∩ B always. If prefix(A) is all
+    * cold (every doc with ≥ ⌊(1−t)|A|⌋+2 sub-cap shingles), that s is
+    * cold and index(B) keeps ALL cold postings → the pair is found:
+    * **zero loss for every probe doc with at least ⌊(1−t)|A|⌋+2 shingles
+    * under the cap.** A loss needs a boilerplate-saturated probe (> t·|A|
+    * of its shingles in > dfCap ≈ 2% of the corpus). The floor covers the
+    * dominant such case — mass duplication: identical shingle sets order
+    * identically, so prefix(A) = prefix(B) and the hot∩prefix postings
+    * re-link the whole cluster however far over the cap its shingles are
+    * (the lenband rarest-K floor, in prefix form). What remains lost is a
+    * hot-saturated probe contained in an UNRELATED larger doc — the
+    * boilerplate-only docs the quality gates upstream drop anyway; both
+    * SFs of the brute-force oracle stay green under the default caps and
+    * the planted C=1.0 truncations in DedupBench hold recall 1.0 at 2M.
+    *
+    * Candidate-traffic bound: each prefix shingle fans out to ≤ dfCap
+    * container postings, so pairs ≤ Σ_A prefixLen(A) · dfCap; hot posting
+    * lists (the quadratic pair bombs — every probe touching a stop
+    * shingle fans out to its WHOLE corpus-scale list) never enter the
+    * join except through the self-limiting prefix floor. */
+  def containmentPairs(docs: DataFrame, threshold: Double,
+      dfCap: Long = Long.MaxValue): DataFrame = {
+    val spark = docs.sparkSession
+    // hot shingles (df > dfCap) with their df, as a broadcast map. The
+    // collect is bounded by totalPostings/dfCap (see scaladoc); with the
+    // default cap off the aggregation is skipped entirely.
+    val elemType = docs.schema("sh").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    val hotMap: Map[Any, Long] =
+      if (dfCap == Long.MaxValue) Map.empty
+      else docs.select(explode(col("sh")).as("s"))
+        .groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > dfCap)
+        .collect().map(r => (r.get(0): Any) -> r.getLong(1)).toMap
+    val hotB = spark.sparkContext.broadcast(hotMap)
+    // (prefix, index) arrays per doc — generic over the element type via
+    // two concrete UDFs (Spark UDFs are monomorphic in their SQL types)
+    def split[T: Ordering](sh: Seq[T]): (Seq[T], Seq[T]) = {
+      val hot = hotB.value
+      val ord = implicitly[Ordering[T]]
+      val (h, c) = sh.partition(x => hot.contains(x))
+      val cold = c.sorted(ord)
+      val hotOrd = h.sortBy(x => (hot(x), x))(Ordering.Tuple2(Ordering.Long, ord))
+      // +2 (not +1) absorbs IEEE undercount at the EXACT boundary:
+      // (1.0 − 0.8) is 0.1999…96, so ⌊(1−t)|A|⌋ can come out one short
+      // precisely when C(A,B) = t (seen live at sf0.1: |A|=10, |A∩B|=8).
+      // Over-inclusion costs one extra posting; under-inclusion is a
+      // missed duplicate.
+      val pl = (math.floor((1.0 - threshold) * sh.size) + 2).toInt
+      val prefix = (cold ++ hotOrd).take(pl)
+      val nHotInPrefix = math.max(0, pl - cold.size)
+      (prefix, cold ++ hotOrd.take(nHotInPrefix))
+    }
+    val piUdf = elemType match {
+      case org.apache.spark.sql.types.StringType =>
+        udf((sh: Seq[String]) => split(sh))
+      case _ => udf((sh: Seq[Long]) => split(sh))
+    }
+    val annotated = docs
+      .select(col("doc_id"), size(col("sh")).as("setsize"), piUdf(col("sh")).as("pi"))
+    val probe = annotated
+      .select(col("doc_id").as("doc_a"), col("setsize").as("size_a"),
+        explode(col("pi._1")).as("s"))
+    val index = annotated
+      .select(col("doc_id").as("doc_b"), col("setsize").as("size_b"),
+        explode(col("pi._2")).as("s"))
     // the size bound gets the same one-unit slack: t·|A| as a double can
     // land a hair ABOVE the exact rational (0.8·10 = 8.000…0004), which
     // would veto the boundary pair the verify then proves qualifies
-    val cand = probe.join(
-        inv.select(col("doc_id").as("doc_b"), col("setsize").as("size_b"), col("s")),
-        Seq("s"))
+    val cand = probe.join(index, Seq("s"))
       .filter(col("doc_a") =!= col("doc_b") &&
         col("size_b") >= lit(threshold) * col("size_a") - 1)
       .select(col("doc_a"), col("doc_b"))
@@ -557,15 +626,18 @@ object DedupCatalog extends Catalog {
     // doc can sit inside a 50k-word one — that's the point); the size
     // filter is the one real bound: |B| ≥ t·|A|. Probe traffic stays
     // small because prefixes are rare-shingle-biased — a stop-shingle
-    // only enters a prefix when a doc has almost nothing rarer; at
-    // cluster scale the residual hot-posting skew is AQE skew-join
-    // territory, not a plan change. ──
+    // only enters a prefix when a doc has almost nothing rarer; the
+    // CONTAINER side gets the lenband posting discipline (df-cap +
+    // rarest-K floor, recall argument at containmentPairs) so hot
+    // posting lists never meet the probe fan-out at all instead of
+    // being left to AQE skew handling. ──
     "dd_containment" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"),
           graft.functions.TextHashes.windowHashesUdf(3, distinct = true)(col("text")).as("sh"))
         .cache()
-      containmentPairs(docs, threshold = 0.8)
+      val dfCap = math.max(100L, docs.count() / 50) // ~2% of the corpus
+      containmentPairs(docs, threshold = 0.8, dfCap = dfCap)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 

@@ -179,7 +179,10 @@ object TextHashes {
     * .hashedClassifierRaw's arithmetic): mean over words of the bucket
     * weight, bucket = hash64(word) % buckets, weight = (hash64(salt ||
     * bucket) % 2001 − 1000) / 1000. Two md5 evaluations per word made the
-    * interpreted aggregate the admission pipeline's second hot spot. */
+    * interpreted aggregate the admission pipeline's second hot spot.
+    * Precondition: `words` is non-empty (the column wrapper returns NULL
+    * for null/empty input, matching the Catalyst expression this
+    * replaced; calling this directly on an empty Seq would yield 0.0/0). */
   def classifierRaw(words: Seq[String], buckets: Int, salt: String): Double = {
     var sum = 0.0
     var i = 0
@@ -252,7 +255,12 @@ object TextHashes {
   }
   val shingleHashesUdf: Column => Column = { c => udf(shingleHashes _).apply(c) }
   def classifierRawUdf(buckets: Int, salt: String): Column => Column = { c =>
-    udf((ws: Seq[String]) => classifierRaw(ws, buckets, salt)).apply(c)
+    // null/empty guard at the wrapper (not in classifierRaw): the Catalyst
+    // expression this UDF replaced returned NULL on empty word arrays,
+    // where the raw loop would return NaN (0.0/0) and NPE on null
+    udf((ws: Seq[String]) =>
+      if (ws == null || ws.isEmpty) None
+      else Some(classifierRaw(ws, buckets, salt))).apply(c)
   }
   val cdcChunksUdf: Column => Column = { c => udf(cdcChunks _).apply(c) }
   def minhashesUdf(k: Int): Column => Column = { c =>

@@ -70,6 +70,71 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(want.contains((3L, 4L)), "fixture must include the size-skew case")
   }
 
+  private def bruteContainment(docs: org.apache.spark.sql.DataFrame,
+      t: Double): Set[(Long, Long)] = {
+    val all = docs.collect().map(r => (r.getLong(0), r.getSeq[String](1).toSet))
+    (for {
+      (ia, sa) <- all; (ib, sb) <- all
+      if ia != ib && sa.intersect(sb).size.toDouble / sa.size >= t
+    } yield (ia, ib)).toSet
+  }
+
+  test("containment df-cap: zero loss when every probe has enough sub-cap " +
+    "shingles — hot posting lists stay out of the candidate join") {
+    import spark.implicits._
+    val t = 0.8
+    // "hot" sits in 14 docs (> cap = 5). A ⊂ B with rare overlap p..s, so
+    // every probe prefix is all-cold — the zero-loss condition of the
+    // recall argument. The 12 fillers give "hot" its over-cap df without
+    // creating pairs (1/11 < t), and their huge shared posting list must
+    // NOT reach the join.
+    val a = 200L -> (Seq("hot") ++ (1 to 4).map(i => s"p$i"))
+    val b = 201L -> (Seq("hot") ++ (1 to 4).map(i => s"p$i") ++ (1 to 10).map(i => s"b$i"))
+    val fillers = (1L to 12L).map(i => i -> (Seq("hot") ++ (1 to 10).map(j => s"f$i-$j")))
+    val docs = (fillers ++ Seq(a, b)).toDF("doc_id", "sh")
+    val got = DedupCatalog.containmentPairs(docs, threshold = t, dfCap = 5)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = bruteContainment(docs, t)
+    assert(want == Set((200L, 201L)), "fixture: exactly the A-in-B pair qualifies")
+    assert(got == want, s"capped containment equals brute force: got $got want $want")
+  }
+
+  test("containment df-cap: a mass-duplicated all-hot cluster re-links via " +
+    "the prefix floor; the hot-probe-in-unrelated-container loss is exactly " +
+    "the documented bounded case") {
+    import spark.implicits._
+    val t = 0.8
+    // 12 identical docs: every shingle has df = 13 > cap = 5. Pure
+    // df-capping would empty their container postings and the cluster
+    // would vanish from the candidates (the primary dedup target!); the
+    // prefix floor (identical sets order identically, so prefix(A) =
+    // prefix(B)) must re-link every within-cluster pair.
+    val clusterSh = Seq("aa", "bb", "cc", "dd")
+    val docs = ((1L to 12L).map(i => (i, clusterSh)) ++ Seq(
+      (50L, (1 to 26).map(i => s"big$i") ++ clusterSh),
+      (60L, Seq("n1", "n2", "n3")))).toDF("doc_id", "sh")
+    val got = DedupCatalog.containmentPairs(docs, threshold = t, dfCap = 5)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = bruteContainment(docs, t)
+    val withinCluster = want.filter(p => p._1 <= 12 && p._2 <= 12)
+    assert(withinCluster.size == 12 * 11 && withinCluster.subsetOf(got),
+      "every within-cluster containment survives the cap via the prefix floor")
+    // the documented bounded loss: cluster members are hot-SATURATED
+    // probes (zero sub-cap shingles), and doc 50's own prefix is its 8
+    // rare big* shingles — so the cluster→50 links are dropped, and
+    // NOTHING ELSE differs from brute force
+    val lost = want -- got
+    assert(lost == (1L to 12L).map(i => (i, 50L)).toSet,
+      s"loss is exactly the hot-saturated-probe case: $lost")
+    // with the cap off the operator is exact — including those pairs
+    val uncapped = DedupCatalog.containmentPairs(docs, threshold = t)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped == want, "uncapped containment is exact brute force")
+  }
+
   test("CDC chunks cover the text exactly, dedup identical text to " +
     "identical chunks, and keep almost all chunks across an insertion — " +
     "the property fixed-offset windows lack") {
