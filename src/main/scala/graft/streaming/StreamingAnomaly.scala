@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Volume-anomaly alerts on a live stream — the streaming form of the
@@ -23,6 +24,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingAnomaly {
 
+  /** A raw event on the wire: event time, not arrival time. */
+  case class RawEvent(event_type: String, ts: java.sql.Timestamp)
   case class WindowCount(event_type: String, window_start: Long, n: Long)
   case class AnomalyVerdict(event_type: String, window_start: Long, n: Long,
       z: Option[Double], anomalous: Boolean)
@@ -31,6 +34,35 @@ object StreamingAnomaly {
 
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** The upstream itself — the watermarked tumbling aggregation whose
+    * append-mode output IS this operator's input contract: one hourly
+    * (type, window_start, n) row per window, emitted exactly once when
+    * the watermark passes the window end, in event-time order per type.
+    *
+    * `delay` is the out-of-orderness budget: an event later than the
+    * watermark (max event time seen − delay) is DROPPED by the engine
+    * rather than rewriting a window already emitted downstream — the
+    * append-mode finality the z-baseline depends on (a mutated window
+    * would silently shift every later z). Spec-pinned: out-of-order
+    * events inside the budget land in their window; an event older than
+    * the watermark does not re-emit or change the window's row.
+    *
+    * Scale shape: the aggregation state is one partial count per open
+    * (type, window) — |types| × (delay/1h + 1) rows however many events
+    * flow — and the shuffle carries map-side-combined partials. */
+  def hourlyCounts(events: Dataset[RawEvent],
+      delay: String = "2 hours"): Dataset[WindowCount] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"),
+        unix_timestamp(col("window.start")).as("window_start"), col("n"))
+      .as[WindowCount]
+  }
 
   def anomalyStream(stream: Dataset[WindowCount], baseline: Int = 24,
       threshold: Double = 2.0): Dataset[AnomalyVerdict] = {

@@ -25,6 +25,21 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * the lowest `doc_id` is admitted (deterministic under retries, matching
   * the batch dedup's keep-lowest rule) and the rest are dropped in the
   * same group invocation, so a duplicate never survives even transiently.
+  *
+  * State lifecycle: per-key state is 16 bytes, but without eviction a
+  * year of 100 TB ingest is billions of KEYS — the seen-set would be the
+  * engine's one unbounded resource. `retention` bounds it: each key's
+  * state carries a processing-time timeout that is REFRESHED on every
+  * sighting (original or copy), so content still circulating stays
+  * deduped indefinitely and a hash is evicted only after `retention` of
+  * silence — the rolling-window semantics a production streaming dedup
+  * accepts: a copy arriving after a quiet `retention` re-admits, exactly
+  * the duplicate rate a bounded-state dedup trades for bounded state.
+  * Replay idempotence (the reference's ST4 contract) is unaffected: a
+  * replayed micro-batch restarts from the checkpointed state+timer, so
+  * it re-emits the same verdicts it emitted the first time; verdicts are
+  * deterministic per (state, batch) and eviction happens only through
+  * the checkpointed timer, never mid-replay.
   */
 object StreamingDedup {
 
@@ -32,22 +47,37 @@ object StreamingDedup {
   /** Admitted document + provenance: which doc first claimed the content. */
   case class Admitted(doc_id: Long, content_hash: Long)
 
-  def dedupStream(docs: Dataset[Doc]): Dataset[Admitted] = {
+  /** `retention`: evict a content hash after this much processing time
+    * without a sighting (None = keep forever, the pre-r9 behavior). */
+  def dedupStream(docs: Dataset[Doc],
+      retention: Option[scala.concurrent.duration.FiniteDuration] = None)
+      : Dataset[Admitted] = {
     val s = docs.sparkSession
     import s.implicits._
+    val timeoutConf =
+      if (retention.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     docs
       .withColumn("content_hash",
         graft.functions.PortableHash.hash64(col("text")))
       .as[(Long, String, Long)]
       .groupByKey(_._3)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
         (hash: Long, rows: Iterator[(Long, String, Long)],
          state: GroupState[Long]) =>
-          if (state.exists) Iterator.empty
-          else {
+          if (state.hasTimedOut) {
+            // `retention` elapsed with no sighting: drop the key — the
+            // next copy of this content re-admits (documented semantics)
+            state.remove()
+            Iterator.empty
+          } else if (state.exists) {
+            retention.foreach(r => state.setTimeoutDuration(r.toMillis))
+            Iterator.empty
+          } else {
             val first = rows.map(_._1).min
             // state value = the admitting doc_id (provenance for audits)
             state.update(first)
+            retention.foreach(r => state.setTimeoutDuration(r.toMillis))
             Iterator(Admitted(first, hash))
           }
       }

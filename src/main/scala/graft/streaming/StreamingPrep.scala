@@ -46,13 +46,26 @@ object StreamingPrep {
       contaminated: Boolean, content_hash: Long)
 
   /** `evalGrams`: the benchmark's distinct 3-gram hashes (the collected
-    * form of pl_corpus_prep's broadcast index). */
+    * form of pl_corpus_prep's broadcast index).
+    * `retention`: evict a content hash after this much processing time
+    * without a sighting (None = keep forever). Same lifecycle contract as
+    * `StreamingDedup.dedupStream`: the timeout refreshes on EVERY
+    * sighting, so circulating content stays deduped and only hashes
+    * silent for a full `retention` age out — after which a fresh copy
+    * re-enters the funnel as canonical (bounded state traded for the
+    * rolling-window duplicate rate). Replays restart from the
+    * checkpointed state+timer, so verdicts replay identically (ST4). */
   def prepStream(stream: Dataset[PrepDoc], evalGrams: Array[Long],
-      contaminationFloor: Int = 2): Dataset[PrepVerdict] = {
+      contaminationFloor: Int = 2,
+      retention: Option[scala.concurrent.duration.FiniteDuration] = None)
+      : Dataset[PrepVerdict] = {
     val s = stream.sparkSession
     import s.implicits._
     val bc = s.sparkContext.broadcast(evalGrams.toSet)
     val overlapUdf = udf((g: Seq[Long]) => g.count(bc.value.contains).toLong)
+    val timeoutConf =
+      if (retention.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     val flags = graft.catalog.PrepPipelineCatalog
       .admissionFlags(stream.toDF().withColumnRenamed("text", "pii_text"))
       .withColumn("contaminated",
@@ -62,8 +75,12 @@ object StreamingPrep {
         col("content_hash"))
       .as[FlagRow]
     flags.groupByKey(_.content_hash)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
         (hash: Long, rows: Iterator[FlagRow], state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
           val docs = rows.toArray.sortBy(_.doc_id)
           val taken = state.exists
           // canonical = lowest-id filter survivor of an unseen hash; mark
@@ -73,6 +90,8 @@ object StreamingPrep {
           val canonicalId =
             if (taken) None else docs.find(_.pass_filter).map(_.doc_id)
           if (docs.exists(_.pass_filter) && !taken) state.update(true)
+          if (state.exists)
+            retention.foreach(r => state.setTimeoutDuration(r.toMillis))
           docs.iterator.map { r =>
             val stage =
               if (!r.pass_filter) "filtered"
@@ -81,6 +100,7 @@ object StreamingPrep {
               else if (!r.clf_keep) "rejected_clf"
               else "admitted"
             PrepVerdict(r.doc_id, r.source, stage, r.pii_total, r.n_words)
+          }
           }
       }
   }

@@ -39,6 +39,59 @@ class StreamingDedupSpec extends AnyFunSuite with SparkSpec {
     } finally query.stop()
   }
 
+  test("retention TTL: copies inside the window stay duplicates, an idle " +
+    "hash is evicted (state rows drop) and later re-admits") {
+    val session = spark
+    import session.implicits._
+    import scala.concurrent.duration._
+    implicit val sqlCtx = session.sqlContext
+
+    // timeouts + Trigger.ProcessingTime(0) + no-data microbatches would
+    // run the engine in a continuous empty-batch loop (and livelock
+    // processAllAvailable); with no-data batches off, expired timers are
+    // swept by the NEXT data batch — which is what this test drives
+    session.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val input = MemoryStream[Doc]
+    val query = StreamingDedup.dedupStream(input.toDS(),
+        retention = Some(2.seconds))
+      .writeStream.format("memory").queryName("dedup_ttl")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData(Doc(1, "ttl content"), Doc(2, "other"))
+      query.processAllAvailable()
+      // inside the retention window the dedup contract is unchanged —
+      // this is the batch-agreement guarantee the TTL must not break
+      input.addData(Doc(3, "ttl content"))
+      query.processAllAvailable()
+      val inWindow = session.sql("SELECT doc_id FROM dedup_ttl")
+        .as[Long].collect().toSet
+      assert(inWindow == Set(1L, 2L), s"copy within retention drops: $inWindow")
+
+      // let every key sit idle past the retention, then run a batch with
+      // unrelated data — timed-out keys are evicted in that batch
+      Thread.sleep(5000)
+      input.addData(Doc(4, "unrelated"))
+      query.processAllAvailable()
+      // a copy of the evicted content now RE-ADMITS — the documented
+      // rolling-window semantic (bounded state, not a forever seen-set)
+      input.addData(Doc(5, "ttl content"))
+      query.processAllAvailable()
+      val after = session.sql("SELECT doc_id FROM dedup_ttl")
+        .as[Long].collect().toSet
+      assert(after == Set(1L, 2L, 4L, 5L),
+        s"evicted hash re-admits after expiry: $after")
+      // state-store bound: only the two keys sighted since the eviction
+      // batch remain ("ttl content" re-registered + "unrelated")
+      val stateRows = query.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsTotal)).lastOption
+      assert(stateRows.contains(2L),
+        s"expired keys left the state store: $stateRows")
+    } finally {
+      query.stop()
+      session.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+    }
+  }
+
   test("seen-state survives a stop/restart on the same checkpoint dir") {
     val session = spark
     import session.implicits._

@@ -78,6 +78,52 @@ class StreamingPrepSpec extends AnyFunSuite with SparkSpec {
     } finally query.stop()
   }
 
+  test("retention TTL: duplicate verdicts hold inside the window; an idle " +
+    "content hash ages out and a fresh copy re-enters as canonical") {
+    val session = spark
+    import session.implicits._
+    import scala.concurrent.duration._
+    implicit val sqlCtx = session.sqlContext
+    val evalGrams = evalGramsOf(Seq("e1 e2 e3 e4 e5"))
+
+    // see StreamingDedupSpec: no-data microbatches off so expired timers
+    // are swept by the next data batch instead of an empty-batch loop
+    session.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val input = MemoryStream[PrepDoc]
+    val query = StreamingPrep.prepStream(input.toDS(), evalGrams,
+        retention = Some(2.seconds))
+      .writeStream.format("memory").queryName("prep_ttl")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData(PrepDoc(1L, T, "en", "srcA"))
+      query.processAllAvailable()
+      // a copy inside the retention window is a duplicate — the funnel
+      // agreement with batch pl_corpus_prep holds within the window
+      input.addData(PrepDoc(2L, T, "en", "srcB"))
+      query.processAllAvailable()
+      val within = session.sql("SELECT * FROM prep_ttl").as[PrepVerdict]
+        .collect().map(v => v.doc_id -> v.stage).toMap
+      assert(within(2L) == "duplicate", s"within-window copy drops: $within")
+
+      // idle past retention; an unrelated batch sweeps the expired key
+      Thread.sleep(5000)
+      input.addData(PrepDoc(3L, C, "en", "srcA"))
+      query.processAllAvailable()
+      // the same content now re-enters the funnel as canonical and walks
+      // the downstream gates again (classifier verdict, not "duplicate")
+      input.addData(PrepDoc(4L, T, "en", "srcA"))
+      query.processAllAvailable()
+      val after = session.sql("SELECT * FROM prep_ttl").as[PrepVerdict]
+        .collect().map(v => v.doc_id -> v.stage).toMap
+      val expected = if (clfKeeps(T)) "admitted" else "rejected_clf"
+      assert(after(4L) == expected,
+        s"re-admission after expiry reaches the classifier: $after")
+    } finally {
+      query.stop()
+      session.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+    }
+  }
+
   test("a streamed corpus yields the same per-source funnel as the batch " +
     "pl_corpus_prep run over the same fixture") {
     val session = spark
