@@ -23,14 +23,9 @@ object Bench {
     // new slot). Sorted order pins each query's position and neighbors
     // across rounds so BENCH_rN diffs measure the code, not the map.
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    def cleanup(): Unit = {
-      // drop any caches a query materialized so timings stay independent
-      // (incl. the sitemap ordinal pins, whose queue must drain too)
-      graft.operators.Sitemap.releasePinned()
-      graft.operators.Packing.releasePinned()
-      graft.catalog.DedupCatalog.clearMemos()
-      spark.catalog.clearCache()
-    }
+    // drop any caches a query materialized so timings stay independent
+    // (incl. the sitemap ordinal pins, whose queue must drain too)
+    def cleanup(): Unit = graft.catalog.Catalog.unpersistAll(spark)
     // Untimed warmup pass: every query compiles its codegen and JITs its
     // UDFs once, so the timed pass measures steady-state execution — the
     // alphabetically-first queries otherwise absorb the session's residual
@@ -40,12 +35,24 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       cleanup()
     }
-    def timedPass(dir: String): Seq[(String, Double)] = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, dir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      cleanup()
-      name -> dt
+    // cumulative JVM GC wall-clock — printed per pass to answer the r8
+    // drift question (uniform ~15-25% overlap drift smelled like heap
+    // pressure from the growing single-session catalog, not plan changes)
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).filter(_ > 0).sum
+    }
+    def timedPass(dir: String): (Seq[(String, Double)], Double) = {
+      val gc0 = gcMillis()
+      val res = ordered.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, dir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        cleanup()
+        name -> dt
+      }
+      (res, (gcMillis() - gc0) / 1e3)
     }
     def jsonOf(results: Seq[(String, Double)]): String = results
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -55,13 +62,13 @@ object Bench {
     // The driver's parser reads the LAST lines, which stay unchanged.
     val sfDir2 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR2", "/root/testdata/sf0.01")
     if (sfDir2 != "off" && new java.io.File(sfDir2).isDirectory) {
-      val r2 = timedPass(sfDir2)
-      println(s"""{"metric":"total_sf2","value":${r2.map(_._2).sum},"unit":"sec","queries":${jsonOf(r2)},"sf":"$sfDir2"}""")
+      val (r2, gc2) = timedPass(sfDir2)
+      println(s"""{"metric":"total_sf2","value":${r2.map(_._2).sum},"unit":"sec","gc_sec":$gc2,"queries":${jsonOf(r2)},"sf":"$sfDir2"}""")
     }
-    val results = timedPass(sfDir)
+    val (results, gcSec) = timedPass(sfDir)
     val qs = jsonOf(results)
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","gc_sec":$gcSec,"queries":$qs,"sf":"$sfDir"}""")
     // second, SHORT line: the driver's tail-capture has truncated the
     // front of the long per-query line in past rounds (r4, r6), losing
     // the headline "metric":"total" field — a line this short always

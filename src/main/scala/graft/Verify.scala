@@ -26,6 +26,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // caches from 150+ queries would otherwise pile up in one session —
+      // harmless at sf0.01, an eviction storm at sf1.0-class fixtures
+      graft.catalog.Catalog.unpersistAll(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

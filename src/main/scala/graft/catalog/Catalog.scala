@@ -19,3 +19,21 @@ trait Catalog {
   def queries: Map[String, QFn]
   def oracle: Map[String, String]
 }
+
+object Catalog {
+  /** Release every catalog-held cached/pinned resource in one call — the
+    * explicit teardown for long-lived sessions that the per-query caches
+    * (LM vocab tables, funnel flags, PQ slices, …) otherwise leave to LRU
+    * eviction under the documented session-scoped discipline. Bench and
+    * Verify call this between queries so timings and memory stay
+    * independent; an interactive service should call it between corpus
+    * swaps. Covers the plan-keyed memo maps (connected components), the
+    * pinned ordinal frames (sitemap/packing), and every `.cache()`d
+    * relation in the session (`spark.catalog.clearCache`). */
+  def unpersistAll(spark: SparkSession): Unit = {
+    graft.operators.Sitemap.releasePinned()
+    graft.operators.Packing.releasePinned()
+    DedupCatalog.clearMemos()
+    spark.catalog.clearCache()
+  }
+}

@@ -293,36 +293,49 @@ object SimilarityCatalog extends Catalog {
     // At 100 TB each round is one corpus scan + a k×d-sized broadcast;
     // rounds stack linearly, exactly like the production IVF trainer. ──
     "sim_kmeans_train" -> ((s, d) => {
-      import org.apache.spark.sql.graftnative.NativeExpressions.dotCol
-      var state = vecs(s, d).select(col("vec_id"), col("v"), col("label"))
-      val rounds = (1 to 3).map { r =>
-        val cent = state
-          .select(col("label").as("clabel"), posexplode(col("v")).as(Seq("i", "x")))
-          .groupBy(col("clabel"), col("i")).agg(avg(col("x")).as("m"))
-          .groupBy(col("clabel"))
-          .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
-            p => p("m")).as("c"))
-          .withColumn("cnorm2", dotCol(col("c"), col("c")))
-        val w = Window.partitionBy(col("vec_id"))
-          .orderBy(col("dist2"), col("clabel"))
-        val assigned = state
-          .withColumn("vnorm2", dotCol(col("v"), col("v")))
-          .crossJoin(broadcast(cent))
-          .select(col("vec_id"), col("v"), col("label").as("old_label"),
-            col("clabel"),
-            round(col("vnorm2") - lit(2.0) * dotCol(col("v"), col("c")) +
-              col("cnorm2"), 6).as("dist2"))
-          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-          .select(col("vec_id"), col("v"), col("clabel").as("label"),
-            col("dist2"), col("old_label"))
-          .cache() // read twice: the round stats and the next round's state
-        state = assigned.select(col("vec_id"), col("v"), col("label"))
-        assigned.agg(round(sum(col("dist2")), 6).as("inertia"),
-          sum(when(col("label") =!= col("old_label"), 1L).otherwise(0L))
-            .as("n_changed"))
-          .select(lit(r).as("iter"), col("inertia"), col("n_changed"))
-      }
-      rounds.reduce(_ unionAll _).orderBy(col("iter"))
+      val (stats, _) = lloydTrain(s, d, rounds = 3)
+      stats.reduce(_ unionAll _).orderBy(col("iter"))
+    }),
+
+    // ── Trained IVF, end to end: the 3-round Lloyd assignment above IS
+    // the index — cells come from the trained centroids, not the stored
+    // `label` column — and this row closes the train→index→search loop
+    // by probing those cells and scoring recall@3 against exact full-
+    // corpus L2 truth (the sim_ann_recall methodology on the trained
+    // index). A corpus query's probe cell is its own trained assignment
+    // (that is literally the argmin over the round-3 centroids, the same
+    // rounded-distance tie-break the trainer used), so the search adds
+    // ZERO work beyond the training plan: one broadcast-query cell join
+    // + the sampled brute-force truth scan. The cached final assignment
+    // is shared by the query side, the probe side, and the truth side —
+    // the corpus never re-trains or shuffles. ──
+    "sim_ann_ivf_trained" -> ((s, d) => {
+      val (_, assigned) = lloydTrain(s, d, rounds = 3)
+      val qs = assigned.filter(col("vec_id") >= 3 && col("vec_id") < 13)
+        .select(col("vec_id").as("query_id"), col("label").as("qcell"),
+          col("v").as("qv"))
+      val wE = Window.partitionBy(col("query_id"))
+        .orderBy(col("d2"), col("neighbor_id"))
+      val truth = assigned.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(sqdist(col("qv"), col("v")), 6).as("d2"))
+        .withColumn("r", row_number().over(wE)).filter(col("r") <= 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val wP = Window.partitionBy(col("query_id"))
+        .orderBy(col("d2"), col("neighbor_id"))
+      val probed = assigned.join(broadcast(qs),
+          col("label") === col("qcell") && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(sqdist(col("qv"), col("v")), 6).as("d2"))
+        .withColumn("r", row_number().over(wP)).filter(col("r") <= 3)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("in_probe"))
+      truth.join(probed, Seq("query_id", "neighbor_id"), "left_outer")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_truth"),
+          sum(coalesce(col("in_probe"), lit(0))).cast("long").as("n_hits"))
+        .withColumn("recall_at_3",
+          round(col("n_hits").cast("double") / col("n_truth").cast("double"), 6))
+        .orderBy(col("query_id"))
     }),
 
     // ── Product-quantization code assignment (Jégou et al. 2011), the
@@ -478,6 +491,49 @@ object SimilarityCatalog extends Catalog {
     })
   )
 
+  /** The in-plan Lloyd loop shared by sim_kmeans_train (which publishes
+    * the per-round stats) and sim_ann_ivf_trained (which consumes the
+    * final assignment as the IVF index): each round's M-step is the
+    * partial-aggregated (cell, dim) mean packed per cell and broadcast
+    * back for the E-step argmin; NOTHING is collected to the driver, and
+    * each round's assignment is cached because the next round, the stats
+    * row, and the trained-search consumers all read it. Ranking on the
+    * ROUNDED distance keeps the argmin reproducible across engines.
+    * Returns (per-round stat frames, final (vec_id, v, label) state). */
+  private def lloydTrain(s: SparkSession, d: String, rounds: Int)
+      : (Seq[org.apache.spark.sql.DataFrame], org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.graftnative.NativeExpressions.dotCol
+    var state = vecs(s, d).select(col("vec_id"), col("v"), col("label"))
+    val stats = (1 to rounds).map { r =>
+      val cent = state
+        .select(col("label").as("clabel"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy(col("clabel"), col("i")).agg(avg(col("x")).as("m"))
+        .groupBy(col("clabel"))
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+          p => p("m")).as("c"))
+        .withColumn("cnorm2", dotCol(col("c"), col("c")))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("dist2"), col("clabel"))
+      val assigned = state
+        .withColumn("vnorm2", dotCol(col("v"), col("v")))
+        .crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("v"), col("label").as("old_label"),
+          col("clabel"),
+          round(col("vnorm2") - lit(2.0) * dotCol(col("v"), col("c")) +
+            col("cnorm2"), 6).as("dist2"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("v"), col("clabel").as("label"),
+          col("dist2"), col("old_label"))
+        .cache() // read twice+: round stats, next round, trained search
+      state = assigned.select(col("vec_id"), col("v"), col("label"))
+      assigned.agg(round(sum(col("dist2")), 6).as("inertia"),
+        sum(when(col("label") =!= col("old_label"), 1L).otherwise(0L))
+          .as("n_changed"))
+        .select(lit(r).as("iter"), col("inertia"), col("n_changed"))
+    }
+    (stats, state)
+  }
+
   /** ADC scores for every (query, cell-mate) pair: the stored-code side
     * joined against the broadcast per-query LUT (see sim_ann_ivfpq). */
   private def adcPairs(s: SparkSession, d: String) = {
@@ -583,6 +639,39 @@ object SimilarityCatalog extends Catalog {
       .agg(min(struct(col("dist"), col("code_id"))).as("m"))
       .select(col("vec_id"), col("label"), col("sub"),
         col("m.code_id").as("code"), col("m.dist").as("dist2"))
+
+  private def sqdistSql(x: String, y: String): String =
+    s"list_sum(list_transform(generate_series(1, len($x)), i -> ($x[i] - $y[i]) * ($x[i] - $y[i])))"
+
+  /** The oracle's mirror of lloydTrain: CTE chain a0 (cast embeddings) →
+    * c/s/a/r per round — a_r the round-r assignment, r_r its stats. */
+  private def lloydCteSql(rounds: Int): String = {
+    val rs = (1 to rounds).map { r =>
+      s"""c$r AS (SELECT clabel, list(m ORDER BY i) AS c
+           FROM (SELECT clabel, i, AVG(x) AS m
+                 FROM (SELECT label AS clabel, unnest(v)::DOUBLE AS x,
+                         unnest(generate_series(1, len(v))) AS i
+                       FROM a${r - 1})
+                 GROUP BY clabel, i)
+           GROUP BY clabel),
+         s$r AS (SELECT a.vec_id, a.v, a.label AS old_label, c.clabel,
+             round(${dotSql("a.v", "a.v")}
+               - 2.0 * ${dotSql("a.v", "c.c")}
+               + ${dotSql("c.c", "c.c")}, 6) AS dist2
+           FROM a${r - 1} a CROSS JOIN c$r c),
+         a$r AS (SELECT vec_id, v, clabel AS label, dist2, old_label
+           FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY dist2, clabel) AS rn FROM s$r) t
+           WHERE rn = 1),
+         r$r AS (SELECT $r AS iter, round(SUM(dist2), 6) AS inertia,
+             CAST(SUM(CASE WHEN label <> old_label THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_changed
+           FROM a$r)"""
+    }.mkString(",\n         ")
+    s"""a0 AS (SELECT vec_id, label,
+           list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         $rs"""
+  }
 
   /** DuckDB mirror of VectorOps.lshSig: same coefficients (portable hash
     * of "plane:dim"), same left-to-right double accumulation, same strict
@@ -731,35 +820,34 @@ object SimilarityCatalog extends Catalog {
          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
                  ORDER BY dist2, clabel) AS rn FROM scored) t
          WHERE rn = 1 ORDER BY vec_id""",
-    "sim_kmeans_train" -> {
-      val rounds = (1 to 3).map { r =>
-        s"""c$r AS (SELECT clabel, list(m ORDER BY i) AS c
-             FROM (SELECT clabel, i, AVG(x) AS m
-                   FROM (SELECT label AS clabel, unnest(v)::DOUBLE AS x,
-                           unnest(generate_series(1, len(v))) AS i
-                         FROM a${r - 1})
-                   GROUP BY clabel, i)
-             GROUP BY clabel),
-           s$r AS (SELECT a.vec_id, a.v, a.label AS old_label, c.clabel,
-               round(${dotSql("a.v", "a.v")}
-                 - 2.0 * ${dotSql("a.v", "c.c")}
-                 + ${dotSql("c.c", "c.c")}, 6) AS dist2
-             FROM a${r - 1} a CROSS JOIN c$r c),
-           a$r AS (SELECT vec_id, v, clabel AS label, dist2, old_label
-             FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                     ORDER BY dist2, clabel) AS rn FROM s$r) t
-             WHERE rn = 1),
-           r$r AS (SELECT $r AS iter, round(SUM(dist2), 6) AS inertia,
-               CAST(SUM(CASE WHEN label <> old_label THEN 1 ELSE 0 END)
-                 AS BIGINT) AS n_changed
-             FROM a$r)"""
-      }.mkString(",\n         ")
-      s"""WITH a0 AS (SELECT vec_id, label,
-             list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-         $rounds
+    "sim_kmeans_train" ->
+      s"""WITH ${lloydCteSql(3)}
          SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL
-         SELECT * FROM r3 ORDER BY iter"""
-    },
+         SELECT * FROM r3 ORDER BY iter""",
+    "sim_ann_ivf_trained" ->
+      s"""WITH ${lloydCteSql(3)},
+         q AS (SELECT vec_id AS query_id, label AS qcell, v AS qv
+           FROM a3 WHERE vec_id >= 3 AND vec_id < 13),
+         ex AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+             round(${sqdistSql("q.qv", "e.v")}, 6) AS d2
+           FROM a3 e JOIN q ON e.vec_id <> q.query_id),
+         truth AS (SELECT query_id, neighbor_id
+           FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY d2, neighbor_id) AS r FROM ex) t
+           WHERE r <= 3),
+         pc AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+             round(${sqdistSql("q.qv", "e.v")}, 6) AS d2
+           FROM a3 e JOIN q ON e.label = q.qcell AND e.vec_id <> q.query_id),
+         probed AS (SELECT query_id, neighbor_id
+           FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY d2, neighbor_id) AS r FROM pc) t
+           WHERE r <= 3)
+         SELECT t.query_id, CAST(COUNT(*) AS BIGINT) AS n_truth,
+           CAST(SUM(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           round(SUM(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS recall_at_3
+         FROM truth t LEFT JOIN probed p USING (query_id, neighbor_id)
+         GROUP BY t.query_id ORDER BY t.query_id""",
     "sim_pq_assign" ->
       """WITH v AS (SELECT vec_id,
              list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings),

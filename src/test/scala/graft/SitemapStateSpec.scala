@@ -111,6 +111,59 @@ class SitemapStateSpec extends AnyFunSuite with SparkSpec {
       "lastmoddate advanced to the data timestamp (repeat-add dedup marker)")
   }
 
+  test("mixed new-vs-existing batch, step for step with the reference: all " +
+    "three process, none fail, only the NEW record advances the fill count " +
+    "(5 → 6), and the flag matrix is new=true / recent=false / stale=true " +
+    "(test_process_sitemap_batch_new_vs_existing_records, " +
+    "adsmp/tests/test_app.py:1544-1651)") {
+    import spark.implicits._
+    // base_time = 2024-03-01; the three records carry bib_data_updated at
+    // base, base−1h, base−2h like the reference's enumerate-timedelta loop
+    val master = masterOf(Seq(
+      (4L, "new", "{}", "2024-03-01 00:00:00", "success"),
+      (5L, "recent", "{}", "2024-02-29 23:00:00", "success"),
+      (6L, "stale", "{}", "2024-02-29 22:00:00", "success")))
+    // pre-existing sitemap_bib_1.xml holds 5 rows (the reference's
+    // initial_state count=5): three fillers plus the two seeded entries —
+    // recent with filename_lastmoddate NEWER than its bib_data_updated
+    // (base+1h), stale with lastmoddate 10 days OLDER
+    val preState = Seq(
+      (10L, "f1", "sitemap_bib_1.xml", ts("2024-01-01 00:00:00"),
+        ts("2024-01-02 00:00:00"), false),
+      (11L, "f2", "sitemap_bib_1.xml", ts("2024-01-01 00:00:00"),
+        ts("2024-01-02 00:00:00"), false),
+      (12L, "f3", "sitemap_bib_1.xml", ts("2024-01-01 00:00:00"),
+        ts("2024-01-02 00:00:00"), false),
+      (5L, "recent", "sitemap_bib_1.xml", ts("2024-02-29 23:00:00"),
+        ts("2024-03-01 01:00:00"), false),
+      (6L, "stale", "sitemap_bib_1.xml", ts("2024-02-29 22:00:00"),
+        ts("2024-02-20 00:00:00"), false))
+      .toDF(SitemapState.columns: _*)
+    assert(SitemapState.currentFill(preState, maxPerFile = 50) ==
+      SitemapState.Fill(1, 5), "initial state: file 1 at count 5")
+
+    val st = SitemapState.add(preState, master, bibs("new", "recent", "stale"),
+      maxPerFile = 50)
+    val m = stateMap(st)
+    // successful == 3: every named bibcode holds exactly one row after
+    assert(Seq("new", "recent", "stale").forall(m.contains),
+      s"all records processed successfully: ${m.keySet}")
+    // failed == 0: nothing was dropped and the fillers are untouched
+    assert(st.count() == 6 && Seq("f1", "f2", "f3").forall(m.contains),
+      "no records fail and pre-existing rows survive")
+    // only the NEW record increments the fill count (5 + 1 = 6), into the
+    // same still-open file
+    assert(SitemapState.currentFill(st, maxPerFile = 50) ==
+      SitemapState.Fill(1, 6), "only the new record increments the count")
+    assert(m("new")._1 == "sitemap_bib_1.xml")
+    // the reference's per-record flag matrix
+    assert(m("new")._2 == true, "new record should have update_flag=True")
+    assert(m("recent")._2 == false,
+      "recent record (file newer than data) should have update_flag=False")
+    assert(m("stale")._2 == true,
+      "stale record (file older than data) should have update_flag=True")
+  }
+
   test("add does NOT flag a record whose data is older than its generated file " +
     "(test_process_sitemap_batch_add_action_with_recent_file, " +
     "test_add_action_timestamp_logic)") {

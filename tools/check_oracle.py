@@ -6,7 +6,9 @@ the DuckDB oracle SQL (oracle_sql.json) over the same testdata tables,
 comparing schema (column names), row count, and values (sorted columns +
 sorted rows; floats with tolerance so we catch real bugs, not ulps).
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [onlyCsv]
+onlyCsv: optional comma-separated query-name filter (for per-query timeout
+driving at large scale factors, where some all-pairs oracles are non-poly).
 """
 import json
 import math
@@ -44,14 +46,19 @@ def close(a, b):
     return norm(a) == norm(b)
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
+    import os
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        path = f"{sf_dir}/{t}.parquet"
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
     import glob, os
     names = sorted(os.path.basename(p) for p in glob.glob(f"{out_dir}/*") if os.path.isdir(p))
+    if only:
+        names = [n for n in names if n in only]
     for name in names:
         try:
             got = pq.read_table(glob.glob(f"{out_dir}/{name}/*.parquet")[0] if glob.glob(f"{out_dir}/{name}/*.parquet") else f"{out_dir}/{name}")
@@ -95,4 +102,5 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    sys.exit(main(sys.argv[1], sys.argv[2], only))
