@@ -397,6 +397,33 @@ object DedupCatalog extends Catalog {
         .orderBy(col("keep_id"))
     }),
 
+    // ── Soft dedup (SoftDeDup, He et al. 2024): instead of DROPPING
+    // duplicates, keep every copy and DOWN-WEIGHT by its content's
+    // commonness — sampling weight 1/n_copies, so each distinct content
+    // contributes one unit of expected training mass however many times
+    // the crawl found it. The production argument: hard dedup throws
+    // away the duplication signal (popular ≈ higher quality) and
+    // amplifies whatever survived; soft dedup preserves the corpus while
+    // fixing the expectation. Shape: the SAME fixed-width content-hash
+    // groupBy as dd_exact_dedup, joined back on the hash — two shuffles
+    // on 8-byte keys, text never moves, weight is per-row arithmetic.
+    // The per-source rollup (effective vs raw size) is the number a
+    // mixture designer actually reads. ──
+    "dd_soft_weight" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), hash64(col("text")).as("content_hash"))
+      val sizes = docs.groupBy(col("content_hash"))
+        .agg(count(lit(1)).as("n_copies"))
+      docs.join(sizes, Seq("content_hash"))
+        .select(col("source"), col("doc_id"),
+          col("n_copies"), round(lit(1.0) / col("n_copies"), 6).as("weight"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("n_duplicated"),
+          round(sum(col("weight")), 6).as("effective_docs"))
+        .orderBy(col("source"))
+    }),
+
     // ── Exact-substring dedup (Lee et al. 2022, "Deduplicating Training
     // Data Makes Language Models Better"): find verbatim token runs
     // shared across documents and score each doc by how much of it is
@@ -976,6 +1003,13 @@ object DedupCatalog extends Catalog {
       s"""SELECT ${hash64Sql("text")} AS content_hash,
            MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY keep_id""",
+    "dd_soft_weight" ->
+      s"""WITH h AS (SELECT doc_id, source, ${hash64Sql("text")} AS ch FROM documents),
+         sz AS (SELECT ch, COUNT(*) AS n_copies FROM h GROUP BY 1)
+         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_duplicated,
+           round(SUM(round(1.0 / n_copies, 6)), 6) AS effective_docs
+         FROM h JOIN sz USING (ch) GROUP BY source ORDER BY source""",
     "dd_exact_substring" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
          win AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens,

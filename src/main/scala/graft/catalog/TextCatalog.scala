@@ -1000,12 +1000,15 @@ object TextCatalog extends Catalog {
         .select(col("b"),
           (log((coalesce(col("ct"), lit(0L)) + 1.0) / (col("t_total") + B)) -
             log((col("cs") + 1.0) / (col("s_total") + B))).as("log_ratio"))
-      // per-token average = bucket-count-weighted average (exact)
+      // per-token average = bucket-count-weighted average (exact).
+      // + 0.0 normalizes IEEE negative zero: a doc whose average rounds
+      // to zero came out -0.0 in DuckDB and +0.0 in Spark at sf1.0 —
+      // equal values, but a sign the comparator's row SORT can see
       bt.join(broadcast(model), Seq("b"))
         .groupBy(col("doc_id"))
         .agg(sum(col("c")).as("n_tokens"),
-          round(sum(col("c").cast("double") * col("log_ratio")) / sum(col("c")), 6)
-            .as("avg_log_ratio"))
+          (round(sum(col("c").cast("double") * col("log_ratio")) / sum(col("c")), 6)
+            + lit(0.0)).as("avg_log_ratio"))
         .withColumn("upweighted", col("avg_log_ratio") > 0.0)
         .orderBy(col("doc_id"))
     }),
@@ -1627,7 +1630,7 @@ object TextCatalog extends Catalog {
                - ln((r.cs + 1.0) / (st.s_total + 64)) AS log_ratio
            FROM raw r LEFT JOIN tgt t ON r.b = t.b, tt, st)
          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           round(AVG(m.log_ratio), 6) AS avg_log_ratio,
+           round(AVG(m.log_ratio), 6) + 0.0 AS avg_log_ratio,
            round(AVG(m.log_ratio), 6) > 0.0 AS upweighted
          FROM tb JOIN model m USING (b) GROUP BY doc_id ORDER BY doc_id""",
     "tx_ccnet_bucket" ->

@@ -389,6 +389,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"prefix probe joins the inverted index on the shingle key:\n${p.take(2000)}")
     assert(p.contains("array_intersect"),
       "the exact verify is per-row set math on the attached arrays")
+    // the r9 map-side redesign: prefix AND index postings derive from
+    // each doc's own shingle array — the corpus-wide per-posting rarity
+    // window (an Exchange + Sort over every posting, ~600B rows at 12B
+    // docs) must never come back
+    assert(!p.contains("Window"),
+      s"no per-posting window sort in the containment plan:\n${p.take(2000)}")
   }
 
   test("stratified exact-k prunes map-side: WindowGroupLimit on lang keeps " +

@@ -22,7 +22,8 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 def norm(v):
     if isinstance(v, float):
-        return round(v, 6)
+        return round(v, 6) + 0.0  # + 0.0 folds IEEE -0.0 into +0.0 so the
+        # row sort cannot separate equal-valued rows by zero sign
     if isinstance(v, list):
         return tuple(norm(x) for x in v)
     if isinstance(v, dict):
