@@ -47,6 +47,29 @@ class MasterStore(val root: String, numBuckets: Int = 8,
     case None => empty(spark)
   }
 
+  /** Bulk keyed read — the engine analog of the reference's
+    * `get_records_bulk` / `get_sitemap_info_bulk`
+    * (adsmp/app.py:279-352; timed in tests/test_app.py:818-1008). The
+    * reference chunks `IN (...)` queries against Postgres and assembles a
+    * driver-side dict; here the key list rides an IN-list predicate so
+    * Catalyst pushes it into the parquet scan (visible as PushedFilters —
+    * non-matching row groups never leave storage), and `loadOnly` is plain
+    * column selection whose pruning reaches the scan's ReadSchema: a
+    * 2-column projection of a 30-column master reads 2 columns, which is
+    * the whole point at 100 TB. The key column always rides along (the
+    * reference's dict is keyed by bibcode). An empty key list returns the
+    * empty frame without touching storage, matching the reference's
+    * `{}` short-circuit. */
+  def lookup(spark: SparkSession, keys: Seq[String],
+      loadOnly: Seq[String] = Nil): DataFrame = {
+    val base = read(spark)
+    val projected =
+      if (loadOnly.isEmpty) base
+      else base.select((keyCol +: loadOnly.filterNot(_ == keyCol)).map(col): _*)
+    if (keys.isEmpty) projected.limit(0)
+    else projected.filter(col(keyCol).isin(keys: _*))
+  }
+
   /** Write the next snapshot and atomically advance CURRENT. Overwrite
     * mode makes the write replay-tolerant: a crashed attempt leaves an
     * orphan v_N directory CURRENT never pointed at, and the replay (e.g.
