@@ -688,6 +688,32 @@ object DedupCatalog extends Catalog {
     "dd_simhash_pairs" -> ((s, d) =>
       simhashPairs(s, d).orderBy(col("doc_a"), col("doc_b"))),
 
+    // ── Edit-distance verification over the banded candidates: the
+    // strictest near-dup verdict (true Levenshtein similarity, not a
+    // sketch), affordable ONLY because the quadratic DP runs on the
+    // LSH-bounded pair set, never the corpus — the classic
+    // candidate-then-verify split with the verify step upgraded from set
+    // math to sequence alignment (catches word-ORDER edits Jaccard is
+    // blind to). Shape: the cached simhash banded join emits id-pairs,
+    // two hash joins attach the texts, and the DP is per-row inside
+    // codegen (built-in levenshtein). At 100 TB the knob is the simhash
+    // Hamming radius: pairs scale with near-dup density, not corpus², and
+    // Spark's bounded levenshtein(l, r, k) caps the DP at O(k·n) per pair
+    // if a deployment loosens the radius. ──
+    "dd_edit_pairs" -> ((s, d) => {
+      val texts = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      simhashPairs(s, d).select(col("doc_a"), col("doc_b"))
+        .join(texts.select(col("doc_id").as("doc_a"), col("text").as("ta")), Seq("doc_a"))
+        .join(texts.select(col("doc_id").as("doc_b"), col("text").as("tb")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"),
+          round(lit(1.0) - levenshtein(col("ta"), col("tb")).cast("double") /
+            greatest(length(col("ta")), length(col("tb"))).cast("double"), 6)
+            .as("edit_sim"))
+        .filter(col("edit_sim") >= 0.75)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // ── Image near-dup pairs: 60-bit perceptual dHash
     // (graft.operators.Multimodal.dhash60 — real pixel decode for real
     // images, byte-grid stub for the synthetic corpus) through the SAME
@@ -787,6 +813,31 @@ object DedupCatalog extends Catalog {
         .select(col("doc_id"), col("cluster_id"),
           count(lit(1)).over(w).as("cluster_size"),
           (col("doc_id") === col("cluster_id")).as("is_canonical"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── Leakage-proof train/dev/test split (the decontamination rule
+    // turned inward): hash-split by near-dup CLUSTER, not by document, so
+    // two near-copies can never land on opposite sides of the train/eval
+    // fence — the split-level leak that inflates every benchmark number
+    // (Lee et al. 2022 §5 measure it; this op prevents it by
+    // construction). Deterministic salted hash of the cluster canonical →
+    // 8/1/1 buckets; singletons hash their own id. Adds ONE broadcast-
+    // sized join over the memoized components frame — the split of a 12B-
+    // doc corpus costs one map-side hash once clustering exists. ──
+    "dd_split_leakfree" -> ((s, d) => {
+      val comp = simhashComponents(s, d)
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(comp.select(col("node").as("doc_id"), col("cluster_id")),
+          Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+        .withColumn("bucket", pmod(
+          hash64(concat(lit("split:"), col("cluster_id").cast("string"))), lit(10L)))
+        .select(col("doc_id"), col("cluster_id"),
+          when(col("bucket") < 8, lit("train"))
+            .when(col("bucket") < 9, lit("dev"))
+            .otherwise(lit("test")).as("split"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1104,6 +1155,23 @@ object DedupCatalog extends Catalog {
            ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
          WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
          ORDER BY doc_a, doc_b""",
+    "dd_edit_pairs" ->
+      s"""WITH s AS (SELECT doc_id, $Simhash60Sql AS simhash FROM documents),
+         bands AS (SELECT doc_id, simhash, t.k AS band_idx,
+             (simhash // (CASE t.k WHEN 0 THEN 1 WHEN 1 THEN 32768
+                          WHEN 2 THEN 1073741824 ELSE 35184372088832 END)::BIGINT) % 32768 AS band_val
+           FROM s, generate_series(0, 3) t(k)),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a JOIN bands b
+             ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.simhash, b.simhash)) <= 6),
+         scored AS (SELECT doc_a, doc_b,
+             CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist,
+             round(1.0 - levenshtein(ta.text, tb.text)::DOUBLE /
+               greatest(length(ta.text), length(tb.text))::DOUBLE, 6) AS edit_sim
+           FROM cand JOIN documents ta ON cand.doc_a = ta.doc_id
+                     JOIN documents tb ON cand.doc_b = tb.doc_id)
+         SELECT * FROM scored WHERE edit_sim >= 0.75 ORDER BY doc_a, doc_b""",
     "dd_phash_pairs" -> {
       import MultimodalCatalog.{DhashGridSql, Dhash60FromGridSql}
       s"""WITH img AS (SELECT doc_id, $DhashGridSql AS grid FROM documents
@@ -1214,6 +1282,18 @@ object DedupCatalog extends Catalog {
            d.doc_id = COALESCE(l.cluster_id, d.doc_id) AS is_canonical
          FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id
          ORDER BY d.doc_id""",
+    "dd_split_leakfree" ->
+      s"""WITH RECURSIVE
+         $SimhashComponentsCte,
+         a AS (SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+               FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id)
+         SELECT doc_id, cluster_id,
+           CASE WHEN ${hash64Sql("'split:' || CAST(cluster_id AS VARCHAR)")} % 10 < 8
+                  THEN 'train'
+                WHEN ${hash64Sql("'split:' || CAST(cluster_id AS VARCHAR)")} % 10 < 9
+                  THEN 'dev'
+                ELSE 'test' END AS split
+         FROM a ORDER BY doc_id""",
     "dd_compact" ->
       s"""WITH RECURSIVE
          $SimhashComponentsCte,

@@ -156,6 +156,51 @@ object MultimodalCatalog extends Catalog {
         })
         .toDF("media_id", "dim0", "dim7")
         .orderBy("media_id")
+    }),
+
+    // ── Cross-modal alignment score — the LAION/DataComp admission gate
+    // (Schuhmann 2022: keep a (caption, image) pair iff CLIP cosine
+    // clears a threshold), with both towers deterministic stand-ins for
+    // the missing model: the media tower is mm_embed's 8-dim byte-fold,
+    // the text tower an 8-bucket word-hash count vector (the tx_dsir
+    // hashing trick at dimension 8). The Spark shape is what matters at
+    // 100 TB: both towers derive map-side next to the scan, the cosine
+    // reduces over (doc × 8)-row frames joined on an 8-byte composite
+    // key, and nothing corpus-sized is ever broadcast — swap either
+    // tower's derivation for a real model UDF and the plan is unchanged.
+    "mm_modal_align" -> ((s, d) => {
+      import s.implicits._
+      val ascii = Tables.documents(s, d)
+        .filter(col("text").rlike("^[\\x00-\\x7F]*$") && length(col("text")) > 0)
+      val media = Multimodal.mediaFromDocuments(ascii)
+        .mapPartitions(_.flatMap { a =>
+          val acc = new Array[Double](8)
+          var i = 0
+          while (i < a.bytes.length) {
+            acc(i % 8) += (a.bytes(i) & 0xff) / 255.0
+            i += 1
+          }
+          (0 until 8).map(k => (a.media_id, k.toLong, acc(k)))
+        })
+        .toDF("doc_id", "k", "mv")
+      val text = ascii
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .withColumn("k", pmod(
+          PortableHash.hash64(concat(lit("align:"), col("w"))), lit(8L)))
+        .groupBy(col("doc_id"), col("k"))
+        .agg(count(lit(1)).cast("double").as("tc"))
+      val dots = text.join(media, Seq("doc_id", "k"))
+        .groupBy(col("doc_id")).agg(sum(col("tc") * col("mv")).as("dp"))
+      val tn = text.groupBy(col("doc_id"))
+        .agg(sqrt(sum(col("tc") * col("tc"))).as("tnorm"))
+      val mn = media.groupBy(col("doc_id"))
+        .agg(sqrt(sum(col("mv") * col("mv"))).as("mnorm"))
+      tn.join(mn, Seq("doc_id")).join(dots, Seq("doc_id"), "left_outer")
+        .select(col("doc_id").as("media_id"),
+          round(coalesce(col("dp"), lit(0.0)) / (col("tnorm") * col("mnorm")), 6)
+            .as("align_score"))
+        .withColumn("aligned", col("align_score") >= 0.85)
+        .orderBy(col("media_id"))
     }))
 
   def oracle: Map[String, String] = Map(
@@ -224,5 +269,29 @@ object MultimodalCatalog extends Catalog {
              generate_series(1, octet_length(encode(text))),
              i -> CASE WHEN (i - 1) % 8 = 7 THEN ord(substr(text, i, 1)) / 255.0 ELSE 0 END)) * 1000) / 1000 AS dim7
          FROM documents WHERE regexp_matches(text, '^[\x00-\x7F]*$')
-         ORDER BY media_id""")
+         ORDER BY media_id""",
+    "mm_modal_align" -> {
+      val wb = PortableHash.hash64Sql("'align:' || w")
+      s"""WITH a AS (SELECT doc_id, text FROM documents
+           WHERE regexp_matches(text, '^[\\x00-\\x7F]*$$') AND length(text) > 0),
+         t AS (SELECT doc_id, $wb % 8 AS k, CAST(COUNT(*) AS DOUBLE) AS tc
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM a)
+           GROUP BY 1, 2),
+         m AS (SELECT doc_id, u.k AS k,
+             list_sum(list_transform(generate_series(1, length(text)),
+               i -> CASE WHEN (i - 1) % 8 = u.k
+                    THEN ord(substr(text, CAST(i AS INT), 1)) / 255.0
+                    ELSE 0 END)) AS mv
+           FROM a, generate_series(0, 7) AS u(k)),
+         dp AS (SELECT t.doc_id, SUM(tc * mv) AS dp
+           FROM t JOIN m ON t.doc_id = m.doc_id AND t.k = m.k GROUP BY 1),
+         tn AS (SELECT doc_id, sqrt(SUM(tc * tc)) AS tnorm FROM t GROUP BY 1),
+         mn AS (SELECT doc_id, sqrt(SUM(mv * mv)) AS mnorm FROM m GROUP BY 1)
+         SELECT tn.doc_id AS media_id,
+           round(COALESCE(dp.dp, 0) / (tn.tnorm * mn.mnorm), 6) AS align_score,
+           round(COALESCE(dp.dp, 0) / (tn.tnorm * mn.mnorm), 6) >= 0.85 AS aligned
+         FROM tn JOIN mn ON tn.doc_id = mn.doc_id
+           LEFT JOIN dp ON tn.doc_id = dp.doc_id
+         ORDER BY media_id"""
+    })
 }

@@ -280,6 +280,34 @@ object TextCatalog extends Catalog {
             size(split(col("text"), " ")).cast("long").as("n_tokens")),
         shardSize = 64L)),
 
+    // ── Curriculum ordering (Bengio et al. 2009 curriculum learning, the
+    // data-engineering half): rank the corpus easy→hard on a cheap
+    // difficulty proxy (chars/token — longer words ≈ denser text) and cut
+    // it into 4 training stages, so the loader feeds stage 0 first. The
+    // ordering key is the INTEGER ⌊chars·10⁶/tokens⌋, not the rounded
+    // double — float rounding must never decide a sort the two engines
+    // compare (the tx_dsir_weight −0.0 lesson, applied to ordering).
+    // Scale shape: the global rank rides the same range-partition +
+    // per-partition-offset ordinal as every packing op (no single-
+    // partition window); the stage cut is arithmetic on the rank against
+    // a 1-row broadcast total. ──
+    "tx_curriculum_order" -> ((s, d) => {
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("difficulty",
+          round(col("n_chars").cast("double") / col("n_tokens"), 6))
+        .withColumn("__key", format_string("%012d%010d",
+          expr("n_chars * 1000000L DIV n_tokens"), col("doc_id")))
+      val total = scored.agg(count(lit(1)).as("__total"))
+      graft.operators.Sitemap.withGlobalOrdinal(scored, "__key", "curriculum_rank")
+        .crossJoin(broadcast(total))
+        .select(col("doc_id"), col("difficulty"), col("curriculum_rank"),
+          expr("curriculum_rank * 4 DIV __total").as("stage"))
+        .orderBy(col("curriculum_rank"))
+    }),
+
     // ── Concat-stream packing — the OTHER packing semantic, the one a
     // GPT-style trainer actually materializes: per language, documents
     // concatenate into one token stream cut at exact multiples of the
@@ -1303,6 +1331,20 @@ object TextCatalog extends Catalog {
            CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
          FROM o GROUP BY 1 ORDER BY shard_id"""
     },
+    "tx_curriculum_order" ->
+      """WITH s AS (SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         r AS (SELECT doc_id,
+             round(n_chars::DOUBLE / n_tokens, 6) AS difficulty,
+             row_number() OVER (ORDER BY (n_chars * 1000000) // n_tokens, doc_id)
+               - 1 AS curriculum_rank,
+             COUNT(*) OVER () AS n
+           FROM s)
+         SELECT doc_id, difficulty, CAST(curriculum_rank AS BIGINT) AS curriculum_rank,
+           CAST((curriculum_rank * 4) // n AS BIGINT) AS stage
+         FROM r ORDER BY curriculum_rank""",
     "tx_pack_concat" ->
       """WITH t AS (SELECT doc_id, lang,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
