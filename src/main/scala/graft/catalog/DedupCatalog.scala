@@ -707,8 +707,9 @@ object DedupCatalog extends Catalog {
         .join(texts.select(col("doc_id").as("doc_b"), col("text").as("tb")), Seq("doc_b"))
         .select(col("doc_a"), col("doc_b"),
           levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"),
-          round(lit(1.0) - levenshtein(col("ta"), col("tb")).cast("double") /
-            greatest(length(col("ta")), length(col("tb"))).cast("double"), 6)
+          greatest(length(col("ta")), length(col("tb"))).cast("double").as("__len"))
+        .select(col("doc_a"), col("doc_b"), col("edit_dist"),
+          round(lit(1.0) - col("edit_dist").cast("double") / col("__len"), 6)
             .as("edit_sim"))
         .filter(col("edit_sim") >= 0.75)
         .orderBy(col("doc_a"), col("doc_b"))

@@ -459,4 +459,42 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!fn.contains("CartesianProduct") && !fn.contains("BroadcastNestedLoopJoin"),
       s"funnel joins stay keyed on user_id:\n${fn.take(1500)}")
   }
+
+  test("edit-distance verify runs only on the banded candidate set: the " +
+    "levenshtein projection sits above equi-joins, never a cartesian") {
+    val p = plan("dd_edit_pairs")
+    assert(p.contains("levenshtein"),
+      s"the DP is a per-row projection:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidates come from the banded equi-join, never corpus²:\n${p.take(1500)}")
+  }
+
+  test("leak-free split is one hash projection over the components frame: " +
+    "no window, no cartesian, the cluster join keyed on doc_id") {
+    val p = plan("dd_split_leakfree")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"),
+      s"split = map-side hash of the cluster label:\n${p.take(1500)}")
+  }
+
+  test("curriculum ordering uses the distributed ordinal: per-partition " +
+    "windows only, never a single-partition global sort before the rank") {
+    val p = plan("tx_curriculum_order")
+    // the W2-style window must partition by __pid; a Window over
+    // SinglePartition would funnel the corpus through one task
+    assert(p.contains("hashpartitioning(__pid") ||
+        p.contains("partitionBy") || p.contains("__pid"),
+      s"rank rides the range-partition + offset ordinal:\n${p.take(1500)}")
+    assert(!"(?m)Exchange SinglePartition[^\\n]*\\n[^\\n]*Window".r
+        .findAllIn(p).hasNext,
+      s"no global-window rank:\n${p.take(1500)}")
+  }
+
+  test("modal alignment never broadcasts or windows the corpus: tower " +
+    "joins are keyed equi-joins on (doc_id, k)") {
+    val p = plan("mm_modal_align")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cosine reduces over keyed joins:\n${p.take(1500)}")
+    assert(!p.contains("Window"),
+      "no window function anywhere in the alignment plan")
+  }
 }

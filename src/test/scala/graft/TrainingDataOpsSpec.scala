@@ -884,4 +884,120 @@ class TrainingDataOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out(6L) == ((false, "repetition")),
       "10/42 repeats of one word exceed the 0.2 mode ratio")
   }
+
+  /** Reference Levenshtein DP for exact expected values. */
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("dd_edit_pairs: word-ORDER edits that Jaccard scores as identical " +
+    "still cost edit distance; substitutions cost exactly their chars; " +
+    "distances match an independent DP") {
+    val base = (1 to 30).map(i => f"word$i%02d").mkString(" ")
+    val swapped = {                       // words 10 and 11 swapped
+      val w = base.split(" "); val t = w(9); w(9) = w(10); w(10) = t
+      w.mkString(" ")
+    }
+    val substituted = base.replace("word15", "worm15") // 1 char differs
+    val dir = docsDir(Seq(
+      (1L, base, "en"), (2L, swapped, "en"), (3L, substituted, "en"),
+      (4L, (1 to 30).map(i => f"other$i%02d").mkString(" "), "en")))
+    val out = SparkEntry.queries("dd_edit_pairs")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // identical word MULTISET → identical simhash → always a candidate;
+    // n-gram Jaccard calls these a perfect dup, the DP does not
+    assert(out.contains((1L, 2L)), s"swap pair found: ${out.keySet}")
+    assert(out((1L, 2L))._1 == lev(base, swapped).toLong)
+    assert(out((1L, 2L))._1 > 0, "word order is not free under edit distance")
+    assert(out.contains((1L, 3L)), "substitution pair found")
+    assert(out((1L, 3L))._1 == lev(base, substituted).toLong)
+    assert(out((1L, 3L))._1 == 1L, "one substituted char costs exactly 1")
+    val expSim = BigDecimal(1.0 - 1.0 / base.length)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out((1L, 3L))._2 == expSim)
+    assert(!out.keys.exists(p => p._1 == 4L || p._2 == 4L),
+      "the unrelated doc pairs with nobody")
+  }
+
+  test("dd_split_leakfree: no simhash near-dup pair ever straddles a " +
+    "split, and the split is a deterministic function of the cluster") {
+    val rows = (1L to 40L).map { i =>
+      // 10 clusters of 4 exact copies each → guaranteed pairs
+      val c = (i - 1) / 4
+      (i, (1 to 25).map(j => f"c$c%02d w$j%02d").mkString(" "), "en")
+    }
+    val dir = docsDir(rows)
+    val split = SparkEntry.queries("dd_split_leakfree")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(split.size == 40)
+    val pairs = SparkEntry.queries("dd_simhash_pairs")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "exact copies must band together")
+    pairs.foreach { case (a, b) =>
+      assert(split(a)._2 == split(b)._2,
+        s"near-dups $a/$b landed in ${split(a)._2} vs ${split(b)._2}")
+    }
+    // all four copies of a cluster share the canonical AND the split
+    (0L to 9L).foreach { c =>
+      val members = (c * 4 + 1) to (c * 4 + 4)
+      assert(members.map(split(_)._1).toSet.size == 1, s"cluster $c canonical")
+      assert(members.map(split(_)._2).toSet.size == 1, s"cluster $c split")
+    }
+    // rerun → identical assignment (salted hash, no RNG)
+    val again = SparkEntry.queries("dd_split_leakfree")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(again == split)
+  }
+
+  test("tx_curriculum_order: rank follows chars/token with doc_id " +
+    "tie-break, stages cut the rank range into 4 even bands") {
+    // difficulties: doc i has words of length i+1 → chars/token separates
+    val dir = docsDir((1L to 8L).map { i =>
+      (i, (1 to 10).map(_ => "x" * (i.toInt + 1)).mkString(" "), "en")
+    })
+    val out = SparkEntry.queries("tx_curriculum_order")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._1).toSeq == (1L to 8L),
+      "shortest words rank first (easy → hard)")
+    assert(out.map(_._3).toSeq == (0L to 7L), "dense global rank")
+    assert(out.map(_._4).toSeq == Seq(0L, 0L, 1L, 1L, 2L, 2L, 3L, 3L),
+      "4 contiguous stages of 2")
+    // difficulty = chars/token incl. separators: 10 words of len L + 9
+    // spaces over 10 tokens
+    val d1 = out.find(_._1 == 1L).get._2
+    assert(d1 == (10.0 * 2 + 9) / 10, s"doc 1 difficulty $d1")
+  }
+
+  test("mm_modal_align: score equals an independently computed cosine of " +
+    "the two towers, bounded in [-1, 1]") {
+    import graft.functions.TextHashes
+    val text = (1 to 20).map(i => f"tok$i%02d").mkString(" ")
+    val dir = docsDir(Seq((1L, text, "en")))
+    val row = SparkEntry.queries("mm_modal_align")(spark, dir).collect()
+    assert(row.length == 1)
+    val got = row.head.getDouble(1)
+    // media tower: byte-fold mod 8; text tower: word-hash bucket counts
+    val m = new Array[Double](8)
+    text.getBytes("UTF-8").zipWithIndex.foreach { case (b, i) =>
+      m(i % 8) += (b & 0xff) / 255.0
+    }
+    val t = new Array[Double](8)
+    text.split(" ").foreach { w =>
+      t((TextHashes.hash64("align:" + w) % 8).toInt) += 1.0
+    }
+    val dot = (0 until 8).map(k => m(k) * t(k)).sum
+    val exp = BigDecimal(dot / (math.sqrt(m.map(x => x * x).sum) *
+        math.sqrt(t.map(x => x * x).sum)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == exp, s"cosine $got vs independent $exp")
+    assert(got >= -1.0 && got <= 1.0)
+    assert(row.head.getBoolean(2) == (got >= 0.85), "gate applies the threshold")
+  }
 }
