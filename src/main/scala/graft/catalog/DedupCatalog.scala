@@ -977,9 +977,17 @@ object DedupCatalog extends Catalog {
       val isNew = col("doc_id") % 10 === 7
       val batch = docs.filter(isNew)
       val corpus = docs.filter(!isNew).cache()
-      val bloom = corpus.stat.bloomFilter("content_hash",
-        math.max(corpus.count(), 1000L), 0.01)
-      val mightContain = udf((h: Long) => bloom.mightContainLong(h))
+      // an EMPTY corpus has no bloom aggregate to read (stat.bloomFilter
+      // NPEs deserializing the null byte[] the empty aggregate returns) —
+      // and semantically nothing can be a dup of nothing, so the filter
+      // is constant-false. The count is already needed for sizing.
+      val corpusN = corpus.count()
+      val mightContain = if (corpusN == 0) udf((_: Long) => false)
+      else {
+        val bloom = corpus.stat.bloomFilter("content_hash",
+          math.max(corpusN, 1000L), 0.01)
+        udf((h: Long) => bloom.mightContainLong(h))
+      }
       val owners = corpus.groupBy(col("content_hash"))
         .agg(min(col("doc_id")).as("dup_of"))
       val checked = batch.filter(mightContain(col("content_hash")))
