@@ -360,6 +360,43 @@ object RelationalCatalog extends Catalog {
         .orderBy(col("doc_id"))
     }),
 
+    // ── W3: Z-order file layout (Morton 1966; the Delta/Iceberg OPTIMIZE
+    // ZORDER story done declaratively). A 1-D sort layout clusters ONE
+    // column: sort lineitem by ship-date and every file's partkey min/max
+    // spans the whole table, so a partkey predicate skips nothing. The
+    // Z-curve interleaves the bits of both dimensions, so consecutive
+    // z-values are close in BOTH — each 5000-row file covers a small
+    // day-range AND a small partkey-range, and min/max pruning works for
+    // either predicate. That file-skipping is THE 100 TB lever: the scan
+    // never reads files whose [min,max] excludes the predicate.
+    // Shape: day number is pure arithmetic; the partkey scale factor is a
+    // 1-row broadcast max; the 24-bit interleave is a 12-term codegen'd
+    // bit expression; the file cut rides the distributed ordinal (range
+    // partition + offsets — the global-sort Exchange is the same one any
+    // layout rewrite pays, and the only corpus-sized shuffle here). ──
+    "w3_zorder_layout" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          datediff(col("l_shipdate"), to_date(lit("1992-01-01"))).cast("long").as("day"))
+      val maxPk = li.agg(max(col("l_partkey")).cast("long").as("__maxpk"))
+      val dims = li.crossJoin(broadcast(maxPk))
+        .withColumn("pk12", expr("l_partkey * 4096L DIV (__maxpk + 1)"))
+      val z = (0 until 12).map { j =>
+        shiftright(col("day"), j).bitwiseAND(lit(1L)) * lit(1L << (2 * j)) +
+          shiftright(col("pk12"), j).bitwiseAND(lit(1L)) * lit(1L << (2 * j + 1))
+      }.reduce(_ + _)
+      val keyed = dims.withColumn("z", z)
+        .withColumn("__key", format_string("%08d%011d%01d",
+          col("z"), col("l_orderkey"), col("l_linenumber")))
+      graft.operators.Sitemap.withGlobalOrdinal(keyed, "__key", "__ord")
+        .withColumn("file_id", expr("__ord DIV 5000"))
+        .groupBy(col("file_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("day")).as("day_min"), max(col("day")).as("day_max"),
+          min(col("l_partkey")).as("pk_min"), max(col("l_partkey")).as("pk_max"))
+        .orderBy(col("file_id"))
+    }),
+
     // ── Sessionization: gap-based session assignment per user (30-min
     // inactivity closes a session) — the classic event-analytics operator,
     // lag + running sum over a per-USER window. Scales horizontally: the
@@ -730,6 +767,25 @@ object RelationalCatalog extends Catalog {
       """SELECT doc_id, source,
            (ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) = 1) AS flagged
          FROM documents ORDER BY doc_id""",
+    "w3_zorder_layout" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber, l_partkey,
+             CAST(date_diff('day', DATE '1992-01-01', l_shipdate) AS BIGINT) AS day
+           FROM lineitem),
+         mx AS (SELECT CAST(MAX(l_partkey) AS BIGINT) AS maxpk FROM li),
+         dims AS (SELECT li.*, (l_partkey * 4096) // (maxpk + 1) AS pk12
+           FROM li, mx),
+         zed AS (SELECT *,
+             CAST(list_sum(list_transform(range(0, 12), j ->
+               ((day >> CAST(j AS INT)) & 1) * (CAST(1 AS BIGINT) << CAST(2*j AS INT)) +
+               ((pk12 >> CAST(j AS INT)) & 1) * (CAST(1 AS BIGINT) << CAST(2*j + 1 AS INT)))) AS BIGINT) AS z
+           FROM dims),
+         o AS (SELECT *, ROW_NUMBER() OVER (ORDER BY z, l_orderkey, l_linenumber)
+             - 1 AS ord FROM zed)
+         SELECT CAST(ord // 5000 AS BIGINT) AS file_id, COUNT(*) AS n_rows,
+           MIN(day) AS day_min, MAX(day) AS day_max,
+           CAST(MIN(l_partkey) AS BIGINT) AS pk_min,
+           CAST(MAX(l_partkey) AS BIGINT) AS pk_max
+         FROM o GROUP BY 1 ORDER BY file_id""",
     "ev_sessionize" ->
       """WITH x AS (SELECT event_id, user_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL
