@@ -189,6 +189,44 @@ object PrepPipelineCatalog extends Catalog {
         .groupBy(col("lang"), col("shard_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("shard_tokens"))
         .orderBy(col("lang"), col("shard_id"))
+    }),
+
+    // ── Soft-dedup mixture design: dd_soft_weight CONSUMED downstream.
+    // The mixture designer's per-source token mass is the EFFECTIVE mass
+    // (Σ tokens/n_copies — each distinct content contributes one unit of
+    // expected training mass however often the crawl found it), then the
+    // tx_mix_weights temperature arithmetic runs over that corrected
+    // mass. The two can disagree substantially: a source whose volume is
+    // mostly mirrored copies shrinks toward its distinct content, gets a
+    // HIGHER mixture weight, and the 5-epoch cap applies to what a
+    // trainer would actually see. Plan: the same two 8-byte-key shuffles
+    // as dd_soft_weight plus a 1-row broadcast total — soft dedup, the
+    // rollup, and the mixture are one Catalyst plan. Per-element rounds
+    // before sums are the cross-engine ulp guard. ──
+    "pl_soft_mix" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          PortableHash.hash64(col("text")).as("content_hash"))
+      val sizes = docs.groupBy(col("content_hash"))
+        .agg(count(lit(1)).as("n_copies"))
+      val per = docs.join(sizes, Seq("content_hash"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("raw_docs"),
+          round(sum(round(lit(1.0) / col("n_copies"), 6)), 6).as("effective_docs"),
+          sum(col("n_tokens")).as("raw_tokens"),
+          round(sum(round(col("n_tokens").cast("double") / col("n_copies"), 6)), 6)
+            .as("effective_tokens"))
+      val tot = per.agg(sum(col("effective_tokens")).as("t_total"),
+        count(lit(1)).as("n_sources"))
+      val target = col("t_total") / col("n_sources")
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("raw_docs"), col("effective_docs"),
+          col("raw_tokens"), col("effective_tokens"),
+          round(col("effective_tokens") / col("t_total"), 6).as("token_share"),
+          round(least(target / col("effective_tokens"), lit(5.0)), 6).as("weight"),
+          (target / col("effective_tokens") > 5.0).as("capped"))
+        .orderBy(col("source"))
     })
   )
 
@@ -305,6 +343,24 @@ object PrepPipelineCatalog extends Catalog {
            FROM sampled)
          SELECT lang, shard_id, COUNT(*) AS n_docs,
            CAST(SUM(n_words) AS BIGINT) AS shard_tokens
-         FROM packed GROUP BY 1, 2 ORDER BY lang, shard_id"""
+         FROM packed GROUP BY 1, 2 ORDER BY lang, shard_id""",
+    "pl_soft_mix" ->
+      s"""WITH h AS (SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             ${PortableHash.hash64Sql("text")} AS ch
+           FROM documents),
+         sz AS (SELECT ch, COUNT(*) AS n_copies FROM h GROUP BY 1),
+         per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS raw_docs,
+             round(SUM(round(1.0 / n_copies, 6)), 6) AS effective_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS raw_tokens,
+             round(SUM(round(n_tokens::DOUBLE / n_copies, 6)), 6) AS effective_tokens
+           FROM h JOIN sz USING (ch) GROUP BY source),
+         tot AS (SELECT SUM(effective_tokens) AS t_total,
+             CAST(COUNT(*) AS BIGINT) AS n_sources FROM per)
+         SELECT source, raw_docs, effective_docs, raw_tokens, effective_tokens,
+           round(effective_tokens / t_total, 6) AS token_share,
+           round(least(t_total / n_sources / effective_tokens, 5.0), 6) AS weight,
+           t_total / n_sources / effective_tokens > 5.0 AS capped
+         FROM per, tot ORDER BY source"""
   )
 }
