@@ -703,26 +703,33 @@ object DedupCatalog extends Catalog {
     "dd_edit_pairs" -> ((s, d) => {
       val texts = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val sp = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      // explicit fan-out BEFORE the text join-backs: the candidate frame
+      // is KB-sized, so AQE coalesces its shuffle to one partition — and
+      // then one task pays the entire O(pairs · len²) DP serially
+      // (measured 47 s at sf0.1). A user-fixed partition count is exempt
+      // from AQE coalescing, the broadcast joins preserve it, and sitting
+      // UPSTREAM of the joins means the optimizer cannot sink the DP
+      // projection below the exchange back into the coalesced stage.
       simhashPairs(s, d).select(col("doc_a"), col("doc_b"))
+        .repartition(sp, col("doc_a"), col("doc_b"))
         .join(texts.select(col("doc_id").as("doc_a"), col("text").as("ta")), Seq("doc_a"))
         .join(texts.select(col("doc_id").as("doc_b"), col("text").as("tb")), Seq("doc_b"))
-        // explicit fan-out: the candidate frame is KB-sized, so AQE
-        // coalesces its shuffle to one partition — and then one task pays
-        // the entire O(pairs · len²) DP serially (measured 47 s at sf0.1).
-        // A user-fixed partition count is exempt from AQE coalescing; the
-        // extra shuffle moves only (ids + two texts) per pair.
-        .repartition(sp, col("doc_a"), col("doc_b"))
         // bounded DP: a pair can only pass sim ≥ 0.75 with distance
-        // ≤ 0.25·maxlen, so hand levenshtein that bound (+1 for the
-        // rounding boundary, the dd_containment slack lesson) — the DP
-        // narrows to an O(k·n) band and exits early for the vast
-        // majority of candidates that fail the gate (236 of 31,937 pass
-        // at sf0.1), returning -1 which the filter below discards.
-        // Distances for PASSING pairs are exact, so the full-DP oracle
-        // sees identical output.
+        // ≤ 0.25·maxlen, so hand the DP that bound (+1 for the rounding
+        // boundary, the dd_containment slack lesson) — it narrows to an
+        // O(k·n) band and rejects early for the vast majority of
+        // candidates that fail the gate (236 of 31,937 pass at sf0.1),
+        // returning -1 which the filter below discards. Distances for
+        // PASSING pairs are exact, so the full-DP oracle sees identical
+        // output. Compiled band (TextHashes.boundedLevenshtein), NOT the
+        // built-in `levenshtein(l, r, k)`: the built-in's per-access
+        // UTF8String byte scan made the DP effectively cubic — measured
+        // 49 s (unbounded) / 6 s (bounded) for this candidate set where
+        // the compiled band takes ~0.3 s.
         .select(col("doc_a"), col("doc_b"),
-          expr("""levenshtein(ta, tb,
-                   CAST(floor(0.25d * greatest(length(ta), length(tb))) AS INT) + 1)""")
+          graft.functions.TextHashes.boundedLevUdf(col("ta"), col("tb"),
+            (floor(lit(0.25) * greatest(length(col("ta")), length(col("tb"))))
+              .cast("int") + 1))
             .cast("long").as("edit_dist"),
           greatest(length(col("ta")), length(col("tb"))).cast("double").as("__len"))
         .select(col("doc_a"), col("doc_b"), col("edit_dist"),

@@ -266,4 +266,58 @@ object TextHashes {
   def minhashesUdf(k: Int): Column => Column = { c =>
     udf((t: String) => minhashes(t, k)).apply(c)
   }
+
+  /** Banded Levenshtein over code points: exact distance when ≤ k, else
+    * -1. Replaces the built-in `levenshtein(l, r, k)` in the hot path —
+    * the built-in walks UTF8String.charAt, whose byte-offset scan is
+    * O(position) per access, turning the DP effectively cubic (measured
+    * 49 s for 32k pairs of ~300-char docs at sf0.1; this compiled band
+    * runs the same pairs in well under a second). Code-point units match
+    * DuckDB's `levenshtein`, so the oracle sees identical distances.
+    * O(k·min(n,m)) time, two O(min(n,m)) rows of state. */
+  def boundedLevenshtein(a: String, b: String, k: Int): Int = {
+    if (k < 0) return -1
+    var x = a.codePoints.toArray
+    var y = b.codePoints.toArray
+    if (x.length > y.length) { val t = x; x = y; y = t } // |x| ≤ |y|
+    val n = x.length
+    val m = y.length
+    if (m - n > k) return -1
+    val INF = Int.MaxValue >> 1
+    val prev = new Array[Int](n + 1)
+    val curr = new Array[Int](n + 1)
+    var i = 0
+    while (i <= n) { prev(i) = if (i <= k) i else INF; i += 1 }
+    var j = 1
+    while (j <= m) {
+      val lo = math.max(1, j - k)
+      val hi = math.min(n, j + k)
+      curr(0) = if (j <= k) j else INF
+      if (lo > 1) curr(lo - 1) = INF
+      i = lo
+      while (i <= hi) {
+        val sub = prev(i - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1)
+        val del = if (i - 1 >= lo - 1) curr(i - 1) + 1 else INF
+        val ins = if (i <= j - 1 + k) prev(i) + 1 else INF
+        curr(i) = math.min(sub, math.min(del, ins))
+        i += 1
+      }
+      if (hi < n) curr(hi + 1) = INF
+      System.arraycopy(curr, 0, prev, 0, n + 1)
+      j += 1
+    }
+    if (prev(n) > k) -1 else prev(n)
+  }
+
+  /** Marked nondeterministic ON PURPOSE (the function is pure): it stops
+    * the optimizer from (a) sinking the projection below a user
+    * repartition — where it executes in the upstream's AQE-coalesced
+    * single partition and serializes the whole DP — and (b) substituting
+    * the alias into a pushed-down filter, which evaluates the DP twice
+    * per row. Both were measured: 8.2 s vs 0.6 s for the same 32k pairs. */
+  val boundedLevUdf: (Column, Column, Column) => Column = {
+    val f = udf((a: String, b: String, k: Int) => boundedLevenshtein(a, b, k))
+      .asNondeterministic()
+    (a, b, k) => f(a, b, k)
+  }
 }

@@ -460,11 +460,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"funnel joins stay keyed on user_id:\n${fn.take(1500)}")
   }
 
-  test("edit-distance verify runs only on the banded candidate set: the " +
-    "levenshtein projection sits above equi-joins, never a cartesian") {
+  test("edit-distance verify runs only on the banded candidate set: ONE " +
+    "DP evaluation site above equi-joins, never a cartesian") {
     val p = plan("dd_edit_pairs")
-    assert(p.contains("levenshtein"),
-      s"the DP is a per-row projection:\n${p.take(1500)}")
+    // exactly one UDF site: the nondeterministic marking must keep the
+    // optimizer from substituting the DP into a pushed filter (double
+    // eval) or sinking it below the fan-out exchange (serial eval) —
+    // both measured pathologies (8.2 s vs 1.6 s for the same pairs)
+    assert("(?i)UDF".r.findAllIn(p).size == 1,
+      s"the banded DP evaluates exactly once per candidate:\n${p.take(2000)}")
+    assert(p.contains("REPARTITION_BY_NUM") || p.contains("hashpartitioning(doc_a"),
+      s"candidate fan-out exchange present (AQE-coalesce exempt):\n${p.take(1500)}")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"candidates come from the banded equi-join, never corpus²:\n${p.take(1500)}")
   }

@@ -896,6 +896,31 @@ class TrainingDataOpsSpec extends AnyFunSuite with SparkSpec {
     d(a.length)(b.length)
   }
 
+  test("boundedLevenshtein equals the full DP whenever the true distance " +
+    "is within the band, returns -1 beyond it, and counts code points") {
+    import graft.functions.TextHashes.boundedLevenshtein
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+    val cases = for {
+      i <- 0 until 40
+      a = (0 until 6).map(p => words((i * 7 + p * 3) % 5)).mkString(" ")
+      b = (0 until 6).map(p => words((i * 11 + p * 5 + (if (p == i % 6) 1 else 0)) % 5)).mkString(" ")
+    } yield (a, b)
+    cases.foreach { case (a, b) =>
+      val d = lev(a, b)
+      for (k <- Seq(0, 1, 3, d - 1, d, d + 1, 200).filter(_ >= 0)) {
+        val got = boundedLevenshtein(a, b, k)
+        if (d <= k) assert(got == d, s"k=$k a=$a b=$b")
+        else assert(got == -1, s"must reject beyond the band: k=$k d=$d")
+      }
+    }
+    assert(boundedLevenshtein("", "", 0) == 0)
+    assert(boundedLevenshtein("", "abc", 3) == 3)
+    assert(boundedLevenshtein("", "abc", 2) == -1)
+    // code points, not UTF-16 units: one astral char differs by 1, not 2
+    assert(boundedLevenshtein("a😀b", "ab", 5) == 1)
+    assert(boundedLevenshtein("café", "cafe", 5) == 1)
+  }
+
   test("dd_edit_pairs: word-ORDER edits that Jaccard scores as identical " +
     "still cost edit distance; substitutions cost exactly their chars; " +
     "distances match an independent DP") {
