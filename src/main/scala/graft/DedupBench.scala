@@ -229,8 +229,53 @@ object DedupBench {
     val contRecallS = secs(tCr)
     val contRecall = foundCont.toDouble / math.max(totCont, 1L)
 
+    // ── stage 6: edit-distance verify (dd_edit_pairs shape) ────────────
+    // banded 60-bit simhash candidates → compiled bounded-Levenshtein
+    // verify at sim ≥ 0.75. Two planted invariants: every exact-dup pair
+    // must verify at distance 0 (identical text → identical fingerprint
+    // → hamming-0 candidate), and near-dup recall reports how many
+    // 3-word rewrites survive BOTH the simhash bands and the edit gate —
+    // the honest compound number for this candidate path.
+    val tEd = System.nanoTime()
+    val fps = docs.select(col("doc_id"),
+      org.apache.spark.sql.graftnative.NativeExpressions
+        .simhash60Col(col("text")).as("fp"))
+    val etexts = docs.select(col("doc_id"), col("text"))
+    val epairs = graft.catalog.DedupCatalog
+      .bandedHammingPairs(fps, maxHamming = 6)
+      .select(col("doc_a"), col("doc_b"))
+      .repartition(cpus.toInt * 4, col("doc_a"), col("doc_b"))
+      .join(etexts.select(col("doc_id").as("doc_a"), col("text").as("ta")), Seq("doc_a"))
+      .join(etexts.select(col("doc_id").as("doc_b"), col("text").as("tb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.TextHashes.boundedLevUdf(col("ta"), col("tb"),
+          (floor(lit(0.25) * greatest(length(col("ta")), length(col("tb"))))
+            .cast("int") + 1)).cast("long").as("edit_dist"),
+        greatest(length(col("ta")), length(col("tb"))).cast("double").as("__len"))
+      .filter(col("edit_dist") >= 0 &&
+        lit(1.0) - col("edit_dist").cast("double") / col("__len") >= 0.75)
+      .select(col("doc_a"), col("doc_b"), col("edit_dist"))
+      .cache()
+    val nEditPairs = epairs.count()
+    val editS = secs(tEd)
+    val tEr = System.nanoTime()
+    val plantedEx = docs.filter(col("role") === "exact_dup")
+      .select((col("doc_id") - 1).as("doc_a"), col("doc_id").as("doc_b"))
+    val totEx = plantedEx.count()
+    val foundExZero = plantedEx
+      .join(epairs.filter(col("edit_dist") === 0), Seq("doc_a", "doc_b"), "left_semi")
+      .count()
+    val plantedNe = docs.filter(col("role") === "near_dup")
+      .select((col("doc_id") - 1).as("doc_a"), col("doc_id").as("doc_b"))
+    val totNe = plantedNe.count()
+    val foundNe = plantedNe.join(epairs, Seq("doc_a", "doc_b"), "left_semi").count()
+    epairs.unpersist()
+    val editRecallS = secs(tEr)
+    val editExactRecall = foundExZero.toDouble / math.max(totEx, 1L)
+    val editNearRecall = foundNe.toDouble / math.max(totNe, 1L)
+
     val totalS = exactS + minhashS + verifyS + cdcS + cdcContS +
-      contJoinS + contRecallS
+      contJoinS + contRecallS + editS + editRecallS
     println(s"""{"metric":"dedup_docs_per_sec","value":${(n / totalS).round},""" +
       s""""rows":$n,"fixture_sec":${f"$fixtureS%.1f"},""" +
       s""""exact_sec":${f"$exactS%.1f"},"exact_dup_groups":$exGroups,"exact_dup_members":$exMembers,""" +
@@ -246,7 +291,11 @@ object DedupBench {
       s""""cdc_near_containment_min":${f"${nearCont._2}%.4f"},""" +
       s""""containment_sec":${f"$contJoinS%.1f"},"containment_pairs":$nContPairs,""" +
       s""""containment_verify_sec":${f"$contRecallS%.1f"},""" +
-      s""""containment_planted":$totCont,"containment_recall":$contRecall}""")
+      s""""containment_planted":$totCont,"containment_recall":$contRecall,""" +
+      s""""edit_sec":${f"$editS%.1f"},"edit_pairs":$nEditPairs,""" +
+      s""""edit_verify_sec":${f"$editRecallS%.1f"},""" +
+      s""""edit_exact_recall":${f"$editExactRecall%.4f"},""" +
+      s""""edit_near_recall":${f"$editNearRecall%.4f"}}""")
     spark.stop()
   }
 }

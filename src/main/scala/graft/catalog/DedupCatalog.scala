@@ -302,7 +302,7 @@ object DedupCatalog extends Catalog {
     * Fingerprints are cached pre-join: the fingerprint expression is
     * ~1000× the cost of the join probe, so it must evaluate once per doc,
     * not once per join side per reference. */
-  private def bandedHammingPairs(fps: DataFrame, maxHamming: Int): DataFrame = {
+  private[graft] def bandedHammingPairs(fps: DataFrame, maxHamming: Int): DataFrame = {
     val base = fps
       .select(col("doc_id"), col("fp"),
         explode(array((0 until 4).map(k => struct(
