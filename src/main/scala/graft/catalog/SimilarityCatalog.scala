@@ -108,6 +108,45 @@ object SimilarityCatalog extends Catalog {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ── Filtered vector search — the production pattern every vector
+    // store ships (Qdrant/Milvus "filtered ANN"): an attribute predicate
+    // composes with the similarity index, here "nearest neighbors from a
+    // DIFFERENT label" (cross-category retrieval: recommend similar items
+    // outside the user's own cluster). The predicate rides INSIDE the
+    // multi-probe candidate equi-join, so non-qualifying vectors are
+    // pruned before any cosine is computed — at 100 TB, with the
+    // fingerprint index bucketed by (label, sig), the same predicate
+    // prunes whole buckets at the scan and the post-filter candidate set
+    // stays ∝ qualifying bucket occupancy. Post-filtering a top-k (the
+    // naive composition) is WRONG under selective predicates — it
+    // returns < k or misses qualifying neighbors ranked past k; the
+    // filter must reach the candidate generator, which is what this row
+    // pins. ──
+    "sim_ann_filtered" -> ((s, d) => {
+      val corpus = vecs(s, d)
+        .withColumn("norm", graft.functions.VectorOps.normUdf(col("v")))
+        .withColumn("sig", graft.functions.VectorOps.lshSigUdf8(col("v")))
+        .cache()
+      val probes = array(lit(0) +: (0 until 8).map(j => lit(1 << j)): _*)
+      val qs = corpus.filter(col("vec_id") >= 20 && col("vec_id") < 25)
+        .select(col("vec_id").as("query_id"), col("sig").as("qsig"),
+          col("v").as("qv"), col("norm").as("qnorm"), col("label").as("qlabel"))
+        .withColumn("probe_sig",
+          explode(transform(probes, m => col("qsig").bitwiseXOR(m))))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      corpus.join(broadcast(qs),
+          col("sig") === col("probe_sig") && col("vec_id") =!= col("query_id") &&
+            col("label") =!= col("qlabel"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("label").as("neighbor_label"),
+          cosPrecomputed(col("qv"), col("qnorm"), col("v"), col("norm")).as("cos_sim"))
+        .distinct()
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ── IVF-style cell-restricted top-k: probe only the query's cell ──
     "sim_ann_ivf" -> ((s, d) => {
       val corpus = vecs(s, d)
@@ -714,6 +753,20 @@ object SimilarityCatalog extends Catalog {
            FROM sigs e JOIN q
              ON bit_count(xor(e.sig, q.qsig)) <= 1 AND e.vec_id <> q.query_id)
          SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank FROM p) t
+         WHERE rank <= 3 ORDER BY query_id, rank""",
+    "sim_ann_filtered" ->
+      s"""WITH sigs AS (
+           SELECT vec_id, label, embedding, ${lshSigSql("embedding")} AS sig FROM embeddings),
+         q AS (SELECT vec_id AS query_id, sig AS qsig, embedding AS qv, label AS qlabel
+             FROM sigs WHERE vec_id >= 20 AND vec_id < 25),
+         p AS (SELECT DISTINCT q.query_id, e.vec_id AS neighbor_id,
+             e.label AS neighbor_label,
+             ${cosineSql("q.qv", "e.embedding")} AS cos_sim
+           FROM sigs e JOIN q
+             ON bit_count(xor(e.sig, q.qsig)) <= 1 AND e.vec_id <> q.query_id
+               AND e.label <> q.qlabel)
+         SELECT query_id, neighbor_id, neighbor_label, cos_sim, CAST(rank AS INT) AS rank
          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank FROM p) t
          WHERE rank <= 3 ORDER BY query_id, rank""",
     "sim_ann_recall" ->
