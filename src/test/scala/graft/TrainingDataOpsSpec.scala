@@ -1000,6 +1000,39 @@ class TrainingDataOpsSpec extends AnyFunSuite with SparkSpec {
     assert(d1 == (10.0 * 2 + 9) / 10, s"doc 1 difficulty $d1")
   }
 
+  test("sim_ann_filtered: the predicate reaches the candidate join — a " +
+    "post-filtered top-k returns NOTHING on the same corpus") {
+    import spark.implicits._
+    // query 20 (label 0) sits in a tight label-0 cluster; the label-1
+    // vectors are slightly farther. Unfiltered top-3 is all label 0, so
+    // filtering AFTER a top-3 truncation yields the empty set — while
+    // the filtered search must return the three label-1 neighbors.
+    val base = Array.tabulate(8)(i => 1.0f + i * 0.5f)
+    def near(eps: Float, dim: Int) =
+      base.zipWithIndex.map { case (x, i) => if (i == dim) x + eps else x }
+    val rows =
+      Seq((20L, base, 0)) ++
+        (1L to 5L).map(i => (i, near(0.001f, (i % 8).toInt), 0)) ++
+        (11L to 13L).map(i => (i, near(0.05f, (i % 8).toInt), 1))
+    val dir = java.nio.file.Files.createTempDirectory("graft_emb").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val filtered = SparkEntry.queries("sim_ann_filtered")(spark, dir).collect()
+    assert(filtered.length == 3, s"filtered search fills k: ${filtered.length}")
+    assert(filtered.forall(_.getInt(2) == 1), "every neighbor is cross-label")
+    assert(filtered.map(_.getLong(1)).toSet == Set(11L, 12L, 13L))
+
+    // the naive composition: unfiltered top-3, THEN the predicate
+    val naive = SparkEntry.queries("sim_ann_multiprobe")(spark, dir).collect()
+      .filter(_.getLong(0) == 20L)
+    assert(naive.length == 3 && naive.forall(r => Set(1L, 2L, 3L, 4L, 5L)(r.getLong(1))),
+      "unfiltered top-3 is all same-label")
+    // post-filtering that truncated list against label != 0 leaves nothing
+    assert(!naive.exists(r => r.getLong(1) >= 11L),
+      "post-filter on the truncated top-k returns the empty set")
+  }
+
   test("mm_modal_align: score equals an independently computed cosine of " +
     "the two towers, bounded in [-1, 1]") {
     import graft.functions.TextHashes
