@@ -694,7 +694,8 @@ object Cli {
       val key = raw.stripPrefix("--")
       val next = if (i + 1 < argv.length) Some(argv(i + 1)) else None
       val takesValue = valued(key) &&
-        (!optionalValued(key) || next.exists(v => !v.startsWith("-")))
+        (!optionalValued(key) ||
+          next.exists(v => v.nonEmpty && !v.startsWith("-")))
       if (takesValue) {
         next match {
           case Some(v) => m += key -> v; i += 2

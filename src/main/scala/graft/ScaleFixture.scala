@@ -99,8 +99,12 @@ object ScaleFixture {
     write(rep(embeddings).select(shift("vec_id", vSpan),
       zip_with(col("embedding"),
         sequence(lit(0), size(col("embedding")) - 1),
-        (x, i) => (x + (pmod(col("__r") * 7 + i, lit(11)) - 5).cast("float")
-          * lit(0.001f))).as("embedding"),
+        // Replica 0 is the UNTOUCHED source vector (mirrors the documents
+        // handling) so the scaled fixture is a superset of the source and
+        // cross-SF sim_* comparisons stay anchored (r9 advice).
+        (x, i) => when(col("__r") === 0, x).otherwise(
+          x + (pmod(col("__r") * 7 + i, lit(11)) - 5).cast("float")
+            * lit(0.001f))).as("embedding"),
       col("label")), "embeddings", 2)
 
     println(s"""{"fixture":"$dst","k":$k}""")

@@ -104,6 +104,10 @@ object SimilarityBench {
     }.reduce(_ + _)
     var state = corpus.withColumn("label", planes % cells)
       .select(col("vec_id"), col("v"), col("label"))
+    // The handle that actually holds the previous round's cache: `state` is
+    // a PROJECTION of the cached `assigned`, so unpersisting it is a no-op
+    // (r9 advice) — we must unpersist the cached frame itself.
+    var prevCached: DataFrame = null
     val roundStats = (1 to 3).map { r =>
       val cent = state
         .select(col("label").as("clabel"), posexplode(col("v")).as(Seq("i", "x")))
@@ -127,13 +131,16 @@ object SimilarityBench {
         .agg(sum(col("dist2")).as("inertia"),
           sum(when(col("label") =!= col("old_label"), 1L).otherwise(0L)).as("moved"))
         .collect().head
-      val prev = state
+      // agg.collect() above materialized this round's `assigned` cache, so
+      // the previous round's cached frame can be freed now.
+      if (prevCached != null) prevCached.unpersist()
+      prevCached = assigned
       state = assigned.select(col("vec_id"), col("v"), col("label"))
-      prev.unpersist()
       (r, agg.getDouble(0), agg.getLong(1))
     }
     val index = state.cache()
     val indexedN = index.count()
+    if (prevCached != null) prevCached.unpersist()
     val trainS = secs(tTrain)
 
     // trained centroids + norms, broadcast-sized (C × dim)

@@ -1365,6 +1365,15 @@ object DedupCatalog extends Catalog {
            COUNT(*) AS n_occ
          FROM ch GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
          ORDER BY chunk_hash""",
+    // CONTRACT NOTE (bounded loss vs exact oracle): this oracle is exact
+    // brute force while the Spark plan is df-capped (dfCap = corpus/50).
+    // The plan's recall is exact only under the ZERO-LOSS CONDITION —
+    // every probe doc has ≥ ⌊(1−t)|A|⌋+2 shingles with df ≤ dfCap (see
+    // containmentPairs scaladoc; ContainmentPropSpec pins the bounded
+    // case). ContainmentPropSpec's fixture leg ASSERTS the condition on
+    // the gate fixtures, so a future red compare on a boilerplate-heavy
+    // corpus is the documented approximation kicking in, not a plan bug:
+    // triage by re-checking the condition before touching the plan.
     "dd_containment" ->
       s"""WITH sh AS (SELECT doc_id,
            list_distinct(list_transform($Shingles3Sql, s -> ${hash64Sql("s")})) AS sh

@@ -316,7 +316,11 @@ object TextHashes {
     * the alias into a pushed-down filter, which evaluates the DP twice
     * per row. Both were measured: 8.2 s vs 0.6 s for the same 32k pairs. */
   val boundedLevUdf: (Column, Column, Column) => Column = {
-    val f = udf((a: String, b: String, k: Int) => boundedLevenshtein(a, b, k))
+    // Null-safe like the builtin levenshtein(l, r, k): a null text yields
+    // NULL instead of NPE-failing the task (r9 advice).
+    val f = udf((a: String, b: String, k: Int) =>
+        if (a == null || b == null) None
+        else Some(boundedLevenshtein(a, b, k)))
       .asNondeterministic()
     (a, b, k) => f(a, b, k)
   }

@@ -589,6 +589,12 @@ class CliSpec extends AnyFunSuite with SparkSpec {
     assert(Cli.parse(Seq("-r", "-f")) ==
       Right(Map("index" -> "sml", "force_indexing" -> "")))
     assert(Cli.parse(Seq("-r", "sm")) == Right(Map("index" -> "sm")))
+    // Regression (r9 verdict): an empty token after -r must NOT be consumed
+    // as the letter set — it falls through to the "sml" default and the
+    // empty token is then rejected as a stray argument. The reference's
+    // nargs='?' never yields an empty letter set (run.py:702-708).
+    assert(Cli.parse(Seq("-r", "")).isLeft,
+      "-r followed by an empty token must not admit index=\"\"")
     assert(Cli.parse(Seq("--since", "2024-01-01")) ==
       Right(Map("since" -> "2024-01-01")))
     assert(Cli.parse(Seq("--since")).isLeft, "valued flag without value")
@@ -602,7 +608,18 @@ class CliSpec extends AnyFunSuite with SparkSpec {
         "--manage-sitemap", "--action", "add", "remove", "sml", "b1,b2",
         "--boost-all", "--priority", "--", "-", ""),
       Gen.asciiPrintableStr.map(_.take(12)))
-    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500),
+    // Known counterexample from r9 pinned explicitly so the gate cannot
+    // flake green on generator luck, plus a FIXED seed: the property is a
+    // deterministic regression suite, not a lottery.
+    val pinned = Seq(Seq("-r", ""), Seq("-r", "", "-f"), Seq("--since", ""),
+      Seq("-r", "-r", ""))
+    for (argv <- pinned) Cli.parse(argv) match {
+      case Right(m) => assert(m.get("index").forall(_.nonEmpty), s"argv=$argv parsed to $m")
+      case Left(e)  => assert(e.nonEmpty)
+    }
+    val seed = org.scalacheck.rng.Seed(0x5eed_cafe_f00dL)
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500)
+        .withInitialSeed(seed),
       Prop.forAll(Gen.listOf(tokens)) { argv =>
         Cli.parse(argv) match {
           case Right(m) =>

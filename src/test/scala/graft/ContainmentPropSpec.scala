@@ -72,4 +72,35 @@ class ContainmentPropSpec extends AnyFunSuite with SparkSpec {
       SCTest.Parameters.default.withMinSuccessfulTests(10).withWorkers(1), prop)
     assert(res.passed, s"containment property failed: ${res.status}")
   }
+
+  // The oracle gate runs dd_containment's EXACT brute-force SQL against the
+  // df-capped plan. That compare is only guaranteed green under the
+  // zero-loss condition (every doc has ≥ ⌊(1−t)|A|⌋+2 sub-cap shingles).
+  // Assert the condition ON THE GATE FIXTURES so the green is a checked
+  // invariant: if a future fixture breaks it, THIS test goes red with a
+  // targeted message instead of the oracle compare going red mysteriously.
+  test("gate fixtures satisfy the containment zero-loss condition") {
+    import org.apache.spark.sql.functions._
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val docs = graft.Tables.documents(spark, sf)
+        .select(col("doc_id"),
+          graft.functions.TextHashes.windowHashesUdf(3, distinct = true)(col("text")).as("sh"))
+        .cache()
+      val dfCap = math.max(100L, docs.count() / 50) // the catalog's default
+      val dfs = docs.select(explode(col("sh")).as("s"))
+        .groupBy(col("s")).agg(count(lit(1)).as("df"))
+      val violating = docs
+        .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+        .join(dfs, Seq("s"))
+        .groupBy(col("doc_id"), col("n"))
+        .agg(sum(when(col("df") <= dfCap, 1L).otherwise(0L)).as("cold"))
+        .filter(col("cold") < floor((lit(1.0) - lit(t)) * col("n")) + 2)
+        .count()
+      docs.unpersist()
+      assert(violating == 0L,
+        s"$sf: $violating docs are hot-saturated — dd_containment's exact " +
+          "oracle is no longer guaranteed; expect bounded-loss divergence " +
+          "(see the contract note at the oracle entry), not a plan bug")
+    }
+  }
 }
