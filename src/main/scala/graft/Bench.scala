@@ -22,7 +22,11 @@ object Bench {
     // position changes: each absorbed different JIT/codegen warmup at its
     // new slot). Sorted order pins each query's position and neighbors
     // across rounds so BENCH_rN diffs measure the code, not the map.
+    // Optional comma-separated name filter for local iteration (slope
+    // checks on one query without the 161-query sweep); unset = all.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // drop any caches a query materialized so timings stay independent
     // (incl. the sitemap ordinal pins, whose queue must drain too)
     def cleanup(): Unit = graft.catalog.Catalog.unpersistAll(spark)
@@ -60,15 +64,34 @@ object Bench {
     // per-query timing at 10x-smaller data printed BEFORE the headline
     // lines, so per-family scaling slope is visible from one artifact.
     // The driver's parser reads the LAST lines, which stay unchanged.
+    // Every pass's full per-query map ALSO lands in a standalone artifact:
+    // the driver's tail-capture truncates the front of the long stdout
+    // lines (r4, r6, r9 — the first ~100 queries vanish from BENCH_rN),
+    // so round-over-round diffs must not depend on stray /tmp logs. One
+    // JSON object per pass, keyed by sf dir, atomically rewritten.
+    val artifact = new scala.collection.mutable.LinkedHashMap[String, String]()
+    def record(dir: String, line: String): Unit = {
+      artifact(dir) = line
+      val body = artifact.map { case (k, v) => "\"" + k + "\": " + v }
+        .mkString("{\n", ",\n", "\n}")
+      val tmp = java.nio.file.Paths.get("target/bench_full.json.tmp")
+      java.nio.file.Files.writeString(tmp, body)
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get("target/bench_full.json"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
     val sfDir2 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR2", "/root/testdata/sf0.01")
     if (sfDir2 != "off" && new java.io.File(sfDir2).isDirectory) {
       val (r2, gc2) = timedPass(sfDir2)
-      println(s"""{"metric":"total_sf2","value":${r2.map(_._2).sum},"unit":"sec","gc_sec":$gc2,"queries":${jsonOf(r2)},"sf":"$sfDir2"}""")
+      val line2 = s"""{"metric":"total_sf2","value":${r2.map(_._2).sum},"unit":"sec","gc_sec":$gc2,"queries":${jsonOf(r2)},"sf":"$sfDir2"}"""
+      println(line2)
+      record(sfDir2, line2)
     }
     val (results, gcSec) = timedPass(sfDir)
     val qs = jsonOf(results)
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","gc_sec":$gcSec,"queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","gc_sec":$gcSec,"queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    record(sfDir, line)
     // second, SHORT line: the driver's tail-capture has truncated the
     // front of the long per-query line in past rounds (r4, r6), losing
     // the headline "metric":"total" field — a line this short always
