@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 
 /** Persisted MinHash fingerprint index with segment-append maintenance —
   * the table `dd_incremental` and `StreamingNearDup` assume as "the
@@ -10,70 +10,127 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * admit a batch → APPEND its 4 band rows per doc; retract docs → append
   * a tombstone set; periodically COMPACT the segments into one.
   *
-  * Layout (MasterStore's atomic-pointer discipline, adapted to appends —
-  * a snapshot-per-mutation store would rewrite the whole 4-rows-per-doc
-  * index to admit one batch, which at a 12B-doc corpus is the difference
-  * between touching ~KBs and rewriting ~TBs):
+  * Layout (manifest-generation discipline — a snapshot-per-mutation
+  * store would rewrite the whole 4-rows-per-doc index to admit one
+  * batch, which at a 12B-doc corpus is the difference between touching
+  * ~KBs and rewriting ~TBs):
   *
   *   root/
-  *     seg_<batchId>/   (parquet: doc_id, sh, band_idx, band_val)
-  *     ts_<batchId>/    (parquet: doc_id — retracted)
-  *     CURRENT          (manifest: one live segment/tombstone name per line)
-  *     CURRENT.v        (monotone manifest version, for audits)
+  *     seg_<batchId>/        (parquet: doc_id, sh, band_idx, band_val)
+  *     ts_<batchId>/         (parquet: doc_id — retracted)
+  *     manifest_<gen>        (one live segment/tombstone name per line)
   *
-  * Mutations write their segment dir FIRST (overwrite mode), then swap
-  * the manifest atomically. A crash between the two leaves an orphan
-  * directory the manifest never referenced — never a torn index — and
-  * the replay (at-least-once delivery, the reference's ST4 contract,
+  * The live manifest is the HIGHEST generation file; each mutation
+  * publishes generation g+1 by hard-linking a prepared temp file into
+  * place (`Files.createLink` — link(2) fails with EEXIST if the name is
+  * taken, the one true compare-and-swap a shared filesystem offers;
+  * rename(2) silently replaces, so an atomic-move "swap" is last-writer-
+  * wins, the lost-update race the r9 review flagged). A writer that
+  * loses the CAS re-reads the winner's manifest and retries on top of
+  * it, so two interleaved appenders both land: neither can drop the
+  * other's segment.
+  *
+  * Mutations write their segment dir FIRST (overwrite mode), then
+  * publish. A crash between the two leaves an orphan directory no
+  * manifest references — never a torn index — and the replay
+  * (at-least-once delivery, the reference's ST4 contract,
   * adsmp/tasks.py:404-429) rewrites the same segment byte-identically
-  * and re-swaps an IDENTICAL manifest: appends are idempotent in the
+  * and finds its name already live: appends are idempotent in the
   * caller-supplied batchId, not in arrival count.
   *
-  * Readers resolve the manifest once and union the listed segments —
-  * a consistent view however many appends race behind them. At cluster
+  * Readers resolve the manifest once and union the listed segments — a
+  * consistent view however many appends race behind them. Compaction
+  * folds the live set into one fresh segment and, like any table-format
+  * rewrite (Delta/Iceberg do the same), re-runs its fold when the CAS
+  * detects concurrent mutations; its vacuum deletes superseded dirs, so
+  * schedule it like any table-maintenance job (a reader holding a
+  * pre-compaction manifest races the vacuum — the standard retention
+  * trade, not a correctness bug in the manifest protocol). At cluster
   * scale each segment is a co-partitioned parquet write (band-key joins
-  * shuffle only the probe side; see StreamingNearDup) and compaction is
-  * the one whole-index rewrite, scheduled like any table-maintenance job.
+  * shuffle only the probe side; see StreamingNearDup).
   */
 class FingerprintIndexStore(val root: String, numBuckets: Int = 8) {
 
-  private def currentFile = Paths.get(root, "CURRENT")
-  private def versionFile = Paths.get(root, "CURRENT.v")
+  private val GenName = raw"manifest_(\d{12})".r
+
+  /** (generation, path) pairs of all published manifests, unsorted. */
+  private def generations(): Seq[(Long, Path)] = {
+    val dir = Paths.get(root)
+    if (!Files.isDirectory(dir)) return Nil
+    val s = Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.flatMap { p =>
+        p.getFileName.toString match {
+          case GenName(g) => Some(g.toLong -> p)
+          case _          => None
+        }
+      }.toSeq
+    } finally s.close()
+  }
+
+  /** Read the highest generation consistently: list, read the max; if a
+    * concurrent compaction vacuumed that file between the two steps,
+    * re-list (the replacement generation is strictly higher, so the loop
+    * terminates in one hop per lost race). */
+  private def snapshot(): (Long, Seq[String]) = {
+    while (true) {
+      generations() match {
+        case Nil => return (0L, Nil)
+        case gs =>
+          val (g, p) = gs.maxBy(_._1)
+          try {
+            val entries = new String(Files.readAllBytes(p), "UTF-8")
+              .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+            return (g, entries)
+          } catch { case _: java.nio.file.NoSuchFileException => () }
+      }
+    }
+    sys.error("unreachable")
+  }
 
   /** Live manifest entries (segment + tombstone dir names), oldest first. */
-  def manifest: Seq[String] =
-    if (!Files.exists(currentFile)) Nil
-    else new String(Files.readAllBytes(currentFile), "UTF-8")
-      .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+  def manifest: Seq[String] = snapshot()._2
 
-  def manifestVersion: Long =
-    if (!Files.exists(versionFile)) 0L
-    else new String(Files.readAllBytes(versionFile), "UTF-8").trim.toLong
+  /** Monotone manifest generation (0 = nothing published). */
+  def manifestVersion: Long = snapshot()._1
 
-  private def swapManifest(entries: Seq[String]): Unit = {
+  /** CAS publish: generation `expected`+1 gets `entries` iff no other
+    * writer published it first. Hard-link into place — atomic, EEXIST on
+    * conflict. */
+  private def tryPublish(expected: Long, entries: Seq[String]): Boolean = {
     Files.createDirectories(Paths.get(root))
-    val tmp = Paths.get(root, "CURRENT.tmp")
-    Files.write(tmp, entries.mkString("\n").getBytes("UTF-8"))
-    Files.move(tmp, currentFile, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-    val tv = Paths.get(root, "CURRENT.v.tmp")
-    Files.write(tv, (manifestVersion + 1).toString.getBytes("UTF-8"))
-    Files.move(tv, versionFile, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    val target = Paths.get(root, f"manifest_${expected + 1}%012d")
+    if (Files.exists(target)) return false
+    val tmp = Files.createTempFile(Paths.get(root), ".manifest", ".tmp")
+    try {
+      Files.write(tmp, entries.mkString("\n").getBytes("UTF-8"))
+      try { Files.createLink(target, tmp); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Append one entry with CAS-retry; a name already live is a no-op (the
+    * replay-idempotence leg of the ST4 contract). */
+  private def casAppend(name: String): Unit = {
+    while (true) {
+      val (v, m) = snapshot()
+      if (m.contains(name)) return
+      if (tryPublish(v, m :+ name)) return
+    }
   }
 
   /** Admit a batch of documents (doc_id, text): write its fingerprint
     * segment, then add it to the manifest. Idempotent in `batchId` — a
-    * replay overwrites the same segment with the same rows and the
-    * manifest set-union is a no-op. Contract: a doc_id is admitted once
-    * (re-admission goes through retract + append under a new batch). */
+    * replay overwrites the same segment with the same rows and finds the
+    * name already live. Contract: a doc_id is admitted once (re-admission
+    * goes through retract + append under a new batch). */
   def append(docs: DataFrame, batchId: Long): Unit = {
     val seg = f"seg_$batchId%08d"
     graft.streaming.StreamingNearDup.fingerprintIndex(docs)
       .repartition(numBuckets, col("band_idx"), col("band_val"))
       .write.mode("overwrite").parquet(Paths.get(root, seg).toString)
-    val m = manifest
-    if (!m.contains(seg)) swapManifest(m :+ seg)
+    casAppend(seg)
   }
 
   /** Retract documents by id: a tombstone segment, same idempotence. */
@@ -82,51 +139,62 @@ class FingerprintIndexStore(val root: String, numBuckets: Int = 8) {
     val ts = f"ts_$batchId%08d"
     docIds.toDF("doc_id").coalesce(1)
       .write.mode("overwrite").parquet(Paths.get(root, ts).toString)
-    val m = manifest
-    if (!m.contains(ts)) swapManifest(m :+ ts)
+    casAppend(ts)
   }
 
   private def read(spark: SparkSession, names: Seq[String]): Option[DataFrame] =
     names.map(n => spark.read.parquet(Paths.get(root, n).toString))
       .reduceOption(_ unionAll _)
 
-  /** The live index: union of live segments minus tombstoned docs — the
-    * `corpusIndex` input of StreamingNearDup.nearDupStream and the
-    * standing side of dd_incremental. The tombstone side of the anti-join
-    * is small by nature (retractions, not corpus) — broadcastable. */
-  def activeIndex(spark: SparkSession): DataFrame = {
-    val m = manifest
-    val segs = read(spark, m.filter(_.startsWith("seg_")))
+  private def indexOf(spark: SparkSession, entries: Seq[String]): DataFrame = {
+    val segs = read(spark, entries.filter(_.startsWith("seg_")))
       .getOrElse(emptyIndex(spark))
-    read(spark, m.filter(_.startsWith("ts_"))) match {
+    read(spark, entries.filter(_.startsWith("ts_"))) match {
       case Some(ts) => segs.join(broadcast(ts.select(col("doc_id")).distinct()),
         Seq("doc_id"), "left_anti")
       case None => segs
     }
   }
 
+  /** The live index: union of live segments minus tombstoned docs — the
+    * `corpusIndex` input of StreamingNearDup.nearDupStream and the
+    * standing side of dd_incremental. The tombstone side of the anti-join
+    * is small by nature (retractions, not corpus) — broadcastable. */
+  def activeIndex(spark: SparkSession): DataFrame =
+    indexOf(spark, manifest)
+
   /** Fold every live segment into one, dropping retracted docs and any
     * defensively-duplicated (doc_id, band_idx) rows, then vacuum the
-    * superseded dirs. The merged segment id must be FRESH (greater than
-    * any live batch id) so a compaction replay stays idempotent too. */
+    * superseded dirs and manifest generations. The merged segment id must
+    * be FRESH (greater than any live batch id) so a compaction replay
+    * stays idempotent too. If the CAS loses (an append/retract/compact
+    * landed mid-fold), the whole fold RE-RUNS over the winner's manifest —
+    * nothing that raced the compaction is ever dropped. */
   def compact(spark: SparkSession, batchId: Long): Unit = {
-    val old = manifest
     val seg = f"seg_$batchId%08d"
-    require(!old.contains(seg), s"compaction batchId $batchId already live")
-    activeIndex(spark)
-      .dropDuplicates("doc_id", "band_idx")
-      .repartition(numBuckets, col("band_idx"), col("band_val"))
-      .write.mode("overwrite").parquet(Paths.get(root, seg).toString)
-    swapManifest(Seq(seg))
-    // vacuum: superseded dirs are unreferenced from here on; a crash
-    // mid-delete leaves orphans, never a live reference to a missing dir
-    old.foreach { n =>
-      val p = Paths.get(root, n)
-      if (Files.exists(p)) {
-        val walk = Files.walk(p)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => Files.delete(f))
-        finally walk.close()
+    while (true) {
+      val (v, old) = snapshot()
+      require(!old.contains(seg), s"compaction batchId $batchId already live")
+      indexOf(spark, old)
+        .dropDuplicates("doc_id", "band_idx")
+        .repartition(numBuckets, col("band_idx"), col("band_val"))
+        .write.mode("overwrite").parquet(Paths.get(root, seg).toString)
+      if (tryPublish(v, Seq(seg))) {
+        // vacuum: superseded dirs and manifest generations are
+        // unreferenced from here on; a crash mid-delete leaves orphans,
+        // never a live reference to a missing dir
+        old.foreach { n =>
+          val p = Paths.get(root, n)
+          if (Files.exists(p)) {
+            val walk = Files.walk(p)
+            try walk.sorted(java.util.Comparator.reverseOrder())
+              .forEach(f => Files.delete(f))
+            finally walk.close()
+          }
+        }
+        generations().filter(_._1 <= v)
+          .foreach { case (_, p) => Files.deleteIfExists(p) }
+        return
       }
     }
   }

@@ -110,6 +110,56 @@ class IndexMaintenanceSpec extends AnyFunSuite with SparkSpec {
       s"old segments vacuumed: $live")
   }
 
+  test("two interleaved appenders both land — the manifest CAS never " +
+    "loses an update, and a compaction racing the appends drops nothing") {
+    val root = java.nio.file.Files.createTempDirectory("graft_fpidx_race").toString
+    val store = new FingerprintIndexStore(root)
+    val batches = (1 to 8).map { i =>
+      i.toLong -> Seq((1000L + i) ->
+        s"racing appender batch number $i with its own distinct words w$i x$i y$i")
+    }
+    // two writers drain the batch queue concurrently; each append is a
+    // segment write + CAS publish, so ANY interleaving must keep all 8
+    // (the r9 read-modify-write form lost the slower writer's entry
+    // whenever two appends overlapped)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val futures = batches.map { case (id, rows) =>
+        pool.submit(new Runnable {
+          def run(): Unit = new FingerprintIndexStore(root).append(docsOf(rows), id)
+        })
+      }
+      futures.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    assert(store.manifest.toSet == batches.map(b => f"seg_${b._1}%08d").toSet,
+      s"all 8 racing appends live in the manifest: ${store.manifest}")
+    val allRows = batches.flatMap(_._2)
+    assert(rowsOf(store.activeIndex(spark)) ==
+      rowsOf(StreamingNearDup.fingerprintIndex(docsOf(allRows))),
+      "the racing appends reproduce the fresh index build exactly")
+
+    // now race a compaction against two more appends: whatever the
+    // interleaving, the compactor re-folds on CAS loss, so the final
+    // active index still equals the fresh build over everything
+    val late = Seq(9L -> Seq(2009L -> "late batch nine lands during compaction maybe"),
+      10L -> Seq(2010L -> "late batch ten lands during compaction maybe"))
+    val pool2 = java.util.concurrent.Executors.newFixedThreadPool(3)
+    try {
+      val fs = late.map { case (id, rows) =>
+        pool2.submit(new Runnable {
+          def run(): Unit = new FingerprintIndexStore(root).append(docsOf(rows), id)
+        })
+      } :+ pool2.submit(new Runnable {
+        def run(): Unit = new FingerprintIndexStore(root).compact(spark, 99L)
+      })
+      fs.foreach(_.get(180, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool2.shutdown()
+    val everything = allRows ++ late.flatMap(_._2)
+    assert(rowsOf(store.activeIndex(spark)) ==
+      rowsOf(StreamingNearDup.fingerprintIndex(docsOf(everything))),
+      "append/append/compact interleaving loses nothing")
+  }
+
   test("crash recovery: an orphan segment written without a manifest swap " +
     "is invisible, and replaying the append completes it") {
     val root = java.nio.file.Files.createTempDirectory("graft_fpidx_crash").toString
