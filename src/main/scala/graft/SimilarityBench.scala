@@ -191,6 +191,171 @@ object SimilarityBench {
       (nprobe, searchS, recall)
     }
 
+    // ── shared probe assignment for the compressed + filtered legs ──
+    def probedCells(nprobe: Int): DataFrame = {
+      val wc = Window.partitionBy(col("query_id"))
+        .orderBy(col("qdist2"), col("cell"))
+      queries.crossJoin(broadcast(centroids))
+        .select(col("query_id"), col("qv"), col("cell"),
+          (dotCol(col("qv"), col("qv")) - lit(2.0) * dotCol(col("qv"), col("c")) +
+            col("cnorm2")).as("qdist2"))
+        .withColumn("rn", row_number().over(wc)).filter(col("rn") <= nprobe)
+        .select(col("query_id"), col("qv"), col("cell"))
+    }
+    def sqd(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      dotCol(a, a) - lit(2.0) * dotCol(a, b) + dotCol(b, b)
+    def dirBytes(d: String): Long =
+      fs.getContentSummary(new org.apache.hadoop.fs.Path(d)).getLength
+
+    // ── stage 4: L2 exact truth — the baseline the compressed paths
+    // approximate (PQ's ADC and SQ8's reconstruction are L2 estimators;
+    // judging them against the cosine truth would mix metric error into
+    // quantization error) ──
+    val wL2 = Window.partitionBy(col("query_id")).orderBy(col("l2"), col("vec_id"))
+    val tBrute2 = System.nanoTime()
+    val truthL2 = corpus.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("vec_id"), sqd(col("qv"), col("v")).as("l2"))
+      .withColumn("rank", row_number().over(wL2)).filter(col("rank") <= topK)
+      .select(col("query_id"), col("vec_id")).cache()
+    val truthL2N = truthL2.count()
+    val bruteL2S = secs(tBrute2)
+
+    // ── stage 5: SQ8 — per-dim min/max model (2×Dim values, a one-row
+    // broadcast), codes stored as a 1-byte-per-dim table; search is a
+    // FULL scan of reconstructed vectors. In a compute-bound local bench
+    // the scan does the same distance work as brute force — the 4× win
+    // is bytes scanned (recorded below), which is the production
+    // bottleneck; recall is the near-lossless claim under test. ──
+    val tSqTrain = System.nanoTime()
+    val mm = corpus.select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .orderBy(col("i")).collect()
+    val loC = typedLit(mm.map(_.getDouble(1)).toSeq)
+    val hiC = typedLit(mm.map(_.getDouble(2)).toSeq)
+    val sq8Dir = s"$work/sq8"
+    corpus.select(col("vec_id"),
+      transform(sequence(lit(0), lit(Dim - 1)), i =>
+        round((element_at(col("v"), i + 1) - element_at(loC, i + 1)) /
+          (element_at(hiC, i + 1) - element_at(loC, i + 1)) * 255.0).cast("int")).as("codes"))
+      .write.mode("overwrite").parquet(sq8Dir)
+    val sq8TrainS = secs(tSqTrain)
+    val tSq = System.nanoTime()
+    val rec8 = spark.read.parquet(sq8Dir).select(col("vec_id"),
+      transform(sequence(lit(0), lit(Dim - 1)), i =>
+        element_at(loC, i + 1) + element_at(col("codes"), i + 1).cast("double") /
+          255.0 * (element_at(hiC, i + 1) - element_at(loC, i + 1))).as("rv"))
+    val sqTop = rec8.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("vec_id"), sqd(col("qv"), col("rv")).as("l2"))
+      .withColumn("rank", row_number().over(wL2)).filter(col("rank") <= topK)
+      .select(col("query_id"), col("vec_id"))
+    val sqHits = sqTop.join(truthL2, Seq("query_id", "vec_id"), "left_semi").count()
+    val sq8S = secs(tSq)
+
+    // ── stage 6: IVF-PQ — M=8 subspaces × K=256 codewords (Jégou 2011).
+    // Codebook: 256 hash-picked seeds refined by 2 Lloyd rounds per
+    // subspace over a ~1.6% hash sample (the K-means-per-subspace the
+    // paper prescribes, at sample cost). Codes: one broadcast-codebook
+    // join + map-side argmin per (vector, subspace) — the corpus's only
+    // wide row is 8 small ints, 32× narrower than the raw doubles.
+    // Search: per-query LUT (8×256 distances) broadcast against the
+    // IVF-probed candidates' codes; approx distance is a SUM of 8 table
+    // entries — the ADC scan never touches raw floats. ──
+    import spark.implicits._
+    val tPqTrain = System.nanoTime()
+    val Msub = 8; val dsub = Dim / Msub; val Kcb = 256
+    val seedVs = corpus
+      .orderBy(PortableHash.hash64(col("vec_id").cast("string")), col("vec_id"))
+      .limit(Kcb).select(col("v")).collect().map(_.getSeq[Double](0))
+    var cb = (for { m <- 0 until Msub; k <- 0 until Kcb }
+      yield (m, k, seedVs(k).slice(m * dsub, (m + 1) * dsub))).toDF("m", "k", "cw")
+    val subSample = corpus.filter(pmod(xxhash64(col("vec_id")), lit(61L)) === 0)
+      .withColumn("m", explode(sequence(lit(0), lit(Msub - 1))))
+      .select(col("vec_id"), col("m"),
+        slice(col("v"), col("m") * dsub + 1, lit(dsub)).as("sv"))
+      .cache()
+    (1 to 2).foreach { _ =>
+      val best = subSample.join(broadcast(cb), Seq("m"))
+        .select(col("vec_id"), col("m"), col("sv"),
+          struct(sqd(col("sv"), col("cw")).as("d2"), col("k").as("k")).as("s"))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(col("s")).as("best"), first(col("sv")).as("sv"))
+      cb = best.select(col("m"), col("best.k").as("k"),
+          posexplode(col("sv")).as(Seq("i", "x")))
+        .groupBy(col("m"), col("k"), col("i")).agg(avg(col("x")).as("mu"))
+        .groupBy(col("m"), col("k"))
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("mu")))),
+          s => s("mu")).as("cw"))
+        .cache()
+      cb.count()
+    }
+    val pqDir = s"$work/pq"
+    index.withColumn("m", explode(sequence(lit(0), lit(Msub - 1))))
+      .select(col("vec_id"), col("label"), col("m"),
+        slice(col("v"), col("m") * dsub + 1, lit(dsub)).as("sv"))
+      .join(broadcast(cb), Seq("m"))
+      .select(col("vec_id"), col("label"), col("m"),
+        struct(sqd(col("sv"), col("cw")).as("d2"), col("k").as("k")).as("s"))
+      .groupBy(col("vec_id"), col("label"), col("m"))
+      .agg(min(col("s")).as("best"))
+      .select(col("vec_id"), col("label"), col("m"), col("best.k").as("k"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("k")))),
+        s => s("k")).as("codes"))
+      .write.mode("overwrite").parquet(pqDir)
+    val pqTrainS = secs(tPqTrain)
+
+    val tPqSearch = System.nanoTime()
+    val lut = queries.withColumn("m", explode(sequence(lit(0), lit(Msub - 1))))
+      .select(col("query_id"), col("m"),
+        slice(col("qv"), col("m") * dsub + 1, lit(dsub)).as("qsv"))
+      .join(broadcast(cb), Seq("m"))
+      .select(col("query_id"), col("m"), col("k"),
+        sqd(col("qsv"), col("cw")).as("ld2"))
+    val probed8 = probedCells(8).select(col("query_id"), col("cell"))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_d2"), col("vec_id"))
+    val pqTop = spark.read.parquet(pqDir).withColumnRenamed("label", "cell")
+      .join(broadcast(probed8), Seq("cell"))
+      .withColumn("m", explode(sequence(lit(0), lit(Msub - 1))))
+      .select(col("query_id"), col("vec_id"), col("m"), col("codes")(col("m")).as("k"))
+      .join(broadcast(lut), Seq("query_id", "m", "k"))
+      .groupBy(col("query_id"), col("vec_id")).agg(sum(col("ld2")).as("approx_d2"))
+      .withColumn("rank", row_number().over(wA)).filter(col("rank") <= topK)
+      .select(col("query_id"), col("vec_id"))
+    val pqHits = pqTop.join(truthL2, Seq("query_id", "vec_id"), "left_semi").count()
+    val pqSearchS = secs(tPqSearch)
+
+    // ── stage 7: filtered search at three selectivities — the predicate
+    // rides INSIDE the candidate join (sim_ann_filtered's contract), so
+    // the candidate set shrinks with qualifying bucket occupancy instead
+    // of post-filtering a fixed-k result down to nothing. Truth is brute
+    // force over the qualifying corpus at the same predicate. ──
+    val probedQ8 = probedCells(8).cache()
+    probedQ8.count()
+    val filteredResults = Seq(10L, 100L, 1000L).map { mod =>
+      def pred(c: org.apache.spark.sql.Column) = pmod(c, lit(mod)) < 3
+      val truthF = corpus.filter(pred(col("vec_id"))).crossJoin(broadcast(queries))
+        .select(col("query_id"), col("vec_id"), cosExpr.as("cos_sim"))
+        .withColumn("rank", row_number().over(wq)).filter(col("rank") <= topK)
+        .select(col("query_id"), col("vec_id")).cache()
+      val truthFN = truthF.count()
+      val tS = System.nanoTime()
+      val candF = index.withColumnRenamed("label", "cell")
+        .filter(pred(col("vec_id")))
+        .join(probedQ8, Seq("cell"))
+        .cache()
+      val nCand = candF.count()
+      val gotF = candF
+        .select(col("query_id"), col("vec_id"), cosExpr.as("cos_sim"))
+        .withColumn("rank", row_number().over(wq)).filter(col("rank") <= topK)
+        .select(col("query_id"), col("vec_id"))
+      val hitsF = gotF.join(truthF, Seq("query_id", "vec_id"), "left_semi").count()
+      val fS = secs(tS)
+      val recF = hitsF.toDouble / math.max(truthFN, 1L)
+      truthF.unpersist(); candF.unpersist()
+      (mod, nCand, recF, fS)
+    }
+
     val stats = roundStats.map { case (r, in, mv) =>
       s"""{"iter":$r,"inertia":${f"$in%.1f"},"moved":$mv}"""
     }.mkString("[", ",", "]")
@@ -198,11 +363,26 @@ object SimilarityBench {
       s""""nprobe$np":{"search_sec":${f"$sSec%.1f"},"recall":${f"$rec%.4f"},""" +
         s""""speedup":${f"${bruteS / sSec}%.1f"}}"""
     }.mkString(",")
+    val filteredJson = filteredResults.map { case (mod, nc, rec, fSec) =>
+      s""""sel_${(300.0 / mod)}pct":{"candidates":$nc,""" +
+        s""""recall":${f"$rec%.4f"},"search_sec":${f"$fSec%.1f"}}"""
+    }.mkString(",")
     println(
       s"""{"metric":"ann_recall_at_$topK","rows":$indexedN,"cells":$cells,""" +
         s""""n_queries":$nq,"fixture_sec":${f"$fixtureS%.1f"},""" +
         s""""train_sec":${f"$trainS%.1f"},"rounds":$stats,""" +
         s""""bruteforce_sec":${f"$bruteS%.1f"},$probeJson}""")
+    println(
+      s"""{"metric":"ann_compressed_at_$topK","rows":$indexedN,""" +
+        s""""bruteforce_l2_sec":${f"$bruteL2S%.1f"},""" +
+        s""""raw_bytes":${dirBytes(dir)},""" +
+        s""""sq8":{"train_sec":${f"$sq8TrainS%.1f"},"bytes":${dirBytes(sq8Dir)},""" +
+        s""""scan_sec":${f"$sq8S%.1f"},"recall":${f"${sqHits.toDouble / truthL2N}%.4f"}},""" +
+        s""""ivfpq":{"train_sec":${f"$pqTrainS%.1f"},"bytes":${dirBytes(pqDir)},""" +
+        s""""search_sec":${f"$pqSearchS%.1f"},""" +
+        s""""speedup_vs_l2_brute":${f"${bruteL2S / pqSearchS}%.1f"},""" +
+        s""""recall":${f"${pqHits.toDouble / truthL2N}%.4f"}},""" +
+        s""""filtered":{$filteredJson}}""")
     spark.stop()
   }
 }

@@ -1,0 +1,317 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQueryListener, Trigger}
+
+import scala.concurrent.duration._
+
+/** Sustained-throughput record for the streaming family — the companion
+  * large-run to `DedupBench` (batch dedup at 2M docs) and
+  * `SimilarityBench` (ANN at 1M vectors). The streaming operators are
+  * spec-verified for semantics; this run measures the two numbers a
+  * production deployment stands on, at ≥1M documents across many
+  * micro-batches from a FILE source (the production shape — a directory
+  * the crawler appends to):
+  *
+  *  1. `StreamingPrep` — the admission funnel with retention (TTL) ON:
+  *     docs/sec end-to-end (scrub → filter → stateful dedup →
+  *     decontaminate → classifier, parquet sink), the state-store row
+  *     curve over micro-batches (the TTL bound made OBSERVABLE: a long
+  *     retention grows monotonically to ~|unique hashes|; a short one
+  *     plateaus at ~arrival-rate × retention as expired hashes are
+  *     swept), and per-source funnel agreement with the batch
+  *     `pl_corpus_prep` over the same fixture at the same scale.
+  *  2. `StreamingNearDup` — probes against a standing MULTI-SEGMENT
+  *     `FingerprintIndexStore` (10 admitted batches, no compaction —
+  *     the worst honest layout): probes/sec, recall on planted
+  *     near-dups, false-flag rate on novel probes.
+  *
+  * Corpus design (deterministic in doc_id; re-runs byte-identical):
+  * ~120 words from a 50k-word synthetic vocabulary with stopwords
+  * interleaved (so the Gopher gates have something to measure), planted
+  * roles by residue — exact dups at distance 5 (SAME doc_id%5, so the
+  * planted-PII suffix scrubs to the same clean text and the pair really
+  * collides on content_hash), tiny docs (filter fodder), benchmark-
+  * contaminated docs (copy an eval doc's body), all else unique.
+  * Dup families share a source so per-source funnel counts are
+  * arrival-order-free (within a family ANY member may win canonical in
+  * the stream; every gate verdict is identical across the family).
+  *
+  * Static-index discipline for the near-dup run: the standing index is
+  * repartitioned by the band key and sorted within partitions ONCE,
+  * then persisted — the cached layout satisfies the join's distribution
+  * and ordering requirements, so each micro-batch shuffles and sorts
+  * ONLY the arriving probe rows (the bucketed-standing-index design; at
+  * cluster scale this is the bucketed table the store maintains).
+  *
+  * Env knobs: SPARK_GRAFT_STREAM_ROWS (default 1,000,000),
+  * SPARK_GRAFT_STREAM_DIR (default target/stream-bench),
+  * SPARK_GRAFT_CPUS (default 32). Arg: prep | neardup | all.
+  */
+object StreamBench {
+
+  private def wordCol(seed: org.apache.spark.sql.Column) =
+    concat(lit("w"), pmod(xxhash64(seed), lit(50000L)).cast("string"))
+
+  /** Role-resolved document text for a NON-DUP id (dup ids resolve their
+    * partner's id through this same expression — one level, no
+    * recursion: a dup's partner is never itself a dup). */
+  private def baseTextOf(id: org.apache.spark.sql.Column) = {
+    val stops = Seq("the", "and", "of", "to")
+    val words = transform(sequence(lit(0), lit(119)), i =>
+      when(i % 10 === 3,
+        element_at(typedLit(stops), (pmod(id + i, lit(4)) + 1).cast("int")))
+        .otherwise(wordCol(concat_ws(":", id.cast("string"), i.cast("string")))))
+    val normal = array_join(words, " ")
+    // eval anchor: the highest multiple of 97 at or below id
+    val anchor = (id - pmod(id, lit(97L)))
+    val contamBody = array_join(transform(sequence(lit(0), lit(119)), i =>
+      when(i % 10 === 3,
+        element_at(typedLit(stops), (pmod(anchor + i, lit(4)) + 1).cast("int")))
+        .otherwise(wordCol(concat_ws(":", anchor.cast("string"), i.cast("string"))))), " ")
+    when(pmod(id, lit(97L)) === 0, normal) // eval doc: plain body
+      .when(pmod(id, lit(31L)) === 7, lit("tiny doc only"))
+      .when(pmod(id, lit(41L)) === 3,
+        concat(contamBody, lit(" uniq"), id.cast("string"), lit(" tail the of")))
+      .otherwise(normal)
+  }
+
+  /** The 1M-doc prep corpus: doc_id, text, lang, source, n_chars. */
+  def prepCorpus(spark: SparkSession, n: Long): DataFrame = {
+    val isDup = col("doc_id") % 25 === 6 && col("doc_id") >= 25
+    val famId = when(isDup, col("doc_id") - 5).otherwise(col("doc_id"))
+    spark.range(n).toDF("doc_id")
+      .withColumn("text",
+        when(isDup, baseTextOf(col("doc_id") - 5)).otherwise(baseTextOf(col("doc_id"))))
+      .withColumn("lang", lit("en"))
+      .withColumn("source",
+        concat(lit("src"), pmod(xxhash64(famId), lit(4L)).cast("string")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  private def secs(t0: Long): Double = (System.nanoTime() - t0) / 1e9
+
+  /** Per-batch progress rows harvested from the listener:
+    * (batchId, stateRowsTotal, stateRowsUpdated, stateRowsRemoved, inputRows). */
+  final class ProgressTap extends StreamingQueryListener {
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long, Long, Long)]()
+    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+      val p = e.progress
+      val so = p.stateOperators.headOption
+      rows.add((p.batchId,
+        so.map(_.numRowsTotal).getOrElse(0L),
+        so.map(_.numRowsUpdated).getOrElse(0L),
+        so.map(_.numRowsRemoved).getOrElse(0L),
+        p.numInputRows))
+    }
+    def drain(): Seq[(Long, Long, Long, Long, Long)] = {
+      import scala.jdk.CollectionConverters._
+      rows.asScala.toSeq.sortBy(_._1)
+    }
+  }
+
+  private def runPrep(spark: SparkSession, work: String, n: Long,
+      retention: FiniteDuration, tag: String,
+      checkFunnel: Boolean): Unit = {
+    import spark.implicits._
+    import graft.streaming.StreamingPrep
+    import graft.streaming.StreamingPrep.{PrepDoc, PrepVerdict}
+
+    val corpusDir = s"$work/prep-corpus"
+    val feedDir = s"$work/prep-feed"
+    val outDir = s"$work/prep-out-$tag"
+    val ckDir = s"$work/prep-ck-$tag"
+
+    // fixture: documents table (for the batch funnel) + the stream feed
+    // (non-eval docs, PII planted exactly as the batch side plants it),
+    // written once and reused across tags
+    if (!new java.io.File(s"$corpusDir/documents.parquet").isDirectory) {
+      val t0 = System.nanoTime()
+      val docs = prepCorpus(spark, n)
+      docs.repartition(32).write.mode("overwrite")
+        .parquet(s"$corpusDir/documents.parquet")
+      val stored = spark.read.parquet(s"$corpusDir/documents.parquet")
+      stored.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"),
+          graft.catalog.TextCatalog.piiPlanted.as("text"),
+          col("lang"), col("source"))
+        .repartition(24, col("doc_id")) // 24 feed files → 24 micro-batches at 1 file/trigger
+        .write.mode("overwrite").parquet(feedDir)
+      println(f"""{"stage":"prep_fixture","docs":$n,"sec":${secs(t0)}%.1f}""")
+    }
+
+    val evalGrams = spark.read.parquet(s"$corpusDir/documents.parquet")
+      .filter(col("doc_id") % 97 === 0)
+      .select(explode(graft.catalog.PrepPipelineCatalog.gramHashes(col("text"))).as("ng"))
+      .distinct().as[Long].collect()
+
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val tap = new ProgressTap
+    spark.streams.addListener(tap)
+    val feed = spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(feedDir)
+      .as[PrepDoc]
+    val t0 = System.nanoTime()
+    val q = StreamingPrep.prepStream(feed, evalGrams, retention = Some(retention))
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckDir)
+      .outputMode("append").trigger(Trigger.ProcessingTime(0))
+      .start()
+    q.processAllAvailable()
+    val elapsed = secs(t0)
+    q.stop()
+    spark.streams.removeListener(tap)
+
+    val verdicts = spark.read.parquet(outDir)
+    val nOut = verdicts.count()
+    val curve = tap.drain()
+    val stateMax = curve.map(_._2).maxOption.getOrElse(0L)
+    val stateLast = curve.lastOption.map(_._2).getOrElse(0L)
+    val removed = curve.map(_._4).sum
+    println(f"""{"stage":"prep_$tag","docs":$nOut,"sec":$elapsed%.1f,"docs_per_sec":${nOut / elapsed}%.0f,"batches":${curve.size},"retention_sec":${retention.toSeconds},"state_rows_max":$stateMax,"state_rows_last":$stateLast,"state_rows_removed":$removed}""")
+    println("state_curve " + tag + " " + curve.map { case (b, tot, upd, rem, in) =>
+      s"$b:$tot/+$upd/-$rem/in$in" }.mkString(" "))
+
+    if (checkFunnel) {
+      // per-source funnel agreement with the batch pl_corpus_prep over
+      // the SAME documents table (same shared column expressions; the
+      // only degrees of freedom are the stateful dedup + contamination
+      // translations — exactly what this check pins at 1M docs)
+      val batch = graft.catalog.PrepPipelineCatalog.queries("pl_corpus_prep")(spark, corpusDir)
+        .collect().map(r => r.getString(0) -> Seq(
+          r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+      val vs = verdicts.as[PrepVerdict]
+      val stream = vs.groupByKey(_.source).mapGroups { (src, it) =>
+        val a = it.toArray
+        src -> Seq(a.length.toLong,
+          a.map(_.pii_total).sum,
+          a.count(_.stage != "filtered").toLong,
+          a.count(v => v.stage != "filtered" && v.stage != "duplicate").toLong,
+          a.count(v => v.stage == "rejected_clf" || v.stage == "admitted").toLong,
+          a.count(_.stage == "admitted").toLong,
+          a.filter(_.stage == "admitted").map(_.n_words).sum)
+      }.collect().toMap
+      val agree = stream == batch
+      println(s"""{"stage":"prep_funnel_agreement","agree":$agree}""")
+      if (!agree) {
+        println(s"batch = $batch")
+        println(s"stream = $stream")
+        sys.error("stream/batch funnel disagreement at scale")
+      }
+    }
+    graft.catalog.Catalog.unpersistAll(spark)
+  }
+
+  private def runNearDup(spark: SparkSession, work: String, n: Long): Unit = {
+    import spark.implicits._
+    import graft.sources.FingerprintIndexStore
+    import graft.streaming.StreamingNearDup
+    import graft.streaming.StreamingNearDup.{Doc, NearDupVerdict}
+
+    val root = s"$work/fpindex"
+    val feedDir = s"$work/probe-feed"
+    val outDir = s"$work/probe-out"
+    val ckDir = s"$work/probe-ck"
+
+    // standing corpus: n docs admitted in 10 batches → 10 live segments
+    val store = new FingerprintIndexStore(root, numBuckets = 32)
+    val corpus = DedupBench.syntheticDocs(spark, n).select(col("doc_id"), col("text"))
+    val tIdx = System.nanoTime()
+    val chunk = n / 10
+    (0 until 10).foreach { b =>
+      store.append(corpus.filter(col("doc_id") >= b * chunk &&
+        col("doc_id") < (b + 1) * chunk), batchId = b + 1L)
+    }
+    val idxSec = secs(tIdx)
+    println(f"""{"stage":"neardup_index","docs":$n,"segments":${store.manifest.size},"sec":$idxSec%.1f,"docs_per_sec":${n / idxSec}%.0f}""")
+
+    // probes: 50k planted near-dups of corpus docs (every 40th word
+    // rewritten → shingle Jaccard ≈ 0.85, above the 0.5 threshold;
+    // 4×2-band LSH expected recall ≈ 0.99) + 50k novel docs
+    val nProbe = 50000L
+    val planted = corpus.filter(col("doc_id") % 20 === 2).limit(nProbe.toInt)
+      .select((col("doc_id") + 20000000L).as("doc_id"),
+        array_join(transform(split(col("text"), " "), (w, i) =>
+          when(i % 40 === 0, concat(lit("z"), w)).otherwise(w)), " ").as("text"))
+    val novel = spark.range(nProbe).select(
+      (col("id") + 30000000L).as("doc_id"),
+      array_join(transform(sequence(lit(0), lit(119)), i =>
+        wordCol(concat_ws("#", col("id").cast("string"), i.cast("string")))), " ").as("text"))
+    planted.unionByName(novel)
+      .repartition(10, col("doc_id"))
+      .write.mode("overwrite").parquet(feedDir)
+
+    // the bucketed-standing-index discipline: partition + sort by the
+    // band key ONCE, persist; each micro-batch then shuffles only probes
+    val cpus = spark.sparkContext.defaultParallelism
+    val index = store.activeIndex(spark)
+      .repartition(cpus, col("band_idx"), col("band_val"))
+      .sortWithinPartitions(col("band_idx"), col("band_val"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val idxRows = index.count()
+
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val feed = spark.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1").parquet(feedDir).as[Doc]
+    val t0 = System.nanoTime()
+    val q = StreamingNearDup.nearDupStream(feed, index)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckDir)
+      .outputMode("append").trigger(Trigger.ProcessingTime(0))
+      .start()
+    q.processAllAvailable()
+    val elapsed = secs(t0)
+    q.stop()
+
+    val out = spark.read.parquet(outDir).as[NearDupVerdict]
+    val nOut = out.count()
+    val flaggedPlanted = out.filter(col("doc_id") >= 20000000L &&
+      col("doc_id") < 30000000L && col("dup_of").isNotNull).count()
+    val nPlanted = out.filter(col("doc_id") >= 20000000L && col("doc_id") < 30000000L).count()
+    val falseNovel = out.filter(col("doc_id") >= 30000000L && col("dup_of").isNotNull).count()
+    val nNovel = out.filter(col("doc_id") >= 30000000L).count()
+    println(f"""{"stage":"neardup_stream","index_docs":$n,"index_rows":$idxRows,"segments":${store.manifest.size},"probes":$nOut,"sec":$elapsed%.1f,"probes_per_sec":${nOut / elapsed}%.0f,"planted":$nPlanted,"planted_recall":${flaggedPlanted.toDouble / nPlanted}%.4f,"novel":$nNovel,"novel_false_flags":$falseNovel}""")
+    index.unpersist()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val mode = args.headOption.getOrElse("all")
+    val n = sys.env.getOrElse("SPARK_GRAFT_STREAM_ROWS", "1000000").toLong
+    val work = sys.env.getOrElse("SPARK_GRAFT_STREAM_DIR", "target/stream-bench")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .appName("graft-stream-bench")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val p = new org.apache.hadoop.fs.Path(work)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+
+    if (mode == "prep" || mode == "all") {
+      // long retention: TTL machinery on, nothing expires mid-run →
+      // funnel agreement must be EXACT; the state curve is the monotone
+      // reference the short-retention run is read against
+      runPrep(spark, work, n, retention = 2.hours, tag = "long",
+        checkFunnel = true)
+      // short retention: hashes silent for 45 s are swept while the run
+      // is still feeding → the curve plateaus (the TTL bound observable)
+      runPrep(spark, work, n, retention = 45.seconds, tag = "short",
+        checkFunnel = false)
+    }
+    if (mode == "neardup" || mode == "all") {
+      runNearDup(spark, work, n)
+    }
+    spark.stop()
+  }
+}

@@ -42,7 +42,7 @@ object TextCatalog extends Catalog {
   /** Planted-PII fixture column (the synthetic corpus carries no PII, so
     * deterministic spans are planted per doc to make scrub stages
     * measurable — shared by tx_pii_scrub and pl_corpus_prep). */
-  private[catalog] def piiPlanted: org.apache.spark.sql.Column = {
+  private[graft] def piiPlanted: org.apache.spark.sql.Column = {
     val m5 = col("doc_id") % 5
     concat(col("text"),
       when(m5 === 0, concat(lit(" contact user"),
