@@ -251,27 +251,38 @@ object SimilarityBench {
     val sqHits = sqTop.join(truthL2, Seq("query_id", "vec_id"), "left_semi").count()
     val sq8S = secs(tSq)
 
-    // ── stage 6: IVF-PQ — M=8 subspaces × K=256 codewords (Jégou 2011).
-    // Codebook: 256 hash-picked seeds refined by 2 Lloyd rounds per
-    // subspace over a ~1.6% hash sample (the K-means-per-subspace the
-    // paper prescribes, at sample cost). Codes: one broadcast-codebook
-    // join + map-side argmin per (vector, subspace) — the corpus's only
-    // wide row is 8 small ints, 32× narrower than the raw doubles.
-    // Search: per-query LUT (8×256 distances) broadcast against the
-    // IVF-probed candidates' codes; approx distance is a SUM of 8 table
-    // entries — the ADC scan never touches raw floats. ──
+    // ── stage 6: IVF-PQ with RESIDUAL encoding (Jégou et al. 2011, the
+    // IVFADC design): PQ quantizes v − centroid(cell), not v — the
+    // residual lives at the within-cell noise scale, which is exactly
+    // the scale a same-cell top-10 ranking must resolve (quantizing raw
+    // vectors was measured at recall 0.14 here: codeword resolution ~
+    // cell radius, useless within a cell). M=8 subspaces × K=256
+    // codewords; codebook = 256 hash-picked seed residuals refined by 2
+    // Lloyd rounds per subspace over a ~1.6% hash sample. Codes: one
+    // broadcast-codebook join + map-side argmin per (vector, subspace) —
+    // the corpus's only wide row is 8 small ints, 32× narrower than the
+    // raw doubles. Search: per-(query, probed-cell) LUT of codeword
+    // distances to the QUERY residual, broadcast against the candidates'
+    // codes; approx distance is a SUM of 8 table entries — the ADC scan
+    // never touches raw floats. ──
     import spark.implicits._
     val tPqTrain = System.nanoTime()
     val Msub = 8; val dsub = Dim / Msub; val Kcb = 256
-    val seedVs = corpus
+    val centC = centroids.select(col("cell").as("label"), col("c"))
+    def residual(v: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
+      zip_with(v, c, (a, b) => a - b)
+    val seedVs = index.join(broadcast(centC), Seq("label"))
       .orderBy(PortableHash.hash64(col("vec_id").cast("string")), col("vec_id"))
-      .limit(Kcb).select(col("v")).collect().map(_.getSeq[Double](0))
+      .limit(Kcb).select(residual(col("v"), col("c")).as("rv"))
+      .collect().map(_.getSeq[Double](0))
     var cb = (for { m <- 0 until Msub; k <- 0 until Kcb }
       yield (m, k, seedVs(k).slice(m * dsub, (m + 1) * dsub))).toDF("m", "k", "cw")
-    val subSample = corpus.filter(pmod(xxhash64(col("vec_id")), lit(61L)) === 0)
+    val subSample = index.filter(pmod(xxhash64(col("vec_id")), lit(61L)) === 0)
+      .join(broadcast(centC), Seq("label"))
+      .withColumn("rv", residual(col("v"), col("c")))
       .withColumn("m", explode(sequence(lit(0), lit(Msub - 1))))
       .select(col("vec_id"), col("m"),
-        slice(col("v"), col("m") * dsub + 1, lit(dsub)).as("sv"))
+        slice(col("rv"), col("m") * dsub + 1, lit(dsub)).as("sv"))
       .cache()
     (1 to 2).foreach { _ =>
       val best = subSample.join(broadcast(cb), Seq("m"))
@@ -289,9 +300,11 @@ object SimilarityBench {
       cb.count()
     }
     val pqDir = s"$work/pq"
-    index.withColumn("m", explode(sequence(lit(0), lit(Msub - 1))))
+    index.join(broadcast(centC), Seq("label"))
+      .withColumn("rv", residual(col("v"), col("c")))
+      .withColumn("m", explode(sequence(lit(0), lit(Msub - 1))))
       .select(col("vec_id"), col("label"), col("m"),
-        slice(col("v"), col("m") * dsub + 1, lit(dsub)).as("sv"))
+        slice(col("rv"), col("m") * dsub + 1, lit(dsub)).as("sv"))
       .join(broadcast(cb), Seq("m"))
       .select(col("vec_id"), col("label"), col("m"),
         struct(sqd(col("sv"), col("cw")).as("d2"), col("k").as("k")).as("s"))
@@ -305,25 +318,50 @@ object SimilarityBench {
     val pqTrainS = secs(tPqTrain)
 
     val tPqSearch = System.nanoTime()
-    val lut = queries.withColumn("m", explode(sequence(lit(0), lit(Msub - 1))))
-      .select(col("query_id"), col("m"),
-        slice(col("qv"), col("m") * dsub + 1, lit(dsub)).as("qsv"))
+    // LUT is per (query, probed cell): codeword distances to the QUERY's
+    // residual against that cell's centroid — nq × nprobe × M × K rows,
+    // independent of corpus size, broadcast
+    val lut = probedCells(8)
+      .join(broadcast(centroids.select(col("cell"), col("c"))), Seq("cell"))
+      .withColumn("qres", residual(col("qv"), col("c")))
+      .withColumn("m", explode(sequence(lit(0), lit(Msub - 1))))
+      .select(col("query_id"), col("cell"), col("m"),
+        slice(col("qres"), col("m") * dsub + 1, lit(dsub)).as("qsv"))
       .join(broadcast(cb), Seq("m"))
-      .select(col("query_id"), col("m"), col("k"),
+      .select(col("query_id"), col("cell"), col("m"), col("k"),
         sqd(col("qsv"), col("cw")).as("ld2"))
-    val probed8 = probedCells(8).select(col("query_id"), col("cell"))
     val wA = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_d2"), col("vec_id"))
-    val pqTop = spark.read.parquet(pqDir).withColumnRenamed("label", "cell")
-      .join(broadcast(probed8), Seq("cell"))
+    // ADC shortlist: top-100 by quantized distance (cached — both the
+    // pure-ADC top-10 and the re-rank leg read it)
+    val pqCand = spark.read.parquet(pqDir).withColumnRenamed("label", "cell")
       .withColumn("m", explode(sequence(lit(0), lit(Msub - 1))))
-      .select(col("query_id"), col("vec_id"), col("m"), col("codes")(col("m")).as("k"))
-      .join(broadcast(lut), Seq("query_id", "m", "k"))
+      .select(col("cell"), col("vec_id"), col("m"), col("codes")(col("m")).as("k"))
+      .join(broadcast(lut), Seq("cell", "m", "k"))
       .groupBy(col("query_id"), col("vec_id")).agg(sum(col("ld2")).as("approx_d2"))
-      .withColumn("rank", row_number().over(wA)).filter(col("rank") <= topK)
+      .withColumn("rank", row_number().over(wA)).filter(col("rank") <= 100)
+      .cache()
+    pqCand.count()
+    val candS = secs(tPqSearch)
+    val tAdc = System.nanoTime()
+    val pqTop = pqCand.filter(col("rank") <= topK)
       .select(col("query_id"), col("vec_id"))
     val pqHits = pqTop.join(truthL2, Seq("query_id", "vec_id"), "left_semi").count()
-    val pqSearchS = secs(tPqSearch)
+    val pqSearchS = candS + secs(tAdc)
+    // re-rank (IVFADC+R, Jégou 2011 §VI): fetch the 100 shortlisted raw
+    // vectors per query and order them by EXACT distance — the standard
+    // production refinement; the corpus-wide scan still touched only
+    // codes, the raw fetch is 100 rows/query
+    val tRer = System.nanoTime()
+    val rerTop = pqCand.select(col("query_id"), col("vec_id"))
+      .join(index.select(col("vec_id"), col("v")), Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"), sqd(col("qv"), col("v")).as("l2"))
+      .withColumn("rank", row_number().over(wL2)).filter(col("rank") <= topK)
+      .select(col("query_id"), col("vec_id"))
+    val rerHits = rerTop.join(truthL2, Seq("query_id", "vec_id"), "left_semi").count()
+    val rerSearchS = candS + secs(tRer)
+    pqCand.unpersist()
 
     // ── stage 7: filtered search at three selectivities — the predicate
     // rides INSIDE the candidate join (sim_ann_filtered's contract), so
@@ -381,7 +419,9 @@ object SimilarityBench {
         s""""ivfpq":{"train_sec":${f"$pqTrainS%.1f"},"bytes":${dirBytes(pqDir)},""" +
         s""""search_sec":${f"$pqSearchS%.1f"},""" +
         s""""speedup_vs_l2_brute":${f"${bruteL2S / pqSearchS}%.1f"},""" +
-        s""""recall":${f"${pqHits.toDouble / truthL2N}%.4f"}},""" +
+        s""""recall":${f"${pqHits.toDouble / truthL2N}%.4f"},""" +
+        s""""rerank_search_sec":${f"$rerSearchS%.1f"},""" +
+        s""""rerank_recall":${f"${rerHits.toDouble / truthL2N}%.4f"}},""" +
         s""""filtered":{$filteredJson}}""")
     spark.stop()
   }

@@ -1045,6 +1045,50 @@ object DedupCatalog extends Catalog {
       pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("query_id").as("vec_id"), col("neighbor_id"), col("cos_sim"))
         .orderBy(col("vec_id"))
+    }),
+
+    // ── KMV (k-minimum-values) distinct-count sketch per source over the
+    // corpus's 3-gram shingle hashes — the cardinality primitive a 100 TB
+    // dedup pipeline plans with: |distinct shingles| / |shingles| is the
+    // duplication mass, and computing it exactly means a corpus-wide
+    // distinct. The KMV estimator (Bar-Yossef et al. 2002) needs only
+    // each source's k smallest DISTINCT hash values: with uniform 60-bit
+    // hashes, E[k-th smallest / 2^60] = k / (n+1), so n̂ = (k−1)/u_k,
+    // within ~1/√(k−2) relative error (k=64 → ~13 %).
+    //
+    // Scale shape: the rank filter is dense_rank ≤ k over (source, hash)
+    // rows, which Spark executes as WindowGroupLimit — each map partition
+    // keeps only its own k smallest before the exchange, so the shuffle
+    // carries ≤ k·partitions rows per source and there is NO corpus-wide
+    // distinct anywhere in the sketch path. The n_exact column exists to
+    // MEASURE the estimator (it is the global distinct the sketch
+    // replaces — at 100 TB you drop it and keep n_est). The estimator
+    // arithmetic is two IEEE divisions in the same order on both engines;
+    // h_k and k_used are exact integers, so the compare pins the sketch
+    // itself, not just the estimate. ──
+    "dd_kmv_distinct" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 64
+      val h = Tables.documents(s, d)
+        .select(col("source"),
+          explode(graft.functions.TextHashes.windowHashesUdf(3, distinct = true)(col("text"))).as("h"))
+      val w = Window.partitionBy(col("source")).orderBy(col("h"))
+      val kth = h.withColumn("dr", dense_rank().over(w)).filter(col("dr") <= k)
+        .groupBy(col("source"))
+        .agg(max(col("h")).as("h_k"), count_distinct(col("h")).as("k_used"))
+      val exact = h.groupBy(col("source"))
+        .agg(count_distinct(col("h")).as("n_exact"))
+      exact.join(kth, Seq("source"))
+        .withColumn("n_est",
+          when(col("k_used") < k, col("n_exact"))
+            .otherwise(round(lit((k - 1).toDouble) /
+              (col("h_k").cast("double") / lit(1152921504606846976.0))).cast("long")))
+        .withColumn("rel_err",
+          round(abs(col("n_est") - col("n_exact")).cast("double") /
+            col("n_exact").cast("double"), 6))
+        .select(col("source"), col("n_exact"), col("h_k"), col("k_used"),
+          col("n_est"), col("rel_err"))
+        .orderBy(col("source"))
     })
   )
 
@@ -1458,6 +1502,24 @@ object DedupCatalog extends Catalog {
              ON e.label = q.qlabel AND e.vec_id <> q.query_id)
          SELECT query_id AS vec_id, neighbor_id, cos_sim
          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn FROM p) t
-         WHERE rn = 1 ORDER BY vec_id"""
+         WHERE rn = 1 ORDER BY vec_id""",
+    "dd_kmv_distinct" ->
+      s"""WITH sh AS (SELECT DISTINCT source, h
+           FROM (SELECT source,
+                   unnest(list_transform($Shingles3Sql, s -> ${hash64Sql("s")})) AS h
+                 FROM documents)),
+         kth AS (SELECT source, MAX(h) AS h_k, COUNT(*) AS k_used
+           FROM (SELECT source, h,
+                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+                 FROM sh) WHERE rn <= 64 GROUP BY 1),
+         ex AS (SELECT source, COUNT(*) AS n_exact FROM sh GROUP BY 1),
+         est AS (SELECT ex.source, n_exact, h_k, k_used,
+             CASE WHEN k_used < 64 THEN n_exact
+                  ELSE CAST(round(63.0 / (h_k / 1152921504606846976.0)) AS BIGINT)
+             END AS n_est
+           FROM ex JOIN kth USING (source))
+         SELECT source, n_exact, h_k, k_used, n_est,
+           round(abs(n_est - n_exact) / CAST(n_exact AS DOUBLE), 6) AS rel_err
+         FROM est ORDER BY source"""
   )
 }

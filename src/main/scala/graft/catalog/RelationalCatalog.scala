@@ -600,6 +600,39 @@ object RelationalCatalog extends Catalog {
         .agg(count(col("view_t")).as("n_views"),
           max(col("view_t")).as("last_view_t"))
         .orderBy(col("event_id"))
+    }),
+
+    // ── Count-min sketch heavy hitters (Cormode & Muthukrishnan 2005)
+    // over event users: d=4 hash rows × w=64 buckets, estimate = min over
+    // rows of the key's bucket count — always ≥ the true count, within
+    // εN with ε = e/w at confidence 1−e^−d. The sketch is the 100 TB
+    // object: a FIXED 256-cell table built by ONE map-side-combined
+    // groupBy over the event stream, mergeable across partitions/days by
+    // cell-wise addition, queried for any key without touching the
+    // corpus again (StreamingTopK is its streaming sibling). The exact
+    // column exists to measure the sketch — it is the per-key shuffle
+    // the sketch replaces; the output pins the CMS guarantee value-for-
+    // value (overestimate ≥ 0 on every row). Top-20 ranked by the
+    // ESTIMATE (what a sketch-only deployment would rank by), ties by
+    // user_id. ──
+    "ev_cms_topk" -> ((s, d) => {
+      import graft.functions.PortableHash
+      val e = Tables.events(s, d).select(col("user_id"))
+      val dRows = explode(array((0 until 4).map(lit): _*)).as("d")
+      def bucket(dc: Column, key: Column) =
+        pmod(PortableHash.hash64(concat(lit("cms"), dc.cast("string"),
+          lit(":"), key.cast("string"))), lit(64L))
+      val cells = e.select(col("user_id"), dRows)
+        .withColumn("bucket", bucket(col("d"), col("user_id")))
+        .groupBy(col("d"), col("bucket")).agg(count(lit(1)).as("c"))
+      val keys = e.groupBy(col("user_id")).agg(count(lit(1)).as("exact"))
+      keys.select(col("user_id"), col("exact"), dRows)
+        .withColumn("bucket", bucket(col("d"), col("user_id")))
+        .join(broadcast(cells), Seq("d", "bucket"))
+        .groupBy(col("user_id"), col("exact")).agg(min(col("c")).as("cms_est"))
+        .withColumn("overestimate", col("cms_est") - col("exact"))
+        .orderBy(col("cms_est").desc, col("user_id")).limit(20)
+        .select(col("user_id"), col("exact"), col("cms_est"), col("overestimate"))
     })
   )
 
@@ -870,6 +903,30 @@ object RelationalCatalog extends Catalog {
            MAX(v.view_t) AS last_view_t
          FROM p LEFT JOIN v ON p.user_id = v.user_id
            AND v.view_t >= p.t - 3600 AND v.view_t < p.t
-         GROUP BY 1, 2, 3 ORDER BY p.event_id"""
+         GROUP BY 1, 2, 3 ORDER BY p.event_id""",
+    "ev_cms_topk" ->
+      s"""WITH e AS (SELECT user_id FROM events),
+         ds AS (SELECT CAST(t.d AS BIGINT) AS d FROM generate_series(0, 3) t(d)),
+         cells AS (SELECT d,
+             ${PortableHashSql.bucketSql("d", "user_id")} AS bucket,
+             COUNT(*) AS c
+           FROM e CROSS JOIN ds GROUP BY 1, 2),
+         keys AS (SELECT user_id, COUNT(*) AS exact FROM e GROUP BY 1),
+         est AS (SELECT k.user_id, k.exact, MIN(cells.c) AS cms_est
+           FROM keys k CROSS JOIN ds
+           JOIN cells ON cells.d = ds.d
+             AND cells.bucket = ${PortableHashSql.bucketSql("ds.d", "k.user_id")}
+           GROUP BY 1, 2)
+         SELECT user_id, exact, cms_est, cms_est - exact AS overestimate
+         FROM est ORDER BY cms_est DESC, user_id LIMIT 20"""
   )
+
+  /** DuckDB fragments for the CMS bucket hash (PortableHash.hash64 of
+    * "cms<d>:<user_id>" mod 64 — identical string rendering on both
+    * engines: BIGINTs print without sign or decoration). */
+  private object PortableHashSql {
+    def bucketSql(d: String, key: String): String =
+      s"""(('0x' || substr(md5('cms' || CAST($d AS VARCHAR) || ':' ||
+         CAST($key AS VARCHAR)), 1, 15))::BIGINT % 64)"""
+  }
 }
