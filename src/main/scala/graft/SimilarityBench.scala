@@ -332,14 +332,16 @@ object SimilarityBench {
         sqd(col("qsv"), col("cw")).as("ld2"))
     val wA = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_d2"), col("vec_id"))
-    // ADC shortlist: top-100 by quantized distance (cached — both the
-    // pure-ADC top-10 and the re-rank leg read it)
+    // ADC shortlist: top-1000 by quantized distance (cached — both the
+    // pure-ADC top-10 and the re-rank leg read it; 100x the final k, the
+    // shortlist depth the IVFADC+R design runs at — ~3% of the ~31k
+    // probed candidates per query)
     val pqCand = spark.read.parquet(pqDir).withColumnRenamed("label", "cell")
       .withColumn("m", explode(sequence(lit(0), lit(Msub - 1))))
       .select(col("cell"), col("vec_id"), col("m"), col("codes")(col("m")).as("k"))
       .join(broadcast(lut), Seq("cell", "m", "k"))
       .groupBy(col("query_id"), col("vec_id")).agg(sum(col("ld2")).as("approx_d2"))
-      .withColumn("rank", row_number().over(wA)).filter(col("rank") <= 100)
+      .withColumn("rank", row_number().over(wA)).filter(col("rank") <= 1000)
       .cache()
     pqCand.count()
     val candS = secs(tPqSearch)
