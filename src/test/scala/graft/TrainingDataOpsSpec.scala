@@ -921,6 +921,21 @@ class TrainingDataOpsSpec extends AnyFunSuite with SparkSpec {
     assert(boundedLevenshtein("café", "cafe", 5) == 1)
   }
 
+  test("boundedLevUdf null-propagates like the builtin levenshtein " +
+    "instead of failing the task (r9 advice)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val df = Seq((1L, Option("abc"), Option("abd")),
+      (2L, None: Option[String], Option("abd")),
+      (3L, Option("abc"), None: Option[String])).toDF("id", "a", "b")
+    val out = df.select(col("id"),
+      graft.functions.TextHashes.boundedLevUdf(col("a"), col("b"), lit(5)).as("d"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1))))
+      .toMap
+    assert(out == Map(1L -> Some(1), 2L -> None, 3L -> None),
+      s"null text yields NULL, not an NPE: $out")
+  }
+
   test("dd_edit_pairs: word-ORDER edits that Jaccard scores as identical " +
     "still cost edit distance; substitutions cost exactly their chars; " +
     "distances match an independent DP") {
