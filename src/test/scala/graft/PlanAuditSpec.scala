@@ -503,4 +503,39 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("Window"),
       "no window function anywhere in the alignment plan")
   }
+
+  test("KMV sketch prunes map-side: the dense_rank ≤ k filter plans as a " +
+    "Partial WindowGroupLimit, so no corpus-wide distinct feeds the rank") {
+    val p = plan("dd_kmv_distinct")
+    assert(p.contains("WindowGroupLimit") &&
+      "WindowGroupLimit [^\\n]*Partial".r.findAllIn(p).nonEmpty,
+      s"every map partition must forward ≤ k hash rows per source — the " +
+        s"whole point of KMV over a global distinct:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"sketch + exact sides meet on a small keyed join:\n${p.take(1500)}")
+  }
+
+  test("CMS sketch: the 256-cell table is the BROADCAST side; the corpus " +
+    "contributes two map-side-combined aggregations and nothing wider") {
+    val p = plan("ev_cms_topk")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the sketch table must broadcast back onto the keys:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"no corpus-sized join anywhere:\n${p.take(1500)}")
+    assert("(?m)HashAggregate[^\\n]*partial_count".r.findAllIn(p).nonEmpty ||
+      p.contains("partial_count"),
+      s"cell and key counts partial-aggregate map-side:\n${p.take(1500)}")
+  }
+
+  test("sampled-query embedding near-dup: the 200-query sample is a " +
+    "TakeOrdered + broadcast; the corpus side never shuffles before the " +
+    "candidate join") {
+    val p = plan("dd_embedding_neardup")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the sample must be a global top-k, not a sort:\n${p.take(1500)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the sample joins broadcast onto the corpus scan:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"no corpus-pair join — that was the r9 scale bug:\n${p.take(1500)}")
+  }
 }
