@@ -397,6 +397,77 @@ object RelationalCatalog extends Catalog {
         .orderBy(col("file_id"))
     }),
 
+    // ── W3b: Z-order PRUNING — the measured file-skipping claim. The
+    // layout row above proves the files have tight min/max boxes; this
+    // row proves what that BUYS: for 8 disjoint range probes on EACH
+    // dimension, count the files a min/max-stats scan must read under
+    // (a) the Z-order layout and (b) a 1-D ship-day sort of the SAME
+    // rows into the SAME 5000-row files — the layout a naive OPTIMIZE
+    // produces. Expected and measured: the 1-D layout prunes day probes
+    // perfectly and partkey probes NOT AT ALL (every file spans the full
+    // partkey range), while Z-order prunes BOTH — the entire reason
+    // Delta/Iceberg ship ZORDER. rows_matched rides along so pruning can
+    // be read against true selectivity. All probe arithmetic is integer
+    // (lo/hi = p·(max+1) DIV 8), so both engines agree exactly; the two
+    // global-sort Exchanges are the same ones any layout rewrite pays,
+    // and the probe/stats joins are broadcasts of ≤16 and ≤⌈n/5000⌉
+    // rows. ──
+    "w3_zorder_prune" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          datediff(col("l_shipdate"), to_date(lit("1992-01-01"))).cast("long").as("day"))
+      val mx = li.agg(max(col("day")).as("maxday"),
+        max(col("l_partkey")).cast("long").as("maxpk"))
+      val dims = li.crossJoin(broadcast(mx))
+        .withColumn("pk12", expr("l_partkey * 4096L DIV (maxpk + 1)"))
+      val z = (0 until 12).map { j =>
+        shiftright(col("day"), j).bitwiseAND(lit(1L)) * lit(1L << (2 * j)) +
+          shiftright(col("pk12"), j).bitwiseAND(lit(1L)) * lit(1L << (2 * j + 1))
+      }.reduce(_ + _)
+      def stats(keyed: org.apache.spark.sql.DataFrame) =
+        graft.operators.Sitemap.withGlobalOrdinal(keyed, "__key", "__ord")
+          .withColumn("file_id", expr("__ord DIV 5000"))
+          .groupBy(col("file_id"))
+          .agg(min(col("day")).as("day_min"), max(col("day")).as("day_max"),
+            min(col("l_partkey")).cast("long").as("pk_min"),
+            max(col("l_partkey")).cast("long").as("pk_max"))
+      val zStats = stats(dims.withColumn("z", z)
+        .withColumn("__key", format_string("%08d%011d%01d",
+          col("z"), col("l_orderkey"), col("l_linenumber"))))
+      val dStats = stats(dims.withColumn("__key", format_string("%08d%011d%01d",
+        col("day"), col("l_orderkey"), col("l_linenumber"))))
+      val probes = s.range(8).toDF("probe").crossJoin(broadcast(mx))
+        .select(explode(array(
+          struct(lit("day").as("dim"), col("probe"),
+            expr("probe * (maxday + 1) DIV 8").as("lo"),
+            expr("(probe + 1) * (maxday + 1) DIV 8").as("hi")),
+          struct(lit("pk").as("dim"), col("probe"),
+            expr("probe * (maxpk + 1) DIV 8").as("lo"),
+            expr("(probe + 1) * (maxpk + 1) DIV 8").as("hi")))).as("p"))
+        .select(col("p.*"))
+      def overlap = when(col("dim") === "day",
+          col("day_max") >= col("lo") && col("day_min") < col("hi"))
+        .otherwise(col("pk_max") >= col("lo") && col("pk_min") < col("hi"))
+      def scanned(st: org.apache.spark.sql.DataFrame, out: String) =
+        st.crossJoin(broadcast(probes)).filter(overlap)
+          .groupBy(col("dim"), col("probe")).agg(count(lit(1)).as(out))
+      val rowsM = dims.crossJoin(broadcast(probes))
+        .filter(when(col("dim") === "day",
+            col("day") >= col("lo") && col("day") < col("hi"))
+          .otherwise(col("l_partkey") >= col("lo") && col("l_partkey") < col("hi")))
+        .groupBy(col("dim"), col("probe")).agg(count(lit(1)).as("rows_matched"))
+      val filesTotal = zStats.agg(count(lit(1)).as("files_total"))
+      probes.join(scanned(zStats, "files_z"), Seq("dim", "probe"), "left_outer")
+        .join(scanned(dStats, "files_1d"), Seq("dim", "probe"), "left_outer")
+        .join(rowsM, Seq("dim", "probe"), "left_outer")
+        .crossJoin(broadcast(filesTotal))
+        .select(col("dim"), col("probe"), col("lo"), col("hi"),
+          col("files_total"), coalesce(col("files_z"), lit(0L)).as("files_z"),
+          coalesce(col("files_1d"), lit(0L)).as("files_1d"),
+          coalesce(col("rows_matched"), lit(0L)).as("rows_matched"))
+        .orderBy(col("dim"), col("probe"))
+    }),
+
     // ── Sessionization: gap-based session assignment per user (30-min
     // inactivity closes a session) — the classic event-analytics operator,
     // lag + running sum over a per-USER window. Scales horizontally: the
@@ -819,6 +890,63 @@ object RelationalCatalog extends Catalog {
            CAST(MIN(l_partkey) AS BIGINT) AS pk_min,
            CAST(MAX(l_partkey) AS BIGINT) AS pk_max
          FROM o GROUP BY 1 ORDER BY file_id""",
+    "w3_zorder_prune" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber, l_partkey,
+             CAST(date_diff('day', DATE '1992-01-01', l_shipdate) AS BIGINT) AS day
+           FROM lineitem),
+         mx AS (SELECT CAST(MAX(day) AS BIGINT) AS maxday,
+             CAST(MAX(l_partkey) AS BIGINT) AS maxpk FROM li),
+         dims AS (SELECT li.*, (l_partkey * 4096) // (maxpk + 1) AS pk12
+           FROM li, mx),
+         zed AS (SELECT *,
+             CAST(list_sum(list_transform(range(0, 12), j ->
+               ((day >> CAST(j AS INT)) & 1) * (CAST(1 AS BIGINT) << CAST(2*j AS INT)) +
+               ((pk12 >> CAST(j AS INT)) & 1) * (CAST(1 AS BIGINT) << CAST(2*j + 1 AS INT)))) AS BIGINT) AS z
+           FROM dims),
+         zo AS (SELECT *, ROW_NUMBER() OVER (ORDER BY z, l_orderkey, l_linenumber)
+             - 1 AS ord FROM zed),
+         zstats AS (SELECT ord // 5000 AS file_id,
+             MIN(day) AS day_min, MAX(day) AS day_max,
+             CAST(MIN(l_partkey) AS BIGINT) AS pk_min,
+             CAST(MAX(l_partkey) AS BIGINT) AS pk_max
+           FROM zo GROUP BY 1),
+         dd AS (SELECT *, ROW_NUMBER() OVER (ORDER BY day, l_orderkey, l_linenumber)
+             - 1 AS ord FROM dims),
+         dstats AS (SELECT ord // 5000 AS file_id,
+             MIN(day) AS day_min, MAX(day) AS day_max,
+             CAST(MIN(l_partkey) AS BIGINT) AS pk_min,
+             CAST(MAX(l_partkey) AS BIGINT) AS pk_max
+           FROM dd GROUP BY 1),
+         ft AS (SELECT COUNT(*) AS files_total FROM zstats),
+         probes AS (
+           SELECT 'day' AS dim, CAST(t.p AS BIGINT) AS probe,
+               t.p * (maxday + 1) // 8 AS lo, (t.p + 1) * (maxday + 1) // 8 AS hi
+             FROM generate_series(0, 7) t(p), mx
+           UNION ALL
+           SELECT 'pk', CAST(t.p AS BIGINT),
+               t.p * (maxpk + 1) // 8, (t.p + 1) * (maxpk + 1) // 8
+             FROM generate_series(0, 7) t(p), mx),
+         sz AS (SELECT dim, probe, COUNT(*) AS files_z FROM probes, zstats
+           WHERE CASE WHEN dim = 'day' THEN day_max >= lo AND day_min < hi
+                 ELSE pk_max >= lo AND pk_min < hi END
+           GROUP BY 1, 2),
+         sd AS (SELECT dim, probe, COUNT(*) AS files_1d FROM probes, dstats
+           WHERE CASE WHEN dim = 'day' THEN day_max >= lo AND day_min < hi
+                 ELSE pk_max >= lo AND pk_min < hi END
+           GROUP BY 1, 2),
+         rm AS (SELECT dim, probe, COUNT(*) AS rows_matched FROM probes, dims
+           WHERE CASE WHEN dim = 'day' THEN day >= lo AND day < hi
+                 ELSE l_partkey >= lo AND l_partkey < hi END
+           GROUP BY 1, 2)
+         SELECT p.dim, p.probe, p.lo, p.hi, ft.files_total,
+           COALESCE(sz.files_z, 0) AS files_z,
+           COALESCE(sd.files_1d, 0) AS files_1d,
+           COALESCE(rm.rows_matched, 0) AS rows_matched
+         FROM probes p CROSS JOIN ft
+         LEFT JOIN sz ON sz.dim = p.dim AND sz.probe = p.probe
+         LEFT JOIN sd ON sd.dim = p.dim AND sd.probe = p.probe
+         LEFT JOIN rm ON rm.dim = p.dim AND rm.probe = p.probe
+         ORDER BY p.dim, p.probe""",
     "ev_sessionize" ->
       """WITH x AS (SELECT event_id, user_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL
