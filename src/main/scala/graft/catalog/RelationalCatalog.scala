@@ -686,6 +686,57 @@ object RelationalCatalog extends Catalog {
     // value (overestimate ≥ 0 on every row). Top-20 ranked by the
     // ESTIMATE (what a sketch-only deployment would rank by), ties by
     // user_id. ──
+    // ── Quantile sketch: per event type, exact discrete (type-1)
+    // p50/p95/p99 of `value` next to the 32-bucket equi-width histogram
+    // ESTIMATE of p95 — completing the sketch trio (KMV = cardinality,
+    // CMS = frequency, histogram = quantiles). The histogram is the
+    // 100 TB object: 32 integer cells per type, built by one map-side-
+    // combined groupBy, mergeable across partitions/days by cell-wise
+    // addition, and the quantile read never re-touches the corpus. The
+    // exact columns are the per-type sort the sketch replaces — they
+    // rank with row_number so the answer is an actual data value
+    // (type-1), carrying no interpolation arithmetic to drift across
+    // engines; the quantile RANKS are pure integer arithmetic
+    // (⌈q·n⌉ = (q·100·n + 99) DIV 100-style), and the one float formula
+    // (the histogram interpolation) is mirrored op-for-op and rounded.
+    // ──
+    "ev_quantile_sketch" -> ((s, d) => {
+      val e = Tables.events(s, d).select(col("event_type"), col("value"))
+        .filter(col("value").isNotNull)
+      val wOrd = Window.partitionBy(col("event_type")).orderBy(col("value"))
+      val wAll = Window.partitionBy(col("event_type"))
+      val ranked = e.withColumn("rn", row_number().over(wOrd))
+        .withColumn("n", count(lit(1)).over(wAll))
+      val qs = ranked.groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"),
+          max(when(col("rn") === expr("(n + 1) DIV 2"), col("value"))).as("p50"),
+          max(when(col("rn") === expr("(19 * n + 19) DIV 20"), col("value"))).as("p95"),
+          max(when(col("rn") === expr("(99 * n + 99) DIV 100"), col("value"))).as("p99"))
+      val mm = e.groupBy(col("event_type"))
+        .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+      val hist = e.join(mm, Seq("event_type"))
+        .withColumn("bucket", when(col("hi") === col("lo"), lit(0))
+          .otherwise(least(lit(31),
+            floor(((col("value") - col("lo")) / (col("hi") - col("lo"))) * 32.0)
+              .cast("int"))))
+        .groupBy(col("event_type"), col("bucket")).agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      val est = hist.withColumn("cum", sum(col("c")).over(wCum))
+        .join(qs.select(col("event_type"), col("n").as("__n")), Seq("event_type"))
+        .join(mm, Seq("event_type"))
+        .withColumn("need", expr("(19 * __n + 19) DIV 20"))
+        .filter(col("cum") >= col("need") && (col("cum") - col("c")) < col("need"))
+        .select(col("event_type"),
+          round(col("lo") + ((col("hi") - col("lo")) / lit(32.0)) *
+            (col("bucket").cast("double") +
+              (col("need") - (col("cum") - col("c"))).cast("double") /
+                col("c").cast("double")), 6).as("est_p95"))
+      qs.join(est, Seq("event_type"), "left_outer")
+        .select(col("event_type"), col("n"), col("p50"), col("p95"), col("p99"),
+          col("est_p95"))
+        .orderBy(col("event_type"))
+    }),
+
     "ev_cms_topk" -> ((s, d) => {
       import graft.functions.PortableHash
       val e = Tables.events(s, d).select(col("user_id"))
@@ -1032,6 +1083,38 @@ object RelationalCatalog extends Catalog {
          FROM p LEFT JOIN v ON p.user_id = v.user_id
            AND v.view_t >= p.t - 3600 AND v.view_t < p.t
          GROUP BY 1, 2, 3 ORDER BY p.event_id""",
+    "ev_quantile_sketch" ->
+      """WITH e AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+         r AS (SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+           FROM e),
+         qs AS (SELECT event_type, MAX(n) AS n,
+             MAX(CASE WHEN rn = (n + 1) // 2 THEN value END) AS p50,
+             MAX(CASE WHEN rn = (19 * n + 19) // 20 THEN value END) AS p95,
+             MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN value END) AS p99
+           FROM r GROUP BY 1),
+         mm AS (SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+           FROM e GROUP BY 1),
+         h AS (SELECT e.event_type,
+             CASE WHEN hi = lo THEN 0
+                  ELSE least(31, CAST(floor(((value - lo) / (hi - lo)) * 32.0) AS INT))
+             END AS bucket,
+             COUNT(*) AS c
+           FROM e JOIN mm USING (event_type) GROUP BY 1, 2),
+         cu AS (SELECT *, SUM(c) OVER (PARTITION BY event_type ORDER BY bucket) AS cum
+           FROM h),
+         est AS (SELECT cu.event_type,
+             round(lo + ((hi - lo) / 32.0) *
+               (CAST(bucket AS DOUBLE) +
+                 CAST(need - (cum - c) AS DOUBLE) / CAST(c AS DOUBLE)), 6) AS est_p95
+           FROM (SELECT cu.*, (19 * qs.n + 19) // 20 AS need
+                 FROM cu JOIN qs USING (event_type)) cu
+           JOIN mm USING (event_type)
+           WHERE cum >= need AND (cum - c) < need)
+         SELECT qs.event_type, n, p50, p95, p99, est.est_p95
+         FROM qs LEFT JOIN est ON qs.event_type = est.event_type
+         ORDER BY qs.event_type""",
     "ev_cms_topk" ->
       s"""WITH e AS (SELECT user_id FROM events),
          ds AS (SELECT CAST(t.d AS BIGINT) AS d FROM generate_series(0, 3) t(d)),
