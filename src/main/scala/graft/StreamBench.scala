@@ -151,9 +151,10 @@ object StreamBench {
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val tap = new ProgressTap
     spark.streams.addListener(tap)
+    val fpt = sys.env.getOrElse("SPARK_GRAFT_STREAM_FILES_PER_TRIGGER", "1")
     val feed = spark.readStream
       .schema("doc_id LONG, text STRING, lang STRING, source STRING")
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", fpt)
       .parquet(feedDir)
       .as[PrepDoc]
     val t0 = System.nanoTime()
