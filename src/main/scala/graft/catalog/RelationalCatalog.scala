@@ -457,9 +457,11 @@ object RelationalCatalog extends Catalog {
           .otherwise(col("l_partkey") >= col("lo") && col("l_partkey") < col("hi")))
         .groupBy(col("dim"), col("probe")).agg(count(lit(1)).as("rows_matched"))
       val filesTotal = zStats.agg(count(lit(1)).as("files_total"))
-      probes.join(scanned(zStats, "files_z"), Seq("dim", "probe"), "left_outer")
-        .join(scanned(dStats, "files_1d"), Seq("dim", "probe"), "left_outer")
-        .join(rowsM, Seq("dim", "probe"), "left_outer")
+      // the assembly frames are all bounded by the 16-row probe set —
+      // broadcast them so the plan never sorts for a join
+      probes.join(broadcast(scanned(zStats, "files_z")), Seq("dim", "probe"), "left_outer")
+        .join(broadcast(scanned(dStats, "files_1d")), Seq("dim", "probe"), "left_outer")
+        .join(broadcast(rowsM), Seq("dim", "probe"), "left_outer")
         .crossJoin(broadcast(filesTotal))
         .select(col("dim"), col("probe"), col("lo"), col("hi"),
           col("files_total"), coalesce(col("files_z"), lit(0L)).as("files_z"),

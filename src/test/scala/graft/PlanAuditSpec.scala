@@ -527,6 +527,31 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"cell and key counts partial-aggregate map-side:\n${p.take(1500)}")
   }
 
+  test("quantile sketch: the histogram partial-aggregates map-side and " +
+    "the min/max model joins broadcast — no corpus-sized join") {
+    val p = plan("ev_quantile_sketch")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the per-type min/max model must broadcast back onto the scan:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"histogram + exact sides meet on small keyed joins:\n${p.take(1500)}")
+  }
+
+  test("Z-order pruning: exactly the two layout sorts shuffle corpus-wide; " +
+    "probes and stats stay broadcast") {
+    val p = plan("w3_zorder_prune")
+    // 2 ordinal sorts + the presentation orderBy; cached ordinal subtrees
+    // re-print under fresh plan_ids, so the textual count carries up to
+    // two duplicates — the bound still pins "no hidden corpus re-sort
+    // per probe" (a per-probe sort would add 16)
+    val rangeEx = "(?m)Exchange rangepartitioning[^\\n]*plan_id=(\\d+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet.size
+    assert(rangeEx >= 2 && rangeEx <= 5,
+      s"only the layout sorts + presentation sort range-shuffle — got " +
+        s"$rangeEx:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"probe/stats joins are broadcasts of ≤16 and ≤⌈n/5000⌉ rows:\n${p.take(1500)}")
+  }
+
   test("sampled-query embedding near-dup: the 200-query sample is a " +
     "TakeOrdered + broadcast; the corpus side never shuffles before the " +
     "candidate join") {
