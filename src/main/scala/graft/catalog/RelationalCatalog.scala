@@ -445,6 +445,9 @@ object RelationalCatalog extends Catalog {
             expr("probe * (maxpk + 1) DIV 8").as("lo"),
             expr("(probe + 1) * (maxpk + 1) DIV 8").as("hi")))).as("p"))
         .select(col("p.*"))
+        // an EMPTY corpus has null maxima → no probes, report is empty
+        // (not 16 rows of null bounds); the oracle filters identically
+        .filter(col("lo").isNotNull)
       def overlap = when(col("dim") === "day",
           col("day_max") >= col("lo") && col("day_min") < col("hi"))
         .otherwise(col("pk_max") >= col("lo") && col("pk_min") < col("hi"))
@@ -975,10 +978,12 @@ object RelationalCatalog extends Catalog {
            SELECT 'day' AS dim, CAST(t.p AS BIGINT) AS probe,
                t.p * (maxday + 1) // 8 AS lo, (t.p + 1) * (maxday + 1) // 8 AS hi
              FROM generate_series(0, 7) t(p), mx
+           WHERE maxday IS NOT NULL
            UNION ALL
            SELECT 'pk', CAST(t.p AS BIGINT),
                t.p * (maxpk + 1) // 8, (t.p + 1) * (maxpk + 1) // 8
-             FROM generate_series(0, 7) t(p), mx),
+             FROM generate_series(0, 7) t(p), mx
+           WHERE maxpk IS NOT NULL),
          sz AS (SELECT dim, probe, COUNT(*) AS files_z FROM probes, zstats
            WHERE CASE WHEN dim = 'day' THEN day_max >= lo AND day_min < hi
                  ELSE pk_max >= lo AND pk_min < hi END
