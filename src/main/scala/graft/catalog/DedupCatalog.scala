@@ -1089,6 +1089,51 @@ object DedupCatalog extends Catalog {
         .select(col("source"), col("n_exact"), col("h_k"), col("k_used"),
           col("n_est"), col("rel_err"))
         .orderBy(col("source"))
+    }),
+
+    // ── KMV MERGEABILITY — the property that makes sketches the 100 TB
+    // tool: the union of per-source k-min sketches, re-trimmed to its k
+    // smallest values, IS the global sketch. Proof: any hash among the
+    // global k smallest distinct values is necessarily among its own
+    // source's k smallest, so it survives into the merged set — combine
+    // per-day/per-source sketches forever without re-touching the
+    // corpus. This row CHECKS the theorem value-for-value: the k-th
+    // smallest of the merged sketch (`h_k_merged`) must equal the k-th
+    // smallest of a direct global sketch (`h_k_direct`), and
+    // `sketch_agree` must be true; the union estimate then prices the
+    // whole corpus's distinct-shingle mass from ≤ k·|sources| retained
+    // values. n_exact and the direct sketch are comparison columns — at
+    // scale only the per-source sketches and the merge exist. ──
+    "dd_kmv_union" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 64
+      val h = Tables.documents(s, d)
+        .select(col("source"),
+          explode(graft.functions.TextHashes.windowHashesUdf(3, distinct = true)(col("text"))).as("h"))
+      val w = Window.partitionBy(col("source")).orderBy(col("h"))
+      val perSource = h.withColumn("dr", dense_rank().over(w))
+        .filter(col("dr") <= k).select(col("source"), col("h")).distinct()
+      val merged = perSource.select(col("h")).distinct()
+        .orderBy(col("h")).limit(k)
+        .agg(max(col("h")).as("h_k_merged"), count(lit(1)).as("k_used"))
+      val globalDistinct = h.select(col("h")).distinct()
+      val direct = globalDistinct.orderBy(col("h")).limit(k)
+        .agg(max(col("h")).as("h_k_direct"))
+      val stats = h.agg(count_distinct(col("h")).as("n_exact"),
+        count_distinct(col("source")).as("n_sources"))
+      stats.crossJoin(merged).crossJoin(direct)
+        .withColumn("sketch_agree", col("h_k_merged") === col("h_k_direct"))
+        .withColumn("n_est",
+          when(col("k_used") < k, col("n_exact"))
+            .otherwise(round(lit((k - 1).toDouble) /
+              (col("h_k_merged").cast("double") / lit(1152921504606846976.0))).cast("long")))
+        .withColumn("rel_err",
+          round(abs(col("n_est") - col("n_exact")).cast("double") /
+            col("n_exact").cast("double"), 6))
+        .select(col("n_sources"), col("n_exact"), col("k_used"),
+          col("h_k_direct"), col("h_k_merged"), col("sketch_agree"),
+          col("n_est"), col("rel_err"))
+        .orderBy(col("n_sources"))
     })
   )
 
@@ -1520,6 +1565,31 @@ object DedupCatalog extends Catalog {
            FROM ex JOIN kth USING (source))
          SELECT source, n_exact, h_k, k_used, n_est,
            round(abs(n_est - n_exact) / CAST(n_exact AS DOUBLE), 6) AS rel_err
-         FROM est ORDER BY source"""
+         FROM est ORDER BY source""",
+    "dd_kmv_union" ->
+      s"""WITH sh AS (SELECT DISTINCT source, h
+           FROM (SELECT source,
+                   unnest(list_transform($Shingles3Sql, s -> ${hash64Sql("s")})) AS h
+                 FROM documents)),
+         ps AS (SELECT DISTINCT source, h
+           FROM (SELECT source, h,
+                   DENSE_RANK() OVER (PARTITION BY source ORDER BY h) AS dr
+                 FROM sh) WHERE dr <= 64),
+         mg AS (SELECT MAX(h) AS h_k_merged, COUNT(*) AS k_used
+           FROM (SELECT DISTINCT h FROM ps ORDER BY h LIMIT 64)),
+         dr AS (SELECT MAX(h) AS h_k_direct
+           FROM (SELECT DISTINCT h FROM sh ORDER BY h LIMIT 64)),
+         st AS (SELECT COUNT(DISTINCT h) AS n_exact,
+             COUNT(DISTINCT source) AS n_sources FROM sh),
+         est AS (SELECT n_sources, n_exact, k_used, h_k_direct, h_k_merged,
+             h_k_merged = h_k_direct AS sketch_agree,
+             CASE WHEN k_used < 64 THEN n_exact
+                  ELSE CAST(round(63.0 / (h_k_merged / 1152921504606846976.0)) AS BIGINT)
+             END AS n_est
+           FROM st CROSS JOIN mg CROSS JOIN dr)
+         SELECT n_sources, n_exact, k_used, h_k_direct, h_k_merged,
+           sketch_agree, n_est,
+           round(abs(n_est - n_exact) / CAST(n_exact AS DOUBLE), 6) AS rel_err
+         FROM est ORDER BY n_sources"""
   )
 }
