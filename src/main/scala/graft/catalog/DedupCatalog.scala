@@ -1091,6 +1091,63 @@ object DedupCatalog extends Catalog {
         .orderBy(col("source"))
     }),
 
+    // ── b-bit minhash (Li & König 2010): keep only the LOWEST BIT of
+    // each minhash, so a 16-hash signature is 16 BITS — one integer per
+    // document instead of 16, the compression that makes billion-doc
+    // signature tables fit in memory (at production width, 128 hashes
+    // pack into two longs, 32× smaller than 4-byte values). The
+    // estimator corrects for chance agreement: P(bits agree) =
+    // J + (1−J)/2, so Ĵ = 2·A − 1 where A is the agreeing-bit fraction.
+    // This row prices the trade on the SAME banded candidates as
+    // dd_minhash_calibration: per true-Jaccard decile, the full-width
+    // estimate and the 1-bit estimate side by side with their MAEs —
+    // mean calibration holds (the estimator is unbiased) while per-pair
+    // MAE grows by the predicted √((1+J)(1−J))-ish factor; the per-pair
+    // cost is one XOR + popcount instead of 16 comparisons. ──
+    "dd_minhash_bbit" -> ((s, d) => {
+      val base = shingled(s, d)
+        .withColumn("mh", graft.functions.TextHashes.minhashesUdf(16)(col("text")))
+        .withColumn("sig", (0 until 16).map(i =>
+          (element_at(col("mh"), i + 1) % 2) * lit(1L << i)).reduce(_ + _))
+        .cache()
+      val bands = base.select(col("doc_id"),
+        explode(array((0 until 4).map(k => struct(
+          lit(k).as("band_idx"),
+          (element_at(col("mh"), 2 * k + 1) * Mersenne31 +
+            element_at(col("mh"), 2 * k + 2)).as("band_val"))): _*)).as("band"))
+        .select(col("doc_id"), col("band.band_idx").as("band_idx"),
+          col("band.band_val").as("band_val"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_val") === col("b.band_val") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val estFull = (0 until 16).map(i =>
+        when(element_at(col("mha"), i + 1) === element_at(col("mhb"), i + 1), 1)
+          .otherwise(0)).reduce(_ + _) / 16.0
+      val est1 = lit(2.0) * ((lit(16) - bit_count(col("siga").bitwiseXOR(col("sigb"))))
+        .cast("double") / lit(16.0)) - lit(1.0)
+      val pairs = cand
+        .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+          col("mh").as("mha"), col("sig").as("siga")), Seq("doc_a"))
+        .join(base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+          col("mh").as("mhb"), col("sig").as("sigb")), Seq("doc_b"))
+        .select(jaccard(col("sh_a"), col("sh_b")).as("jaccard"),
+          estFull.as("est_full"), est1.as("est_1bit"))
+      pairs
+        .withColumn("bucket",
+          least(floor(col("jaccard") * 10).cast("long"), lit(9L)))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg(col("jaccard")), 6).as("mean_true"),
+          round(avg(col("est_full")), 6).as("mean_est_full"),
+          round(avg(col("est_1bit")), 6).as("mean_est_1bit"),
+          round(avg(abs(col("est_full") - col("jaccard"))), 6).as("mae_full"),
+          round(avg(abs(col("est_1bit") - col("jaccard"))), 6).as("mae_1bit"))
+        .orderBy(col("bucket"))
+    }),
+
     // ── KMV MERGEABILITY — the property that makes sketches the 100 TB
     // tool: the union of per-source k-min sketches, re-trimmed to its k
     // smallest values, IS the global sketch. Proof: any hash among the
@@ -1263,6 +1320,37 @@ object DedupCatalog extends Catalog {
            round(AVG(est_jaccard), 6) AS mean_est,
            round(AVG(jaccard), 6) AS mean_true,
            round(AVG(abs(est_jaccard - jaccard)), 6) AS mae
+         FROM bk GROUP BY bucket ORDER BY bucket"""
+    },
+    "dd_minhash_bbit" -> {
+      val mhList = (0 until 16).map(k =>
+        minhashSql("hs", MinhashA(k), MinhashB(k))).mkString("[", ", ", "]")
+      val estTerms = (1 to 16).map(i =>
+        s"CASE WHEN a.mh[$i] = b.mh[$i] THEN 1 ELSE 0 END").mkString(" + ")
+      val sigSql = "CAST(list_sum(list_transform(range(1, 17), i -> " +
+        "(mh[CAST(i AS INT)] % 2) * (CAST(1 AS BIGINT) << CAST(i - 1 AS INT)))) AS BIGINT)"
+      s"""WITH sh AS (SELECT doc_id, $Shingles3Sql AS sh FROM documents),
+         hs AS (SELECT doc_id, sh, list_transform(sh, s -> ${hash31Sql("s")}) AS hs FROM sh),
+         mh AS (SELECT doc_id, sh, $mhList AS mh FROM hs),
+         sg AS (SELECT doc_id, sh, mh, $sigSql AS sig FROM mh),
+         bands AS (SELECT doc_id, sh, mh, sig, t.k AS band_idx,
+             mh[2*t.k+1] * $Mersenne31 + mh[2*t.k+2] AS band_val
+           FROM sg, generate_series(0, 3) t(k)),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.sh, b.sh))
+               / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard,
+             ($estTerms) / 16.0 AS est_full,
+             2.0 * (CAST(16 - bit_count(xor(a.sig, b.sig)) AS DOUBLE) / 16.0) - 1.0 AS est_1bit
+           FROM bands a JOIN bands b
+             ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+         bk AS (SELECT least(CAST(floor(jaccard * 10) AS BIGINT), 9) AS bucket,
+             jaccard, est_full, est_1bit FROM cand)
+         SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           round(AVG(jaccard), 6) AS mean_true,
+           round(AVG(est_full), 6) AS mean_est_full,
+           round(AVG(est_1bit), 6) AS mean_est_1bit,
+           round(AVG(abs(est_full - jaccard)), 6) AS mae_full,
+           round(AVG(abs(est_1bit - jaccard)), 6) AS mae_1bit
          FROM bk GROUP BY bucket ORDER BY bucket"""
     },
     "dd_lenband_jaccard" ->
