@@ -1,0 +1,141 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.StreamingQuantiles
+import graft.streaming.StreamingQuantiles.{Ev, QuantileSnapshot}
+
+/** Streaming histogram-quantile sketch: cross-batch accumulation,
+  * value parity with the batch `ev_quantile_sketch` interpolation at
+  * equal bounds, clamp accounting, and exactly-once counts across a
+  * crash/replay on one checkpoint. */
+class StreamingQuantilesSpec extends AnyFunSuite with SparkSpec {
+
+  // deterministic fixture: 204 events over two types, values 0..99;
+  // both types carry the extrema explicitly so the batch row (which
+  // derives per-type min/max) gets the same [0, 99] bounds the stream
+  // is constructed with — the parity precondition
+  private val fixture: Seq[Ev] =
+    (0 until 200).map(i => Ev(if (i % 2 == 0) "click" else "view",
+      ((i * 7) % 100).toDouble)) ++
+      Seq(Ev("click", 0.0), Ev("click", 99.0), Ev("view", 0.0), Ev("view", 99.0))
+
+  private def lastSnapshots(rows: Seq[QuantileSnapshot]): Map[String, QuantileSnapshot] =
+    rows.groupBy(_.event_type).view.mapValues(_.last).toMap
+
+  test("accumulates across batches and matches the batch interpolation " +
+    "at equal bounds") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = session.sqlContext
+
+    // batch reference: the SAME rows as an events table, quantiles from
+    // the catalog row (whose lo/hi are the data min/max — so the stream
+    // gets those bounds and the two formulas must agree exactly)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sq").toString
+    fixture.zipWithIndex.map { case (e, i) =>
+      (i.toLong, new java.sql.Timestamp(1700000000000L + i * 1000L),
+        i.toLong % 7, e.event_type, e.value, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = SparkEntry.queries("ev_quantile_sketch")(spark, dir)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("est_p95"))).toMap
+
+    val input = MemoryStream[Ev]
+    val q = StreamingQuantiles.histogramStream(input.toDS(), lo = 0.0, hi = 99.0)
+      .writeStream.format("memory").queryName("squant")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData(fixture.take(120): _*)
+      q.processAllAvailable()
+      input.addData(fixture.drop(120): _*)
+      q.processAllAvailable()
+      val snaps = lastSnapshots(
+        session.sql("SELECT * FROM squant").as[QuantileSnapshot].collect().toSeq)
+      assert(snaps.keySet == Set("click", "view"))
+      for ((k, s) <- snaps) {
+        assert(s.n == 102L, s"$k sees all its events across batches: $s")
+        assert(s.buckets.sum == 102L)
+        assert(s.n_clamped == 0L, "bounds cover the domain, nothing clamps")
+        assert(s.n == batch(k)._1)
+        assert(math.abs(s.est_p95 - batch(k)._2) < 1e-6,
+          s"$k: stream ${s.est_p95} == batch ${batch(k)._2} at equal bounds")
+        assert(s.est_p50 > 30.0 && s.est_p50 < 70.0, s"sane median: $s")
+      }
+    } finally q.stop()
+  }
+
+  test("out-of-domain values clamp into edge buckets and are counted") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = session.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamingQuantiles.histogramStream(input.toDS(), lo = 0.0, hi = 10.0)
+      .writeStream.format("memory").queryName("squant_clamp")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData(Ev("t", -5.0), Ev("t", 3.0), Ev("t", 99.0), Ev("t", 10.0))
+      q.processAllAvailable()
+      val s = lastSnapshots(session.sql("SELECT * FROM squant_clamp")
+        .as[QuantileSnapshot].collect().toSeq)("t")
+      // -5 → bucket 0, 99 and the hi edge → bucket 31
+      assert(s.n == 4L && s.n_clamped == 2L, s"clamps visible: $s")
+      assert(s.buckets.head == 1L && s.buckets.last == 2L, s"edge buckets: $s")
+    } finally q.stop()
+  }
+
+  test("crash + replay on one checkpoint never double-counts the histogram") {
+    val session = spark
+    import session.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_sq_crash").toString
+    val in = s"$root/in"; val ckpt = s"$root/ckpt"; val out = s"$root/out"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+
+    def writeBatch(name: String, evs: Seq[Ev]): Unit = {
+      val tmp = s"$root/tmp_$name"
+      evs.toDF("event_type", "value").coalesce(1).write.mode("overwrite").json(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(in, name),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    def start() = StreamingQuantiles.histogramStream(
+        spark.readStream.schema("event_type STRING, value DOUBLE").json(in).as[Ev],
+        lo = 0.0, hi = 99.0)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+
+    writeBatch("b1.json", fixture.take(120))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // crash: the engine forgets the last batch committed — on restart it
+    // REPLAYS that batch against the checkpointed (pre-batch) state
+    val commits = java.nio.file.Paths.get(ckpt, "commits").toFile.listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.nonEmpty)
+    assert(commits.last.delete())
+    val crc = new java.io.File(commits.last.getParentFile,
+      s".${commits.last.getName}.crc")
+    if (crc.exists()) assert(crc.delete())
+
+    writeBatch("b2.json", fixture.drop(120))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val snaps = lastSnapshots(spark.read.parquet(out)
+      .as[QuantileSnapshot].collect().toSeq
+      .sortBy(_.n)) // last per key = largest n (histograms only grow)
+    for ((k, s) <- snaps) {
+      assert(s.n == 102L,
+        s"$k: replayed batch restored pre-batch state, no double count: $s")
+      assert(s.buckets.sum == 102L)
+    }
+  }
+}
