@@ -1190,6 +1190,9 @@ object DedupCatalog extends Catalog {
         .select(col("n_sources"), col("n_exact"), col("k_used"),
           col("h_k_direct"), col("h_k_merged"), col("sketch_agree"),
           col("n_est"), col("rel_err"))
+        // a global aggregate emits one row even over NOTHING — an empty
+        // corpus has no sketch to merge, so the report is empty
+        .filter(col("n_sources") > 0)
         .orderBy(col("n_sources"))
     })
   )
@@ -1678,6 +1681,6 @@ object DedupCatalog extends Catalog {
          SELECT n_sources, n_exact, k_used, h_k_direct, h_k_merged,
            sketch_agree, n_est,
            round(abs(n_est - n_exact) / CAST(n_exact AS DOUBLE), 6) AS rel_err
-         FROM est ORDER BY n_sources"""
+         FROM est WHERE n_sources > 0 ORDER BY n_sources"""
   )
 }
