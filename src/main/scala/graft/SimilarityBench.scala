@@ -275,6 +275,9 @@ object SimilarityBench {
       .orderBy(PortableHash.hash64(col("vec_id").cast("string")), col("vec_id"))
       .limit(Kcb).select(residual(col("v"), col("c")).as("rv"))
       .collect().map(_.getSeq[Double](0))
+    require(seedVs.length >= Kcb,
+      s"IVF-PQ needs at least $Kcb indexed vectors to seed a $Kcb-codeword " +
+        s"codebook; got ${seedVs.length} — raise SPARK_GRAFT_ANN_ROWS")
     var cb = (for { m <- 0 until Msub; k <- 0 until Kcb }
       yield (m, k, seedVs(k).slice(m * dsub, (m + 1) * dsub))).toDF("m", "k", "cw")
     val subSample = index.filter(pmod(xxhash64(col("vec_id")), lit(61L)) === 0)

@@ -36,13 +36,17 @@ import java.nio.file.{Files, Path, Paths}
   * (at-least-once delivery, the reference's ST4 contract,
   * adsmp/tasks.py:404-429) rewrites the same segment byte-identically
   * and finds its name already live: appends are idempotent in the
-  * caller-supplied batchId, not in arrival count.
+  * caller-supplied batchId, not in arrival count. The guarantee holds
+  * ACROSS compactions — a folded batch's name survives as a
+  * `done_<name>` admission marker in the compacted manifest, so a
+  * replay arriving after the fold still no-ops.
   *
   * Readers resolve the manifest once and union the listed segments — a
   * consistent view however many appends race behind them. Compaction
-  * folds the live set into one fresh segment and, like any table-format
-  * rewrite (Delta/Iceberg do the same), re-runs its fold when the CAS
-  * detects concurrent mutations; its vacuum deletes superseded dirs, so
+  * folds the live set into one fresh segment; when the CAS detects
+  * concurrent appends it keeps the fold and delta-publishes the winners'
+  * new entries beside it (fold-once — only a rival compaction forces a
+  * re-fold, and retries are bounded); its vacuum deletes superseded dirs, so
   * schedule it like any table-maintenance job (a reader holding a
   * pre-compaction manifest races the vacuum — the standard retention
   * trade, not a correctness bug in the manifest protocol). At cluster
@@ -89,8 +93,11 @@ class FingerprintIndexStore(val root: String, numBuckets: Int = 8) {
     sys.error("unreachable")
   }
 
-  /** Live manifest entries (segment + tombstone dir names), oldest first. */
-  def manifest: Seq[String] = snapshot()._2
+  /** Live manifest entries (segment + tombstone dir names), oldest first.
+    * `done_<name>` admission markers (batches folded by a compaction,
+    * retained so a late replay cannot re-admit them) are bookkeeping, not
+    * index state — filtered here. */
+  def manifest: Seq[String] = snapshot()._2.filterNot(_.startsWith("done_"))
 
   /** Monotone manifest generation (0 = nothing published). */
   def manifestVersion: Long = snapshot()._1
@@ -110,12 +117,21 @@ class FingerprintIndexStore(val root: String, numBuckets: Int = 8) {
     } finally Files.deleteIfExists(tmp)
   }
 
-  /** Append one entry with CAS-retry; a name already live is a no-op (the
-    * replay-idempotence leg of the ST4 contract). */
+  /** Append one entry with CAS-retry; a name already live OR already
+    * folded into a compaction (`done_<name>` marker) is a no-op — the
+    * replay-idempotence leg of the ST4 contract holds ACROSS compactions:
+    * a batch replayed after its segment was folded and vacuumed must not
+    * be re-admitted, or its rows would exist twice in the active index
+    * (once inside the compacted segment, once via the re-published name).
+    * The marker set grows one short line per folded batch — bytes per
+    * batch, amortized away against the segments themselves. (The
+    * replay may still rewrite the orphan parquet dir before the no-op
+    * lands; nothing references it, and the next compaction's vacuum era
+    * ignores it — harmless garbage, not state.) */
   private def casAppend(name: String): Unit = {
     while (true) {
       val (v, m) = snapshot()
-      if (m.contains(name)) return
+      if (m.contains(name) || m.contains(s"done_$name")) return
       if (tryPublish(v, m :+ name)) return
     }
   }
@@ -167,36 +183,82 @@ class FingerprintIndexStore(val root: String, numBuckets: Int = 8) {
     * defensively-duplicated (doc_id, band_idx) rows, then vacuum the
     * superseded dirs and manifest generations. The merged segment id must
     * be FRESH (greater than any live batch id) so a compaction replay
-    * stays idempotent too. If the CAS loses (an append/retract/compact
-    * landed mid-fold), the whole fold RE-RUNS over the winner's manifest —
-    * nothing that raced the compaction is ever dropped. */
-  def compact(spark: SparkSession, batchId: Long): Unit = {
+    * stays idempotent too. Every folded batch name is carried forward as
+    * a `done_<name>` admission marker so a late replay of an
+    * already-folded batch no-ops instead of re-admitting its rows beside
+    * the compacted copy.
+    *
+    * Concurrency: if the CAS loses to appends/retracts that landed
+    * mid-fold, the already-computed fold is REUSED — the winner's new
+    * entries are published alongside it (tombstones among them still
+    * retract from the folded segment at read time, so nothing that raced
+    * the compaction is dropped and nothing is double-counted). Only a
+    * rival COMPACTION (which removed this fold's inputs from the
+    * manifest) forces a re-fold. Retries are bounded: under sustained
+    * contention compaction fails loudly after `maxRetries` CAS losses
+    * rather than re-running a corpus-wide fold forever — defer it and
+    * re-run when the writers quiesce, like any table-maintenance job. */
+  def compact(spark: SparkSession, batchId: Long, maxRetries: Int = 10): Unit = {
     val seg = f"seg_$batchId%08d"
-    while (true) {
-      val (v, old) = snapshot()
-      require(!old.contains(seg), s"compaction batchId $batchId already live")
-      indexOf(spark, old)
+    val (v0, old) = snapshot()
+    require(!old.contains(seg) && !old.contains(s"done_$seg"),
+      s"compaction batchId $batchId already live or folded")
+
+    def fold(entries: Seq[String]): Unit =
+      indexOf(spark, entries)
         .dropDuplicates("doc_id", "band_idx")
         .repartition(numBuckets, col("band_idx"), col("band_val"))
         .write.mode("overwrite").parquet(Paths.get(root, seg).toString)
-      if (tryPublish(v, Seq(seg))) {
-        // vacuum: superseded dirs and manifest generations are
-        // unreferenced from here on; a crash mid-delete leaves orphans,
-        // never a live reference to a missing dir
-        old.foreach { n =>
-          val p = Paths.get(root, n)
-          if (Files.exists(p)) {
-            val walk = Files.walk(p)
-            try walk.sorted(java.util.Comparator.reverseOrder())
-              .forEach(f => Files.delete(f))
-            finally walk.close()
-          }
-        }
-        generations().filter(_._1 <= v)
-          .foreach { case (_, p) => Files.deleteIfExists(p) }
-        return
+
+    def doneOf(es: Seq[String]): Seq[String] =
+      (es.filter(_.startsWith("done_")) ++
+        es.collect { case n if !n.startsWith("done_") => s"done_$n" }).distinct
+
+    fold(old)
+    var expected = v0
+    var inputs = old                    // what the current fold covers
+    var carried = Seq.empty[String]     // live entries admitted since the fold
+    var attempts = 0
+    def entries: Seq[String] = Seq(seg) ++ carried ++ doneOf(inputs)
+    while (!tryPublish(expected, entries)) {
+      attempts += 1
+      if (attempts > maxRetries)
+        sys.error(s"compaction $batchId lost the manifest CAS $attempts times " +
+          "under sustained concurrent writes; deferring — re-run when the " +
+          "append rate allows maintenance to land")
+      val (v2, m2) = snapshot()
+      val liveInputs = inputs.filterNot(_.startsWith("done_"))
+      if (liveInputs.forall(m2.contains)) {
+        // winners were appends/retracts: delta-publish — keep the fold,
+        // carry the new entries beside it (tombstones among them still
+        // retract from the folded segment through the read-time anti-join)
+        carried = (carried ++ m2.filterNot(e =>
+          e == seg || inputs.contains(e) || carried.contains(e))).distinct
+      } else {
+        // a rival compaction folded this fold's inputs away — only here
+        // does the full fold re-run, over the rival's manifest
+        fold(m2)
+        inputs = m2
+        carried = Nil
       }
+      expected = v2
     }
+    // vacuum: the folded inputs' dirs and superseded manifest generations
+    // are unreferenced from here on; a crash mid-delete leaves orphans,
+    // never a live reference to a missing dir. Carried (delta-published)
+    // entries stay live and untouched.
+    inputs.filterNot(n => n.startsWith("done_") || carried.contains(n))
+      .foreach { n =>
+        val p = Paths.get(root, n)
+        if (Files.exists(p)) {
+          val walk = Files.walk(p)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => Files.delete(f))
+          finally walk.close()
+        }
+      }
+    generations().filter(_._1 <= expected)
+      .foreach { case (_, p) => Files.deleteIfExists(p) }
   }
 
   private def emptyIndex(spark: SparkSession): DataFrame = {

@@ -2,28 +2,45 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import graft.operators.MergeEngine
 
 /** Snapshot store for the mutable master table on immutable columnar
   * storage (SURVEY.md §7.4 risk 2).
   *
-  * The reference mutates Postgres rows in place; here every mutation batch
-  * produces the next immutable snapshot and an atomic pointer swap:
+  * The reference mutates Postgres rows in place and relies on the database
+  * to serialize concurrent ingest workers (`update_storage` runs inside a
+  * session transaction, adsmp/app.py:120-195); here every mutation batch
+  * produces the next immutable snapshot and a compare-and-swap pointer
+  * publish:
   *
   *   root/
-  *     v_00000001/   (parquet, hash-distributed by bibcode)
-  *     v_00000002/
-  *     CURRENT       (one line: the live version)
+  *     v_<nonce>/            (parquet, hash-distributed by keyCol; one
+  *                            UNIQUE dir per write attempt — writers never
+  *                            share a data directory, so a lost race can
+  *                            tear nothing)
+  *     gen_<generation>      (one line: the data dir that generation reads)
   *
-  * Readers resolve CURRENT once and read a consistent snapshot; a crashed
-  * writer leaves at most an orphan directory, never a torn table. Old
-  * versions remain for time travel until `vacuum`.
+  * The live snapshot is the HIGHEST generation file; generation g+1 is
+  * published by hard-linking a prepared temp file into place
+  * (`Files.createLink` — link(2) fails with EEXIST if the name is taken,
+  * the one true compare-and-swap a shared filesystem offers; an
+  * atomic-move "swap" of a single CURRENT file is last-writer-wins, which
+  * is exactly the lost-update race this layout closes: two writers that
+  * both read v and both swapped CURRENT→v+1 would silently drop one
+  * merge). A writer that loses the CAS observes the winner's generation
+  * and either re-publishes (blind `write`) or re-merges on top of the
+  * winner's snapshot (`writeMerge`) — both deltas always survive.
   *
-  * Scale: snapshots are written `repartition(n, bibcode)` so every
-  * merge-on-write join against a delta keyed by bibcode co-partitions with
-  * AQE, and bibcode point-lookups prune to one partition's files. At
+  * Readers resolve the max generation once and read a consistent
+  * snapshot; a crashed writer leaves at most an orphan data directory no
+  * generation references, never a torn table. Old generations remain for
+  * time travel until `vacuum`.
+  *
+  * Scale: snapshots are written `repartition(n, keyCol)` so every
+  * merge-on-write join against a delta keyed by keyCol co-partitions with
+  * AQE, and keyCol point-lookups prune to one partition's files. At
   * cluster scale `n` tracks corpus size (the 28.8M-row reference corpus at
   * ~2 KB/row → ~60 GB → a few hundred buckets).
   */
@@ -31,20 +48,64 @@ class MasterStore(val root: String, numBuckets: Int = 8,
     empty: SparkSession => DataFrame = MergeEngine.emptyMaster,
     keyCol: String = "bibcode") {
 
-  private def currentFile = Paths.get(root, "CURRENT")
+  private val GenName = raw"gen_(\d{12})".r
 
-  def currentVersion: Option[Long] =
-    if (Files.exists(currentFile))
-      Some(new String(Files.readAllBytes(currentFile), "UTF-8").trim.toLong)
-    else None
+  /** (generation, pointer file) pairs of all published generations. */
+  private def generations(): Seq[(Long, Path)] = {
+    val dir = Paths.get(root)
+    if (!Files.isDirectory(dir)) return Nil
+    val s = Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.flatMap { p =>
+        p.getFileName.toString match {
+          case GenName(g) => Some(g.toLong -> p)
+          case _          => None
+        }
+      }.toSeq
+    } finally s.close()
+  }
 
-  private def versionDir(v: Long) = Paths.get(root, f"v_$v%08d")
+  /** Read the highest generation consistently: list, read the max; if a
+    * concurrent vacuum removed that pointer between the two steps,
+    * re-list (the replacement generation is strictly higher, so the loop
+    * terminates in one hop per lost race). Returns (0, None) for a new
+    * store. */
+  private def snapshot(): (Long, Option[String]) = {
+    while (true) {
+      generations() match {
+        case Nil => return (0L, None)
+        case gs =>
+          val (g, p) = gs.maxBy(_._1)
+          try {
+            val dir = new String(Files.readAllBytes(p), "UTF-8").trim
+            return (g, Some(dir))
+          } catch { case _: java.nio.file.NoSuchFileException => () }
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  def currentVersion: Option[Long] = snapshot() match {
+    case (0L, None) => None
+    case (g, _)     => Some(g)
+  }
+
+  /** One unique data directory per write attempt. The nonce keeps two
+    * racing writers (or a writer and its own crashed prior attempt) out
+    * of each other's files — the "torn v_N directory" failure mode of a
+    * shared version-numbered path cannot occur. */
+  private def freshDataDir(): String =
+    "v_" + java.util.UUID.randomUUID.toString.replace("-", "").take(16)
+
+  private def readDir(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(Paths.get(root, dir).toString)
+      .select(empty(spark).columns.map(col).toIndexedSeq: _*)
 
   /** Read the live snapshot (empty frame when the store is new). */
-  def read(spark: SparkSession): DataFrame = currentVersion match {
-    case Some(v) => spark.read.parquet(versionDir(v).toString)
-      .select(empty(spark).columns.map(col).toIndexedSeq: _*)
-    case None => empty(spark)
+  def read(spark: SparkSession): DataFrame = snapshot() match {
+    case (_, Some(dir)) => readDir(spark, dir)
+    case _              => empty(spark)
   }
 
   /** Bulk keyed read — the engine analog of the reference's
@@ -70,66 +131,105 @@ class MasterStore(val root: String, numBuckets: Int = 8,
     else projected.filter(col(keyCol).isin(keys: _*))
   }
 
-  /** Write the next snapshot and atomically advance CURRENT. Overwrite
-    * mode makes the write replay-tolerant: a crashed attempt leaves an
-    * orphan v_N directory CURRENT never pointed at, and the replay (e.g.
-    * a restarted streaming micro-batch) simply rewrites it. */
-  def write(master: DataFrame): Long = {
-    val next = currentVersion.getOrElse(0L) + 1
-    master
-      .repartition(numBuckets, col(keyCol))
-      .write.mode("overwrite").parquet(versionDir(next).toString)
-    val tmp = Paths.get(root, "CURRENT.tmp")
+  /** CAS publish: generation `expected`+1 points at `dataDir` iff no
+    * other writer published that generation first. */
+  private def tryPublish(expected: Long, dataDir: String): Boolean = {
     Files.createDirectories(Paths.get(root))
-    Files.write(tmp, next.toString.getBytes("UTF-8"))
-    Files.move(tmp, currentFile, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-    next
+    val target = Paths.get(root, f"gen_${expected + 1}%012d")
+    if (Files.exists(target)) return false
+    val tmp = Files.createTempFile(Paths.get(root), ".gen", ".tmp")
+    try {
+      Files.write(tmp, dataDir.getBytes("UTF-8"))
+      try { Files.createLink(target, tmp); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } finally Files.deleteIfExists(tmp)
   }
 
-  /** M6 — truncate with backup (adsmp/app.py:1241-1261): point CURRENT at
-    * a fresh empty snapshot FIRST, then park the old snapshot in the
-    * backup dir — a crash between the two steps leaves a readable (empty)
-    * table plus an unmoved old dir, never a CURRENT referencing a moved
+  private def deleteTree(p: Path): Unit = if (Files.exists(p)) {
+    val walk = Files.walk(p)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => Files.delete(f))
+    finally walk.close()
+  }
+
+  /** Replace the whole table with `master` (blind write — the next
+    * snapshot does not depend on the current one, so a lost CAS just
+    * re-publishes the same data directory at the new generation; nothing
+    * re-runs). A crashed attempt leaves an orphan directory no generation
+    * references, and the replay (e.g. a restarted streaming micro-batch)
+    * publishes a fresh identical snapshot. Concurrent read-modify-write
+    * merges must use `writeMerge` — `write(read() merged delta)` re-opens
+    * the lost-update window this store exists to close. */
+  def write(master: DataFrame): Long = {
+    val dir = freshDataDir()
+    master
+      .repartition(numBuckets, col(keyCol))
+      .write.mode("overwrite").parquet(Paths.get(root, dir).toString)
+    var g = snapshot()._1
+    while (!tryPublish(g, dir)) g = snapshot()._1
+    g + 1
+  }
+
+  /** Read-merge-publish with CAS retry — the engine-side replacement for
+    * the reference's Postgres-serialized `update_storage`
+    * (adsmp/app.py:120-195): `applyDelta` receives the CURRENT snapshot
+    * and returns the merged table; if another writer published first, the
+    * stale merge's data directory is dropped and the delta is re-applied
+    * on top of the winner's snapshot. Two interleaved writers therefore
+    * both land — neither merge can be silently discarded. `applyDelta`
+    * must be re-runnable (pure in its input frame). */
+  def writeMerge(spark: SparkSession, applyDelta: DataFrame => DataFrame): Long = {
+    while (true) {
+      val (g, dirOpt) = snapshot()
+      val current = dirOpt.map(readDir(spark, _)).getOrElse(empty(spark))
+      val dir = freshDataDir()
+      applyDelta(current)
+        .repartition(numBuckets, col(keyCol))
+        .write.mode("overwrite").parquet(Paths.get(root, dir).toString)
+      if (tryPublish(g, dir)) return g + 1
+      // lost: this merge was computed against a superseded snapshot —
+      // discard it and re-merge on top of the winner
+      deleteTree(Paths.get(root, dir))
+    }
+    sys.error("unreachable")
+  }
+
+  /** M6 — truncate with backup (adsmp/app.py:1241-1261): publish a fresh
+    * empty snapshot FIRST, then park the old snapshot in the backup dir —
+    * a crash between the two steps leaves a readable (empty) table plus an
+    * unmoved old dir, never a live generation referencing a moved
     * directory. */
   def truncate(spark: SparkSession, backupDir: String): Unit = {
-    val old = currentVersion
+    val (_, old) = snapshot()
     write(empty(spark))
-    old.foreach { v =>
-      val src = versionDir(v)
-      val dst = Paths.get(backupDir, src.getFileName.toString)
+    old.foreach { d =>
+      val src = Paths.get(root, d)
+      val dst = Paths.get(backupDir, d)
       Files.createDirectories(Paths.get(backupDir))
       Files.move(src, dst, StandardCopyOption.REPLACE_EXISTING)
     }
   }
 
-  /** Drop all snapshots older than the live one (the reference's
-    * truncate+backup M6 keeps one generation too). */
-  def vacuum(): Unit = currentVersion.foreach { live =>
-    for (v <- versions if v != live) {
-      val walk = Files.walk(versionDir(v))
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.delete(f))
-      finally walk.close()
-    }
+  /** Drop all generations older than the live one, plus any orphan data
+    * directory nothing references (crashed or CAS-losing attempts). */
+  def vacuum(): Unit = {
+    val (live, liveDir) = snapshot()
+    if (live == 0L) return
+    generations().filter(_._1 < live)
+      .foreach { case (_, p) => Files.deleteIfExists(p) }
+    val dir = Paths.get(root)
+    val listing = Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      listing.iterator().asScala
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("v_") &&
+          !liveDir.contains(p.getFileName.toString))
+        .toSeq
+        .foreach(deleteTree)
+    } finally listing.close()
   }
 
-  def versions: Seq[Long] = {
-    val dir = Paths.get(root)
-    if (!Files.exists(dir)) Nil
-    else {
-      // Files.list holds an open DirectoryStream until closed — a
-      // long-lived driver calling this per micro-batch would otherwise
-      // leak one fd per call until GC finalizes them
-      val listing = Files.list(dir)
-      try {
-        val out = scala.collection.mutable.ArrayBuffer.empty[Long]
-        listing.forEach { p =>
-          val n = p.getFileName.toString
-          if (n.startsWith("v_")) out += n.stripPrefix("v_").toLong
-        }
-        out.sorted.toSeq
-      } finally listing.close()
-    }
-  }
+  /** Published generation numbers, oldest first. */
+  def versions: Seq[Long] = generations().map(_._1).sorted
 }

@@ -50,12 +50,22 @@ object StreamingQuantiles {
           val h = st.counts.clone()
           var clamped = st.clamped
           rows.foreach { e =>
-            // v == hi lands in the top bucket IN range (the batch row's
-            // least(31, ...) semantics); only true out-of-domain clamps
-            if (e.value < lo || e.value > hi) clamped += 1L
-            val raw = math.floor(((e.value - lo) / (hi - lo)) * nBuckets).toInt
-            val b = math.min(nBuckets - 1, math.max(0, raw))
-            h(b) += 1L
+            if (e.value.isNaN) {
+              // NaN compares false to everything: without this guard it
+              // would skip both clamp tests AND land in bucket 0
+              // (floor(NaN).toInt == 0), silently skewing p50/p95. Count
+              // it as clamped — visible, never bucketed.
+              clamped += 1L
+            } else {
+              // v == hi lands in the top bucket IN range (the batch row's
+              // least(31, ...) semantics); only true out-of-domain clamps
+              // (±Inf among them — they tally here and pin to an edge
+              // bucket, same as any out-of-domain finite value)
+              if (e.value < lo || e.value > hi) clamped += 1L
+              val raw = math.floor(((e.value - lo) / (hi - lo)) * nBuckets).toInt
+              val b = math.min(nBuckets - 1, math.max(0, raw))
+              h(b) += 1L
+            }
           }
           state.update(Hist(h, clamped))
           val n = h.sum

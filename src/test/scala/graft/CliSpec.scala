@@ -566,20 +566,22 @@ class CliSpec extends AnyFunSuite with SparkSpec {
     val root = java.nio.file.Files.createTempDirectory("graft_cli10").toString
     val log = collection.mutable.Buffer.empty[String]
     val (_, d) = deps(log)
-    // corrupt the sitemap store's pointer: any command that reads it must
+    // corrupt the sitemap store's pointer: a generation file referencing a
+    // data dir that does not exist. Any command that reads the store must
     // surface the failure, exactly as run.py re-raises its task errors
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/smstate"))
-    java.nio.file.Files.write(java.nio.file.Paths.get(s"$root/smstate/CURRENT"),
-      "garbage".getBytes)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/smstate/gen_000000000001"),
+      "v_missingdatadir".getBytes)
     val argvBase = Seq("--store", s"$root/master",
       "--sitemap-store", s"$root/smstate", "--out", s"$root/sitemaps")
-    intercept[NumberFormatException] {
+    intercept[org.apache.spark.sql.AnalysisException] {
       Cli.run(spark, argvBase ++ Seq("--update-sitemap-files"), d)
     }
-    intercept[NumberFormatException] {
+    intercept[org.apache.spark.sql.AnalysisException] {
       Cli.run(spark, argvBase ++ Seq("--update-sitemaps-auto"), d)
     }
-    intercept[NumberFormatException] {
+    intercept[org.apache.spark.sql.AnalysisException] {
       Cli.run(spark, argvBase ++
         Seq("--manage-sitemap", "--action", "add", "-b", "x"), d)
     }

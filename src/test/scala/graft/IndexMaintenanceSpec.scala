@@ -139,8 +139,9 @@ class IndexMaintenanceSpec extends AnyFunSuite with SparkSpec {
       "the racing appends reproduce the fresh index build exactly")
 
     // now race a compaction against two more appends: whatever the
-    // interleaving, the compactor re-folds on CAS loss, so the final
-    // active index still equals the fresh build over everything
+    // interleaving, the compactor keeps its fold and delta-publishes the
+    // racing appends beside it on CAS loss, so the final active index
+    // still equals the fresh build over everything
     val late = Seq(9L -> Seq(2009L -> "late batch nine lands during compaction maybe"),
       10L -> Seq(2010L -> "late batch ten lands during compaction maybe"))
     val pool2 = java.util.concurrent.Executors.newFixedThreadPool(3)
@@ -158,6 +159,41 @@ class IndexMaintenanceSpec extends AnyFunSuite with SparkSpec {
     assert(rowsOf(store.activeIndex(spark)) ==
       rowsOf(StreamingNearDup.fingerprintIndex(docsOf(everything))),
       "append/append/compact interleaving loses nothing")
+  }
+
+  test("replay idempotence holds ACROSS compaction: a batch redelivered " +
+    "after its segment was folded and vacuumed is NOT re-admitted") {
+    val root = java.nio.file.Files.createTempDirectory("graft_fpidx_done").toString
+    val store = new FingerprintIndexStore(root)
+    store.append(docsOf(batchA), batchId = 1L)
+    store.append(docsOf(batchB), batchId = 2L)
+    store.retract(spark, Seq(2L), batchId = 3L)
+    store.compact(spark, batchId = 9L)
+    val remaining = (batchA ++ batchB).filterNot(_._1 == 2L)
+    val folded = rowsOf(StreamingNearDup.fingerprintIndex(docsOf(remaining)))
+    assert(rowsOf(store.activeIndex(spark)) == folded)
+
+    // at-least-once redelivery arrives AFTER the fold: without the
+    // done_<name> admission markers the replay would find seg_00000001
+    // absent from the compacted manifest and re-publish it — doc 1's
+    // band rows would then exist twice in the active index
+    store.append(docsOf(batchA), batchId = 1L)
+    assert(store.manifest == Seq("seg_00000009"),
+      s"folded batch replay is a manifest no-op: ${store.manifest}")
+    assert(rowsOf(store.activeIndex(spark)) == folded,
+      "no row admitted twice across the compaction boundary")
+    // count-level check too — a Set comparison alone would mask exact
+    // duplicate rows admitted via a second segment
+    assert(store.activeIndex(spark).count() == folded.size.toLong,
+      "active row COUNT unchanged by the folded replay")
+
+    // a folded retract replays to a no-op the same way
+    store.retract(spark, Seq(2L), batchId = 3L)
+    assert(store.manifest == Seq("seg_00000009") &&
+      rowsOf(store.activeIndex(spark)) == folded)
+
+    // and the compaction batchId itself cannot be reused once folded live
+    intercept[IllegalArgumentException] { store.compact(spark, batchId = 9L) }
   }
 
   test("crash recovery: an orphan segment written without a manifest swap " +

@@ -15,24 +15,42 @@ import graft.sources.MasterStore
   * test_bulk_operations_error_handling, test_get_records_bulk_performance,
   * test_get_sitemap_info_bulk_performance — the bulk getters/setters those
   * tests time collapse here into snapshot reads/writes): every mutation
-  * batch is a new immutable snapshot
-  * behind an atomic CURRENT swap, so a crashed writer can never tear the
-  * table and a failed batch simply never advances the pointer. */
+  * batch is a new immutable snapshot behind a generation-numbered CAS
+  * publish, so a crashed writer can never tear the table, a failed batch
+  * never advances the pointer, and two concurrent merge writers both land
+  * (the reference serializes concurrent `update_storage` workers in
+  * Postgres, adsmp/app.py:120-195 — the CAS-retry loop is the immutable-
+  * storage equivalent). */
 class MasterStoreSpec extends AnyFunSuite with SparkSpec {
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
-  private def seeded(root: String): MasterStore = {
+  private def upsert(base: org.apache.spark.sql.DataFrame,
+      msgs: Seq[UpdateMessage]): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
+    MergeEngine.upsert(base, msgs.toDS()).master
+  }
+
+  private def msg(bib: String): UpdateMessage =
+    UpdateMessage(bib, "metadata", s"""{"title": ["$bib"]}""",
+      ts("2024-01-01 00:00:00"))
+
+  private def seeded(root: String): MasterStore = {
     val store = new MasterStore(root, numBuckets = 2)
-    val r = MergeEngine.upsert(MergeEngine.emptyMaster(spark), Seq(
-      UpdateMessage("ms1", "metadata", """{"title": ["one"]}""", ts("2024-01-01 00:00:00")),
-      UpdateMessage("ms2", "metadata", """{"title": ["two"]}""", ts("2024-01-01 00:00:00"))).toDS())
-    store.write(r.master)
+    store.write(upsert(MergeEngine.emptyMaster(spark), Seq(msg("ms1"), msg("ms2"))))
     store
   }
 
-  test("writes advance CURRENT; readers always see a consistent snapshot") {
+  private def dataDirs(root: String): Seq[String] = {
+    val listing = java.nio.file.Files.list(java.nio.file.Paths.get(root))
+    try {
+      import scala.jdk.CollectionConverters._
+      listing.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("v_")).toSeq
+    } finally listing.close()
+  }
+
+  test("writes advance the generation; readers always see a consistent snapshot") {
     val root = java.nio.file.Files.createTempDirectory("graft_ms1").toString
     val store = seeded(root)
     assert(store.currentVersion.contains(1L))
@@ -43,23 +61,27 @@ class MasterStoreSpec extends AnyFunSuite with SparkSpec {
     assert(store.versions == Seq(1L, 2L), "old snapshots retained until vacuum")
   }
 
-  test("a crashed writer's orphan directory is invisible and gets " +
-    "overwritten by the replay (test_bulk_operations_error_handling analog)") {
+  test("a crashed writer's orphan directory is invisible; the replay " +
+    "publishes a fresh generation and vacuum clears the orphan " +
+    "(test_bulk_operations_error_handling analog)") {
     val root = java.nio.file.Files.createTempDirectory("graft_ms2").toString
     val store = seeded(root)
-    // simulate a writer that died after materializing v_2 but before the
-    // CURRENT swap: the directory exists, the pointer still says v_1
-    val orphan = java.nio.file.Paths.get(root, "v_00000002")
+    // simulate a writer that died after materializing its data dir but
+    // before the CAS publish: the directory exists, no generation
+    // references it
+    val orphan = java.nio.file.Paths.get(root, "v_deadbeefdeadbeef")
     java.nio.file.Files.createDirectories(orphan)
     java.nio.file.Files.write(orphan.resolve("garbage"), "junk".getBytes)
     assert(store.currentVersion.contains(1L))
     assert(store.read(spark).count() == 2, "readers never see the orphan")
-    // the replayed batch rewrites v_2 in place and only then swaps
+    // the replayed batch writes its own fresh dir and publishes normally
     val v = store.write(store.read(spark))
     assert(v == 2L && store.currentVersion.contains(2L))
     assert(store.read(spark).count() == 2)
-    assert(!java.nio.file.Files.exists(orphan.resolve("garbage")),
-      "overwrite mode replaced the torn attempt")
+    store.vacuum()
+    assert(!java.nio.file.Files.exists(orphan),
+      "vacuum removed the unreferenced torn attempt")
+    assert(dataDirs(root).size == 1, "only the live snapshot's dir remains")
   }
 
   test("a failed mutation never advances the pointer (no partial batch)") {
@@ -72,7 +94,7 @@ class MasterStoreSpec extends AnyFunSuite with SparkSpec {
     })
     val bad = store.read(spark).withColumn("bibcode", poison(col("bibcode")))
     intercept[org.apache.spark.SparkException] { store.write(bad) }
-    assert(store.currentVersion.contains(1L), "CURRENT still points at v_1")
+    assert(store.currentVersion.contains(1L), "still at generation 1")
     assert(store.read(spark).count() == 2, "the table is exactly the pre-batch state")
   }
 
@@ -85,5 +107,63 @@ class MasterStoreSpec extends AnyFunSuite with SparkSpec {
     store.vacuum()
     assert(store.versions == Seq(3L))
     assert(store.read(spark).count() == 2, "live snapshot intact")
+    assert(dataDirs(root).size == 1, "superseded and orphan dirs dropped")
+  }
+
+  test("two interleaved merge writers both land — the lost-update race is " +
+    "closed (Postgres-serialized update_storage analog, adsmp/app.py:120-195)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ms5").toString
+    val store = seeded(root)
+    // writer A reads generation 1 and starts merging; writer B's whole
+    // read-merge-publish lands in the middle (the classic interleaving a
+    // single atomic-move CURRENT swap silently loses)
+    var interleaved = false
+    val vA = store.writeMerge(spark, cur => {
+      if (!interleaved) {
+        interleaved = true
+        val vB = store.writeMerge(spark, c => upsert(c, Seq(msg("msB"))))
+        assert(vB == 2L, "writer B published generation 2 mid-merge")
+      }
+      upsert(cur, Seq(msg("msA")))
+    })
+    // A lost the CAS for generation 2, re-read B's snapshot, re-applied
+    // its delta on top, and won generation 3: BOTH deltas survive
+    assert(vA == 3L, "writer A re-merged on top of the winner")
+    val bibs = store.read(spark).select("bibcode")
+      .collect().map(_.getString(0)).toSet
+    assert(bibs == Set("ms1", "ms2", "msA", "msB"),
+      s"both merge deltas survive the race; got $bibs")
+    // torn-directory guard: every generation references its own data dir —
+    // no two writers ever shared one
+    val refs = store.versions.map { g =>
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(root, f"gen_$g%012d")), "UTF-8").trim
+    }
+    assert(refs.distinct.size == refs.size,
+      s"each generation has a distinct data dir; got $refs")
+    // A's stale first attempt was dropped on CAS loss: no orphan remains
+    assert(dataDirs(root).toSet == refs.toSet,
+      "no orphan data dir left behind by the losing attempt")
+    store.vacuum()
+    assert(store.versions == Seq(3L) && dataDirs(root).size == 1)
+    assert(store.read(spark).count() == 4)
+  }
+
+  test("blind write vs merge writer racing: the merge is never lost, the " +
+    "blind write serializes to its own generation") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ms6").toString
+    val store = seeded(root)
+    var fired = false
+    val replacement = upsert(MergeEngine.emptyMaster(spark), Seq(msg("only")))
+    val vM = store.writeMerge(spark, cur => {
+      if (!fired) { fired = true; store.write(replacement) }
+      upsert(cur, Seq(msg("msC")))
+    })
+    // the blind write took generation 2; the merge re-ran on top of it
+    assert(vM == 3L)
+    val bibs = store.read(spark).select("bibcode")
+      .collect().map(_.getString(0)).toSet
+    assert(bibs == Set("only", "msC"),
+      s"merge applied on top of the blind replacement; got $bibs")
   }
 }

@@ -88,6 +88,34 @@ class StreamingQuantilesSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("non-finite values never skew the histogram: NaN counts as clamped " +
+    "and lands in NO bucket; infinities clamp to the edges") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = session.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamingQuantiles.histogramStream(input.toDS(), lo = 0.0, hi = 10.0)
+      .writeStream.format("memory").queryName("squant_nan")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // regression (r10 advice): NaN < lo and NaN > hi are both false and
+      // floor(NaN).toInt == 0 — the unguarded form silently put NaN in
+      // bucket 0 with n_clamped untouched, skewing p50/p95 invisibly
+      input.addData(Ev("t", Double.NaN), Ev("t", 5.0), Ev("t", 5.0),
+        Ev("t", Double.PositiveInfinity), Ev("t", Double.NegativeInfinity))
+      q.processAllAvailable()
+      val s = lastSnapshots(session.sql("SELECT * FROM squant_nan")
+        .as[QuantileSnapshot].collect().toSeq)("t")
+      assert(s.n == 4L, s"NaN is dropped from the histogram, n excludes it: $s")
+      assert(s.n_clamped == 3L, s"NaN and both infinities are visible: $s")
+      assert(s.buckets.head == 1L && s.buckets.last == 1L,
+        s"infinities pin to the edge buckets; bucket 0 holds ONLY -Inf: $s")
+      assert(s.buckets.sum == 4L, s"no phantom bucket-0 entry from NaN: $s")
+      assert(!s.est_p50.isNaN && s.est_p50 > 0.0 && s.est_p50 < 10.0,
+        s"estimates stay finite and in-domain: $s")
+    } finally q.stop()
+  }
+
   test("crash + replay on one checkpoint never double-counts the histogram") {
     val session = spark
     import session.implicits._
