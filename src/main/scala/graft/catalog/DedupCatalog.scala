@@ -1194,6 +1194,70 @@ object DedupCatalog extends Catalog {
         // corpus has no sketch to merge, so the report is empty
         .filter(col("n_sources") > 0)
         .orderBy(col("n_sources"))
+    }),
+
+    // ── PRODUCTION form of the KMV sketch: estimate-only. The
+    // calibration row above carries `n_exact` (a corpus-wide
+    // count_distinct) to MEASURE the estimator; this is the form a
+    // 100 TB deployment actually runs — the plan's only corpus-wide
+    // work is the dense_rank ≤ k filter, which executes as a Partial
+    // WindowGroupLimit (each map partition forwards at most its own k
+    // smallest rows per source before the exchange). Everything past
+    // the rank filter touches ≤ k·|sources| retained rows. When the
+    // sketch saw fewer than k distinct values it IS the exact set, so
+    // n_est = k_used there — no exact fallback column needed.
+    // PlanAuditSpec pins the plan: WindowGroupLimit present, zero
+    // count_distinct, zero row_number anywhere. ──
+    "dd_kmv_prod" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 64
+      val h = Tables.documents(s, d)
+        .select(col("source"),
+          explode(graft.functions.TextHashes.windowHashesUdf(3, distinct = true)(col("text"))).as("h"))
+      val w = Window.partitionBy(col("source")).orderBy(col("h"))
+      h.withColumn("dr", dense_rank().over(w)).filter(col("dr") <= k)
+        .select(col("source"), col("h")).distinct()
+        .groupBy(col("source"))
+        .agg(max(col("h")).as("h_k"), count(lit(1)).as("k_used"))
+        .withColumn("n_est",
+          when(col("k_used") < k, col("k_used"))
+            .otherwise(round(lit((k - 1).toDouble) /
+              (col("h_k").cast("double") / lit(1152921504606846976.0))).cast("long")))
+        .select(col("source"), col("h_k"), col("k_used"), col("n_est"))
+        .orderBy(col("source"))
+    }),
+
+    // ── PRODUCTION form of the KMV merge: per-source sketches folded to
+    // the global estimate with NO direct global sketch and NO exact
+    // count beside it (dd_kmv_union keeps both as the mergeability
+    // proof; this is what runs once the theorem is trusted). Past the
+    // map-side rank filter every frame is sketch-sized: the merge
+    // re-trims ≤ k·|sources| values to k, and n_sources counts the
+    // sketch frame's sources, never the corpus's rows. ──
+    "dd_kmv_union_prod" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 64
+      val h = Tables.documents(s, d)
+        .select(col("source"),
+          explode(graft.functions.TextHashes.windowHashesUdf(3, distinct = true)(col("text"))).as("h"))
+      val w = Window.partitionBy(col("source")).orderBy(col("h"))
+      val perSource = h.withColumn("dr", dense_rank().over(w))
+        .filter(col("dr") <= k).select(col("source"), col("h")).distinct()
+      val merged = perSource.select(col("h")).distinct()
+        .orderBy(col("h")).limit(k)
+        .agg(max(col("h")).as("h_k_merged"), count(lit(1)).as("k_used"))
+      val nSources = perSource.select(col("source")).distinct()
+        .agg(count(lit(1)).as("n_sources"))
+      nSources.crossJoin(merged)
+        .withColumn("n_est",
+          when(col("k_used") < k, col("k_used"))
+            .otherwise(round(lit((k - 1).toDouble) /
+              (col("h_k_merged").cast("double") / lit(1152921504606846976.0))).cast("long")))
+        // a global aggregate emits one row even over NOTHING — an empty
+        // corpus has no sketch to merge, so the report is empty
+        .filter(col("n_sources") > 0)
+        .select(col("n_sources"), col("k_used"), col("h_k_merged"), col("n_est"))
+        .orderBy(col("n_sources"))
     })
   )
 
@@ -1681,6 +1745,39 @@ object DedupCatalog extends Catalog {
          SELECT n_sources, n_exact, k_used, h_k_direct, h_k_merged,
            sketch_agree, n_est,
            round(abs(n_est - n_exact) / CAST(n_exact AS DOUBLE), 6) AS rel_err
-         FROM est WHERE n_sources > 0 ORDER BY n_sources"""
+         FROM est WHERE n_sources > 0 ORDER BY n_sources""",
+    "dd_kmv_prod" ->
+      s"""WITH sh AS (SELECT DISTINCT source, h
+           FROM (SELECT source,
+                   unnest(list_transform($Shingles3Sql, s -> ${hash64Sql("s")})) AS h
+                 FROM documents)),
+         ps AS (SELECT source, h
+           FROM (SELECT source, h,
+                   DENSE_RANK() OVER (PARTITION BY source ORDER BY h) AS dr
+                 FROM sh) WHERE dr <= 64),
+         agg AS (SELECT source, MAX(h) AS h_k, COUNT(*) AS k_used
+           FROM ps GROUP BY 1)
+         SELECT source, h_k, k_used,
+           CASE WHEN k_used < 64 THEN k_used
+                ELSE CAST(round(63.0 / (h_k / 1152921504606846976.0)) AS BIGINT)
+           END AS n_est
+         FROM agg ORDER BY source""",
+    "dd_kmv_union_prod" ->
+      s"""WITH sh AS (SELECT DISTINCT source, h
+           FROM (SELECT source,
+                   unnest(list_transform($Shingles3Sql, s -> ${hash64Sql("s")})) AS h
+                 FROM documents)),
+         ps AS (SELECT source, h
+           FROM (SELECT source, h,
+                   DENSE_RANK() OVER (PARTITION BY source ORDER BY h) AS dr
+                 FROM sh) WHERE dr <= 64),
+         mg AS (SELECT MAX(h) AS h_k_merged, COUNT(*) AS k_used
+           FROM (SELECT DISTINCT h FROM ps ORDER BY h LIMIT 64)),
+         st AS (SELECT COUNT(DISTINCT source) AS n_sources FROM ps)
+         SELECT n_sources, k_used, h_k_merged,
+           CASE WHEN k_used < 64 THEN k_used
+                ELSE CAST(round(63.0 / (h_k_merged / 1152921504606846976.0)) AS BIGINT)
+           END AS n_est
+         FROM st CROSS JOIN mg WHERE n_sources > 0 ORDER BY n_sources"""
   )
 }

@@ -760,6 +760,73 @@ object RelationalCatalog extends Catalog {
         .withColumn("overestimate", col("cms_est") - col("exact"))
         .orderBy(col("cms_est").desc, col("user_id")).limit(20)
         .select(col("user_id"), col("exact"), col("cms_est"), col("overestimate"))
+    }),
+
+    // ── PRODUCTION form of the quantile sketch: histogram-only. The
+    // calibration row above runs the per-type row_number sort it exists
+    // to replace; this form never ranks a corpus row — its corpus-wide
+    // work is two map-side-combined aggregations (per-type min/max, then
+    // per-(type, bucket) counts), and every window/join after that
+    // touches ≤ 32 rows per type. n comes from summing the 32 bucket
+    // cells, not from counting over the corpus. The interpolation is the
+    // calibration row's formula token for token (and the streaming
+    // form's — all three agree at equal bounds). PlanAuditSpec pins: no
+    // row_number, no count_distinct, windows partitioned per type over
+    // the bucket frame only. ──
+    "ev_quantile_prod" -> ((s, d) => {
+      val e = Tables.events(s, d).select(col("event_type"), col("value"))
+        .filter(col("value").isNotNull)
+      val mm = e.groupBy(col("event_type"))
+        .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+      val hist = e.join(mm, Seq("event_type"))
+        .withColumn("bucket", when(col("hi") === col("lo"), lit(0))
+          .otherwise(least(lit(31),
+            floor(((col("value") - col("lo")) / (col("hi") - col("lo"))) * 32.0)
+              .cast("int"))))
+        .groupBy(col("event_type"), col("bucket")).agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      val wAll = Window.partitionBy(col("event_type"))
+      hist.withColumn("cum", sum(col("c")).over(wCum))
+        .withColumn("n", sum(col("c")).over(wAll))
+        .join(mm, Seq("event_type"))
+        .withColumn("q", explode(array(lit(50), lit(95))))
+        .withColumn("need",
+          expr("CASE WHEN q = 50 THEN (n + 1) DIV 2 ELSE (19 * n + 19) DIV 20 END"))
+        .filter(col("cum") >= col("need") && (col("cum") - col("c")) < col("need"))
+        .withColumn("est", round(col("lo") + ((col("hi") - col("lo")) / lit(32.0)) *
+          (col("bucket").cast("double") +
+            (col("need") - (col("cum") - col("c"))).cast("double") /
+              col("c").cast("double")), 6))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"),
+          max(when(col("q") === 50, col("est"))).as("est_p50"),
+          max(when(col("q") === 95, col("est"))).as("est_p95"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ── PRODUCTION form of the CMS top-k: estimate-only. The
+    // calibration row above counts every key exactly to price the
+    // one-sided error; here keys are only ENUMERATED (a map-side-
+    // combined distinct — the candidate set any batch top-k needs) and
+    // ranked purely by their sketch estimate, the ranking a sketch-only
+    // deployment actually serves. The 256-cell table stays a broadcast;
+    // the top-20 is a TakeOrdered, never a global sort materialized. ──
+    "ev_cms_prod" -> ((s, d) => {
+      import graft.functions.PortableHash
+      val e = Tables.events(s, d).select(col("user_id"))
+      val dRows = explode(array((0 until 4).map(lit): _*)).as("d")
+      def bucket(dc: Column, key: Column) =
+        pmod(PortableHash.hash64(concat(lit("cms"), dc.cast("string"),
+          lit(":"), key.cast("string"))), lit(64L))
+      val cells = e.select(col("user_id"), dRows)
+        .withColumn("bucket", bucket(col("d"), col("user_id")))
+        .groupBy(col("d"), col("bucket")).agg(count(lit(1)).as("c"))
+      e.distinct().select(col("user_id"), dRows)
+        .withColumn("bucket", bucket(col("d"), col("user_id")))
+        .join(broadcast(cells), Seq("d", "bucket"))
+        .groupBy(col("user_id")).agg(min(col("c")).as("cms_est"))
+        .orderBy(col("cms_est").desc, col("user_id")).limit(20)
+        .select(col("user_id"), col("cms_est"))
     })
   )
 
@@ -1136,6 +1203,47 @@ object RelationalCatalog extends Catalog {
              AND cells.bucket = ${PortableHashSql.bucketSql("ds.d", "k.user_id")}
            GROUP BY 1, 2)
          SELECT user_id, exact, cms_est, cms_est - exact AS overestimate
+         FROM est ORDER BY cms_est DESC, user_id LIMIT 20""",
+    "ev_quantile_prod" ->
+      """WITH e AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+         mm AS (SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+           FROM e GROUP BY 1),
+         h AS (SELECT e.event_type,
+             CASE WHEN hi = lo THEN 0
+                  ELSE least(31, CAST(floor(((value - lo) / (hi - lo)) * 32.0) AS INT))
+             END AS bucket,
+             COUNT(*) AS c
+           FROM e JOIN mm USING (event_type) GROUP BY 1, 2),
+         cu AS (SELECT *,
+             CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY bucket) AS BIGINT) AS cum,
+             CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+           FROM h),
+         q AS (SELECT cu.*, mm.lo, mm.hi, t.q,
+             CASE WHEN t.q = 50 THEN (n + 1) // 2 ELSE (19 * n + 19) // 20 END AS need
+           FROM cu JOIN mm USING (event_type) CROSS JOIN (VALUES (50), (95)) t(q)),
+         est AS (SELECT event_type, q, n,
+             round(lo + ((hi - lo) / 32.0) *
+               (CAST(bucket AS DOUBLE) +
+                 CAST(need - (cum - c) AS DOUBLE) / CAST(c AS DOUBLE)), 6) AS est
+           FROM q WHERE cum >= need AND (cum - c) < need)
+         SELECT event_type, MAX(n) AS n,
+           MAX(CASE WHEN q = 50 THEN est END) AS est_p50,
+           MAX(CASE WHEN q = 95 THEN est END) AS est_p95
+         FROM est GROUP BY 1 ORDER BY 1""",
+    "ev_cms_prod" ->
+      s"""WITH e AS (SELECT user_id FROM events),
+         ds AS (SELECT CAST(t.d AS BIGINT) AS d FROM generate_series(0, 3) t(d)),
+         cells AS (SELECT d,
+             ${PortableHashSql.bucketSql("d", "user_id")} AS bucket,
+             COUNT(*) AS c
+           FROM e CROSS JOIN ds GROUP BY 1, 2),
+         keys AS (SELECT DISTINCT user_id FROM e),
+         est AS (SELECT k.user_id, MIN(cells.c) AS cms_est
+           FROM keys k CROSS JOIN ds
+           JOIN cells ON cells.d = ds.d
+             AND cells.bucket = ${PortableHashSql.bucketSql("ds.d", "k.user_id")}
+           GROUP BY 1)
+         SELECT user_id, cms_est
          FROM est ORDER BY cms_est DESC, user_id LIMIT 20"""
   )
 

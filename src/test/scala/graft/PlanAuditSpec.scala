@@ -198,6 +198,52 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
   }
 
+  test("production KMV sketch plans carry NO exact comparison work: " +
+    "map-side WindowGroupLimit, zero count_distinct, zero row_number") {
+    for (q <- Seq("dd_kmv_prod", "dd_kmv_union_prod")) {
+      val p = plan(q)
+      assert(p.contains("WindowGroupLimit") &&
+        "WindowGroupLimit [^\\n]*Partial".r.findAllIn(p).nonEmpty,
+        s"$q: the dense_rank ≤ k filter must prune map-side — each mapper " +
+          s"forwards at most k rows per source:\n${p.take(2000)}")
+      // the calibration rows (dd_kmv_distinct/_union) keep a corpus-wide
+      // count(distinct h) as their n_exact measurement column; the prod
+      // forms must not — this is the 100 TB difference
+      assert(!p.contains("count(distinct"),
+        s"$q: no exact distinct-count anywhere in the sketch-only plan:\n${p.take(2000)}")
+      assert(!p.contains("row_number"),
+        s"$q: no corpus row ranking beyond the group limit:\n${p.take(2000)}")
+      assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    }
+  }
+
+  test("production quantile sketch never ranks a corpus row: histogram " +
+    "aggs only, windows confined to the 32-bucket frame") {
+    val p = plan("ev_quantile_prod")
+    // the calibration row (ev_quantile_sketch) runs the per-type
+    // row_number sort the histogram exists to replace; the prod form's
+    // corpus-wide work is two map-side-combined aggregations
+    assert(!p.contains("row_number"),
+      s"no per-type corpus sort in the sketch-only plan:\n${p.take(2000)}")
+    assert(!p.contains("count(distinct"), p)
+    assert("(?m)Exchange hashpartitioning\\(event_type".r.findAllIn(p).nonEmpty,
+      s"bucket cells and windows shuffle by type — never a global funnel:\n${p.take(2000)}")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"nothing corpus-wide funnels through one partition:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("production CMS top-k is estimate-only: broadcast cell table, " +
+    "TakeOrdered top-20, no exact per-key count join") {
+    val p = plan("ev_cms_prod")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 by estimate is a TakeOrdered, never a materialized sort:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"the 256-cell CMS table must broadcast against the key probe:\n${p.take(2000)}")
+    assert(!p.contains("count(distinct"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("as-of join is the union+window shape: one user shuffle, no join " +
     "operator at all") {
     val p = plan("ev_asof_join")
