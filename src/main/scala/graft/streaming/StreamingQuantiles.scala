@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming quantile telemetry — the streaming form of the batch
@@ -35,8 +36,27 @@ object StreamingQuantiles {
   case class QuantileSnapshot(event_type: String, n: Long, n_clamped: Long,
       est_p50: Double, est_p95: Double, buckets: Seq[Long])
 
+  /** An event on the wire with its EVENT time — input to the windowed
+    * (event-time) form. */
+  case class TsEv(event_type: String, ts: java.sql.Timestamp, value: Double)
+  /** One closed (type, hour) window's histogram and quantile reads. */
+  case class WindowQuantiles(event_type: String, window_start: Long, n: Long,
+      n_clamped: Long, est_p50: Double, est_p95: Double, buckets: Seq[Long])
+
   /** Per-key histogram state: bucket counts plus the clamp tally. */
   case class Hist(counts: Array[Long], clamped: Long)
+
+  /** The interpolation shared by the processing-time form, the windowed
+    * form, and (token for token) the batch `ev_quantile_sketch` /
+    * `ev_quantile_prod` rows: find the bucket holding the `need`-th
+    * value, interpolate inside it. Caller guarantees 1 ≤ need ≤ Σh. */
+  private[graft] def estimate(h: Array[Long], lo: Double, hi: Double,
+      need: Long): Double = {
+    var b = 0; var cum = 0L
+    while (cum + h(b) < need || h(b) == 0) { cum += h(b); b += 1 }
+    val w = (hi - lo) / h.length
+    lo + w * (b.toDouble + (need - cum).toDouble / h(b).toDouble)
+  }
 
   def histogramStream(stream: Dataset[Ev], lo: Double, hi: Double,
       nBuckets: Int = 32): Dataset[QuantileSnapshot] = {
@@ -69,18 +89,70 @@ object StreamingQuantiles {
           }
           state.update(Hist(h, clamped))
           val n = h.sum
-          // the batch row's interpolation, token for token: find the
-          // bucket holding the ⌈q·n⌉-th value, then interpolate inside it
-          def est(need: Long): Double = {
-            var b = 0; var cum = 0L
-            while (cum + h(b) < need || h(b) == 0) { cum += h(b); b += 1 }
-            val w = (hi - lo) / nBuckets
-            lo + w * (b.toDouble + (need - cum).toDouble / h(b).toDouble)
-          }
           if (n == 0) Iterator(QuantileSnapshot(key, 0L, clamped,
             Double.NaN, Double.NaN, h.toSeq))
           else Iterator(QuantileSnapshot(key, n, clamped,
-            est((n + 1) / 2), est((19 * n + 19) / 20), h.toSeq))
+            estimate(h, lo, hi, (n + 1) / 2),
+            estimate(h, lo, hi, (19 * n + 19) / 20), h.toSeq))
+      }
+  }
+
+  /** Event-time form: per (event type, 1-hour tumbling window) histograms
+    * under a watermark, emitted ONCE per window when the watermark passes
+    * its end — the telemetry shape that matches what `ev_tumbling_window`
+    * reports in batch, where the processing-time form above matches the
+    * all-time batch sketch.
+    *
+    * Spark-first shape: this is a plain watermarked `groupBy(window(...))`
+    * aggregation in append mode — no custom state at all. The 32 bucket
+    * cells are map-side-combined conditional sums, so the shuffle carries
+    * one partial histogram per open (type, window) per mapper, and engine
+    * state is bounded by |types| × (delay/1h + 1) open windows however
+    * many events flow. Append-mode finality IS the late-event contract:
+    * a window's row emits exactly once, in its final form; an event
+    * arriving later than the watermark is dropped by the engine rather
+    * than mutating a window already emitted downstream (spec-pinned, the
+    * `hourlyCounts` discipline — StreamingAnomaly.scala:38-54).
+    *
+    * Value semantics are the processing-time form's, per window: fixed
+    * [lo, hi] domain, NaN counts as clamped and lands in no bucket,
+    * ±Inf clamps to the edge buckets, and the quantile interpolation is
+    * `estimate` — shared token for token, so a window whose events match
+    * a batch fixture agrees with the batch formula exactly. */
+  def windowedHistogramStream(events: Dataset[TsEv], lo: Double, hi: Double,
+      nBuckets: Int = 32, delay: String = "2 hours"): Dataset[WindowQuantiles] = {
+    val s = events.sparkSession
+    import s.implicits._
+    require(hi > lo && nBuckets > 0)
+    val v = col("value")
+    // clamp on the LONG floor() result before narrowing: ±Inf floors to
+    // Long.Min/MaxValue, which ANSI cast-to-int rejects — the clamp must
+    // come first (the processing-time form's min/max-then-use, columnar)
+    val inBucket = least(lit((nBuckets - 1).toLong), greatest(lit(0L),
+      floor(((v - lo) / (hi - lo)) * nBuckets))).cast("int")
+    val cells = (0 until nBuckets).map(i =>
+      sum(when(col("b") === i, 1L).otherwise(0L)).as(s"b$i"))
+    events
+      .withWatermark("ts", delay)
+      // NaN: no bucket (null never equals i below); clamp tally covers
+      // NaN and out-of-domain alike — the processing-time guard, columnar
+      .withColumn("b", when(isnan(v), lit(null)).otherwise(inBucket))
+      .withColumn("cl", when(isnan(v) || v < lo || v > hi, 1L).otherwise(0L))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(cells.head, (cells.tail :+ sum(col("cl")).as("n_clamped")): _*)
+      .select(col("event_type"),
+        unix_timestamp(col("window.start")).as("window_start"),
+        array((0 until nBuckets).map(i => col(s"b$i")): _*).as("buckets"),
+        col("n_clamped"))
+      .as[(String, Long, Seq[Long], Long)]
+      .map { case (typ, ws, bs, nClamped) =>
+        val h = bs.toArray
+        val n = h.sum
+        if (n == 0) WindowQuantiles(typ, ws, 0L, nClamped,
+          Double.NaN, Double.NaN, bs)
+        else WindowQuantiles(typ, ws, n, nClamped,
+          estimate(h, lo, hi, (n + 1) / 2),
+          estimate(h, lo, hi, (19 * n + 19) / 20), bs)
       }
   }
 }

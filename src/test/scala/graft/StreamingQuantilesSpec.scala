@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.streaming.StreamingQuantiles
-import graft.streaming.StreamingQuantiles.{Ev, QuantileSnapshot}
+import graft.streaming.StreamingQuantiles.{Ev, QuantileSnapshot, TsEv, WindowQuantiles}
 
 /** Streaming histogram-quantile sketch: cross-batch accumulation,
   * value parity with the batch `ev_quantile_sketch` interpolation at
@@ -113,6 +113,108 @@ class StreamingQuantilesSpec extends AnyFunSuite with SparkSpec {
       assert(s.buckets.sum == 4L, s"no phantom bucket-0 entry from NaN: $s")
       assert(!s.est_p50.isNaN && s.est_p50 > 0.0 && s.est_p50 < 10.0,
         s"estimates stay finite and in-domain: $s")
+    } finally q.stop()
+  }
+
+  test("event-time windows: close exactly once at the watermark, reject " +
+    "late events, and agree with the batch formula per window") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = session.sqlContext
+
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // hour0 and hour1 for two types; "view" hour0 carries the non-finite
+    // clamp fixtures so per-window clamp accounting is pinned too
+    val hour0Click = (0 until 10).map(i =>
+      TsEv("click", t(f"2024-01-01 00:${i * 5}%02d:00"), (i * 11).toDouble))
+    val hour1Click = (0 until 15).map(i =>
+      TsEv("click", t(f"2024-01-01 01:${(i * 4) % 60}%02d:30"), ((i * 7) % 100).toDouble))
+    val hour0View = Seq(
+      TsEv("view", t("2024-01-01 00:10:00"), 42.0),
+      TsEv("view", t("2024-01-01 00:20:00"), Double.NaN),
+      TsEv("view", t("2024-01-01 00:30:00"), Double.PositiveInfinity),
+      TsEv("view", t("2024-01-01 00:40:00"), -5.0))
+    val advancer = TsEv("click", t("2024-01-01 04:30:00"), 50.0)
+
+    val input = MemoryStream[TsEv]
+    val q = StreamingQuantiles.windowedHistogramStream(
+        input.toDS(), lo = 0.0, hi = 99.0, delay = "2 hours")
+      .writeStream.format("memory").queryName("squant_win")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    def rows(): Seq[WindowQuantiles] =
+      session.sql("SELECT * FROM squant_win").as[WindowQuantiles].collect().toSeq
+    try {
+      input.addData(hour0Click ++ hour1Click ++ hour0View: _*)
+      q.processAllAvailable()
+      assert(rows().isEmpty,
+        "no window emits before the watermark passes its end — append finality")
+
+      // the advancer pushes the watermark to 02:30: hour0 and hour1 close
+      input.addData(advancer)
+      q.processAllAvailable()
+      val closed = rows()
+      assert(closed.map(r => (r.event_type, r.window_start)).toSet == Set(
+        ("click", t("2024-01-01 00:00:00").getTime / 1000),
+        ("click", t("2024-01-01 01:00:00").getTime / 1000),
+        ("view", t("2024-01-01 00:00:00").getTime / 1000)),
+        s"exactly the watermark-passed windows emit, once each: $closed")
+
+      val view0 = closed.find(_.event_type == "view").get
+      assert(view0.n == 3L && view0.n_clamped == 3L,
+        s"per-window clamp accounting: NaN dropped, ±Inf/out-of-domain " +
+          s"clamped to edges: $view0")
+      assert(view0.buckets.head == 1L && view0.buckets.last == 1L, s"$view0")
+
+      // batch parity per window: the same survived rows through the batch
+      // histogram formula (same bucketing columns, shared interpolation)
+      // must reproduce every emitted row exactly
+      val survived = (hour0Click ++ hour1Click ++ hour0View).toDS()
+      val vc = col("value")
+      val bucketC = when(isnan(vc), lit(null)).otherwise(
+        least(lit(31L), greatest(lit(0L),
+          floor(((vc - 0.0) / 99.0) * 32))).cast("int"))
+      val hists = survived
+        .withColumn("ws", unix_timestamp(date_trunc("hour", col("ts"))))
+        .withColumn("b", bucketC)
+        .groupBy(col("event_type"), col("ws"), col("b")).agg(count(lit(1)).as("c"))
+        .collect().groupBy(r => (r.getString(0), r.getLong(1)))
+      val expected = hists.map { case ((typ, ws), cells) =>
+        val h = Array.fill(32)(0L)
+        cells.foreach(r => if (!r.isNullAt(2)) h(r.getInt(2)) = r.getLong(3))
+        val n = h.sum
+        (typ, ws) -> (n,
+          StreamingQuantiles.estimate(h, 0.0, 99.0, (n + 1) / 2),
+          StreamingQuantiles.estimate(h, 0.0, 99.0, (19 * n + 19) / 20))
+      }
+      for (r <- closed) {
+        val (n, p50, p95) = expected((r.event_type, r.window_start))
+        assert(r.n == n && r.est_p50 == p50 && r.est_p95 == p95,
+          s"stream window == batch formula for $r; expected ($n, $p50, $p95)")
+      }
+      // and the window grouping itself matches what ev_tumbling_window
+      // reports in batch: same (window_start, type) keys, n plus the
+      // dropped NaN for the view window (the batch row counts every event)
+      val dir = java.nio.file.Files.createTempDirectory("graft_sqw").toString
+      (hour0Click ++ hour1Click ++ hour0View).zipWithIndex.map { case (e, i) =>
+        (i.toLong, e.ts, (i % 5).toLong, e.event_type, e.value, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val tumbling = SparkEntry.queries("ev_tumbling_window")(spark, dir)
+        .collect().map(r => (r.getAs[String]("event_type"),
+          r.getAs[Long]("window_start")) -> r.getAs[Long]("n")).toMap
+      for (r <- closed) {
+        val nanHere = if (r.event_type == "view") 1L else 0L
+        assert(tumbling((r.event_type, r.window_start)) == r.n + nanHere,
+          s"window grouping parity with ev_tumbling_window for $r")
+      }
+
+      // late-event rejection: an event below the watermark must not
+      // re-open or mutate its already-emitted window
+      input.addData(TsEv("click", t("2024-01-01 00:30:00"), 99.0))
+      q.processAllAvailable()
+      assert(rows().sortBy(r => (r.event_type, r.window_start)) ==
+        closed.sortBy(r => (r.event_type, r.window_start)),
+        "a late event neither re-emits nor changes a closed window")
     } finally q.stop()
   }
 
