@@ -281,6 +281,105 @@ object StreamBench {
     index.unpersist()
   }
 
+  /** Stage 3: index MAINTENANCE under probes — the compaction race the
+    * no-compaction run (stage 2) freezes out. Probes run as ten
+    * sequential batches that each RE-RESOLVE `activeIndex` (the
+    * foreachBatch production shape — a plan-time snapshot would never
+    * see maintenance), and `compact` + vacuum is kicked off on another
+    * thread after batch 4, folding the 10 segments to 1 while batches
+    * 5–10 are probing. Contract proven: every batch's verdicts are
+    * IDENTICAL to a baseline pass over the never-compacted store
+    * (`sys.error` on any digest mismatch), with the per-batch rate curve
+    * recorded through the fold. A reader that loses the retention race
+    * (its resolved segments vacuumed mid-read) re-resolves and retries —
+    * the standard table-format discipline; retries are counted, never
+    * hidden. */
+  private def runNearDupCompact(spark: SparkSession, work: String, n: Long): Unit = {
+    import spark.implicits._
+    import graft.sources.FingerprintIndexStore
+    import graft.streaming.StreamingNearDup
+    import graft.streaming.StreamingNearDup.{Doc, NearDupVerdict}
+
+    val root = s"$work/fpindex-compact"
+    val store = new FingerprintIndexStore(root, numBuckets = 32)
+    val corpus = DedupBench.syntheticDocs(spark, n).select(col("doc_id"), col("text"))
+    val chunk = n / 10
+    (0 until 10).foreach { b =>
+      store.append(corpus.filter(col("doc_id") >= b * chunk &&
+        col("doc_id") < (b + 1) * chunk), batchId = b + 1L)
+    }
+
+    // same probe mix as stage 2 (planted near-dups + novel), split into
+    // ten batches by residue — materialized once so both passes and the
+    // digest compare see byte-identical probe frames
+    val nProbe = 50000L
+    val planted = corpus.filter(col("doc_id") % 20 === 2).limit(nProbe.toInt)
+      .select((col("doc_id") + 20000000L).as("doc_id"),
+        array_join(transform(split(col("text"), " "), (w, i) =>
+          when(i % 40 === 0, concat(lit("z"), w)).otherwise(w)), " ").as("text"))
+    val novel = spark.range(nProbe).select(
+      (col("id") + 30000000L).as("doc_id"),
+      array_join(transform(sequence(lit(0), lit(119)), i =>
+        wordCol(concat_ws("#", col("id").cast("string"), i.cast("string")))), " ").as("text"))
+    val feedDir = s"$work/probe-feed-compact"
+    planted.unionByName(novel).write.mode("overwrite").parquet(feedDir)
+    val probes = spark.read.parquet(feedDir)
+
+    /** Order-free deterministic digest of one batch's verdicts (row
+      * hashes reduced mod a prime before summing — a raw 64-bit hash sum
+      * would overflow ANSI long addition). */
+    def digest(v: org.apache.spark.sql.Dataset[NearDupVerdict]): (Long, Long, Long) = {
+      val r = v.agg(count(lit(1)), sum(when(col("dup_of").isNotNull, 1L).otherwise(0L)),
+        sum(pmod(xxhash64(concat_ws("|", col("doc_id"),
+          coalesce(col("dup_of"), lit(-1L)), round(col("jaccard"), 6))),
+          lit(1000000007L)))).collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    var retries = 0
+    def probeBatch(b: Int): ((Long, Long, Long), Double) = {
+      val batch = probes.filter(pmod(col("doc_id"), lit(10)) === b).as[Doc]
+      var attempt = 0
+      while (true) {
+        val t = System.nanoTime()
+        try {
+          val d = digest(StreamingNearDup.nearDupBatch(batch, store.activeIndex(spark)))
+          return (d, secs(t))
+        } catch {
+          // the retention race: this reader's resolved segment dirs were
+          // vacuumed mid-read — re-resolve the (new) manifest and retry
+          case e: Throwable if attempt < 3 =>
+            attempt += 1; retries += 1
+            System.err.println(s"[compact-bench] batch $b retry $attempt: ${e.getMessage}")
+        }
+      }
+      sys.error("unreachable")
+    }
+
+    // pass 1: baseline over the frozen 10-segment store
+    val baseline = (0 until 10).map(probeBatch)
+    val segsBefore = store.manifest.size
+
+    // pass 2: same batches; compaction + vacuum folds mid-pass
+    val folder = new Thread(() => store.compact(spark, batchId = 99L))
+    val racing = (0 until 10).map { b =>
+      val r = probeBatch(b)
+      if (b == 3) folder.start()
+      r
+    }
+    folder.join()
+    val segsAfter = store.manifest.size
+
+    // exact-match gate: any divergence between the passes is a bug
+    baseline.zip(racing).zipWithIndex.foreach { case (((bd, _), (rd, _)), b) =>
+      if (bd != rd) sys.error(
+        s"compaction-under-probes mismatch at batch $b: baseline=$bd racing=$rd")
+    }
+    val nOut = baseline.map(_._1._1).sum
+    def curve(xs: Seq[((Long, Long, Long), Double)]) = xs.map { case ((c, _, _), s) =>
+      f"${c / s}%.0f" }.mkString("[", ",", "]")
+    println(f"""{"stage":"neardup_compact","docs":$n,"probes":$nOut,"batches":10,"fold_started_after_batch":4,"segments_before":$segsBefore,"segments_after":$segsAfter,"match":"exact","retries":$retries,"baseline_probes_per_sec":${curve(baseline)},"compacting_probes_per_sec":${curve(racing)}}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("all")
     val n = sys.env.getOrElse("SPARK_GRAFT_STREAM_ROWS", "1000000").toLong
@@ -312,6 +411,9 @@ object StreamBench {
     }
     if (mode == "neardup" || mode == "all") {
       runNearDup(spark, work, n)
+    }
+    if (mode == "compact" || mode == "all") {
+      runNearDupCompact(spark, work, n)
     }
     spark.stop()
   }

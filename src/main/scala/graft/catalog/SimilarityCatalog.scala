@@ -147,6 +147,68 @@ object SimilarityCatalog extends Catalog {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ── ADAPTIVE filtered search: widen the probe set as qualifying
+    // occupancy thins. Fixed-nprobe filtered search decays under
+    // selective predicates — the filter thins each probed cell below k
+    // and true neighbors hide in unprobed cells (measured at 1M vectors:
+    // recall 0.82 at 0.3 % selectivity, ANN_BENCH.md). The remedy is to
+    // LET THE PREDICATE DRIVE THE PROBE WIDTH: per cell, count the
+    // qualifying vectors (one map-side agg, ≤ C rows, broadcast); per
+    // query, walk cells in centroid-distance order and keep the shortest
+    // prefix whose cumulative qualifying occupancy reaches a candidate
+    // budget. Dense predicates stop at the floor (1 cell here); sparse
+    // ones widen until the budget is met — candidates stay ∝ the budget,
+    // never ∝ corpus, and the per-query probe count (`n_probed` in the
+    // output) is the adaptivity made visible. Cell ranking on ROUNDED
+    // distances keeps the probe choice engine-exact, as in nprobe2. ──
+    "sim_ann_filtered_adaptive" -> ((s, d) => {
+      def dot(a: Column, b: Column) =
+        org.apache.spark.sql.graftnative.NativeExpressions.dotCol(a, b)
+      val corpus = vecs(s, d)
+        .withColumn("norm", graft.functions.VectorOps.normUdf(col("v")))
+      val cent = corpus
+        .select(col("label").as("clabel"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy(col("clabel"), col("i")).agg(avg(col("x")).as("m"))
+        .groupBy(col("clabel"))
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+          s => s("m")).as("c"))
+        .withColumn("cnorm2", dot(col("c"), col("c")))
+      val qualifying = corpus.filter(pmod(col("vec_id"), lit(10)) === 7)
+      val occ = qualifying.groupBy(col("label").as("clabel"))
+        .agg(count(lit(1)).as("occ"))
+      val qs = corpus.filter(col("vec_id") >= 3 && col("vec_id") < 13)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("norm").as("qnorm"))
+      val wc = Window.partitionBy(col("query_id")).orderBy(col("cd"), col("clabel"))
+      val probed = qs.crossJoin(broadcast(cent))
+        .select(col("query_id"), col("qv"), col("qnorm"), col("clabel"),
+          round(dot(col("qv"), col("qv")) - lit(2.0) * dot(col("qv"), col("c")) +
+            col("cnorm2"), 6).as("cd"))
+        .join(broadcast(occ), Seq("clabel"), "left")
+        .withColumn("occ", coalesce(col("occ"), lit(0L)))
+        .withColumn("rk", row_number().over(wc))
+        .withColumn("cum", sum(col("occ")).over(wc))
+        // keep the floor cell plus every cell before the budget fills;
+        // zero-occupancy cells order the walk but never join
+        .filter(col("rk") === 1 || (col("cum") - col("occ")) < lit(12L))
+        .filter(col("occ") > 0)
+        .select(col("query_id"), col("qv"), col("qnorm"), col("clabel"))
+      val nProbed = probed.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_probed"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      qualifying.join(broadcast(probed),
+          col("label") === col("clabel") && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          cosPrecomputed(col("qv"), col("qnorm"), col("v"), col("norm")).as("cos_sim"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .join(broadcast(nProbed), Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"),
+          col("rank"), col("n_probed"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ── IVF-style cell-restricted top-k: probe only the query's cell ──
     "sim_ann_ivf" -> ((s, d) => {
       val corpus = vecs(s, d)
@@ -768,6 +830,43 @@ object SimilarityCatalog extends Catalog {
                AND e.label <> q.qlabel)
          SELECT query_id, neighbor_id, neighbor_label, cos_sim, CAST(rank AS INT) AS rank
          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank FROM p) t
+         WHERE rank <= 3 ORDER BY query_id, rank""",
+    "sim_ann_filtered_adaptive" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+         cent AS (SELECT clabel, list(m ORDER BY i) AS c
+           FROM (SELECT clabel, i, AVG(x) AS m
+                 FROM (SELECT label AS clabel,
+                         unnest(embedding)::DOUBLE AS x,
+                         unnest(generate_series(1, len(embedding))) AS i
+                       FROM e)
+                 GROUP BY clabel, i)
+           GROUP BY clabel),
+         qual AS (SELECT vec_id, label, embedding FROM e WHERE vec_id % 10 = 7),
+         occ AS (SELECT label AS clabel, COUNT(*) AS occ FROM qual GROUP BY 1),
+         q AS (SELECT vec_id AS query_id, embedding AS qv FROM e
+               WHERE vec_id >= 3 AND vec_id < 13),
+         scored AS (SELECT q.query_id, q.qv, cent.clabel,
+             COALESCE(occ.occ, 0) AS occ,
+             round(${dotSql("q.qv", "q.qv")}
+               - 2.0 * ${dotSql("q.qv", "cent.c")}
+               + ${dotSql("cent.c", "cent.c")}, 6) AS cd
+           FROM q CROSS JOIN cent LEFT JOIN occ USING (clabel)),
+         ranked AS (SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cd, clabel) AS rk,
+             SUM(occ) OVER (PARTITION BY query_id ORDER BY cd, clabel
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM scored),
+         sel AS (SELECT query_id, qv, clabel FROM ranked
+           WHERE (rk = 1 OR cum - occ < 12) AND occ > 0),
+         np AS (SELECT query_id, COUNT(*) AS n_probed FROM sel GROUP BY 1),
+         p AS (SELECT sel.query_id, qual.vec_id AS neighbor_id,
+             ${cosineSql("sel.qv", "qual.embedding")} AS cos_sim
+           FROM qual JOIN sel
+             ON qual.label = sel.clabel AND qual.vec_id <> sel.query_id)
+         SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank, n_probed
+         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id) AS rank FROM p) t
+         JOIN np USING (query_id)
          WHERE rank <= 3 ORDER BY query_id, rank""",
     "sim_ann_recall" ->
       s"""WITH q AS (SELECT vec_id AS query_id, label AS qcell, embedding AS qv

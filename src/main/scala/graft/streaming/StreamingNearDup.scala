@@ -57,46 +57,77 @@ object StreamingNearDup {
         col("b.band_idx").as("band_idx"), col("b.band_val").as("band_val"))
   }
 
-  /** Stream of verdicts: one row per arriving doc per micro-batch. */
-  def nearDupStream(stream: Dataset[Doc], corpusIndex: DataFrame,
-      threshold: Double = 0.5): Dataset[NearDupVerdict] = {
-    val s = stream.sparkSession
+  /** The per-document reduction shared by the stream and batch forms:
+    * dup_of = MIN qualifying corpus id (the batch dd_incremental
+    * contract); jaccard = the max among qualifiers, as the reported
+    * confidence. */
+  private def verdictOf(newId: Long,
+      rows: Iterator[(Long, Array[Long], Option[Long], Option[Array[Long]])],
+      threshold: Double): NearDupVerdict = {
+    var newSh: Set[Long] = null
+    val seen = scala.collection.mutable.HashSet.empty[Long]
+    var minId = Long.MaxValue
+    var maxJ = 0.0
+    rows.foreach { case (_, sh, oldId, oldSh) =>
+      if (newSh == null) newSh = sh.toSet
+      for (oid <- oldId; osh <- oldSh; if seen.add(oid)) {
+        val oset = osh.toSet
+        val inter = oset.count(newSh.contains)
+        val j = inter.toDouble / (newSh.size + oset.size - inter)
+        if (j >= threshold) {
+          if (oid < minId) minId = oid
+          if (j > maxJ) maxJ = j
+        }
+      }
+    }
+    NearDupVerdict(newId,
+      if (minId != Long.MaxValue) Some(minId) else None, maxJ)
+  }
+
+  /** The candidate generation shared by both forms: band-key LEFT join
+    * against the standing index (left keeps zero-collision docs so every
+    * arriving doc gets a verdict). */
+  private def candidates(docs: DataFrame, corpusIndex: DataFrame)
+      : Dataset[(Long, Array[Long], Option[Long], Option[Array[Long]])] = {
+    val s = docs.sparkSession
     import s.implicits._
-    val probe = fingerprintIndex(stream.toDF())
+    fingerprintIndex(docs)
       .withColumnRenamed("doc_id", "new_id")
       .withColumnRenamed("sh", "new_sh")
-    val cand = probe.join(
+      .join(
         corpusIndex.select(col("doc_id").as("old_id"),
           col("sh").as("old_sh"), col("band_idx"), col("band_val")),
         Seq("band_idx", "band_val"), "left_outer")
       .select(col("new_id"), col("new_sh"), col("old_id"), col("old_sh"))
       .as[(Long, Array[Long], Option[Long], Option[Array[Long]])]
-    cand.groupByKey(_._1)
+  }
+
+  /** Stream of verdicts: one row per arriving doc per micro-batch. */
+  def nearDupStream(stream: Dataset[Doc], corpusIndex: DataFrame,
+      threshold: Double = 0.5): Dataset[NearDupVerdict] = {
+    val s = stream.sparkSession
+    import s.implicits._
+    candidates(stream.toDF(), corpusIndex).groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (newId: Long,
          rows: Iterator[(Long, Array[Long], Option[Long], Option[Array[Long]])],
          state: GroupState[Boolean]) =>
-          // dup_of = MIN qualifying corpus id (the batch dd_incremental
-          // contract); jaccard = the max among qualifiers, as the
-          // reported confidence
-          var newSh: Set[Long] = null
-          val seen = scala.collection.mutable.HashSet.empty[Long]
-          var minId = Long.MaxValue
-          var maxJ = 0.0
-          rows.foreach { case (_, sh, oldId, oldSh) =>
-            if (newSh == null) newSh = sh.toSet
-            for (oid <- oldId; osh <- oldSh; if seen.add(oid)) {
-              val oset = osh.toSet
-              val inter = oset.count(newSh.contains)
-              val j = inter.toDouble / (newSh.size + oset.size - inter)
-              if (j >= threshold) {
-                if (oid < minId) minId = oid
-                if (j > maxJ) maxJ = j
-              }
-            }
-          }
-          Iterator(NearDupVerdict(newId,
-            if (minId != Long.MaxValue) Some(minId) else None, maxJ))
+          Iterator(verdictOf(newId, rows, threshold))
       }
+  }
+
+  /** Batch form: verdicts for one probe frame against one resolved index
+    * snapshot — the foreachBatch shape a deployment uses when every
+    * batch must RE-RESOLVE the standing store (so index maintenance —
+    * compaction, vacuum — landing between batches is observed instead of
+    * frozen out by a plan-time snapshot). Same candidate join and
+    * reduction as the stream form; verdicts are identical for identical
+    * (probe, index) inputs. */
+  def nearDupBatch(docs: Dataset[Doc], corpusIndex: DataFrame,
+      threshold: Double = 0.5): Dataset[NearDupVerdict] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    candidates(docs.toDF(), corpusIndex).groupByKey(_._1)
+      .mapGroups((newId, rows) => verdictOf(newId, rows, threshold))
   }
 }

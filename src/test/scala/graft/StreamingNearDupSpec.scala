@@ -60,6 +60,41 @@ class StreamingNearDupSpec extends AnyFunSuite with SparkSpec {
     } finally query.stop()
   }
 
+  test("nearDupBatch (the re-resolving foreachBatch form) emits verdicts " +
+    "identical to the stream form for the same (probe, index) inputs") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = session.sqlContext
+    val idx = StreamingNearDup.fingerprintIndex(corpus(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "entirely different content about spark physical plans"))))
+      .cache()
+    val probes = Seq(
+      Doc(100L, "the quick brown fox jumps over the lazy dog yesterday"),
+      Doc(101L, "totally novel text that matches no corpus fingerprint"),
+      Doc(102L, "entirely different content about spark physical plans"))
+
+    val batchV = StreamingNearDup.nearDupBatch(probes.toDS(), idx)
+      .collect().map(v => v.doc_id -> v).toMap
+
+    val input = MemoryStream[Doc]
+    val query = StreamingNearDup.nearDupStream(input.toDS(), idx)
+      .writeStream.format("memory").queryName("neardup_b")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData(probes: _*)
+      query.processAllAvailable()
+      val streamV = session.sql("SELECT * FROM neardup_b").as[NearDupVerdict]
+        .collect().map(v => v.doc_id -> v).toMap
+      assert(batchV == streamV,
+        s"batch and stream forms share the reduction: $batchV vs $streamV")
+      assert(batchV(100L).dup_of.contains(1L) &&
+        batchV(101L).dup_of.isEmpty && batchV(102L).jaccard == 1.0,
+        "fixture exercises hit, miss, and exact-copy paths")
+    } finally query.stop()
+  }
+
   test("stream verdicts agree with the batch dd_incremental contract on " +
     "the sf0.001 corpus: same dup_of for every batch-slice doc") {
     val session = spark
