@@ -559,7 +559,10 @@ object Cli {
       // reporting the key-set size would inflate the audit trail)
       val applied = only.map(keys =>
         store.read(spark).join(keys, Seq("bibcode"), "left_semi").count().toString)
-      store.write(MergeEngine.updateScixIds(store.read(spark), flag, only))
+      // a read-modify-write of the whole master: go through the CAS merge
+      // path so a concurrent ingest batch landing mid-sweep is re-merged
+      // over, never silently overwritten
+      store.writeMerge(spark, cur => MergeEngine.updateScixIds(cur, flag, only))
       out(s"scix-id $flag applied (${applied.getOrElse("all")} records)")
       return 0
     }

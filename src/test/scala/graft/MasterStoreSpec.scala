@@ -149,6 +149,33 @@ class MasterStoreSpec extends AnyFunSuite with SparkSpec {
     assert(store.read(spark).count() == 4)
   }
 
+  test("eight THREADED merge writers racing on one store: every delta " +
+    "lands exactly once (the IndexMaintenanceSpec race shape, on the " +
+    "master table)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ms7").toString
+    val store = seeded(root)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futures = (1 to 8).map { i =>
+        pool.submit(new Runnable {
+          def run(): Unit =
+            new MasterStore(root, numBuckets = 2)
+              .writeMerge(spark, cur => upsert(cur, Seq(msg(s"race$i"))))
+        })
+      }
+      futures.foreach(_.get(180, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    val bibs = store.read(spark).select("bibcode")
+      .collect().map(_.getString(0)).toSet
+    assert(bibs == Set("ms1", "ms2") ++ (1 to 8).map(i => s"race$i"),
+      s"all 8 racing merges survive whatever the interleaving: $bibs")
+    assert(store.read(spark).count() == 10L, "each delta landed exactly once")
+    assert(store.currentVersion.contains(9L),
+      "8 merges serialized into generations 2..9")
+    store.vacuum()
+    assert(dataDirs(root).size == 1 && store.read(spark).count() == 10L)
+  }
+
   test("blind write vs merge writer racing: the merge is never lost, the " +
     "blind write serializes to its own generation") {
     val root = java.nio.file.Files.createTempDirectory("graft_ms6").toString
