@@ -215,12 +215,20 @@ object Cli {
       val doomed = namedBibcodesDS().getOrElse(
         { out(needKeys("--delete")); return 2 })
       val sm = sitemapStore
-      val res = MergeEngine.deleteByBibcodes(store.read(spark),
-        sm.read(spark), doomed.toDF("bibcode"))
       val (sinkOk, total) = sinkCounts(Sinks.deleteByBibcodes(doomed,
         Seq(deps.solrTransport, deps.bulkTransport)))
-      store.write(res.master)
-      sm.write(res.sitemap)
+      // each store CAS-merges its own delete against ITS current
+      // snapshot (per-store deletes depend only on that store + the
+      // doomed list), so a concurrent ingest landing mid-delete is
+      // re-merged over, never overwritten. Cross-store atomicity is not
+      // a thing two independent stores can offer — same as the
+      // reference's two tables behind separate transactions
+      val otherSm = sm.read(spark)
+      store.writeMerge(spark, cur =>
+        MergeEngine.deleteByBibcodes(cur, otherSm, doomed.toDF("bibcode")).master)
+      val otherMaster = store.read(spark)
+      sm.writeMerge(spark, curSm =>
+        MergeEngine.deleteByBibcodes(otherMaster, curSm, doomed.toDF("bibcode")).sitemap)
       out(s"deleted $total bibcodes (sink ok=$sinkOk)")
       return 0
     }
@@ -232,26 +240,34 @@ object Cli {
       import spark.implicits._
       action match {
         case "bootstrap" =>
-          sm.write(SitemapState.bootstrap(sm.read(spark), store.read(spark)))
+          sm.writeMerge(spark, cur =>
+            SitemapState.bootstrap(cur, store.read(spark)))
         case "add" | "force-update" =>
           val bibs = namedBibcodes()
           if (bibs.isEmpty) { out(s"error: --action $action needs -b or -n"); return 2 }
-          sm.write(SitemapState.add(sm.read(spark), store.read(spark),
+          sm.writeMerge(spark, cur => SitemapState.add(cur, store.read(spark),
             bibs.toDF("bibcode"), force = action == "force-update"))
         case "remove" =>
           val bibs = namedBibcodes()
           if (bibs.isEmpty) { out("error: --action remove needs -b or -n"); return 2 }
-          val res = SitemapState.remove(sm.read(spark), bibs.toDF("bibcode"))
-          sm.write(res.state)
+          // the file-deletion list must come from the snapshot the
+          // published merge was computed from (a CAS-loss re-merge can
+          // change it) — capture it inside the closure
+          var removeFiles: Seq[String] = Nil
+          sm.writeMerge(spark, { cur =>
+            val res = SitemapState.remove(cur, bibs.toDF("bibcode"))
+            removeFiles = res.filesToDelete
+            res.state
+          })
           // delete now-empty files from every site tree (tasks.py:639-641)
           val conf = spark.sparkContext.hadoopConfiguration
-          for (f <- res.filesToDelete; site <- Sitemap.Sites.keys) {
+          for (f <- removeFiles; site <- Sitemap.Sites.keys) {
             val p = new org.apache.hadoop.fs.Path(s"$outRoot/$site/$f")
             val fs = p.getFileSystem(conf)
             if (fs.exists(p)) fs.delete(p, false)
           }
           out(s"removed ${bibs.length} bibcodes; " +
-            s"deleted files: ${res.filesToDelete.mkString(",")}")
+            s"deleted files: ${removeFiles.mkString(",")}")
         case "delete-table" =>
           // truncate + park the old snapshot, the M6 backup semantics;
           // rendered trees are parked too (app.py backup_sitemap_files)
@@ -304,16 +320,20 @@ object Cli {
       // entries whose record went solr-failed / lost bib_data / vanished
       // (run.py --cleanup-invalid-sitemaps → tasks.py:482-585)
       val sm = sitemapStore
-      val res = SitemapState.cleanupInvalid(sm.read(spark), store.read(spark))
-      sm.write(res.state)
+      var cleanupFiles: Seq[String] = Nil
+      sm.writeMerge(spark, { cur =>
+        val res = SitemapState.cleanupInvalid(cur, store.read(spark))
+        cleanupFiles = res.filesToDelete
+        res.state
+      })
       val conf = spark.sparkContext.hadoopConfiguration
-      for (f <- res.filesToDelete; site <- Sitemap.Sites.keys) {
+      for (f <- cleanupFiles; site <- Sitemap.Sites.keys) {
         val p = new org.apache.hadoop.fs.Path(s"$outRoot/$site/$f")
         val fs = p.getFileSystem(conf)
         if (fs.exists(p)) fs.delete(p, false)
       }
       val n = Pipeline.runManagedSitemaps(spark, sm, outRoot, now)
-      out(s"cleanup removed entries; deleted files: ${res.filesToDelete.mkString(",")}; " +
+      out(s"cleanup removed entries; deleted files: ${cleanupFiles.mkString(",")}; " +
         s"regenerated $n files")
       return 0
     }
@@ -325,14 +345,15 @@ object Cli {
       val daysBack = a.get("days-back").map(_.toInt).getOrElse(1)
       val cutoff = new Timestamp(now.getTime - daysBack * 86400000L)
       val sm = sitemapStore
-      val state = sm.read(spark)
-      val flagged = state.filter(col("update_flag")).select(col("bibcode"))
-      val due = store.read(spark)
-        .filter(col("bib_data_updated") >= lit(cutoff) ||
-          col("solr_processed") >= lit(cutoff))
-        .select(col("bibcode"))
-        .join(flagged, Seq("bibcode"), "left_anti")
-      sm.write(SitemapState.add(state, store.read(spark), due))
+      sm.writeMerge(spark, { state =>
+        val flagged = state.filter(col("update_flag")).select(col("bibcode"))
+        val due = store.read(spark)
+          .filter(col("bib_data_updated") >= lit(cutoff) ||
+            col("solr_processed") >= lit(cutoff))
+          .select(col("bibcode"))
+          .join(flagged, Seq("bibcode"), "left_anti")
+        SitemapState.add(state, store.read(spark), due)
+      })
       val n = Pipeline.runManagedSitemaps(spark, sm, outRoot, now)
       out(s"auto update: regenerated $n files (lookback $daysBack d)")
       return 0
@@ -344,14 +365,22 @@ object Cli {
       val since = a.get("since").map(Timestamp.valueOf).getOrElse(
         { out("error: --delete_obsolete needs --since <ts>"); return 2 })
       val sm = sitemapStore
-      val master = store.read(spark)
-      val obsolete = master
+      // the obsolete set is recomputed from the snapshot each merge
+      // actually publishes over; per-store CAS merges as in --delete
+      def obsoleteOf(master: org.apache.spark.sql.DataFrame) = master
         .filter(col("bib_data").isNull && col("updated") < lit(since))
         .select(col("bibcode"))
-      val res = MergeEngine.deleteByBibcodes(master, sm.read(spark), obsolete)
-      val n = res.changeLog.count()
-      store.write(res.master)
-      sm.write(res.sitemap)
+      var n = 0L
+      val smSnap = sm.read(spark)
+      store.writeMerge(spark, { cur =>
+        val res = MergeEngine.deleteByBibcodes(cur, smSnap, obsoleteOf(cur))
+        n = res.changeLog.count()
+        res.master
+      })
+      val masterSnap = store.read(spark)
+      sm.writeMerge(spark, curSm =>
+        MergeEngine.deleteByBibcodes(masterSnap, curSm,
+          obsoleteOf(masterSnap)).sitemap)
       out(s"deleted $n obsolete records")
       return 0
     }
@@ -554,15 +583,19 @@ object Cli {
           case None =>
             out(needKeys(s"--scix-id-flag $rawFlag")); return 2
         }
-      // count the records the scoped sweep actually matched BEFORE the
-      // rewrite (a -b list may name bibcodes the store doesn't have —
-      // reporting the key-set size would inflate the audit trail)
-      val applied = only.map(keys =>
-        store.read(spark).join(keys, Seq("bibcode"), "left_semi").count().toString)
       // a read-modify-write of the whole master: go through the CAS merge
       // path so a concurrent ingest batch landing mid-sweep is re-merged
-      // over, never silently overwritten
-      store.writeMerge(spark, cur => MergeEngine.updateScixIds(cur, flag, only))
+      // over, never silently overwritten. The audit count is taken INSIDE
+      // the merge closure, against the snapshot the published merge was
+      // actually computed from — a pre-merge count could disagree after a
+      // CAS-loss re-merge (a -b list may also name bibcodes the store
+      // doesn't have; reporting the key-set size would inflate the trail)
+      var applied: Option[String] = None
+      store.writeMerge(spark, { cur =>
+        applied = only.map(keys =>
+          cur.join(keys, Seq("bibcode"), "left_semi").count().toString)
+        MergeEngine.updateScixIds(cur, flag, only)
+      })
       out(s"scix-id $flag applied (${applied.getOrElse("all")} records)")
       return 0
     }

@@ -51,9 +51,19 @@ object SlopeForensic {
       val t0 = System.nanoTime()
       val r = body
       val sec = (System.nanoTime() - t0) / 1e9
-      // stage-completed events arrive on the listener bus asynchronously;
-      // give the bus a beat to drain (the public API hides the bus)
-      Thread.sleep(300)
+      // stage-completed events arrive on the listener bus asynchronously
+      // (the public API hides the bus): poll until the set is quiet for
+      // 300 ms, so a late event can't leak into the NEXT probe's row —
+      // that mis-attribution would corrupt the very decomposition this
+      // tool exists to produce
+      var last = -1
+      var quietSince = System.nanoTime()
+      while ((System.nanoTime() - quietSince) < 300L * 1000 * 1000 &&
+          (System.nanoTime() - t0) < 5L * 1000 * 1000 * 1000) {
+        val now = stages.synchronized(stages.size)
+        if (now != last) { last = now; quietSince = System.nanoTime() }
+        Thread.sleep(50)
+      }
       (r, sec, stages.synchronized(stages.toSeq))
     }
     def report(tag: String, sf: String, sec: Double, rows: Long,

@@ -226,8 +226,11 @@ object StreamBench {
     val tIdx = System.nanoTime()
     val chunk = n / 10
     (0 until 10).foreach { b =>
+      // the last batch takes the division remainder — a truncated tail
+      // would leave probes planted from unindexed docs counted as novel
+      val hi = if (b == 9) n else (b + 1) * chunk
       store.append(corpus.filter(col("doc_id") >= b * chunk &&
-        col("doc_id") < (b + 1) * chunk), batchId = b + 1L)
+        col("doc_id") < hi), batchId = b + 1L)
     }
     val idxSec = secs(tIdx)
     println(f"""{"stage":"neardup_index","docs":$n,"segments":${store.manifest.size},"sec":$idxSec%.1f,"docs_per_sec":${n / idxSec}%.0f}""")
@@ -305,8 +308,11 @@ object StreamBench {
     val corpus = DedupBench.syntheticDocs(spark, n).select(col("doc_id"), col("text"))
     val chunk = n / 10
     (0 until 10).foreach { b =>
+      // the last batch takes the division remainder — a truncated tail
+      // would leave probes planted from unindexed docs counted as novel
+      val hi = if (b == 9) n else (b + 1) * chunk
       store.append(corpus.filter(col("doc_id") >= b * chunk &&
-        col("doc_id") < (b + 1) * chunk), batchId = b + 1L)
+        col("doc_id") < hi), batchId = b + 1L)
     }
 
     // same probe mix as stage 2 (planted near-dups + novel), split into
@@ -359,14 +365,22 @@ object StreamBench {
     val baseline = (0 until 10).map(probeBatch)
     val segsBefore = store.manifest.size
 
-    // pass 2: same batches; compaction + vacuum folds mid-pass
-    val folder = new Thread(() => store.compact(spark, batchId = 99L))
+    // pass 2: same batches; compaction + vacuum folds mid-pass. A fold
+    // failure must FAIL the stage — a silently-dead folder thread would
+    // leave the baseline store in place and the digest gate would pass
+    // vacuously, reporting a maintenance proof that never ran
+    val foldError = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val folder = new Thread(() =>
+      try store.compact(spark, batchId = 99L)
+      catch { case t: Throwable => foldError.set(t) })
     val racing = (0 until 10).map { b =>
       val r = probeBatch(b)
       if (b == 3) folder.start()
       r
     }
     folder.join()
+    Option(foldError.get()).foreach(t =>
+      sys.error(s"compaction thread failed: ${t.getMessage}"))
     val segsAfter = store.manifest.size
 
     // exact-match gate: any divergence between the passes is a bug

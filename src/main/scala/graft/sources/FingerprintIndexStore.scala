@@ -186,7 +186,14 @@ class FingerprintIndexStore(val root: String, numBuckets: Int = 8) {
     * stays idempotent too. Every folded batch name is carried forward as
     * a `done_<name>` admission marker so a late replay of an
     * already-folded batch no-ops instead of re-admitting its rows beside
-    * the compacted copy.
+    * the compacted copy. Replay idempotence covers SEQUENTIAL
+    * redelivery (crash → redeliver: the replay overwrites the orphan
+    * segment and completes, or observes its name live/folded and
+    * no-ops); two compactions running CONCURRENTLY with the SAME
+    * batchId would share the deterministic segment path and must be
+    * excluded by the scheduler, exactly as two OPTIMIZE runs sharing a
+    * transaction id are — distinct-batchId compactions may race freely
+    * (the CAS serializes them).
     *
     * Concurrency: if the CAS loses to appends/retracts that landed
     * mid-fold, the already-computed fold is REUSED — the winner's new
@@ -227,6 +234,10 @@ class FingerprintIndexStore(val root: String, numBuckets: Int = 8) {
           "under sustained concurrent writes; deferring — re-run when the " +
           "append rate allows maintenance to land")
       val (v2, m2) = snapshot()
+      // a redelivered replay racing the original: if THIS batchId's
+      // segment is already live or folded, the work is done — no-op
+      // (publishing our entries too would re-admit folded inputs)
+      if (m2.contains(seg) || m2.contains(s"done_$seg")) return
       val liveInputs = inputs.filterNot(_.startsWith("done_"))
       if (liveInputs.forall(m2.contains)) {
         // winners were appends/retracts: delta-publish — keep the fold,
@@ -248,15 +259,7 @@ class FingerprintIndexStore(val root: String, numBuckets: Int = 8) {
     // never a live reference to a missing dir. Carried (delta-published)
     // entries stay live and untouched.
     inputs.filterNot(n => n.startsWith("done_") || carried.contains(n))
-      .foreach { n =>
-        val p = Paths.get(root, n)
-        if (Files.exists(p)) {
-          val walk = Files.walk(p)
-          try walk.sorted(java.util.Comparator.reverseOrder())
-            .forEach(f => Files.delete(f))
-          finally walk.close()
-        }
-      }
+      .foreach(n => FsUtil.deleteTree(Paths.get(root, n)))
     generations().filter(_._1 <= expected)
       .foreach { case (_, p) => Files.deleteIfExists(p) }
   }

@@ -6,6 +6,17 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import graft.operators.MergeEngine
 
+/** Filesystem helpers shared by the stores in this package. */
+private[sources] object FsUtil {
+  /** Recursive delete, children first; absent path is a no-op. */
+  def deleteTree(p: Path): Unit = if (Files.exists(p)) {
+    val walk = Files.walk(p)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => Files.delete(f))
+    finally walk.close()
+  }
+}
+
 /** Snapshot store for the mutable master table on immutable columnar
   * storage (SURVEY.md §7.4 risk 2).
   *
@@ -145,12 +156,7 @@ class MasterStore(val root: String, numBuckets: Int = 8,
     } finally Files.deleteIfExists(tmp)
   }
 
-  private def deleteTree(p: Path): Unit = if (Files.exists(p)) {
-    val walk = Files.walk(p)
-    try walk.sorted(java.util.Comparator.reverseOrder())
-      .forEach(f => Files.delete(f))
-    finally walk.close()
-  }
+  private def deleteTree(p: Path): Unit = FsUtil.deleteTree(p)
 
   /** Replace the whole table with `master` (blind write — the next
     * snapshot does not depend on the current one, so a lost CAS just
@@ -210,24 +216,46 @@ class MasterStore(val root: String, numBuckets: Int = 8,
     }
   }
 
-  /** Drop all generations older than the live one, plus any orphan data
-    * directory nothing references (crashed or CAS-losing attempts). */
-  def vacuum(): Unit = {
+  /** Drop all generations older than the live one and the data dirs
+    * those SUPERSEDED generations reference. Safe under concurrent
+    * writers: a dir is deleted only if a generation below the live one
+    * names it — an in-flight writer's not-yet-published dir is
+    * unreferenced and therefore untouched, and a generation published
+    * concurrently is above `live` and keeps its (fresh-nonce) dir.
+    *
+    * `alsoOrphans = true` additionally removes unreferenced `v_` dirs
+    * (crashed or CAS-losing attempts). That sweep CANNOT distinguish a
+    * dead orphan from a concurrent writer's dir mid-write, so it is for
+    * quiesced maintenance windows only — the same contract as any
+    * table-format VACUUM's retention override. */
+  def vacuum(alsoOrphans: Boolean = false): Unit = {
     val (live, liveDir) = snapshot()
     if (live == 0L) return
-    generations().filter(_._1 < live)
-      .foreach { case (_, p) => Files.deleteIfExists(p) }
-    val dir = Paths.get(root)
-    val listing = Files.list(dir)
-    try {
-      import scala.jdk.CollectionConverters._
-      listing.iterator().asScala
-        .filter(p => Files.isDirectory(p) &&
-          p.getFileName.toString.startsWith("v_") &&
-          !liveDir.contains(p.getFileName.toString))
-        .toSeq
-        .foreach(deleteTree)
-    } finally listing.close()
+    val superseded = generations().filter(_._1 < live)
+    val refs = superseded.flatMap { case (_, p) =>
+      try Some(new String(Files.readAllBytes(p), "UTF-8").trim)
+      catch { case _: java.nio.file.NoSuchFileException => None }
+    }.toSet -- liveDir
+    refs.foreach(d => deleteTree(Paths.get(root, d)))
+    superseded.foreach { case (_, p) => Files.deleteIfExists(p) }
+    if (alsoOrphans) {
+      val keep = liveDir.toSet ++
+        generations().flatMap { case (_, p) =>
+          try Some(new String(Files.readAllBytes(p), "UTF-8").trim)
+          catch { case _: java.nio.file.NoSuchFileException => None }
+        }
+      val dir = Paths.get(root)
+      val listing = Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        listing.iterator().asScala
+          .filter(p => Files.isDirectory(p) &&
+            p.getFileName.toString.startsWith("v_") &&
+            !keep.contains(p.getFileName.toString))
+          .toSeq
+          .foreach(deleteTree)
+      } finally listing.close()
+    }
   }
 
   /** Published generation numbers, oldest first. */

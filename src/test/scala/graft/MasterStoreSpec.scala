@@ -78,9 +78,15 @@ class MasterStoreSpec extends AnyFunSuite with SparkSpec {
     val v = store.write(store.read(spark))
     assert(v == 2L && store.currentVersion.contains(2L))
     assert(store.read(spark).count() == 2)
+    // default vacuum only drops dirs SUPERSEDED generations reference —
+    // an unreferenced dir might be a concurrent writer mid-write, so the
+    // orphan sweep is opt-in (quiesced maintenance windows)
     store.vacuum()
+    assert(java.nio.file.Files.exists(orphan),
+      "default vacuum never touches unreferenced dirs")
+    store.vacuum(alsoOrphans = true)
     assert(!java.nio.file.Files.exists(orphan),
-      "vacuum removed the unreferenced torn attempt")
+      "the opt-in sweep removed the unreferenced torn attempt")
     assert(dataDirs(root).size == 1, "only the live snapshot's dir remains")
   }
 
