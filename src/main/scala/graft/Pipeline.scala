@@ -216,10 +216,19 @@ object Pipeline {
           .as[(String, String)]
           .map { case (b, p) => graft.operators.MetricsTable.fromJson(b, p, now) }
           .toDF().withColumn("seq", lit(0L))
-        ms.write(graft.operators.MetricsTable.upsert(ms.read(spark), incoming))
+        ms.writeMerge(spark, cur =>
+          graft.operators.MetricsTable.upsert(cur, incoming))
       }
     }
 
+    // the ingest/index run is the store's PRIMARY writer: its published
+    // snapshot is the whole run's result (this run's upsert merge +
+    // delivery stamps over its input read), so it publishes as a write —
+    // the streaming engine serializes micro-batches, and CLI sweeps
+    // CAS-merge (writeMerge) against whatever the pipeline publishes.
+    // Rebasing the stamps alone onto the live snapshot would DROP the
+    // batch's upserts; a full rebase would re-derive the delivered
+    // payloads against a snapshot they were not delivered from.
     val version = store.write(stamped)
     watermarkDir.foreach(Watermark.advance(spark, _, "last.reindex.normal", now))
 
@@ -320,9 +329,10 @@ object Pipeline {
       put("robots.txt", Sitemap.renderRobots(site))
     }
     import spark.implicits._
-    val next = SitemapState.markGenerated(state0,
-      files.toSeq.toDF("sitemap_filename"), now)
-    stateStore.write(next)
+    // generated-flag clears rebase onto the snapshot the CAS publishes
+    // over: a concurrent add/remove landing mid-render survives the merge
+    stateStore.writeMerge(spark, cur => SitemapState.markGenerated(cur,
+      files.toSeq.toDF("sitemap_filename"), now))
     work.unpersist(); state0.unpersist()
     Sitemap.releasePinned()
     files.length.toLong
