@@ -371,16 +371,26 @@ object Cli {
         .filter(col("bib_data").isNull && col("updated") < lit(since))
         .select(col("bibcode"))
       var n = 0L
+      var doomedFrame: Option[org.apache.spark.sql.DataFrame] = None
       val smSnap = sm.read(spark)
       store.writeMerge(spark, { cur =>
-        val res = MergeEngine.deleteByBibcodes(cur, smSnap, obsoleteOf(cur))
+        // the doomed set must be captured from the snapshot the PUBLISHED
+        // merge was computed from (a CAS-loss re-merge recomputes it, so
+        // the last invocation's frame is the one that won) — recomputing
+        // it AFTER the delete publishes would find nothing, and the
+        // sitemap sweep below would silently no-op. Kept as a lazy frame,
+        // never a driver list: the input snapshot's files stay readable
+        // until vacuum, and a mass-obsolete sweep can be corpus-sized
+        val ob = obsoleteOf(cur)
+        doomedFrame = Some(ob)
+        val res = MergeEngine.deleteByBibcodes(cur, smSnap, ob)
         n = res.changeLog.count()
         res.master
       })
-      val masterSnap = store.read(spark)
-      sm.writeMerge(spark, curSm =>
-        MergeEngine.deleteByBibcodes(masterSnap, curSm,
-          obsoleteOf(masterSnap)).sitemap)
+      doomedFrame.foreach { ob =>
+        sm.writeMerge(spark, curSm =>
+          MergeEngine.deleteByBibcodes(store.read(spark), curSm, ob).sitemap)
+      }
       out(s"deleted $n obsolete records")
       return 0
     }

@@ -216,20 +216,39 @@ object Pipeline {
           .as[(String, String)]
           .map { case (b, p) => graft.operators.MetricsTable.fromJson(b, p, now) }
           .toDF().withColumn("seq", lit(0L))
-        ms.writeMerge(spark, cur =>
+        // keyed merge: only the due payloads' rows move, so the store
+        // appends a delta layer ∝ batch instead of rewriting the table
+        ms.writeMergeKeyed(spark, incoming.select(col("bibcode")), cur =>
           graft.operators.MetricsTable.upsert(cur, incoming))
       }
     }
 
-    // the ingest/index run is the store's PRIMARY writer: its published
-    // snapshot is the whole run's result (this run's upsert merge +
-    // delivery stamps over its input read), so it publishes as a write —
-    // the streaming engine serializes micro-batches, and CLI sweeps
-    // CAS-merge (writeMerge) against whatever the pipeline publishes.
-    // Rebasing the stamps alone onto the live snapshot would DROP the
-    // batch's upserts; a full rebase would re-derive the delivered
-    // payloads against a snapshot they were not delivered from.
-    val version = store.write(stamped)
+    // Publish. The batch's net effect on the table is KEY-LOCAL: rows it
+    // upserted (the update messages' bibcodes, incl. full-deletes) plus
+    // rows it stamped (the sinks' delivery statuses). A keyed CAS merge
+    // rebases exactly those rows over the LIVE snapshot, so a CLI sweep
+    // that CAS-published mid-batch keeps its changes to every other key —
+    // the lost-update window the old blind write left open is closed, and
+    // the store appends a delta layer ∝ batch instead of rewriting the
+    // table. For the batch's own keys the batch wins (its payloads were
+    // delivered from its input snapshot — same per-row last-writer-wins
+    // the reference's row-level transactions give). The one remaining
+    // blind write is the forced FULL sweep (rebuild-collection's loop),
+    // whose key set IS the corpus: a keyed rebase would write the table
+    // twice (layer + immediate size-triggered compaction) for the same
+    // outcome, so it keeps the primary-writer full-write contract.
+    val version =
+      if (force && restrictTo.isEmpty) store.write(stamped)
+      else {
+        val stampKeys =
+          if (!updateProcessed) updates.select(col("bibcode"))
+          else updates.select(col("bibcode"))
+            .unionByName(solrStatus.toDF().select(col("bibcode")))
+            .unionByName(metricsStatus.toDF().select(col("bibcode")))
+            .unionByName(linksStatus.toDF().select(col("bibcode")))
+        store.writeMergeKeyed(spark, stampKeys, _ =>
+          stamped.join(stampKeys.distinct(), Seq("bibcode"), "left_semi"))
+      }
     watermarkDir.foreach(Watermark.advance(spark, _, "last.reindex.normal", now))
 
     val report = RunReport(version, mergedCount,
@@ -329,10 +348,15 @@ object Pipeline {
       put("robots.txt", Sitemap.renderRobots(site))
     }
     import spark.implicits._
-    // generated-flag clears rebase onto the snapshot the CAS publishes
-    // over: a concurrent add/remove landing mid-render survives the merge
-    stateStore.writeMerge(spark, cur => SitemapState.markGenerated(cur,
-      files.toSeq.toDF("sitemap_filename"), now))
+    // generated-flag clears are key-local (exactly the rendered files'
+    // member rows): the keyed CAS merge rebases them onto the live
+    // snapshot, so a concurrent add/remove landing mid-render survives —
+    // and a row added to a rendered file AFTER the render kept its flag
+    // (it was not rendered), where a whole-table re-stamp would have
+    // silently cleared it
+    stateStore.writeMergeKeyed(spark, work.select(col("bibcode")),
+      cur => SitemapState.markGenerated(cur,
+        files.toSeq.toDF("sitemap_filename"), now))
     work.unpersist(); state0.unpersist()
     Sitemap.releasePinned()
     files.length.toLong

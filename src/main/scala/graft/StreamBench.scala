@@ -351,9 +351,14 @@ object StreamBench {
           val d = digest(StreamingNearDup.nearDupBatch(batch, store.activeIndex(spark)))
           return (d, secs(t))
         } catch {
-          // the retention race: this reader's resolved segment dirs were
-          // vacuumed mid-read — re-resolve the (new) manifest and retry
-          case e: Throwable if attempt < 3 =>
+          // the retention race ONLY: this reader's resolved segment dirs
+          // were vacuumed mid-read — re-resolve the (new) manifest and
+          // retry. Any other failure class (a genuine digest/reduction
+          // bug in the racing pass) must fail the stage immediately, or
+          // the exact-match compaction gate could retry into a vacuous
+          // pass without ever seeing it
+          case e: Throwable
+              if attempt < 3 && graft.sources.MasterStore.isVanishedInput(e) =>
             attempt += 1; retries += 1
             System.err.println(s"[compact-bench] batch $b retry $attempt: ${e.getMessage}")
         }

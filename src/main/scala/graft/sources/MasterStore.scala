@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
@@ -17,49 +17,209 @@ private[sources] object FsUtil {
   }
 }
 
+object MasterStore {
+  /** True when `t`'s cause chain says a Spark job lost its INPUT files
+    * mid-read (a concurrent vacuum/compaction removed a superseded
+    * snapshot this job had lazily resolved). These failures are safe to
+    * retry against a re-resolved snapshot; anything else (a genuine
+    * transform bug, an executor OOM) must propagate. */
+  def isVanishedInput(t: Throwable): Boolean = {
+    var cur: Throwable = t
+    var hops = 0
+    while (cur != null && hops < 16) {
+      cur match {
+        case _: java.io.FileNotFoundException => return true
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage != null &&
+              (e.getMessage.contains("PATH_NOT_FOUND") ||
+               e.getMessage.contains("Path does not exist")) => return true
+        case e if e.getMessage != null &&
+            e.getMessage.contains("FileNotFoundException") => return true
+        case _ => ()
+      }
+      cur = if (cur.getCause eq cur) null else cur.getCause
+      hops += 1
+    }
+    false
+  }
+
+  /** Driver-side twin of Spark's `pmod(hash(key), n)` bucket assignment
+    * (HashPartitioning's partitionIdExpression is
+    * `Pmod(Murmur3Hash(exprs, seed=42), n)` — the same function
+    * `functions.hash` exposes). Pinned against both the SQL expression
+    * and actual shuffle-output file names in MasterStoreSpec, so a Spark
+    * behavior change fails a test instead of silently mis-pruning. */
+  def bucketOf(key: String, n: Int): Int = {
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString(key)
+    val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+      u.getBaseObject, u.getBaseOffset, u.numBytes, 42)
+    val m = h % n
+    if (m < 0) m + n else m
+  }
+
+  /** Snapshot composition, for benches and file-reuse assertions. */
+  case class Stats(generation: Long, n: Int, baseFiles: Int, baseBytes: Long,
+      layerCount: Int, layerBytes: Long)
+}
+
 /** Snapshot store for the mutable master table on immutable columnar
   * storage (SURVEY.md §7.4 risk 2).
   *
   * The reference mutates Postgres rows in place and relies on the database
   * to serialize concurrent ingest workers (`update_storage` runs inside a
   * session transaction, adsmp/app.py:120-195); here every mutation batch
-  * produces the next immutable snapshot and a compare-and-swap pointer
-  * publish:
+  * publishes the next immutable snapshot behind a generation-numbered
+  * compare-and-swap pointer:
   *
   *   root/
-  *     v_<nonce>/            (parquet, hash-distributed by keyCol; one
-  *                            UNIQUE dir per write attempt — writers never
-  *                            share a data directory, so a lost race can
-  *                            tear nothing)
-  *     gen_<generation>      (one line: the data dir that generation reads)
+  *     v_<nonce>/            base bucket files (parquet, hash-distributed
+  *                           by keyCol; one UNIQUE dir per write attempt —
+  *                           writers never share a data directory, so a
+  *                           lost race can tear nothing)
+  *     d_<nonce>/            delta-layer files (merged rows + tombstones
+  *                           for ONE merge's key set)
+  *     gen_<generation>      manifest: per-bucket base file lists + the
+  *                           ordered delta layers that overlay them
   *
   * The live snapshot is the HIGHEST generation file; generation g+1 is
   * published by hard-linking a prepared temp file into place
   * (`Files.createLink` — link(2) fails with EEXIST if the name is taken,
-  * the one true compare-and-swap a shared filesystem offers; an
-  * atomic-move "swap" of a single CURRENT file is last-writer-wins, which
-  * is exactly the lost-update race this layout closes: two writers that
-  * both read v and both swapped CURRENT→v+1 would silently drop one
-  * merge). A writer that loses the CAS observes the winner's generation
-  * and either re-publishes (blind `write`) or re-merges on top of the
-  * winner's snapshot (`writeMerge`) — both deltas always survive.
+  * the one true compare-and-swap a shared filesystem offers). A writer
+  * that loses the CAS observes the winner's generation and re-applies its
+  * delta on top of the winner's snapshot — both deltas always survive.
+  *
+  * '''Write amplification''' (the 100 TB concern): a keyed merge
+  * (`writeMergeKeyed`) never rewrites the table — it writes ONE delta
+  * layer holding exactly the merged rows (plus tombstones for deleted
+  * keys) and publishes a manifest that carries every base bucket file
+  * forward '''by reference'''. Write cost is therefore ∝ delta, not
+  * ∝ table — the snapshot-store equivalent of the reference's per-row
+  * Postgres upserts (adsmp/app.py:120-195). Readers reconcile layers over
+  * the base with latest-generation-wins per key; `compact` periodically
+  * folds accumulated layers into the base with bucket-level copy-on-write:
+  * only buckets that hold layer keys are rewritten, untouched buckets'
+  * parquet files are reused by path across generations. Layer volume is
+  * bounded by the auto-compaction thresholds, so the read-side reconcile
+  * joins against a frame that stays small relative to the base.
   *
   * Readers resolve the max generation once and read a consistent
   * snapshot; a crashed writer leaves at most an orphan data directory no
   * generation references, never a torn table. Old generations remain for
-  * time travel until `vacuum`.
+  * time travel until `vacuum` (whose `retain` parameter keeps a window of
+  * superseded generations alive for slow in-flight readers).
   *
-  * Scale: snapshots are written `repartition(n, keyCol)` so every
+  * Scale: base buckets are written `repartition(n, keyCol)` so every
   * merge-on-write join against a delta keyed by keyCol co-partitions with
-  * AQE, and keyCol point-lookups prune to one partition's files. At
+  * AQE, and keyCol point-lookups prune to the matching buckets' files. At
   * cluster scale `n` tracks corpus size (the 28.8M-row reference corpus at
   * ~2 KB/row → ~60 GB → a few hundred buckets).
+  *
+  * @param maxLayers      auto-compact after this many un-folded layers
+  * @param layerFraction  auto-compact when layer bytes exceed this
+  *                       fraction of the base (whichever trips first)
   */
 class MasterStore(val root: String, numBuckets: Int = 8,
     empty: SparkSession => DataFrame = MergeEngine.emptyMaster,
-    keyCol: String = "bibcode") {
+    keyCol: String = "bibcode",
+    maxLayers: Int = 16,
+    layerFraction: Double = 0.25) {
+
+  import MasterStore._
 
   private val GenName = raw"gen_(\d{12})".r
+  private val BucketDir = raw"__b=(\d+)".r
+  private val Deleted = "_deleted"
+  private val BucketCol = "__b"
+
+  // ---------------------------------------------------------------- model
+
+  /** One keyed merge's output: merged rows + tombstones, overlaying every
+    * older layer and the base. `seq` is the generation that published it
+    * (unique: layers are only appended under the CAS). */
+  private case class Layer(seq: Long, files: Seq[String], bytes: Long)
+
+  /** What a generation pointer resolves to: `buckets(b)` lists the base
+    * parquet files holding exactly the keys with `pmod(hash(key), n) == b`
+    * (files are root-relative `dir/name` paths and may live in dirs first
+    * written by OLDER generations — that reuse is the copy-on-write), plus
+    * the ordered delta layers that overlay the base. `n == 1` marks a
+    * legacy single-dir snapshot with unknown internal bucketing: reads
+    * stay correct (every key maps to bucket 0 = all files), pruning is
+    * just inert until the first compaction re-buckets it. */
+  private case class Manifest(n: Int, buckets: Vector[Vector[String]],
+      baseBytes: Long, layers: Vector[Layer]) {
+    def baseFiles: Seq[String] = buckets.flatten
+    def layerBytes: Long = layers.map(_.bytes).sum
+  }
+
+  private def emptyManifest = Manifest(numBuckets,
+    Vector.fill(numBuckets)(Vector.empty), 0L, Vector.empty)
+
+  private def manifestJson(m: Manifest): String = {
+    import org.json4s.JsonDSL._
+    org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(
+      ("format" -> 2) ~ ("n" -> m.n) ~ ("baseBytes" -> m.baseBytes) ~
+        ("buckets" -> m.buckets.map(_.toList).toList) ~
+        ("layers" -> m.layers.toList.map(l =>
+          ("seq" -> l.seq) ~ ("bytes" -> l.bytes) ~ ("files" -> l.files.toList)))))
+  }
+
+  private def parseManifest(s: String): Manifest = {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val j = org.json4s.jackson.JsonMethods.parse(s)
+    Manifest(
+      (j \ "n").extract[Int],
+      (j \ "buckets").extract[List[List[String]]].map(_.toVector).toVector,
+      (j \ "baseBytes").extract[Long],
+      (j \ "layers").extract[List[org.json4s.JValue]].map { l =>
+        Layer((l \ "seq").extract[Long], (l \ "files").extract[List[String]],
+          (l \ "bytes").extract[Long])
+      }.toVector)
+  }
+
+  /** Data files under `dir` (root-relative paths, flat or one
+    * `__b=<bucket>` level deep) with sizes. */
+  private def listParquet(dir: String): Seq[(String, Long)] = {
+    val p = Paths.get(root, dir)
+    if (!Files.isDirectory(p)) return Nil
+    val walk = Files.walk(p, 2)
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala
+        .filter(f => Files.isRegularFile(f) &&
+          f.getFileName.toString.startsWith("part-") &&
+          f.getFileName.toString.endsWith(".parquet"))
+        .map(f => Paths.get(root).relativize(f).toString -> Files.size(f))
+        .toSeq
+    } finally walk.close()
+  }
+
+  /** Bucket id a base data file's path encodes. Buckets are materialized
+    * as `partitionBy` DIRECTORIES (`v_x/__b=7/part-….parquet`), NOT read
+    * off shuffle part numbers: an explicit `repartition(n, key)` whose
+    * child is already hash-partitioned on the key gets elided by the
+    * planner, and AQE may then coalesce the upstream (coalescable)
+    * shuffle — after which part-file indexes no longer say anything
+    * about key hashes. The directory name is written from the computed
+    * `pmod(hash(key), n)` COLUMN, so it is correct under any shuffle
+    * topology. */
+  private def bucketOfFile(relPath: String): Int =
+    relPath.split('/').collectFirst { case BucketDir(b) => b.toInt }
+      .getOrElse(sys.error(s"unbucketed data file in $root: $relPath"))
+
+  /** Resolve a pre-manifest pointer (one line: the data dir): one bucket
+    * holding every file — correct, pruning-inert, upgraded on compact. A
+    * pointer referencing a MISSING dir is a corrupt (or concurrently
+    * vacuumed) snapshot and must surface, never read as an empty table;
+    * FileNotFoundException puts it in the vanished-input class the
+    * merge/compact retry loops re-resolve on. */
+  private def legacyManifest(dir: String): Manifest = {
+    if (!Files.isDirectory(Paths.get(root, dir)))
+      throw new java.io.FileNotFoundException(
+        s"MasterStore at $root: generation pointer references missing data dir $dir")
+    val fs = listParquet(dir)
+    Manifest(1, Vector(fs.map(_._1).toVector), fs.map(_._2).sum, Vector.empty)
+  }
 
   /** (generation, pointer file) pairs of all published generations. */
   private def generations(): Seq[(Long, Path)] = {
@@ -77,21 +237,25 @@ class MasterStore(val root: String, numBuckets: Int = 8,
     } finally s.close()
   }
 
+  private def readPointer(p: Path): Manifest = {
+    val content = new String(Files.readAllBytes(p), "UTF-8").trim
+    if (content.startsWith("{")) parseManifest(content)
+    else legacyManifest(content)
+  }
+
   /** Read the highest generation consistently: list, read the max; if a
     * concurrent vacuum removed that pointer between the two steps,
     * re-list (the replacement generation is strictly higher, so the loop
     * terminates in one hop per lost race). Returns (0, None) for a new
     * store. */
-  private def snapshot(): (Long, Option[String]) = {
+  private def snapshot(): (Long, Option[Manifest]) = {
     while (true) {
       generations() match {
         case Nil => return (0L, None)
         case gs =>
           val (g, p) = gs.maxBy(_._1)
-          try {
-            val dir = new String(Files.readAllBytes(p), "UTF-8").trim
-            return (g, Some(dir))
-          } catch { case _: java.nio.file.NoSuchFileException => () }
+          try return (g, Some(readPointer(p)))
+          catch { case _: java.nio.file.NoSuchFileException => () }
       }
     }
     sys.error("unreachable")
@@ -102,55 +266,131 @@ class MasterStore(val root: String, numBuckets: Int = 8,
     case (g, _)     => Some(g)
   }
 
+  /** Published generation numbers, oldest first. */
+  def versions: Seq[Long] = generations().map(_._1).sorted
+
+  /** Snapshot composition (file/byte counts), for benches and specs. */
+  def stats: Option[Stats] = snapshot() match {
+    case (g, Some(m)) => Some(Stats(g, m.n, m.baseFiles.size, m.baseBytes,
+      m.layers.size, m.layerBytes))
+    case _ => None
+  }
+
+  /** The live manifest's per-bucket base file lists (root-relative paths)
+    * — exposed so specs can assert cross-generation file REUSE, the
+    * copy-on-write invariant. */
+  def bucketFileLists: Option[Vector[Seq[String]]] =
+    snapshot()._2.map(_.buckets.map(_.toSeq))
+
   /** One unique data directory per write attempt. The nonce keeps two
     * racing writers (or a writer and its own crashed prior attempt) out
     * of each other's files — the "torn v_N directory" failure mode of a
     * shared version-numbered path cannot occur. */
-  private def freshDataDir(): String =
-    "v_" + java.util.UUID.randomUUID.toString.replace("-", "").take(16)
+  private def freshDir(prefix: String): String =
+    prefix + java.util.UUID.randomUUID.toString.replace("-", "").take(16)
 
-  private def readDir(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(Paths.get(root, dir).toString)
-      .select(empty(spark).columns.map(col).toIndexedSeq: _*)
+  // ---------------------------------------------------------------- reads
+
+  private def masterCols(spark: SparkSession): Array[String] = empty(spark).columns
+
+  private def readFiles(spark: SparkSession, relPaths: Seq[String],
+      cols: Seq[Column]): DataFrame =
+    spark.read.parquet(relPaths.map(Paths.get(root, _).toString): _*)
+      .select(cols: _*)
+
+  /** Latest-generation-wins reconcile of the delta layers over the base.
+    * `bucketFilter` prunes BOTH sides to the named buckets (layer rows by
+    * predicate, base files by manifest lookup) — callers guarantee the
+    * keys they care about hash into that set. The base side is never
+    * shuffled: layer keys ride an anti-join whose build side AQE
+    * broadcasts while layers are small (the steady state under
+    * auto-compaction); a rare table-sized layer degrades to a shuffle
+    * join, and the size-triggered compaction folds it away. */
+  private def reconcile(spark: SparkSession, m: Manifest,
+      bucketFilter: Option[Set[Int]]): DataFrame = {
+    val cols = masterCols(spark)
+    val baseFiles = bucketFilter match {
+      case Some(bs) if m.n > 1 =>
+        bs.toSeq.sorted.flatMap(b => if (b < m.buckets.length) m.buckets(b) else Nil)
+      case _ => m.baseFiles
+    }
+    val base =
+      if (baseFiles.isEmpty) empty(spark)
+      else readFiles(spark, baseFiles, cols.map(col).toIndexedSeq)
+    // a layer with zero files held zero rows — nothing to overlay
+    val neLayers = m.layers.filter(_.files.nonEmpty)
+    if (neLayers.isEmpty) return base
+
+    val layerCols = (cols.map(col) :+ col(Deleted)).toIndexedSeq
+    val layersAll = neLayers.map(l =>
+        readFiles(spark, l.files, layerCols).withColumn("_seq", lit(l.seq)))
+      .reduce(_.unionByName(_))
+    val layers = bucketFilter match {
+      case Some(bs) if m.n > 1 =>
+        layersAll.filter(pmod(hash(col(keyCol)), lit(m.n))
+          .isin(bs.toSeq.map(Int.box): _*))
+      case _ => layersAll
+    }
+    val others = cols.filterNot(_ == keyCol)
+    val latest = layers.groupBy(col(keyCol))
+      .agg(max_by(struct((others.map(col) :+ col(Deleted)).toIndexedSeq: _*),
+        col("_seq")).as("_r"))
+    val live = latest.filter(!col("_r").getField(Deleted))
+      .select(col(keyCol) +: others.map(c => col("_r").getField(c).as(c)): _*)
+    val layerKeys = layers.select(col(keyCol)).distinct()
+    base.join(layerKeys, Seq(keyCol), "left_anti")
+      .select(cols.map(col).toIndexedSeq: _*)
+      .unionByName(live)
+  }
 
   /** Read the live snapshot (empty frame when the store is new). */
   def read(spark: SparkSession): DataFrame = snapshot() match {
-    case (_, Some(dir)) => readDir(spark, dir)
-    case _              => empty(spark)
+    case (_, Some(m)) => reconcile(spark, m, None)
+    case _            => empty(spark)
   }
 
   /** Bulk keyed read — the engine analog of the reference's
     * `get_records_bulk` / `get_sitemap_info_bulk`
     * (adsmp/app.py:279-352; timed in tests/test_app.py:818-1008). The
     * reference chunks `IN (...)` queries against Postgres and assembles a
-    * driver-side dict; here the key list rides an IN-list predicate so
-    * Catalyst pushes it into the parquet scan (visible as PushedFilters —
-    * non-matching row groups never leave storage), and `loadOnly` is plain
-    * column selection whose pruning reaches the scan's ReadSchema: a
-    * 2-column projection of a 30-column master reads 2 columns, which is
-    * the whole point at 100 TB. The key column always rides along (the
-    * reference's dict is keyed by bibcode). An empty key list returns the
-    * empty frame without touching storage, matching the reference's
-    * `{}` short-circuit. */
+    * driver-side dict; here the manifest prunes the scan to the buckets
+    * the keys hash into (files of other buckets never open), the key list
+    * rides an IN-list predicate so Catalyst pushes it into the parquet
+    * scan (visible as PushedFilters — non-matching row groups never leave
+    * storage), and `loadOnly` is plain column selection whose pruning
+    * reaches the scan's ReadSchema: a 2-column projection of a 30-column
+    * master reads 2 columns, which is the whole point at 100 TB. The key
+    * column always rides along (the reference's dict is keyed by
+    * bibcode). An empty key list returns the empty frame without touching
+    * storage, matching the reference's `{}` short-circuit. */
   def lookup(spark: SparkSession, keys: Seq[String],
       loadOnly: Seq[String] = Nil): DataFrame = {
-    val base = read(spark)
-    val projected =
-      if (loadOnly.isEmpty) base
-      else base.select((keyCol +: loadOnly.filterNot(_ == keyCol)).map(col): _*)
-    if (keys.isEmpty) projected.limit(0)
-    else projected.filter(col(keyCol).isin(keys: _*))
+    def project(df: DataFrame): DataFrame =
+      if (loadOnly.isEmpty) df
+      else df.select((keyCol +: loadOnly.filterNot(_ == keyCol)).map(col): _*)
+    if (keys.isEmpty) return project(empty(spark)).limit(0)
+    snapshot() match {
+      case (_, Some(m)) =>
+        val buckets =
+          if (m.n <= 1) None
+          else Some(keys.map(k => bucketOf(k, m.n)).toSet)
+        project(reconcile(spark, m, buckets))
+          .filter(col(keyCol).isin(keys: _*))
+      case _ => project(empty(spark)).limit(0)
+    }
   }
 
-  /** CAS publish: generation `expected`+1 points at `dataDir` iff no
-    * other writer published that generation first. */
-  private def tryPublish(expected: Long, dataDir: String): Boolean = {
+  // --------------------------------------------------------------- writes
+
+  /** CAS publish: generation `expected`+1 carries `manifest` iff no other
+    * writer published that generation first. */
+  private def tryPublish(expected: Long, m: Manifest): Boolean = {
     Files.createDirectories(Paths.get(root))
     val target = Paths.get(root, f"gen_${expected + 1}%012d")
     if (Files.exists(target)) return false
     val tmp = Files.createTempFile(Paths.get(root), ".gen", ".tmp")
     try {
-      Files.write(tmp, dataDir.getBytes("UTF-8"))
+      Files.write(tmp, manifestJson(m).getBytes("UTF-8"))
       try { Files.createLink(target, tmp); true }
       catch { case _: java.nio.file.FileAlreadyExistsException => false }
     } finally Files.deleteIfExists(tmp)
@@ -158,23 +398,48 @@ class MasterStore(val root: String, numBuckets: Int = 8,
 
   private def deleteTree(p: Path): Unit = FsUtil.deleteTree(p)
 
+  /** Full-table write into a fresh dir; the bucket id is computed as a
+    * column and materialized as `partitionBy` directories (see
+    * [[bucketOfFile]] for why part-file indexes can't be trusted). The
+    * repartition on the bucket column keeps one task per bucket in the
+    * common case (one file per bucket, no per-task dynamic-partition
+    * sort), but correctness never depends on it. */
+  private def writeBucketed(df: DataFrame, n: Int, dir: String): Unit =
+    df.withColumn(BucketCol, pmod(hash(col(keyCol)), lit(n)).cast("int"))
+      .repartition(n, col(BucketCol))
+      .write.mode("overwrite").partitionBy(BucketCol)
+      .parquet(Paths.get(root, dir).toString)
+
+  private def writeBase(df: DataFrame): (String, Manifest) = {
+    val dir = freshDir("v_")
+    writeBucketed(df, numBuckets, dir)
+    val files = listParquet(dir)
+    val byBucket = files.groupBy(f => bucketOfFile(f._1))
+    val buckets = Vector.tabulate(numBuckets)(b =>
+      byBucket.getOrElse(b, Nil).map(_._1).sorted.toVector)
+    (dir, Manifest(numBuckets, buckets, files.map(_._2).sum, Vector.empty))
+  }
+
   /** Replace the whole table with `master` (blind write — the next
     * snapshot does not depend on the current one, so a lost CAS just
     * re-publishes the same data directory at the new generation; nothing
     * re-runs). A crashed attempt leaves an orphan directory no generation
     * references, and the replay (e.g. a restarted streaming micro-batch)
     * publishes a fresh identical snapshot. Concurrent read-modify-write
-    * merges must use `writeMerge` — `write(read() merged delta)` re-opens
-    * the lost-update window this store exists to close. */
+    * merges must use `writeMerge`/`writeMergeKeyed` — `write(read()
+    * merged delta)` re-opens the lost-update window this store exists to
+    * close. */
   def write(master: DataFrame): Long = {
-    val dir = freshDataDir()
-    master
-      .repartition(numBuckets, col(keyCol))
-      .write.mode("overwrite").parquet(Paths.get(root, dir).toString)
+    val (_, m) = writeBase(master)
     var g = snapshot()._1
-    while (!tryPublish(g, dir)) g = snapshot()._1
+    while (!tryPublish(g, m)) g = snapshot()._1
     g + 1
   }
+
+  private def failLoudly(attempts: Int, what: String): Nothing =
+    sys.error(s"MasterStore.$what at $root gave up after $attempts attempts " +
+      "(sustained CAS contention or repeatedly vanished input snapshots); " +
+      "re-run when the writer storm subsides or raise maxRetries")
 
   /** Read-merge-publish with CAS retry — the engine-side replacement for
     * the reference's Postgres-serialized `update_storage`
@@ -183,81 +448,260 @@ class MasterStore(val root: String, numBuckets: Int = 8,
     * stale merge's data directory is dropped and the delta is re-applied
     * on top of the winner's snapshot. Two interleaved writers therefore
     * both land — neither merge can be silently discarded. `applyDelta`
-    * must be re-runnable (pure in its input frame). */
-  def writeMerge(spark: SparkSession, applyDelta: DataFrame => DataFrame): Long = {
-    while (true) {
-      val (g, dirOpt) = snapshot()
-      val current = dirOpt.map(readDir(spark, _)).getOrElse(empty(spark))
-      val dir = freshDataDir()
-      applyDelta(current)
-        .repartition(numBuckets, col(keyCol))
-        .write.mode("overwrite").parquet(Paths.get(root, dir).toString)
-      if (tryPublish(g, dir)) return g + 1
-      // lost: this merge was computed against a superseded snapshot —
-      // discard it and re-merge on top of the winner
-      deleteTree(Paths.get(root, dir))
+    * must be re-runnable (pure in its input frame).
+    *
+    * Liveness under maintenance: a concurrent `vacuum`/`compact` may
+    * delete THIS writer's lazily-resolved input files mid-job; that
+    * failure class is caught, the snapshot re-resolved, and the merge
+    * re-run (the FingerprintIndexStore probe discipline) — bounded, like
+    * CAS losses, by `maxRetries`, after which the writer fails loudly
+    * instead of starving forever behind a sustained faster writer.
+    *
+    * This is the whole-table path: every attempt rewrites all buckets.
+    * Key-local deltas should use [[writeMergeKeyed]], whose cost is
+    * ∝ delta. */
+  def writeMerge(spark: SparkSession, applyDelta: DataFrame => DataFrame,
+      maxRetries: Int = 64, onAttempts: Int => Unit = _ => ()): Long = {
+    var attempts = 0
+    while (attempts <= maxRetries) {
+      attempts += 1
+      val (g, mOpt) = snapshot()
+      val current = mOpt.map(reconcile(spark, _, None)).getOrElse(empty(spark))
+      try {
+        val (dir, m) = writeBase(applyDelta(current))
+        if (tryPublish(g, m)) { onAttempts(attempts); return g + 1 }
+        // lost: this merge was computed against a superseded snapshot —
+        // discard it and re-merge on top of the winner
+        deleteTree(Paths.get(root, dir))
+      } catch {
+        // input snapshot vacuumed mid-merge: re-resolve and re-run
+        case t: Throwable if isVanishedInput(t) => ()
+      }
     }
-    sys.error("unreachable")
+    failLoudly(attempts, "writeMerge")
+  }
+
+  /** Key-local read-merge-publish whose cost is ∝ delta, not ∝ table —
+    * the snapshot-store equivalent of the reference's per-row upserts
+    * (adsmp/app.py:120-195, which touch only the arriving bibcodes'
+    * rows, never the other 28.8M).
+    *
+    * `keys` is the delta's key set; `applyDelta` receives the CURRENT
+    * rows for exactly those keys (fewer rows when some keys are new) and
+    * returns the NEW rows for those keys. A key present in `keys` but
+    * absent from the result is DELETED (tombstoned). Rows for keys
+    * outside `keys` must not be produced — the merge is key-local by
+    * contract, which is what lets the table's base buckets be carried
+    * forward untouched, by reference.
+    *
+    * The published layer holds only the merged rows + tombstones, so a
+    * lost CAS re-runs work ∝ delta (unlike `writeMerge`, where every
+    * retry is a table rewrite). After publishing, layer accumulation is
+    * folded by the auto-compaction thresholds (see class doc). */
+  def writeMergeKeyed(spark: SparkSession, keys: DataFrame,
+      applyDelta: DataFrame => DataFrame, maxRetries: Int = 64,
+      onAttempts: Int => Unit = _ => ()): Long = {
+    val keyFrame = keys.select(col(keyCol)).distinct().cache()
+    try {
+      if (keyFrame.head(1).isEmpty) return snapshot()._1
+      var attempts = 0
+      while (attempts <= maxRetries) {
+        attempts += 1
+        val (g, mOpt) = snapshot()
+        val m = mOpt.getOrElse(emptyManifest)
+        try {
+          val touched: Option[Set[Int]] =
+            if (m.n <= 1) None
+            else Some(keyFrame
+              .select(pmod(hash(col(keyCol)), lit(m.n)).cast("int").as("b"))
+              .distinct().collect().map(_.getInt(0)).toSet)
+          val currentForKeys = reconcile(spark, m, touched)
+            .join(keyFrame, Seq(keyCol), "left_semi")
+          val merged = applyDelta(currentForKeys)
+          val schema = empty(spark).schema
+          val others = schema.filterNot(_.name == keyCol)
+          val tombstones = keyFrame
+            .join(merged.select(col(keyCol)), Seq(keyCol), "left_anti")
+            .select(col(keyCol) +:
+              others.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
+            .withColumn(Deleted, lit(true))
+          val layerDf = merged
+            .select(schema.map(f => col(f.name)).toIndexedSeq: _*)
+            .withColumn(Deleted, lit(false))
+            .unionByName(tombstones)
+          val dir = freshDir("d_")
+          layerDf.write.mode("overwrite").parquet(Paths.get(root, dir).toString)
+          val files = listParquet(dir)
+          val m2 = m.copy(layers =
+            m.layers :+ Layer(g + 1, files.map(_._1).sorted, files.map(_._2).sum))
+          if (tryPublish(g, m2)) {
+            onAttempts(attempts)
+            maybeCompact(spark, m2)
+            return g + 1
+          }
+          deleteTree(Paths.get(root, dir))
+        } catch {
+          case t: Throwable if isVanishedInput(t) => ()
+        }
+      }
+      failLoudly(attempts, "writeMergeKeyed")
+    } finally keyFrame.unpersist(blocking = false)
+  }
+
+  /** Fold thresholds: many small layers cost reconcile overhead, one huge
+    * layer (a force full-sweep's) costs the anti-join its broadcast can't
+    * cover — both trip a fold. Trigger check is driver-side arithmetic on
+    * the manifest, zero jobs. */
+  private def maybeCompact(spark: SparkSession, m: Manifest): Unit =
+    if (m.layers.size >= maxLayers ||
+        m.layerBytes > math.max((m.baseBytes * layerFraction).toLong, 16L << 20))
+      compact(spark)
+
+  /** Fold the delta layers into the base with bucket-level copy-on-write:
+    * ONLY buckets holding layer keys are rewritten; every other bucket's
+    * parquet files are carried into the new generation by reference
+    * (byte-identical paths — asserted in MasterStoreSpec). A legacy or
+    * differently-bucketed snapshot (manifest n ≠ numBuckets) is folded
+    * whole, once, onto the current bucket count. Publishes through the
+    * same CAS; a lost race re-resolves (the winner may have appended a
+    * layer) and re-folds, bounded by `maxRetries`. Returns the published
+    * generation, or the current one when there was nothing to fold. */
+  def compact(spark: SparkSession, maxRetries: Int = 10): Long = {
+    var attempts = 0
+    while (attempts <= maxRetries) {
+      attempts += 1
+      val (g, mOpt) = snapshot()
+      val m = mOpt.getOrElse(return g)
+      if (m.layers.isEmpty) return g
+      try {
+        val rebucket = m.n != numBuckets
+        val neLayers = m.layers.filter(_.files.nonEmpty)
+        if (neLayers.isEmpty && !rebucket) {
+          // all pending layers held zero rows: fold them away pointer-only
+          if (tryPublish(g, m.copy(layers = Vector.empty))) return g + 1
+        } else {
+          val touched: Set[Int] =
+            if (rebucket) (0 until numBuckets).toSet
+            else neLayers.map(l =>
+                readFiles(spark, l.files, Seq(col(keyCol))))
+              .reduce(_.unionByName(_))
+              .select(pmod(hash(col(keyCol)), lit(m.n)).cast("int").as("b"))
+              .distinct().collect().map(_.getInt(0)).toSet
+          val folded = reconcile(spark, m, if (rebucket) None else Some(touched))
+          val n2 = if (rebucket) numBuckets else m.n
+          val dir = freshDir("v_")
+          writeBucketed(folded, n2, dir)
+          val files = listParquet(dir)
+          val byBucket = files.groupBy(f => bucketOfFile(f._1))
+          val buckets = Vector.tabulate(n2) { b =>
+            if (rebucket || touched(b)) byBucket.getOrElse(b, Nil).map(_._1).sorted.toVector
+            else if (b < m.buckets.length) m.buckets(b)
+            else Vector.empty
+          }
+          val carried = if (rebucket) 0L else
+            m.buckets.zipWithIndex.collect { case (fs, b) if !touched(b) => fs }
+              .flatten.map(f => Files.size(Paths.get(root, f))).sum
+          val m2 = Manifest(n2, buckets, files.map(_._2).sum + carried, Vector.empty)
+          if (tryPublish(g, m2)) return g + 1
+          deleteTree(Paths.get(root, dir))
+        }
+      } catch {
+        case t: Throwable if isVanishedInput(t) => ()
+      }
+    }
+    failLoudly(attempts, "compact")
   }
 
   /** M6 — truncate with backup (adsmp/app.py:1241-1261): publish a fresh
-    * empty snapshot FIRST, then park the old snapshot in the backup dir —
-    * a crash between the two steps leaves a readable (empty) table plus an
-    * unmoved old dir, never a live generation referencing a moved
-    * directory. */
+    * empty snapshot FIRST, then park the old snapshot's data dirs in the
+    * backup dir — a crash between the two steps leaves a readable (empty)
+    * table plus unmoved old dirs, never a live generation referencing a
+    * moved directory. */
   def truncate(spark: SparkSession, backupDir: String): Unit = {
     val (_, old) = snapshot()
     write(empty(spark))
-    old.foreach { d =>
+    val oldDirs = old.toSeq.flatMap(m =>
+      (m.baseFiles ++ m.layers.flatMap(_.files)).map(_.split('/').head)).distinct
+    if (oldDirs.nonEmpty) Files.createDirectories(Paths.get(backupDir))
+    oldDirs.foreach { d =>
       val src = Paths.get(root, d)
-      val dst = Paths.get(backupDir, d)
-      Files.createDirectories(Paths.get(backupDir))
-      Files.move(src, dst, StandardCopyOption.REPLACE_EXISTING)
+      if (Files.exists(src))
+        Files.move(src, Paths.get(backupDir, d), StandardCopyOption.REPLACE_EXISTING)
     }
   }
 
-  /** Drop all generations older than the live one and the data dirs
-    * those SUPERSEDED generations reference. Safe under concurrent
-    * writers: a dir is deleted only if a generation below the live one
-    * names it — an in-flight writer's not-yet-published dir is
-    * unreferenced and therefore untouched, and a generation published
-    * concurrently is above `live` and keeps its (fresh-nonce) dir.
+  // --------------------------------------------------------------- vacuum
+
+  /** Files a manifest references (root-relative), plus the whole dirs a
+    * LEGACY pointer references (its listing is dynamic, so the dir is
+    * retained wholesale). */
+  private def pointerRefs(p: Path): (Set[String], Set[String]) = {
+    val content = new String(Files.readAllBytes(p), "UTF-8").trim
+    if (content.startsWith("{")) {
+      val m = parseManifest(content)
+      ((m.baseFiles ++ m.layers.flatMap(_.files)).toSet, Set.empty)
+    } else (Set.empty, Set(content))
+  }
+
+  /** Drop superseded generations beyond the newest `retain` (≥ 1: the
+    * live generation always survives) and every data file only those
+    * dropped generations reference. File-granular: a dir whose files are
+    * partially carried forward by a newer manifest keeps exactly the
+    * carried files. `retain > 1` leaves a window of superseded snapshots
+    * alive so slow in-flight readers/mergers don't lose their input
+    * mid-job (they also retry on that failure class; retention makes the
+    * race rare instead of merely survivable).
     *
-    * `alsoOrphans = true` additionally removes unreferenced `v_` dirs
-    * (crashed or CAS-losing attempts). That sweep CANNOT distinguish a
-    * dead orphan from a concurrent writer's dir mid-write, so it is for
+    * `alsoOrphans = true` additionally removes unreferenced `v_`/`d_`
+    * dirs (crashed or CAS-losing attempts). That sweep CANNOT distinguish
+    * a dead orphan from a concurrent writer's dir mid-write, so it is for
     * quiesced maintenance windows only — the same contract as any
     * table-format VACUUM's retention override. */
-  def vacuum(alsoOrphans: Boolean = false): Unit = {
-    val (live, liveDir) = snapshot()
-    if (live == 0L) return
-    val superseded = generations().filter(_._1 < live)
-    val refs = superseded.flatMap { case (_, p) =>
-      try Some(new String(Files.readAllBytes(p), "UTF-8").trim)
-      catch { case _: java.nio.file.NoSuchFileException => None }
-    }.toSet -- liveDir
-    refs.foreach(d => deleteTree(Paths.get(root, d)))
-    superseded.foreach { case (_, p) => Files.deleteIfExists(p) }
-    if (alsoOrphans) {
-      val keep = liveDir.toSet ++
-        generations().flatMap { case (_, p) =>
-          try Some(new String(Files.readAllBytes(p), "UTF-8").trim)
-          catch { case _: java.nio.file.NoSuchFileException => None }
-        }
-      val dir = Paths.get(root)
-      val listing = Files.list(dir)
-      try {
-        import scala.jdk.CollectionConverters._
-        listing.iterator().asScala
-          .filter(p => Files.isDirectory(p) &&
-            p.getFileName.toString.startsWith("v_") &&
-            !keep.contains(p.getFileName.toString))
-          .toSeq
-          .foreach(deleteTree)
-      } finally listing.close()
+  def vacuum(alsoOrphans: Boolean = false, retain: Int = 1): Unit = {
+    val gens = generations().sortBy(_._1)
+    if (gens.isEmpty) return
+    val keepN = math.max(1, retain)
+    val kept = gens.takeRight(keepN)
+    val dropped = gens.dropRight(keepN)
+
+    def refsOf(ps: Seq[(Long, Path)]): (Set[String], Set[String]) =
+      ps.foldLeft((Set.empty[String], Set.empty[String])) { case ((fs, ds), (_, p)) =>
+        try { val (f, d) = pointerRefs(p); (fs ++ f, ds ++ d) }
+        catch { case _: java.nio.file.NoSuchFileException => (fs, ds) }
+      }
+    val (keptFiles, keptDirs) = refsOf(kept)
+    val (dropFiles, dropDirs) = refsOf(dropped)
+
+    // a dropped file survives if a kept manifest carries it, or if it
+    // lives inside a dir a kept legacy pointer references wholesale
+    def retained(f: String): Boolean =
+      keptFiles.contains(f) || keptDirs.contains(f.split('/').head)
+    (dropFiles.filterNot(retained) ++
+      dropDirs.diff(keptDirs).flatMap(d => listParquet(d).map(_._1)).filterNot(retained))
+      .foreach(f => Files.deleteIfExists(Paths.get(root, f)))
+    dropped.foreach { case (_, p) => Files.deleteIfExists(p) }
+
+    // remove data dirs that no longer hold any referenced file (their
+    // remaining entries are writer metadata like _SUCCESS)
+    val (allFiles, allDirs) = refsOf(generations())
+    val referencedDirs = allFiles.map(_.split('/').head) ++ allDirs
+    val listing = Files.list(Paths.get(root))
+    val dirs = try {
+      import scala.jdk.CollectionConverters._
+      listing.iterator().asScala
+        .filter(p => Files.isDirectory(p) && {
+          val n = p.getFileName.toString
+          n.startsWith("v_") || n.startsWith("d_")
+        }).toVector
+    } finally listing.close()
+    dirs.foreach { p =>
+      val name = p.getFileName.toString
+      if (!referencedDirs.contains(name)) {
+        val hasRefFile = listParquet(name).exists(f => allFiles.contains(f._1))
+        if (!hasRefFile && (alsoOrphans || dropDirs.contains(name) ||
+            dropFiles.exists(_.startsWith(name + "/"))))
+          deleteTree(p)
+      }
     }
   }
-
-  /** Published generation numbers, oldest first. */
-  def versions: Seq[Long] = generations().map(_._1).sorted
 }

@@ -575,13 +575,16 @@ class CliSpec extends AnyFunSuite with SparkSpec {
       "v_missingdatadir".getBytes)
     val argvBase = Seq("--store", s"$root/master",
       "--sitemap-store", s"$root/smstate", "--out", s"$root/sitemaps")
-    intercept[org.apache.spark.sql.AnalysisException] {
+    // a pointer referencing a vanished data dir surfaces as
+    // FileNotFoundException at snapshot resolution (it must NOT resolve
+    // to an empty table — that would silently "succeed" over corruption)
+    intercept[java.io.FileNotFoundException] {
       Cli.run(spark, argvBase ++ Seq("--update-sitemap-files"), d)
     }
-    intercept[org.apache.spark.sql.AnalysisException] {
+    intercept[java.io.FileNotFoundException] {
       Cli.run(spark, argvBase ++ Seq("--update-sitemaps-auto"), d)
     }
-    intercept[org.apache.spark.sql.AnalysisException] {
+    intercept[java.io.FileNotFoundException] {
       Cli.run(spark, argvBase ++
         Seq("--manage-sitemap", "--action", "add", "-b", "x"), d)
     }

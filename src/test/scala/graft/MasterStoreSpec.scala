@@ -46,9 +46,45 @@ class MasterStoreSpec extends AnyFunSuite with SparkSpec {
     try {
       import scala.jdk.CollectionConverters._
       listing.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.startsWith("v_")).toSeq
+        .filter(n => n.startsWith("v_") || n.startsWith("d_")).toSeq
     } finally listing.close()
   }
+
+  /** Root-relative data files each published generation references
+    * (manifest base buckets + delta layers; legacy pointers expand to
+    * their dir's listing). */
+  private def referencedFiles(root: String): Map[Long, Set[String]] = {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val listing = java.nio.file.Files.list(java.nio.file.Paths.get(root))
+    val gens = try {
+      import scala.jdk.CollectionConverters._
+      listing.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("gen_")).toSeq
+    } finally listing.close()
+    gens.map { g =>
+      val content = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(root, g)), "UTF-8").trim
+      val files: Set[String] =
+        if (content.startsWith("{")) {
+          val j = org.json4s.jackson.JsonMethods.parse(content)
+          (j \ "buckets").extract[List[List[String]]].flatten.toSet ++
+            (j \ "layers").extract[List[org.json4s.JValue]]
+              .flatMap(l => (l \ "files").extract[List[String]]).toSet
+        } else {
+          val d = java.nio.file.Paths.get(root, content)
+          val s = java.nio.file.Files.list(d)
+          try {
+            import scala.jdk.CollectionConverters._
+            s.iterator().asScala.map(f => s"$content/${f.getFileName}")
+              .filter(_.endsWith(".parquet")).toSet
+          } finally s.close()
+        }
+      g.stripPrefix("gen_").toLong -> files
+    }.toMap
+  }
+
+  private def referencedDirs(root: String): Set[String] =
+    referencedFiles(root).values.flatten.map(_.split('/').head).toSet
 
   test("writes advance the generation; readers always see a consistent snapshot") {
     val root = java.nio.file.Files.createTempDirectory("graft_ms1").toString
@@ -139,16 +175,15 @@ class MasterStoreSpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.getString(0)).toSet
     assert(bibs == Set("ms1", "ms2", "msA", "msB"),
       s"both merge deltas survive the race; got $bibs")
-    // torn-directory guard: every generation references its own data dir —
-    // no two writers ever shared one
-    val refs = store.versions.map { g =>
-      new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(root, f"gen_$g%012d")), "UTF-8").trim
-    }
-    assert(refs.distinct.size == refs.size,
-      s"each generation has a distinct data dir; got $refs")
+    // torn-directory guard: every generation's full rewrite landed in its
+    // own fresh data dir — no two writers ever shared one
+    val byGen = referencedFiles(root)
+    val genDirs = store.versions.map(g =>
+      byGen(g).map(_.split('/').head))
+    assert(genDirs.distinct.size == genDirs.size,
+      s"each full-rewrite generation has distinct data dirs; got $genDirs")
     // A's stale first attempt was dropped on CAS loss: no orphan remains
-    assert(dataDirs(root).toSet == refs.toSet,
+    assert(dataDirs(root).toSet == referencedDirs(root),
       "no orphan data dir left behind by the losing attempt")
     store.vacuum()
     assert(store.versions == Seq(3L) && dataDirs(root).size == 1)
@@ -180,6 +215,196 @@ class MasterStoreSpec extends AnyFunSuite with SparkSpec {
       "8 merges serialized into generations 2..9")
     store.vacuum()
     assert(dataDirs(root).size == 1 && store.read(spark).count() == 10L)
+  }
+
+  test("keyed merge: upserts land as a delta layer, absent keys tombstone, " +
+    "base bucket files are untouched (cost ∝ delta, not ∝ table)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_km1").toString
+    val store = new MasterStore(root, numBuckets = 4)
+    store.write(upsert(MergeEngine.emptyMaster(spark),
+      (1 to 20).map(i => msg(f"base$i%02d"))))
+    val baseFiles = referencedFiles(root)(1L)
+    import spark.implicits._
+    // update base01, insert newA, delete base02 (key in set, absent from
+    // the merged output)
+    val keys = Seq("base01", "newA", "base02").toDF("bibcode")
+    val v = store.writeMergeKeyed(spark, keys, cur =>
+      upsert(cur.filter(col("bibcode") =!= "base02"), Seq(msg("newA")))
+        .withColumn("status", lit("keyed")))
+    assert(v == 2L)
+    val rows = store.read(spark).select("bibcode", "status")
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(rows.size == 20, "20 base - 1 deleted + 1 inserted")
+    assert(!rows.contains("base02"), "tombstoned key is gone")
+    assert(rows("base01").contains("keyed") && rows("newA").contains("keyed"))
+    assert(rows("base03").isEmpty, "untouched rows keep their state")
+    // the copy-on-write claim: generation 2 carries generation 1's base
+    // files FORWARD BY REFERENCE — same paths, zero base rewrite
+    val gen2 = referencedFiles(root)(2L)
+    assert(baseFiles.subsetOf(gen2),
+      "all base bucket files reused by path across generations")
+    assert((gen2 -- baseFiles).forall(_.startsWith("d_")),
+      "the only new files are the delta layer's")
+    // lookup reconciles layers and prunes to the keys' buckets
+    val got = store.lookup(spark, Seq("newA", "base03", "base02"))
+      .select("bibcode").collect().map(_.getString(0)).toSet
+    assert(got == Set("newA", "base03"))
+  }
+
+  test("compact folds layers with bucket-level copy-on-write: only buckets " +
+    "holding layer keys are rewritten, the rest reuse their parquet files " +
+    "by path; vacuum(retain) keeps a superseded window") {
+    val root = java.nio.file.Files.createTempDirectory("graft_km2").toString
+    val store = new MasterStore(root, numBuckets = 8, maxLayers = 1000)
+    store.write(upsert(MergeEngine.emptyMaster(spark),
+      (1 to 64).map(i => msg(f"doc$i%03d"))))
+    import spark.implicits._
+    // two keyed merges over ONE key → that key's bucket is the only
+    // touched bucket at compaction
+    val key = "doc001"
+    store.writeMergeKeyed(spark, Seq(key).toDF("bibcode"),
+      cur => cur.withColumn("status", lit("first")))
+    store.writeMergeKeyed(spark, Seq(key).toDF("bibcode"),
+      cur => cur.withColumn("status", lit("second")))
+    val before = store.bucketFileLists.get
+    val touched = graft.sources.MasterStore.bucketOf(key, 8)
+    val vc = store.compact(spark)
+    assert(vc == 4L)
+    val after = store.bucketFileLists.get
+    assert(store.stats.get.layerCount == 0, "layers folded away")
+    for (b <- 0 until 8 if b != touched)
+      assert(after(b) == before(b),
+        s"untouched bucket $b carries the SAME file paths forward")
+    assert(after(touched) != before(touched) &&
+      after(touched).forall(f => !before(touched).contains(f)),
+      "the touched bucket was rewritten into fresh files")
+    // latest layer won inside the fold
+    assert(store.read(spark).filter(col("bibcode") === key)
+      .select("status").head().getString(0) == "second")
+    assert(store.read(spark).count() == 64)
+    // retention: keep the live generation AND one superseded snapshot
+    store.vacuum(retain = 2)
+    assert(store.versions == Seq(3L, 4L))
+    assert(store.read(spark).count() == 64)
+    store.vacuum()
+    assert(store.versions == Seq(4L))
+    assert(store.read(spark).count() == 64)
+  }
+
+  test("driver-side bucketOf matches Spark's pmod(hash) AND the shuffle " +
+    "output file names — the pruning contract") {
+    import spark.implicits._
+    val keys = (1 to 50).map(i => s"k$i")
+    val n = 8
+    // expression parity
+    val sparkSide = keys.toDF("k")
+      .select(col("k"), pmod(hash(col("k")), lit(n)).cast("int").as("b"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    for (k <- keys)
+      assert(graft.sources.MasterStore.bucketOf(k, n) == sparkSide(k),
+        s"driver hash of $k diverges from Spark's pmod(hash)")
+    // file-name parity: every row in a bucketed store file has the
+    // bucket id its part-index encodes
+    val root = java.nio.file.Files.createTempDirectory("graft_km3").toString
+    val store = new MasterStore(root, numBuckets = n)
+    store.write(upsert(MergeEngine.emptyMaster(spark), keys.map(msg)))
+    val buckets = store.bucketFileLists.get
+    for ((files, b) <- buckets.zipWithIndex; f <- files) {
+      val inFile = spark.read.parquet(s"$root/$f")
+        .select("bibcode").collect().map(_.getString(0))
+      for (k <- inFile)
+        assert(graft.sources.MasterStore.bucketOf(k, n) == b,
+          s"file $f (bucket $b) holds $k which hashes to " +
+            graft.sources.MasterStore.bucketOf(k, n))
+    }
+  }
+
+  test("two interleaved KEYED merge writers both land, each as a layer ∝ " +
+    "its own delta") {
+    val root = java.nio.file.Files.createTempDirectory("graft_km4").toString
+    val store = seeded(root)
+    import spark.implicits._
+    var interleaved = false
+    val vA = store.writeMergeKeyed(spark, Seq("kA").toDF("bibcode"), cur => {
+      if (!interleaved) {
+        interleaved = true
+        val vB = store.writeMergeKeyed(spark, Seq("kB").toDF("bibcode"),
+          c => upsert(c, Seq(msg("kB"))))
+        assert(vB == 2L, "writer B published generation 2 mid-merge")
+      }
+      upsert(cur, Seq(msg("kA")))
+    })
+    assert(vA == 3L, "writer A re-merged on top of the winner")
+    val bibs = store.read(spark).select("bibcode")
+      .collect().map(_.getString(0)).toSet
+    assert(bibs == Set("ms1", "ms2", "kA", "kB"),
+      s"both keyed deltas survive the race; got $bibs")
+    assert(store.stats.get.layerCount == 2, "one layer per keyed merge")
+  }
+
+  test("vacuum racing an in-flight merge: the merge's vanished input is " +
+    "caught, the snapshot re-resolved, and BOTH deltas land (the " +
+    "FingerprintIndexStore probe discipline)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_km5").toString
+    val store = seeded(root)
+    var sabotaged = false
+    val v = store.writeMerge(spark, cur => {
+      if (!sabotaged) {
+        sabotaged = true
+        // a competing writer publishes AND a maintenance vacuum drops the
+        // superseded generation this merge lazily read — the merge's own
+        // write job will hit FileNotFound on its input
+        store.write(upsert(store.read(spark), Seq(msg("winner"))))
+        store.vacuum()
+      }
+      upsert(cur, Seq(msg("mine")))
+    })
+    assert(v == 3L, "merge re-resolved after its input vanished")
+    val bibs = store.read(spark).select("bibcode")
+      .collect().map(_.getString(0)).toSet
+    assert(bibs == Set("ms1", "ms2", "winner", "mine"),
+      s"both the winner and the retried merge landed: $bibs")
+  }
+
+  test("writeMerge fails loudly after maxRetries sustained CAS losses " +
+    "instead of starving forever") {
+    val root = java.nio.file.Files.createTempDirectory("graft_km6").toString
+    val store = seeded(root)
+    val err = intercept[RuntimeException] {
+      store.writeMerge(spark, { cur =>
+        // a faster writer wins EVERY race
+        store.write(store.read(spark))
+        upsert(cur, Seq(msg("starved")))
+      }, maxRetries = 3)
+    }
+    assert(err.getMessage.contains("gave up after"),
+      s"loud starvation failure; got: ${err.getMessage}")
+  }
+
+  test("legacy single-dir pointer reads correctly and upgrades to the " +
+    "bucketed manifest on first compaction") {
+    val root = java.nio.file.Files.createTempDirectory("graft_km7").toString
+    // hand-build a pre-manifest store: a data dir + a one-line pointer
+    val legacy = upsert(MergeEngine.emptyMaster(spark),
+      (1 to 10).map(i => msg(s"old$i")))
+    legacy.repartition(2, col("bibcode"))
+      .write.parquet(s"$root/v_legacydir0000")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "gen_000000000001"),
+      "v_legacydir0000".getBytes("UTF-8"))
+    val store = new MasterStore(root, numBuckets = 4)
+    assert(store.read(spark).count() == 10, "legacy pointer readable")
+    import spark.implicits._
+    // keyed merge on a legacy snapshot: correct (pruning inert)
+    store.writeMergeKeyed(spark, Seq("old1").toDF("bibcode"),
+      cur => cur.withColumn("status", lit("patched")))
+    assert(store.read(spark).filter(col("status") === "patched").count() == 1)
+    // compaction re-buckets the legacy snapshot onto numBuckets
+    store.compact(spark)
+    assert(store.stats.get.n == 4 && store.stats.get.layerCount == 0)
+    assert(store.read(spark).count() == 10)
+    assert(store.lookup(spark, Seq("old1")).select("status")
+      .head().getString(0) == "patched")
   }
 
   test("blind write vs merge writer racing: the merge is never lost, the " +
