@@ -158,7 +158,31 @@ object SolrColumnar {
   /** Append a `doc` struct column holding the Catalyst-visible search
     * document for each master row. Input: a master-schema DataFrame
     * (MergeEngine.masterColumns). */
-  def withDoc(master: DataFrame, docCol: String = "doc"): DataFrame = {
+  /** PERMISSIVE `from_json` returns an ALL-NULL struct for malformed
+    * input, not a null — indistinguishable from a valid `{}`. The typed
+    * path SKIPS unparseable slots (a garbage payload contributes
+    * nothing, and the boost defaults then apply). A corrupt-record
+    * column would detect this but DISABLES Catalyst's from_json schema
+    * pruning (corrupt semantics depend on the full parse), which is half
+    * the point of this path — so validity rides a separate cheap probe:
+    * `get_json_object(c, "$")` is null exactly when the payload doesn't
+    * tokenize, which is also precisely the typed path's json4s
+    * parse-failure condition (type mismatches do NOT corrupt either
+    * side). */
+  private def wellFormed(c: Column): Column =
+    get_json_object(c, "$").isNotNull
+
+  /** @param validated trust the payloads to be parseable JSON (the ingest
+    *   front door already quarantines malformed messages — QueueDecode —
+    *   so stored slots are parseable by construction): slot gates become
+    *   plain raw-column presence and the per-payload well-formedness
+    *   probe (a second full JSON tokenize per slot per row) is skipped —
+    *   roughly half the full-document cost. With `validated = false` the
+    *   probes make GARBAGE payloads contribute nothing, byte-for-byte the
+    *   typed path's swallowed parse failure (the equivalence property
+    *   runs this mode over generator-injected garbage). */
+  def withDoc(master: DataFrame, docCol: String = "doc",
+      validated: Boolean = false): DataFrame = {
     val out = master
       .withColumn("_bib", from_json(col("bib_data"), BibSchema))
       .withColumn("_nb", from_json(col("nonbib_data"), NonbibSchema))
@@ -168,24 +192,38 @@ object SolrColumnar {
       .withColumn("_aug", from_json(col("augments"), AugmentsSchema))
       .withColumn("_cls", from_json(col("classifications"), arr))
       .withColumn("_bf", from_json(col("boost_factors"), BoostSchema))
-    withDocFrom(out, docCol).drop(
+    withDocFrom(out, docCol, validated).drop(
       "_bib", "_nb", "_orc", "_ft", "_met", "_aug", "_cls", "_bf")
   }
 
-  private def withDocFrom(df: DataFrame, docCol: String): DataFrame = {
+  private def withDocFrom(df: DataFrame, docCol: String,
+      validated: Boolean): DataFrame = {
     def bib(f: String): Column = col("_bib").getField(f)
     def nb(f: String): Column = col("_nb").getField(f)
     def aug(f: String): Column = col("_aug").getField(f)
     def bf(f: String): Column = col("_bf").getField(f)
 
-    val bibOk = col("_bib").isNotNull
-    val nbOk = col("_nb").isNotNull
-    val orcOk = col("_orc").isNotNull
-    val ftOk = col("_ft").isNotNull
-    val metOk = col("_met").isNotNull
-    val augOk = col("_aug").isNotNull
+    // Slot gates reference the RAW column's well-formedness, NOT the
+    // parsed struct: `struct.isNotNull && struct.getField(...)` would
+    // reference the from_json twice, which stops CollapseProject from
+    // merging it into the consumer and thereby blocks Catalyst's
+    // from_json schema pruning — the optimization this path exists for.
+    // It is also the more faithful gate: the typed extractors run on ANY
+    // parseable payload (a JSON array/scalar yields their defaults, same
+    // as the null struct fields do here). The one slot that genuinely
+    // needs object-ness is boost_factors (a non-object payload
+    // contributes nothing and the =1 defaults apply), so only bfOk pays
+    // the double reference — its schema is 10 doubles, nothing to prune.
+    def ok(raw: String): Column =
+      if (validated) col(raw).isNotNull else wellFormed(col(raw))
+    val bibOk = ok("bib_data")
+    val nbOk = ok("nonbib_data")
+    val orcOk = ok("orcid_claims")
+    val ftOk = ok("fulltext")
+    val metOk = ok("metrics")
+    val augOk = ok("augments")
     val clsOk = nonEmptyArr(col("_cls"))
-    val bfOk = col("_bf").isNotNull
+    val bfOk = col("_bf").isNotNull && ok("boost_factors")
 
     val bibTs = slotTs(col("bib_data_updated"))
     val augTs = slotTs(col("augments_updated"))
@@ -225,15 +263,22 @@ object SolrColumnar {
     val bibLinksTruthy = bibOk && nonEmptyArr(bibLinks)
     val nbLinksTruthy = nbOk && nonEmptyArr(nbLinks)
     val nbTs = slotTs(col("nonbib_data_updated"))
+    // tie-break: at equal timestamps the stable slot sort keeps
+    // declaration order (bib_data before nonbib_data), so nonbib applies
+    // LATER and wins — bib shadows only when strictly newer
     val linksData =
       when(nbLinksTruthy && bibLinksTruthy, nbLinks)
-        .when(nbLinksTruthy && bibLinksPresent && bibTs >= nbTs, bibLinks)
+        .when(nbLinksTruthy && bibLinksPresent && bibTs > nbTs, bibLinks)
         .when(nbLinksTruthy, nbLinks)
         .when(bibLinksPresent, bibLinks)
 
-    // bib-only open-access expansion (override 3, solr_updater.py:496-523)
-    val ld = from_json(element_at(bibLinks, 1), LinkSchema)
-    val override3 = col("nonbib_data").isNull && bibLinksTruthy && ld.isNotNull
+    // bib-only open-access expansion (override 3, solr_updater.py:496-523);
+    // an unparseable first link contributes NOTHING (the typed path's
+    // swallowed parse failure), hence the well-formedness probe
+    val firstLink = element_at(bibLinks, 1)
+    val ld = from_json(firstLink, LinkSchema)
+    val override3 = col("nonbib_data").isNull && bibLinksTruthy &&
+      ld.isNotNull && wellFormed(firstLink)
     val open = override3 && ld.getField("access") === "open"
     val property =
       when(nbOk, coalesce(nb("property"), array()))
@@ -281,9 +326,11 @@ object SolrColumnar {
       when(bfOk && bf(k).isNotNull, bf(k)).otherwise(lit(1))
 
     val fields: Seq[(String, Column)] = Seq(
-      "bibcode" -> col("bibcode"),
+      // a bib payload carrying its own bibcode key splats OVER the seed
+      // value (solr_updater.py's doc update order); empty scix_id → null
+      "bibcode" -> coalesce(when(bibOk, bib("bibcode")), col("bibcode")),
       "id" -> col("id"),
-      "scix_id" -> col("scix_id"),
+      "scix_id" -> when(length(col("scix_id")) > 0, col("scix_id")),
 
       // bib splat (pinned schema)
       "abstract" -> gated(bibOk, bib("abstract")),
