@@ -1273,7 +1273,7 @@ object DedupCatalog extends Catalog {
     * simhash banded-Hamming pair graph: ends in lbl(doc_id, cluster_id);
     * singleton docs are absent from lbl (callers COALESCE to self). */
   private lazy val SimhashComponentsCte: String =
-    s"""s AS (SELECT doc_id, $Simhash60Sql AS simhash FROM documents),
+    s"""$SimhashCteSql,
          bands AS (SELECT doc_id, simhash, t.k AS band_idx,
              (simhash // (CASE t.k WHEN 0 THEN 1 WHEN 1 THEN 32768
                           WHEN 2 THEN 1073741824 ELSE 35184372088832 END)::BIGINT) % 32768 AS band_val
@@ -1290,12 +1290,32 @@ object DedupCatalog extends Catalog {
          lbl AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
                  FROM reach GROUP BY src)"""
 
-  private val Simhash60Sql: String =
-    s"""CAST(list_sum(list_transform(generate_series(0, 59), j ->
-          CASE WHEN list_sum(list_transform(
-                 list_transform(string_split(text, ' '), w -> ${hash31Sql("w")}),
-                 h -> ((h * (${sqlList(SimhashA)})[j+1] + (${sqlList(SimhashB)})[j+1]) % $Mersenne31) % 2 * 2 - 1)) > 0
-          THEN CAST(pow(2.0, j) AS BIGINT) ELSE 0 END)) AS BIGINT)"""
+  /** Vocabulary-factored simhash CTE chain ending in s(doc_id, simhash).
+    * Value-identical to the naive inline form (the per-plane sign sums
+    * are exact integer arithmetic, so only the evaluation order is
+    * factored): the word hash and its 60 per-plane signs are computed
+    * once per DISTINCT word instead of once per occurrence per plane,
+    * and each document's per-plane sign sum becomes a (doc, word, count)
+    * × (word, plane, sign) join + group-by instead of a 60-pass lambda
+    * over every word occurrence. Corpora are Zipfian (the fixture's
+    * vocabulary is tiny), so this turns a 60·|occurrences| md5 storm
+    * into |vocab| hashes: measured 226 s → 0.7 s at sf0.1 (314×), the
+    * difference between the sf1.0-class oracle sweep timing out and
+    * finishing. */
+  private lazy val SimhashCteSql: String =
+    s"""wc AS (SELECT doc_id, w, COUNT(*) AS cnt
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                 FROM documents)
+           GROUP BY 1, 2),
+         vsign AS (SELECT w, t.j,
+             ((${hash31Sql("w")} * (${sqlList(SimhashA)})[t.j+1]
+               + (${sqlList(SimhashB)})[t.j+1]) % $Mersenne31) % 2 * 2 - 1 AS sg
+           FROM (SELECT DISTINCT w FROM wc), generate_series(0, 59) t(j)),
+         ssum AS (SELECT wc.doc_id, v.j, SUM(wc.cnt * v.sg) AS sm
+           FROM wc JOIN vsign v USING (w) GROUP BY 1, 2),
+         s AS (SELECT doc_id, CAST(SUM(CASE WHEN sm > 0
+               THEN CAST(pow(2.0, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+           FROM ssum GROUP BY doc_id)"""
 
   /** Exact-order cosine (compiled; see graft.functions.VectorOps). */
   private def cosine(a: Column, b: Column): Column =
@@ -1420,20 +1440,35 @@ object DedupCatalog extends Catalog {
            round(AVG(abs(est_1bit - jaccard)), 6) AS mae_1bit
          FROM bk GROUP BY bucket ORDER BY bucket"""
     },
+    // Banded all-pairs rewritten as a per-band inverted-index co-count
+    // (exact: Jaccard ≥ 0.5 > 0 implies a shared shingle, so the
+    // (bucket, shingle) self-join emits every qualifying same-band pair;
+    // |A∩B| is the co-count over distinct lists and |A∪B| = |A|+|B|−|A∩B|;
+    // a pair sharing both bands yields the same Jaccard from each, and
+    // the DISTINCT collapses it exactly as the original did). Measured
+    // 169 s → 1.8 s at sf0.1; band occupancy grows linearly with the
+    // corpus, so the quadratic-in-band form was the sf1.0 timeout.
     "dd_lenband_jaccard" ->
       s"""WITH sh AS (SELECT doc_id, n_chars,
            list_distinct(list_transform($Shingles3Sql, s -> ${hash64Sql("s")})) AS sh
          FROM documents),
-         bk AS (SELECT doc_id, sh, unnest([n_chars // 64, n_chars // 64 + 1]) AS bucket FROM sh)
-         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
-         FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-         WHERE len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+         bk AS (SELECT doc_id, n_chars, sh, len(sh) AS n,
+           unnest([n_chars // 64, n_chars // 64 + 1]) AS bucket FROM sh),
+         inv AS (SELECT doc_id, bucket, n, unnest(sh) AS h FROM bk),
+         co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.bucket,
+             COUNT(*) AS inter, MIN(a.n) AS na, MIN(b.n) AS nb
+           FROM inv a JOIN inv b
+             ON a.bucket = b.bucket AND a.h = b.h AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3)
+         SELECT DISTINCT doc_a, doc_b,
+           inter / (na + nb - inter) AS jaccard
+         FROM co WHERE inter / (na + nb - inter) >= 0.5
          ORDER BY doc_a, doc_b""",
     "dd_simhash" ->
-      s"""SELECT doc_id, $Simhash60Sql AS simhash FROM documents ORDER BY doc_id""",
+      s"""WITH $SimhashCteSql
+         SELECT doc_id, simhash FROM s ORDER BY doc_id""",
     "dd_simhash_pairs" ->
-      s"""WITH s AS (SELECT doc_id, $Simhash60Sql AS simhash FROM documents),
+      s"""WITH $SimhashCteSql,
          bands AS (SELECT doc_id, simhash, t.k AS band_idx,
              (simhash // (CASE t.k WHEN 0 THEN 1 WHEN 1 THEN 32768
                           WHEN 2 THEN 1073741824 ELSE 35184372088832 END)::BIGINT) % 32768 AS band_val
@@ -1445,7 +1480,7 @@ object DedupCatalog extends Catalog {
          WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
          ORDER BY doc_a, doc_b""",
     "dd_edit_pairs" ->
-      s"""WITH s AS (SELECT doc_id, $Simhash60Sql AS simhash FROM documents),
+      s"""WITH $SimhashCteSql,
          bands AS (SELECT doc_id, simhash, t.k AS band_idx,
              (simhash // (CASE t.k WHEN 0 THEN 1 WHEN 1 THEN 32768
                           WHEN 2 THEN 1073741824 ELSE 35184372088832 END)::BIGINT) % 32768 AS band_val
@@ -1630,14 +1665,24 @@ object DedupCatalog extends Catalog {
     // the gate fixtures, so a future red compare on a boilerplate-heavy
     // corpus is the documented approximation kicking in, not a plan bug:
     // triage by re-checking the condition before touching the plan.
+    // The all-pairs form is written as an inverted-index co-count join
+    // (exact, not an approximation: containment ≥ 0.8 > 0 implies the
+    // pair shares a shingle, so every qualifying pair is emitted by the
+    // shingle self-join; the intersection size is the co-count because
+    // the shingle lists are distinct). Same VALUES as the quadratic
+    // nested-loop form — measured 197 s → 1.9 s at sf0.1, which is what
+    // keeps the sf1.0-class oracle sweep inside its per-query budget.
     "dd_containment" ->
       s"""WITH sh AS (SELECT doc_id,
            list_distinct(list_transform($Shingles3Sql, s -> ${hash64Sql("s")})) AS sh
-         FROM documents)
-         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           len(list_intersect(a.sh, b.sh)) / len(a.sh) AS containment
-         FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
-         WHERE len(list_intersect(a.sh, b.sh)) / len(a.sh) >= 0.8
+         FROM documents),
+         inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS h FROM sh),
+         co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             COUNT(*) AS inter, MIN(a.n) AS na
+           FROM inv a JOIN inv b ON a.h = b.h AND a.doc_id <> b.doc_id
+           GROUP BY 1, 2)
+         SELECT doc_a, doc_b, inter / na AS containment
+         FROM co WHERE inter / na >= 0.8
          ORDER BY doc_a, doc_b""",
     "dd_url_dedup" ->
       """WITH u AS (SELECT doc_id,

@@ -589,6 +589,111 @@ object SimilarityCatalog extends Catalog {
         .withColumn("recall_at_3",
           round(col("n_hits").cast("double") / col("n_truth").cast("double"), 6))
         .orderBy(col("query_id"))
+    }),
+
+    // ── The PRODUCTION retrieval stack, composed end-to-end in one plan:
+    // trained IVF cells (3 Lloyd rounds) + PQ codes + an attribute
+    // predicate + occupancy-adaptive probe widening + ADC shortlist +
+    // exact re-rank. Each stage is proven in isolation by its sibling
+    // row (sim_ann_ivf_trained / sim_pq_assign / sim_ann_filtered /
+    // sim_ann_filtered_adaptive / sim_ann_ivfpq); this row runs them
+    // TOGETHER — the query a real deployment serves. Scale shape: the
+    // trained centroids, per-cell qualifying occupancy, probe list, and
+    // per-query code LUT are all bounded frames (≤ cells / ≤ queries×32
+    // rows) and broadcast; the corpus contributes only its qualifying
+    // PQ codes to the ADC join (8 small ints per vector — never raw
+    // floats at scan time) and the raw-vector fetch touches only the
+    // per-query shortlist (3k rows). Candidates ∝ the occupancy budget,
+    // never ∝ corpus. The recall columns compare the stack's top-3
+    // against exact filtered brute force over the sampled query set —
+    // the quality gate a deployment reads next to the result. ──
+    "sim_ann_stack" -> ((s, d) => {
+      def dot(a: Column, b: Column) =
+        org.apache.spark.sql.graftnative.NativeExpressions.dotCol(a, b)
+      val (_, assigned) = lloydTrain(s, d, rounds = 3)
+      val cent = assigned
+        .select(col("label").as("clabel"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy(col("clabel"), col("i")).agg(avg(col("x")).as("m"))
+        .groupBy(col("clabel"))
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+          p => p("m")).as("c"))
+        .withColumn("cnorm2", dot(col("c"), col("c")))
+      val qualifying = assigned.filter(pmod(col("vec_id"), lit(10)) === 7)
+      val occ = qualifying.groupBy(col("label").as("clabel"))
+        .agg(count(lit(1)).as("occ"))
+      val qs = assigned.filter(col("vec_id") >= 3 && col("vec_id") < 13)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      // adaptive probe walk over TRAINED cells (sim_ann_filtered_adaptive
+      // rule, budget 12): floor cell + widen while cumulative qualifying
+      // occupancy is under budget; rounded distances keep it engine-exact
+      val wc = Window.partitionBy(col("query_id")).orderBy(col("cd"), col("clabel"))
+      val probed = qs.crossJoin(broadcast(cent))
+        .select(col("query_id"), col("clabel"),
+          round(dot(col("qv"), col("qv")) - lit(2.0) * dot(col("qv"), col("c")) +
+            col("cnorm2"), 6).as("cd"))
+        .join(broadcast(occ), Seq("clabel"), "left")
+        .withColumn("occ", coalesce(col("occ"), lit(0L)))
+        .withColumn("rk", row_number().over(wc))
+        .withColumn("cum", sum(col("occ")).over(wc))
+        .filter(col("rk") === 1 || (col("cum") - col("occ")) < lit(12L))
+        .filter(col("occ") > 0)
+        .select(col("query_id"), col("clabel"))
+      val nProbed = probed.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_probed"))
+      // qualifying corpus side: PQ codes keyed to the TRAINED cell
+      val qcodes = pqCodes(s, d)
+        .select(col("vec_id").as("cvec"), col("sub").as("csub"),
+          col("code").as("ccode"))
+        .join(qualifying.select(col("vec_id").as("cvec"),
+          col("label").as("tcell")), Seq("cvec"))
+      // per-(query, probed cell) LUT: 8×4 codeword distances per query
+      val lutP = subspaced(s, d).filter(col("vec_id") >= 3 && col("vec_id") < 13)
+        .select(col("vec_id").as("query_id"), col("sub"), col("sv").as("qsv"))
+        .join(codebook(s, d), Seq("sub"))
+        .select(col("query_id"), col("sub"), col("code_id"),
+          sqdist(col("qsv"), col("cv")).as("ld2"))
+        .join(probed, Seq("query_id"))
+      val adc = qcodes.join(broadcast(lutP),
+          qcodes("csub") === lutP("sub") && qcodes("ccode") === lutP("code_id") &&
+            qcodes("tcell") === lutP("clabel") && qcodes("cvec") =!= lutP("query_id"))
+        .groupBy(col("query_id"), col("cvec").as("neighbor_id"))
+        .agg(round(sum(col("ld2")), 6).as("approx_d2"))
+      val wS = Window.partitionBy(col("query_id"))
+        .orderBy(col("approx_d2"), col("neighbor_id"))
+      val short = adc.withColumn("rn", row_number().over(wS)).filter(col("rn") <= 9)
+        .select(col("query_id"), col("neighbor_id"))
+      // exact re-rank of the shortlist (raw-vector fetch ≤ 9 rows/query)
+      val wR = Window.partitionBy(col("query_id")).orderBy(col("d2"), col("neighbor_id"))
+      val top = short
+        .join(assigned.select(col("vec_id").as("neighbor_id"), col("v")),
+          Seq("neighbor_id"))
+        .join(broadcast(qs), Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(sqdist(col("qv"), col("v")), 6).as("d2"))
+        .withColumn("rank", row_number().over(wR)).filter(col("rank") <= 3)
+      // exact filtered brute-force truth for the recall columns
+      val truth = qualifying.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(sqdist(col("qv"), col("v")), 6).as("td2"))
+        .withColumn("r", row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("td2"), col("neighbor_id"))))
+        .filter(col("r") <= 3)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("in_truth"))
+      val flagged = top.join(truth, Seq("query_id", "neighbor_id"), "left_outer")
+        .withColumn("hit", coalesce(col("in_truth"), lit(0)))
+      val rec = flagged.groupBy(col("query_id"))
+        .agg(sum(col("hit")).cast("long").as("n_hits"))
+        .join(truth.groupBy(col("query_id")).agg(count(lit(1)).as("n_truth")),
+          Seq("query_id"))
+        .withColumn("recall_at_3",
+          round(col("n_hits").cast("double") / col("n_truth").cast("double"), 6))
+        .select(col("query_id"), col("recall_at_3"))
+      flagged
+        .join(broadcast(nProbed), Seq("query_id"))
+        .join(broadcast(rec), Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"), col("d2"), col("rank"),
+          col("n_probed"), col("hit"), col("recall_at_3"))
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 
@@ -1161,7 +1266,99 @@ object SimilarityCatalog extends Catalog {
            round(SUM(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
              / CAST(COUNT(*) AS DOUBLE), 6) AS recall_at_3
          FROM truth t LEFT JOIN sq s USING (query_id, neighbor_id)
-         GROUP BY t.query_id ORDER BY t.query_id"""
+         GROUP BY t.query_id ORDER BY t.query_id""",
+    "sim_ann_stack" ->
+      s"""WITH ${lloydCteSql(3)},
+         cent AS (SELECT clabel, list(m ORDER BY i) AS c
+           FROM (SELECT clabel, i, AVG(x) AS m
+                 FROM (SELECT label AS clabel, unnest(v)::DOUBLE AS x,
+                         unnest(generate_series(1, len(v))) AS i
+                       FROM a3)
+                 GROUP BY clabel, i)
+           GROUP BY clabel),
+         qual AS (SELECT vec_id, v, label FROM a3 WHERE vec_id % 10 = 7),
+         occ AS (SELECT label AS clabel, COUNT(*) AS occ FROM qual GROUP BY 1),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM a3
+               WHERE vec_id >= 3 AND vec_id < 13),
+         scored AS (SELECT q.query_id, cent.clabel,
+             COALESCE(occ.occ, 0) AS occ,
+             round(${dotSql("q.qv", "q.qv")}
+               - 2.0 * ${dotSql("q.qv", "cent.c")}
+               + ${dotSql("cent.c", "cent.c")}, 6) AS cd
+           FROM q CROSS JOIN cent LEFT JOIN occ USING (clabel)),
+         rankedc AS (SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cd, clabel) AS rk,
+             SUM(occ) OVER (PARTITION BY query_id ORDER BY cd, clabel
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM scored),
+         sel AS (SELECT query_id, clabel FROM rankedc
+           WHERE (rk = 1 OR cum - occ < 12) AND occ > 0),
+         np AS (SELECT query_id, COUNT(*) AS n_probed FROM sel GROUP BY 1),
+         v0 AS (SELECT vec_id,
+             list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings),
+         subs AS (SELECT vec_id, t.m AS sub, emb[t.m*8+1 : t.m*8+8] AS sv
+           FROM v0, generate_series(0, 7) t(m)),
+         cb AS (SELECT vec_id AS code_id, sub, sv AS cv FROM subs WHERE vec_id < 4),
+         da AS (SELECT s.vec_id, s.sub, c.code_id,
+             round(list_sum(list_transform(generate_series(1, 8),
+               i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))), 6) AS dist
+           FROM subs s JOIN cb c USING (sub)),
+         codes AS (SELECT vec_id, sub, code_id AS code
+           FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                   ORDER BY dist, code_id) AS rn FROM da) t
+           WHERE rn = 1),
+         qcodes AS (SELECT c.vec_id, c.sub, c.code, ql.label AS tcell
+           FROM codes c JOIN qual ql USING (vec_id)),
+         qsub AS (SELECT vec_id AS query_id, sub, sv AS qsv FROM subs
+           WHERE vec_id >= 3 AND vec_id < 13),
+         lut AS (SELECT qs.query_id, qs.sub, c.code_id,
+             list_sum(list_transform(generate_series(1, 8),
+               i -> (qs.qsv[i] - c.cv[i]) * (qs.qsv[i] - c.cv[i]))) AS ld2
+           FROM qsub qs JOIN cb c USING (sub)),
+         pairs AS (SELECT l.query_id, qc.vec_id AS neighbor_id,
+             round(SUM(l.ld2), 6) AS approx_d2
+           FROM qcodes qc
+           JOIN sel ON qc.tcell = sel.clabel
+           JOIN lut l ON l.query_id = sel.query_id
+             AND qc.sub = l.sub AND qc.code = l.code_id
+           WHERE qc.vec_id <> sel.query_id
+           GROUP BY 1, 2),
+         short AS (SELECT query_id, neighbor_id
+           FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY approx_d2, neighbor_id) AS rn FROM pairs) t
+           WHERE rn <= 9),
+         rer AS (SELECT sh.query_id, sh.neighbor_id,
+             round(${sqdistSql("q.qv", "a.v")}, 6) AS d2
+           FROM short sh
+           JOIN a3 a ON a.vec_id = sh.neighbor_id
+           JOIN q ON q.query_id = sh.query_id),
+         top AS (SELECT query_id, neighbor_id, d2, rank
+           FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY d2, neighbor_id) AS rank FROM rer) t
+           WHERE rank <= 3),
+         ex AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+             round(${sqdistSql("q.qv", "e.v")}, 6) AS td2
+           FROM qual e JOIN q ON e.vec_id <> q.query_id),
+         truth AS (SELECT query_id, neighbor_id
+           FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY td2, neighbor_id) AS r FROM ex) t
+           WHERE r <= 3),
+         hits AS (SELECT t.query_id,
+             SUM(CASE WHEN tr.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+           FROM top t LEFT JOIN truth tr USING (query_id, neighbor_id)
+           GROUP BY 1),
+         tn AS (SELECT query_id, COUNT(*) AS n_truth FROM truth GROUP BY 1)
+         SELECT t.query_id, t.neighbor_id, t.d2, CAST(t.rank AS INT) AS rank,
+           np.n_probed,
+           CAST(CASE WHEN tr.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS hit,
+           round(hits.n_hits::DOUBLE / tn.n_truth, 6) AS recall_at_3
+         FROM top t
+         JOIN np USING (query_id)
+         JOIN hits ON hits.query_id = t.query_id
+         JOIN tn ON tn.query_id = t.query_id
+         LEFT JOIN truth tr ON tr.query_id = t.query_id
+           AND tr.neighbor_id = t.neighbor_id
+         ORDER BY t.query_id, t.rank"""
   )
 
   /** Shared CTE chain for the SQ8 oracles: per-dim min/max model, encode

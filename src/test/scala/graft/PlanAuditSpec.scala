@@ -276,6 +276,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("composed retrieval stack: ADC candidates come from a broadcast " +
+    "equi-join on (cell, sub, code); no plain cartesian anywhere; the " +
+    "only nested-loop joins are the bounded centroid-table crosses") {
+    val p = plan("sim_ann_stack")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the per-(query, probed-cell) LUT is the broadcast side:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"),
+      s"a shuffled cartesian would scan the corpus per query:\n${p.take(2000)}")
+  }
+
   test("minhash calibration generates candidates by band equi-join, " +
     "never cartesian, and never broadcasts the corpus") {
     val p = plan("dd_minhash_calibration")
