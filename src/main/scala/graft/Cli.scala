@@ -656,10 +656,14 @@ object Cli {
       // (tasks.py:104-111); --no-boost-requests turns it off. Affiliation
       // augment is gated SEPARATELY (--no-augment-requests): the reference
       // fires it on every metadata update regardless of the boost gate
+      // queue-batch shape: work, scans, and the published delta are all
+      // ∝ this file's records (and `ingested=` reports the batch's
+      // working set, not the whole table's row count)
       val report = Pipeline.runBatch(spark, store, messages,
         deps.solrTransport, deps.bulkTransport, now = now,
         forwardBoostRequests = !a.contains("no-boost-requests"),
-        forwardAugmentRequests = !a.contains("no-augment-requests"))
+        forwardAugmentRequests = !a.contains("no-augment-requests"),
+        keyLocal = true)
       decoded.unpersist()
       out(s"ingested=${report.merged} rejected=$nRejects " +
         s"solrOk=${report.solrOk} solrFailed=${report.solrFailed} " +

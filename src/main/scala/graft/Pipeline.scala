@@ -18,6 +18,8 @@ import graft.streaming.Watermark
   */
 object Pipeline {
 
+  /** `merged` counts the batch's post-merge working set: the whole table
+    * for a sweep-shaped run, the touched keys for a keyLocal queue batch. */
   case class RunReport(
       version: Long,
       merged: Long,
@@ -45,8 +47,23 @@ object Pipeline {
       sinceOverride: Option[Timestamp] = None,
       updateProcessed: Boolean = true,
       forwardBoostRequests: Boolean = false,
-      forwardAugmentRequests: Boolean = false): RunReport = {
+      forwardAugmentRequests: Boolean = false,
+      keyLocal: Boolean = false): RunReport = {
     import spark.implicits._
+
+    // keyLocal: the batch's working set is the UPDATES' key set, read via
+    // the bucket-pruned keyed lookup — per-batch compute and scan cost
+    // ∝ batch, never ∝ table. This is the reference's queue-consumer
+    // shape (task_index_records fetches exactly the message's rows,
+    // adsmp/tasks.py:300-360); the table-wide gate below is the CRON
+    // sweep's shape (run.py reindex), which passes keyLocal=false. The
+    // two select identical rows for a queue batch: an untouched record's
+    // `updated` did not move, so P1's processed-vs-updated gate excludes
+    // it from the table-wide sweep too — the subset drops only rows the
+    // gate was about to drop. Publishes stay keyed regardless of `force`:
+    // a full-table write from a subset frame would truncate the table.
+    require(!keyLocal || restrictTo.isEmpty,
+      "keyLocal reads the updates' keys; a restrictTo sweep is table-scoped")
 
     // ST1: incremental window from the stored watermark; an explicit
     // --since wins over it (run.py's -s), and a targeted -b/-n run passes
@@ -72,8 +89,11 @@ object Pipeline {
       .select(col("bibcode")).distinct().as[String].cache()
     val anyDoomed = doomed.head(1).nonEmpty
 
-    // M1 merge
-    val merged = MergeEngine.upsert(store.read(spark), updates.filter(!isFullDelete))
+    // M1 merge (over the batch's keyed working set when keyLocal)
+    val baseMaster =
+      if (keyLocal) store.lookupFrame(spark, updates.select(col("bibcode")))
+      else store.read(spark)
+    val merged = MergeEngine.upsert(baseMaster, updates.filter(!isFullDelete))
     val master0 =
       if (!anyDoomed) merged.master
       else merged.master.join(doomed.toDF("bibcode"), Seq("bibcode"), "left_anti")
@@ -238,7 +258,7 @@ object Pipeline {
     // twice (layer + immediate size-triggered compaction) for the same
     // outcome, so it keeps the primary-writer full-write contract.
     val version =
-      if (force && restrictTo.isEmpty) store.write(stamped)
+      if (force && restrictTo.isEmpty && !keyLocal) store.write(stamped)
       else {
         val stampKeys =
           if (!updateProcessed) updates.select(col("bibcode"))
@@ -291,7 +311,11 @@ object Pipeline {
           watermarkDir = None, force = force,
           now = new Timestamp(System.currentTimeMillis()),
           forwardBoostRequests = forwardBoostRequests,
-          forwardAugmentRequests = forwardAugmentRequests)
+          forwardAugmentRequests = forwardAugmentRequests,
+          // queue-consumer shape: the batch touches its own keys only —
+          // compute/scan/publish all ∝ batch (the table-wide sweep stays
+          // the CLI/cron's job, as in the reference)
+          keyLocal = true)
         spark.sparkContext.setJobDescription(
           s"graft micro-batch $batchId -> snapshot v${report.version}")
         ()

@@ -63,6 +63,9 @@ import graft.sources.{MasterStore, Sinks}
   * SinksSpec), the pipeline's compute+publish cost is in.
   *
   * Env knobs: SPARK_GRAFT_PIPE_RECORDS (default 250,000 → 1M messages),
+  * SPARK_GRAFT_PIPE_BATCHES (default 10 — bootstrap micro-batch count;
+  * the per-batch cost has a fixed floor, so records/s vs batch size IS
+  * the trigger-interval sizing curve a deployment reads),
   * SPARK_GRAFT_PIPE_DIR (default target/pipe-bench), SPARK_GRAFT_CPUS
   * (default 32). One JSON line to stdout → STREAM_BENCH.md.
   */
@@ -183,6 +186,7 @@ object PipelineBench {
 
   def main(args: Array[String]): Unit = {
     val nRecords = sys.env.getOrElse("SPARK_GRAFT_PIPE_RECORDS", "250000").toLong
+    val nBatches = sys.env.getOrElse("SPARK_GRAFT_PIPE_BATCHES", "10").toInt
     val work = sys.env.getOrElse("SPARK_GRAFT_PIPE_DIR", "target/pipe-bench")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -231,12 +235,13 @@ object PipelineBench {
     }
 
     try {
-      // ── phase 1: bootstrap — 10 micro-batches of nRecords/10 × 4 msgs ──
+      // ── phase 1: bootstrap — nBatches micro-batches × 4 msgs/record ──
       val tsA = System.currentTimeMillis() - 3600 * 1000L
-      val per = nRecords / 10
+      val per = nRecords / nBatches
       var bootstrapSec = 0.0
-      for (i <- 0 until 10) {
-        val df = messages(spark, i * per, if (i == 9) nRecords else (i + 1) * per,
+      for (i <- 0 until nBatches) {
+        val df = messages(spark, i * per,
+          if (i == nBatches - 1) nRecords else (i + 1) * per,
           rev = 0, tsBase = tsA)
         bootstrapSec += feed("bootstrap", df, f"boot$i%02d")
       }
@@ -283,7 +288,7 @@ object PipelineBench {
       // stream's interleaving had it); a wall-now stamp would postdate
       // them and P0 would — correctly — suppress sweep 2's re-index
       val report = Pipeline.runBatch(spark, parityStore,
-        readMsgs((0 until 10).map(i => f"$in/boot$i%02d.json")),
+        readMsgs((0 until nBatches).map(i => f"$in/boot$i%02d.json")),
         SolrTransport, BulkTransport,
         now = new java.sql.Timestamp(tsB - 1000))
       Pipeline.runBatch(spark, parityStore,
@@ -306,7 +311,7 @@ object PipelineBench {
         f""""sec":${r.wallSec}%.2f,"store_bytes":${r.storeBytes},""" +
         f""""layers":${r.layerCount},"solr":${r.solrDelivered}}""").mkString("[", ",", "]")
       println(
-        f"""{"metric":"pipeline_stream","records":$nRecords,"messages":$msgsTotal,""" +
+        f"""{"metric":"pipeline_stream","records":$nRecords,"messages":$msgsTotal,"boot_batches":$nBatches,""" +
         f""""bootstrap_sec":$bootstrapSec%.1f,"bootstrap_recs_per_sec":${nRecords / bootstrapSec}%.0f,""" +
         f""""bootstrap_msgs_per_sec":${msgsTotal / bootstrapSec}%.0f,""" +
         f""""table_bytes":$tableBytesAfterBoot,"incr_records":$nDelta,"incr_sec":$incrSec%.1f,""" +

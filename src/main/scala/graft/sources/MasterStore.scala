@@ -380,6 +380,38 @@ class MasterStore(val root: String, numBuckets: Int = 8,
     }
   }
 
+  /** Keyed read with the key set as a FRAME — the form the streaming
+    * consumer needs, where a catch-up batch's key set is bounded by the
+    * batch but may be too large for [[lookup]]'s driver-side list. The
+    * manifest still prunes the scan to the buckets the keys hash into
+    * (one tiny distinct-buckets job over the key frame — ≤ numBuckets
+    * rows ever reach the driver), and the keys ride a left-semi join the
+    * optimizer broadcasts while the batch is small. Per-batch read cost
+    * is ∝ touched buckets, never ∝ table — the compute-side counterpart
+    * of `writeMergeKeyed`'s delta-layer write.
+    *
+    * Reference analog: the queue consumer's per-message row fetch inside
+    * `task_index_records` (adsmp/tasks.py:300-360 via app.get_record) —
+    * the reference never scans its table to serve an ingest batch. */
+  def lookupFrame(spark: SparkSession, keys: DataFrame,
+      loadOnly: Seq[String] = Nil): DataFrame = {
+    def project(df: DataFrame): DataFrame =
+      if (loadOnly.isEmpty) df
+      else df.select((keyCol +: loadOnly.filterNot(_ == keyCol)).map(col): _*)
+    snapshot() match {
+      case (_, Some(m)) =>
+        val k = keys.select(col(keys.columns.head).as(keyCol)).distinct()
+        val buckets =
+          if (m.n <= 1) None
+          // same expression family the bucketed layout was written with
+          // (pmod(hash(key), n)); bounded collect: ≤ n distinct values
+          else Some(k.select(pmod(hash(col(keyCol)), lit(m.n)).cast("int").as("b"))
+            .distinct().collect().map(_.getInt(0)).toSet)
+        project(reconcile(spark, m, buckets)).join(k, Seq(keyCol), "left_semi")
+      case _ => project(empty(spark)).limit(0)
+    }
+  }
+
   // --------------------------------------------------------------- writes
 
   /** CAS publish: generation `expected`+1 carries `manifest` iff no other

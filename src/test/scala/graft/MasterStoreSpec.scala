@@ -424,4 +424,60 @@ class MasterStoreSpec extends AnyFunSuite with SparkSpec {
     assert(bibs == Set("only", "msC"),
       s"merge applied on top of the blind replacement; got $bibs")
   }
+
+  test("lookupFrame: frame-keyed read reconciles layers, agrees with the " +
+    "driver-list lookup (cross-pins the Spark-side bucket expression), " +
+    "projects via loadOnly, and short-circuits on an empty store") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_lf1").toString
+    val store = new MasterStore(root, numBuckets = 4)
+    // empty store: no generation yet → empty frame, nothing read
+    assert(store.lookupFrame(spark, Seq("anything").toDF("bibcode")).count() == 0)
+    store.write(upsert(MergeEngine.emptyMaster(spark),
+      (1 to 20).map(i => msg(f"base$i%02d"))))
+    // a layer with an update, an insert, and a tombstone on top of the base
+    store.writeMergeKeyed(spark, Seq("base01", "newA", "base02").toDF("bibcode"),
+      cur => upsert(cur.filter(col("bibcode") =!= "base02"), Seq(msg("newA")))
+        .withColumn("status", lit("layered")))
+    val keys = Seq("base01", "base02", "base07", "newA", "ghost")
+    val got = store.lookupFrame(spark, keys.toDF("bibcode"))
+      .select("bibcode", "status")
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got.keySet == Set("base01", "base07", "newA"),
+      "layer insert visible, tombstoned and absent keys missing")
+    assert(got("base01").contains("layered") && got("newA").contains("layered"))
+    assert(got("base07").isEmpty, "base row read through untouched")
+    // the frame form and the driver-list form answer identically — the
+    // Spark-side pmod(hash) bucket set matches the driver Murmur3 twin
+    val viaList = store.lookup(spark, keys).select("bibcode")
+      .collect().map(_.getString(0)).toSet
+    assert(viaList == got.keySet)
+    // loadOnly prunes columns but always carries the key
+    val cols = store.lookupFrame(spark, Seq("base07").toDF("bibcode"),
+      loadOnly = Seq("status")).columns.toSeq
+    assert(cols == Seq("bibcode", "status"))
+  }
+
+  test("lookupFrame's base scan opens only the keys' bucket files — the " +
+    "per-batch read is ∝ touched buckets, never ∝ table") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val root = java.nio.file.Files.createTempDirectory("graft_lf2").toString
+    val store = new MasterStore(root, numBuckets = 4)
+    store.write(upsert(MergeEngine.emptyMaster(spark),
+      (1 to 40).map(i => msg(f"base$i%02d"))))
+    val key = "base07"
+    val expect = MasterStore.bucketOf(key, 4)
+    val df = store.lookupFrame(spark, Seq(key).toDF("bibcode"))
+    // the reconcile reads explicit per-bucket file lists, so the pruning
+    // is visible as the scan relation's file set (pre-AQE physical plan)
+    val bucketDirs = df.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s
+    }.flatMap(_.relation.location.inputFiles)
+      .flatMap(p => "__b=(\\d+)".r.findFirstMatchIn(p).map(_.group(1).toInt))
+      .toSet
+    assert(bucketDirs == Set(expect),
+      s"scan must open bucket $expect only, opened $bucketDirs")
+    assert(df.select("bibcode").collect().map(_.getString(0)).toSeq == Seq(key))
+  }
 }
