@@ -266,8 +266,30 @@ object Pipeline {
             .unionByName(solrStatus.toDF().select(col("bibcode")))
             .unionByName(metricsStatus.toDF().select(col("bibcode")))
             .unionByName(linksStatus.toDF().select(col("bibcode")))
-        store.writeMergeKeyed(spark, stampKeys, _ =>
-          stamped.join(stampKeys.distinct(), Seq("bibcode"), "left_semi"))
+        if (keyLocal)
+          // queue batch: keys are the batch's — always a delta layer
+          store.writeMergeKeyed(spark, stampKeys, _ =>
+            stamped.join(stampKeys.distinct(), Seq("bibcode"), "left_semi"))
+        else {
+          val sk = stampKeys.distinct().cache()
+          val nKeys = sk.count()
+          try {
+            if (nKeys > 0 && nKeys * 2 >= mergedCount)
+              // sweep-shaped: the touched set IS most of the table, so a
+              // delta layer would trip the size-triggered fold and write
+              // the table TWICE (layer + compaction). One CAS whole-table
+              // merge writes it once and still rebases the batch's rows
+              // onto the live snapshot — concurrent key-local writers'
+              // other keys survive a lost race (their changes re-apply
+              // under writeMerge's re-resolve)
+              store.writeMerge(spark, cur =>
+                cur.join(sk, Seq("bibcode"), "left_anti")
+                  .unionByName(stamped.join(sk, Seq("bibcode"), "left_semi")))
+            else
+              store.writeMergeKeyed(spark, sk, _ =>
+                stamped.join(sk, Seq("bibcode"), "left_semi"))
+          } finally sk.unpersist(blocking = false)
+        }
       }
     watermarkDir.foreach(Watermark.advance(spark, _, "last.reindex.normal", now))
 

@@ -89,12 +89,7 @@ object PipelineBench {
   private def secs(t0: Long): Double = (System.nanoTime() - t0) / 1e9
 
   private def deleteTree(p: java.nio.file.Path): Unit =
-    if (Files.exists(p)) {
-      val walk = Files.walk(p)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.delete(f))
-      finally walk.close()
-    }
+    graft.sources.FsUtil.deleteTree(p)
 
   private def bib(id: Column): Column =
     concat(lit("2026Pipe"), format_string("%07d", id), lit("....A"))

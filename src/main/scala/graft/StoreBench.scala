@@ -229,13 +229,6 @@ object StoreBench {
 
 /** Fresh workdir per run. */
 private object FsUtilBench {
-  def reset(dir: String): Unit = {
-    val p = java.nio.file.Paths.get(dir)
-    if (java.nio.file.Files.exists(p)) {
-      val w = java.nio.file.Files.walk(p)
-      try w.sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => java.nio.file.Files.delete(f))
-      finally w.close()
-    }
-  }
+  def reset(dir: String): Unit =
+    graft.sources.FsUtil.deleteTree(java.nio.file.Paths.get(dir))
 }

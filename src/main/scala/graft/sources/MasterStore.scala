@@ -6,8 +6,9 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import graft.operators.MergeEngine
 
-/** Filesystem helpers shared by the stores in this package. */
-private[sources] object FsUtil {
+/** Filesystem helpers shared by the stores (and the benches' workdir
+  * resets — one recursive-delete idiom, not three). */
+private[graft] object FsUtil {
   /** Recursive delete, children first; absent path is a no-op. */
   def deleteTree(p: Path): Unit = if (Files.exists(p)) {
     val walk = Files.walk(p)
@@ -29,12 +30,17 @@ object MasterStore {
     while (cur != null && hops < 16) {
       cur match {
         case _: java.io.FileNotFoundException => return true
+        // NIO's flavor (Files.size on a vacuumed carried file) is a
+        // FileSystemException, NOT a FileNotFoundException, and its
+        // message is just the path — match the type, not the text
+        case _: java.nio.file.NoSuchFileException => return true
         case e: org.apache.spark.sql.AnalysisException
             if e.getMessage != null &&
               (e.getMessage.contains("PATH_NOT_FOUND") ||
                e.getMessage.contains("Path does not exist")) => return true
         case e if e.getMessage != null &&
-            e.getMessage.contains("FileNotFoundException") => return true
+            (e.getMessage.contains("FileNotFoundException") ||
+             e.getMessage.contains("FILE_NOT_EXIST")) => return true
         case _ => ()
       }
       cur = if (cur.getCause eq cur) null else cur.getCause
@@ -498,8 +504,11 @@ class MasterStore(val root: String, numBuckets: Int = 8,
     while (attempts <= maxRetries) {
       attempts += 1
       val (g, mOpt) = snapshot()
-      val current = mOpt.map(reconcile(spark, _, None)).getOrElse(empty(spark))
       try {
+        // constructed INSIDE the try: spark.read.parquet resolves the
+        // listed files eagerly, so a vacuum racing between snapshot()
+        // and here throws at construction, not at the action
+        val current = mOpt.map(reconcile(spark, _, None)).getOrElse(empty(spark))
         val (dir, m) = writeBase(applyDelta(current))
         if (tryPublish(g, m)) { onAttempts(attempts); return g + 1 }
         // lost: this merge was computed against a superseded snapshot —
@@ -568,7 +577,16 @@ class MasterStore(val root: String, numBuckets: Int = 8,
             m.layers :+ Layer(g + 1, files.map(_._1).sorted, files.map(_._2).sum))
           if (tryPublish(g, m2)) {
             onAttempts(attempts)
-            maybeCompact(spark, m2)
+            // the merge IS durably published at this point; compaction is
+            // maintenance, re-triggered by the next merge if it loses its
+            // own races — a compact failure must not make the caller
+            // believe (and retry, and re-deliver) a landed merge
+            try maybeCompact(spark, m2)
+            catch {
+              case t: Throwable => System.err.println(
+                s"[master-store] post-publish compaction failed " +
+                s"(merge v${g + 1} is safe; next merge re-triggers): $t")
+            }
             return g + 1
           }
           deleteTree(Paths.get(root, dir))

@@ -458,6 +458,22 @@ class MasterStoreSpec extends AnyFunSuite with SparkSpec {
     assert(cols == Seq("bibcode", "status"))
   }
 
+  test("isVanishedInput recognizes every vanished-file flavor the races " +
+    "produce: io.FileNotFound, nio.NoSuchFile (Files.size on a vacuumed " +
+    "carried file), Spark's FAILED_READ_FILE, and wrapped causes") {
+    import MasterStore.isVanishedInput
+    assert(isVanishedInput(new java.io.FileNotFoundException("/x/p.parquet")))
+    assert(isVanishedInput(new java.nio.file.NoSuchFileException("/x/p.parquet")))
+    assert(isVanishedInput(new RuntimeException("outer",
+      new java.nio.file.NoSuchFileException("/x/p.parquet"))))
+    assert(isVanishedInput(new org.apache.spark.SparkException(
+      "[FAILED_READ_FILE.FILE_NOT_EXIST] Encountered error while reading " +
+        "file file:///x/p.parquet. File does not exist.")))
+    assert(!isVanishedInput(new RuntimeException("a genuine transform bug")))
+    assert(!isVanishedInput(new OutOfMemoryError("x")),
+      "resource failures must propagate, never retry")
+  }
+
   test("lookupFrame's base scan opens only the keys' bucket files — the " +
     "per-batch read is ∝ touched buckets, never ∝ table") {
     import spark.implicits._
