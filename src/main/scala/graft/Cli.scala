@@ -28,6 +28,16 @@ import graft.streaming.Watermark
   *     -n | --filename <file>         restrict to bibcodes listed in a file
   *     --solr-collection <name|url>   rewrite this run's SOLR targets
   *                                  (collection_to_urls, run.py:235-255)
+  *   --ingest <file|dir>            decode + run one batch of raw JSON
+  *                                  queue envelopes (rejects quarantined)
+  *   --consume <spool-dir>          checkpointed streaming drain of a
+  *                                  queue spool directory — the celery
+  *                                  worker analog; re-invocations resume
+  *                                  from the checkpoint (--checkpoint
+  *                                  overrides its location)
+  *   --metrics-store <root>         maintain the metrics snapshot table
+  *                                  alongside deliveries (-r m, --ingest,
+  *                                  --consume)
   *   --delete (-b | -n)             cascade-delete the named bibcodes
   *   --classify [--classify_verify] (-b | -n)  queue classifier requests;
   *     --manual -n <csv>              batch-classify a header CSV
@@ -123,6 +133,11 @@ object Cli {
       a.getOrElse("sitemap-store", s"$storeRoot-sitemap"),
       empty = SitemapState.empty)
     def outRoot = a.getOrElse("out", s"$storeRoot-sitemaps")
+    // --metrics-store <root>: maintain the metrics snapshot table (the
+    // reference's metrics Postgres DB) alongside the sink deliveries;
+    // absent, the index runs deliver to the bulk transport only
+    def metricsStoreOpt = a.get("metrics-store").map(r =>
+      new MasterStore(r, empty = graft.operators.MetricsTable.emptyTable))
     val now = deps.now()
 
     def namedBibcodes(): Seq[String] = {
@@ -663,7 +678,7 @@ object Cli {
         deps.solrTransport, deps.bulkTransport, now = now,
         forwardBoostRequests = !a.contains("no-boost-requests"),
         forwardAugmentRequests = !a.contains("no-augment-requests"),
-        keyLocal = true)
+        metricsStore = metricsStoreOpt, keyLocal = true)
       decoded.unpersist()
       out(s"ingested=${report.merged} rejected=$nRejects " +
         s"solrOk=${report.solrOk} solrFailed=${report.solrFailed} " +
@@ -671,6 +686,57 @@ object Cli {
         s"augmentOk=${report.augmentOk} augmentFailed=${report.augmentFailed} " +
         s"version=${report.version}")
       return if (report.solrFailed > 0) 1 else 0
+    }
+
+    if (a.contains("consume")) {
+      // The reference's queue-worker analog (celery worker consuming
+      // update-record queues, adsmp/tasks.py): a CHECKPOINTED streaming
+      // drain of a spool directory of raw JSON envelopes. Each new spool
+      // file becomes a key-local micro-batch through the full pipeline
+      // (decode → quarantine rejects → merge → gate → transform → sinks →
+      // stamps → keyed CAS publish). Drain semantics: process everything
+      // available, then exit — a re-invocation with the same checkpoint
+      // resumes where the last one stopped (files already consumed are
+      // never reprocessed; a crash mid-batch replays it and the P3/P4
+      // suppression machinery absorbs the replay). Operators cron it,
+      // exactly like the reference crons run.py.
+      val dir = a("consume")
+      if (dir.isEmpty) { out("error: --consume needs a spool directory"); return 2 }
+      val ckpt = a.getOrElse("checkpoint", s"$storeRoot-consume-checkpoint")
+      val ms = metricsStoreOpt
+      var batches = 0
+      var mergedTotal, solrOkTotal, solrFailTotal, rejectTotal = 0L
+      val q = spark.readStream.textFile(dir).writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (lines: org.apache.spark.sql.Dataset[String], batchId: Long) =>
+            val nowB = deps.now()
+            val decoded = graft.streaming.QueueDecode.decode(lines, nowB).cache()
+            val messages = graft.streaming.QueueDecode.messages(decoded)
+            val rejects = graft.streaming.QueueDecode.rejects(decoded)
+            val nRej = rejects.count()
+            if (nRej > 0)
+              rejects.toDF("raw", "reason").write.mode("append")
+                .json(s"$storeRoot-quarantine")
+            val r = Pipeline.runBatch(spark, store, messages,
+              deps.solrTransport, deps.bulkTransport, now = nowB,
+              forwardBoostRequests = !a.contains("no-boost-requests"),
+              forwardAugmentRequests = !a.contains("no-augment-requests"),
+              metricsStore = ms, keyLocal = true)
+            decoded.unpersist()
+            batches += 1
+            mergedTotal += r.merged
+            solrOkTotal += r.solrOk
+            solrFailTotal += r.solrFailed
+            rejectTotal += nRej
+            ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      out(s"consumed batches=$batches merged=$mergedTotal " +
+        s"solrOk=$solrOkTotal solrFailed=$solrFailTotal " +
+        s"rejected=$rejectTotal checkpoint=$ckpt")
+      return if (solrFailTotal > 0) 1 else 0
     }
 
     if (a.contains("index")) {
@@ -703,6 +769,7 @@ object Cli {
           watermarkDir = watermarkDir,
           force = force, ignoreChecksums = ignoreChecksums, now = now,
           sinks = sinks, restrictTo = restrict,
+          metricsStore = metricsStoreOpt,
           sinceOverride = a.get("since").map(Timestamp.valueOf),
           // run.py --update-processed: here stamping defaults ON (P4
           // suppression depends on it); --no-update-processed turns the
@@ -715,7 +782,8 @@ object Cli {
       return if (report.solrFailed > 0) 1 else 0
     }
 
-    out("error: no command given (try -d, -k, -r, --ingest, --delete, --delete_obsolete, " +
+    out("error: no command given (try -d, -k, -r, --ingest, --consume, " +
+      "--delete, --delete_obsolete, " +
       "--manage-sitemap, --update-sitemap-files, --update-sitemaps-auto, " +
       "--cleanup-invalid-sitemaps)")
     2
@@ -731,8 +799,8 @@ object Cli {
       "-c" -> "--validate_solr", "-e" -> "--batch_size")
     val valued = Set("index", "since", "bibcodes", "filename", "action",
       "store", "sitemap-store", "out", "watermark-dir", "priority", "days-back",
-      "scix-id-flag", "ingest", "batch_size", "solr-collection",
-      "classifier_batch")
+      "scix-id-flag", "ingest", "consume", "checkpoint", "metrics-store",
+      "batch_size", "solr-collection", "classifier_batch")
     // -r's letters are optional (nargs='?'): a following token that is not
     // a flag is its value, otherwise the default applies
     val optionalValued = Set("index")

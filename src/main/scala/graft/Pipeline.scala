@@ -325,7 +325,9 @@ object Pipeline {
       checkpointDir: String,
       force: Boolean = false,
       forwardBoostRequests: Boolean = false,
-      forwardAugmentRequests: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
+      forwardAugmentRequests: Boolean = false,
+      metricsStore: Option[MasterStore] = None,
+      sinks: Set[String] = Set("solr", "metrics", "links")): org.apache.spark.sql.streaming.StreamingQuery =
     updates.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[UpdateMessage], batchId: Long) =>
@@ -334,6 +336,7 @@ object Pipeline {
           now = new Timestamp(System.currentTimeMillis()),
           forwardBoostRequests = forwardBoostRequests,
           forwardAugmentRequests = forwardAugmentRequests,
+          metricsStore = metricsStore, sinks = sinks,
           // queue-consumer shape: the batch touches its own keys only —
           // compute/scan/publish all ∝ batch (the table-wide sweep stays
           // the CLI/cron's job, as in the reference)
