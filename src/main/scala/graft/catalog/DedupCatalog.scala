@@ -1269,8 +1269,39 @@ object DedupCatalog extends Catalog {
   private def simhash60(textCol: Column): Column =
     org.apache.spark.sql.graftnative.NativeExpressions.simhash60Col(textCol)
 
-  /** Shared recursive-CTE chain mirroring Components.assign over the
-    * simhash banded-Hamming pair graph: ends in lbl(doc_id, cluster_id);
+  /** Unrolled pointer-doubling min-label rounds over edges(src, dst) →
+    * lbl(doc_id, cluster_id) — the polynomial form of connected
+    * components in one SQL statement, mirroring Components.assign's own
+    * hook+jump scheme. Round k's label is the min id within 2^k hops
+    * (hook extends reach by one edge through a neighbor's round-(k-1)
+    * knowledge; jump composes two round-(k-1) reaches through the
+    * current label, itself a component member present in the table), so
+    * 17 rounds cover any simple path among ≤131,072 nodes — beyond every
+    * catalog corpus. Each round is two hash joins + a group-by over
+    * O(V + E) rows, replacing the transitive-closure `reach` CTE whose
+    * materialized size is Σ|component|² — at the sf1.0-class fixture the
+    * simhash pair graph has ~10⁶ edges with corpus-sized components, and
+    * that quadratic blowup was the last oracle timeout class. Singleton
+    * docs (no edges) are absent from lbl; callers COALESCE to self. */
+  private def doublingLabelsSql(rounds: Int): String = {
+    // every round references its predecessor FOUR times; MATERIALIZED is
+    // load-bearing — an inlining planner would otherwise expand the chain
+    // 4^rounds-fold
+    val steps = (1 to rounds).map { i =>
+      val p = s"p${i - 1}"
+      s"""p$i AS MATERIALIZED (SELECT v, MIN(l) AS l FROM (
+             SELECT a.v, b.l FROM $p a JOIN $p b ON a.l = b.v
+             UNION ALL SELECT e.src AS v, p.l FROM edges e JOIN $p p ON e.dst = p.v
+             UNION ALL SELECT v, l FROM $p) GROUP BY v)"""
+    }
+    ("""p0 AS MATERIALIZED (SELECT src AS v, LEAST(src, MIN(dst)) AS l
+             FROM edges GROUP BY src)""" +: steps).mkString(",\n         ") +
+      s""",
+         lbl AS (SELECT v AS doc_id, l AS cluster_id FROM p$rounds)"""
+  }
+
+  /** Shared CTE chain mirroring Components.assign over the simhash
+    * banded-Hamming pair graph: ends in lbl(doc_id, cluster_id);
     * singleton docs are absent from lbl (callers COALESCE to self). */
   private lazy val SimhashComponentsCte: String =
     s"""$SimhashCteSql,
@@ -1284,11 +1315,7 @@ object DedupCatalog extends Catalog {
            WHERE bit_count(xor(a.simhash, b.simhash)) <= 6),
          edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
                    UNION SELECT doc_b, doc_a FROM pairs),
-         reach AS (SELECT src, dst FROM edges
-                   UNION SELECT r.src, e.dst FROM reach r JOIN edges e
-                     ON r.dst = e.src AND e.dst <> r.src),
-         lbl AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
-                 FROM reach GROUP BY src)"""
+         ${doublingLabelsSql(17)}"""
 
   /** Vocabulary-factored simhash CTE chain ending in s(doc_id, simhash).
     * Value-identical to the naive inline form (the per-plane sign sums
