@@ -62,10 +62,19 @@ import graft.sources.{MasterStore, Sinks}
   * network cost is out of scope here (fault ladders are spec'd in
   * SinksSpec), the pipeline's compute+publish cost is in.
   *
+  * An optional phase 5 (SPARK_GRAFT_PIPE_LARGE=N, default off) measures
+  * the KEY-LOCAL claim at a large standing table: seed a fresh store
+  * with N already-processed master rows, then run the same 2,500-record
+  * queue batch twice — keyLocal (bucket-pruned keyed lookup) and
+  * table-wide (the sweep-shaped gate) — and report both walls. This is
+  * the number that extrapolates to 28.8M rows: the table-wide batch
+  * pays the table, the key-local batch pays the batch.
+  *
   * Env knobs: SPARK_GRAFT_PIPE_RECORDS (default 250,000 → 1M messages),
   * SPARK_GRAFT_PIPE_BATCHES (default 10 — bootstrap micro-batch count;
   * the per-batch cost has a fixed floor, so records/s vs batch size IS
   * the trigger-interval sizing curve a deployment reads),
+  * SPARK_GRAFT_PIPE_LARGE (default 0 = skip phase 5),
   * SPARK_GRAFT_PIPE_DIR (default target/pipe-bench), SPARK_GRAFT_CPUS
   * (default 32). One JSON line to stdout → STREAM_BENCH.md.
   */
@@ -300,6 +309,38 @@ object PipelineBench {
       store.vacuum(alsoOrphans = true, retain = 1)
       val liveBytes = StoreBench.bytesUnder(storeRoot)
 
+      // ── phase 5 (optional): key-local vs table-wide at a LARGE table ──
+      val nLarge = sys.env.getOrElse("SPARK_GRAFT_PIPE_LARGE", "0").toLong
+      val largeJson = if (nLarge <= 0) "" else {
+        val largeRoot = s"$work/master_large"
+        Files.createDirectories(Paths.get(largeRoot))
+        val storeL = new MasterStore(largeRoot, numBuckets = 32)
+        // seed: N full-payload rows, already processed (the standing
+        // corpus a steady-state consumer batches against)
+        val doneTs = new java.sql.Timestamp(System.currentTimeMillis() - 7200 * 1000L)
+        storeL.write(TransformBench.fixture(spark, nLarge)
+          .withColumn("processed", lit(doneTs))
+          .withColumn("status", lit("success")))
+        val tableBytes = storeL.stats.map(s => s.baseBytes + s.layerBytes).get
+        def wave(lo: Long, keyLocal: Boolean): Double = {
+          val msgs = messages(spark, lo, lo + 2500, rev = 0,
+            tsBase = System.currentTimeMillis())
+            .as[UpdateMessage](Encoders.product[UpdateMessage])
+          val t0 = System.nanoTime()
+          val r = Pipeline.runBatch(spark, storeL, msgs,
+            SolrTransport, BulkTransport,
+            now = new java.sql.Timestamp(System.currentTimeMillis()),
+            keyLocal = keyLocal)
+          require(r.solrOk == 2500, s"wave delivered ${r.solrOk}")
+          secs(t0)
+        }
+        val keyedSec = wave(9000000L, keyLocal = true)
+        val tableSec = wave(9100000L, keyLocal = false)
+        f""","large_rows":$nLarge,"large_table_bytes":$tableBytes,""" +
+          f""""large_keylocal_sec":$keyedSec%.1f,"large_tablewide_sec":$tableSec%.1f,""" +
+          f""""large_speedup":${tableSec / keyedSec}%.2f"""
+      }
+
       val msgsTotal = nRecords * 4
       val batchesJson = curve.map(r =>
         f"""{"phase":"${r.phase}","batch":${r.batch},"msgs":${r.msgs},""" +
@@ -316,8 +357,9 @@ object PipelineBench {
         f""""replay_delivered":${replayRow.solrDelivered},"suppression_rate":$suppressionRate%.4f,""" +
         f""""parity":"$parity","parity_batch_sec":$paritySec%.1f,""" +
         f""""parity_digest":[${dStream._1},${dStream._2}],""" +
-        f""""store_live_bytes":$liveBytes,"solr_payload_bytes":${solrBytes.sum()},""" +
-        f""""batches":$batchesJson}""")
+        f""""store_live_bytes":$liveBytes,"solr_payload_bytes":${solrBytes.sum()}""" +
+        largeJson +
+        f""","batches":$batchesJson}""")
       require(parity == "exact",
         s"stream/batch content divergence: $dStream vs $dBatch")
     } finally {

@@ -388,32 +388,51 @@ class MasterStore(val root: String, numBuckets: Int = 8,
 
   /** Keyed read with the key set as a FRAME — the form the streaming
     * consumer needs, where a catch-up batch's key set is bounded by the
-    * batch but may be too large for [[lookup]]'s driver-side list. The
-    * manifest still prunes the scan to the buckets the keys hash into
-    * (one tiny distinct-buckets job over the key frame — ≤ numBuckets
-    * rows ever reach the driver), and the keys ride a left-semi join the
-    * optimizer broadcasts while the batch is small. Per-batch read cost
-    * is ∝ touched buckets, never ∝ table — the compute-side counterpart
-    * of `writeMergeKeyed`'s delta-layer write.
+    * batch but may be too large for [[lookup]]'s driver-side list.
+    *
+    * Two regimes behind one probe job. The key frame is collected up to
+    * `maxDriverKeys` distinct keys:
+    *  - fits: the buckets come from the driver-side Murmur3 twin and the
+    *    keys ride an IN predicate that Catalyst pushes into the parquet
+    *    scan — with the base's key-sorted-within-bucket layout the row
+    *    groups outside the keys' ranges never leave storage. IO ∝ the
+    *    keys' row groups.
+    *  - overflows: Spark-side distinct-buckets (≤ numBuckets values
+    *    reach the driver) + a left-semi join the optimizer broadcasts.
+    *    IO ∝ touched buckets; compute ∝ batch.
+    * The crossover is deliberately LOW: a literal IN grows the analyzed
+    * plan per key and is re-planned against every layer read, so a
+    * 25k-key batch pays seconds of planner time per micro-batch (3-6×
+    * the whole batch wall, measured in PipelineBench) while the semi
+    * join's cost is flat — the IN regime is for lookup-sized key sets,
+    * where its row-group skipping wins.
+    * Either way nothing table-sized reaches the driver and the merge
+    * work downstream is keyed — the compute-side counterpart of
+    * `writeMergeKeyed`'s delta-layer write.
     *
     * Reference analog: the queue consumer's per-message row fetch inside
     * `task_index_records` (adsmp/tasks.py:300-360 via app.get_record) —
     * the reference never scans its table to serve an ingest batch. */
   def lookupFrame(spark: SparkSession, keys: DataFrame,
-      loadOnly: Seq[String] = Nil): DataFrame = {
+      loadOnly: Seq[String] = Nil, maxDriverKeys: Int = 2000): DataFrame = {
     def project(df: DataFrame): DataFrame =
       if (loadOnly.isEmpty) df
       else df.select((keyCol +: loadOnly.filterNot(_ == keyCol)).map(col): _*)
     snapshot() match {
       case (_, Some(m)) =>
         val k = keys.select(col(keys.columns.head).as(keyCol)).distinct()
-        val buckets =
-          if (m.n <= 1) None
+        val head = k.limit(maxDriverKeys + 1).collect().map(_.getString(0))
+        if (head.length <= maxDriverKeys)
+          lookup(spark, head.toIndexedSeq, loadOnly)
+        else {
           // same expression family the bucketed layout was written with
           // (pmod(hash(key), n)); bounded collect: ≤ n distinct values
-          else Some(k.select(pmod(hash(col(keyCol)), lit(m.n)).cast("int").as("b"))
-            .distinct().collect().map(_.getInt(0)).toSet)
-        project(reconcile(spark, m, buckets)).join(k, Seq(keyCol), "left_semi")
+          val buckets =
+            if (m.n <= 1) None
+            else Some(k.select(pmod(hash(col(keyCol)), lit(m.n)).cast("int").as("b"))
+              .distinct().collect().map(_.getInt(0)).toSet)
+          project(reconcile(spark, m, buckets)).join(k, Seq(keyCol), "left_semi")
+        }
       case _ => project(empty(spark)).limit(0)
     }
   }
@@ -445,6 +464,12 @@ class MasterStore(val root: String, numBuckets: Int = 8,
   private def writeBucketed(df: DataFrame, n: Int, dir: String): Unit =
     df.withColumn(BucketCol, pmod(hash(col(keyCol)), lit(n)).cast("int"))
       .repartition(n, col(BucketCol))
+      // key-sorted WITHIN each bucket: row-group min/max stats become
+      // disjoint key ranges, so a keyed read's pushed predicate skips
+      // row groups instead of scanning the whole bucket — the classic
+      // bucketed-sorted table, paid once per write (the shuffle already
+      // happened; the sort is per-bucket CPU)
+      .sortWithinPartitions(col(BucketCol), col(keyCol))
       .write.mode("overwrite").partitionBy(BucketCol)
       .parquet(Paths.get(root, dir).toString)
 

@@ -440,18 +440,22 @@ class MasterStoreSpec extends AnyFunSuite with SparkSpec {
       cur => upsert(cur.filter(col("bibcode") =!= "base02"), Seq(msg("newA")))
         .withColumn("status", lit("layered")))
     val keys = Seq("base01", "base02", "base07", "newA", "ghost")
-    val got = store.lookupFrame(spark, keys.toDF("bibcode"))
+    // force the OVERFLOW regime (Spark-side buckets + semi join) with a
+    // tiny driver-key budget: the catch-up-burst path must answer the
+    // same as the delegating small-set path
+    val got = store.lookupFrame(spark, keys.toDF("bibcode"), maxDriverKeys = 2)
       .select("bibcode", "status")
       .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
     assert(got.keySet == Set("base01", "base07", "newA"),
       "layer insert visible, tombstoned and absent keys missing")
     assert(got("base01").contains("layered") && got("newA").contains("layered"))
     assert(got("base07").isEmpty, "base row read through untouched")
-    // the frame form and the driver-list form answer identically — the
-    // Spark-side pmod(hash) bucket set matches the driver Murmur3 twin
-    val viaList = store.lookup(spark, keys).select("bibcode")
-      .collect().map(_.getString(0)).toSet
-    assert(viaList == got.keySet)
+    // the small-set regime (delegates to the pushed IN-list lookup) and
+    // the overflow regime answer identically — the Spark-side pmod(hash)
+    // bucket set matches the driver Murmur3 twin
+    val viaSmall = store.lookupFrame(spark, keys.toDF("bibcode"))
+      .select("bibcode").collect().map(_.getString(0)).toSet
+    assert(viaSmall == got.keySet)
     // loadOnly prunes columns but always carries the key
     val cols = store.lookupFrame(spark, Seq("base07").toDF("bibcode"),
       loadOnly = Seq("status")).columns.toSeq
@@ -495,5 +499,18 @@ class MasterStoreSpec extends AnyFunSuite with SparkSpec {
     assert(bucketDirs == Set(expect),
       s"scan must open bucket $expect only, opened $bucketDirs")
     assert(df.select("bibcode").collect().map(_.getString(0)).toSeq == Seq(key))
+    // the small-set regime pushes the keys into the scan: row groups
+    // outside the keys' ranges never leave storage (with the key-sorted
+    // bucket layout, min/max stats are disjoint ranges)
+    val planStr = df.queryExecution.sparkPlan.toString
+    assert(planStr.contains("PushedFilters") && planStr.contains("bibcode"),
+      s"keyed read must push the key predicate into the scan:\n$planStr")
+    // and the bucket files ARE key-sorted (the stats-selectivity the
+    // pushdown relies on)
+    val aFile = store.bucketFileLists.get.flatten.head
+    val inFile = spark.read.parquet(
+      java.nio.file.Paths.get(root, aFile).toString)
+      .select("bibcode").collect().map(_.getString(0)).toSeq
+    assert(inFile == inFile.sorted, "bucket files are written key-sorted")
   }
 }
