@@ -293,12 +293,22 @@ object Pipeline {
       }
     watermarkDir.foreach(Watermark.advance(spark, _, "last.reindex.normal", now))
 
+    // one aggregation job per status frame, not one per count — the
+    // micro-batch wall has a fixed driver-job floor and the report was
+    // paying six jobs where three carry the same numbers
+    def okFail(status: Dataset[Sinks.SinkStatus]): (Long, Long) = {
+      val r = status.toDF().agg(
+        coalesce(sum(when(col("ok"), 1L).otherwise(0L)), lit(0L)),
+        count(lit(1))).head()
+      (r.getLong(0), r.getLong(1) - r.getLong(0))
+    }
+    val (sOk, sFail) = okFail(solrStatus)
     val report = RunReport(version, mergedCount,
       indexed = batch.solr.count(),
-      solrOk = solrStatus.filter(_.ok).count(),
-      solrFailed = solrStatus.filter(!_.ok).count(),
-      metricsOk = metricsStatus.filter(_.ok).count(),
-      linksOk = linksStatus.filter(_.ok).count(),
+      solrOk = sOk,
+      solrFailed = sFail,
+      metricsOk = okFail(metricsStatus)._1,
+      linksOk = okFail(linksStatus)._1,
       boostOk = boostOk, boostFailed = boostFailed,
       augmentOk = augmentOk, augmentFailed = augmentFailed)
 
