@@ -650,6 +650,36 @@ object Cli {
       return if (report.solrFailed > 0) 1 else 0
     }
 
+    // One decode→quarantine→pipeline body shared by --ingest (one batch)
+    // and --consume (one call per spool micro-batch). Rejects land under
+    // a caller-chosen quarantine subdir with mode OVERWRITE, so a
+    // crash-replayed streaming batch rewrites its own rejects instead of
+    // appending duplicates — the quarantine analog of the P3/P4 replay
+    // suppression on the sink side. Returns (report, rejectCount).
+    def ingestBatch(lines: org.apache.spark.sql.Dataset[String],
+        nowB: Timestamp, quarantineDir: String): (Pipeline.RunReport, Long) = {
+      val decoded = graft.streaming.QueueDecode.decode(lines, nowB).cache()
+      val messages = graft.streaming.QueueDecode.messages(decoded)
+      val rejects = graft.streaming.QueueDecode.rejects(decoded)
+      val nRejects = rejects.count()
+      if (nRejects > 0)
+        rejects.toDF("raw", "reason").write.mode("overwrite").json(quarantineDir)
+      // ingest forwards a boost request per touched record, the queue
+      // topology's task_update_record → task_boost_request edge
+      // (tasks.py:104-111); --no-boost-requests turns it off. Affiliation
+      // augment is gated SEPARATELY (--no-augment-requests): the reference
+      // fires it on every metadata update regardless of the boost gate.
+      // Queue-batch shape: work, scans, and the published delta are all
+      // ∝ this batch's records
+      val report = Pipeline.runBatch(spark, store, messages,
+        deps.solrTransport, deps.bulkTransport, now = nowB,
+        forwardBoostRequests = !a.contains("no-boost-requests"),
+        forwardAugmentRequests = !a.contains("no-augment-requests"),
+        metricsStore = metricsStoreOpt, keyLocal = true)
+      decoded.unpersist()
+      (report, nRejects)
+    }
+
     if (a.contains("ingest")) {
       // S1 front door in batch mode: the reference consumes typed
       // protobufs off its queues; here a file/dir of raw JSON envelopes
@@ -657,29 +687,10 @@ object Cli {
       // store, and the good messages run one full pipeline batch
       val path = a("ingest")
       if (path.isEmpty) { out("error: --ingest needs a file or directory"); return 2 }
-      import spark.implicits._
-      val decoded = graft.streaming.QueueDecode.decode(
-        spark.read.textFile(path), now).cache()
-      val messages = graft.streaming.QueueDecode.messages(decoded)
-      val rejects = graft.streaming.QueueDecode.rejects(decoded)
-      val nRejects = rejects.count()
-      if (nRejects > 0)
-        rejects.toDF("raw", "reason").write.mode("append")
-          .json(s"$storeRoot-quarantine")
-      // ingest forwards a boost request per touched record, the queue
-      // topology's task_update_record → task_boost_request edge
-      // (tasks.py:104-111); --no-boost-requests turns it off. Affiliation
-      // augment is gated SEPARATELY (--no-augment-requests): the reference
-      // fires it on every metadata update regardless of the boost gate
-      // queue-batch shape: work, scans, and the published delta are all
-      // ∝ this file's records (and `ingested=` reports the batch's
-      // working set, not the whole table's row count)
-      val report = Pipeline.runBatch(spark, store, messages,
-        deps.solrTransport, deps.bulkTransport, now = now,
-        forwardBoostRequests = !a.contains("no-boost-requests"),
-        forwardAugmentRequests = !a.contains("no-augment-requests"),
-        metricsStore = metricsStoreOpt, keyLocal = true)
-      decoded.unpersist()
+      // per-input quarantine subdir: re-running the SAME file overwrites
+      // its own rejects (idempotent), different inputs never clobber
+      val (report, nRejects) = ingestBatch(spark.read.textFile(path), now,
+        s"$storeRoot-quarantine/ingest_${Integer.toHexString(path.hashCode)}")
       out(s"ingested=${report.merged} rejected=$nRejects " +
         s"solrOk=${report.solrOk} solrFailed=${report.solrFailed} " +
         s"boostOk=${report.boostOk} boostFailed=${report.boostFailed} " +
@@ -703,39 +714,40 @@ object Cli {
       val dir = a("consume")
       if (dir.isEmpty) { out("error: --consume needs a spool directory"); return 2 }
       val ckpt = a.getOrElse("checkpoint", s"$storeRoot-consume-checkpoint")
-      val ms = metricsStoreOpt
       var batches = 0
       var mergedTotal, solrOkTotal, solrFailTotal, rejectTotal = 0L
+      var boostOkTotal, boostFailTotal, augOkTotal, augFailTotal = 0L
       val q = spark.readStream.textFile(dir).writeStream
         .option("checkpointLocation", ckpt)
         .foreachBatch {
           (lines: org.apache.spark.sql.Dataset[String], batchId: Long) =>
-            val nowB = deps.now()
-            val decoded = graft.streaming.QueueDecode.decode(lines, nowB).cache()
-            val messages = graft.streaming.QueueDecode.messages(decoded)
-            val rejects = graft.streaming.QueueDecode.rejects(decoded)
-            val nRej = rejects.count()
-            if (nRej > 0)
-              rejects.toDF("raw", "reason").write.mode("append")
-                .json(s"$storeRoot-quarantine")
-            val r = Pipeline.runBatch(spark, store, messages,
-              deps.solrTransport, deps.bulkTransport, now = nowB,
-              forwardBoostRequests = !a.contains("no-boost-requests"),
-              forwardAugmentRequests = !a.contains("no-augment-requests"),
-              metricsStore = ms, keyLocal = true)
-            decoded.unpersist()
+            // batch-scoped quarantine: a crash-replay of this batch
+            // OVERWRITES its own rejects (idempotent), never appends a
+            // second copy
+            val (r, nRej) = ingestBatch(lines, deps.now(),
+              s"$storeRoot-quarantine/batch_$batchId")
             batches += 1
             mergedTotal += r.merged
             solrOkTotal += r.solrOk
             solrFailTotal += r.solrFailed
             rejectTotal += nRej
+            boostOkTotal += r.boostOk
+            boostFailTotal += r.boostFailed
+            augOkTotal += r.augmentOk
+            augFailTotal += r.augmentFailed
             ()
         }
         .start()
       try q.processAllAvailable() finally q.stop()
+      // boost/augment delivery failures surface in the worker log too —
+      // a dead bulk endpoint must not be invisible just because the solr
+      // leg is healthy
       out(s"consumed batches=$batches merged=$mergedTotal " +
         s"solrOk=$solrOkTotal solrFailed=$solrFailTotal " +
-        s"rejected=$rejectTotal checkpoint=$ckpt")
+        s"rejected=$rejectTotal " +
+        s"boostOk=$boostOkTotal boostFailed=$boostFailTotal " +
+        s"augmentOk=$augOkTotal augmentFailed=$augFailTotal " +
+        s"checkpoint=$ckpt")
       return if (solrFailTotal > 0) 1 else 0
     }
 

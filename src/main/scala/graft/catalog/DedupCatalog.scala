@@ -1269,20 +1269,28 @@ object DedupCatalog extends Catalog {
   private def simhash60(textCol: Column): Column =
     org.apache.spark.sql.graftnative.NativeExpressions.simhash60Col(textCol)
 
-  /** Unrolled pointer-doubling min-label rounds over edges(src, dst) →
+  /** Unrolled min-label hook+jump rounds over edges(src, dst) →
     * lbl(doc_id, cluster_id) — the polynomial form of connected
     * components in one SQL statement, mirroring Components.assign's own
-    * hook+jump scheme. Round k's label is the min id within 2^k hops
-    * (hook extends reach by one edge through a neighbor's round-(k-1)
-    * knowledge; jump composes two round-(k-1) reaches through the
-    * current label, itself a component member present in the table), so
-    * 17 rounds cover any simple path among ≤131,072 nodes — beyond every
-    * catalog corpus. Each round is two hash joins + a group-by over
-    * O(V + E) rows, replacing the transitive-closure `reach` CTE whose
+    * scheme. Each round is two hash joins + a group-by over O(V + E)
+    * rows, replacing the transitive-closure `reach` CTE whose
     * materialized size is Σ|component|² — at the sf1.0-class fixture the
     * simhash pair graph has ~10⁶ edges with corpus-sized components, and
-    * that quadratic blowup was the last oracle timeout class. Singleton
-    * docs (no edges) are absent from lbl; callers COALESCE to self. */
+    * that quadratic blowup was the last oracle timeout class.
+    *
+    * Convergence honesty: the jump (label-of-label) compresses chains
+    * TOWARD the current label, so on adversarial id layouts (the
+    * component minimum at one end of a path of ascending ids) the hook
+    * is the only mover and the minimum advances one hop per round —
+    * rounds bound convergence by component DIAMETER, not log n. The
+    * catalog fixtures' near-dup components are shallow (they converge
+    * well under 17 rounds at all three SFs; the rounds are cheap), and
+    * the final CANARY round makes the bound self-checking instead of
+    * assumed: if one more round would still change any label, every
+    * cluster_id is poisoned to NULL, so an unconverged run fails the
+    * value compare loudly as an all-NULL column — never as a silently
+    * split cluster that could pass row counts. Singleton docs (no
+    * edges) are absent from lbl; callers COALESCE to self. */
   private def doublingLabelsSql(rounds: Int): String = {
     // every round references its predecessor FOUR times; MATERIALIZED is
     // load-bearing — an inlining planner would otherwise expand the chain
@@ -1297,7 +1305,16 @@ object DedupCatalog extends Catalog {
     ("""p0 AS MATERIALIZED (SELECT src AS v, LEAST(src, MIN(dst)) AS l
              FROM edges GROUP BY src)""" +: steps).mkString(",\n         ") +
       s""",
-         lbl AS (SELECT v AS doc_id, l AS cluster_id FROM p$rounds)"""
+         conv AS MATERIALIZED (SELECT COUNT(*) AS moved FROM (
+             SELECT v, MIN(l) AS l FROM (
+               SELECT a.v, b.l FROM p$rounds a JOIN p$rounds b ON a.l = b.v
+               UNION ALL SELECT e.src AS v, p.l FROM edges e JOIN p$rounds p ON e.dst = p.v
+               UNION ALL SELECT v, l FROM p$rounds) GROUP BY v) q
+           JOIN p$rounds f ON q.v = f.v AND q.l <> f.l),
+         lbl AS (SELECT v AS doc_id,
+             CASE WHEN (SELECT moved FROM conv) > 0 THEN NULL ELSE l END
+               AS cluster_id
+           FROM p$rounds)"""
   }
 
   /** Shared CTE chain mirroring Components.assign over the simhash
@@ -1315,7 +1332,7 @@ object DedupCatalog extends Catalog {
            WHERE bit_count(xor(a.simhash, b.simhash)) <= 6),
          edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
                    UNION SELECT doc_b, doc_a FROM pairs),
-         ${doublingLabelsSql(17)}"""
+         ${doublingLabelsSql(24)}"""
 
   /** Vocabulary-factored simhash CTE chain ending in s(doc_id, simhash).
     * Value-identical to the naive inline form (the per-plane sign sums

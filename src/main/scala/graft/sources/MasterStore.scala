@@ -420,7 +420,12 @@ class MasterStore(val root: String, numBuckets: Int = 8,
       else df.select((keyCol +: loadOnly.filterNot(_ == keyCol)).map(col): _*)
     snapshot() match {
       case (_, Some(m)) =>
-        val k = keys.select(col(keys.columns.head).as(keyCol)).distinct()
+        // null keys can never match a stored row (the store's key column
+        // is non-null); dropped HERE so both regimes agree — the semi
+        // join ignores nulls anyway, but the driver-list regime would
+        // NPE in bucketOf
+        val k = keys.select(col(keys.columns.head).as(keyCol))
+          .filter(col(keyCol).isNotNull).distinct()
         val head = k.limit(maxDriverKeys + 1).collect().map(_.getString(0))
         if (head.length <= maxDriverKeys)
           lookup(spark, head.toIndexedSeq, loadOnly)

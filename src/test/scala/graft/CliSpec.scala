@@ -167,7 +167,10 @@ class CliSpec extends AnyFunSuite with SparkSpec {
       "list envelope fanned out into the store")
     assert(recs("2024Ing......2B").contains("\"boost\":2"))
     // rejects quarantined with reasons next to the store
-    val q = spark.read.json(s"$root/master-quarantine").collect()
+    // rejects live in a per-input subdir (re-running the same file
+    // overwrites its own rejects instead of appending duplicates)
+    val q = spark.read.option("recursiveFileLookup", "true")
+      .json(s"$root/master-quarantine").collect()
       .map(_.getAs[String]("reason")).toSet
     assert(q == Set("unknown type frobnicate", "not a JSON object"))
   }

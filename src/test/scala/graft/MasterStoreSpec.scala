@@ -460,6 +460,11 @@ class MasterStoreSpec extends AnyFunSuite with SparkSpec {
     val cols = store.lookupFrame(spark, Seq("base07").toDF("bibcode"),
       loadOnly = Seq("status")).columns.toSeq
     assert(cols == Seq("bibcode", "status"))
+    // null keys can never match and must not crash EITHER regime (the
+    // driver-list path would otherwise NPE in bucketOf)
+    val withNull = Seq(Some("base07"), None).toDF("bibcode")
+    assert(store.lookupFrame(spark, withNull).count() == 1)
+    assert(store.lookupFrame(spark, withNull, maxDriverKeys = 0).count() == 1)
   }
 
   test("isVanishedInput recognizes every vanished-file flavor the races " +
