@@ -662,8 +662,18 @@ object Cli {
       val messages = graft.streaming.QueueDecode.messages(decoded)
       val rejects = graft.streaming.QueueDecode.rejects(decoded)
       val nRejects = rejects.count()
+      // Written unconditionally: a re-run of a since-corrected input must
+      // CLEAR its previous rejects, not leave them misrepresenting the
+      // latest run. nRejects == 0 deletes the subdir outright (an absent
+      // dir is the unambiguous "clean run" signal; an empty JSON write
+      // would leave Spark marker files a reader must interpret).
       if (nRejects > 0)
         rejects.toDF("raw", "reason").write.mode("overwrite").json(quarantineDir)
+      else {
+        val p = new org.apache.hadoop.fs.Path(quarantineDir)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+      }
       // ingest forwards a boost request per touched record, the queue
       // topology's task_update_record → task_boost_request edge
       // (tasks.py:104-111); --no-boost-requests turns it off. Affiliation
@@ -688,9 +698,15 @@ object Cli {
       val path = a("ingest")
       if (path.isEmpty) { out("error: --ingest needs a file or directory"); return 2 }
       // per-input quarantine subdir: re-running the SAME file overwrites
-      // its own rejects (idempotent), different inputs never clobber
+      // its own rejects (idempotent), different inputs never clobber.
+      // Keyed on a SHA-256 of the path — a 32-bit String.hashCode can
+      // collide across distinct inputs, and with mode OVERWRITE a
+      // collision would silently clobber the other input's rejects.
+      val pathDigest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(path.getBytes("UTF-8")).take(16)
+        .map(b => f"$b%02x").mkString
       val (report, nRejects) = ingestBatch(spark.read.textFile(path), now,
-        s"$storeRoot-quarantine/ingest_${Integer.toHexString(path.hashCode)}")
+        s"$storeRoot-quarantine/ingest_$pathDigest")
       out(s"ingested=${report.merged} rejected=$nRejects " +
         s"solrOk=${report.solrOk} solrFailed=${report.solrFailed} " +
         s"boostOk=${report.boostOk} boostFailed=${report.boostFailed} " +

@@ -1286,11 +1286,14 @@ object DedupCatalog extends Catalog {
     * catalog fixtures' near-dup components are shallow (they converge
     * well under 17 rounds at all three SFs; the rounds are cheap), and
     * the final CANARY round makes the bound self-checking instead of
-    * assumed: if one more round would still change any label, every
-    * cluster_id is poisoned to NULL, so an unconverged run fails the
-    * value compare loudly as an all-NULL column — never as a silently
-    * split cluster that could pass row counts. Singleton docs (no
-    * edges) are absent from lbl; callers COALESCE to self. */
+    * assumed: if one more round would still change any label, the lbl
+    * projection raises via DuckDB's error() (lazily evaluated inside
+    * the CASE, so a converged run never touches it), aborting the
+    * oracle query itself. A hard failure is the only unmaskable shape:
+    * callers COALESCE(cluster_id, doc_id) for the singleton docs absent
+    * from lbl, which would have laundered a NULL poison into a
+    * plausible all-singleton clustering. Singleton docs (no edges) are
+    * absent from lbl; callers COALESCE to self. */
   private def doublingLabelsSql(rounds: Int): String = {
     // every round references its predecessor FOUR times; MATERIALIZED is
     // load-bearing — an inlining planner would otherwise expand the chain
@@ -1312,7 +1315,9 @@ object DedupCatalog extends Catalog {
                UNION ALL SELECT v, l FROM p$rounds) GROUP BY v) q
            JOIN p$rounds f ON q.v = f.v AND q.l <> f.l),
          lbl AS (SELECT v AS doc_id,
-             CASE WHEN (SELECT moved FROM conv) > 0 THEN NULL ELSE l END
+             CASE WHEN (SELECT moved FROM conv) > 0
+                  THEN error('hook+jump CC oracle unconverged after $rounds rounds')
+                  ELSE l END
                AS cluster_id
            FROM p$rounds)"""
   }

@@ -3,6 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import java.sql.Timestamp
+import scala.jdk.CollectionConverters._
 
 import graft.sources.Sinks
 
@@ -173,6 +174,22 @@ class CliSpec extends AnyFunSuite with SparkSpec {
       .json(s"$root/master-quarantine").collect()
       .map(_.getAs[String]("reason")).toSet
     assert(q == Set("unknown type frobnicate", "not a JSON object"))
+
+    // re-running the SAME path after the input was corrected must CLEAR
+    // its quarantine subdir — stale rejects would misrepresent the
+    // latest run (the subdir vanishing is the "clean run" signal)
+    java.nio.file.Files.write(f, lines.take(2).mkString("\n").getBytes("UTF-8"))
+    log.clear()
+    assert(Cli.run(spark, argvBase ++ Seq("--ingest", f.toString), d) == 0)
+    assert(log.exists(_.contains("rejected=0")), s"got: $log")
+    val qDir = java.nio.file.Paths.get(s"$root/master-quarantine")
+    val subdirs =
+      if (!java.nio.file.Files.exists(qDir)) Nil
+      else {
+        val s = java.nio.file.Files.list(qDir)
+        try s.iterator().asScala.toList finally s.close()
+      }
+    assert(subdirs.isEmpty, s"stale quarantine left behind: $subdirs")
   }
 
   test("--consume: checkpointed spool drain — each invocation processes " +
