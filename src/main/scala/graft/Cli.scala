@@ -52,6 +52,12 @@ import graft.streaming.Watermark
   *                                  modifying actions chain a file
   *                                  regeneration (run.py:500-510)
   *   --update-sitemap-files         regenerate flagged sitemap files only
+  *   --report-docs f1,f2,...        project search-doc fields over the
+  *                                  master snapshot through the COLUMNAR
+  *                                  transform (pruned scan + pruned JSON
+  *                                  parse; no typed map) and write the
+  *                                  report as parquet to --report-out
+  *                                  (default <store>-reports/docs)
   * }}}
   *
   * All effects go through the injectable [[Deps]] so the whole surface is
@@ -216,6 +222,38 @@ object Cli {
       val sm = sitemapStore
       out(s"sitemap-store version=${sm.currentVersion.getOrElse(0L)} " +
         s"entries=${sm.read(spark).count()}")
+      return 0
+    }
+
+    if (a.contains("report-docs")) {
+      // Columnar analytics surface over the master snapshot (SURVEY
+      // §7.1(4)): the T1 fold's from_json twin projects the requested
+      // search-doc fields per record WITHOUT the typed map — Catalyst
+      // collapses SolrColumnar's struct into the projection, prunes the
+      // from_json parse schemas to the accessed fields, and prunes the
+      // parquet ReadSchema to the feeding payload columns (a 2-field
+      // report over a 28.8M-row snapshot reads 3 columns, parses 2-key
+      // schemas, and never materializes fulltext bytes). validated=true:
+      // stored slots are parseable by construction — the ingest front
+      // door quarantines malformed payloads (QueueDecode). The sink path
+      // deliberately stays on the typed transform (checksums need the
+      // canonical byte-exact render); this verb is the projection path.
+      val fields = a("report-docs").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      if (fields.isEmpty) {
+        out("error: --report-docs needs a comma-separated doc field list"); return 2
+      }
+      val known = graft.transform.SolrColumnar.DocFieldNames.toSet
+      val unknown = fields.filterNot(known)
+      if (unknown.nonEmpty) {
+        out(s"error: unknown doc fields: ${unknown.mkString(",")}"); return 2
+      }
+      val dest = a.getOrElse("report-out", s"$storeRoot-reports/docs")
+      graft.transform.SolrColumnar
+        .project(store.read(spark), fields, validated = true)
+        .write.mode("overwrite").parquet(dest)
+      val n = spark.read.parquet(dest).count()
+      out(s"report-docs: $n records x ${fields.size} fields " +
+        s"(${fields.mkString(",")}) -> $dest")
       return 0
     }
 
@@ -828,7 +866,8 @@ object Cli {
     val valued = Set("index", "since", "bibcodes", "filename", "action",
       "store", "sitemap-store", "out", "watermark-dir", "priority", "days-back",
       "scix-id-flag", "ingest", "consume", "checkpoint", "metrics-store",
-      "batch_size", "solr-collection", "classifier_batch")
+      "batch_size", "solr-collection", "classifier_batch",
+      "report-docs", "report-out")
     // -r's letters are optional (nargs='?'): a following token that is not
     // a flag is its value, otherwise the default applies
     val optionalValued = Set("index")

@@ -210,6 +210,43 @@ object RecordCatalog extends Catalog {
         .orderBy("bibcode")
     }),
 
+    // ── T1's COLUMNAR twin as a consumer-facing row: the same fixture
+    // master through SolrColumnar.withDoc (pure from_json + expression
+    // chains, no typed map), projected to the SAME oracle scalars as
+    // t1_solr_transform — the oracle recomputes both paths' values from
+    // one closed form, so this row pins (typed ≡ columnar ≡ oracle) at
+    // the value level on every driver run. checksum_ok is absent by
+    // design: the CRC needs the typed path's canonical byte-exact
+    // render, which is exactly why the SINK path keeps the typed map
+    // and this path owns analytics/projection (SURVEY §7.1(4)). The
+    // ReadSchema/parse-schema pruning this path exists for is pinned in
+    // PlanAuditSpec over a parquet-backed master ──
+    "t1_solr_columnar" -> ((s, _) => {
+      import s.implicits._
+      val master = MergeEngine.upsert(MergeEngine.emptyMaster(s),
+        s.createDataset(fixtureUpdates(64))).master
+      val doc = graft.transform.SolrColumnar
+        .withDoc(master.filter(IndexJob.eligible(None, force = false)))
+      val us = "\u001F"
+      doc.select(
+        col("doc.bibcode").as("bibcode"),
+        concat_ws(us, col("doc.title")).as("title"),
+        concat_ws(us, col("doc.database")).as("database_str"),
+        coalesce(col("doc.cite_read_boost"), lit(-1.0)).as("cite_read_boost"),
+        coalesce(col("doc.citation_count").cast("long"), lit(-1L)).as("citation_count"),
+        concat_ws(us, col("doc.grant")).as("grant_str"),
+        concat_ws(us, col("doc.simbtype")).as("simbtype_str"),
+        concat_ws(us, col("doc.orcid_user")).as("orcid_user_str"),
+        concat_ws(us, col("doc.citation")).as("citation_str"),
+        concat_ws(us, col("doc.has")).as("has_str"),
+        coalesce(col("doc.doctype_boost").cast("long"), lit(-1L)).as("doctype_boost"),
+        coalesce(col("doc.update_timestamp"), lit("")).as("update_timestamp"),
+        coalesce(col("doc.scix_id").rlike(
+          "^scix:[0-9A-HJKMNP-TV-Z]{4}-[0-9A-HJKMNP-TV-Z]{4}-[0-9A-HJKMNP-TV-Z]{4}$"),
+          lit(false)).as("scix_ok"))
+        .orderBy("bibcode")
+    }),
+
     // ── M1 record-shaped upsert incl. scix assignment: scalar projections
     // of the merged snapshot (full semantics in MergeEngineSpec) ──
     "m1_record_upsert" -> ((s, _) => {
@@ -351,6 +388,27 @@ object RecordCatalog extends Catalog {
              '%Y-%m-%dT%H:%M:%S.%fZ') AS update_timestamp,
            TRUE AS scix_ok,
            TRUE AS checksum_ok
+         FROM generate_series(1, 64) AS t(i) ORDER BY bibcode""",
+    // the columnar twin recomputes from the SAME closed form — minus
+    // checksum_ok, which needs the typed path's canonical render
+    "t1_solr_columnar" ->
+      """SELECT printf('2024Fixt.%03d..001X', i) AS bibcode,
+           'Fixture ' || i AS title,
+           'astronomy' AS database_str,
+           (i % 10) / 10.0 AS cite_read_boost,
+           CAST(i AS BIGINT) AS citation_count,
+           'NASA' || chr(31) || i AS grant_str,
+           'Star' AS simbtype_str,
+           '0000-000' || i AS orcid_user_str,
+           'c' || i AS citation_str,
+           CASE WHEN i % 2 = 0
+             THEN replace('ack|body|citation|data|database|doctype|grant|identifier|orcid_user|title', '|', chr(31))
+             ELSE replace('citation|data|database|doctype|grant|identifier|orcid_user|title', '|', chr(31)) END AS has_str,
+           CAST(1 AS BIGINT) AS doctype_boost,
+           strftime(TIMESTAMP '2024-01-01 00:00:00'
+             + to_milliseconds(i * 1000 + CASE WHEN i % 2 = 0 THEN 400 ELSE 300 END),
+             '%Y-%m-%dT%H:%M:%S.%fZ') AS update_timestamp,
+           TRUE AS scix_ok
          FROM generate_series(1, 64) AS t(i) ORDER BY bibcode""",
     "m1_record_upsert" ->
       """SELECT printf('2024Fixt.%03d..001X', i) AS bibcode,

@@ -181,27 +181,63 @@ object SolrColumnar {
     *   probes make GARBAGE payloads contribute nothing, byte-for-byte the
     *   typed path's swallowed parse failure (the equivalence property
     *   runs this mode over generator-injected garbage). */
+  /** slot parse expressions, keyed by the working-column name the doc
+    * fold references them under */
+  private val ParsedSlots: Seq[(String, () => Column)] = Seq(
+    "_bib" -> (() => from_json(col("bib_data"), BibSchema)),
+    "_nb" -> (() => from_json(col("nonbib_data"), NonbibSchema)),
+    "_orc" -> (() => from_json(col("orcid_claims"), OrcidSchema)),
+    "_ft" -> (() => from_json(col("fulltext"), FulltextSchema)),
+    "_met" -> (() => from_json(col("metrics"), MetricsSchema)),
+    "_aug" -> (() => from_json(col("augments"), AugmentsSchema)),
+    "_cls" -> (() => from_json(col("classifications"), arr)),
+    "_bf" -> (() => from_json(col("boost_factors"), BoostSchema)))
+
   def withDoc(master: DataFrame, docCol: String = "doc",
       validated: Boolean = false): DataFrame = {
-    val out = master
-      .withColumn("_bib", from_json(col("bib_data"), BibSchema))
-      .withColumn("_nb", from_json(col("nonbib_data"), NonbibSchema))
-      .withColumn("_orc", from_json(col("orcid_claims"), OrcidSchema))
-      .withColumn("_ft", from_json(col("fulltext"), FulltextSchema))
-      .withColumn("_met", from_json(col("metrics"), MetricsSchema))
-      .withColumn("_aug", from_json(col("augments"), AugmentsSchema))
-      .withColumn("_cls", from_json(col("classifications"), arr))
-      .withColumn("_bf", from_json(col("boost_factors"), BoostSchema))
-    withDocFrom(out, docCol, validated).drop(
-      "_bib", "_nb", "_orc", "_ft", "_met", "_aug", "_cls", "_bf")
+    val out = ParsedSlots.foldLeft(master) { case (d, (n, c)) =>
+      d.withColumn(n, c())
+    }
+    out.withColumn(docCol,
+        struct(docFields(n => col(n), validated)
+          .map { case (n, c) => c.as(n) }: _*))
+      .drop(ParsedSlots.map(_._1): _*)
   }
 
-  private def withDocFrom(df: DataFrame, docCol: String,
-      validated: Boolean): DataFrame = {
-    def bib(f: String): Column = col("_bib").getField(f)
-    def nb(f: String): Column = col("_nb").getField(f)
-    def aug(f: String): Column = col("_aug").getField(f)
-    def bf(f: String): Column = col("_bf").getField(f)
+  /** Names a projection may request — the doc struct's fields. */
+  lazy val DocFieldNames: Seq[String] =
+    docFields(n => lit(null), validated = true).map(_._1)
+
+  /** The PROJECTION path: the requested doc fields as top-level columns
+    * beside the record key, with each field's slot parse INLINED into
+    * that field's expression instead of shared through a `_bib`-style
+    * working column. Sharing is exactly what blocks pruning: a struct
+    * (or a parse column) referenced by two consumers is non-cheap, so
+    * CollapseProject refuses to inline it, OptimizeJsonExprs never sees
+    * a from_json under the extraction, and the scan reads every payload
+    * column. Inlined, each field's `from_json` parses a schema pruned to
+    * the fields THAT expression touches and the parquet ReadSchema
+    * shrinks to the feeding payload columns (pinned in PlanAuditSpec).
+    * Two fields of one slot parse twice — but each parse is a pruned
+    * one-field schema, so the total tokenize work matches the shared
+    * two-field parse while staying optimizer-transparent. */
+  def project(master: DataFrame, fields: Seq[String],
+      validated: Boolean = false, keyCol: String = "bibcode"): DataFrame = {
+    val parses = ParsedSlots.toMap
+    val byName = docFields(n => parses(n)(), validated).toMap
+    master.select(col(keyCol) +: fields.map(f => byName(f).as(f)): _*)
+  }
+
+  /** Every doc field as (name, expression), the order of the reference's
+    * fold; `parsed` resolves a slot working-column name to its parsed
+    * struct (an attribute for the struct path, an inline from_json for
+    * the projection path). */
+  private def docFields(parsed: String => Column,
+      validated: Boolean): Seq[(String, Column)] = {
+    def bib(f: String): Column = parsed("_bib").getField(f)
+    def nb(f: String): Column = parsed("_nb").getField(f)
+    def aug(f: String): Column = parsed("_aug").getField(f)
+    def bf(f: String): Column = parsed("_bf").getField(f)
 
     // Slot gates reference the RAW column's well-formedness, NOT the
     // parsed struct: `struct.isNotNull && struct.getField(...)` would
@@ -222,8 +258,8 @@ object SolrColumnar {
     val ftOk = ok("fulltext")
     val metOk = ok("metrics")
     val augOk = ok("augments")
-    val clsOk = nonEmptyArr(col("_cls"))
-    val bfOk = col("_bf").isNotNull && ok("boost_factors")
+    val clsOk = nonEmptyArr(parsed("_cls"))
+    val bfOk = parsed("_bf").isNotNull && ok("boost_factors")
 
     val bibTs = slotTs(col("bib_data_updated"))
     val augTs = slotTs(col("augments_updated"))
@@ -300,11 +336,11 @@ object SolrColumnar {
     // database (extract_classifications_pipeline + override 5,
     // solr_updater.py:170-181,531-539): the override unions the RAW list
     // with bib's; the slot-time path whitelists first
-    val filteredCls = filter(col("_cls"),
+    val filteredCls = filter(parsed("_cls"),
       x => x.isInCollection(ExposeCollections))
     val database =
       when(bibOk && clsOk && nonEmptyArr(bib("database")),
-        array_sort(array_distinct(concat(col("_cls"), bib("database")))))
+        array_sort(array_distinct(concat(parsed("_cls"), bib("database")))))
         .when(clsOk && size(filteredCls) > 0,
           array_sort(array_distinct(filteredCls)))
         .when(clsOk, lit(null).cast(arr))
@@ -369,8 +405,8 @@ object SolrColumnar {
       "year" -> gated(bibOk, bib("year")),
 
       // orcid
-      "orcid_user" -> gated(orcOk, col("_orc").getField("verified")),
-      "orcid_other" -> gated(orcOk, col("_orc").getField("unverified")),
+      "orcid_user" -> gated(orcOk, parsed("_orc").getField("verified")),
+      "orcid_other" -> gated(orcOk, parsed("_orc").getField("unverified")),
 
       // nonbib split
       "reader" -> gated(nbOk, readers),
@@ -416,12 +452,12 @@ object SolrColumnar {
         coalesce(nb("mention_count"), size(mentionArr))),
 
       // metrics
-      "citation" -> gated(metOk, coalesce(col("_met").getField("citations"), array())),
+      "citation" -> gated(metOk, coalesce(parsed("_met").getField("citations"), array())),
 
       // fulltext
-      "body" -> gated(ftOk, col("_ft").getField("body")),
-      "ack" -> gated(ftOk, col("_ft").getField("acknowledgements")),
-      "facility" -> gated(ftOk, col("_ft").getField("facility")),
+      "body" -> gated(ftOk, parsed("_ft").getField("body")),
+      "ack" -> gated(ftOk, parsed("_ft").getField("acknowledgements")),
+      "facility" -> gated(ftOk, parsed("_ft").getField("facility")),
 
       // augments (aff handled above)
       "aff_abbrev" -> gated(augOk, aug("aff_abbrev")),
@@ -478,7 +514,6 @@ object SolrColumnar {
       }: _*),
       x => x.isNotNull))
 
-    df.withColumn(docCol, struct(
-      (fields.map { case (n, c) => c.as(n) } :+ hasCol.as("has")): _*))
+    fields :+ ("has" -> hasCol)
   }
 }

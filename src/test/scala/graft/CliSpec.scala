@@ -190,6 +190,24 @@ class CliSpec extends AnyFunSuite with SparkSpec {
         try s.iterator().asScala.toList finally s.close()
       }
     assert(subdirs.isEmpty, s"stale quarantine left behind: $subdirs")
+
+    // --report-docs: the columnar projection path over the same store —
+    // doc fields land as parquet columns with T1-fold values (here the
+    // nonbib boost payload feeds cite_read_boost; title from bib_data)
+    log.clear()
+    assert(Cli.run(spark, argvBase ++ Seq("--report-docs",
+      "title,cite_read_boost", "--report-out", s"$root/report"), d) == 0)
+    assert(log.exists(l => l.contains("report-docs: 2 records") &&
+      l.contains("title,cite_read_boost")), s"got: $log")
+    val rep = spark.read.parquet(s"$root/report").collect()
+      .map(r => r.getAs[String]("bibcode") ->
+        (Option(r.getAs[scala.collection.Seq[String]]("title")).map(_.mkString),
+          r.getAs[Any]("cite_read_boost"))).toMap
+    assert(rep("2024Ing......1A")._1.contains("I1"))
+    assert(rep("2024Ing......2B")._2 == 2.0,
+      s"nonbib boost feeds cite_read_boost: $rep")
+    // unknown field names are a usage error, not a silent null column
+    assert(Cli.run(spark, argvBase ++ Seq("--report-docs", "frobnicate"), d) == 2)
   }
 
   test("--consume: checkpointed spool drain — each invocation processes " +

@@ -619,4 +619,68 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
       s"no corpus-pair join — that was the r9 scale bug:\n${p.take(1500)}")
   }
+
+  test("columnar doc projection over a parquet-backed master prunes BOTH " +
+    "the scan ReadSchema (only the feeding payload columns) and the " +
+    "from_json parse schemas (only the accessed fields)") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.MergeEngine
+    import spark.implicits._
+    // parquet-backed master: the pruning claim is about what leaves
+    // STORAGE, so the scan must be a real file scan, not a LocalRelation
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_colprune").toString
+    val store = new graft.sources.MasterStore(s"$root/master")
+    val fixtures = (1 to 32).flatMap { i =>
+      val bib = f"2024Prun.$i%03d..001X"
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      Seq(
+        graft.records.UpdateMessage(bib, "metadata",
+          s"""{"bibcode":"$bib","title":["P $i"],"abstract":"never read me"}""",
+          new java.sql.Timestamp(t0.getTime + i)),
+        graft.records.UpdateMessage(bib, "nonbib_data",
+          s"""{"citation_count":$i}""",
+          new java.sql.Timestamp(t0.getTime + i + 1)),
+        graft.records.UpdateMessage(bib, "fulltext",
+          s"""{"body":"ten megabytes at production scale"}""",
+          new java.sql.Timestamp(t0.getTime + i + 2)))
+    }
+    store.writeMerge(spark, cur =>
+      MergeEngine.upsert(cur, fixtures.toDS()).master)
+
+    val df = graft.transform.SolrColumnar.project(store.read(spark),
+      Seq("title", "citation_count"), validated = true)
+    val p = df.queryExecution.executedPlan.toString
+
+    // 1. scan pruning: title needs bib_data, citation_count needs
+    //    nonbib_data, bibcode is the key — nothing else leaves parquet.
+    //    (doc.bibcode would also pull bib_data_updated via slot ordering;
+    //    the report projects the record key instead.)
+    val readSchemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(readSchemas.nonEmpty, s"no file scan in plan:\n${p.take(2000)}")
+    for (rs <- readSchemas; fieldList = rs.split(",").map(_.takeWhile(_ != ':')).toSet)
+      assert(fieldList == Set("bibcode", "bib_data", "nonbib_data"),
+        s"scan must read exactly the feeding columns, got <$rs>:\n${p.take(2000)}")
+
+    // 2. parse pruning: the bib from_json schema keeps only the accessed
+    //    field (title), the nonbib one only citation_count; the fulltext/
+    //    orcid/metrics/augments/boost parses vanish from the plan entirely
+    assert(p.contains("from_json"), s"expected from_json in plan:\n${p.take(2000)}")
+    // StructField(...) prints ONLY inside from_json parse schemas here
+    // (scan schemas print as ReadSchema: struct<...>), so the set of all
+    // StructField names IS the set of parsed JSON fields
+    val parsedFields = "StructField\\((\\w+),".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(parsedFields == Set("title", "citation_count"),
+      s"parse schemas must prune to the accessed fields, got $parsedFields:\n${p.take(2000)}")
+    assert(!p.contains("\"body\"") && !parsedFields.contains("body"),
+      s"the fulltext parse must vanish from a title/count report:\n${p.take(2000)}")
+
+    // 3. values still correct through the pruned plan
+    val rows = df.orderBy("bibcode").collect()
+    assert(rows.length == 32)
+    assert(rows(0).getSeq[String](1) == Seq("P 1"))
+    assert(rows(0).getInt(2) == 1)
+  }
 }
