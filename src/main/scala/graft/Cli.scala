@@ -58,6 +58,11 @@ import graft.streaming.Watermark
   *                                  parse; no typed map) and write the
   *                                  report as parquet to --report-out
   *                                  (default <store>-reports/docs)
+  *   --vacuum [--retain N] [--orphans]  drop superseded store generations
+  *                                  beyond the newest N (default 2) on
+  *                                  master + sitemap (+ metrics) stores;
+  *                                  --orphans also sweeps crashed-attempt
+  *                                  dirs (quiesced windows only)
   * }}}
   *
   * All effects go through the injectable [[Deps]] so the whole surface is
@@ -254,6 +259,30 @@ object Cli {
       val n = spark.read.parquet(dest).count()
       out(s"report-docs: $n records x ${fields.size} fields " +
         s"(${fields.mkString(",")}) -> $dest")
+      return 0
+    }
+
+    if (a.contains("vacuum")) {
+      // Explicit maintenance verb for deployments that run the pipeline
+      // as discrete batches (cron -r sweeps) where no streaming cadence
+      // vacuums for them. --retain N keeps N newest generations (default
+      // 2: the live one + one superseded window for slow readers);
+      // --orphans additionally sweeps unreferenced crashed-attempt dirs
+      // and is for QUIESCED windows only (it cannot distinguish a dead
+      // orphan from a concurrent writer's dir mid-write).
+      val retain = a.get("retain").map(_.toInt).getOrElse(2)
+      if (retain < 1) { out("error: --retain must be >= 1"); return 2 }
+      val orphans = a.contains("orphans")
+      def sweep(name: String, s: MasterStore): Unit = {
+        val before = s.versions
+        s.vacuum(alsoOrphans = orphans, retain = retain)
+        val after = s.versions
+        out(s"vacuum $name: ${before.size} -> ${after.size} generations " +
+          s"(retained ${after.mkString(",")})")
+      }
+      sweep("master", store)
+      sweep("sitemap-store", sitemapStore)
+      metricsStoreOpt.foreach(sweep("metrics-store", _))
       return 0
     }
 
@@ -725,6 +754,13 @@ object Cli {
         forwardAugmentRequests = !a.contains("no-augment-requests"),
         metricsStore = metricsStoreOpt, keyLocal = true)
       decoded.unpersist()
+      // retention-driven maintenance on the batch cadence (same contract
+      // as runStream's): superseded generations beyond the retain window
+      // are dropped so a long-running consumer's disk is steady-state,
+      // while retain=2 keeps one superseded snapshot alive for slow
+      // overlapped readers. Driver-side file ops, zero Spark jobs.
+      store.vacuum(retain = 2)
+      metricsStoreOpt.foreach(_.vacuum(retain = 2))
       (report, nRejects)
     }
 
@@ -867,7 +903,7 @@ object Cli {
       "store", "sitemap-store", "out", "watermark-dir", "priority", "days-back",
       "scix-id-flag", "ingest", "consume", "checkpoint", "metrics-store",
       "batch_size", "solr-collection", "classifier_batch",
-      "report-docs", "report-out")
+      "report-docs", "report-out", "retain")
     // -r's letters are optional (nargs='?'): a following token that is not
     // a flag is its value, otherwise the default applies
     val optionalValued = Set("index")

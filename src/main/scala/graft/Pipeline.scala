@@ -337,7 +337,8 @@ object Pipeline {
       forwardBoostRequests: Boolean = false,
       forwardAugmentRequests: Boolean = false,
       metricsStore: Option[MasterStore] = None,
-      sinks: Set[String] = Set("solr", "metrics", "links")): org.apache.spark.sql.streaming.StreamingQuery =
+      sinks: Set[String] = Set("solr", "metrics", "links"),
+      vacuumRetain: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
     updates.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[UpdateMessage], batchId: Long) =>
@@ -351,6 +352,20 @@ object Pipeline {
           // compute/scan/publish all ∝ batch (the table-wide sweep stays
           // the CLI/cron's job, as in the reference)
           keyLocal = true)
+        // retention-driven maintenance on the publish cadence: without it
+        // a 5-minute-cadence consumer accumulates one superseded
+        // generation per batch without bound (the reference's Postgres
+        // overwrites rows in place and never has this class of garbage).
+        // retain ≥ 2 keeps a window of superseded snapshots for slow
+        // in-flight readers — vacuum is file-granular, so base files
+        // carried forward by reference survive and an overlapped reader
+        // keeps working (MasterStoreSpec pins this); the rare reader
+        // beyond the window retries via the vanished-input class.
+        // Driver-side file ops only, zero Spark jobs.
+        if (vacuumRetain >= 1) {
+          store.vacuum(retain = vacuumRetain)
+          metricsStore.foreach(_.vacuum(retain = vacuumRetain))
+        }
         spark.sparkContext.setJobDescription(
           s"graft micro-batch $batchId -> snapshot v${report.version}")
         ()

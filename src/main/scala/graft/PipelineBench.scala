@@ -186,7 +186,7 @@ object PipelineBench {
 
   case class BatchRow(phase: String, batch: Int, msgs: Long, wallSec: Double,
       storeBytes: Long, layerCount: Int, layerBytes: Long, version: Long,
-      solrDelivered: Long, bulkDelivered: Long)
+      solrDelivered: Long, bulkDelivered: Long, gens: Int)
 
   def main(args: Array[String]): Unit = {
     val nRecords = sys.env.getOrElse("SPARK_GRAFT_PIPE_RECORDS", "250000").toLong
@@ -230,7 +230,8 @@ object PipelineBench {
       val row = BatchRow(phase, batchNo, df.count(), w,
         StoreBench.bytesUnder(storeRoot), st.layerCount, st.layerBytes,
         store.currentVersion.getOrElse(-1L),
-        solrDocs.sum() - s0._1, bulkDocs.sum() - s0._2)
+        solrDocs.sum() - s0._1, bulkDocs.sum() - s0._2,
+        store.versions.size)
       curve += row
       System.err.println(f"[pipe-bench] ${row.phase}%-11s batch ${row.batch}%2d: " +
         f"${row.msgs} msgs in ${row.wallSec}%.2f s, store ${row.storeBytes / 1e6}%.1f MB " +
@@ -256,14 +257,19 @@ object PipelineBench {
 
       // ── phase 2: incremental — 1% of records bump content rev, 2 batches ──
       val nDelta = math.max(nRecords / 100, 2)
-      val bytes0 = StoreBench.bytesUnder(storeRoot)
+      // publish cost = the phase's NEW delta-layer bytes from the manifest
+      // (a raw disk delta would be polluted by the per-batch vacuum
+      // freeing the bootstrap phase's superseded generations mid-phase)
+      val layerBytes0 = store.stats.map(_.layerBytes).getOrElse(0L)
       val tsB = System.currentTimeMillis()
       var incrSec = 0.0
       incrSec += feed("incremental",
         messages(spark, 0, nDelta / 2, rev = 1, tsBase = tsB), "incr00")
       incrSec += feed("incremental",
         messages(spark, nDelta / 2, nDelta, rev = 1, tsBase = tsB), "incr01")
-      val incrPublishBytes = StoreBench.bytesUnder(storeRoot) - bytes0
+      val incrPublishBytes = store.stats.map(_.layerBytes).getOrElse(0L) - layerBytes0
+      require(incrPublishBytes > 0,
+        "incremental publishes must land as delta layers (no fold mid-phase)")
       val incrSolr = curve.filter(_.phase == "incremental").map(_.solrDelivered).sum
       require(incrSolr == nDelta,
         s"every rev-bumped record re-delivers once: $incrSolr vs $nDelta")
@@ -345,7 +351,7 @@ object PipelineBench {
       val batchesJson = curve.map(r =>
         f"""{"phase":"${r.phase}","batch":${r.batch},"msgs":${r.msgs},""" +
         f""""sec":${r.wallSec}%.2f,"store_bytes":${r.storeBytes},""" +
-        f""""layers":${r.layerCount},"solr":${r.solrDelivered}}""").mkString("[", ",", "]")
+        f""""layers":${r.layerCount},"gens":${r.gens},"solr":${r.solrDelivered}}""").mkString("[", ",", "]")
       println(
         f"""{"metric":"pipeline_stream","records":$nRecords,"messages":$msgsTotal,"boot_batches":$nBatches,""" +
         f""""bootstrap_sec":$bootstrapSec%.1f,"bootstrap_recs_per_sec":${nRecords / bootstrapSec}%.0f,""" +
@@ -357,7 +363,12 @@ object PipelineBench {
         f""""replay_delivered":${replayRow.solrDelivered},"suppression_rate":$suppressionRate%.4f,""" +
         f""""parity":"$parity","parity_batch_sec":$paritySec%.1f,""" +
         f""""parity_digest":[${dStream._1},${dStream._2}],""" +
-        f""""store_live_bytes":$liveBytes,"solr_payload_bytes":${solrBytes.sum()}""" +
+        f""""store_live_bytes":$liveBytes,"solr_payload_bytes":${solrBytes.sum()},""" +
+        // steady-state maintenance evidence: the runStream cadence vacuums
+        // with retain=2, so generations stay bounded and disk tracks the
+        // live table instead of one superseded snapshot per batch forever
+        f""""max_generations":${curve.map(_.gens).max},""" +
+        f""""disk_vs_live_final":${curve.last.storeBytes.toDouble / math.max(1L, liveBytes)}%.2f""" +
         largeJson +
         f""","batches":$batchesJson}""")
       require(parity == "exact",

@@ -479,6 +479,75 @@ object SimilarityBench {
       (mod, nCand, recF, fS, nCandA, recA, aS, avgProbes)
     }
 
+    // ── stage 8: the COMPOSED production stack at corpus scale — the
+    // sim_ann_stack catalog row's topology at 1M vectors: trained IVF
+    // (this run's cell count) + 32× PQ residual codes + a
+    // 0.3%-selectivity attribute filter + occupancy-adaptive probes +
+    // ADC shortlist + exact re-rank. The interaction under test (the r12
+    // open question): at 0.3% selectivity the adaptive walk widens far
+    // past the 8-cell floor to gather its qualifying-candidate budget,
+    // and the PQ shortlist must still surface the true top-10 from those
+    // ~budget candidates before the exact re-rank can recover them —
+    // probe recall and shortlist depth interact only here, not in the
+    // isolated legs. Scale shape: occupancy/probe list/LUT broadcast;
+    // the corpus contributes qualifying PQ codes only (8 small ints per
+    // vector at scan time); the raw-float fetch is shortlist-sized. ──
+    def predS(c: org.apache.spark.sql.Column) = pmod(c, lit(1000L)) < 3
+    val truthS = corpus.filter(predS(col("vec_id"))).crossJoin(broadcast(queries))
+      .select(col("query_id"), col("vec_id"), sqd(col("qv"), col("v")).as("l2"))
+      .withColumn("rank", row_number().over(wL2)).filter(col("rank") <= topK)
+      .select(col("query_id"), col("vec_id")).cache()
+    val truthSN = truthS.count()
+    val tStack = System.nanoTime()
+    val occS = index.filter(predS(col("vec_id")))
+      .groupBy(col("label").as("cell")).agg(count(lit(1)).as("occ"))
+    val wcS = Window.partitionBy(col("query_id")).orderBy(col("qdist2"), col("cell"))
+    val probedS = queries.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("qv"), col("cell"),
+        (dotCol(col("qv"), col("qv")) - lit(2.0) * dotCol(col("qv"), col("c")) +
+          col("cnorm2")).as("qdist2"))
+      .join(broadcast(occS), Seq("cell"), "left")
+      .withColumn("occ", coalesce(col("occ"), lit(0L)))
+      .withColumn("rn", row_number().over(wcS))
+      .withColumn("cum", sum(col("occ")).over(wcS))
+      .filter(col("rn") <= 8 || (col("cum") - col("occ")) < lit(adaptiveBudget))
+      .filter(col("occ") > 0)
+      .select(col("query_id"), col("qv"), col("cell"))
+      .cache()
+    val avgProbesS = probedS.groupBy(col("query_id")).count()
+      .agg(avg(col("count"))).collect().head.getDouble(0)
+    val lutS = probedS
+      .join(broadcast(centroids.select(col("cell"), col("c"))), Seq("cell"))
+      .withColumn("qres", residual(col("qv"), col("c")))
+      .withColumn("m", explode(sequence(lit(0), lit(Msub - 1))))
+      .select(col("query_id"), col("cell"), col("m"),
+        slice(col("qres"), col("m") * dsub + 1, lit(dsub)).as("qsv"))
+      .join(broadcast(cb), Seq("m"))
+      .select(col("query_id"), col("cell"), col("m"), col("k"),
+        sqd(col("qsv"), col("cw")).as("ld2"))
+    val candStack = spark.read.parquet(pqDir).withColumnRenamed("label", "cell")
+      .filter(predS(col("vec_id")))
+      .withColumn("m", explode(sequence(lit(0), lit(Msub - 1))))
+      .select(col("cell"), col("vec_id"), col("m"), col("codes")(col("m")).as("k"))
+      .join(broadcast(lutS), Seq("cell", "m", "k"))
+      .groupBy(col("query_id"), col("vec_id")).agg(sum(col("ld2")).as("approx_d2"))
+      .cache()
+    val nCandStack = candStack.count()
+    val shortDepth = 10 * topK
+    val shortS = candStack
+      .withColumn("rank", row_number().over(wA)).filter(col("rank") <= shortDepth)
+      .select(col("query_id"), col("vec_id"))
+    val stackTop = shortS
+      .join(index.select(col("vec_id"), col("v")), Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"), sqd(col("qv"), col("v")).as("l2"))
+      .withColumn("rank", row_number().over(wL2)).filter(col("rank") <= topK)
+      .select(col("query_id"), col("vec_id"))
+    val stackHits = stackTop.join(truthS, Seq("query_id", "vec_id"), "left_semi").count()
+    val stackSearchS = secs(tStack)
+    val stackRecall = stackHits.toDouble / math.max(truthSN, 1L)
+    candStack.unpersist(); probedS.unpersist(); truthS.unpersist()
+
     val stats = roundStats.map { case (r, in, mv) =>
       s"""{"iter":$r,"inertia":${f"$in%.1f"},"moved":$mv}"""
     }.mkString("[", ",", "]")
@@ -511,6 +580,16 @@ object SimilarityBench {
         s""""rerank_search_sec":${f"$rerSearchS%.1f"},""" +
         s""""rerank_recall":${f"${rerHits.toDouble / truthL2N}%.4f"}},""" +
         s""""filtered":{$filteredJson}}""")
+    println(
+      s"""{"metric":"ann_stack_at_$topK","geom":"$geom","rows":$indexedN,""" +
+        s""""cells":$cells,"n_queries":$nq,"selectivity_pct":0.3,""" +
+        s""""compression_x":${Dim * 8 / Msub},""" +
+        s""""adaptive_budget":$adaptiveBudget,""" +
+        s""""avg_probes":${f"$avgProbesS%.1f"},""" +
+        s""""avg_candidates":${f"${nCandStack.toDouble / nq}%.1f"},""" +
+        s""""shortlist_depth":$shortDepth,""" +
+        s""""search_sec":${f"$stackSearchS%.1f"},""" +
+        s""""recall":${f"$stackRecall%.4f"}}""")
     spark.stop()
   }
 }

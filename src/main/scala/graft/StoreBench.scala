@@ -141,6 +141,30 @@ object StoreBench {
     val cntLayered = store.read(spark).count()
     val readLayeredSec = secs(t0)
 
+    // ── 5c. keyed lookup against the 8-layer store: with layers written
+    // bucketed, a point read opens only the key's bucket in the BASE and
+    // in each LAYER — IO ∝ touched buckets even between folds ──────────
+    val probeKey = "2026Bench" + "%010d".format(100L)
+    t0 = System.nanoTime()
+    val probe = store.lookup(spark, Seq(probeKey))
+    val probeCnt = probe.count()
+    val lookupLayeredSec = secs(t0)
+    require(probeCnt == 1, s"probe key missing: $probeKey")
+    val openedFiles = probe.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.flatMap(_.relation.location.inputFiles)
+    val openedLayerFiles = openedFiles.count(_.contains("/d_"))
+    val totalLayerFiles = {
+      val w = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      try {
+        import scala.jdk.CollectionConverters._
+        w.iterator().asScala.count(f =>
+          java.nio.file.Files.isRegularFile(f) &&
+          f.getFileName.toString.endsWith(".parquet") &&
+          f.toString.contains("/d_"))
+      } finally w.close()
+    }
+
     // ── 3a. compact, uniform deltas (worst case: every bucket touched) ──
     val preCompact = store.bucketFileLists.get
     b0 = bytesUnder(root)
@@ -218,6 +242,10 @@ object StoreBench {
       s""""compact_clustered_bytes":$compactClusteredBytes,"compact_clustered_sec":${f"$compactClusteredSec%.2f"},""" +
       s""""compact_clustered_buckets_reused":$clusteredReused,""" +
       s""""read_layered_sec":${f"$readLayeredSec%.2f"},"read_folded_sec":${f"$readFoldedSec%.2f"},""" +
+      s""""lookup_layered_sec":${f"$lookupLayeredSec%.2f"},""" +
+      s""""lookup_files_opened":${openedFiles.length},""" +
+      s""""lookup_layer_files_opened":$openedLayerFiles,""" +
+      s""""layer_files_total":$totalLayerFiles,""" +
       s""""contention_writers":2,"contention_merges":${2 * merges},""" +
       s""""contention_published":$published,"contention_retries":$retries,""" +
       s""""contention_gross_bytes":$contentionGrossBytes,""" +

@@ -141,8 +141,16 @@ class MasterStore(val root: String, numBuckets: Int = 8,
 
   /** One keyed merge's output: merged rows + tombstones, overlaying every
     * older layer and the base. `seq` is the generation that published it
-    * (unique: layers are only appended under the CAS). */
-  private case class Layer(seq: Long, files: Seq[String], bytes: Long)
+    * (unique: layers are only appended under the CAS). `buckets(b)` lists
+    * this layer's files holding exactly the keys with
+    * `pmod(hash(key), n) == b` — same layout as the base, so a keyed read
+    * prunes layer FILES like base files instead of opening every layer
+    * file and filtering rows. Empty `buckets` marks a layer written
+    * before this format (pruning falls back to the row predicate over
+    * `files`); `files` always lists every file either way (truncate and
+    * vacuum reference it). */
+  private case class Layer(seq: Long, files: Seq[String], bytes: Long,
+      buckets: Vector[Vector[String]] = Vector.empty)
 
   /** What a generation pointer resolves to: `buckets(b)` lists the base
     * parquet files holding exactly the keys with `pmod(hash(key), n) == b`
@@ -167,7 +175,9 @@ class MasterStore(val root: String, numBuckets: Int = 8,
       ("format" -> 2) ~ ("n" -> m.n) ~ ("baseBytes" -> m.baseBytes) ~
         ("buckets" -> m.buckets.map(_.toList).toList) ~
         ("layers" -> m.layers.toList.map(l =>
-          ("seq" -> l.seq) ~ ("bytes" -> l.bytes) ~ ("files" -> l.files.toList)))))
+          ("seq" -> l.seq) ~ ("bytes" -> l.bytes) ~
+            ("files" -> l.files.toList) ~
+            ("buckets" -> l.buckets.map(_.toList).toList)))))
   }
 
   private def parseManifest(s: String): Manifest = {
@@ -179,7 +189,9 @@ class MasterStore(val root: String, numBuckets: Int = 8,
       (j \ "baseBytes").extract[Long],
       (j \ "layers").extract[List[org.json4s.JValue]].map { l =>
         Layer((l \ "seq").extract[Long], (l \ "files").extract[List[String]],
-          (l \ "bytes").extract[Long])
+          (l \ "bytes").extract[Long],
+          (l \ "buckets").extractOrElse[List[List[String]]](Nil)
+            .map(_.toVector).toVector)
       }.toVector)
   }
 
@@ -328,15 +340,26 @@ class MasterStore(val root: String, numBuckets: Int = 8,
     if (neLayers.isEmpty) return base
 
     val layerCols = (cols.map(col) :+ col(Deleted)).toIndexedSeq
-    val layersAll = neLayers.map(l =>
-        readFiles(spark, l.files, layerCols).withColumn("_seq", lit(l.seq)))
-      .reduce(_.unionByName(_))
-    val layers = bucketFilter match {
-      case Some(bs) if m.n > 1 =>
-        layersAll.filter(pmod(hash(col(keyCol)), lit(m.n))
-          .isin(bs.toSeq.map(Int.box): _*))
-      case _ => layersAll
+    // layer pruning mirrors base pruning: a bucketed layer contributes
+    // only the touched buckets' FILES (untouched layer files never open);
+    // a pre-format layer falls back to opening its files and pruning rows
+    // by the hash predicate
+    val layerFrames = neLayers.flatMap { l =>
+      (bucketFilter match {
+        case Some(bs) if m.n > 1 && l.buckets.nonEmpty =>
+          val fs = bs.toSeq.sorted
+            .flatMap(b => if (b < l.buckets.length) l.buckets(b) else Nil)
+          if (fs.isEmpty) None
+          else Some(readFiles(spark, fs, layerCols))
+        case Some(bs) if m.n > 1 =>
+          Some(readFiles(spark, l.files, layerCols)
+            .filter(pmod(hash(col(keyCol)), lit(m.n))
+              .isin(bs.toSeq.map(Int.box): _*)))
+        case _ => Some(readFiles(spark, l.files, layerCols))
+      }).map(_.withColumn("_seq", lit(l.seq)))
     }
+    if (layerFrames.isEmpty) return base
+    val layers = layerFrames.reduce(_.unionByName(_))
     val others = cols.filterNot(_ == keyCol)
     val latest = layers.groupBy(col(keyCol))
       .agg(max_by(struct((others.map(col) :+ col(Deleted)).toIndexedSeq: _*),
@@ -600,11 +623,20 @@ class MasterStore(val root: String, numBuckets: Int = 8,
             .select(schema.map(f => col(f.name)).toIndexedSeq: _*)
             .withColumn(Deleted, lit(false))
             .unionByName(tombstones)
+          // the layer is written through the same bucketed-sorted layout
+          // as the base (same n, same hash): keyed reads prune layer
+          // FILES via the manifest exactly like base files, and the
+          // within-bucket key sort gives layers the same row-group
+          // skipping under pushed IN predicates
           val dir = freshDir("d_")
-          layerDf.write.mode("overwrite").parquet(Paths.get(root, dir).toString)
+          writeBucketed(layerDf, m.n, dir)
           val files = listParquet(dir)
+          val byBucket = files.groupBy(f => bucketOfFile(f._1))
+          val layerBuckets = Vector.tabulate(m.n)(b =>
+            byBucket.getOrElse(b, Nil).map(_._1).sorted.toVector)
           val m2 = m.copy(layers =
-            m.layers :+ Layer(g + 1, files.map(_._1).sorted, files.map(_._2).sum))
+            m.layers :+ Layer(g + 1, files.map(_._1).sorted,
+              files.map(_._2).sum, layerBuckets))
           if (tryPublish(g, m2)) {
             onAttempts(attempts)
             // the merge IS durably published at this point; compaction is
@@ -662,6 +694,13 @@ class MasterStore(val root: String, numBuckets: Int = 8,
         } else {
           val touched: Set[Int] =
             if (rebucket) (0 until numBuckets).toSet
+            // bucketed layers: the touched set is manifest arithmetic
+            // (a bucket is touched iff some layer holds files for it) —
+            // zero jobs; only pre-format layers need the key-hash scan
+            else if (neLayers.forall(_.buckets.nonEmpty))
+              neLayers.flatMap(_.buckets.zipWithIndex.collect {
+                case (fs, b) if fs.nonEmpty => b
+              }).toSet
             else neLayers.map(l =>
                 readFiles(spark, l.files, Seq(col(keyCol))))
               .reduce(_.unionByName(_))

@@ -265,6 +265,25 @@ class CliSpec extends AnyFunSuite with SparkSpec {
     log.clear()
     assert(Cli.run(spark, argv, d) == 0)
     assert(log.exists(_.contains("consumed batches=0 merged=0")), s"got: $log")
+
+    // the batch cadence vacuums with retain=2: after two consuming drains
+    // the stores hold at most 2 generations each — a long-running
+    // consumer's disk is steady-state, not one superseded snapshot per
+    // batch forever
+    assert(store.versions.size <= 2,
+      s"consume cadence must vacuum the master store, got ${store.versions}")
+
+    // --vacuum verb: explicit maintenance for batch-only deployments
+    log.clear()
+    assert(Cli.run(spark, Seq("--store", s"$root/master",
+      "--sitemap-store", s"$root/smstate", "--metrics-store", s"$root/metrics",
+      "--vacuum", "--retain", "1"), d) == 0)
+    assert(store.versions.size == 1, s"got ${store.versions}")
+    assert(log.exists(_.contains("vacuum master:")), s"got: $log")
+    assert(log.exists(_.contains("vacuum metrics-store:")), s"got: $log")
+    assert(store.read(spark).count() == 2, "live snapshot intact after vacuum")
+    assert(Cli.run(spark, Seq("--store", s"$root/master",
+      "--vacuum", "--retain", "0"), d) == 2, "retain < 1 is a usage error")
   }
 
   test("cron surface: auto sitemap update, cleanup, delete_obsolete " +

@@ -518,4 +518,74 @@ class MasterStoreSpec extends AnyFunSuite with SparkSpec {
       .select("bibcode").collect().map(_.getString(0)).toSeq
     assert(inFile == inFile.sorted, "bucket files are written key-sorted")
   }
+
+  test("per-batch vacuum cadence: disk stays steady-state while a slow " +
+    "reader resolved generations ago keeps working (file-granular " +
+    "retention carries its base files forward by reference)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_vac").toString
+    val store = new MasterStore(root, numBuckets = 4, maxLayers = 1000)
+    store.write(upsert(MergeEngine.emptyMaster(spark),
+      (1 to 30).map(i => msg(f"vac$i%02d"))))
+    // slow reader: resolves the generation-1 snapshot NOW, collects later
+    val slowReader = store.read(spark)
+    // six keyed publish cycles, each followed by the streaming cadence's
+    // vacuum(retain=2) — the runStream/ingest maintenance contract
+    for (i <- 1 to 6) {
+      store.writeMergeKeyed(spark, Seq(f"vac$i%02d").toDF("bibcode"),
+        cur => cur.withColumn("status", lit(s"pass$i")))
+      store.vacuum(retain = 2)
+      assert(store.versions.size <= 2,
+        s"retention bounds the generation count, got ${store.versions}")
+    }
+    // the slow reader's input files were all carried forward by reference
+    // (layers never rewrite base buckets), so it still reads generation
+    // 1's content — vacuum dropped pointers + unreferenced files only
+    assert(slowReader.count() == 30)
+    assert(slowReader.filter(col("status").isNotNull).count() == 0,
+      "the old snapshot must not see the later merges")
+    // and the live snapshot sees all six
+    assert(store.read(spark).filter(col("status").isNotNull).count() == 6)
+  }
+
+  test("keyed reads prune LAYER files like base files: against a " +
+    "multi-layer store only the touched bucket's layer files open") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val root = java.nio.file.Files.createTempDirectory("graft_lyr").toString
+    val store = new MasterStore(root, numBuckets = 4, maxLayers = 1000)
+    store.write(upsert(MergeEngine.emptyMaster(spark),
+      (1 to 40).map(i => msg(f"base$i%02d"))))
+    // four keyed merges → four delta layers, each bucketed like the base
+    val layerKeys = Seq("base01", "base02", "base03", "base05")
+    for (k <- layerKeys)
+      store.writeMergeKeyed(spark, Seq(k).toDF("bibcode"),
+        cur => cur.withColumn("status", lit(s"upd-$k")))
+    assert(store.stats.get.layerCount == 4)
+
+    val key = "base03"
+    val expect = MasterStore.bucketOf(key, 4)
+    // non-vacuous setup: some other layer's key lives in a DIFFERENT
+    // bucket, so un-pruned layer reads would open foreign files
+    val foreign = layerKeys.filter(MasterStore.bucketOf(_, 4) != expect)
+    assert(foreign.nonEmpty, s"fixture keys all hash to $expect — rekey the test")
+    val sharing = layerKeys.count(MasterStore.bucketOf(_, 4) == expect)
+
+    val df = store.lookup(spark, Seq(key))
+    val opened = df.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s
+    }.flatMap(_.relation.location.inputFiles)
+    val openedLayerDirs = opened.filter(_.contains("/d_"))
+      .map(_.split("/").takeWhile(!_.startsWith("__b=")).last).distinct
+    assert(openedLayerDirs.length == sharing,
+      s"must open exactly the $sharing layers holding bucket-$expect keys, " +
+        s"opened dirs: $openedLayerDirs")
+    val openedBuckets = opened
+      .flatMap(p => "__b=(\\d+)".r.findFirstMatchIn(p).map(_.group(1).toInt))
+      .toSet
+    assert(openedBuckets == Set(expect),
+      s"every opened file (base AND layer) is bucket $expect, got $openedBuckets")
+    // and the pruned read is still the right answer
+    assert(df.select("status").head().getString(0) == s"upd-$key")
+  }
 }
