@@ -55,43 +55,23 @@ import java.nio.file.{Files, Path, Paths}
   */
 class FingerprintIndexStore(val root: String, numBuckets: Int = 8) {
 
-  private val GenName = raw"manifest_(\d{12})".r
+  // the shared CAS-pointer protocol (list/read-latest/hard-link publish)
+  // lives in GenerationLog — one primitive for this store AND
+  // MasterStore, so a protocol fix cannot miss one of them
+  private val genLog = new GenerationLog(root, "manifest_")
 
   /** (generation, path) pairs of all published manifests, unsorted. */
-  private def generations(): Seq[(Long, Path)] = {
-    val dir = Paths.get(root)
-    if (!Files.isDirectory(dir)) return Nil
-    val s = Files.list(dir)
-    try {
-      import scala.jdk.CollectionConverters._
-      s.iterator().asScala.flatMap { p =>
-        p.getFileName.toString match {
-          case GenName(g) => Some(g.toLong -> p)
-          case _          => None
-        }
-      }.toSeq
-    } finally s.close()
-  }
+  private def generations(): Seq[(Long, Path)] = genLog.generations()
 
-  /** Read the highest generation consistently: list, read the max; if a
-    * concurrent compaction vacuumed that file between the two steps,
-    * re-list (the replacement generation is strictly higher, so the loop
-    * terminates in one hop per lost race). */
-  private def snapshot(): (Long, Seq[String]) = {
-    while (true) {
-      generations() match {
-        case Nil => return (0L, Nil)
-        case gs =>
-          val (g, p) = gs.maxBy(_._1)
-          try {
-            val entries = new String(Files.readAllBytes(p), "UTF-8")
-              .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
-            return (g, entries)
-          } catch { case _: java.nio.file.NoSuchFileException => () }
-      }
+  /** The highest generation's entry list, read consistently against a
+    * concurrent compaction's vacuum (GenerationLog re-lists on a
+    * vanished max pointer). (0, Nil) for a fresh store. */
+  private def snapshot(): (Long, Seq[String]) =
+    genLog.latest() match {
+      case Some((g, content)) =>
+        (g, content.split("\n").toSeq.map(_.trim).filter(_.nonEmpty))
+      case None => (0L, Nil)
     }
-    sys.error("unreachable")
-  }
 
   /** Live manifest entries (segment + tombstone dir names), oldest first.
     * `done_<name>` admission markers (batches folded by a compaction,
@@ -103,19 +83,9 @@ class FingerprintIndexStore(val root: String, numBuckets: Int = 8) {
   def manifestVersion: Long = snapshot()._1
 
   /** CAS publish: generation `expected`+1 gets `entries` iff no other
-    * writer published it first. Hard-link into place — atomic, EEXIST on
-    * conflict. */
-  private def tryPublish(expected: Long, entries: Seq[String]): Boolean = {
-    Files.createDirectories(Paths.get(root))
-    val target = Paths.get(root, f"manifest_${expected + 1}%012d")
-    if (Files.exists(target)) return false
-    val tmp = Files.createTempFile(Paths.get(root), ".manifest", ".tmp")
-    try {
-      Files.write(tmp, entries.mkString("\n").getBytes("UTF-8"))
-      try { Files.createLink(target, tmp); true }
-      catch { case _: java.nio.file.FileAlreadyExistsException => false }
-    } finally Files.deleteIfExists(tmp)
-  }
+    * writer published it first (GenerationLog's hard-link CAS). */
+  private def tryPublish(expected: Long, entries: Seq[String]): Boolean =
+    genLog.tryPublish(expected, entries.mkString("\n"))
 
   /** Append one entry with CAS-retry; a name already live OR already
     * folded into a compaction (`done_<name>` marker) is a no-op — the

@@ -132,7 +132,10 @@ class MasterStore(val root: String, numBuckets: Int = 8,
 
   import MasterStore._
 
-  private val GenName = raw"gen_(\d{12})".r
+  // the shared CAS-pointer protocol (list/read-latest/hard-link publish)
+  // lives in GenerationLog — one primitive for this store AND
+  // FingerprintIndexStore, so a protocol fix cannot miss one of them
+  private val genLog = new GenerationLog(root, "gen_")
   private val BucketDir = raw"__b=(\d+)".r
   private val Deleted = "_deleted"
   private val BucketCol = "__b"
@@ -240,44 +243,22 @@ class MasterStore(val root: String, numBuckets: Int = 8,
   }
 
   /** (generation, pointer file) pairs of all published generations. */
-  private def generations(): Seq[(Long, Path)] = {
-    val dir = Paths.get(root)
-    if (!Files.isDirectory(dir)) return Nil
-    val s = Files.list(dir)
-    try {
-      import scala.jdk.CollectionConverters._
-      s.iterator().asScala.flatMap { p =>
-        p.getFileName.toString match {
-          case GenName(g) => Some(g.toLong -> p)
-          case _          => None
-        }
-      }.toSeq
-    } finally s.close()
+  private def generations(): Seq[(Long, Path)] = genLog.generations()
+
+  private def parsePointer(content: String): Manifest = {
+    val c = content.trim
+    if (c.startsWith("{")) parseManifest(c)
+    else legacyManifest(c)
   }
 
-  private def readPointer(p: Path): Manifest = {
-    val content = new String(Files.readAllBytes(p), "UTF-8").trim
-    if (content.startsWith("{")) parseManifest(content)
-    else legacyManifest(content)
-  }
-
-  /** Read the highest generation consistently: list, read the max; if a
-    * concurrent vacuum removed that pointer between the two steps,
-    * re-list (the replacement generation is strictly higher, so the loop
-    * terminates in one hop per lost race). Returns (0, None) for a new
-    * store. */
-  private def snapshot(): (Long, Option[Manifest]) = {
-    while (true) {
-      generations() match {
-        case Nil => return (0L, None)
-        case gs =>
-          val (g, p) = gs.maxBy(_._1)
-          try return (g, Some(readPointer(p)))
-          catch { case _: java.nio.file.NoSuchFileException => () }
-      }
+  /** The highest generation, read consistently against concurrent vacuums
+    * (GenerationLog re-lists on a vanished max pointer). Returns
+    * (0, None) for a new store. */
+  private def snapshot(): (Long, Option[Manifest]) =
+    genLog.latest() match {
+      case Some((g, content)) => (g, Some(parsePointer(content)))
+      case None               => (0L, None)
     }
-    sys.error("unreachable")
-  }
 
   def currentVersion: Option[Long] = snapshot() match {
     case (0L, None) => None
@@ -468,18 +449,10 @@ class MasterStore(val root: String, numBuckets: Int = 8,
   // --------------------------------------------------------------- writes
 
   /** CAS publish: generation `expected`+1 carries `manifest` iff no other
-    * writer published that generation first. */
-  private def tryPublish(expected: Long, m: Manifest): Boolean = {
-    Files.createDirectories(Paths.get(root))
-    val target = Paths.get(root, f"gen_${expected + 1}%012d")
-    if (Files.exists(target)) return false
-    val tmp = Files.createTempFile(Paths.get(root), ".gen", ".tmp")
-    try {
-      Files.write(tmp, manifestJson(m).getBytes("UTF-8"))
-      try { Files.createLink(target, tmp); true }
-      catch { case _: java.nio.file.FileAlreadyExistsException => false }
-    } finally Files.deleteIfExists(tmp)
-  }
+    * writer published that generation first (GenerationLog's hard-link
+    * CAS). */
+  private def tryPublish(expected: Long, m: Manifest): Boolean =
+    genLog.tryPublish(expected, manifestJson(m))
 
   private def deleteTree(p: Path): Unit = FsUtil.deleteTree(p)
 

@@ -42,7 +42,8 @@ class EmptyInputSpec extends AnyFunSuite with SparkSpec {
     "s1_queue_decode" -> 72L,       // fixed queue-envelope fixture
     "sim_kmeans_train" -> 3L,       // one row per training round
     "st2_completeness_gate" -> 15L, // fixed ingest-state fixture
-    "t1_solr_transform" -> 64L)     // reference-golden transform batch
+    "t1_solr_transform" -> 64L,     // reference-golden transform batch
+    "t1_solr_columnar" -> 64L)      // same fixture through the columnar twin
 
   for (name <- SparkEntry.queries.keys.toSeq.sorted) {
     test(s"$name handles an empty corpus") {
