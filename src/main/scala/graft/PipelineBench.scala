@@ -317,10 +317,16 @@ object PipelineBench {
 
       // ── phase 5 (optional): key-local vs table-wide at a LARGE table ──
       val nLarge = sys.env.getOrElse("SPARK_GRAFT_PIPE_LARGE", "0").toLong
+      // bucket count for the standing table: the class doc sizes buckets
+      // to the corpus (a few hundred at the reference's 28.8M rows); the
+      // knob exists because the key-local wall's floor IS the touched
+      // bucket set — at 32 buckets a 2,500-key batch touches all 32, at
+      // 256 most buckets hold no batch key and never open
+      val nLargeBuckets = sys.env.getOrElse("SPARK_GRAFT_PIPE_LARGE_BUCKETS", "32").toInt
       val largeJson = if (nLarge <= 0) "" else {
         val largeRoot = s"$work/master_large"
         Files.createDirectories(Paths.get(largeRoot))
-        val storeL = new MasterStore(largeRoot, numBuckets = 32)
+        val storeL = new MasterStore(largeRoot, numBuckets = nLargeBuckets)
         // seed: N full-payload rows, already processed (the standing
         // corpus a steady-state consumer batches against)
         val doneTs = new java.sql.Timestamp(System.currentTimeMillis() - 7200 * 1000L)
@@ -328,8 +334,8 @@ object PipelineBench {
           .withColumn("processed", lit(doneTs))
           .withColumn("status", lit("success")))
         val tableBytes = storeL.stats.map(s => s.baseBytes + s.layerBytes).get
-        def wave(lo: Long, keyLocal: Boolean): Double = {
-          val msgs = messages(spark, lo, lo + 2500, rev = 0,
+        def wave(lo: Long, n: Long, keyLocal: Boolean): Double = {
+          val msgs = messages(spark, lo, lo + n, rev = 0,
             tsBase = System.currentTimeMillis())
             .as[UpdateMessage](Encoders.product[UpdateMessage])
           val t0 = System.nanoTime()
@@ -337,14 +343,32 @@ object PipelineBench {
             SolrTransport, BulkTransport,
             now = new java.sql.Timestamp(System.currentTimeMillis()),
             keyLocal = keyLocal)
-          require(r.solrOk == 2500, s"wave delivered ${r.solrOk}")
+          require(r.solrOk == n, s"wave delivered ${r.solrOk}, expected $n")
           secs(t0)
         }
-        val keyedSec = wave(9000000L, keyLocal = true)
-        val tableSec = wave(9100000L, keyLocal = false)
-        f""","large_rows":$nLarge,"large_table_bytes":$tableBytes,""" +
+        // 2,500-key batch: above the IN crossover → semi-join regime.
+        // Uniform hashing puts 2,500 keys in essentially EVERY bucket at
+        // any realistic bucket count, so this wave's scan opens the whole
+        // base (column-complete — the merge needs full rows); the
+        // key-local win at this batch shape is compute + publish ∝ batch
+        // (no table-sized merge join, no full rewrite, no full-table gate)
+        val keyedSec = wave(9000000L, 2500L, keyLocal = true)
+        val tableSec = wave(9100000L, 2500L, keyLocal = false)
+        // 500-key batch: under the crossover → driver-list IN regime,
+        // where the pushed predicate + key-sorted-within-bucket layout
+        // skip row groups, so scan IO also drops toward ∝ batch — the
+        // second design lever, measured at the same standing table
+        val smallN = sys.env.getOrElse("SPARK_GRAFT_PIPE_SMALL", "500").toLong
+        val keyedSmallSec = wave(9200000L, smallN, keyLocal = true)
+        val tableSmallSec = wave(9300000L, smallN, keyLocal = false)
+        f""","large_rows":$nLarge,"large_buckets":$nLargeBuckets,""" +
+          f""""large_table_bytes":$tableBytes,""" +
           f""""large_keylocal_sec":$keyedSec%.1f,"large_tablewide_sec":$tableSec%.1f,""" +
-          f""""large_speedup":${tableSec / keyedSec}%.2f"""
+          f""""large_speedup":${tableSec / keyedSec}%.2f,""" +
+          f""""large_small_batch":$smallN,""" +
+          f""""large_keylocal_small_sec":$keyedSmallSec%.1f,""" +
+          f""""large_tablewide_small_sec":$tableSmallSec%.1f,""" +
+          f""""large_small_speedup":${tableSmallSec / keyedSmallSec}%.2f"""
       }
 
       val msgsTotal = nRecords * 4
