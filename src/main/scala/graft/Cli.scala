@@ -58,11 +58,16 @@ import graft.streaming.Watermark
   *                                  parse; no typed map) and write the
   *                                  report as parquet to --report-out
   *                                  (default <store>-reports/docs)
-  *   --vacuum [--retain N] [--orphans]  drop superseded store generations
+  *   --vacuum [--retain N] [--orphans [--orphan-grace-min M]]
+  *                                  drop superseded store generations
   *                                  beyond the newest N (default 2) on
   *                                  master + sitemap (+ metrics) stores;
   *                                  --orphans also sweeps crashed-attempt
-  *                                  dirs (quiesced windows only)
+  *                                  dirs — immediately (quiesced windows
+  *                                  only) or, with --orphan-grace-min M,
+  *                                  only those idle longer than M minutes
+  *                                  (concurrency-safe; cadence paths
+  *                                  use 60)
   * }}}
   *
   * All effects go through the injectable [[Deps]] so the whole surface is
@@ -267,15 +272,20 @@ object Cli {
       // as discrete batches (cron -r sweeps) where no streaming cadence
       // vacuums for them. --retain N keeps N newest generations (default
       // 2: the live one + one superseded window for slow readers);
-      // --orphans additionally sweeps unreferenced crashed-attempt dirs
-      // and is for QUIESCED windows only (it cannot distinguish a dead
-      // orphan from a concurrent writer's dir mid-write).
+      // --orphans additionally sweeps unreferenced crashed-attempt dirs;
+      // without --orphan-grace-min it deletes them immediately, which is
+      // for QUIESCED windows only (an in-flight writer's dir is
+      // indistinguishable from a dead orphan by reference alone).
+      // --orphan-grace-min N makes the sweep concurrency-safe: only
+      // orphans whose newest mtime is older than N minutes are deleted
+      // (the cadence paths use 60).
       val retain = a.get("retain").map(_.toInt).getOrElse(2)
       if (retain < 1) { out("error: --retain must be >= 1"); return 2 }
       val orphans = a.contains("orphans")
+      val graceMs = a.get("orphan-grace-min").map(_.toLong * 60000L).getOrElse(0L)
       def sweep(name: String, s: MasterStore): Unit = {
         val before = s.versions
-        s.vacuum(alsoOrphans = orphans, retain = retain)
+        s.vacuum(alsoOrphans = orphans, retain = retain, orphanGraceMs = graceMs)
         val after = s.versions
         out(s"vacuum $name: ${before.size} -> ${after.size} generations " +
           s"(retained ${after.mkString(",")})")
@@ -759,8 +769,10 @@ object Cli {
       // are dropped so a long-running consumer's disk is steady-state,
       // while retain=2 keeps one superseded snapshot alive for slow
       // overlapped readers. Driver-side file ops, zero Spark jobs.
-      store.vacuum(retain = 2)
-      metricsStoreOpt.foreach(_.vacuum(retain = 2))
+      store.vacuum(alsoOrphans = true, retain = 2,
+        orphanGraceMs = MasterStore.CadenceOrphanGraceMs)
+      metricsStoreOpt.foreach(_.vacuum(alsoOrphans = true, retain = 2,
+        orphanGraceMs = MasterStore.CadenceOrphanGraceMs))
       (report, nRejects)
     }
 
@@ -903,7 +915,7 @@ object Cli {
       "store", "sitemap-store", "out", "watermark-dir", "priority", "days-back",
       "scix-id-flag", "ingest", "consume", "checkpoint", "metrics-store",
       "batch_size", "solr-collection", "classifier_batch",
-      "report-docs", "report-out", "retain")
+      "report-docs", "report-out", "retain", "orphan-grace-min")
     // -r's letters are optional (nargs='?'): a following token that is not
     // a flag is its value, otherwise the default applies
     val optionalValued = Set("index")

@@ -362,9 +362,16 @@ object Pipeline {
         // keeps working (MasterStoreSpec pins this); the rare reader
         // beyond the window retries via the vanished-input class.
         // Driver-side file ops only, zero Spark jobs.
+        // alsoOrphans with the cadence grace: crashed/CAS-losing attempt
+        // dirs older than an hour are swept too (otherwise they
+        // accumulate without bound under a 5-minute cadence); an
+        // in-flight writer's dir has fresh mtimes and survives
         if (vacuumRetain >= 1) {
-          store.vacuum(retain = vacuumRetain)
-          metricsStore.foreach(_.vacuum(retain = vacuumRetain))
+          store.vacuum(alsoOrphans = true, retain = vacuumRetain,
+            orphanGraceMs = MasterStore.CadenceOrphanGraceMs)
+          metricsStore.foreach(_.vacuum(alsoOrphans = true,
+            retain = vacuumRetain,
+            orphanGraceMs = MasterStore.CadenceOrphanGraceMs))
         }
         spark.sparkContext.setJobDescription(
           s"graft micro-batch $batchId -> snapshot v${report.version}")

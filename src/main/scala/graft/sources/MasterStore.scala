@@ -66,6 +66,14 @@ object MasterStore {
   /** Snapshot composition, for benches and file-reuse assertions. */
   case class Stats(generation: Long, n: Int, baseFiles: Int, baseBytes: Long,
       layerCount: Int, layerBytes: Long)
+
+  /** Orphan grace for vacuums that run on the publish cadence: an
+    * unreferenced `v_`/`d_` dir younger than this is presumed to be a
+    * concurrent writer's in-flight attempt and survives the sweep; older
+    * means crashed/abandoned (a live writer's dir has fresh mtimes while
+    * it writes, and no healthy merge attempt spans an hour on a
+    * 5-minute cadence). */
+  val CadenceOrphanGraceMs: Long = 60L * 60 * 1000
 }
 
 /** Snapshot store for the mutable master table on immutable columnar
@@ -494,11 +502,34 @@ class MasterStore(val root: String, numBuckets: Int = 8,
     * merged delta)` re-opens the lost-update window this store exists to
     * close. */
   def write(master: DataFrame): Long = {
-    val (_, m) = writeBase(master)
-    var g = snapshot()._1
-    while (!tryPublish(g, m)) g = snapshot()._1
-    g + 1
+    var attempts = 0
+    while (attempts <= 3) {
+      attempts += 1
+      try {
+        val (dir, m) = writeBase(master)
+        var g = snapshot()._1
+        while ({ ensureDirLive(dir); !tryPublish(g, m) }) g = snapshot()._1
+        return g + 1
+      } catch {
+        // the fresh dir was orphan-swept during a stall: re-write it
+        case t: Throwable if isVanishedInput(t) => ()
+      }
+    }
+    failLoudly(attempts, "write")
   }
+
+  /** The pre-publish liveness check behind the grace-window orphan sweep:
+    * a writer stalled past `orphanGraceMs` may find its not-yet-referenced
+    * data dir swept by a concurrent cadence vacuum. Throwing HERE (the
+    * vanished-input class) sends the writer around its retry loop with a
+    * fresh dir instead of publishing a manifest that references deleted
+    * files. Once `tryPublish` lands, the dir is referenced by a kept
+    * generation and the sweep cannot touch it. */
+  private def ensureDirLive(dir: String): Unit =
+    if (!Files.isDirectory(Paths.get(root, dir)))
+      throw new java.io.FileNotFoundException(
+        s"MasterStore at $root: data dir $dir vanished before publish " +
+          "(orphan sweep during a stalled write attempt)")
 
   private def failLoudly(attempts: Int, what: String): Nothing =
     sys.error(s"MasterStore.$what at $root gave up after $attempts attempts " +
@@ -536,6 +567,7 @@ class MasterStore(val root: String, numBuckets: Int = 8,
         // and here throws at construction, not at the action
         val current = mOpt.map(reconcile(spark, _, None)).getOrElse(empty(spark))
         val (dir, m) = writeBase(applyDelta(current))
+        ensureDirLive(dir)
         if (tryPublish(g, m)) { onAttempts(attempts); return g + 1 }
         // lost: this merge was computed against a superseded snapshot —
         // discard it and re-merge on top of the winner
@@ -610,6 +642,7 @@ class MasterStore(val root: String, numBuckets: Int = 8,
           val m2 = m.copy(layers =
             m.layers :+ Layer(g + 1, files.map(_._1).sorted,
               files.map(_._2).sum, layerBuckets))
+          ensureDirLive(dir)
           if (tryPublish(g, m2)) {
             onAttempts(attempts)
             // the merge IS durably published at this point; compaction is
@@ -694,6 +727,7 @@ class MasterStore(val root: String, numBuckets: Int = 8,
             m.buckets.zipWithIndex.collect { case (fs, b) if !touched(b) => fs }
               .flatten.map(f => Files.size(Paths.get(root, f))).sum
           val m2 = Manifest(n2, buckets, files.map(_._2).sum + carried, Vector.empty)
+          ensureDirLive(dir)
           if (tryPublish(g, m2)) return g + 1
           deleteTree(Paths.get(root, dir))
         }
@@ -745,11 +779,21 @@ class MasterStore(val root: String, numBuckets: Int = 8,
     * race rare instead of merely survivable).
     *
     * `alsoOrphans = true` additionally removes unreferenced `v_`/`d_`
-    * dirs (crashed or CAS-losing attempts). That sweep CANNOT distinguish
-    * a dead orphan from a concurrent writer's dir mid-write, so it is for
-    * quiesced maintenance windows only — the same contract as any
-    * table-format VACUUM's retention override. */
-  def vacuum(alsoOrphans: Boolean = false, retain: Int = 1): Unit = {
+    * dirs (crashed or CAS-losing attempts). With `orphanGraceMs = 0`
+    * that sweep cannot distinguish a dead orphan from a concurrent
+    * writer's dir mid-write, so the immediate form is for quiesced
+    * maintenance windows only. A nonzero `orphanGraceMs` makes the sweep
+    * cadence-safe: an unreferenced dir is deleted only when its NEWEST
+    * mtime (any file under it) is older than the grace — a live writer's
+    * dir has fresh mtimes while it writes, so only abandoned attempts go
+    * stale. A writer stalled past the grace is still safe from silent
+    * corruption: every publish path re-checks its dir exists immediately
+    * before the CAS ([[ensureDirLive]]) and retries as vanished input —
+    * the same contract as a table-format VACUUM retention override,
+    * where the window must exceed the longest writer, with a loud
+    * failure instead of a torn table beyond it. */
+  def vacuum(alsoOrphans: Boolean = false, retain: Int = 1,
+      orphanGraceMs: Long = 0L): Unit = {
     val gens = generations().sortBy(_._1)
     if (gens.isEmpty) return
     val keepN = math.max(1, retain)
@@ -786,12 +830,32 @@ class MasterStore(val root: String, numBuckets: Int = 8,
           n.startsWith("v_") || n.startsWith("d_")
         }).toVector
     } finally listing.close()
+    // newest mtime anywhere under the dir; a file vanishing mid-walk
+    // means someone is actively mutating it — treat as fresh
+    def newestMtimeMs(p: Path): Long =
+      try {
+        val walk = Files.walk(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala
+            .map(f => Files.getLastModifiedTime(f).toMillis)
+            .foldLeft(0L)(math.max)
+        } finally walk.close()
+      } catch { case _: java.io.IOException => Long.MaxValue }
+    val orphanCutoff = System.currentTimeMillis() - math.max(0L, orphanGraceMs)
+
     dirs.foreach { p =>
       val name = p.getFileName.toString
       if (!referencedDirs.contains(name)) {
         val hasRefFile = listParquet(name).exists(f => allFiles.contains(f._1))
-        if (!hasRefFile && (alsoOrphans || dropDirs.contains(name) ||
-            dropFiles.exists(_.startsWith(name + "/"))))
+        // dirs of DROPPED generations are definitely dead (no writer is
+        // mid-write inside a superseded snapshot) — no grace needed;
+        // unreferenced orphans get the grace window
+        val viaDropped = dropDirs.contains(name) ||
+          dropFiles.exists(_.startsWith(name + "/"))
+        val viaOrphan = alsoOrphans &&
+          (orphanGraceMs <= 0L || newestMtimeMs(p) <= orphanCutoff)
+        if (!hasRefFile && (viaDropped || viaOrphan))
           deleteTree(p)
       }
     }

@@ -588,4 +588,45 @@ class MasterStoreSpec extends AnyFunSuite with SparkSpec {
     // and the pruned read is still the right answer
     assert(df.select("status").head().getString(0) == s"upd-$key")
   }
+
+  test("orphan grace window: a fresh unreferenced dir (an in-flight " +
+      "writer's attempt) survives the cadence sweep; a stale one (a " +
+      "crashed attempt) is removed; dropped-generation dirs need no grace") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val root = Files.createTempDirectory("graft_grace").toString
+    val store = seeded(root)
+    // supersede generation 1 so vacuum has something to drop
+    store.write(upsert(MergeEngine.emptyMaster(spark), Seq(msg("g1"), msg("g2"))))
+    val supersededDirs = dataDirs(root).toSet
+
+    // two orphans no generation references: one fresh, one aged past grace
+    def orphan(name: String): java.nio.file.Path = {
+      val d = Paths.get(root, name)
+      Files.createDirectories(d)
+      Files.write(d.resolve("part-0-fake.parquet"), Array[Byte](1, 2, 3))
+      d
+    }
+    val fresh = orphan("v_freshattempt000")
+    val stale = orphan("d_staleattempt000")
+    val old = FileTime.fromMillis(System.currentTimeMillis() - 2 * 3600 * 1000L)
+    Files.setLastModifiedTime(stale, old)
+    Files.setLastModifiedTime(stale.resolve("part-0-fake.parquet"), old)
+
+    store.vacuum(alsoOrphans = true, retain = 1,
+      orphanGraceMs = MasterStore.CadenceOrphanGraceMs)
+    val left = dataDirs(root).toSet
+    assert(Files.isDirectory(fresh), "fresh orphan must survive the grace window")
+    assert(!Files.isDirectory(stale), "stale orphan must be swept")
+    // the dropped generation's dirs went regardless of the grace —
+    // superseded snapshots are dead by construction, no writer is inside
+    assert(supersededDirs.diff(left).nonEmpty,
+      s"a superseded generation's unreferenced dirs must drop, kept: $left")
+    // live snapshot (the blind re-write's 2 rows) still reads
+    assert(store.read(spark).count() == 2)
+
+    // the immediate (grace = 0) form keeps its quiesced-window contract
+    store.vacuum(alsoOrphans = true, retain = 1)
+    assert(!Files.isDirectory(fresh), "grace 0 sweeps every orphan (legacy)")
+  }
 }
