@@ -38,6 +38,12 @@ import graft.streaming.Watermark
   *   --metrics-store <root>         maintain the metrics snapshot table
   *                                  alongside deliveries (-r m, --ingest,
   *                                  --consume)
+  *   --changelog <dir> | --no-changelog  relocate or disable the
+  *                                  append-only mutation audit log the
+  *                                  ingest/consume front door writes
+  *                                  (default <store>-changelog; one row
+  *                                  per message with the slot pre-image,
+  *                                  stamped with the published generation)
   *   --delete (-b | -n)             cascade-delete the named bibcodes
   *   --classify [--classify_verify] (-b | -n)  queue classifier requests;
   *     --manual -n <csv>              batch-classify a header CSV
@@ -58,6 +64,12 @@ import graft.streaming.Watermark
   *                                  parse; no typed map) and write the
   *                                  report as parquet to --report-out
   *                                  (default <store>-reports/docs)
+  *   --changes-since G [--report-out D]  export the per-key net change
+  *                                  between generation G (exclusive) and
+  *                                  the live snapshot from the store's
+  *                                  retained delta layers — cost ∝
+  *                                  changed rows; fails loudly behind
+  *                                  the compaction horizon
   *   --vacuum [--retain N] [--orphans [--orphan-grace-min M]]
   *                                  drop superseded store generations
   *                                  beyond the newest N (default 2) on
@@ -265,6 +277,31 @@ object Cli {
       out(s"report-docs: $n records x ${fields.size} fields " +
         s"(${fields.mkString(",")}) -> $dest")
       return 0
+    }
+
+    if (a.contains("changes-since")) {
+      // Change-data feed for incremental downstream consumers: the
+      // per-key net change between generation G (exclusive) and the live
+      // snapshot, read from the store's retained delta layers alone —
+      // cost ∝ changed rows, never ∝ table (MasterStore.changesSince;
+      // reference analog: the ChangeLog table + run.py's changed-since
+      // watermark selection, which pay an indexed table scan instead).
+      // Behind the compaction horizon the verb fails loudly with the
+      // first readable generation — re-baseline with a full export.
+      val fromGen = a("changes-since").toLong
+      val dest = a.getOrElse("report-out", s"$storeRoot-reports/changes")
+      try {
+        val feed = store.changesSince(spark, fromGen)
+        feed.write.mode("overwrite").parquet(dest)
+        val n = spark.read.parquet(dest).count()
+        val nDel = spark.read.parquet(dest).filter(col("_deleted")).count()
+        out(s"changes-since $fromGen: $n changed keys ($nDel deleted) " +
+          s"through v${store.currentVersion.getOrElse(0L)} -> $dest")
+        return 0
+      } catch {
+        case e: IllegalStateException =>
+          out(s"error: ${e.getMessage}"); return 1
+      }
     }
 
     if (a.contains("vacuum")) {
@@ -762,7 +799,15 @@ object Cli {
         deps.solrTransport, deps.bulkTransport, now = nowB,
         forwardBoostRequests = !a.contains("no-boost-requests"),
         forwardAugmentRequests = !a.contains("no-augment-requests"),
-        metricsStore = metricsStoreOpt, keyLocal = true)
+        metricsStore = metricsStoreOpt, keyLocal = true,
+        // the reference's ChangeLog lives beside the records table and is
+        // written by update_storage on every ingest mutation — same here:
+        // on by default for the ingest/consume front door, appended only
+        // after the batch's CAS publish lands (--no-changelog opts out,
+        // --changelog DIR relocates)
+        changeLogDir =
+          if (a.contains("no-changelog")) None
+          else Some(a.getOrElse("changelog", s"$storeRoot-changelog")))
       decoded.unpersist()
       // retention-driven maintenance on the batch cadence (same contract
       // as runStream's): superseded generations beyond the retain window
@@ -915,7 +960,8 @@ object Cli {
       "store", "sitemap-store", "out", "watermark-dir", "priority", "days-back",
       "scix-id-flag", "ingest", "consume", "checkpoint", "metrics-store",
       "batch_size", "solr-collection", "classifier_batch",
-      "report-docs", "report-out", "retain", "orphan-grace-min")
+      "report-docs", "report-out", "retain", "orphan-grace-min",
+      "changelog", "changes-since")
     // -r's letters are optional (nargs='?'): a following token that is not
     // a flag is its value, otherwise the default applies
     val optionalValued = Set("index")

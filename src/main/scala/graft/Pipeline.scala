@@ -48,7 +48,8 @@ object Pipeline {
       updateProcessed: Boolean = true,
       forwardBoostRequests: Boolean = false,
       forwardAugmentRequests: Boolean = false,
-      keyLocal: Boolean = false): RunReport = {
+      keyLocal: Boolean = false,
+      changeLogDir: Option[String] = None): RunReport = {
     import spark.implicits._
 
     // keyLocal: the batch's working set is the UPDATES' key set, read via
@@ -293,6 +294,32 @@ object Pipeline {
       }
     watermarkDir.foreach(Watermark.advance(spark, _, "last.reindex.normal", now))
 
+    // The audit log the reference appends on every mutation in the same
+    // transaction (ChangeLog, adsmp/models.py:127-141; written at
+    // app.py:175 for upserts and :250 for deletes with the serialized old
+    // record). Here the batch is the transaction: written AFTER the CAS
+    // publish lands, stamped with the published generation so an auditor
+    // can join log rows to snapshots. Pre-images come from the batch's
+    // input snapshot (the generation retention window keeps it readable).
+    // Append-only parquet, rows ∝ batch; at-least-once redelivery appends
+    // the replayed batch's rows again — the same property the reference's
+    // per-task-run inserts have, and the `version` stamp makes replays
+    // distinguishable instead of silently merged.
+    changeLogDir.foreach { dir =>
+      val upsertLog = merged.changeLog
+      val deleteLog =
+        if (!anyDoomed) None
+        else Some(baseMaster
+          .join(doomed.toDF("bibcode"), Seq("bibcode"), "left_semi")
+          .select(col("bibcode").as("key"), lit("deleted").as("ctype"),
+            to_json(struct(baseMaster.columns.map(col).toIndexedSeq: _*))
+              .as("oldvalue"),
+            lit(false).as("permanent"), lit(now).as("ts")))
+      deleteLog.foldLeft(upsertLog)(_ unionByName _)
+        .withColumn("version", lit(version))
+        .write.mode("append").parquet(dir)
+    }
+
     // one aggregation job per status frame, not one per count — the
     // micro-batch wall has a fixed driver-job floor and the report was
     // paying six jobs where three carry the same numbers
@@ -338,7 +365,8 @@ object Pipeline {
       forwardAugmentRequests: Boolean = false,
       metricsStore: Option[MasterStore] = None,
       sinks: Set[String] = Set("solr", "metrics", "links"),
-      vacuumRetain: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+      vacuumRetain: Int = 2,
+      changeLogDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
     updates.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[UpdateMessage], batchId: Long) =>
@@ -348,6 +376,7 @@ object Pipeline {
           forwardBoostRequests = forwardBoostRequests,
           forwardAugmentRequests = forwardAugmentRequests,
           metricsStore = metricsStore, sinks = sinks,
+          changeLogDir = changeLogDir,
           // queue-consumer shape: the batch touches its own keys only —
           // compute/scan/publish all ∝ batch (the table-wide sweep stays
           // the CLI/cron's job, as in the reference)

@@ -63,9 +63,11 @@ object MasterStore {
     if (m < 0) m + n else m
   }
 
-  /** Snapshot composition, for benches and file-reuse assertions. */
+  /** Snapshot composition, for benches and file-reuse assertions.
+    * `baseGen` is the change-feed horizon: `changesSince(fromGen)` is
+    * readable for any `fromGen >= baseGen`. */
   case class Stats(generation: Long, n: Int, baseFiles: Int, baseBytes: Long,
-      layerCount: Int, layerBytes: Long)
+      layerCount: Int, layerBytes: Long, baseGen: Long = 0L)
 
   /** Orphan grace for vacuums that run on the publish cadence: an
     * unreferenced `v_`/`d_` dir younger than this is presumed to be a
@@ -170,9 +172,14 @@ class MasterStore(val root: String, numBuckets: Int = 8,
     * the ordered delta layers that overlay the base. `n == 1` marks a
     * legacy single-dir snapshot with unknown internal bucketing: reads
     * stay correct (every key maps to bucket 0 = all files), pruning is
-    * just inert until the first compaction re-buckets it. */
+    * just inert until the first compaction re-buckets it. `baseGen` is
+    * the generation whose publish last REWROTE the base (a blind write,
+    * a whole-table merge, or a compaction fold) — the change-feed
+    * horizon: per-key history since any `fromGen >= baseGen` is fully
+    * held in the retained layers ([[changesSince]]); earlier history has
+    * been folded into the base and is no longer separable. */
   private case class Manifest(n: Int, buckets: Vector[Vector[String]],
-      baseBytes: Long, layers: Vector[Layer]) {
+      baseBytes: Long, layers: Vector[Layer], baseGen: Long = 0L) {
     def baseFiles: Seq[String] = buckets.flatten
     def layerBytes: Long = layers.map(_.bytes).sum
   }
@@ -184,6 +191,7 @@ class MasterStore(val root: String, numBuckets: Int = 8,
     import org.json4s.JsonDSL._
     org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(
       ("format" -> 2) ~ ("n" -> m.n) ~ ("baseBytes" -> m.baseBytes) ~
+        ("baseGen" -> m.baseGen) ~
         ("buckets" -> m.buckets.map(_.toList).toList) ~
         ("layers" -> m.layers.toList.map(l =>
           ("seq" -> l.seq) ~ ("bytes" -> l.bytes) ~
@@ -203,7 +211,12 @@ class MasterStore(val root: String, numBuckets: Int = 8,
           (l \ "bytes").extract[Long],
           (l \ "buckets").extractOrElse[List[List[String]]](Nil)
             .map(_.toVector).toVector)
-      }.toVector)
+      }.toVector,
+      // -1 marks a pre-baseGen manifest: the snapshot() caller patches it
+      // to the pointer's own generation, so the change feed reports
+      // "available from here on" instead of falsely claiming coverage of
+      // history that older base rewrites already folded away
+      (j \ "baseGen").extractOrElse[Long](-1L))
   }
 
   /** Data files under `dir` (root-relative paths, flat or one
@@ -247,7 +260,8 @@ class MasterStore(val root: String, numBuckets: Int = 8,
       throw new java.io.FileNotFoundException(
         s"MasterStore at $root: generation pointer references missing data dir $dir")
     val fs = listParquet(dir)
-    Manifest(1, Vector(fs.map(_._1).toVector), fs.map(_._2).sum, Vector.empty)
+    Manifest(1, Vector(fs.map(_._1).toVector), fs.map(_._2).sum, Vector.empty,
+      baseGen = -1L)
   }
 
   /** (generation, pointer file) pairs of all published generations. */
@@ -264,8 +278,10 @@ class MasterStore(val root: String, numBuckets: Int = 8,
     * (0, None) for a new store. */
   private def snapshot(): (Long, Option[Manifest]) =
     genLog.latest() match {
-      case Some((g, content)) => (g, Some(parsePointer(content)))
-      case None               => (0L, None)
+      case Some((g, content)) =>
+        val m = parsePointer(content)
+        (g, Some(if (m.baseGen < 0) m.copy(baseGen = g) else m))
+      case None => (0L, None)
     }
 
   def currentVersion: Option[Long] = snapshot() match {
@@ -279,7 +295,7 @@ class MasterStore(val root: String, numBuckets: Int = 8,
   /** Snapshot composition (file/byte counts), for benches and specs. */
   def stats: Option[Stats] = snapshot() match {
     case (g, Some(m)) => Some(Stats(g, m.n, m.baseFiles.size, m.baseBytes,
-      m.layers.size, m.layerBytes))
+      m.layers.size, m.layerBytes, m.baseGen))
     case _ => None
   }
 
@@ -454,6 +470,61 @@ class MasterStore(val root: String, numBuckets: Int = 8,
     }
   }
 
+  /** Change-data feed: the per-key NET change between generation
+    * `fromGen` (exclusive) and the live snapshot, read from the retained
+    * delta layers ALONE — cost ∝ changed rows, never ∝ table. This is
+    * how an incremental downstream (a catch-up indexer, a replica, the
+    * watermark sweep's ST1 shape) should ask "what moved since my last
+    * run" at 100 TB: the alternative — diffing two table snapshots or
+    * scanning `updated > ts` — pays the corpus.
+    *
+    * Output: every master column for the key's newest state in the
+    * window, plus `_deleted` (true = the key's last change in the window
+    * was a tombstone; the other columns are null) and `_gen` (the
+    * generation that published that newest change). One row per changed
+    * key — intermediate versions inside the window collapse,
+    * latest-generation-wins, same reconcile rule readers use.
+    *
+    * Horizon contract (the same one every table format's change feed
+    * has): the feed is readable iff `fromGen >= baseGen` — the base
+    * rewrite at `baseGen` (blind write, whole-table merge, or compaction
+    * fold) folded older per-key history into the base, where it is no
+    * longer separable. Callers behind the horizon get a loud
+    * IllegalStateException naming the horizon, and re-baseline with a
+    * full [[read]]. Compactions are threshold-driven, so the horizon
+    * advances with write volume, not wall-clock: a consumer that polls
+    * each cadence never falls behind it in practice.
+    *
+    * Reference analog: the ChangeLog audit table + the `run.py` watermark
+    * sweep's "changed since" selection (adsmp/models.py:127-141;
+    * run.py:103-232) — there the database pays an indexed scan; here the
+    * layers ARE the index. */
+  def changesSince(spark: SparkSession, fromGen: Long): DataFrame = {
+    val cols = masterCols(spark)
+    val layerCols = (cols.map(col) :+ col(Deleted)).toIndexedSeq
+    def emptyFeed = empty(spark)
+      .withColumn(Deleted, lit(false)).withColumn("_gen", lit(0L)).limit(0)
+    val (g, mOpt) = snapshot()
+    val m = mOpt.getOrElse(return emptyFeed)
+    if (fromGen < m.baseGen)
+      throw new IllegalStateException(
+        s"MasterStore at $root: change feed for ($fromGen, $g] is not " +
+          s"retained — the base was rewritten at generation ${m.baseGen}, " +
+          "folding older per-key history in; re-baseline with a full read")
+    val sel = m.layers.filter(l => l.seq > fromGen && l.files.nonEmpty)
+    if (sel.isEmpty) return emptyFeed
+    val all = sel.map(l =>
+        readFiles(spark, l.files, layerCols).withColumn("_gen", lit(l.seq)))
+      .reduce(_.unionByName(_))
+    val others = cols.filterNot(_ == keyCol)
+    all.groupBy(col(keyCol))
+      .agg(max_by(
+        struct((others.map(col) :+ col(Deleted) :+ col("_gen")).toIndexedSeq: _*),
+        col("_gen")).as("_r"))
+      .select(col(keyCol) +:
+        (others :+ Deleted :+ "_gen").map(c => col("_r").getField(c).as(c)): _*)
+  }
+
   // --------------------------------------------------------------- writes
 
   /** CAS publish: generation `expected`+1 carries `manifest` iff no other
@@ -508,7 +579,8 @@ class MasterStore(val root: String, numBuckets: Int = 8,
       try {
         val (dir, m) = writeBase(master)
         var g = snapshot()._1
-        while ({ ensureDirLive(dir); !tryPublish(g, m) }) g = snapshot()._1
+        while ({ ensureDirLive(dir); !tryPublish(g, m.copy(baseGen = g + 1)) })
+          g = snapshot()._1
         return g + 1
       } catch {
         // the fresh dir was orphan-swept during a stall: re-write it
@@ -568,7 +640,9 @@ class MasterStore(val root: String, numBuckets: Int = 8,
         val current = mOpt.map(reconcile(spark, _, None)).getOrElse(empty(spark))
         val (dir, m) = writeBase(applyDelta(current))
         ensureDirLive(dir)
-        if (tryPublish(g, m)) { onAttempts(attempts); return g + 1 }
+        if (tryPublish(g, m.copy(baseGen = g + 1))) {
+          onAttempts(attempts); return g + 1
+        }
         // lost: this merge was computed against a superseded snapshot —
         // discard it and re-merge on top of the winner
         deleteTree(Paths.get(root, dir))
@@ -726,7 +800,8 @@ class MasterStore(val root: String, numBuckets: Int = 8,
           val carried = if (rebucket) 0L else
             m.buckets.zipWithIndex.collect { case (fs, b) if !touched(b) => fs }
               .flatten.map(f => Files.size(Paths.get(root, f))).sum
-          val m2 = Manifest(n2, buckets, files.map(_._2).sum + carried, Vector.empty)
+          val m2 = Manifest(n2, buckets, files.map(_._2).sum + carried,
+            Vector.empty, baseGen = g + 1)
           ensureDirLive(dir)
           if (tryPublish(g, m2)) return g + 1
           deleteTree(Paths.get(root, dir))

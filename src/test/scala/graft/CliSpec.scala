@@ -750,6 +750,70 @@ class CliSpec extends AnyFunSuite with SparkSpec {
       })
     assert(r.passed, r.toString)
   }
+
+  test("--ingest writes the append-only changelog (pre-images stamped " +
+    "with the published generation) and --changes-since exports the " +
+    "per-key net change from the delta layers") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cli_cdc").toString
+    val log = collection.mutable.Buffer.empty[String]
+    val (_, d) = deps(log)
+    val argvBase = Seq("--store", s"$root/master",
+      "--sitemap-store", s"$root/smstate", "--out", s"$root/sitemaps")
+    def envelope(bib: String, title: String, ts: Long) =
+      s"""{"type":"metadata","bibcode":"$bib","timestamp":$ts,""" +
+        s""""payload":{"bibcode":"$bib","title":["$title"]}}"""
+
+    val f1 = java.nio.file.Paths.get(root, "b1.jsonl")
+    java.nio.file.Files.write(f1, Seq(
+      envelope("2024Cdc......1A", "one", 1700000000000L),
+      envelope("2024Cdc......2B", "two", 1700000001000L))
+      .mkString("\n").getBytes("UTF-8"))
+    assert(Cli.run(spark, argvBase ++ Seq("--ingest", f1.toString), d) == 0)
+
+    // batch 2 re-titles 1A — its changelog row must carry batch 1's
+    // payload as the pre-image, proving the log records history, not state
+    val f2 = java.nio.file.Paths.get(root, "b2.jsonl")
+    java.nio.file.Files.write(f2,
+      envelope("2024Cdc......1A", "one-v2", 1700000002000L).getBytes("UTF-8"))
+    assert(Cli.run(spark, argvBase ++ Seq("--ingest", f2.toString), d) == 0)
+
+    val cl = spark.read.parquet(s"$root/master-changelog")
+    assert(cl.columns.toSet ==
+      Set("key", "ctype", "oldvalue", "permanent", "ts", "version"))
+    val rows = cl.collect().map(r => (r.getAs[String]("key"),
+      r.getAs[String]("ctype"), Option(r.getAs[String]("oldvalue")),
+      r.getAs[Long]("version")))
+    assert(rows.length == 3, s"one row per ingested message: ${rows.toSeq}")
+    val versions = rows.map(_._4).distinct.sorted
+    assert(versions.length == 2 && versions.forall(_ > 0),
+      s"stamped with the two published generations: ${versions.toSeq}")
+    val preImage = rows.find(r => r._1 == "2024Cdc......1A" &&
+      r._4 == versions.last).flatMap(_._3)
+    assert(preImage.exists(_.contains("\"one\"")),
+      s"batch 2's row carries batch 1's payload as pre-image: $preImage")
+    assert(rows.filter(_._4 == versions.head).forall(_._3.isEmpty),
+      "first-ever writes have no pre-image")
+
+    // the CDC export over the same history: both keys changed since 0
+    log.clear()
+    assert(Cli.run(spark, argvBase ++
+      Seq("--changes-since", "0", "--report-out", s"$root/changes"), d) == 0)
+    assert(log.exists(_.contains("2 changed keys (0 deleted)")), s"got: $log")
+    val feed = spark.read.parquet(s"$root/changes").collect()
+      .map(r => r.getAs[String]("bibcode") -> r.getAs[String]("bib_data")).toMap
+    assert(feed.keySet == Set("2024Cdc......1A", "2024Cdc......2B"))
+    assert(feed("2024Cdc......1A").contains("one-v2"),
+      "the feed carries the NEWEST state in the window")
+
+    // --no-changelog opts a batch out
+    val f3 = java.nio.file.Paths.get(root, "b3.jsonl")
+    java.nio.file.Files.write(f3,
+      envelope("2024Cdc......3C", "three", 1700000003000L).getBytes("UTF-8"))
+    assert(Cli.run(spark, argvBase ++
+      Seq("--ingest", f3.toString, "--no-changelog"), d) == 0)
+    assert(spark.read.parquet(s"$root/master-changelog").count() == 3,
+      "--no-changelog batch appended nothing")
+  }
 }
 
 object CliSpec {

@@ -629,4 +629,54 @@ class MasterStoreSpec extends AnyFunSuite with SparkSpec {
     store.vacuum(alsoOrphans = true, retain = 1)
     assert(!Files.isDirectory(fresh), "grace 0 sweeps every orphan (legacy)")
   }
+
+  test("changesSince: per-key net change from the delta layers alone — " +
+      "latest wins inside the window, tombstones surface as _deleted, " +
+      "and the compaction horizon fails loudly instead of under-reporting") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft_cdc").toString
+    val store = new MasterStore(root, numBuckets = 2)
+    import spark.implicits._
+
+    // gen 1: base write (ms1, ms2) — the feed horizon starts here
+    store.write(upsert(MergeEngine.emptyMaster(spark), Seq(msg("ms1"), msg("ms2"))))
+    assert(store.stats.get.baseGen == 1L)
+
+    // gen 2: keyed merge updates ms1 and adds ms3
+    store.writeMergeKeyed(spark, Seq("ms1", "ms3").toDF("bibcode"), cur =>
+      upsert(cur, Seq(msg("ms1"), msg("ms3"))))
+    // gen 3: keyed merge deletes ms3 (key in set, absent from result)
+    store.writeMergeKeyed(spark, Seq("ms3").toDF("bibcode"),
+      cur => cur.limit(0))
+
+    // full window (since the base write): ms1 changed, ms3 net-deleted —
+    // its gen-2 add collapses under the gen-3 tombstone; ms2 never moved
+    val feed = store.changesSince(spark, 1L)
+      .select("bibcode", "_deleted", "_gen").collect()
+      .map(r => r.getString(0) -> (r.getBoolean(1), r.getLong(2))).toMap
+    assert(feed.keySet == Set("ms1", "ms3"))
+    assert(feed("ms1") == (false, 2L))
+    assert(feed("ms3") == (true, 3L))
+
+    // narrower window: only the delete is newer than gen 2
+    val feed2 = store.changesSince(spark, 2L)
+      .select("bibcode", "_deleted").collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(feed2 == Map("ms3" -> true))
+
+    // caught-up consumer: empty feed, not an error
+    assert(store.changesSince(spark, store.currentVersion.get).isEmpty)
+
+    // compaction folds history into the base and advances the horizon:
+    // the old watermark now fails LOUDLY (an empty answer would be a
+    // silent under-report), and the new horizon reads clean
+    val folded = store.compact(spark)
+    assert(store.stats.get.baseGen == folded)
+    val e = intercept[IllegalStateException](store.changesSince(spark, 1L))
+    assert(e.getMessage.contains(s"generation $folded"))
+    assert(store.changesSince(spark, folded).isEmpty)
+    // and the live table is intact after the whole history
+    assert(store.read(spark).select("bibcode").as[String].collect().sorted
+      .toSeq == Seq("ms1", "ms2"))
+  }
 }
