@@ -679,4 +679,24 @@ class MasterStoreSpec extends AnyFunSuite with SparkSpec {
     assert(store.read(spark).select("bibcode").as[String].collect().sorted
       .toSeq == Seq("ms1", "ms2"))
   }
+
+  test("changesSince scans ONLY delta-layer files — the base never opens, " +
+      "which is the whole point of a layer-backed change feed at 100 TB") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val root = Files.createTempDirectory("graft_cdc_plan").toString
+    val store = new MasterStore(root, numBuckets = 2)
+    import spark.implicits._
+    store.write(upsert(MergeEngine.emptyMaster(spark), Seq(msg("ms1"), msg("ms2"))))
+    store.writeMergeKeyed(spark, Seq("ms1").toDF("bibcode"), cur =>
+      upsert(cur, Seq(msg("ms1"))))
+    val feed = store.changesSince(spark, 1L)
+    val opened = feed.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s
+    }.flatMap(_.relation.location.inputFiles)
+    assert(opened.nonEmpty && opened.forall(_.contains("/d_")),
+      s"feed reads layers only, opened: ${opened.toSeq}")
+    assert(!opened.exists(_.contains("/v_")),
+      s"base files must never open for a change-feed read: ${opened.toSeq}")
+  }
 }
