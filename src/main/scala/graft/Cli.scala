@@ -293,9 +293,12 @@ object Cli {
       try {
         val feed = store.changesSince(spark, fromGen)
         feed.write.mode("overwrite").parquet(dest)
-        val n = spark.read.parquet(dest).count()
-        val nDel = spark.read.parquet(dest).filter(col("_deleted")).count()
-        out(s"changes-since $fromGen: $n changed keys ($nDel deleted) " +
+        // one aggregation pass over the written feed for both counts
+        val c = spark.read.parquet(dest).agg(
+          count(lit(1)),
+          coalesce(sum(when(col("_deleted"), 1L).otherwise(0L)), lit(0L))).head()
+        out(s"changes-since $fromGen: ${c.getLong(0)} changed keys " +
+          s"(${c.getLong(1)} deleted) " +
           s"through v${store.currentVersion.getOrElse(0L)} -> $dest")
         return 0
       } catch {
@@ -814,10 +817,18 @@ object Cli {
       // are dropped so a long-running consumer's disk is steady-state,
       // while retain=2 keeps one superseded snapshot alive for slow
       // overlapped readers. Driver-side file ops, zero Spark jobs.
-      store.vacuum(alsoOrphans = true, retain = 2,
-        orphanGraceMs = MasterStore.CadenceOrphanGraceMs)
-      metricsStoreOpt.foreach(_.vacuum(alsoOrphans = true, retain = 2,
-        orphanGraceMs = MasterStore.CadenceOrphanGraceMs))
+      // maintenance must never fail a LANDED batch — log and let the
+      // next batch's sweep retry (same discipline as runStream's)
+      try {
+        store.vacuum(alsoOrphans = true, retain = 2,
+          orphanGraceMs = MasterStore.CadenceOrphanGraceMs)
+        metricsStoreOpt.foreach(_.vacuum(alsoOrphans = true, retain = 2,
+          orphanGraceMs = MasterStore.CadenceOrphanGraceMs))
+      } catch {
+        case t: Throwable => System.err.println(
+          s"[cli] post-batch vacuum failed (the batch is safe; the next " +
+          s"batch re-runs maintenance): $t")
+      }
       (report, nRejects)
     }
 

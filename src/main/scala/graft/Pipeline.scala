@@ -394,13 +394,22 @@ object Pipeline {
         // alsoOrphans with the cadence grace: crashed/CAS-losing attempt
         // dirs older than an hour are swept too (otherwise they
         // accumulate without bound under a 5-minute cadence); an
-        // in-flight writer's dir has fresh mtimes and survives
-        if (vacuumRetain >= 1) {
+        // in-flight writer's dir has fresh mtimes and survives.
+        // Maintenance must never fail a LANDED batch (the batch's merge
+        // and deliveries are already durable here — same discipline as
+        // writeMergeKeyed's post-publish compaction): a vacuum racing a
+        // concurrent writer's own cleanup is logged and retried next
+        // batch, not propagated into the StreamingQuery
+        if (vacuumRetain >= 1) try {
           store.vacuum(alsoOrphans = true, retain = vacuumRetain,
             orphanGraceMs = MasterStore.CadenceOrphanGraceMs)
           metricsStore.foreach(_.vacuum(alsoOrphans = true,
             retain = vacuumRetain,
             orphanGraceMs = MasterStore.CadenceOrphanGraceMs))
+        } catch {
+          case t: Throwable => System.err.println(
+            s"[pipeline] post-batch vacuum failed (batch $batchId is " +
+            s"safe; next batch re-runs maintenance): $t")
         }
         spark.sparkContext.setJobDescription(
           s"graft micro-batch $batchId -> snapshot v${report.version}")

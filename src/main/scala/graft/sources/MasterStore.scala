@@ -581,6 +581,12 @@ class MasterStore(val root: String, numBuckets: Int = 8,
         var g = snapshot()._1
         while ({ ensureDirLive(dir); !tryPublish(g, m.copy(baseGen = g + 1)) })
           g = snapshot()._1
+        // post-publish TOCTOU leg: a blind write SELF-HEALS — throwing
+        // into the vanished-input catch re-writes the same table and
+        // publishes it on top (its input never reads the torn generation,
+        // which the next publish supersedes; readers in between retry
+        // via the vanished-input class)
+        ensureDirLive(dir)
         return g + 1
       } catch {
         // the fresh dir was orphan-swept during a stall: re-write it
@@ -596,12 +602,33 @@ class MasterStore(val root: String, numBuckets: Int = 8,
     * vanished-input class) sends the writer around its retry loop with a
     * fresh dir instead of publishing a manifest that references deleted
     * files. Once `tryPublish` lands, the dir is referenced by a kept
-    * generation and the sweep cannot touch it. */
+    * generation and the sweep cannot touch it.
+    *
+    * The check-then-link pair is still a TOCTOU: a sweep can land in the
+    * instant between them (it requires the writer to have ALREADY
+    * stalled past the whole grace window, then lose a microsecond race).
+    * [[assertDirSurvived]] closes that residual loudly: re-checked AFTER
+    * a successful publish, a vanished dir raises immediately with
+    * recovery instructions instead of leaving a silently torn
+    * generation for readers to trip over. */
   private def ensureDirLive(dir: String): Unit =
     if (!Files.isDirectory(Paths.get(root, dir)))
       throw new java.io.FileNotFoundException(
         s"MasterStore at $root: data dir $dir vanished before publish " +
           "(orphan sweep during a stalled write attempt)")
+
+  /** Post-publish leg of the TOCTOU closure (see [[ensureDirLive]]).
+    * Deliberately NOT in the vanished-input class: retrying would
+    * re-resolve the just-published broken generation and spin. */
+  private def assertDirSurvived(dir: String, gen: Long): Unit =
+    if (!Files.isDirectory(Paths.get(root, dir)))
+      sys.error(
+        s"CRITICAL: MasterStore at $root published generation $gen " +
+          s"referencing data dir $dir which a concurrent orphan sweep " +
+          "deleted (this writer stalled past the orphan grace window). " +
+          s"Generation $gen is torn: re-publish from the previous " +
+          s"generation (a blind write of the intended table, or vacuum " +
+          s"generation $gen's pointer and retry) before resuming writes")
 
   private def failLoudly(attempts: Int, what: String): Nothing =
     sys.error(s"MasterStore.$what at $root gave up after $attempts attempts " +
@@ -641,6 +668,7 @@ class MasterStore(val root: String, numBuckets: Int = 8,
         val (dir, m) = writeBase(applyDelta(current))
         ensureDirLive(dir)
         if (tryPublish(g, m.copy(baseGen = g + 1))) {
+          assertDirSurvived(dir, g + 1)
           onAttempts(attempts); return g + 1
         }
         // lost: this merge was computed against a superseded snapshot —
@@ -718,6 +746,7 @@ class MasterStore(val root: String, numBuckets: Int = 8,
               files.map(_._2).sum, layerBuckets))
           ensureDirLive(dir)
           if (tryPublish(g, m2)) {
+            assertDirSurvived(dir, g + 1)
             onAttempts(attempts)
             // the merge IS durably published at this point; compaction is
             // maintenance, re-triggered by the next merge if it loses its
@@ -800,10 +829,22 @@ class MasterStore(val root: String, numBuckets: Int = 8,
           val carried = if (rebucket) 0L else
             m.buckets.zipWithIndex.collect { case (fs, b) if !touched(b) => fs }
               .flatten.map(f => Files.size(Paths.get(root, f))).sum
+          // the feed horizon advances only as far as the history actually
+          // folded: the newest non-empty layer's seq. Folding changes
+          // nothing newer, so a consumer caught up to (or past) that seq
+          // keeps reading across compactions — advancing to g+1 here
+          // would spuriously force every caught-up consumer into a
+          // full-table re-baseline after each auto-compaction
+          val foldedHorizon =
+            if (neLayers.isEmpty) m.baseGen
+            else math.max(m.baseGen, neLayers.map(_.seq).max)
           val m2 = Manifest(n2, buckets, files.map(_._2).sum + carried,
-            Vector.empty, baseGen = g + 1)
+            Vector.empty, baseGen = foldedHorizon)
           ensureDirLive(dir)
-          if (tryPublish(g, m2)) return g + 1
+          if (tryPublish(g, m2)) {
+            assertDirSurvived(dir, g + 1)
+            return g + 1
+          }
           deleteTree(Paths.get(root, dir))
         }
       } catch {
@@ -861,12 +902,14 @@ class MasterStore(val root: String, numBuckets: Int = 8,
     * cadence-safe: an unreferenced dir is deleted only when its NEWEST
     * mtime (any file under it) is older than the grace — a live writer's
     * dir has fresh mtimes while it writes, so only abandoned attempts go
-    * stale. A writer stalled past the grace is still safe from silent
+    * stale. A writer stalled past the grace is still safe from SILENT
     * corruption: every publish path re-checks its dir exists immediately
-    * before the CAS ([[ensureDirLive]]) and retries as vanished input —
-    * the same contract as a table-format VACUUM retention override,
-    * where the window must exceed the longest writer, with a loud
-    * failure instead of a torn table beyond it. */
+    * before the CAS ([[ensureDirLive]], retrying as vanished input) AND
+    * immediately after it ([[assertDirSurvived]], raising with recovery
+    * instructions if the sweep won the instant in between) — the same
+    * contract as a table-format VACUUM retention override, where the
+    * window must exceed the longest writer, except the failure beyond it
+    * is loud and immediate instead of discovered by a later reader. */
   def vacuum(alsoOrphans: Boolean = false, retain: Int = 1,
       orphanGraceMs: Long = 0L): Unit = {
     val gens = generations().sortBy(_._1)
@@ -905,8 +948,10 @@ class MasterStore(val root: String, numBuckets: Int = 8,
           n.startsWith("v_") || n.startsWith("d_")
         }).toVector
     } finally listing.close()
-    // newest mtime anywhere under the dir; a file vanishing mid-walk
-    // means someone is actively mutating it — treat as fresh
+    // newest mtime anywhere under the dir; an entry vanishing mid-walk
+    // means someone is actively mutating it — treat as fresh. Files.walk's
+    // ITERATOR surfaces a vanished entry as UncheckedIOException (a
+    // RuntimeException), not IOException — catch both flavors
     def newestMtimeMs(p: Path): Long =
       try {
         val walk = Files.walk(p)
@@ -916,7 +961,10 @@ class MasterStore(val root: String, numBuckets: Int = 8,
             .map(f => Files.getLastModifiedTime(f).toMillis)
             .foldLeft(0L)(math.max)
         } finally walk.close()
-      } catch { case _: java.io.IOException => Long.MaxValue }
+      } catch {
+        case _: java.io.IOException           => Long.MaxValue
+        case _: java.io.UncheckedIOException  => Long.MaxValue
+      }
     val orphanCutoff = System.currentTimeMillis() - math.max(0L, orphanGraceMs)
 
     dirs.foreach { p =>

@@ -225,7 +225,11 @@ object SolrColumnar {
       validated: Boolean = false, keyCol: String = "bibcode"): DataFrame = {
     val parses = ParsedSlots.toMap
     val byName = docFields(n => parses(n)(), validated).toMap
-    master.select(col(keyCol) +: fields.map(f => byName(f).as(f)): _*)
+    // the key rides along once: a requested field that IS the key (the
+    // doc's bibcode equals the master key) or a repeated field must not
+    // produce duplicate output columns — the parquet writer rejects them
+    val wanted = fields.distinct.filterNot(_ == keyCol)
+    master.select(col(keyCol) +: wanted.map(f => byName(f).as(f)): _*)
   }
 
   /** Every doc field as (name, expression), the order of the reference's

@@ -208,6 +208,12 @@ class CliSpec extends AnyFunSuite with SparkSpec {
       s"nonbib boost feeds cite_read_boost: $rep")
     // unknown field names are a usage error, not a silent null column
     assert(Cli.run(spark, argvBase ++ Seq("--report-docs", "frobnicate"), d) == 2)
+    // asking for the key field itself (or repeating a field) must not
+    // produce duplicate columns — the parquet write rejects those
+    assert(Cli.run(spark, argvBase ++ Seq("--report-docs", "bibcode,title,title",
+      "--report-out", s"$root/report2"), d) == 0)
+    assert(spark.read.parquet(s"$root/report2").columns.toSeq ==
+      Seq("bibcode", "title"))
   }
 
   test("--consume: checkpointed spool drain — each invocation processes " +

@@ -667,14 +667,21 @@ class MasterStoreSpec extends AnyFunSuite with SparkSpec {
     // caught-up consumer: empty feed, not an error
     assert(store.changesSince(spark, store.currentVersion.get).isEmpty)
 
-    // compaction folds history into the base and advances the horizon:
-    // the old watermark now fails LOUDLY (an empty answer would be a
-    // silent under-report), and the new horizon reads clean
+    // compaction folds history into the base and advances the horizon —
+    // but only as far as the newest folded layer (seq 3), NOT its own
+    // generation: a consumer already caught up to seq 3 keeps reading
+    // across the fold (compaction changed nothing newer), while the
+    // stale watermark fails LOUDLY (an empty answer would be a silent
+    // under-report)
+    val caughtUp = store.currentVersion.get // 3 = the delete layer's seq
     val folded = store.compact(spark)
-    assert(store.stats.get.baseGen == folded)
+    assert(folded > caughtUp)
+    assert(store.stats.get.baseGen == caughtUp,
+      "horizon = newest folded layer seq, not the compaction's generation")
     val e = intercept[IllegalStateException](store.changesSince(spark, 1L))
-    assert(e.getMessage.contains(s"generation $folded"))
-    assert(store.changesSince(spark, folded).isEmpty)
+    assert(e.getMessage.contains(s"generation $caughtUp"))
+    assert(store.changesSince(spark, caughtUp).isEmpty,
+      "a caught-up consumer survives auto-compaction without re-baselining")
     // and the live table is intact after the whole history
     assert(store.read(spark).select("bibcode").as[String].collect().sorted
       .toSeq == Seq("ms1", "ms2"))
