@@ -356,30 +356,78 @@ object SimilarityBench {
       .write.mode("overwrite").parquet(pqDir)
     val pqTrainS = secs(tPqTrain)
 
+    // ── shared ANN building blocks: the composed stack (stage 8) runs
+    // the SAME definitions as the isolated legs it claims to compose
+    // (stage 6's ADC scorer, stage 7's adaptive walk) — one body each,
+    // so a fix to either cannot silently diverge the measurements ──
+
+    // adaptive budget: per query, widen past the 8-cell floor until the
+    // probed cells hold at least this many QUALIFYING vectors — the
+    // remedy for the fixed-nprobe recall decay under selective
+    // predicates (r10 measured 0.8219 at 0.3 %): candidates stay ∝ the
+    // budget, never ∝ corpus, and dense predicates never widen at all
+    val adaptiveBudget = 100L * topK
+
+    // occupancy-driven probe walk: per-cell QUALIFYING occupancy (one
+    // map-side agg, ≤ C rows, broadcast) drives the per-query width —
+    // keep the 8 nearest cells, widen in centroid-distance order until
+    // cumulative qualifying occupancy reaches the budget
+    def adaptiveProbes(
+        pred: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
+      val occ = index.filter(pred(col("vec_id")))
+        .groupBy(col("label").as("cell")).agg(count(lit(1)).as("occ"))
+      val wc = Window.partitionBy(col("query_id"))
+        .orderBy(col("qdist2"), col("cell"))
+      queries.crossJoin(broadcast(centroids))
+        .select(col("query_id"), col("qv"), col("cell"),
+          (dotCol(col("qv"), col("qv")) - lit(2.0) * dotCol(col("qv"), col("c")) +
+            col("cnorm2")).as("qdist2"))
+        .join(broadcast(occ), Seq("cell"), "left")
+        .withColumn("occ", coalesce(col("occ"), lit(0L)))
+        .withColumn("rn", row_number().over(wc))
+        .withColumn("cum", sum(col("occ")).over(wc))
+        .filter(col("rn") <= 8 ||
+          (col("cum") - col("occ")) < lit(adaptiveBudget))
+        .filter(col("occ") > 0)
+        .select(col("query_id"), col("qv"), col("cell"))
+    }
+
+    // ADC scorer: the LUT is per (query, probed cell) — codeword
+    // distances to the QUERY's residual against that cell's centroid,
+    // nq × probes × M × K rows, corpus-independent, broadcast; the
+    // corpus side contributes only (optionally predicate-filtered) PQ
+    // codes, 8 small ints per vector
+    def adcCandidates(probes: DataFrame,
+        vecPred: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column])
+        : DataFrame = {
+      val lut = probes
+        .join(broadcast(centroids.select(col("cell"), col("c"))), Seq("cell"))
+        .withColumn("qres", residual(col("qv"), col("c")))
+        .withColumn("m", explode(sequence(lit(0), lit(Msub - 1))))
+        .select(col("query_id"), col("cell"), col("m"),
+          slice(col("qres"), col("m") * dsub + 1, lit(dsub)).as("qsv"))
+        .join(broadcast(cb), Seq("m"))
+        .select(col("query_id"), col("cell"), col("m"), col("k"),
+          sqd(col("qsv"), col("cw")).as("ld2"))
+      val codes0 = spark.read.parquet(pqDir).withColumnRenamed("label", "cell")
+      val codes = vecPred.fold(codes0)(p => codes0.filter(p(col("vec_id"))))
+      codes
+        .withColumn("m", explode(sequence(lit(0), lit(Msub - 1))))
+        .select(col("cell"), col("vec_id"), col("m"),
+          col("codes")(col("m")).as("k"))
+        .join(broadcast(lut), Seq("cell", "m", "k"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(sum(col("ld2")).as("approx_d2"))
+    }
+
     val tPqSearch = System.nanoTime()
-    // LUT is per (query, probed cell): codeword distances to the QUERY's
-    // residual against that cell's centroid — nq × nprobe × M × K rows,
-    // independent of corpus size, broadcast
-    val lut = probedCells(8)
-      .join(broadcast(centroids.select(col("cell"), col("c"))), Seq("cell"))
-      .withColumn("qres", residual(col("qv"), col("c")))
-      .withColumn("m", explode(sequence(lit(0), lit(Msub - 1))))
-      .select(col("query_id"), col("cell"), col("m"),
-        slice(col("qres"), col("m") * dsub + 1, lit(dsub)).as("qsv"))
-      .join(broadcast(cb), Seq("m"))
-      .select(col("query_id"), col("cell"), col("m"), col("k"),
-        sqd(col("qsv"), col("cw")).as("ld2"))
     val wA = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_d2"), col("vec_id"))
     // ADC shortlist: top-1000 by quantized distance (cached — both the
     // pure-ADC top-10 and the re-rank leg read it; 100x the final k, the
     // shortlist depth the IVFADC+R design runs at — ~3% of the ~31k
     // probed candidates per query)
-    val pqCand = spark.read.parquet(pqDir).withColumnRenamed("label", "cell")
-      .withColumn("m", explode(sequence(lit(0), lit(Msub - 1))))
-      .select(col("cell"), col("vec_id"), col("m"), col("codes")(col("m")).as("k"))
-      .join(broadcast(lut), Seq("cell", "m", "k"))
-      .groupBy(col("query_id"), col("vec_id")).agg(sum(col("ld2")).as("approx_d2"))
+    val pqCand = adcCandidates(probedCells(8), None)
       .withColumn("rank", row_number().over(wA)).filter(col("rank") <= 1000)
       .cache()
     pqCand.count()
@@ -411,12 +459,6 @@ object SimilarityBench {
     // force over the qualifying corpus at the same predicate. ──
     val probedQ8 = probedCells(8).cache()
     probedQ8.count()
-    // adaptive budget: per query, widen past the 8-cell floor until the
-    // probed cells hold at least this many QUALIFYING vectors — the
-    // remedy for the fixed-nprobe recall decay under selective
-    // predicates (r10 measured 0.8219 at 0.3 %): candidates stay ∝ the
-    // budget, never ∝ corpus, and dense predicates never widen at all
-    val adaptiveBudget = 100L * topK
     val filteredResults = Seq(10L, 100L, 1000L).map { mod =>
       def pred(c: org.apache.spark.sql.Column) = pmod(c, lit(mod)) < 3
       val truthF = corpus.filter(pred(col("vec_id"))).crossJoin(broadcast(queries))
@@ -439,28 +481,10 @@ object SimilarityBench {
       val recF = hitsF.toDouble / math.max(truthFN, 1L)
       candF.unpersist()
 
-      // ── adaptive leg: per-cell qualifying occupancy (≤ C rows, one
-      // map-side agg, broadcast) drives the per-query probe width — keep
-      // the 8 nearest cells and widen in centroid-distance order until
-      // cumulative qualifying occupancy reaches the budget ──
+      // ── adaptive leg: the shared occupancy-driven walk (one
+      // definition with the composed stack — see adaptiveProbes) ──
       val tA = System.nanoTime()
-      val occF = index.filter(pred(col("vec_id")))
-        .groupBy(col("label").as("cell")).agg(count(lit(1)).as("occ"))
-      val wcA = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("query_id")).orderBy(col("qdist2"), col("cell"))
-      val probedA = queries.crossJoin(broadcast(centroids))
-        .select(col("query_id"), col("qv"), col("cell"),
-          (dotCol(col("qv"), col("qv")) - lit(2.0) * dotCol(col("qv"), col("c")) +
-            col("cnorm2")).as("qdist2"))
-        .join(broadcast(occF), Seq("cell"), "left")
-        .withColumn("occ", coalesce(col("occ"), lit(0L)))
-        .withColumn("rn", row_number().over(wcA))
-        .withColumn("cum", sum(col("occ")).over(wcA))
-        .filter(col("rn") <= 8 ||
-          (col("cum") - col("occ")) < lit(adaptiveBudget))
-        .filter(col("occ") > 0)
-        .select(col("query_id"), col("qv"), col("cell"))
-        .cache()
+      val probedA = adaptiveProbes(pred).cache()
       val avgProbes = probedA.groupBy(col("query_id")).count()
         .agg(avg(col("count"))).collect().head.getDouble(0)
       val candA = index.withColumnRenamed("label", "cell")
@@ -499,39 +523,12 @@ object SimilarityBench {
       .select(col("query_id"), col("vec_id")).cache()
     val truthSN = truthS.count()
     val tStack = System.nanoTime()
-    val occS = index.filter(predS(col("vec_id")))
-      .groupBy(col("label").as("cell")).agg(count(lit(1)).as("occ"))
-    val wcS = Window.partitionBy(col("query_id")).orderBy(col("qdist2"), col("cell"))
-    val probedS = queries.crossJoin(broadcast(centroids))
-      .select(col("query_id"), col("qv"), col("cell"),
-        (dotCol(col("qv"), col("qv")) - lit(2.0) * dotCol(col("qv"), col("c")) +
-          col("cnorm2")).as("qdist2"))
-      .join(broadcast(occS), Seq("cell"), "left")
-      .withColumn("occ", coalesce(col("occ"), lit(0L)))
-      .withColumn("rn", row_number().over(wcS))
-      .withColumn("cum", sum(col("occ")).over(wcS))
-      .filter(col("rn") <= 8 || (col("cum") - col("occ")) < lit(adaptiveBudget))
-      .filter(col("occ") > 0)
-      .select(col("query_id"), col("qv"), col("cell"))
-      .cache()
+    // the composition IS the shared definitions: stage 7's adaptive walk
+    // feeding stage 6's ADC scorer, predicate inside both
+    val probedS = adaptiveProbes(predS).cache()
     val avgProbesS = probedS.groupBy(col("query_id")).count()
       .agg(avg(col("count"))).collect().head.getDouble(0)
-    val lutS = probedS
-      .join(broadcast(centroids.select(col("cell"), col("c"))), Seq("cell"))
-      .withColumn("qres", residual(col("qv"), col("c")))
-      .withColumn("m", explode(sequence(lit(0), lit(Msub - 1))))
-      .select(col("query_id"), col("cell"), col("m"),
-        slice(col("qres"), col("m") * dsub + 1, lit(dsub)).as("qsv"))
-      .join(broadcast(cb), Seq("m"))
-      .select(col("query_id"), col("cell"), col("m"), col("k"),
-        sqd(col("qsv"), col("cw")).as("ld2"))
-    val candStack = spark.read.parquet(pqDir).withColumnRenamed("label", "cell")
-      .filter(predS(col("vec_id")))
-      .withColumn("m", explode(sequence(lit(0), lit(Msub - 1))))
-      .select(col("cell"), col("vec_id"), col("m"), col("codes")(col("m")).as("k"))
-      .join(broadcast(lutS), Seq("cell", "m", "k"))
-      .groupBy(col("query_id"), col("vec_id")).agg(sum(col("ld2")).as("approx_d2"))
-      .cache()
+    val candStack = adcCandidates(probedS, Some(predS)).cache()
     val nCandStack = candStack.count()
     val shortDepth = 10 * topK
     val shortS = candStack
