@@ -128,11 +128,21 @@ object StoreBench {
     val fullBytes = bytesUnder(root) - b0
 
     // ── 2. keyed merge of the SAME delta ───────────────────────────────
+    val gBeforeKeyed = store.currentVersion.get
     b0 = bytesUnder(root)
     t0 = System.nanoTime()
     store.writeMergeKeyed(spark, uniformKeys, stamp)
     val keyedSec = secs(t0)
     val keyedBytes = bytesUnder(root) - b0
+
+    // ── 2b. change-data feed over that merge: "what moved since g" read
+    // from the delta layers alone — the incremental-consumer catch-up
+    // whose cost must track the CHANGED rows, not the table (compare
+    // read_layered_sec below: the ∝-table alternative) ─────────────────
+    t0 = System.nanoTime()
+    val feedRows = store.changesSince(spark, gBeforeKeyed).count()
+    val feedSec = secs(t0)
+    require(feedRows == nDelta, s"feed rows $feedRows != delta $nDelta")
 
     // ── 5a. read wall with 8 pending layers (7 more merges first) ──────
     for (i <- 2 to 8)
@@ -235,6 +245,7 @@ object StoreBench {
       s""""delta_keys":$nDelta,"base_bytes":$baseBytes,""" +
       s""""full_merge_bytes":$fullBytes,"full_merge_sec":${f"$fullSec%.2f"},""" +
       s""""keyed_merge_bytes":$keyedBytes,"keyed_merge_sec":${f"$keyedSec%.2f"},""" +
+      s""""feed_rows":$feedRows,"feed_sec":${f"$feedSec%.2f"},""" +
       s""""write_volume_ratio":${f"${fullBytes.toDouble / math.max(1, keyedBytes)}%.1f"},""" +
       s""""compact_uniform_bytes":$compactUniformBytes,"compact_uniform_sec":${f"$compactUniformSec%.2f"},""" +
       s""""compact_uniform_buckets_reused":$uniformReused,""" +
