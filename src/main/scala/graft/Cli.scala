@@ -288,7 +288,9 @@ object Cli {
       // watermark selection, which pay an indexed table scan instead).
       // Behind the compaction horizon the verb fails loudly with the
       // first readable generation — re-baseline with a full export.
-      val fromGen = a("changes-since").toLong
+      val fromGen = a("changes-since").toLongOption.getOrElse {
+        out("error: --changes-since needs a generation number"); return 2
+      }
       val dest = a.getOrElse("report-out", s"$storeRoot-reports/changes")
       try {
         val feed = store.changesSince(spark, fromGen)
@@ -319,10 +321,14 @@ object Cli {
       // --orphan-grace-min N makes the sweep concurrency-safe: only
       // orphans whose newest mtime is older than N minutes are deleted
       // (the cadence paths use 60).
-      val retain = a.get("retain").map(_.toInt).getOrElse(2)
+      val retain = a.get("retain").map(_.toIntOption.getOrElse {
+        out("error: --retain needs a number"); return 2
+      }).getOrElse(2)
       if (retain < 1) { out("error: --retain must be >= 1"); return 2 }
       val orphans = a.contains("orphans")
-      val graceMs = a.get("orphan-grace-min").map(_.toLong * 60000L).getOrElse(0L)
+      val graceMs = a.get("orphan-grace-min").map(_.toLongOption.getOrElse {
+        out("error: --orphan-grace-min needs a number of minutes"); return 2
+      } * 60000L).getOrElse(0L)
       def sweep(name: String, s: MasterStore): Unit = {
         val before = s.versions
         s.vacuum(alsoOrphans = orphans, retain = retain, orphanGraceMs = graceMs)
