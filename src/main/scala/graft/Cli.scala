@@ -260,7 +260,8 @@ object Cli {
       // door quarantines malformed payloads (QueueDecode). The sink path
       // deliberately stays on the typed transform (checksums need the
       // canonical byte-exact render); this verb is the projection path.
-      val fields = a("report-docs").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val fields = a("report-docs").split(",").map(_.trim).filter(_.nonEmpty)
+        .toSeq.distinct
       if (fields.isEmpty) {
         out("error: --report-docs needs a comma-separated doc field list"); return 2
       }
@@ -831,7 +832,9 @@ object Cli {
         metricsStoreOpt.foreach(_.vacuum(alsoOrphans = true, retain = 2,
           orphanGraceMs = MasterStore.CadenceOrphanGraceMs))
       } catch {
-        case t: Throwable => System.err.println(
+        // NonFatal only: an OOM or interrupt mid-maintenance must
+        // propagate, not be logged away
+        case scala.util.control.NonFatal(t) => System.err.println(
           s"[cli] post-batch vacuum failed (the batch is safe; the next " +
           s"batch re-runs maintenance): $t")
       }

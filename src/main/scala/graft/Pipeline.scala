@@ -407,7 +407,9 @@ object Pipeline {
             retain = vacuumRetain,
             orphanGraceMs = MasterStore.CadenceOrphanGraceMs))
         } catch {
-          case t: Throwable => System.err.println(
+          // NonFatal only: an OOM or interrupt mid-maintenance must fail
+          // the query, not be logged away
+          case scala.util.control.NonFatal(t) => System.err.println(
             s"[pipeline] post-batch vacuum failed (batch $batchId is " +
             s"safe; next batch re-runs maintenance): $t")
         }

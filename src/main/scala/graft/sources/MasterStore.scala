@@ -69,6 +69,13 @@ object MasterStore {
   case class Stats(generation: Long, n: Int, baseFiles: Int, baseBytes: Long,
       layerCount: Int, layerBytes: Long, baseGen: Long = 0L)
 
+  /** A generation was published and its data directory was then found
+    * deleted (the orphan-sweep TOCTOU fired). Deliberately its own type:
+    * maintenance catch-blocks that log-and-continue on ordinary
+    * post-publish failures must NOT swallow this one — the store needs
+    * operator attention, not a retry. */
+  final class TornGenerationException(msg: String) extends RuntimeException(msg)
+
   /** Orphan grace for vacuums that run on the publish cadence: an
     * unreferenced `v_`/`d_` dir younger than this is presumed to be a
     * concurrent writer's in-flight attempt and survives the sweep; older
@@ -509,8 +516,9 @@ class MasterStore(val root: String, numBuckets: Int = 8,
     if (fromGen < m.baseGen)
       throw new IllegalStateException(
         s"MasterStore at $root: change feed for ($fromGen, $g] is not " +
-          s"retained — the base was rewritten at generation ${m.baseGen}, " +
-          "folding older per-key history in; re-baseline with a full read")
+          s"retained — history through generation ${m.baseGen} has been " +
+          s"folded into the base; the first readable fromGen is " +
+          s"${m.baseGen}. Re-baseline with a full read")
     val sel = m.layers.filter(l => l.seq > fromGen && l.files.nonEmpty)
     if (sel.isEmpty) return emptyFeed
     val all = sel.map(l =>
@@ -585,8 +593,19 @@ class MasterStore(val root: String, numBuckets: Int = 8,
         // into the vanished-input catch re-writes the same table and
         // publishes it on top (its input never reads the torn generation,
         // which the next publish supersedes; readers in between retry
-        // via the vanished-input class)
-        ensureDirLive(dir)
+        // via the vanished-input class). The stderr line names the torn
+        // generation FIRST, so a crash (or exhausted retries) before the
+        // heal lands still leaves the operator the breadcrumb the
+        // assertDirSurvived paths give loudly
+        if (!Files.isDirectory(Paths.get(root, dir))) {
+          System.err.println(
+            s"[master-store] generation ${g + 1} at $root was published " +
+            s"referencing swept dir $dir; self-healing by re-publishing " +
+            "the same table on top (if this process dies first, that " +
+            "generation is torn — re-publish or vacuum its pointer)")
+          throw new java.io.FileNotFoundException(
+            s"torn generation ${g + 1}: data dir $dir swept before publish")
+        }
         return g + 1
       } catch {
         // the fresh dir was orphan-swept during a stall: re-write it
@@ -618,11 +637,14 @@ class MasterStore(val root: String, numBuckets: Int = 8,
           "(orphan sweep during a stalled write attempt)")
 
   /** Post-publish leg of the TOCTOU closure (see [[ensureDirLive]]).
-    * Deliberately NOT in the vanished-input class: retrying would
-    * re-resolve the just-published broken generation and spin. */
+    * Deliberately NOT in the vanished-input class (retrying would
+    * re-resolve the just-published broken generation and spin) and NOT
+    * an anonymous RuntimeException (maintenance log-and-continue catches
+    * exclude [[MasterStore.TornGenerationException]] by type, so the
+    * auto-compaction path cannot launder this into a benign log line). */
   private def assertDirSurvived(dir: String, gen: Long): Unit =
     if (!Files.isDirectory(Paths.get(root, dir)))
-      sys.error(
+      throw new TornGenerationException(
         s"CRITICAL: MasterStore at $root published generation $gen " +
           s"referencing data dir $dir which a concurrent orphan sweep " +
           "deleted (this writer stalled past the orphan grace window). " +
@@ -751,10 +773,15 @@ class MasterStore(val root: String, numBuckets: Int = 8,
             // the merge IS durably published at this point; compaction is
             // maintenance, re-triggered by the next merge if it loses its
             // own races — a compact failure must not make the caller
-            // believe (and retry, and re-deliver) a landed merge
+            // believe (and retry, and re-deliver) a landed merge. EXCEPT
+            // a torn generation: that is not a retryable maintenance
+            // hiccup but a store needing operator attention — swallowing
+            // it here would let writes resume on top of the tear with a
+            // log line asserting safety
             try maybeCompact(spark, m2)
             catch {
-              case t: Throwable => System.err.println(
+              case t: TornGenerationException => throw t
+              case scala.util.control.NonFatal(t) => System.err.println(
                 s"[master-store] post-publish compaction failed " +
                 s"(merge v${g + 1} is safe; next merge re-triggers): $t")
             }
@@ -967,18 +994,34 @@ class MasterStore(val root: String, numBuckets: Int = 8,
       }
     val orphanCutoff = System.currentTimeMillis() - math.max(0L, orphanGraceMs)
 
+    // A stalled writer may PUBLISH a generation referencing one of these
+    // dirs between the referenced-set snapshot above and the delete below
+    // (the sweep-side half of the TOCTOU the writers' assertDirSurvived
+    // guards). Re-reading the pointer set immediately before each
+    // irreversible orphan delete shrinks the unguarded window from "the
+    // whole mtime walk" to the instant between this check and rmdir —
+    // pointer files are a handful of small reads, so the re-check is
+    // cheap. Dropped-generation dirs need no re-check: a newly published
+    // generation only references files it wrote or files carried from
+    // the previous manifest (already in the kept snapshot above), never
+    // a superseded generation's unreferenced remains.
+    def stillUnreferenced(name: String): Boolean = {
+      val (fFresh, dFresh) = refsOf(generations())
+      !dFresh.contains(name) && !fFresh.exists(_.startsWith(name + "/"))
+    }
     dirs.foreach { p =>
       val name = p.getFileName.toString
       if (!referencedDirs.contains(name)) {
         val hasRefFile = listParquet(name).exists(f => allFiles.contains(f._1))
         // dirs of DROPPED generations are definitely dead (no writer is
         // mid-write inside a superseded snapshot) — no grace needed;
-        // unreferenced orphans get the grace window
+        // unreferenced orphans get the grace window + the fresh re-check
         val viaDropped = dropDirs.contains(name) ||
           dropFiles.exists(_.startsWith(name + "/"))
         val viaOrphan = alsoOrphans &&
           (orphanGraceMs <= 0L || newestMtimeMs(p) <= orphanCutoff)
-        if (!hasRefFile && (viaDropped || viaOrphan))
+        if (!hasRefFile &&
+            (viaDropped || (viaOrphan && stillUnreferenced(name))))
           deleteTree(p)
       }
     }

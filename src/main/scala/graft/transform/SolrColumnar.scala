@@ -225,11 +225,18 @@ object SolrColumnar {
       validated: Boolean = false, keyCol: String = "bibcode"): DataFrame = {
     val parses = ParsedSlots.toMap
     val byName = docFields(n => parses(n)(), validated).toMap
-    // the key rides along once: a requested field that IS the key (the
-    // doc's bibcode equals the master key) or a repeated field must not
-    // produce duplicate output columns — the parquet writer rejects them
-    val wanted = fields.distinct.filterNot(_ == keyCol)
-    master.select(col(keyCol) +: wanted.map(f => byName(f).as(f)): _*)
+    // duplicates collapse (the parquet writer rejects same-named
+    // columns), requested order is preserved. When the key field is
+    // itself requested, its DOC expression serves as the key column
+    // (the doc bibcode falls back to the master key for records without
+    // bib_data, so it is never weaker than the raw key) — substituting
+    // the raw key would silently diverge this path from the typed
+    // rendering it mirrors when a payload carries a re-keyed bibcode.
+    val wanted = fields.distinct
+    val cols =
+      if (wanted.contains(keyCol)) wanted.map(f => byName(f).as(f))
+      else col(keyCol) +: wanted.map(f => byName(f).as(f))
+    master.select(cols.toIndexedSeq: _*)
   }
 
   /** Every doc field as (name, expression), the order of the reference's
