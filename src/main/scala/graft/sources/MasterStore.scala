@@ -64,10 +64,14 @@ object MasterStore {
   }
 
   /** Snapshot composition, for benches and file-reuse assertions.
-    * `baseGen` is the change-feed horizon: `changesSince(fromGen)` is
-    * readable for any `fromGen >= baseGen`. */
+    * `baseGen` is the base-fold horizon (history through it is folded
+    * into the base); `feedFrom` is the change-feed horizon:
+    * `changesSince(fromGen)` is readable for any `fromGen >= feedFrom`.
+    * With retained fold history `feedFrom <= baseGen` — a consumer a few
+    * compactions behind still reads the feed from the kept layers. */
   case class Stats(generation: Long, n: Int, baseFiles: Int, baseBytes: Long,
-      layerCount: Int, layerBytes: Long, baseGen: Long = 0L)
+      layerCount: Int, layerBytes: Long, baseGen: Long = 0L,
+      feedFrom: Long = 0L, historyLayerCount: Int = 0)
 
   /** A generation was published and its data directory was then found
     * deleted (the orphan-sweep TOCTOU fired). Deliberately its own type:
@@ -140,12 +144,24 @@ object MasterStore {
   * @param maxLayers      auto-compact after this many un-folded layers
   * @param layerFraction  auto-compact when layer bytes exceed this
   *                       fraction of the base (whichever trips first)
+  * @param feedRetainFolds how many compaction folds' worth of retired
+  *                       delta layers stay registered in the manifest for
+  *                       change-feed serving only ([[changesSince]]).
+  *                       Snapshot reads never touch them; their disk cost
+  *                       is bounded (each fold's layers were already
+  *                       bounded by the auto-compaction thresholds) and
+  *                       they are vacuumed with the generations that stop
+  *                       referencing them. 0 restores the one-fold-deep
+  *                       horizon (a consumer one compaction behind must
+  *                       re-baseline with a full table read — a real cost
+  *                       at 100 TB, which is why retention defaults on)
   */
 class MasterStore(val root: String, numBuckets: Int = 8,
     empty: SparkSession => DataFrame = MergeEngine.emptyMaster,
     keyCol: String = "bibcode",
     maxLayers: Int = 16,
-    layerFraction: Double = 0.25) {
+    layerFraction: Double = 0.25,
+    feedRetainFolds: Int = 2) {
 
   import MasterStore._
 
@@ -181,14 +197,26 @@ class MasterStore(val root: String, numBuckets: Int = 8,
     * stay correct (every key maps to bucket 0 = all files), pruning is
     * just inert until the first compaction re-buckets it. `baseGen` is
     * the generation whose publish last REWROTE the base (a blind write,
-    * a whole-table merge, or a compaction fold) — the change-feed
-    * horizon: per-key history since any `fromGen >= baseGen` is fully
-    * held in the retained layers ([[changesSince]]); earlier history has
-    * been folded into the base and is no longer separable. */
+    * a whole-table merge, or a compaction fold) — live layers only hold
+    * history newer than it.
+    *
+    * `history` is the change-feed retention past the base folds: the
+    * retired layers of the most recent `feedRetainFolds` compactions,
+    * grouped per fold (oldest fold first), kept in the manifest for
+    * [[changesSince]] ALONE — snapshot reads ([[reconcile]]) never touch
+    * them, because their content is already folded into the base. That
+    * makes `feedFrom` (not `baseGen`) the feed horizon: per-key history
+    * since any `fromGen >= feedFrom` is fully held in history + live
+    * layers; older history has been both folded AND retired past the
+    * retention window, so it is no longer separable (the consumer
+    * re-baselines with a full read — every production table format's
+    * change feed has this same retention-bounded contract). */
   private case class Manifest(n: Int, buckets: Vector[Vector[String]],
-      baseBytes: Long, layers: Vector[Layer], baseGen: Long = 0L) {
+      baseBytes: Long, layers: Vector[Layer], baseGen: Long = 0L,
+      history: Vector[Vector[Layer]] = Vector.empty, feedFrom: Long = 0L) {
     def baseFiles: Seq[String] = buckets.flatten
     def layerBytes: Long = layers.map(_.bytes).sum
+    def historyLayers: Seq[Layer] = history.flatten
   }
 
   private def emptyManifest = Manifest(numBuckets,
@@ -196,34 +224,40 @@ class MasterStore(val root: String, numBuckets: Int = 8,
 
   private def manifestJson(m: Manifest): String = {
     import org.json4s.JsonDSL._
+    def layerJson(l: Layer) =
+      ("seq" -> l.seq) ~ ("bytes" -> l.bytes) ~
+        ("files" -> l.files.toList) ~
+        ("buckets" -> l.buckets.map(_.toList).toList)
     org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(
       ("format" -> 2) ~ ("n" -> m.n) ~ ("baseBytes" -> m.baseBytes) ~
-        ("baseGen" -> m.baseGen) ~
+        ("baseGen" -> m.baseGen) ~ ("feedFrom" -> m.feedFrom) ~
         ("buckets" -> m.buckets.map(_.toList).toList) ~
-        ("layers" -> m.layers.toList.map(l =>
-          ("seq" -> l.seq) ~ ("bytes" -> l.bytes) ~
-            ("files" -> l.files.toList) ~
-            ("buckets" -> l.buckets.map(_.toList).toList)))))
+        ("layers" -> m.layers.toList.map(layerJson)) ~
+        ("history" -> m.history.toList.map(_.toList.map(layerJson)))))
   }
 
   private def parseManifest(s: String): Manifest = {
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
     val j = org.json4s.jackson.JsonMethods.parse(s)
+    def layerOf(l: org.json4s.JValue): Layer =
+      Layer((l \ "seq").extract[Long], (l \ "files").extract[List[String]],
+        (l \ "bytes").extract[Long],
+        (l \ "buckets").extractOrElse[List[List[String]]](Nil)
+          .map(_.toVector).toVector)
     Manifest(
       (j \ "n").extract[Int],
       (j \ "buckets").extract[List[List[String]]].map(_.toVector).toVector,
       (j \ "baseBytes").extract[Long],
-      (j \ "layers").extract[List[org.json4s.JValue]].map { l =>
-        Layer((l \ "seq").extract[Long], (l \ "files").extract[List[String]],
-          (l \ "bytes").extract[Long],
-          (l \ "buckets").extractOrElse[List[List[String]]](Nil)
-            .map(_.toVector).toVector)
-      }.toVector,
+      (j \ "layers").extract[List[org.json4s.JValue]].map(layerOf).toVector,
       // -1 marks a pre-baseGen manifest: the snapshot() caller patches it
       // to the pointer's own generation, so the change feed reports
       // "available from here on" instead of falsely claiming coverage of
       // history that older base rewrites already folded away
-      (j \ "baseGen").extractOrElse[Long](-1L))
+      (j \ "baseGen").extractOrElse[Long](-1L),
+      (j \ "history").extractOrElse[List[List[org.json4s.JValue]]](Nil)
+        .map(_.map(layerOf).toVector).toVector,
+      // pre-retention manifests: the feed horizon IS the base horizon
+      (j \ "feedFrom").extractOrElse[Long](-1L))
   }
 
   /** Data files under `dir` (root-relative paths, flat or one
@@ -268,7 +302,7 @@ class MasterStore(val root: String, numBuckets: Int = 8,
         s"MasterStore at $root: generation pointer references missing data dir $dir")
     val fs = listParquet(dir)
     Manifest(1, Vector(fs.map(_._1).toVector), fs.map(_._2).sum, Vector.empty,
-      baseGen = -1L)
+      baseGen = -1L, feedFrom = -1L)
   }
 
   /** (generation, pointer file) pairs of all published generations. */
@@ -286,8 +320,9 @@ class MasterStore(val root: String, numBuckets: Int = 8,
   private def snapshot(): (Long, Option[Manifest]) =
     genLog.latest() match {
       case Some((g, content)) =>
-        val m = parsePointer(content)
-        (g, Some(if (m.baseGen < 0) m.copy(baseGen = g) else m))
+        val m0 = parsePointer(content)
+        val m1 = if (m0.baseGen < 0) m0.copy(baseGen = g) else m0
+        (g, Some(if (m1.feedFrom < 0) m1.copy(feedFrom = m1.baseGen) else m1))
       case None => (0L, None)
     }
 
@@ -302,7 +337,7 @@ class MasterStore(val root: String, numBuckets: Int = 8,
   /** Snapshot composition (file/byte counts), for benches and specs. */
   def stats: Option[Stats] = snapshot() match {
     case (g, Some(m)) => Some(Stats(g, m.n, m.baseFiles.size, m.baseBytes,
-      m.layers.size, m.layerBytes, m.baseGen))
+      m.layers.size, m.layerBytes, m.baseGen, m.feedFrom, m.historyLayers.size))
     case _ => None
   }
 
@@ -493,14 +528,18 @@ class MasterStore(val root: String, numBuckets: Int = 8,
     * latest-generation-wins, same reconcile rule readers use.
     *
     * Horizon contract (the same one every table format's change feed
-    * has): the feed is readable iff `fromGen >= baseGen` — the base
-    * rewrite at `baseGen` (blind write, whole-table merge, or compaction
-    * fold) folded older per-key history into the base, where it is no
-    * longer separable. Callers behind the horizon get a loud
-    * IllegalStateException naming the horizon, and re-baseline with a
-    * full [[read]]. Compactions are threshold-driven, so the horizon
-    * advances with write volume, not wall-clock: a consumer that polls
-    * each cadence never falls behind it in practice.
+    * has): the feed is readable iff `feedFrom <= fromGen <= live
+    * generation`. A compaction fold moves its folded layers into the
+    * manifest's retained HISTORY (feed-serving only — snapshot reads
+    * never touch them), so the horizon `feedFrom` advances only when a
+    * fold ages past the `feedRetainFolds` retention window, not on every
+    * fold: a consumer a few compactions behind still catches up from the
+    * kept layers at cost ∝ its missed changes. Callers behind the
+    * horizon get a loud IllegalStateException naming it, and re-baseline
+    * with a full [[read]]; callers AHEAD of the live generation (a
+    * consumer watermark outliving a recreated store) also fail loudly —
+    * an empty feed there would silently under-report against a table
+    * that no longer matches the watermark's lineage.
     *
     * Reference analog: the ChangeLog audit table + the `run.py` watermark
     * sweep's "changed since" selection (adsmp/models.py:127-141;
@@ -512,14 +551,22 @@ class MasterStore(val root: String, numBuckets: Int = 8,
     def emptyFeed = empty(spark)
       .withColumn(Deleted, lit(false)).withColumn("_gen", lit(0L)).limit(0)
     val (g, mOpt) = snapshot()
+    if (fromGen > g)
+      throw new IllegalStateException(
+        s"MasterStore at $root: change-feed watermark $fromGen is AHEAD " +
+          s"of the live generation $g — the store was recreated or the " +
+          "watermark belongs to another store. Re-baseline with a full " +
+          "read and reset the watermark")
     val m = mOpt.getOrElse(return emptyFeed)
-    if (fromGen < m.baseGen)
+    if (fromGen < m.feedFrom)
       throw new IllegalStateException(
         s"MasterStore at $root: change feed for ($fromGen, $g] is not " +
-          s"retained — history through generation ${m.baseGen} has been " +
-          s"folded into the base; the first readable fromGen is " +
-          s"${m.baseGen}. Re-baseline with a full read")
-    val sel = m.layers.filter(l => l.seq > fromGen && l.files.nonEmpty)
+          s"retained — history through generation ${m.feedFrom} has been " +
+          s"folded into the base and aged past the $feedRetainFolds-fold " +
+          s"retention window; the first readable fromGen is " +
+          s"${m.feedFrom}. Re-baseline with a full read")
+    val sel = (m.historyLayers ++ m.layers)
+      .filter(l => l.seq > fromGen && l.files.nonEmpty)
     if (sel.isEmpty) return emptyFeed
     val all = sel.map(l =>
         readFiles(spark, l.files, layerCols).withColumn("_gen", lit(l.seq)))
@@ -580,14 +627,24 @@ class MasterStore(val root: String, numBuckets: Int = 8,
     * merges must use `writeMerge`/`writeMergeKeyed` — `write(read()
     * merged delta)` re-opens the lost-update window this store exists to
     * close. */
-  def write(master: DataFrame): Long = {
+  def write(master: DataFrame, maxRetries: Int = 64): Long = {
     var attempts = 0
-    while (attempts <= 3) {
+    // if any attempt published a generation later found torn, retry
+    // exhaustion must say THAT (the store needs the operator recovery the
+    // assertDirSurvived paths prescribe), not the generic CAS-contention
+    // message — a misleading error would send the operator hunting a
+    // writer storm while the live pointer references swept files
+    var tornGen: Long = -1L
+    while (attempts <= maxRetries) {
       attempts += 1
       try {
         val (dir, m) = writeBase(master)
         var g = snapshot()._1
-        while ({ ensureDirLive(dir); !tryPublish(g, m.copy(baseGen = g + 1)) })
+        // a blind write REPLACES the table: per-key history relative to
+        // prior generations is not expressible as layers, so the feed
+        // horizon and the retained fold history both reset here
+        while ({ ensureDirLive(dir)
+                 !tryPublish(g, m.copy(baseGen = g + 1, feedFrom = g + 1)) })
           g = snapshot()._1
         // post-publish TOCTOU leg: a blind write SELF-HEALS — throwing
         // into the vanished-input catch re-writes the same table and
@@ -598,6 +655,7 @@ class MasterStore(val root: String, numBuckets: Int = 8,
         // heal lands still leaves the operator the breadcrumb the
         // assertDirSurvived paths give loudly
         if (!Files.isDirectory(Paths.get(root, dir))) {
+          tornGen = g + 1
           System.err.println(
             s"[master-store] generation ${g + 1} at $root was published " +
             s"referencing swept dir $dir; self-healing by re-publishing " +
@@ -612,6 +670,14 @@ class MasterStore(val root: String, numBuckets: Int = 8,
         case t: Throwable if isVanishedInput(t) => ()
       }
     }
+    if (tornGen >= 0)
+      throw new TornGenerationException(
+        s"CRITICAL: MasterStore.write at $root exhausted $attempts " +
+          s"attempts while generation $tornGen remains TORN (published " +
+          "referencing a swept data dir; every self-heal attempt also " +
+          s"failed). Re-publish the intended table from the previous " +
+          s"generation, or vacuum generation $tornGen's pointer, before " +
+          "resuming writes")
     failLoudly(attempts, "write")
   }
 
@@ -689,7 +755,10 @@ class MasterStore(val root: String, numBuckets: Int = 8,
         val current = mOpt.map(reconcile(spark, _, None)).getOrElse(empty(spark))
         val (dir, m) = writeBase(applyDelta(current))
         ensureDirLive(dir)
-        if (tryPublish(g, m.copy(baseGen = g + 1))) {
+        // a whole-table merge rewrites the base from a transformed frame:
+        // like a blind write, the result is not separable into per-key
+        // layers, so feed history resets to this generation
+        if (tryPublish(g, m.copy(baseGen = g + 1, feedFrom = g + 1))) {
           assertDirSurvived(dir, g + 1)
           onAttempts(attempts); return g + 1
         }
@@ -856,7 +925,7 @@ class MasterStore(val root: String, numBuckets: Int = 8,
           val carried = if (rebucket) 0L else
             m.buckets.zipWithIndex.collect { case (fs, b) if !touched(b) => fs }
               .flatten.map(f => Files.size(Paths.get(root, f))).sum
-          // the feed horizon advances only as far as the history actually
+          // the base horizon advances only as far as the history actually
           // folded: the newest non-empty layer's seq. Folding changes
           // nothing newer, so a consumer caught up to (or past) that seq
           // keeps reading across compactions — advancing to g+1 here
@@ -865,8 +934,23 @@ class MasterStore(val root: String, numBuckets: Int = 8,
           val foldedHorizon =
             if (neLayers.isEmpty) m.baseGen
             else math.max(m.baseGen, neLayers.map(_.seq).max)
+          // feed retention: the folded layers RETIRE into the manifest's
+          // history (change-feed serving only) instead of vanishing;
+          // groups older than feedRetainFolds folds age out, and only
+          // THEN does the feed horizon advance — to the newest change the
+          // aged-out groups held, because everything older is no longer
+          // separable. The aged-out groups' files lose their last
+          // manifest reference here and are reclaimed by the next vacuum
+          // with the superseded generations
+          val groups = (m.history :+ neLayers).filter(_.nonEmpty)
+          val dropped = groups.dropRight(math.max(0, feedRetainFolds))
+          val feedFrom2 =
+            if (dropped.isEmpty) m.feedFrom
+            else math.max(m.feedFrom, dropped.flatten.map(_.seq).max)
           val m2 = Manifest(n2, buckets, files.map(_._2).sum + carried,
-            Vector.empty, baseGen = foldedHorizon)
+            Vector.empty, baseGen = foldedHorizon,
+            history = groups.takeRight(math.max(0, feedRetainFolds)),
+            feedFrom = feedFrom2)
           ensureDirLive(dir)
           if (tryPublish(g, m2)) {
             assertDirSurvived(dir, g + 1)
@@ -890,7 +974,8 @@ class MasterStore(val root: String, numBuckets: Int = 8,
     val (_, old) = snapshot()
     write(empty(spark))
     val oldDirs = old.toSeq.flatMap(m =>
-      (m.baseFiles ++ m.layers.flatMap(_.files)).map(_.split('/').head)).distinct
+      (m.baseFiles ++ (m.layers ++ m.historyLayers).flatMap(_.files))
+        .map(_.split('/').head)).distinct
     if (oldDirs.nonEmpty) Files.createDirectories(Paths.get(backupDir))
     oldDirs.foreach { d =>
       val src = Paths.get(root, d)
@@ -908,7 +993,11 @@ class MasterStore(val root: String, numBuckets: Int = 8,
     val content = new String(Files.readAllBytes(p), "UTF-8").trim
     if (content.startsWith("{")) {
       val m = parseManifest(content)
-      ((m.baseFiles ++ m.layers.flatMap(_.files)).toSet, Set.empty)
+      // history layers are live references too: the retained change feed
+      // reads them, so the sweep must not reclaim them until their fold
+      // group ages out of the manifest
+      ((m.baseFiles ++ (m.layers ++ m.historyLayers).flatMap(_.files)).toSet,
+        Set.empty)
     } else (Set.empty, Set(content))
   }
 

@@ -69,7 +69,9 @@ class MasterStoreSpec extends AnyFunSuite with SparkSpec {
           val j = org.json4s.jackson.JsonMethods.parse(content)
           (j \ "buckets").extract[List[List[String]]].flatten.toSet ++
             (j \ "layers").extract[List[org.json4s.JValue]]
-              .flatMap(l => (l \ "files").extract[List[String]]).toSet
+              .flatMap(l => (l \ "files").extract[List[String]]).toSet ++
+            (j \ "history").extractOrElse[List[List[org.json4s.JValue]]](Nil)
+              .flatten.flatMap(l => (l \ "files").extract[List[String]]).toSet
         } else {
           val d = java.nio.file.Paths.get(root, content)
           val s = java.nio.file.Files.list(d)
@@ -667,24 +669,184 @@ class MasterStoreSpec extends AnyFunSuite with SparkSpec {
     // caught-up consumer: empty feed, not an error
     assert(store.changesSince(spark, store.currentVersion.get).isEmpty)
 
-    // compaction folds history into the base and advances the horizon —
-    // but only as far as the newest folded layer (seq 3), NOT its own
-    // generation: a consumer already caught up to seq 3 keeps reading
-    // across the fold (compaction changed nothing newer), while the
-    // stale watermark fails LOUDLY (an empty answer would be a silent
-    // under-report)
+    // a watermark AHEAD of the live generation (a recreated store under a
+    // surviving consumer cursor) fails loudly — an empty feed would be a
+    // silent under-report against a table the watermark never saw
+    val ahead = intercept[IllegalStateException](
+      store.changesSince(spark, store.currentVersion.get + 10))
+    assert(ahead.getMessage.contains("AHEAD"))
+
+    // compaction folds layers into the base but RETIRES them into the
+    // manifest's feed history: a consumer still at fromGen=1 catches up
+    // across the fold VALUE-IDENTICALLY instead of re-baselining with a
+    // full table read (the r13 one-fold-deep residual)
     val caughtUp = store.currentVersion.get // 3 = the delete layer's seq
     val folded = store.compact(spark)
     assert(folded > caughtUp)
     assert(store.stats.get.baseGen == caughtUp,
-      "horizon = newest folded layer seq, not the compaction's generation")
-    val e = intercept[IllegalStateException](store.changesSince(spark, 1L))
-    assert(e.getMessage.contains(s"generation $caughtUp"))
+      "base horizon = newest folded layer seq, not the compaction's generation")
+    assert(store.stats.get.feedFrom == 1L && store.stats.get.historyLayerCount == 2,
+      "the folded layers stay feed-readable in history")
+    val feedPost = store.changesSince(spark, 1L)
+      .select("bibcode", "_deleted", "_gen").collect()
+      .map(r => r.getString(0) -> (r.getBoolean(1), r.getLong(2))).toMap
+    assert(feedPost == feed, "the feed across the fold is value-identical")
     assert(store.changesSince(spark, caughtUp).isEmpty,
       "a caught-up consumer survives auto-compaction without re-baselining")
     // and the live table is intact after the whole history
     assert(store.read(spark).select("bibcode").as[String].collect().sorted
       .toSeq == Seq("ms1", "ms2"))
+  }
+
+  test("feed retention ages out after feedRetainFolds compactions: the " +
+      "horizon advances exactly to the aged-out changes and fails loudly " +
+      "behind it; feedRetainFolds=0 restores the one-fold-deep contract") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_cdc_age").toString
+    val store = new MasterStore(root, numBuckets = 2, feedRetainFolds = 1)
+    store.write(upsert(MergeEngine.emptyMaster(spark), Seq(msg("ms1"), msg("ms2"))))
+    // fold 1 retires layer seq 2; fold 2 retires layer seq 4 AND ages
+    // fold 1's group out (retention = 1 fold)
+    store.writeMergeKeyed(spark, Seq("ms1").toDF("bibcode"), cur =>
+      upsert(cur, Seq(msg("ms1"))))                                // gen 2
+    store.compact(spark)                                           // gen 3
+    assert(store.stats.get.feedFrom == 1L,
+      "first fold retained: horizon unchanged")
+    store.writeMergeKeyed(spark, Seq("ms2").toDF("bibcode"), cur =>
+      upsert(cur, Seq(msg("ms2"))))                                // gen 4
+    store.compact(spark)                                           // gen 5
+    assert(store.stats.get.feedFrom == 2L,
+      "aging fold 1 out advances the horizon to its newest change (seq 2)")
+    assert(store.stats.get.historyLayerCount == 1, "only fold 2's layer kept")
+    // fromGen=2 reads fold 2's retired change; fromGen=1 is behind
+    val ok = store.changesSince(spark, 2L).select("bibcode").as[String].collect()
+    assert(ok.toSeq == Seq("ms2"))
+    val e = intercept[IllegalStateException](store.changesSince(spark, 1L))
+    assert(e.getMessage.contains("first readable fromGen is 2"))
+    // aged-out history files are reclaimed with the superseded generations
+    store.vacuum()
+    assert(store.changesSince(spark, 2L).select("bibcode").as[String].collect()
+      .toSeq == Seq("ms2"), "retained history survives vacuum")
+
+    // retention OFF: the r12-era contract — one fold folds everything
+    val root0 = Files.createTempDirectory("graft_cdc_age0").toString
+    val store0 = new MasterStore(root0, numBuckets = 2, feedRetainFolds = 0)
+    store0.write(upsert(MergeEngine.emptyMaster(spark), Seq(msg("ms1"))))
+    store0.writeMergeKeyed(spark, Seq("ms1").toDF("bibcode"), cur =>
+      upsert(cur, Seq(msg("ms1"))))
+    store0.compact(spark)
+    assert(store0.stats.get.feedFrom == 2L && store0.stats.get.historyLayerCount == 0)
+    intercept[IllegalStateException](store0.changesSince(spark, 1L))
+  }
+
+  test("a blind write resets the feed horizon AND the retained history — " +
+      "a replaced table's per-key past is not separable into layers") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_cdc_blind").toString
+    val store = new MasterStore(root, numBuckets = 2)
+    store.write(upsert(MergeEngine.emptyMaster(spark), Seq(msg("ms1"))))
+    store.writeMergeKeyed(spark, Seq("ms1").toDF("bibcode"), cur =>
+      upsert(cur, Seq(msg("ms1"))))
+    store.compact(spark) // gen 3, history holds seq-2
+    assert(store.stats.get.historyLayerCount == 1)
+    store.write(upsert(MergeEngine.emptyMaster(spark), Seq(msg("msX")))) // gen 4
+    val st = store.stats.get
+    assert(st.feedFrom == 4L && st.historyLayerCount == 0,
+      "blind write resets feed history")
+    intercept[IllegalStateException](store.changesSince(spark, 3L))
+    assert(store.changesSince(spark, 4L).isEmpty)
+  }
+
+  test("torn-generation recovery: the error message's operator procedure " +
+      "is load-tested — vacuum the torn pointer (readers fall back to the " +
+      "previous generation) OR blindly re-publish the intended table on " +
+      "top; either way readers recover and the merge content is restored") {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_torn").toString
+    val store = seeded(root) // gen 1: ms1, ms2
+    store.writeMergeKeyed(spark, Seq("msR").toDF("bibcode"), cur =>
+      upsert(cur, Seq(msg("msR")))) // gen 2: one delta layer
+    // manufacture the tear: the layer's data dir is swept AFTER the
+    // publish landed (the orphan-sweep TOCTOU's outcome when the writer
+    // dies before its self-heal) — gen 2 references deleted files
+    dataDirs(root).filter(_.startsWith("d_"))
+      .foreach(d => graft.sources.FsUtil.deleteTree(Paths.get(root, d)))
+    val err = intercept[Throwable](store.read(spark).count())
+    assert(graft.sources.MasterStore.isVanishedInput(err),
+      s"readers of a torn generation fail in the vanished-input class: $err")
+
+    // recovery option A — "vacuum generation 2's pointer and retry":
+    // drop the torn pointer; readers resolve generation 1 again
+    Files.delete(Paths.get(root, f"gen_${2L}%012d"))
+    assert(store.currentVersion.contains(1L))
+    assert(store.read(spark).select("bibcode").as[String].collect().toSet ==
+      Set("ms1", "ms2"), "pre-tear snapshot readable after pointer vacuum")
+    // ... and the retried merge re-lands the lost delta
+    store.writeMergeKeyed(spark, Seq("msR").toDF("bibcode"), cur =>
+      upsert(cur, Seq(msg("msR"))))
+    assert(store.read(spark).select("bibcode").as[String].collect().toSet ==
+      Set("ms1", "ms2", "msR"), "no committed merge is lost after recovery")
+
+    // recovery option B — "re-publish from the previous generation (a
+    // blind write of the intended table)": tear the NEW layer the same
+    // way, then publish the intended post-merge table on top
+    val intended = store.read(spark).collect() // resolve before the tear
+    dataDirs(root).filter(_.startsWith("d_"))
+      .foreach(d => graft.sources.FsUtil.deleteTree(Paths.get(root, d)))
+    intercept[Throwable](store.read(spark).count())
+    val rows = spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(intended: _*)),
+      MergeEngine.emptyMaster(spark).schema)
+    val healed = store.write(rows)
+    assert(healed == 3L, "the blind re-publish supersedes the torn generation")
+    assert(store.read(spark).select("bibcode").as[String].collect().toSet ==
+      Set("ms1", "ms2", "msR"))
+    store.vacuum(alsoOrphans = true)
+    assert(store.read(spark).count() == 3)
+  }
+
+  test("bucket-count evolution (the 100 TB growth lever): a store written " +
+      "at 8 buckets read through a 16-bucket deployment stays correct " +
+      "before the rebucket fold (manifest n is authoritative) and keeps " +
+      "keyed-lookup pruning under the NEW count after it") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_rebkt").toString
+    val s8 = new MasterStore(root, numBuckets = 8)
+    s8.write(upsert(MergeEngine.emptyMaster(spark),
+      (1 to 40).map(i => msg(f"doc$i%03d"))))
+    s8.writeMergeKeyed(spark, Seq("doc001").toDF("bibcode"),
+      cur => cur.withColumn("status", lit("layered")))
+
+    def probe(store: MasterStore, expectN: Int): Unit = {
+      val df = store.lookup(spark, Seq("doc001", "doc007"))
+      val got = df.select("bibcode", "status").collect()
+        .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+      assert(got == Map("doc001" -> Some("layered"), "doc007" -> None),
+        s"lookup values at n=$expectN: $got")
+      val openedBuckets = df.queryExecution.sparkPlan.collect {
+        case s: FileSourceScanExec => s
+      }.flatMap(_.relation.location.inputFiles)
+        .flatMap(p => "__b=(\\d+)".r.findFirstMatchIn(p).map(_.group(1).toInt))
+        .toSet
+      val expect = Set("doc001", "doc007")
+        .map(graft.sources.MasterStore.bucketOf(_, expectN))
+      assert(openedBuckets == expect,
+        s"pruning follows the MANIFEST's n=$expectN: opened $openedBuckets, " +
+          s"expected $expect")
+    }
+    // mid-transition: the 16-bucket deployment reads the n=8 manifest —
+    // pruning stays on the written layout, values identical
+    val s16 = new MasterStore(root, numBuckets = 16)
+    probe(s16, expectN = 8)
+    // the rebucket fold re-lays the whole table once onto n=16
+    s16.compact(spark)
+    assert(s16.stats.get.n == 16 && s16.stats.get.layerCount == 0)
+    probe(s16, expectN = 16)
+    assert(s16.read(spark).count() == 40)
   }
 
   test("changesSince scans ONLY delta-layer files — the base never opens, " +
