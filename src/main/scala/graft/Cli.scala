@@ -20,6 +20,10 @@ import graft.streaming.Watermark
   *   -k | --kv                      show watermark KV values
   *   -r [sml] | --index [sml]       reindex due records (s=solr m=metrics
   *                                  l=links), with:
+  *   --index-from-feed [sml]        the same sweep with ∝-delta work
+  *                                  discovery from the store's change
+  *                                  feed (persisted generation cursor;
+  *                                  bootstraps table-wide on first run)
   *     -f | --force_indexing          force + ignore checksums (run.py:82-86)
   *     -o | --force_processing        force eligibility only
   *     --ignore_checksums             re-send unchanged payloads
@@ -918,6 +922,38 @@ object Cli {
       return if (solrFailTotal > 0) 1 else 0
     }
 
+    // --index-from-feed: the -r sweep with ∝-delta work DISCOVERY — the
+    // cadence's candidate set comes from the store's change feed
+    // (Pipeline.runFeedSweep: cost ∝ rows changed since the last sweep)
+    // instead of the reference's gate over the full snapshot
+    // (run.py:147-159). The generation cursor persists in the watermark
+    // store; the first run (or one behind the feed retention horizon)
+    // bootstraps with the table-wide scan and says so.
+    if (a.contains("index-from-feed")) {
+      val letters = a.getOrElse("index-from-feed", "sml")
+      val sinks = Set(
+        if (letters.contains('s')) Some("solr") else None,
+        if (letters.contains('m')) Some("metrics") else None,
+        if (letters.contains('l')) Some("links") else None).flatten
+      if (sinks.isEmpty) { out("error: --index-from-feed needs s/m/l"); return 2 }
+      val force = a.contains("force_indexing") || a.contains("force_processing")
+      val ignoreChecksums = a.contains("force_indexing") || a.contains("ignore_checksums")
+      val wmDir = a.getOrElse("watermark-dir", s"$storeRoot-watermarks")
+      val priority = a.get("priority").map(_.toInt).getOrElse(0)
+      val r = graft.operators.Scheduling.withPriority(spark, priority) {
+        Pipeline.runFeedSweep(spark, store, solrSink(), deps.bulkTransport,
+          watermarkDir = Some(wmDir), force = force,
+          ignoreChecksums = ignoreChecksums, now = now,
+          sinks = sinks, metricsStore = metricsStoreOpt)
+      }
+      out(s"discovery=${if (r.usedFeed) "feed" else "table-scan"} " +
+        s"indexed=${r.run.indexed} solrOk=${r.run.solrOk} " +
+        s"solrFailed=${r.run.solrFailed} metricsOk=${r.run.metricsOk} " +
+        s"linksOk=${r.run.linksOk} version=${r.run.version} " +
+        s"cursor=${r.nextFromGen}")
+      return if (r.run.solrFailed > 0) 1 else 0
+    }
+
     if (a.contains("index")) {
       val letters = a.getOrElse("index", "sml")
       val sinks = Set(
@@ -961,7 +997,8 @@ object Cli {
       return if (report.solrFailed > 0) 1 else 0
     }
 
-    out("error: no command given (try -d, -k, -r, --ingest, --consume, " +
+    out("error: no command given (try -d, -k, -r, --index-from-feed, " +
+      "--ingest, --consume, " +
       "--delete, --delete_obsolete, " +
       "--manage-sitemap, --update-sitemap-files, --update-sitemaps-auto, " +
       "--cleanup-invalid-sitemaps)")
@@ -976,7 +1013,7 @@ object Cli {
       "-s" -> "--since", "-b" -> "--bibcodes", "-n" -> "--filename",
       "-a" -> "--augment", "-x" -> "--rebuild-collection",
       "-c" -> "--validate_solr", "-e" -> "--batch_size")
-    val valued = Set("index", "since", "bibcodes", "filename", "action",
+    val valued = Set("index", "index-from-feed", "since", "bibcodes", "filename", "action",
       "store", "sitemap-store", "out", "watermark-dir", "priority", "days-back",
       "scix-id-flag", "ingest", "consume", "checkpoint", "metrics-store",
       "batch_size", "solr-collection", "classifier_batch",
@@ -984,7 +1021,7 @@ object Cli {
       "changelog", "changes-since")
     // -r's letters are optional (nargs='?'): a following token that is not
     // a flag is its value, otherwise the default applies
-    val optionalValued = Set("index")
+    val optionalValued = Set("index", "index-from-feed")
     var m = Map.empty[String, String]
     var i = 0
     while (i < argv.length) {
@@ -1001,7 +1038,7 @@ object Cli {
           case None    => return Left(s"--$key needs a value")
         }
       } else {
-        m += key -> (if (key == "index") "sml" else "")
+        m += key -> (if (key == "index" || key == "index-from-feed") "sml" else "")
         i += 1
       }
     }

@@ -49,7 +49,9 @@ object Pipeline {
       forwardBoostRequests: Boolean = false,
       forwardAugmentRequests: Boolean = false,
       keyLocal: Boolean = false,
-      changeLogDir: Option[String] = None): RunReport = {
+      changeLogDir: Option[String] = None,
+      workKeys: Option[DataFrame] = None,
+      keyedPublish: Boolean = false): RunReport = {
     import spark.implicits._
 
     // keyLocal: the batch's working set is the UPDATES' key set, read via
@@ -65,6 +67,13 @@ object Pipeline {
     // a full-table write from a subset frame would truncate the table.
     require(!keyLocal || restrictTo.isEmpty,
       "keyLocal reads the updates' keys; a restrictTo sweep is table-scoped")
+    // workKeys widens a keyLocal batch's working set beyond the updates'
+    // own keys — the feed-driven sweep's shape, where the work was
+    // DISCOVERED (from the store's change feed) rather than delivered as
+    // messages. Meaningless outside keyLocal: the table-wide gate already
+    // sees every row
+    require(workKeys.isEmpty || keyLocal,
+      "workKeys is the key-local working set; a table-wide sweep scans anyway")
 
     // ST1: incremental window from the stored watermark; an explicit
     // --since wins over it (run.py's -s), and a targeted -b/-n run passes
@@ -91,8 +100,13 @@ object Pipeline {
     val anyDoomed = doomed.head(1).nonEmpty
 
     // M1 merge (over the batch's keyed working set when keyLocal)
+    val keySrc = workKeys match {
+      case Some(k) => updates.select(col("bibcode"))
+        .unionByName(k.select(col(k.columns.head).as("bibcode")))
+      case None => updates.select(col("bibcode")).toDF()
+    }
     val baseMaster =
-      if (keyLocal) store.lookupFrame(spark, updates.select(col("bibcode")))
+      if (keyLocal) store.lookupFrame(spark, keySrc)
       else store.read(spark)
     val merged = MergeEngine.upsert(baseMaster, updates.filter(!isFullDelete))
     val master0 =
@@ -258,8 +272,18 @@ object Pipeline {
     // whose key set IS the corpus: a keyed rebase would write the table
     // twice (layer + immediate size-triggered compaction) for the same
     // outcome, so it keeps the primary-writer full-write contract.
+    // keyedPublish forces the delta-layer publish even for sweep-shaped
+    // batches: whole-table writeMerge/write RESET the store's change-feed
+    // horizon (a rewritten base is not separable into per-key layers), so
+    // a feed-driven cadence that fell back to a table-wide sweep would
+    // otherwise knock out its own feed and fall back forever. The price —
+    // a table-sized layer plus the auto-compaction that folds it — is
+    // paid once per fallback (bootstrap, or a consumer that outslept the
+    // feed retention), and the retained fold history keeps the feed
+    // continuous across it.
     val version =
-      if (force && restrictTo.isEmpty && !keyLocal) store.write(stamped)
+      if (force && restrictTo.isEmpty && !keyLocal && !keyedPublish)
+        store.write(stamped)
       else {
         val stampKeys =
           if (!updateProcessed) updates.select(col("bibcode"))
@@ -275,7 +299,7 @@ object Pipeline {
           val sk = stampKeys.distinct().cache()
           val nKeys = sk.count()
           try {
-            if (nKeys > 0 && nKeys * 2 >= mergedCount)
+            if (!keyedPublish && nKeys > 0 && nKeys * 2 >= mergedCount)
               // sweep-shaped: the touched set IS most of the table, so a
               // delta layer would trip the size-triggered fold and write
               // the table TWICE (layer + compaction). One CAS whole-table
@@ -292,8 +316,6 @@ object Pipeline {
           } finally sk.unpersist(blocking = false)
         }
       }
-    watermarkDir.foreach(Watermark.advance(spark, _, "last.reindex.normal", now))
-
     // The audit log the reference appends on every mutation in the same
     // transaction (ChangeLog, adsmp/models.py:127-141; written at
     // app.py:175 for upserts and :250 for deletes with the serialized old
@@ -301,10 +323,16 @@ object Pipeline {
     // publish lands, stamped with the published generation so an auditor
     // can join log rows to snapshots. Pre-images come from the batch's
     // input snapshot (the generation retention window keeps it readable).
-    // Append-only parquet, rows ∝ batch; at-least-once redelivery appends
-    // the replayed batch's rows again — the same property the reference's
+    // Append-only parquet, rows ∝ batch; auditors must treat it as
+    // AT-LEAST-ONCE keyed by (key, version): redelivery appends the
+    // replayed batch's rows again — the same property the reference's
     // per-task-run inserts have, and the `version` stamp makes replays
-    // distinguishable instead of silently merged.
+    // distinguishable instead of silently merged. The append is not
+    // atomic with the CAS publish (the reference gets that from its DB
+    // transaction); writing the log BEFORE the watermark advance closes
+    // the loss window — a crash between publish and append leaves the
+    // watermark un-advanced, so the redriven batch re-emits the missing
+    // rows (as duplicates of any that did land, per the keying above)
     changeLogDir.foreach { dir =>
       val upsertLog = merged.changeLog
       val deleteLog =
@@ -319,6 +347,7 @@ object Pipeline {
         .withColumn("version", lit(version))
         .write.mode("append").parquet(dir)
     }
+    watermarkDir.foreach(Watermark.advance(spark, _, "last.reindex.normal", now))
 
     // one aggregation job per status frame, not one per count — the
     // micro-batch wall has a fixed driver-job floor and the report was
@@ -345,6 +374,110 @@ object Pipeline {
     Seq(solrStatus, metricsStatus, linksStatus).foreach(_.unpersist())
     master.unpersist()
     report
+  }
+
+  /** What a feed-driven sweep did: the underlying run report, the
+    * generation cursor the NEXT sweep should pass as `fromGen` (resolved
+    * BEFORE this sweep's own publishes, so changes landing mid-sweep are
+    * re-seen rather than skipped — at-least-once, deduped by the P1/P4
+    * gates), and whether discovery actually used the change feed or fell
+    * back to the table-wide watermark scan. */
+  case class FeedSweepReport(run: RunReport, nextFromGen: Long, usedFeed: Boolean)
+
+  /** Watermark-store key for the feed sweep's generation cursor. */
+  val GenCursorKey = "last.reindex.generation"
+
+  /** The cron sweep with ∝-delta work discovery: instead of the
+    * reference's per-cadence filter over the FULL master snapshot
+    * (run.py:147-159 — the P1 watermark scan, which pays the corpus every
+    * cycle), discover the cadence's candidate set from the store's change
+    * feed (`changesSince(fromGen)` — cost ∝ rows changed since the last
+    * sweep, read from the retained delta layers alone) and run the
+    * identical gate → index → sink → stamp cycle key-locally over exactly
+    * those rows. At 100 TB this is the difference between a 5-minute
+    * cadence that reads gigabytes and one that reads the table.
+    *
+    * Selection parity with the watermark scan (spec-pinned in
+    * FeedSweepSpec): a record passes the P1 gate only if its `updated`
+    * moved past the time watermark, and every mutation that moves
+    * `updated` publishes a generation > the cursor the watermark run
+    * recorded — so the feed's key set is a superset of the gate's
+    * selection, and the SAME gate then filters both to the same rows.
+    * Net-deleted keys are dropped (their sink deletes were fanned out by
+    * the batch that deleted them; there is no master row left to index).
+    *
+    * Fallbacks are loud where they must be and automatic where they may
+    * be: a cursor BEHIND the feed horizon (the consumer outslept the
+    * retention window) falls back to the table-wide watermark scan —
+    * exactly the run the reference always does — and the report says so;
+    * a cursor AHEAD of the live generation (a recreated store under a
+    * surviving cursor) propagates `changesSince`'s IllegalStateException,
+    * because silently full-scanning would hide that the cursor's lineage
+    * is gone.
+    *
+    * `fromGen = None` reads the persisted cursor from `watermarkDir`
+    * under [[GenCursorKey]] (advanced here after every sweep) — the
+    * turn-key cadence mode: the first sweep ever finds no cursor, runs
+    * table-wide once, and every later sweep discovers ∝ delta. */
+  def runFeedSweep(
+      spark: SparkSession,
+      store: MasterStore,
+      solrTransport: Sinks.Transport,
+      bulkTransport: Sinks.Transport,
+      fromGen: Option[Long] = None,
+      watermarkDir: Option[String] = None,
+      force: Boolean = false,
+      ignoreChecksums: Boolean = false,
+      now: Timestamp = new Timestamp(0),
+      metricsStore: Option[MasterStore] = None,
+      sinks: Set[String] = Set("solr", "metrics", "links"),
+      updateProcessed: Boolean = true,
+      changeLogDir: Option[String] = None): FeedSweepReport = {
+    import spark.implicits._
+    // feed discovery is state-driven: a delivered row leaves the next
+    // window only because its stamp advanced `processed` past `updated`.
+    // The no-stamp debugging mode (run.py --update-processed) re-delivers
+    // forever under the table-wide scan by design; under feed discovery
+    // it would instead silently deliver once and vanish — refuse the
+    // combination rather than quietly change its meaning
+    require(updateProcessed,
+      "runFeedSweep needs processed-stamp tracking; use the table-wide " +
+        "runBatch for update_processed=False debugging runs")
+    val cursor = store.currentVersion.getOrElse(0L)
+    val from: Option[Long] = fromGen.orElse(
+      watermarkDir.flatMap(Watermark.readGen(spark, _, GenCursorKey)))
+    val feedKeys: Option[DataFrame] = from match {
+      case None => None // no cursor yet: the bootstrap table-wide sweep
+      case Some(f) if f > cursor =>
+        // propagate the AHEAD failure loudly (see scaladoc)
+        store.changesSince(spark, f); None
+      case Some(f) =>
+        try Some(store.changesSince(spark, f)
+          .filter(!col("_deleted")).select(col("bibcode")))
+        catch { case _: IllegalStateException => None } // behind horizon
+    }
+    val noUpdates = spark.emptyDataset[graft.records.UpdateMessage]
+    val report = feedKeys match {
+      case Some(keys) =>
+        runBatch(spark, store, noUpdates, solrTransport, bulkTransport,
+          watermarkDir = watermarkDir, force = force,
+          ignoreChecksums = ignoreChecksums, now = now,
+          metricsStore = metricsStore, sinks = sinks,
+          updateProcessed = updateProcessed, keyLocal = true,
+          changeLogDir = changeLogDir, workKeys = Some(keys))
+      case None =>
+        // table-wide fallback, but with the keyed publish: a whole-table
+        // rewrite here would reset the feed horizon and strand the
+        // cadence in fallback mode forever (see runBatch.keyedPublish)
+        runBatch(spark, store, noUpdates, solrTransport, bulkTransport,
+          watermarkDir = watermarkDir, force = force,
+          ignoreChecksums = ignoreChecksums, now = now,
+          metricsStore = metricsStore, sinks = sinks,
+          updateProcessed = updateProcessed, keyLocal = false,
+          changeLogDir = changeLogDir, keyedPublish = true)
+    }
+    watermarkDir.foreach(Watermark.advanceGen(spark, _, GenCursorKey, cursor))
+    FeedSweepReport(report, nextFromGen = cursor, usedFeed = feedKeys.isDefined)
   }
 
   /** Continuous ingest (ST1 as Structured Streaming): every micro-batch of

@@ -361,7 +361,65 @@ object PipelineBench {
         val smallN = sys.env.getOrElse("SPARK_GRAFT_PIPE_SMALL", "500").toLong
         val keyedSmallSec = wave(9200000L, smallN, keyLocal = true)
         val tableSmallSec = wave(9300000L, smallN, keyLocal = false)
+
+        // ── phase 6: per-cadence WORK DISCOVERY at the standing table —
+        // the same pending wave (merged, unindexed) found once from the
+        // store's change feed (Pipeline.runFeedSweep: discovery ∝ changed
+        // keys, read from the delta layers alone) and once via the
+        // reference's full-snapshot watermark gate (run.py:147-159:
+        // discovery ∝ table). Selection parity is asserted, not assumed:
+        // both sweeps must deliver exactly their wave ──
+        def mergePending(lo: Long, k: Long): Unit = {
+          val m = messages(spark, lo, lo + k, rev = 0,
+            tsBase = System.currentTimeMillis())
+            .as[UpdateMessage](Encoders.product[UpdateMessage])
+          Pipeline.runBatch(spark, storeL, m, SolrTransport, BulkTransport,
+            now = new java.sql.Timestamp(System.currentTimeMillis()),
+            sinks = Set.empty, keyLocal = true)
+          ()
+        }
+        val gCursor = storeL.currentVersion.get
+        mergePending(9400000L, 2500L)
+        var t6 = System.nanoTime()
+        val feedRows6 = storeL.changesSince(spark, gCursor).count()
+        val feedDiscoverSec = secs(t6)
+        t6 = System.nanoTime()
+        val fsw = Pipeline.runFeedSweep(spark, storeL, SolrTransport,
+          BulkTransport, fromGen = Some(gCursor),
+          now = new java.sql.Timestamp(System.currentTimeMillis()))
+        val feedSweepSec = secs(t6)
+        require(fsw.usedFeed && fsw.run.solrOk == 2500,
+          s"feed sweep must index exactly the pending wave: ${fsw.run}")
+        mergePending(9500000L, 2500L)
+        t6 = System.nanoTime()
+        val tsw = Pipeline.runBatch(spark, storeL,
+          spark.emptyDataset[UpdateMessage](Encoders.product[UpdateMessage]),
+          SolrTransport, BulkTransport,
+          now = new java.sql.Timestamp(System.currentTimeMillis()))
+        val scanSweepSec = secs(t6)
+        require(tsw.solrOk == 2500,
+          s"watermark-scan sweep must index exactly the pending wave: $tsw")
+
+        // ── phase 7: the bucket-count growth lever at the standing
+        // table — fold once onto 4× the buckets and keep keyed pruning ──
+        val storeR = new MasterStore(largeRoot, numBuckets = nLargeBuckets * 4)
+        t6 = System.nanoTime()
+        storeR.compact(spark)
+        val rebucketSec = secs(t6)
+        require(storeR.stats.get.n == nLargeBuckets * 4, "rebucket fold landed")
+        val probeR = storeR.lookup(spark,
+          Seq("2026Pipe" + "%07d".format(9400001L) + "....A"))
+        require(probeR.count() == 1, "post-rebucket keyed lookup stays correct")
+        val rebucketOpened = probeR.queryExecution.sparkPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+        }.flatMap(_.relation.location.inputFiles).length
+
         f""","large_rows":$nLarge,"large_buckets":$nLargeBuckets,""" +
+          f""""feed_discover_rows":$feedRows6,"feed_discover_sec":$feedDiscoverSec%.2f,""" +
+          f""""feed_sweep_sec":$feedSweepSec%.1f,"scan_sweep_sec":$scanSweepSec%.1f,""" +
+          f""""discovery_speedup":${scanSweepSec / feedSweepSec}%.2f,""" +
+          f""""rebucket_to":${nLargeBuckets * 4},"rebucket_sec":$rebucketSec%.1f,""" +
+          f""""rebucket_lookup_files_opened":$rebucketOpened,""" +
           f""""large_table_bytes":$tableBytes,""" +
           f""""large_keylocal_sec":$keyedSec%.1f,"large_tablewide_sec":$tableSec%.1f,""" +
           f""""large_speedup":${tableSec / keyedSec}%.2f,""" +

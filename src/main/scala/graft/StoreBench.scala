@@ -29,6 +29,12 @@ import graft.sources.MasterStore
   *                   dirs, not table rewrites.
   *  5. `read`      — reconcile overhead: read wall with 0 vs 8 pending
   *                   layers (the price merge-on-read pays between folds).
+  *  6. `rebucket`  — the bucket-count evolution fold (n → 4n): wall,
+  *                   write volume, and keyed-lookup pruning across the
+  *                   transition. Plus `feed_history`: the change-feed
+  *                   catch-up ACROSS a compaction fold, read from the
+  *                   manifest's retained fold history (vs read_folded_sec,
+  *                   the full re-baseline a consumer paid before r14).
   *
   * Bytes are measured on disk (sum of data-file sizes created by each
   * phase), not estimated. One JSON line to stdout → SCALING.md.
@@ -140,9 +146,14 @@ object StoreBench {
     // whose cost must track the CHANGED rows, not the table (compare
     // read_layered_sec below: the ∝-table alternative) ─────────────────
     t0 = System.nanoTime()
-    val feedRows = store.changesSince(spark, gBeforeKeyed).count()
-    val feedSec = secs(t0)
-    require(feedRows == nDelta, s"feed rows $feedRows != delta $nDelta")
+    // guard, not assumption: if a sizing change ever re-enables
+    // auto-compaction mid-phase, skip the stage (recording -1) instead of
+    // crashing the whole bench on a moved horizon
+    val feedReadable = store.stats.get.feedFrom <= gBeforeKeyed
+    val feedRows = if (feedReadable) store.changesSince(spark, gBeforeKeyed).count() else -1L
+    val feedSec = if (feedReadable) secs(t0) else -1.0
+    require(!feedReadable || feedRows == nDelta,
+      s"feed rows $feedRows != delta $nDelta")
 
     // ── 5a. read wall with 8 pending layers (7 more merges first) ──────
     for (i <- 2 to 8)
@@ -184,6 +195,19 @@ object StoreBench {
     val compactUniformBytes = bytesUnder(root) - b0
     val postCompact = store.bucketFileLists.get
     val uniformReused = (0 until buckets).count(b => postCompact(b) == preCompact(b))
+
+    // ── 2c. feed across the fold: the 8 merges' history is now RETIRED
+    // into the manifest's retained fold history — a consumer still at
+    // gBeforeKeyed catches up from the kept layers at cost ∝ its missed
+    // changes; compare read_folded_sec, the full-table re-baseline it
+    // would otherwise pay (the r13 one-fold-deep residual) ──────────────
+    t0 = System.nanoTime()
+    val feedHistRows = store.changesSince(spark, gBeforeKeyed).count()
+    val feedHistSec = secs(t0)
+    require(store.stats.get.historyLayerCount > 0,
+      "the fold must retire its layers into feed history")
+    require(feedHistRows == 8 * nDelta,
+      s"history feed rows $feedHistRows != ${8 * nDelta} (8 disjoint 1% merges)")
 
     // ── 5b. read wall with zero layers ──────────────────────────────────
     t0 = System.nanoTime()
@@ -240,12 +264,36 @@ object StoreBench {
     require(sanity == n, s"row count drifted: $sanity != $n")
     require(cntLayered == n && cntFolded == n, "layered/folded counts drifted")
 
+    // ── 6. bucket-count evolution: the 100 TB growth lever — fold the
+    // whole table once onto 4× the buckets (the manifest's n, not the
+    // handle's, governs reads until the fold lands) and verify keyed
+    // reads keep their pruning across the transition ────────────────────
+    val buckets2 = buckets * 4
+    val store2 = new MasterStore(root, numBuckets = buckets2,
+      maxLayers = 1 << 20, layerFraction = 1e9)
+    // mid-transition probe: the new deployment reads the OLD layout
+    val preRows = store2.lookup(spark, Seq(probeKey)).count()
+    require(preRows == 1, "mid-transition lookup must stay correct")
+    b0 = bytesUnder(root)
+    t0 = System.nanoTime()
+    store2.compact(spark)
+    val rebucketSec = secs(t0)
+    val rebucketBytes = bytesUnder(root) - b0
+    require(store2.stats.get.n == buckets2, "rebucket fold must re-lay the base")
+    val probe2 = store2.lookup(spark, Seq(probeKey))
+    require(probe2.count() == 1, "post-rebucket lookup must stay correct")
+    val rebucketOpened = probe2.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.flatMap(_.relation.location.inputFiles).length
+    require(store2.read(spark).count() == n, "rebucket must not drop rows")
+
     println(
       s"""{"metric":"store_write_amplification","rows":$n,"buckets":$buckets,""" +
       s""""delta_keys":$nDelta,"base_bytes":$baseBytes,""" +
       s""""full_merge_bytes":$fullBytes,"full_merge_sec":${f"$fullSec%.2f"},""" +
       s""""keyed_merge_bytes":$keyedBytes,"keyed_merge_sec":${f"$keyedSec%.2f"},""" +
       s""""feed_rows":$feedRows,"feed_sec":${f"$feedSec%.2f"},""" +
+      s""""feed_history_rows":$feedHistRows,"feed_history_sec":${f"$feedHistSec%.2f"},""" +
       s""""write_volume_ratio":${f"${fullBytes.toDouble / math.max(1, keyedBytes)}%.1f"},""" +
       s""""compact_uniform_bytes":$compactUniformBytes,"compact_uniform_sec":${f"$compactUniformSec%.2f"},""" +
       s""""compact_uniform_buckets_reused":$uniformReused,""" +
@@ -261,7 +309,10 @@ object StoreBench {
       s""""contention_published":$published,"contention_retries":$retries,""" +
       s""""contention_gross_bytes":$contentionGrossBytes,""" +
       s""""contention_sec":${f"$contentionSec%.2f"},""" +
-      s""""bytes_after_vacuum":$afterVacuumBytes}""")
+      s""""bytes_after_vacuum":$afterVacuumBytes,""" +
+      s""""rebucket_from":$buckets,"rebucket_to":$buckets2,""" +
+      s""""rebucket_sec":${f"$rebucketSec%.2f"},"rebucket_bytes":$rebucketBytes,""" +
+      s""""rebucket_lookup_files_opened":$rebucketOpened}""")
     spark.stop()
   }
 }

@@ -387,6 +387,27 @@ object DedupCatalog extends Catalog {
         simhashPairs(s, d).select(col("doc_a").as("src"), col("doc_b").as("dst")))
         .cache())
 
+  /** Union of the three modality pair graphs — image/audio banded-Hamming
+    * and video frame-set overlap — as (src, dst) edges. Shared by
+    * dd_media_cluster and the composed pl_media_prep funnel. */
+  private[graft] def mediaEdges(s: SparkSession, d: String): DataFrame =
+    bandedHammingPairs(mediaFps(s, d, 0,
+        graft.operators.Multimodal.dhash60Udf), maxHamming = 8)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    .union(bandedHammingPairs(mediaFps(s, d, 1,
+        graft.operators.Multimodal.afp60Udf), maxHamming = 8)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    .union(videoSharedPairs(s, d)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+
+  /** Cross-media connected components, memoized per (session, dir) like
+    * [[simhashComponents]] — the cluster pass runs once however many
+    * catalog rows consume it (dd_media_cluster, pl_media_prep). */
+  private[graft] def mediaComponents(s: SparkSession, d: String): DataFrame =
+    componentsCache.computeIfAbsent(
+      "media:" + System.identityHashCode(s) + ":" + d,
+      _ => graft.operators.Components.assign(mediaEdges(s, d)).cache())
+
   def queries: Map[String, QFn] = Map(
 
     // ── Exact dedup: group by full-content hash, keep lowest id ──
@@ -793,16 +814,7 @@ object DedupCatalog extends Catalog {
     // CC job over the whole asset universe instead of three, one
     // canonical-id namespace, one output table. ──
     "dd_media_cluster" -> ((s, d) => {
-      val edges =
-        bandedHammingPairs(mediaFps(s, d, 0,
-            graft.operators.Multimodal.dhash60Udf), maxHamming = 8)
-          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(bandedHammingPairs(mediaFps(s, d, 1,
-            graft.operators.Multimodal.afp60Udf), maxHamming = 8)
-          .select(col("doc_a").as("src"), col("doc_b").as("dst")))
-        .union(videoSharedPairs(s, d)
-          .select(col("doc_a").as("src"), col("doc_b").as("dst")))
-      val comp = graft.operators.Components.assign(edges)
+      val comp = mediaComponents(s, d)
       val universe = Tables.documents(s, d)
         .filter(col("text").rlike("^[\\x00-\\x7F]*$"))
         .select(col("doc_id").as("media_id"),
@@ -1325,6 +1337,51 @@ object DedupCatalog extends Catalog {
   /** Shared CTE chain mirroring Components.assign over the simhash
     * banded-Hamming pair graph: ends in lbl(doc_id, cluster_id);
     * singleton docs are absent from lbl (callers COALESCE to self). */
+  /** DuckDB CTE chain for the CROSS-MEDIA cluster labels (`lbl`:
+    * media_id → cluster_id over the union of the image/audio
+    * banded-Hamming and video frame-overlap pair graphs) — shared by
+    * dd_media_cluster's oracle and pl_media_prep's. Callers prepend
+    * `WITH RECURSIVE`. */
+  private[graft] lazy val MediaComponentsCte: String = {
+    import MultimodalCatalog.{DhashGridSql, Dhash60FromGridSql, AfpGridSql, Afp60FromGridSql}
+    val bandDiv = """(CASE t.k WHEN 0 THEN 1 WHEN 1 THEN 32768
+                      WHEN 2 THEN 1073741824 ELSE 35184372088832 END)::BIGINT"""
+    s"""img AS (SELECT doc_id, $DhashGridSql AS grid FROM documents
+           WHERE doc_id % 3 = 0 AND regexp_matches(text, '^[\\x00-\\x7F]*$$')),
+         fimg AS (SELECT doc_id, $Dhash60FromGridSql AS fp FROM img),
+         aud AS (SELECT doc_id, $AfpGridSql AS grid FROM documents
+           WHERE doc_id % 3 = 1 AND regexp_matches(text, '^[\\x00-\\x7F]*$$')),
+         faud AS (SELECT doc_id, $Afp60FromGridSql AS fp FROM aud),
+         fps AS (SELECT * FROM fimg UNION ALL SELECT * FROM faud),
+         bands AS (SELECT doc_id, fp, t.k AS band_idx,
+             (fp // $bandDiv) % 32768 AS band_val
+           FROM fps, generate_series(0, 3) t(k)),
+         hpairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a JOIN bands b
+             ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+               AND a.doc_id < b.doc_id AND a.doc_id % 3 = b.doc_id % 3
+           WHERE bit_count(xor(a.fp, b.fp)) <= 8),
+         vid AS (SELECT doc_id, text FROM documents
+           WHERE doc_id % 3 = 2 AND regexp_matches(text, '^[\\x00-\\x7F]*$$')),
+         fr AS (SELECT doc_id, text,
+             unnest(range(0, octet_length(encode(text)), 50)) AS off FROM vid),
+         fh AS (SELECT DISTINCT doc_id,
+             ${graft.functions.PortableHash.hash64Sql("substr(text, CAST(off AS INT) + 1, 16)")} AS fh
+           FROM fr),
+         vpairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM fh a JOIN fh b ON a.fh = b.fh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         mpairs AS MATERIALIZED (SELECT doc_a, doc_b FROM hpairs
+           UNION SELECT doc_a, doc_b FROM vpairs),
+         medges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM mpairs
+                   UNION SELECT doc_b, doc_a FROM mpairs),
+         mreach AS (SELECT src, dst FROM medges
+                   UNION SELECT r.src, e.dst FROM mreach r JOIN medges e
+                     ON r.dst = e.src AND e.dst <> r.src),
+         lbl AS (SELECT src AS media_id, LEAST(src, MIN(dst)) AS cluster_id
+                 FROM mreach GROUP BY src)"""
+  }
+
   private lazy val SimhashComponentsCte: String =
     s"""$SimhashCteSql,
          bands AS (SELECT doc_id, simhash, t.k AS band_idx,
@@ -1598,45 +1655,9 @@ object DedupCatalog extends Catalog {
          JOIN nf nb ON nb.doc_id = doc_b
          ORDER BY doc_a, doc_b"""
     },
-    "dd_media_cluster" -> {
-      import MultimodalCatalog.{DhashGridSql, Dhash60FromGridSql, AfpGridSql, Afp60FromGridSql}
-      val bandDiv = """(CASE t.k WHEN 0 THEN 1 WHEN 1 THEN 32768
-                        WHEN 2 THEN 1073741824 ELSE 35184372088832 END)::BIGINT"""
+    "dd_media_cluster" ->
       s"""WITH RECURSIVE
-         img AS (SELECT doc_id, $DhashGridSql AS grid FROM documents
-           WHERE doc_id % 3 = 0 AND regexp_matches(text, '^[\\x00-\\x7F]*$$')),
-         fimg AS (SELECT doc_id, $Dhash60FromGridSql AS fp FROM img),
-         aud AS (SELECT doc_id, $AfpGridSql AS grid FROM documents
-           WHERE doc_id % 3 = 1 AND regexp_matches(text, '^[\\x00-\\x7F]*$$')),
-         faud AS (SELECT doc_id, $Afp60FromGridSql AS fp FROM aud),
-         fps AS (SELECT * FROM fimg UNION ALL SELECT * FROM faud),
-         bands AS (SELECT doc_id, fp, t.k AS band_idx,
-             (fp // $bandDiv) % 32768 AS band_val
-           FROM fps, generate_series(0, 3) t(k)),
-         hpairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           FROM bands a JOIN bands b
-             ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-               AND a.doc_id < b.doc_id AND a.doc_id % 3 = b.doc_id % 3
-           WHERE bit_count(xor(a.fp, b.fp)) <= 8),
-         vid AS (SELECT doc_id, text FROM documents
-           WHERE doc_id % 3 = 2 AND regexp_matches(text, '^[\\x00-\\x7F]*$$')),
-         fr AS (SELECT doc_id, text,
-             unnest(range(0, octet_length(encode(text)), 50)) AS off FROM vid),
-         fh AS (SELECT DISTINCT doc_id,
-             ${graft.functions.PortableHash.hash64Sql("substr(text, CAST(off AS INT) + 1, 16)")} AS fh
-           FROM fr),
-         vpairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-           FROM fh a JOIN fh b ON a.fh = b.fh AND a.doc_id < b.doc_id
-           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-         pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM hpairs
-           UNION SELECT doc_a, doc_b FROM vpairs),
-         edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
-                   UNION SELECT doc_b, doc_a FROM pairs),
-         reach AS (SELECT src, dst FROM edges
-                   UNION SELECT r.src, e.dst FROM reach r JOIN edges e
-                     ON r.dst = e.src AND e.dst <> r.src),
-         lbl AS (SELECT src AS media_id, LEAST(src, MIN(dst)) AS cluster_id
-                 FROM reach GROUP BY src)
+         $MediaComponentsCte
          SELECT d.doc_id AS media_id,
            CASE d.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
            COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
@@ -1644,8 +1665,7 @@ object DedupCatalog extends Catalog {
            d.doc_id = COALESCE(l.cluster_id, d.doc_id) AS is_canonical
          FROM documents d LEFT JOIN lbl l ON d.doc_id = l.media_id
          WHERE regexp_matches(d.text, '^[\\x00-\\x7F]*$$')
-         ORDER BY media_id"""
-    },
+         ORDER BY media_id""",
     "dd_cluster_assign" ->
       s"""WITH RECURSIVE
          $SimhashComponentsCte

@@ -168,40 +168,54 @@ object MultimodalCatalog extends Catalog {
     // reduces over (doc × 8)-row frames joined on an 8-byte composite
     // key, and nothing corpus-sized is ever broadcast — swap either
     // tower's derivation for a real model UDF and the plan is unchanged.
-    "mm_modal_align" -> ((s, d) => {
-      import s.implicits._
-      val ascii = Tables.documents(s, d)
-        .filter(col("text").rlike("^[\\x00-\\x7F]*$") && length(col("text")) > 0)
-      val media = Multimodal.mediaFromDocuments(ascii)
-        .mapPartitions(_.flatMap { a =>
-          val acc = new Array[Double](8)
-          var i = 0
-          while (i < a.bytes.length) {
-            acc(i % 8) += (a.bytes(i) & 0xff) / 255.0
-            i += 1
-          }
-          (0 until 8).map(k => (a.media_id, k.toLong, acc(k)))
-        })
-        .toDF("doc_id", "k", "mv")
-      val text = ascii
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .withColumn("k", pmod(
-          PortableHash.hash64(concat(lit("align:"), col("w"))), lit(8L)))
-        .groupBy(col("doc_id"), col("k"))
-        .agg(count(lit(1)).cast("double").as("tc"))
-      val dots = text.join(media, Seq("doc_id", "k"))
-        .groupBy(col("doc_id")).agg(sum(col("tc") * col("mv")).as("dp"))
-      val tn = text.groupBy(col("doc_id"))
-        .agg(sqrt(sum(col("tc") * col("tc"))).as("tnorm"))
-      val mn = media.groupBy(col("doc_id"))
-        .agg(sqrt(sum(col("mv") * col("mv"))).as("mnorm"))
-      tn.join(mn, Seq("doc_id")).join(dots, Seq("doc_id"), "left_outer")
-        .select(col("doc_id").as("media_id"),
-          round(coalesce(col("dp"), lit(0.0)) / (col("tnorm") * col("mnorm")), 6)
-            .as("align_score"))
+    "mm_modal_align" -> ((s, d) =>
+      alignScores(s, d)
+        .select(col("doc_id").as("media_id"), col("align_score"))
         .withColumn("aligned", col("align_score") >= 0.85)
-        .orderBy(col("media_id"))
-    }))
+        .orderBy(col("media_id"))))
+
+  /** (doc_id, align_score) cross-modal cosine frame over the non-empty
+    * ASCII domain — mm_modal_align's core, shared with the composed
+    * pl_media_prep funnel so "aligned" means one thing everywhere. */
+  private[graft] def alignScores(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val ascii = Tables.documents(s, d)
+      .filter(col("text").rlike("^[\\x00-\\x7F]*$") && length(col("text")) > 0)
+    val media = Multimodal.mediaFromDocuments(ascii)
+      .mapPartitions(_.flatMap { a =>
+        val acc = new Array[Double](8)
+        var i = 0
+        while (i < a.bytes.length) {
+          acc(i % 8) += (a.bytes(i) & 0xff) / 255.0
+          i += 1
+        }
+        (0 until 8).map(k => (a.media_id, k.toLong, acc(k)))
+      })
+      .toDF("doc_id", "k", "mv")
+    val text = ascii
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("k", pmod(
+        PortableHash.hash64(concat(lit("align:"), col("w"))), lit(8L)))
+      .groupBy(col("doc_id"), col("k"))
+      .agg(count(lit(1)).cast("double").as("tc"))
+    // single pass: the media tower emits ALL 8 k-rows per asset, so a
+    // left join from it carries every term of both norms AND the dot
+    // product through ONE (doc_id, k) frame — each tower derives (and
+    // scans documents) exactly once, where the dots/tnorm/mnorm three-join
+    // form re-derived each tower per consumer (plan-pinned in
+    // PlanAuditSpec: three live documents scans for the whole funnel).
+    // Missing text buckets contribute exact 0.0 terms, so the double sums
+    // are the same multisets as the per-tower form
+    media.join(text, Seq("doc_id", "k"), "left_outer")
+      .select(col("doc_id"), coalesce(col("tc"), lit(0.0)).as("tc"), col("mv"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tc") * col("mv")).as("dp"),
+        sqrt(sum(col("tc") * col("tc"))).as("tnorm"),
+        sqrt(sum(col("mv") * col("mv"))).as("mnorm"))
+      .select(col("doc_id"),
+        round(col("dp") / (col("tnorm") * col("mnorm")), 6).as("align_score"))
+  }
 
   def oracle: Map[String, String] = Map(
     "mm_metadata" ->
@@ -270,9 +284,18 @@ object MultimodalCatalog extends Catalog {
              i -> CASE WHEN (i - 1) % 8 = 7 THEN ord(substr(text, i, 1)) / 255.0 ELSE 0 END)) * 1000) / 1000 AS dim7
          FROM documents WHERE regexp_matches(text, '^[\x00-\x7F]*$')
          ORDER BY media_id""",
-    "mm_modal_align" -> {
-      val wb = PortableHash.hash64Sql("'align:' || w")
-      s"""WITH a AS (SELECT doc_id, text FROM documents
+    "mm_modal_align" ->
+      s"""WITH $AlignScoreCte
+         SELECT doc_id AS media_id, align_score, align_score >= 0.85 AS aligned
+         FROM sc ORDER BY media_id""")
+
+  /** DuckDB CTE chain producing `sc(doc_id, align_score)` — the oracle
+    * twin of [[alignScores]], shared by mm_modal_align and pl_media_prep.
+    * CTE names (a/t/m/dp/tn/mn/sc) are disjoint from
+    * DedupCatalog.MediaComponentsCte's so the two compose in one WITH. */
+  private[graft] lazy val AlignScoreCte: String = {
+    val wb = PortableHash.hash64Sql("'align:' || w")
+    s"""a AS (SELECT doc_id, text FROM documents
            WHERE regexp_matches(text, '^[\\x00-\\x7F]*$$') AND length(text) > 0),
          t AS (SELECT doc_id, $wb % 8 AS k, CAST(COUNT(*) AS DOUBLE) AS tc
            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM a)
@@ -286,12 +309,10 @@ object MultimodalCatalog extends Catalog {
          dp AS (SELECT t.doc_id, SUM(tc * mv) AS dp
            FROM t JOIN m ON t.doc_id = m.doc_id AND t.k = m.k GROUP BY 1),
          tn AS (SELECT doc_id, sqrt(SUM(tc * tc)) AS tnorm FROM t GROUP BY 1),
-         mn AS (SELECT doc_id, sqrt(SUM(mv * mv)) AS mnorm FROM m GROUP BY 1)
-         SELECT tn.doc_id AS media_id,
-           round(COALESCE(dp.dp, 0) / (tn.tnorm * mn.mnorm), 6) AS align_score,
-           round(COALESCE(dp.dp, 0) / (tn.tnorm * mn.mnorm), 6) >= 0.85 AS aligned
-         FROM tn JOIN mn ON tn.doc_id = mn.doc_id
-           LEFT JOIN dp ON tn.doc_id = dp.doc_id
-         ORDER BY media_id"""
-    })
+         mn AS (SELECT doc_id, sqrt(SUM(mv * mv)) AS mnorm FROM m GROUP BY 1),
+         sc AS (SELECT tn.doc_id,
+             round(COALESCE(dp.dp, 0) / (tn.tnorm * mn.mnorm), 6) AS align_score
+           FROM tn JOIN mn ON tn.doc_id = mn.doc_id
+           LEFT JOIN dp ON tn.doc_id = dp.doc_id)"""
+  }
 }

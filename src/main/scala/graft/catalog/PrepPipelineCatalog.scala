@@ -227,6 +227,47 @@ object PrepPipelineCatalog extends Catalog {
           round(least(target / col("effective_tokens"), lit(5.0)), 6).as("weight"),
           (target / col("effective_tokens") > 5.0).as("capped"))
         .orderBy(col("source"))
+    }),
+
+    // ── The MEDIA twin of pl_corpus_prep: decode → fingerprint →
+    // cross-media cluster → alignment gate composed as ONE declarative
+    // plan with a per-kind funnel report. Stage semantics are the
+    // individual operators' (mm_metadata's decode domain, the
+    // dd_phash/afp/video pair graphs via the memoized cross-media
+    // components, mm_modal_align's cosine gate); this row adds the
+    // COMPOSITION a multimodal ingest actually ships: every asset gets a
+    // canonical-or-duplicate verdict AND an alignment verdict in one
+    // pass, and the report says what each modality kept. Plan shape at
+    // 100 TB: the per-asset map-side work (decode, fingerprint, embed
+    // fold) happens next to the scan; only fingerprints, band keys, and
+    // 8-dim tower rows ever shuffle; raw media bytes never leave their
+    // input partition — the same "only fingerprints move" economics as
+    // the text funnel's gram hashes. ──
+    "pl_media_prep" -> ((s, d) => {
+      val ascii = Tables.documents(s, d)
+        .filter(col("text").rlike("^[\\x00-\\x7F]*$"))
+      val kind = element_at(typedLit(Seq("image", "audio", "video")),
+        (col("doc_id") % 3).cast("int") + 1)
+      val comp = DedupCatalog.mediaComponents(s, d)
+      val flags = ascii
+        .select(col("doc_id"), kind.as("kind"),
+          length(col("text")).cast("long").as("n_bytes"))
+        .join(comp.select(col("node").as("doc_id"), col("cluster_id")),
+          Seq("doc_id"), "left_outer")
+        .withColumn("canonical",
+          col("doc_id") === coalesce(col("cluster_id"), col("doc_id")))
+        .join(MultimodalCatalog.alignScores(s, d), Seq("doc_id"), "left_outer")
+        .withColumn("aligned", coalesce(col("align_score") >= 0.85, lit(false)))
+      flags.groupBy(col("kind"))
+        .agg(count(lit(1)).as("n_raw"),
+          sum(when(col("n_bytes") > 0, 1L).otherwise(0L)).as("n_decoded"),
+          sum(when(col("canonical"), 1L).otherwise(0L)).as("n_canonical"),
+          sum(when(col("canonical") && col("aligned"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("canonical") && col("aligned"), col("n_bytes"))
+            .otherwise(0L)).as("bytes_kept"))
+        .withColumn("kept_frac",
+          round(col("n_kept").cast("double") / col("n_raw").cast("double"), 6))
+        .orderBy(col("kind"))
     })
   )
 
@@ -361,6 +402,28 @@ object PrepPipelineCatalog extends Catalog {
            round(effective_tokens / t_total, 6) AS token_share,
            round(least(t_total / n_sources / effective_tokens, 5.0), 6) AS weight,
            t_total / n_sources / effective_tokens > 5.0 AS capped
-         FROM per, tot ORDER BY source"""
+         FROM per, tot ORDER BY source""",
+    "pl_media_prep" ->
+      s"""WITH RECURSIVE
+         ${DedupCatalog.MediaComponentsCte},
+         ${MultimodalCatalog.AlignScoreCte},
+         mu AS (SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+               ELSE 'video' END AS kind,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+           FROM documents WHERE regexp_matches(text, '^[\\x00-\\x7F]*$$')),
+         mfl AS (SELECT mu.doc_id, mu.kind, mu.n_bytes,
+             mu.doc_id = COALESCE(l.cluster_id, mu.doc_id) AS canonical,
+             COALESCE(sc.align_score >= 0.85, FALSE) AS aligned
+           FROM mu LEFT JOIN lbl l ON mu.doc_id = l.media_id
+             LEFT JOIN sc ON mu.doc_id = sc.doc_id)
+         SELECT kind, COUNT(*) AS n_raw,
+           CAST(SUM(CASE WHEN n_bytes > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_decoded,
+           CAST(SUM(CASE WHEN canonical THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical,
+           CAST(SUM(CASE WHEN canonical AND aligned THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN canonical AND aligned THEN n_bytes ELSE 0 END) AS BIGINT) AS bytes_kept,
+           round(SUM(CASE WHEN canonical AND aligned THEN 1 ELSE 0 END)::DOUBLE
+             / COUNT(*), 6) AS kept_frac
+         FROM mfl GROUP BY kind ORDER BY kind"""
   )
 }

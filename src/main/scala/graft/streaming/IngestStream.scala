@@ -224,4 +224,16 @@ object Watermark {
     fs.delete(backup, true) // best-effort; a leftover backup is harmless
     ()
   }
+
+  /** Generation-cursor flavor: the feed-driven sweep's "last indexed
+    * generation" (Pipeline.runFeedSweep) rides the SAME crash-safe
+    * park-swap-drop store as the timestamp watermarks — the store's value
+    * column is a Timestamp, and a generation is a small long encoded
+    * losslessly in its millis field. One proven swap/recovery path
+    * instead of a second store with its own crash windows. */
+  def readGen(spark: SparkSession, path: String, key: String): Option[Long] =
+    read(spark, path, key).map(_.getTime)
+
+  def advanceGen(spark: SparkSession, path: String, key: String, gen: Long): Unit =
+    advance(spark, path, key, new Timestamp(gen))
 }

@@ -820,6 +820,43 @@ class CliSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(s"$root/master-changelog").count() == 3,
       "--no-changelog batch appended nothing")
   }
+
+  test("--index-from-feed: cadence discovery from the change feed — the " +
+    "first run bootstraps table-wide, persists a generation cursor, and " +
+    "the next cadence discovers its pending work from the feed") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_cli_feed").toString
+    val store = new graft.sources.MasterStore(s"$root/master")
+    val log = collection.mutable.Buffer.empty[String]
+    val (_, d) = deps(log)
+    val argvBase = Seq("--store", s"$root/master")
+    def full(bib: String, t: String) = Seq(
+      records.UpdateMessage(bib, "metadata", s"""{"title": ["$bib"]}""",
+        Timestamp.valueOf(t)),
+      records.UpdateMessage(bib, "nonbib_data", """{"boost": 0.4}""",
+        Timestamp.valueOf(t)),
+      records.UpdateMessage(bib, "orcid_claims", """{"verified": []}""",
+        Timestamp.valueOf(t)))
+
+    // a pending record: merged (no sinks, no stamps), awaiting the cadence
+    Pipeline.runBatch(spark, store, full("2024Feed.....1....A", "2024-01-01 00:00:00").toDS(),
+      d.solrTransport, d.bulkTransport, now = Timestamp.valueOf("2024-01-02 00:00:00"),
+      sinks = Set.empty, keyLocal = true)
+    assert(Cli.run(spark, argvBase ++ Seq("--index-from-feed"), d) == 0)
+    assert(log.exists(l => l.contains("discovery=table-scan") && l.contains("solrOk=1")),
+      s"first cadence bootstraps table-wide: $log")
+
+    // second cadence: a new pending record, discovered via the feed this
+    // time (the cursor persisted in the default watermark dir). Its ts is
+    // after the first run's advanced time watermark (deps' now)
+    Pipeline.runBatch(spark, store, full("2024Feed.....2....B", "2024-07-01 00:00:00").toDS(),
+      d.solrTransport, d.bulkTransport, now = Timestamp.valueOf("2024-07-01 01:00:00"),
+      sinks = Set.empty, keyLocal = true)
+    log.clear()
+    assert(Cli.run(spark, argvBase ++ Seq("--index-from-feed"), d) == 0)
+    assert(log.exists(l => l.contains("discovery=feed") && l.contains("solrOk=1")),
+      s"second cadence discovers from the feed: $log")
+  }
 }
 
 object CliSpec {

@@ -352,6 +352,37 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"cluster-size window partitions by cluster:\n${p.take(2000)}")
   }
 
+  test("the composed media funnel (pl_media_prep) keeps the per-asset " +
+    "work next to its scans: exactly three live documents scans (flag " +
+    "universe, media tower, caption tower — decode/fingerprint/embed " +
+    "fold each fuse into theirs), cluster labels ride the memoized " +
+    "components cache instead of re-deriving the pair graphs, and " +
+    "nothing goes cartesian") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    graft.catalog.DedupCatalog.clearMemos()
+    val df = SparkEntry.queries("pl_media_prep")(spark, sf)
+    df.count() // finalize AQE
+    // live scans only: cached subtrees (the banded fingerprint frames,
+    // the components labels) materialize ONCE however many consumers
+    // they have — that is the fusion being claimed, so they must not
+    // count against the funnel's own scan budget
+    def liveDocScans(p: SparkPlan): Int = {
+      val direct = p.collect {
+        case s: FileSourceScanExec
+            if s.relation.location.rootPaths.exists(_.toString.contains("documents")) => s
+      }.size
+      val aqe = p.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+      direct + aqe.map(liveDocScans).sum
+    }
+    val n = liveDocScans(df.queryExecution.executedPlan)
+    val p = df.queryExecution.executedPlan.toString
+    assert(n == 3, s"expected 3 live documents scans, got $n:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("InMemoryTableScan"),
+      s"cluster labels must come from the memoized components cache:\n${p.take(2000)}")
+  }
+
   test("kmeans training keeps the per-round shape of the single step: " +
     "centroids broadcast (the deliberate BNLJ), argmin prunes map-side, " +
     "stats fold 1-row frames only") {
