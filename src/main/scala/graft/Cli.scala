@@ -930,16 +930,24 @@ object Cli {
     // store; the first run (or one behind the feed retention horizon)
     // bootstraps with the table-wide scan and says so.
     if (a.contains("index-from-feed")) {
-      val letters = a.getOrElse("index-from-feed", "sml")
-      val sinks = Set(
-        if (letters.contains('s')) Some("solr") else None,
-        if (letters.contains('m')) Some("metrics") else None,
-        if (letters.contains('l')) Some("links") else None).flatten
-      if (sinks.isEmpty) { out("error: --index-from-feed needs s/m/l"); return 2 }
-      val force = a.contains("force_indexing") || a.contains("force_processing")
-      val ignoreChecksums = a.contains("force_indexing") || a.contains("ignore_checksums")
+      // flags whose -r meaning this command CANNOT honor are rejected
+      // loudly, not silently ignored: a targeted -b/-n run or a --since
+      // window is table-scoped by definition, and the stampless debugging
+      // mode breaks feed discovery's state contract (runFeedSweep refuses
+      // it anyway — surface the refusal as a usage error, not a crash)
+      val unsupported = Seq("no-update-processed", "since", "bibcodes",
+        "filename").filter(a.contains)
+      if (unsupported.nonEmpty) {
+        out(s"error: --index-from-feed does not take --${unsupported.head} " +
+          "(use -r for targeted, --since, or stampless runs)")
+        return 2
+      }
+      val (sinks, force, ignoreChecksums, priority) =
+        sweepFlags(a, a.getOrElse("index-from-feed", "sml")) match {
+          case Left(err) => out(s"error: --index-from-feed $err"); return 2
+          case Right(f)  => f
+        }
       val wmDir = a.getOrElse("watermark-dir", s"$storeRoot-watermarks")
-      val priority = a.get("priority").map(_.toInt).getOrElse(0)
       val r = graft.operators.Scheduling.withPriority(spark, priority) {
         Pipeline.runFeedSweep(spark, store, solrSink(), deps.bulkTransport,
           watermarkDir = Some(wmDir), force = force,
@@ -955,14 +963,11 @@ object Cli {
     }
 
     if (a.contains("index")) {
-      val letters = a.getOrElse("index", "sml")
-      val sinks = Set(
-        if (letters.contains('s')) Some("solr") else None,
-        if (letters.contains('m')) Some("metrics") else None,
-        if (letters.contains('l')) Some("links") else None).flatten
-      if (sinks.isEmpty) { out("error: -r needs at least one of s/m/l"); return 2 }
-      val force = a.contains("force_indexing") || a.contains("force_processing")
-      val ignoreChecksums = a.contains("force_indexing") || a.contains("ignore_checksums")
+      val (sinks, force, ignoreChecksums, priority) =
+        sweepFlags(a, a.getOrElse("index", "sml")) match {
+          case Left(err) => out(s"error: -r $err"); return 2
+          case Right(f)  => f
+        }
       val restrict = namedBibcodesDS()
       // an empty -b/-n must hard-fail: falling through with restrict=None
       // would silently turn a targeted run into a full watermark sweep
@@ -975,8 +980,6 @@ object Cli {
       val watermarkDir =
         if (a.contains("since") || restrict.isDefined) None
         else Some(a.getOrElse("watermark-dir", s"$storeRoot-watermarks"))
-      // --priority routes this run's jobs to a fair-scheduler pool (ST8)
-      val priority = a.get("priority").map(_.toInt).getOrElse(0)
       val report = graft.operators.Scheduling.withPriority(spark, priority) {
         Pipeline.runBatch(spark, store,
           spark.emptyDataset[graft.records.UpdateMessage],
@@ -1003,6 +1006,27 @@ object Cli {
       "--manage-sitemap, --update-sitemap-files, --update-sitemaps-auto, " +
       "--cleanup-invalid-sitemaps)")
     2
+  }
+
+  /** Shared sweep-flag parsing for -r and --index-from-feed — ONE place
+    * for the sink-letter set, the reference's -f coupling (force +
+    * ignore_checksums together, run.py:82-86), and the validated
+    * --priority (ST8 fair-scheduler pool), so a flag added to one sweep
+    * command cannot silently diverge from the other. Left = usage-error
+    * message (caller prefixes its command name and exits 2). */
+  private def sweepFlags(a: Map[String, String], letters: String)
+      : Either[String, (Set[String], Boolean, Boolean, Int)] = {
+    val sinks = Set(
+      if (letters.contains('s')) Some("solr") else None,
+      if (letters.contains('m')) Some("metrics") else None,
+      if (letters.contains('l')) Some("links") else None).flatten
+    if (sinks.isEmpty) return Left("needs at least one of s/m/l")
+    val force = a.contains("force_indexing") || a.contains("force_processing")
+    val ignoreChecksums = a.contains("force_indexing") || a.contains("ignore_checksums")
+    a.get("priority").map(_.toIntOption) match {
+      case Some(None) => Left("--priority needs an integer")
+      case p => Right((sinks, force, ignoreChecksums, p.flatten.getOrElse(0)))
+    }
   }
 
   /** Tiny flag parser: `--key value`, `--key` (boolean), plus the short

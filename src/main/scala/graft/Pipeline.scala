@@ -415,6 +415,11 @@ object Pipeline {
     * because silently full-scanning would hide that the cursor's lineage
     * is gone.
     *
+    * `force = true` deliberately bypasses feed discovery: a forced sweep
+    * (run.py -f, the post-wipe full rebuild) means "the corpus", and
+    * force widens the GATE — discovery must widen with it, or a forced
+    * rebuild would silently re-send only the window's delta.
+    *
     * `fromGen = None` reads the persisted cursor from `watermarkDir`
     * under [[GenCursorKey]] (advanced here after every sweep) — the
     * turn-key cadence mode: the first sweep ever finds no cursor, runs
@@ -449,8 +454,20 @@ object Pipeline {
     val feedKeys: Option[DataFrame] = from match {
       case None => None // no cursor yet: the bootstrap table-wide sweep
       case Some(f) if f > cursor =>
-        // propagate the AHEAD failure loudly (see scaladoc)
-        store.changesSince(spark, f); None
+        // AHEAD failure raised HERE against OUR cursor read, not by
+        // re-calling changesSince (whose own snapshot could race a
+        // concurrent publish past f — turning the loud failure into a
+        // silent table-wide sweep that then REGRESSES the persisted
+        // cursor below f)
+        throw new IllegalStateException(
+          s"feed cursor $f is AHEAD of the live generation $cursor at " +
+            s"${store.root} — the store was recreated or the cursor " +
+            "belongs to another store. Re-baseline and reset the cursor")
+      case Some(_) if force =>
+        // a FORCED sweep's intent is the corpus (run.py -f): force widens
+        // the GATE, so discovery must widen with it — a feed-windowed
+        // force would silently re-send only the delta
+        None
       case Some(f) =>
         try Some(store.changesSince(spark, f)
           .filter(!col("_deleted")).select(col("bibcode")))

@@ -228,8 +228,14 @@ class MasterStore(val root: String, numBuckets: Int = 8,
       ("seq" -> l.seq) ~ ("bytes" -> l.bytes) ~
         ("files" -> l.files.toList) ~
         ("buckets" -> l.buckets.map(_.toList).toList)
+    // format 3 = retained feed history (the `history` fold groups are
+    // LIVE references). Mixed-version caveat, recorded here because the
+    // field itself is advisory: a pre-history binary parses this manifest
+    // fine (unknown fields ignored) but its vacuum does not count history
+    // files as referenced — do not run old-binary maintenance against a
+    // store with retained history, or the feed loses files it advertises
     org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(
-      ("format" -> 2) ~ ("n" -> m.n) ~ ("baseBytes" -> m.baseBytes) ~
+      ("format" -> 3) ~ ("n" -> m.n) ~ ("baseBytes" -> m.baseBytes) ~
         ("baseGen" -> m.baseGen) ~ ("feedFrom" -> m.feedFrom) ~
         ("buckets" -> m.buckets.map(_.toList).toList) ~
         ("layers" -> m.layers.toList.map(layerJson)) ~
@@ -889,7 +895,11 @@ class MasterStore(val root: String, numBuckets: Int = 8,
       attempts += 1
       val (g, mOpt) = snapshot()
       val m = mOpt.getOrElse(return g)
-      if (m.layers.isEmpty) return g
+      // a layerless table still folds when the HANDLE's bucket count
+      // differs from the manifest's — the bucket-count evolution lever
+      // must work on a quiesced (already-compacted) store, which is
+      // exactly when an operator would run it
+      if (m.layers.isEmpty && m.n == numBuckets) return g
       try {
         val rebucket = m.n != numBuckets
         val neLayers = m.layers.filter(_.files.nonEmpty)

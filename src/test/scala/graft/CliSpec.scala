@@ -856,6 +856,22 @@ class CliSpec extends AnyFunSuite with SparkSpec {
     assert(Cli.run(spark, argvBase ++ Seq("--index-from-feed"), d) == 0)
     assert(log.exists(l => l.contains("discovery=feed") && l.contains("solrOk=1")),
       s"second cadence discovers from the feed: $log")
+
+    // flags whose -r meaning the feed command cannot honor are usage
+    // errors, never silently ignored (a targeted run must not become a
+    // full sweep; the stampless mode breaks feed discovery's contract)
+    assert(Cli.run(spark, argvBase ++
+      Seq("--index-from-feed", "--no-update-processed"), d) == 2)
+    assert(Cli.run(spark, argvBase ++
+      Seq("--index-from-feed", "--bibcodes", "2024Feed.....1....A"), d) == 2)
+    assert(Cli.run(spark, argvBase ++
+      Seq("--index-from-feed", "--since", "2024-01-01 00:00:00"), d) == 2)
+    // non-numeric --priority is the 2-exit usage error on BOTH sweep
+    // commands (shared sweepFlags), not a NumberFormatException crash
+    assert(Cli.run(spark, argvBase ++
+      Seq("--index-from-feed", "--priority", "high"), d) == 2)
+    assert(Cli.run(spark, argvBase ++
+      Seq("-r", "--priority", "high"), d) == 2)
   }
 }
 

@@ -120,6 +120,27 @@ class FeedSweepSpec extends AnyFunSuite with SparkSpec {
       .select("bibcode").collect().map(_.getString(0)).toSet == expected)
   }
 
+  test("force bypasses feed discovery: a forced rebuild means the CORPUS, " +
+      "not the cursor's window — feed-windowing a post-wipe -f would " +
+      "silently rebuild only the delta") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_fsf").toString
+    val store = new MasterStore(root, numBuckets = 2)
+    Pipeline.runBatch(spark, store,
+      (msgs("fcA", "2024-01-01 00:00:00") ++
+        msgs("fcB", "2024-01-01 00:00:00")).toDS(),
+      okTransport, okTransport, now = ts("2024-01-02 00:00:00"))
+    val cursor = store.currentVersion.get
+    mergeOnly(store, msgs("fcC", "2024-01-03 00:00:00"),
+      now = ts("2024-01-03 00:30:00"))
+    val sweep = Pipeline.runFeedSweep(spark, store, okTransport, okTransport,
+      fromGen = Some(cursor), force = true, ignoreChecksums = true,
+      now = ts("2024-01-04 00:00:00"))
+    assert(!sweep.usedFeed, "forced sweeps are table-wide by definition")
+    assert(sweep.run.solrOk == 3,
+      s"the forced rebuild re-sends the whole corpus, got ${sweep.run}")
+  }
+
   test("a cursor AHEAD of the live generation fails loudly — no silent " +
       "full sweep over a store the cursor never saw") {
     import spark.implicits._

@@ -847,6 +847,17 @@ class MasterStoreSpec extends AnyFunSuite with SparkSpec {
     assert(s16.stats.get.n == 16 && s16.stats.get.layerCount == 0)
     probe(s16, expectN = 16)
     assert(s16.read(spark).count() == 40)
+    // layerless rebucket: a QUIESCED (already-folded) store must still
+    // re-lay when the handle's bucket count changes — the "nothing to
+    // fold" early exit must not mask the rebucket (that quiesced state is
+    // exactly when an operator would run the evolution)
+    val s32 = new MasterStore(root, numBuckets = 32)
+    assert(s32.stats.get.layerCount == 0, "fixture: store is quiesced")
+    s32.compact(spark)
+    assert(s32.stats.get.n == 32, "layerless fold re-lays onto the new count")
+    assert(s32.read(spark).count() == 40)
+    assert(s32.lookup(spark, Seq("doc001")).select("status")
+      .head().getString(0) == "layered")
   }
 
   test("changesSince scans ONLY delta-layer files — the base never opens, " +
