@@ -62,6 +62,14 @@ import graft.streaming.Watermark
   *                                  modifying actions chain a file
   *                                  regeneration (run.py:500-510)
   *   --update-sitemap-files         regenerate flagged sitemap files only
+  *   --update-sitemaps-auto [--days-back N]  the sitemap cron: flag
+  *                                  records whose bib_data/solr state
+  *                                  moved in the lookback, then regenerate
+  *                                  — due-set discovery is ∝ delta via the
+  *                                  master change feed once its persisted
+  *                                  cursor exists (table-scan bootstrap
+  *                                  otherwise), and the state write is
+  *                                  then a key-local delta layer
   *   --report-docs f1,f2,...        project search-doc fields over the
   *                                  master snapshot through the COLUMNAR
   *                                  transform (pruned scan + pruned JSON
@@ -484,21 +492,65 @@ object Cli {
     if (a.contains("update-sitemaps-auto")) {
       // cron path (run.py:566-628): records whose bib_data or solr state
       // moved within the lookback window, minus already-flagged ones,
-      // chained through the add action + file regeneration
-      val daysBack = a.get("days-back").map(_.toInt).getOrElse(1)
+      // chained through the add action + file regeneration.
+      //
+      // Discovery is feed-driven when the persisted sitemap cursor is
+      // live (the SECOND in-engine change-feed consumer, after the index
+      // sweep): the feed's rows already carry the newest master columns,
+      // so the due filter runs directly on the ∝-changed-rows frame and
+      // the master table is never scanned; the state merge is then
+      // key-local (SitemapState.addKeyed — a delta layer ∝ due keys
+      // instead of the whole-state rewrite). No cursor yet, or a cursor
+      // behind the feed retention horizon, falls back to the reference's
+      // full-scan shape — and the first run persists the cursor so every
+      // later cadence is ∝ delta.
+      val daysBack = a.get("days-back").map(_.toIntOption.getOrElse {
+        out("error: --days-back needs an integer"); return 2
+      }).getOrElse(1)
       val cutoff = new Timestamp(now.getTime - daysBack * 86400000L)
       val sm = sitemapStore
-      sm.writeMerge(spark, { state =>
-        val flagged = state.filter(col("update_flag")).select(col("bibcode"))
-        val due = store.read(spark)
+      val wmDir = a.getOrElse("watermark-dir", s"$storeRoot-watermarks")
+      val smCursorKey = "last.sitemaps.generation"
+      val preGen = store.currentVersion.getOrElse(0L)
+      val cursor = graft.streaming.Watermark.readGen(spark, wmDir, smCursorKey)
+        .filter(_ <= preGen) // a recreated master under an old cursor re-baselines
+      val feedDue: Option[org.apache.spark.sql.DataFrame] = cursor.flatMap { c =>
+        try Some(store.changesSince(spark, c).filter(!col("_deleted"))
           .filter(col("bib_data_updated") >= lit(cutoff) ||
-            col("solr_processed") >= lit(cutoff))
-          .select(col("bibcode"))
-          .join(flagged, Seq("bibcode"), "left_anti")
-        SitemapState.add(state, store.read(spark), due)
-      })
+            col("solr_processed") >= lit(cutoff)))
+        catch { case _: IllegalStateException => None } // behind horizon
+      }
+      feedDue match {
+        case Some(dueMaster0) =>
+          val dueMaster = dueMaster0.cache()
+          try {
+            val flagged = sm.read(spark).filter(col("update_flag"))
+              .select(col("bibcode"))
+            val due = dueMaster.select(col("bibcode"))
+              .join(flagged, Seq("bibcode"), "left_anti")
+            // global fill cursor: one tiny aggregation over the state
+            // read, recomputed per invocation (single sitemap-cron writer,
+            // as in the reference)
+            val fill = SitemapState.currentFill(sm.read(spark))
+            sm.writeMergeKeyed(spark, due, cur =>
+              SitemapState.addKeyed(cur,
+                dueMaster.drop("_deleted", "_gen"), due, fill))
+          } finally dueMaster.unpersist(blocking = false)
+        case None =>
+          sm.writeMerge(spark, { state =>
+            val flagged = state.filter(col("update_flag")).select(col("bibcode"))
+            val due = store.read(spark)
+              .filter(col("bib_data_updated") >= lit(cutoff) ||
+                col("solr_processed") >= lit(cutoff))
+              .select(col("bibcode"))
+              .join(flagged, Seq("bibcode"), "left_anti")
+            SitemapState.add(state, store.read(spark), due)
+          })
+      }
+      graft.streaming.Watermark.advanceGen(spark, wmDir, smCursorKey, preGen)
       val n = Pipeline.runManagedSitemaps(spark, sm, outRoot, now)
-      out(s"auto update: regenerated $n files (lookback $daysBack d)")
+      out(s"auto update (${if (feedDue.isDefined) "feed" else "table-scan"} " +
+        s"discovery): regenerated $n files (lookback $daysBack d)")
       return 0
     }
 

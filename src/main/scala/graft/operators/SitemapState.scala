@@ -127,6 +127,48 @@ object SitemapState {
     updated.unionByName(added)
   }
 
+  /** Key-local form of [[add]] for `writeMergeKeyed`: receives ONLY the
+    * due keys' current state rows and returns their NEW rows (fresh
+    * assignments included), so the state store appends a delta layer
+    * ∝ due keys instead of rewriting the whole table each cron — the
+    * write-side half of the feed-driven sitemap cadence (the read-side
+    * half is discovering `bibcodes` from the master store's change feed).
+    *
+    * Per-key semantics are IDENTICAL to [[add]] (parity spec-pinned):
+    * the logic is the same hit/flag/assign plan, only scoped to the due
+    * rows instead of passing the whole state through. Two contract
+    * notes: `fill` must be computed from the full state (one tiny
+    * aggregation, [[currentFill]]) just before the merge — the fill
+    * cursor is global, which makes this form single-writer like the
+    * reference's sitemap cron (concurrent ADDS would race the fill;
+    * concurrent flag-clears/removes are fine, the CAS rebase keeps
+    * them); and a due key present nowhere (not in state, excluded from
+    * master) yields a tombstone for a key that never existed — reconciled
+    * away, a few bytes of layer, never a wrong row. */
+  def addKeyed(curRows: DataFrame, master: DataFrame, bibcodes: DataFrame,
+      fill: Fill, maxPerFile: Int = Sitemap.MaxRecordsPerSitemap,
+      force: Boolean = false): DataFrame = {
+    val cand = candidates(master, bibcodes)
+    val newRecs = cand.join(curRows.select(col("bibcode")), Seq("bibcode"), "left_anti")
+    val added = assignNew(newRecs, fill, maxPerFile)
+    val hits = cand.select(col("bibcode"), col("bib_data_updated").as("__new_bdu"),
+      lit(true).as("__hit"))
+    val flagCond =
+      if (force) col("__hit")
+      else col("__hit") && (col("filename_lastmoddate").isNull ||
+        (col("__new_bdu").isNotNull && col("__new_bdu") > col("filename_lastmoddate")))
+    val updated = curRows.join(hits, Seq("bibcode"), "left_outer")
+      .withColumn("__flag", coalesce(flagCond, lit(false)))
+      .withColumn("bib_data_updated",
+        when(col("__hit"), col("__new_bdu")).otherwise(col("bib_data_updated")))
+      .withColumn("filename_lastmoddate",
+        when(col("__flag"), col("__new_bdu")).otherwise(col("filename_lastmoddate")))
+      .withColumn("update_flag",
+        when(col("__hit"), col("__flag")).otherwise(col("update_flag")))
+      .select(columns.map(col): _*)
+    updated.unionByName(added)
+  }
+
   /** W2 — flag the min-record_id surviving member of every affected file
     * so the whole file regenerates without its removed members
     * (app.py:84-118). ONE implementation shared by the remove action and

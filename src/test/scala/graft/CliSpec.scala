@@ -358,6 +358,46 @@ class CliSpec extends AnyFunSuite with SparkSpec {
     assert(Cli.run(spark, argvBase ++ Seq("--delete_obsolete"), d) == 2)
   }
 
+  test("feed-driven sitemap cron: the first cadence scans and persists a " +
+    "cursor; the second discovers its due set from the master change feed " +
+    "and appends a KEY-LOCAL state layer instead of rewriting the table") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_cli_smf").toString
+    val store = new graft.sources.MasterStore(s"$root/master")
+    val log = collection.mutable.Buffer.empty[String]
+    val (_, d) = deps(log)
+    val argvBase = Seq("--store", s"$root/master",
+      "--sitemap-store", s"$root/smstate", "--out", s"$root/sitemaps")
+    def msg(bib: String, t: String) = records.UpdateMessage(bib, "metadata",
+      s"""{"title": ["$bib"]}""", Timestamp.valueOf(t))
+
+    // keyed merges throughout (the queue-consumer shape), so the feed
+    // stays readable across cadences — a blind write would reset it
+    Pipeline.runBatch(spark, store, Seq(msg("2024Smf......1A", "2024-05-30 00:00:00")).toDS(),
+      d.solrTransport, d.bulkTransport,
+      now = Timestamp.valueOf("2024-05-31 00:00:00"), keyLocal = true)
+    assert(Cli.run(spark, argvBase ++
+      Seq("--update-sitemaps-auto", "--days-back", "7"), d) == 0)
+    assert(log.exists(_.contains("auto update (table-scan discovery)")),
+      s"first cadence bootstraps by scan: $log")
+
+    Pipeline.runBatch(spark, store, Seq(msg("2024Smf......2B", "2024-05-30 12:00:00")).toDS(),
+      d.solrTransport, d.bulkTransport,
+      now = Timestamp.valueOf("2024-05-31 12:00:00"), keyLocal = true)
+    log.clear()
+    assert(Cli.run(spark, argvBase ++
+      Seq("--update-sitemaps-auto", "--days-back", "7"), d) == 0)
+    assert(log.exists(_.contains("auto update (feed discovery)")),
+      s"second cadence discovers from the feed: $log")
+    val smStore = new graft.sources.MasterStore(s"$root/smstate",
+      empty = graft.operators.SitemapState.empty, keyCol = "bibcode")
+    assert(smStore.read(spark).collect().map(_.getAs[String]("bibcode")).toSet ==
+      Set("2024Smf......1A", "2024Smf......2B"),
+      "feed discovery lands the same state the scan would")
+    assert(smStore.stats.get.layerCount >= 1,
+      "the feed cadence's state write is a delta layer, not a table rewrite")
+  }
+
   test("maintenance surface: scix-id flags and index_failed " +
     "(test_task_update_scixid, test_reindex_failed_bibcodes)") {
     import spark.implicits._

@@ -240,6 +240,66 @@ class SitemapStateSpec extends AnyFunSuite with SparkSpec {
     assert(stateMap(st).keySet == Set("ok"))
   }
 
+  test("addKeyed ≡ add: the key-local form (the feed-driven cron's delta-" +
+    "layer write) lands the IDENTICAL state as the whole-table action — " +
+    "new assignments, flag updates, repeat-add dedup, untouched rows, " +
+    "excluded and nonexistent due keys") {
+    import graft.sources.MasterStore
+    import spark.implicits._
+    val master = masterOf(Seq(
+      (1L, "k1", "{}", "2024-03-01 00:00:00", null),   // existing, newer data
+      (2L, "k2", "{}", "2024-01-02 00:00:00", null),   // existing, older data
+      (3L, "k3", "{}", "2024-03-03 00:00:00", null),   // brand new
+      (4L, "k4", "{}", "2024-03-04 00:00:00", "solr-failed"), // due but excluded
+      (5L, "k5", "{}", "2024-01-05 00:00:00", null)))  // in state, NOT due
+    // seed state: k1/k2/k5 assigned and generated on 2024-02-01
+    def seed(st: DataFrame): DataFrame = {
+      val add0 = SitemapState.add(SitemapState.empty(spark),
+        masterOf(Seq(
+          (1L, "k1", "{}", "2024-01-01 00:00:00", null),
+          (2L, "k2", "{}", "2024-01-02 00:00:00", null),
+          (5L, "k5", "{}", "2024-01-05 00:00:00", null))),
+        bibs("k1", "k2", "k5"), maxPerFile = 2)
+      SitemapState.markGenerated(add0,
+        Seq("sitemap_bib_1.xml", "sitemap_bib_2.xml").toDF("sitemap_filename"),
+        ts("2024-02-01 00:00:00"))
+    }
+    val due = bibs("k1", "k2", "k3", "k4", "ghost")
+
+    // path A: the whole-table action through writeMerge
+    val rootA = java.nio.file.Files.createTempDirectory("graft_smkA").toString
+    val smA = new MasterStore(rootA, numBuckets = 2,
+      empty = SitemapState.empty, keyCol = "bibcode")
+    smA.writeMerge(spark, _ => seed(SitemapState.empty(spark)))
+    smA.writeMerge(spark, st => SitemapState.add(st, master, due, maxPerFile = 2))
+
+    // path B: the key-local form through writeMergeKeyed
+    val rootB = java.nio.file.Files.createTempDirectory("graft_smkB").toString
+    val smB = new MasterStore(rootB, numBuckets = 2,
+      empty = SitemapState.empty, keyCol = "bibcode")
+    smB.writeMerge(spark, _ => seed(SitemapState.empty(spark)))
+    val fill = SitemapState.currentFill(smB.read(spark), maxPerFile = 2)
+    smB.writeMergeKeyed(spark, due, cur =>
+      SitemapState.addKeyed(cur, master, due, fill, maxPerFile = 2))
+
+    def snap(st: DataFrame) = st.collect().map(r =>
+      (r.getAs[String]("bibcode"), r.getAs[Long]("record_id"),
+        r.getAs[String]("sitemap_filename"),
+        Option(r.getAs[Timestamp]("bib_data_updated")).map(_.toString),
+        Option(r.getAs[Timestamp]("filename_lastmoddate")).map(_.toString),
+        r.getAs[Boolean]("update_flag"))).sortBy(_._1).toSeq
+    val a = snap(smA.read(spark))
+    val b = snap(smB.read(spark))
+    assert(a == b, s"keyed and whole-table adds must land identically:\nA=$a\nB=$b")
+    // fixture sanity: the interesting cases actually occurred
+    val m = b.map(r => r._1 -> r).toMap
+    assert(m.keySet == Set("k1", "k2", "k3", "k5"), "k4 excluded, ghost absent")
+    assert(m("k1")._6, "newer data re-flags")
+    assert(!m("k2")._6, "repeat-add of older data stays unflagged")
+    assert(m("k3")._6 && m("k3")._3 != null, "new key assigned and flagged")
+    assert(!m("k5")._6, "un-due row untouched")
+  }
+
   test("remove reconciles files: empties deleted, survivors' files flagged once " +
     "(test_execute_remove_action_basic_functionality, " +
     "test_execute_remove_action_empty_files_detection)") {
