@@ -120,10 +120,52 @@ object BootstrapBench {
       else 0
     val recPerSec = n / bootstrapS
 
+    // ── cadence phase: the DAILY sitemap cron after bootstrap — a small
+    // clustered change wave (2,500 consecutive-id records, ≈1 sitemap
+    // file, so file regeneration stays small and DISCOVERY dominates the
+    // wall), discovered once from the master change feed (cursor mode)
+    // and once via the reference's full-table scan (fresh cursor dir).
+    // The interesting number at this corpus size is the gap between the
+    // two discovery shapes for the same wave. ─────────────────────────
+    val outBuf = new java.lang.StringBuilder
+    val cadenceDeps = Cli.Deps(new Cli.LogTransport("solr", _ => ()),
+      new Cli.LogTransport("bulk", _ => ()),
+      out = s => { outBuf.append(s).append('\n'); () })
+    def autoRun(wmDir: String): Double = {
+      val t0 = System.nanoTime()
+      val rc2 = Cli.run(spark, Seq("--store", root,
+        "--update-sitemaps-auto", "--days-back", "1",
+        "--watermark-dir", wmDir), cadenceDeps)
+      require(rc2 == 0, s"auto cadence failed rc=$rc2")
+      secs(t0)
+    }
+    def wave(lo: Long, k: Long): Unit = {
+      val ts = new java.sql.Timestamp(System.currentTimeMillis())
+      val keys = spark.range(lo, lo + k)
+        .select(concat(lit("2026Synth"), format_string("%010d", col("id")))
+          .as("bibcode"))
+      store.writeMergeKeyed(spark, keys, cur => cur
+        .withColumn("bib_data_updated", lit(ts))
+        .withColumn("updated", lit(ts)))
+      ()
+    }
+    val wmFeed = s"$root-wm-feed"
+    autoRun(wmFeed) // idle cadence: bootstraps the cursor (scan, 0 due)
+    wave(5000000L, 2500L)
+    val feedCadenceS = autoRun(wmFeed)
+    require(outBuf.toString.contains("(feed discovery)"),
+      s"second cadence must ride the feed: $outBuf")
+    wave(6000000L, 2500L)
+    val scanCadenceS = autoRun(s"$root-wm-scan") // no cursor there: table scan
+    require(outBuf.toString.contains("(table-scan discovery)"),
+      s"fresh-cursor cadence must scan: $outBuf")
+
     println(s"""{"metric":"bootstrap_rec_per_sec","value":${recPerSec.round},""" +
       s""""rows":$n,"assigned":$assigned,"files_per_site":$nFiles,""" +
       s""""bib_files_on_disk":$onDisk,"rc":$rc,""" +
       s""""fixture_sec":${f"$fixtureS%.1f"},"bootstrap_sec":${f"$bootstrapS%.1f"},""" +
+      s""""cadence_wave":2500,"cadence_feed_sec":${f"$feedCadenceS%.1f"},""" +
+      s""""cadence_scan_sec":${f"$scanCadenceS%.1f"},""" +
       s""""baseline_avg_rec_per_sec":2287,"baseline_peak_rec_per_sec":4574}""")
     spark.stop()
   }

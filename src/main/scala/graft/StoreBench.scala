@@ -208,6 +208,10 @@ object StoreBench {
       "the fold must retire its layers into feed history")
     require(feedHistRows == 8 * nDelta,
       s"history feed rows $feedHistRows != ${8 * nDelta} (8 disjoint 1% merges)")
+    // retention's disk cost, observed not asserted: the kept fold's layer
+    // bytes ride the manifest until the fold ages out (bounded by the
+    // auto-compaction thresholds × feedRetainFolds)
+    val historyBytes = store.stats.get.historyBytes
 
     // ── 5b. read wall with zero layers ──────────────────────────────────
     t0 = System.nanoTime()
@@ -294,6 +298,7 @@ object StoreBench {
       s""""keyed_merge_bytes":$keyedBytes,"keyed_merge_sec":${f"$keyedSec%.2f"},""" +
       s""""feed_rows":$feedRows,"feed_sec":${f"$feedSec%.2f"},""" +
       s""""feed_history_rows":$feedHistRows,"feed_history_sec":${f"$feedHistSec%.2f"},""" +
+      s""""feed_history_bytes":$historyBytes,""" +
       s""""write_volume_ratio":${f"${fullBytes.toDouble / math.max(1, keyedBytes)}%.1f"},""" +
       s""""compact_uniform_bytes":$compactUniformBytes,"compact_uniform_sec":${f"$compactUniformSec%.2f"},""" +
       s""""compact_uniform_buckets_reused":$uniformReused,""" +

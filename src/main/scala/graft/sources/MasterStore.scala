@@ -71,7 +71,8 @@ object MasterStore {
     * compactions behind still reads the feed from the kept layers. */
   case class Stats(generation: Long, n: Int, baseFiles: Int, baseBytes: Long,
       layerCount: Int, layerBytes: Long, baseGen: Long = 0L,
-      feedFrom: Long = 0L, historyLayerCount: Int = 0)
+      feedFrom: Long = 0L, historyLayerCount: Int = 0,
+      historyBytes: Long = 0L)
 
   /** A generation was published and its data directory was then found
     * deleted (the orphan-sweep TOCTOU fired). Deliberately its own type:
@@ -343,7 +344,8 @@ class MasterStore(val root: String, numBuckets: Int = 8,
   /** Snapshot composition (file/byte counts), for benches and specs. */
   def stats: Option[Stats] = snapshot() match {
     case (g, Some(m)) => Some(Stats(g, m.n, m.baseFiles.size, m.baseBytes,
-      m.layers.size, m.layerBytes, m.baseGen, m.feedFrom, m.historyLayers.size))
+      m.layers.size, m.layerBytes, m.baseGen, m.feedFrom,
+      m.historyLayers.size, m.historyLayers.map(_.bytes).sum))
     case _ => None
   }
 
