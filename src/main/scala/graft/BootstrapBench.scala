@@ -131,17 +131,29 @@ object BootstrapBench {
     val cadenceDeps = Cli.Deps(new Cli.LogTransport("solr", _ => ()),
       new Cli.LogTransport("bulk", _ => ()),
       out = s => { outBuf.append(s).append('\n'); () })
-    def autoRun(wmDir: String): Double = {
+    // per-run assertion window: the buffer is cleared before each
+    // measured cadence so a mode string from an EARLIER run can never
+    // satisfy a later run's check
+    def autoRun(wmDir: String, expectMode: String): Double = {
+      outBuf.setLength(0)
       val t0 = System.nanoTime()
       val rc2 = Cli.run(spark, Seq("--store", root,
         "--update-sitemaps-auto", "--days-back", "1",
         "--watermark-dir", wmDir), cadenceDeps)
+      val w = secs(t0)
       require(rc2 == 0, s"auto cadence failed rc=$rc2")
-      secs(t0)
+      require(outBuf.toString.contains(s"($expectMode discovery)"),
+        s"cadence must use $expectMode discovery: $outBuf")
+      w
     }
-    def wave(lo: Long, k: Long): Unit = {
+    // wave offsets derived from n so a smaller configured corpus still
+    // benches a REAL wave (hardcoded ids beyond n would tombstone ghosts
+    // and time a no-op); consecutive ids ≈ one sitemap file, so file
+    // regeneration stays small and discovery dominates
+    val waveK = math.min(2500L, math.max(100L, n / 100))
+    def wave(lo: Long): Unit = {
       val ts = new java.sql.Timestamp(System.currentTimeMillis())
-      val keys = spark.range(lo, lo + k)
+      val keys = spark.range(lo, lo + waveK)
         .select(concat(lit("2026Synth"), format_string("%010d", col("id")))
           .as("bibcode"))
       store.writeMergeKeyed(spark, keys, cur => cur
@@ -149,22 +161,19 @@ object BootstrapBench {
         .withColumn("updated", lit(ts)))
       ()
     }
+    require(n >= 4 * waveK, s"corpus too small for the cadence waves: $n")
     val wmFeed = s"$root-wm-feed"
-    autoRun(wmFeed) // idle cadence: bootstraps the cursor (scan, 0 due)
-    wave(5000000L, 2500L)
-    val feedCadenceS = autoRun(wmFeed)
-    require(outBuf.toString.contains("(feed discovery)"),
-      s"second cadence must ride the feed: $outBuf")
-    wave(6000000L, 2500L)
-    val scanCadenceS = autoRun(s"$root-wm-scan") // no cursor there: table scan
-    require(outBuf.toString.contains("(table-scan discovery)"),
-      s"fresh-cursor cadence must scan: $outBuf")
+    autoRun(wmFeed, "table-scan") // idle cadence: bootstraps the cursor
+    wave(n / 4)
+    val feedCadenceS = autoRun(wmFeed, "feed")
+    wave(n / 2)
+    val scanCadenceS = autoRun(s"$root-wm-scan", "table-scan") // no cursor there
 
     println(s"""{"metric":"bootstrap_rec_per_sec","value":${recPerSec.round},""" +
       s""""rows":$n,"assigned":$assigned,"files_per_site":$nFiles,""" +
       s""""bib_files_on_disk":$onDisk,"rc":$rc,""" +
       s""""fixture_sec":${f"$fixtureS%.1f"},"bootstrap_sec":${f"$bootstrapS%.1f"},""" +
-      s""""cadence_wave":2500,"cadence_feed_sec":${f"$feedCadenceS%.1f"},""" +
+      s""""cadence_wave":$waveK,"cadence_feed_sec":${f"$feedCadenceS%.1f"},""" +
       s""""cadence_scan_sec":${f"$scanCadenceS%.1f"},""" +
       s""""baseline_avg_rec_per_sec":2287,"baseline_peak_rec_per_sec":4574}""")
     spark.stop()

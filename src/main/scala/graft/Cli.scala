@@ -504,38 +504,65 @@ object Cli {
       // behind the feed retention horizon, falls back to the reference's
       // full-scan shape — and the first run persists the cursor so every
       // later cadence is ∝ delta.
-      val daysBack = a.get("days-back").map(_.toIntOption.getOrElse {
-        out("error: --days-back needs an integer"); return 2
+      val daysBack = a.get("days-back").map(_.toIntOption.filter(_ >= 1).getOrElse {
+        out("error: --days-back needs a positive integer"); return 2
       }).getOrElse(1)
       val cutoff = new Timestamp(now.getTime - daysBack * 86400000L)
       val sm = sitemapStore
-      val wmDir = a.getOrElse("watermark-dir", s"$storeRoot-watermarks")
+      // the cursor lives in its OWN dir: Watermark.advance is a whole-dir
+      // read-modify-swap with no CAS, so two maintenance crons sharing a
+      // dir could drop each other's keys on a race — per-consumer dirs
+      // make the only writer of each dir that consumer's own cron
+      val wmDir = a.getOrElse("watermark-dir", s"$storeRoot-sitemap-watermarks")
       val smCursorKey = "last.sitemaps.generation"
       val preGen = store.currentVersion.getOrElse(0L)
       val cursor = graft.streaming.Watermark.readGen(spark, wmDir, smCursorKey)
-        .filter(_ <= preGen) // a recreated master under an old cursor re-baselines
+      if (cursor.exists(_ > preGen)) {
+        // same loud contract as runFeedSweep: a cursor AHEAD of the live
+        // store means the master was recreated under it — silently
+        // re-baselining to a 1-day scan would skip most of the new
+        // lineage AND regress the cursor. The operator re-baselines
+        // deliberately: clear the cursor dir (or pass a fresh
+        // --watermark-dir) and run a bootstrap/add over the new corpus
+        out(s"error: sitemap cursor ${cursor.get} is AHEAD of the live " +
+          s"master generation $preGen — the master store was recreated. " +
+          s"Clear $wmDir (or pass a fresh --watermark-dir) and re-baseline")
+        return 2
+      }
+      // Feed mode applies NO time cutoff: the cursor already bounds
+      // discovery to "changed since the last cadence", and per-key gating
+      // is add()'s own lastmoddate logic — applying the scan's lookback
+      // here would silently DROP changes older than the lookback (a cron
+      // host down past it, a backfill carrying its original date) while
+      // the advancing cursor makes the miss unrecoverable. Divergence
+      // from the scan shape is one-sided and deliberate: feed mode also
+      // CATCHES a new record backfilled with an old bib_data_updated,
+      // which the reference's lookback scan misses entirely.
       val feedDue: Option[org.apache.spark.sql.DataFrame] = cursor.flatMap { c =>
-        try Some(store.changesSince(spark, c).filter(!col("_deleted"))
-          .filter(col("bib_data_updated") >= lit(cutoff) ||
-            col("solr_processed") >= lit(cutoff)))
+        try Some(store.changesSince(spark, c).filter(!col("_deleted")))
         catch { case _: IllegalStateException => None } // behind horizon
       }
       feedDue match {
         case Some(dueMaster0) =>
           val dueMaster = dueMaster0.cache()
+          // ONE reconcile of the state serves both the flag anti-join and
+          // the fill aggregation — the state read is the feed cadence's
+          // dominant fixed cost at corpus scale
+          val smSnap = sm.read(spark).cache()
           try {
-            val flagged = sm.read(spark).filter(col("update_flag"))
-              .select(col("bibcode"))
+            val flagged = smSnap.filter(col("update_flag")).select(col("bibcode"))
             val due = dueMaster.select(col("bibcode"))
               .join(flagged, Seq("bibcode"), "left_anti")
-            // global fill cursor: one tiny aggregation over the state
-            // read, recomputed per invocation (single sitemap-cron writer,
-            // as in the reference)
-            val fill = SitemapState.currentFill(sm.read(spark))
+            // global fill cursor: one tiny aggregation, recomputed per
+            // invocation (single sitemap-cron writer, as in the reference)
+            val fill = SitemapState.currentFill(smSnap)
             sm.writeMergeKeyed(spark, due, cur =>
               SitemapState.addKeyed(cur,
                 dueMaster.drop("_deleted", "_gen"), due, fill))
-          } finally dueMaster.unpersist(blocking = false)
+          } finally {
+            dueMaster.unpersist(blocking = false)
+            smSnap.unpersist(blocking = false)
+          }
         case None =>
           sm.writeMerge(spark, { state =>
             val flagged = state.filter(col("update_flag")).select(col("bibcode"))

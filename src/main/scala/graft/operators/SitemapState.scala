@@ -100,32 +100,13 @@ object SitemapState {
     * Rows not named in the batch pass through untouched. */
   def add(state: DataFrame, master: DataFrame, bibcodes: DataFrame,
       maxPerFile: Int = Sitemap.MaxRecordsPerSitemap,
-      force: Boolean = false): DataFrame = {
-    val cand = candidates(master, bibcodes)
-    val newRecs = cand.join(state.select(col("bibcode")), Seq("bibcode"), "left_anti")
-    val added = assignNew(newRecs, currentFill(state, maxPerFile), maxPerFile)
-
-    val hits = cand.select(col("bibcode"), col("bib_data_updated").as("__new_bdu"),
-      lit(true).as("__hit"))
-    val flagCond =
-      if (force) col("__hit")
-      else col("__hit") && (col("filename_lastmoddate").isNull ||
-        (col("__new_bdu").isNotNull && col("__new_bdu") > col("filename_lastmoddate")))
-    // evaluate the flag BEFORE mutating filename_lastmoddate — later
-    // withColumns would otherwise resolve flagCond against the already-
-    // advanced lastmoddate and never see the row as newer
-    val updated = state.join(hits, Seq("bibcode"), "left_outer")
-      .withColumn("__flag", coalesce(flagCond, lit(false)))
-      .withColumn("bib_data_updated",
-        when(col("__hit"), col("__new_bdu")).otherwise(col("bib_data_updated")))
-      .withColumn("filename_lastmoddate",
-        when(col("__flag"), col("__new_bdu")).otherwise(col("filename_lastmoddate")))
-      .withColumn("update_flag",
-        when(col("__hit"), col("__flag")).otherwise(col("update_flag")))
-      .select(columns.map(col): _*)
-
-    updated.unionByName(added)
-  }
+      force: Boolean = false): DataFrame =
+    // the whole-table action IS the key-local plan applied to the full
+    // state (rows outside the due set pass through the left_outer
+    // untouched) — one implementation, so the flag-ordering subtlety
+    // documented in addKeyed cannot drift between the two forms
+    addKeyed(state, master, bibcodes, currentFill(state, maxPerFile),
+      maxPerFile, force)
 
   /** Key-local form of [[add]] for `writeMergeKeyed`: receives ONLY the
     * due keys' current state rows and returns their NEW rows (fresh
@@ -157,6 +138,9 @@ object SitemapState {
       if (force) col("__hit")
       else col("__hit") && (col("filename_lastmoddate").isNull ||
         (col("__new_bdu").isNotNull && col("__new_bdu") > col("filename_lastmoddate")))
+    // evaluate the flag BEFORE mutating filename_lastmoddate — later
+    // withColumns would otherwise resolve flagCond against the already-
+    // advanced lastmoddate and never see the row as newer
     val updated = curRows.join(hits, Seq("bibcode"), "left_outer")
       .withColumn("__flag", coalesce(flagCond, lit(false)))
       .withColumn("bib_data_updated",

@@ -384,18 +384,35 @@ class CliSpec extends AnyFunSuite with SparkSpec {
     Pipeline.runBatch(spark, store, Seq(msg("2024Smf......2B", "2024-05-30 12:00:00")).toDS(),
       d.solrTransport, d.bulkTransport,
       now = Timestamp.valueOf("2024-05-31 12:00:00"), keyLocal = true)
+    val smStore = new graft.sources.MasterStore(s"$root/smstate",
+      empty = graft.operators.SitemapState.empty, keyCol = "bibcode")
+    val baseGenBefore = smStore.stats.get.baseGen
     log.clear()
     assert(Cli.run(spark, argvBase ++
       Seq("--update-sitemaps-auto", "--days-back", "7"), d) == 0)
     assert(log.exists(_.contains("auto update (feed discovery)")),
       s"second cadence discovers from the feed: $log")
-    val smStore = new graft.sources.MasterStore(s"$root/smstate",
-      empty = graft.operators.SitemapState.empty, keyCol = "bibcode")
     assert(smStore.read(spark).collect().map(_.getAs[String]("bibcode")).toSet ==
       Set("2024Smf......1A", "2024Smf......2B"),
       "feed discovery lands the same state the scan would")
-    assert(smStore.stats.get.layerCount >= 1,
-      "the feed cadence's state write is a delta layer, not a table rewrite")
+    // a whole-table state rewrite would advance the store's base
+    // generation; the feed cadence's writes are delta layers, so it
+    // must not move (layerCount alone can't pin this — markGenerated's
+    // keyed merge leaves a layer either way)
+    assert(smStore.stats.get.baseGen == baseGenBefore,
+      "the feed cadence's state writes are delta layers, never a rewrite")
+
+    // a master recreated under a surviving cursor fails LOUDLY (usage
+    // error naming the recovery), never a silent 1-day re-baseline
+    graft.sources.FsUtil.deleteTree(java.nio.file.Paths.get(s"$root/master"))
+    val store2 = new graft.sources.MasterStore(s"$root/master")
+    Pipeline.runBatch(spark, store2, Seq(msg("2024Smf......3C", "2024-05-30 13:00:00")).toDS(),
+      d.solrTransport, d.bulkTransport,
+      now = Timestamp.valueOf("2024-05-31 13:00:00"), keyLocal = true)
+    log.clear()
+    assert(Cli.run(spark, argvBase ++
+      Seq("--update-sitemaps-auto", "--days-back", "7"), d) == 2)
+    assert(log.exists(_.contains("AHEAD")), s"got $log")
   }
 
   test("maintenance surface: scix-id flags and index_failed " +
