@@ -542,6 +542,16 @@ object Cli {
         try Some(store.changesSince(spark, c).filter(!col("_deleted")))
         catch { case _: IllegalStateException => None } // behind horizon
       }
+      // behind-horizon recovery scans WITHOUT the lookback cutoff: the
+      // cursor proves a previous cadence ran, so changes may be
+      // arbitrarily older than any --days-back window (the cron host was
+      // down past the feed retention) — a daysBack-bounded scan here,
+      // with the cursor then re-advancing below, would drop them
+      // PERMANENTLY. The cutoff-free reconcile is ∝ corpus once; add()'s
+      // own lastmoddate gating keeps repeat-adds from spuriously
+      // regenerating files. Only the true first run (no cursor at all)
+      // uses the reference's lookback shape.
+      val behindHorizon = cursor.isDefined && feedDue.isEmpty
       feedDue match {
         case Some(dueMaster0) =>
           val dueMaster = dueMaster0.cache()
@@ -566,9 +576,14 @@ object Cli {
         case None =>
           sm.writeMerge(spark, { state =>
             val flagged = state.filter(col("update_flag")).select(col("bibcode"))
+            val moved =
+              if (behindHorizon)
+                col("bib_data_updated").isNotNull || col("solr_processed").isNotNull
+              else
+                col("bib_data_updated") >= lit(cutoff) ||
+                  col("solr_processed") >= lit(cutoff)
             val due = store.read(spark)
-              .filter(col("bib_data_updated") >= lit(cutoff) ||
-                col("solr_processed") >= lit(cutoff))
+              .filter(moved)
               .select(col("bibcode"))
               .join(flagged, Seq("bibcode"), "left_anti")
             SitemapState.add(state, store.read(spark), due)
@@ -576,8 +591,17 @@ object Cli {
       }
       graft.streaming.Watermark.advanceGen(spark, wmDir, smCursorKey, preGen)
       val n = Pipeline.runManagedSitemaps(spark, sm, outRoot, now)
+      // the status line reports what the run actually covered: the cursor
+      // window in feed mode (feed mode applies no time cutoff), the
+      // cutoff-free recovery in behind-horizon mode, the lookback only in
+      // the true bootstrap scan
+      val coverage =
+        if (feedDue.isDefined) s"cursor window (${cursor.get}, $preGen]"
+        else if (behindHorizon)
+          s"cursor ${cursor.get} behind feed horizon: full reconcile, no lookback"
+        else s"lookback $daysBack d"
       out(s"auto update (${if (feedDue.isDefined) "feed" else "table-scan"} " +
-        s"discovery): regenerated $n files (lookback $daysBack d)")
+        s"discovery): regenerated $n files ($coverage)")
       return 0
     }
 
@@ -1027,11 +1051,20 @@ object Cli {
           case Right(f)  => f
         }
       val wmDir = a.getOrElse("watermark-dir", s"$storeRoot-watermarks")
-      val r = graft.operators.Scheduling.withPriority(spark, priority) {
+      // an AHEAD persisted cursor (master recreated under a surviving
+      // watermark dir) is an operator condition, not a crash: same clean
+      // exit-2 recovery message as the sitemap twin, not a stack trace
+      val r = try graft.operators.Scheduling.withPriority(spark, priority) {
         Pipeline.runFeedSweep(spark, store, solrSink(), deps.bulkTransport,
           watermarkDir = Some(wmDir), force = force,
           ignoreChecksums = ignoreChecksums, now = now,
           sinks = sinks, metricsStore = metricsStoreOpt)
+      } catch {
+        case e: IllegalStateException if e.getMessage != null &&
+            e.getMessage.contains("AHEAD") =>
+          out(s"error: ${e.getMessage}. Clear $wmDir (or pass a fresh " +
+            "--watermark-dir) and re-baseline")
+          return 2
       }
       out(s"discovery=${if (r.usedFeed) "feed" else "table-scan"} " +
         s"indexed=${r.run.indexed} solrOk=${r.run.solrOk} " +

@@ -81,6 +81,14 @@ object MasterStore {
     * operator attention, not a retry. */
   final class TornGenerationException(msg: String) extends RuntimeException(msg)
 
+  /** Highest manifest format this binary understands END TO END. Reads
+    * tolerate unknown fields, but MAINTENANCE (vacuum/truncate) must not:
+    * a future format may carry live file references this binary's
+    * reference-counting doesn't know about (exactly what format 3's
+    * retained history added), and sweeping "unreferenced" files against a
+    * newer manifest deletes data the newer readers still advertise. */
+  val SupportedManifestFormat: Int = 3
+
   /** Orphan grace for vacuums that run on the publish cadence: an
     * unreferenced `v_`/`d_` dir younger than this is presumed to be a
     * concurrent writer's in-flight attempt and survives the sweep; older
@@ -214,7 +222,8 @@ class MasterStore(val root: String, numBuckets: Int = 8,
     * change feed has this same retention-bounded contract). */
   private case class Manifest(n: Int, buckets: Vector[Vector[String]],
       baseBytes: Long, layers: Vector[Layer], baseGen: Long = 0L,
-      history: Vector[Vector[Layer]] = Vector.empty, feedFrom: Long = 0L) {
+      history: Vector[Vector[Layer]] = Vector.empty, feedFrom: Long = 0L,
+      format: Int = SupportedManifestFormat) {
     def baseFiles: Seq[String] = buckets.flatten
     def layerBytes: Long = layers.map(_.bytes).sum
     def historyLayers: Seq[Layer] = history.flatten
@@ -230,13 +239,14 @@ class MasterStore(val root: String, numBuckets: Int = 8,
         ("files" -> l.files.toList) ~
         ("buckets" -> l.buckets.map(_.toList).toList)
     // format 3 = retained feed history (the `history` fold groups are
-    // LIVE references). Mixed-version caveat, recorded here because the
-    // field itself is advisory: a pre-history binary parses this manifest
-    // fine (unknown fields ignored) but its vacuum does not count history
-    // files as referenced — do not run old-binary maintenance against a
-    // store with retained history, or the feed loses files it advertises
+    // LIVE references). A pre-history binary parses this manifest fine
+    // (unknown fields ignored) and reads correctly, but its vacuum would
+    // not count history files as referenced — which is why the
+    // MAINTENANCE paths (vacuum/truncate) refuse pointers whose format
+    // exceeds [[MasterStore.SupportedManifestFormat]] instead of relying
+    // on operators reading this comment
     org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(
-      ("format" -> 3) ~ ("n" -> m.n) ~ ("baseBytes" -> m.baseBytes) ~
+      ("format" -> SupportedManifestFormat) ~ ("n" -> m.n) ~ ("baseBytes" -> m.baseBytes) ~
         ("baseGen" -> m.baseGen) ~ ("feedFrom" -> m.feedFrom) ~
         ("buckets" -> m.buckets.map(_.toList).toList) ~
         ("layers" -> m.layers.toList.map(layerJson)) ~
@@ -264,8 +274,22 @@ class MasterStore(val root: String, numBuckets: Int = 8,
       (j \ "history").extractOrElse[List[List[org.json4s.JValue]]](Nil)
         .map(_.map(layerOf).toVector).toVector,
       // pre-retention manifests: the feed horizon IS the base horizon
-      (j \ "feedFrom").extractOrElse[Long](-1L))
+      (j \ "feedFrom").extractOrElse[Long](-1L),
+      // manifests older than the format field itself are format 1
+      (j \ "format").extractOrElse[Int](1))
   }
+
+  /** Maintenance-path guard against a NEWER binary's manifests: refuse to
+    * reference-count (and therefore to delete by elimination) against a
+    * pointer whose format this binary doesn't fully understand. */
+  private def requireMaintainable(m: Manifest, what: String): Unit =
+    if (m.format > SupportedManifestFormat)
+      throw new IllegalStateException(
+        s"MasterStore at $root: a live generation pointer has manifest " +
+          s"format ${m.format}, newer than this binary's supported " +
+          s"$SupportedManifestFormat — refusing $what: it may carry live " +
+          "file references this binary's reference-counting cannot see. " +
+          "Upgrade the binary before running maintenance")
 
   /** Data files under `dir` (root-relative paths, flat or one
     * `__b=<bucket>` level deep) with sizes. */
@@ -984,6 +1008,10 @@ class MasterStore(val root: String, numBuckets: Int = 8,
     * moved directory. */
   def truncate(spark: SparkSession, backupDir: String): Unit = {
     val (_, old) = snapshot()
+    // truncate MOVES the old snapshot's data dirs wholesale — a manifest
+    // format this binary can't fully enumerate may reference dirs it
+    // would leave behind (or worse, share), so refuse like vacuum does
+    old.foreach(requireMaintainable(_, "truncate"))
     write(empty(spark))
     val oldDirs = old.toSeq.flatMap(m =>
       (m.baseFiles ++ (m.layers ++ m.historyLayers).flatMap(_.files))
@@ -1005,6 +1033,10 @@ class MasterStore(val root: String, numBuckets: Int = 8,
     val content = new String(Files.readAllBytes(p), "UTF-8").trim
     if (content.startsWith("{")) {
       val m = parseManifest(content)
+      // the sweep deletes by ELIMINATION from this reference set, so a
+      // format newer than this binary (fields it can't count) must stop
+      // the vacuum, not be silently under-counted
+      requireMaintainable(m, "vacuum")
       // history layers are live references too: the retained change feed
       // reads them, so the sweep must not reclaim them until their fold
       // group ages out of the manifest

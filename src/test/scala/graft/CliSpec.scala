@@ -415,6 +415,88 @@ class CliSpec extends AnyFunSuite with SparkSpec {
     assert(log.exists(_.contains("AHEAD")), s"got $log")
   }
 
+  test("sitemap cron behind the feed horizon recovers WITHOUT the lookback " +
+    "cutoff: a change older than --days-back but newer than the dead " +
+    "cursor still lands (a daysBack-bounded fallback would drop it " +
+    "permanently as the cursor re-advances)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_cli_bh").toString
+    val store = new graft.sources.MasterStore(s"$root/master")
+    val log = collection.mutable.Buffer.empty[String]
+    val (_, d) = deps(log)
+    val argvBase = Seq("--store", s"$root/master",
+      "--sitemap-store", s"$root/smstate", "--out", s"$root/sitemaps")
+    def msg(bib: String, t: String) = records.UpdateMessage(bib, "metadata",
+      s"""{"title": ["$bib"]}""", Timestamp.valueOf(t))
+
+    Pipeline.runBatch(spark, store, Seq(msg("2024Bhz......1A", "2024-01-01 00:00:00")).toDS(),
+      d.solrTransport, d.bulkTransport,
+      now = Timestamp.valueOf("2024-01-02 00:00:00"), keyLocal = true)
+    // first cadence persists the cursor (deps' now = 2024-06-01, so the
+    // January change needs the wide lookback here)
+    assert(Cli.run(spark, argvBase ++
+      Seq("--update-sitemaps-auto", "--days-back", "400"), d) == 0)
+    // age the cursor out of the feed: a blind write resets the horizon
+    store.write(store.read(spark))
+    // a change whose dates are ~5 months older than a 1-day lookback
+    Pipeline.runBatch(spark, store, Seq(msg("2024Bhz......2B", "2024-01-03 00:00:00")).toDS(),
+      d.solrTransport, d.bulkTransport,
+      now = Timestamp.valueOf("2024-01-04 00:00:00"), keyLocal = true)
+    log.clear()
+    assert(Cli.run(spark, argvBase ++
+      Seq("--update-sitemaps-auto", "--days-back", "1"), d) == 0)
+    assert(log.exists(_.contains("behind feed horizon")), s"got $log")
+    val smStore = new graft.sources.MasterStore(s"$root/smstate",
+      empty = graft.operators.SitemapState.empty)
+    assert(smStore.read(spark).collect().map(_.getAs[String]("bibcode")).toSet
+      .contains("2024Bhz......2B"),
+      "the behind-horizon recovery must reconcile changes older than the lookback")
+    // and the cadence after recovery is back on the feed, reporting its
+    // cursor window instead of a lookback it does not apply
+    Pipeline.runBatch(spark, store, Seq(msg("2024Bhz......3C", "2024-01-05 00:00:00")).toDS(),
+      d.solrTransport, d.bulkTransport,
+      now = Timestamp.valueOf("2024-01-06 00:00:00"), keyLocal = true)
+    log.clear()
+    assert(Cli.run(spark, argvBase ++
+      Seq("--update-sitemaps-auto", "--days-back", "1"), d) == 0)
+    assert(log.exists(l => l.contains("feed discovery") && l.contains("cursor window")),
+      s"got $log")
+    assert(!log.exists(_.contains("lookback")), s"feed mode must not claim a lookback: $log")
+    assert(smStore.read(spark).collect().map(_.getAs[String]("bibcode")).toSet
+      .contains("2024Bhz......3C"))
+  }
+
+  test("--index-from-feed maps an AHEAD cursor (recreated master under a " +
+    "surviving watermark dir) to a clean exit-2 usage error naming the " +
+    "recovery, like the sitemap twin — not a stack trace") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_cli_ahd").toString
+    val store = new graft.sources.MasterStore(s"$root/master")
+    val log = collection.mutable.Buffer.empty[String]
+    val (_, d) = deps(log)
+    val argvBase = Seq("--store", s"$root/master")
+    def msg(bib: String, t: String) = records.UpdateMessage(bib, "metadata",
+      s"""{"title": ["$bib"]}""", Timestamp.valueOf(t))
+    // two keyed batches so the persisted cursor lands at generation ≥ 2
+    Pipeline.runBatch(spark, store, Seq(msg("2024Ahd......1A", "2024-01-01 00:00:00")).toDS(),
+      d.solrTransport, d.bulkTransport,
+      now = Timestamp.valueOf("2024-01-02 00:00:00"), keyLocal = true)
+    Pipeline.runBatch(spark, store, Seq(msg("2024Ahd......2B", "2024-01-03 00:00:00")).toDS(),
+      d.solrTransport, d.bulkTransport,
+      now = Timestamp.valueOf("2024-01-04 00:00:00"), keyLocal = true)
+    assert(Cli.run(spark, argvBase ++ Seq("--index-from-feed"), d) == 0)
+    // recreate the master under the surviving watermark dir, one gen deep
+    graft.sources.FsUtil.deleteTree(java.nio.file.Paths.get(s"$root/master"))
+    val store2 = new graft.sources.MasterStore(s"$root/master")
+    Pipeline.runBatch(spark, store2, Seq(msg("2024Ahd......3C", "2024-01-05 00:00:00")).toDS(),
+      d.solrTransport, d.bulkTransport,
+      now = Timestamp.valueOf("2024-01-06 00:00:00"), keyLocal = true)
+    log.clear()
+    assert(Cli.run(spark, argvBase ++ Seq("--index-from-feed"), d) == 2)
+    assert(log.exists(l => l.contains("AHEAD") && l.contains("re-baseline")),
+      s"got $log")
+  }
+
   test("maintenance surface: scix-id flags and index_failed " +
     "(test_task_update_scixid, test_reindex_failed_bibcodes)") {
     import spark.implicits._

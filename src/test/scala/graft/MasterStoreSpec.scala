@@ -879,4 +879,35 @@ class MasterStoreSpec extends AnyFunSuite with SparkSpec {
     assert(!opened.exists(_.contains("/v_")),
       s"base files must never open for a change-feed read: ${opened.toSeq}")
   }
+
+  test("maintenance refuses a manifest format newer than the binary: an " +
+    "old binary's vacuum deletes by elimination, so an uncounted live " +
+    "reference class (what format 3 added) must STOP the sweep, not be " +
+    "silently reclaimed; reads stay available") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+    val store = seeded(root)
+    store.write(upsert(store.read(spark), Seq(msg("ms3")))) // a superseded gen to drop
+    // simulate a NEWER binary's pointer: bump the live manifest's format
+    val live = Files.list(Paths.get(root)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("gen_"))
+      .maxBy(p => p.getFileName.toString.stripPrefix("gen_").toLong)
+    val content = new String(Files.readAllBytes(live), "UTF-8")
+    assert(content.contains("\"format\":" + MasterStore.SupportedManifestFormat))
+    Files.write(live, content.replace(
+      "\"format\":" + MasterStore.SupportedManifestFormat,
+      "\"format\":" + (MasterStore.SupportedManifestFormat + 1)).getBytes("UTF-8"))
+    // reads tolerate the unknown format (fields this binary knows are intact)
+    assert(store.read(spark).count() == 3)
+    // vacuum and truncate refuse, naming the formats
+    val ev = intercept[IllegalStateException](store.vacuum(alsoOrphans = true))
+    assert(ev.getMessage.contains(s"format ${MasterStore.SupportedManifestFormat + 1}"))
+    val et = intercept[IllegalStateException](
+      store.truncate(spark, s"$root-backup"))
+    assert(et.getMessage.contains("truncate"))
+    // nothing was deleted or moved by the refused maintenance
+    assert(store.read(spark).count() == 3)
+    assert(!Files.exists(Paths.get(s"$root-backup")))
+  }
 }
