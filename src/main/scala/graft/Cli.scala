@@ -552,27 +552,32 @@ object Cli {
       // regenerating files. Only the true first run (no cursor at all)
       // uses the reference's lookback shape.
       val behindHorizon = cursor.isDefined && feedDue.isEmpty
-      feedDue match {
+      val n: Long = feedDue match {
         case Some(dueMaster0) =>
-          val dueMaster = dueMaster0.cache()
-          // ONE reconcile of the state serves both the flag anti-join and
-          // the fill aggregation — the state read is the feed cadence's
-          // dominant fixed cost at corpus scale
-          val smSnap = sm.read(spark).cache()
+          // state access ∝ delta (the r14 residual): the due keys' flags
+          // come from a bucket-pruned keyed lookup, the fill cursor and
+          // the index lastmods from the persisted generation-validated
+          // cadence summary — rebuilt in ONE scan whenever anything else
+          // mutated the state since the last cron (surfacing stale flags
+          // a crashed run left), instead of a full reconcile EVERY cron
+          val dueMaster = dueMaster0.drop("_deleted", "_gen").cache()
           try {
-            val flagged = smSnap.filter(col("update_flag")).select(col("bibcode"))
-            val due = dueMaster.select(col("bibcode"))
-              .join(flagged, Seq("bibcode"), "left_anti")
-            // global fill cursor: one tiny aggregation, recomputed per
-            // invocation (single sitemap-cron writer, as in the reference)
-            val fill = SitemapState.currentFill(smSnap)
-            sm.writeMergeKeyed(spark, due, cur =>
-              SitemapState.addKeyed(cur,
-                dueMaster.drop("_deleted", "_gen"), due, fill))
-          } finally {
-            dueMaster.unpersist(blocking = false)
-            smSnap.unpersist(blocking = false)
-          }
+            val smVer = sm.currentVersion.getOrElse(0L)
+            val (summary, stale) =
+              graft.operators.SitemapCadence.load(spark, wmDir)
+                .filter(_.generation == smVer) match {
+                case Some(s) => (s, Seq.empty[String])
+                case None =>
+                  graft.operators.SitemapCadence.rebuild(
+                    sm.read(spark), smVer)
+              }
+            val (nf, next) = Pipeline.runSitemapCadenceKeyed(spark, sm,
+              outRoot, now, dueMaster, summary, stale)
+            graft.streaming.Watermark.advanceGen(spark, wmDir, smCursorKey, preGen)
+            store.registerConsumerCursor("sitemaps", preGen)
+            graft.operators.SitemapCadence.save(spark, wmDir, next)
+            nf
+          } finally dueMaster.unpersist(blocking = false)
         case None =>
           sm.writeMerge(spark, { state =>
             val flagged = state.filter(col("update_flag")).select(col("bibcode"))
@@ -588,9 +593,15 @@ object Cli {
               .join(flagged, Seq("bibcode"), "left_anti")
             SitemapState.add(state, store.read(spark), due)
           })
+          graft.streaming.Watermark.advanceGen(spark, wmDir, smCursorKey, preGen)
+          store.registerConsumerCursor("sitemaps", preGen)
+          // the full render also rebuilds + persists the summary, so the
+          // NEXT cadence (the steady state) runs keyed end-to-end
+          val (nf, next) = Pipeline.runManagedSitemapsWithSummary(
+            spark, sm, outRoot, now)
+          graft.operators.SitemapCadence.save(spark, wmDir, next)
+          nf
       }
-      graft.streaming.Watermark.advanceGen(spark, wmDir, smCursorKey, preGen)
-      val n = Pipeline.runManagedSitemaps(spark, sm, outRoot, now)
       // the status line reports what the run actually covered: the cursor
       // window in feed mode (feed mode applies no time cutoff), the
       // cutoff-free recovery in behind-horizon mode, the lookback only in

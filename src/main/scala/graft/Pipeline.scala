@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import java.sql.Timestamp
 
 import graft.records._
-import graft.operators.{IndexJob, MergeEngine, Sitemap, SitemapState}
+import graft.operators.{IndexJob, MergeEngine, Sitemap, SitemapCadence, SitemapState}
 import graft.sources.{MasterStore, Sinks}
 import graft.streaming.Watermark
 
@@ -493,7 +493,14 @@ object Pipeline {
           updateProcessed = updateProcessed, keyLocal = false,
           changeLogDir = changeLogDir, keyedPublish = true)
     }
-    watermarkDir.foreach(Watermark.advanceGen(spark, _, GenCursorKey, cursor))
+    watermarkDir.foreach { dir =>
+      Watermark.advanceGen(spark, dir, GenCursorKey, cursor)
+      // persistent-cursor mode also registers with the store so feed
+      // retention covers this consumer when it runs slow (compact keeps
+      // history for the oldest registered cursor up to the hard cap);
+      // a one-shot fromGen caller is not a standing consumer and skips it
+      store.registerConsumerCursor("reindex", cursor)
+    }
     FeedSweepReport(report, nextFromGen = cursor, usedFeed = feedKeys.isDefined)
   }
 
@@ -580,7 +587,18 @@ object Pipeline {
     * their index entry and lastmod. Returns the regenerated file count. */
   def runManagedSitemaps(spark: SparkSession, stateStore: MasterStore,
       outRoot: String, now: Timestamp,
-      siteKeys: Seq[String] = Sitemap.Sites.keys.toSeq.sorted): Long = {
+      siteKeys: Seq[String] = Sitemap.Sites.keys.toSeq.sorted): Long =
+    runManagedSitemapsWithSummary(spark, stateStore, outRoot, now, siteKeys)._1
+
+  /** [[runManagedSitemaps]] that also returns the [[SitemapCadence]]
+    * summary of the post-run state, derived from the SAME per-file
+    * aggregation the site indexes already needed — the cadence caller
+    * persists it so the next feed-driven cron skips the table-wide state
+    * reads entirely ([[runSitemapCadenceKeyed]]). */
+  def runManagedSitemapsWithSummary(spark: SparkSession, stateStore: MasterStore,
+      outRoot: String, now: Timestamp,
+      siteKeys: Seq[String] = Sitemap.Sites.keys.toSeq.sorted,
+      maxPerFile: Int = Sitemap.MaxRecordsPerSitemap): (Long, SitemapCadence.Summary) = {
     val today = new java.text.SimpleDateFormat("yyyy-MM-dd").format(now)
     val state0 = stateStore.read(spark).cache()
     val work = SitemapState.renderable(state0, today).cache()
@@ -591,33 +609,10 @@ object Pipeline {
       Sitemap.writeFiles(Sitemap.renderFiles(work, site), s"$outRoot/$key")
     }
     // index entries for EVERY file in the table (tasks.py:888-899), not
-    // just the regenerated ones; one tiny aggregation
-    val allFiles = state0.filter(col("sitemap_filename").isNotNull)
-      .groupBy(col("sitemap_filename"))
-      .agg(max(coalesce(date_format(col("bib_data_updated"), "yyyy-MM-dd"),
-        lit(today))).as("lastmod"))
-      .collect().map(r => r.getString(0) -> r.getString(1)).sortBy(_._1)
-    for (key <- siteKeys) {
-      val site = Sitemap.Sites(key)
-      val dir = new org.apache.hadoop.fs.Path(s"$outRoot/$key")
-      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.mkdirs(dir)
-      def put(name: String, content: String): Unit = {
-        val out = fs.create(new org.apache.hadoop.fs.Path(dir, name), true)
-        try out.write(content.getBytes("UTF-8")) finally out.close()
-      }
-      put("sitemap_static.xml", Sitemap.renderStaticSitemap(site))
-      // the reference indexes only files that physically exist in THIS
-      // site's tree (tasks.py:930-936): one listStatus per site instead of
-      // its per-filename os.path.exists — ≤ corpus/50k names would
-      // otherwise mean tens of thousands of sequential driver RPCs per
-      // regeneration cycle on HDFS/object stores
-      val onDisk = fs.listStatus(dir).map(_.getPath.getName).toSet
-      val present = allFiles.filter { case (name, _) => onDisk(name) }
-      put("sitemap_index.xml", Sitemap.renderIndex(site, present.toSeq,
-        staticFirst = Seq("sitemap_static.xml" -> today)))
-      put("robots.txt", Sitemap.renderRobots(site))
-    }
+    // just the regenerated ones; one tiny aggregation — the same pass
+    // yields the cadence summary's per-file stats and fill cursor
+    val (summary0, _) = SitemapCadence.rebuild(state0, 0L, maxPerFile)
+    writeSiteMeta(spark, outRoot, siteKeys, summary0, today)
     import spark.implicits._
     // generated-flag clears are key-local (exactly the rendered files'
     // member rows): the keyed CAS merge rebases them onto the live
@@ -630,7 +625,163 @@ object Pipeline {
         files.toSeq.toDF("sitemap_filename"), now))
     work.unpersist(); state0.unpersist()
     Sitemap.releasePinned()
-    files.length.toLong
+    (files.length.toLong,
+      summary0.copy(generation = stateStore.currentVersion.getOrElse(0L)))
+  }
+
+  /** Per-site static sitemap + index + robots, shared by the full and the
+    * keyed regeneration paths — the index lists only files physically
+    * present in THIS site's tree (tasks.py:930-936): one listStatus per
+    * site instead of the reference's per-filename os.path.exists —
+    * ≤ corpus/50k names would otherwise mean tens of thousands of
+    * sequential driver RPCs per regeneration cycle on HDFS/object
+    * stores. */
+  private def writeSiteMeta(spark: SparkSession, outRoot: String,
+      siteKeys: Seq[String], summary: SitemapCadence.Summary,
+      today: String): Unit = {
+    val allFiles = summary.files
+      .map(f => f.name -> summary.lastmodOf(f, today)).sortBy(_._1)
+    for (key <- siteKeys) {
+      val site = Sitemap.Sites(key)
+      val dir = new org.apache.hadoop.fs.Path(s"$outRoot/$key")
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(dir)
+      def put(name: String, content: String): Unit = {
+        val out = fs.create(new org.apache.hadoop.fs.Path(dir, name), true)
+        try out.write(content.getBytes("UTF-8")) finally out.close()
+      }
+      put("sitemap_static.xml", Sitemap.renderStaticSitemap(site))
+      val onDisk = fs.listStatus(dir).map(_.getPath.getName).toSet
+      val present = allFiles.filter { case (name, _) => onDisk(name) }
+      put("sitemap_index.xml", Sitemap.renderIndex(site, present,
+        staticFirst = Seq("sitemap_static.xml" -> today)))
+      put("robots.txt", Sitemap.renderRobots(site))
+    }
+  }
+
+  /** The feed-driven sitemap cadence with STATE access ∝ delta — the
+    * companion of the feed-driven DISCOVERY: where the r14 cadence
+    * discovered its due set from the master change feed but still
+    * reconciled the full sitemap state every cron (the flag anti-join,
+    * the fill aggregation, the render worklist, the index lastmods), this
+    * path answers all four key-locally:
+    *
+    *  - due keys' current flags/existence: one bucket-pruned
+    *    [[MasterStore.lookupFrame]] (files of other buckets never open);
+    *  - the global fill cursor: carried in the persisted
+    *    [[SitemapCadence.Summary]] and advanced arithmetically by the
+    *    batch's new-assignment count ([[SitemapState.advanceFill]]);
+    *  - the render worklist: affected files = files holding a flagged due
+    *    row (from a second keyed lookup of the post-merge rows) plus any
+    *    stale-flagged files the summary rebuild surfaced — their member
+    *    rows are the ONE remaining table-wide pass, a filename-pruned
+    *    filter scan bounded by (files touched × maxPerFile) output rows;
+    *  - the index lastmods: untouched files keep their summary stats
+    *    (valid by the generation check), affected files recompute EXACTLY
+    *    from the member rows the render already has in hand.
+    *
+    * Correctness never rests on the summary being fresh: the caller
+    * validates its generation against the live store and rebuilds (one
+    * scan, surfacing stale flags) on any out-of-band mutation — see
+    * [[SitemapCadence]] for the invariant. Returns the regenerated file
+    * count and the NEXT summary (stamped with the post-run generation)
+    * for the caller to persist. */
+  def runSitemapCadenceKeyed(
+      spark: SparkSession,
+      stateStore: MasterStore,
+      outRoot: String,
+      now: Timestamp,
+      dueMaster: DataFrame,
+      summary: SitemapCadence.Summary,
+      staleFlaggedFiles: Seq[String] = Nil,
+      maxPerFile: Int = Sitemap.MaxRecordsPerSitemap,
+      siteKeys: Seq[String] = Sitemap.Sites.keys.toSeq.sorted,
+      force: Boolean = false): (Long, SitemapCadence.Summary) = {
+    import spark.implicits._
+    val today = new java.text.SimpleDateFormat("yyyy-MM-dd").format(now)
+    val dueKeys = dueMaster.select(col("bibcode")).distinct()
+    // pre-merge state of the due keys, bucket-pruned: serves the
+    // already-flagged anti-join AND the new-assignment count
+    val preRows = stateStore.lookupFrame(spark, dueKeys,
+      loadOnly = Seq("update_flag")).cache()
+    val due = dueKeys.join(preRows.filter(col("update_flag")).select(col("bibcode")),
+      Seq("bibcode"), "left_anti").cache()
+    try {
+      val newCnt = SitemapState.countNewAssignments(dueMaster, due, preRows)
+      val fill = summary.fill
+      stateStore.writeMergeKeyed(spark, due, cur =>
+        SitemapState.addKeyed(cur, dueMaster, due, fill, maxPerFile, force))
+      val nextFill = SitemapState.advanceFill(fill, newCnt, maxPerFile)
+      // post-merge rows of the due keys (bucket-pruned). TWO file sets
+      // fall out: the RENDER set (files holding a flagged due row, plus
+      // the stale-flagged carryover) and the wider STATS set (every file
+      // holding ANY due row) — a non-flagged hit still refreshes the
+      // row's bib_data_updated, so its file's index lastmod can move
+      // without the file being rendered, and the summary must track that
+      // exactly or the keyed index diverges from the full recompute
+      val postRows = stateStore.lookupFrame(spark, due).cache()
+      val flaggedFiles = postRows.filter(col("update_flag"))
+        .select(col("sitemap_filename")).distinct()
+        .collect().map(_.getString(0)).toSeq
+      val dueFiles = postRows.filter(col("sitemap_filename").isNotNull)
+        .select(col("sitemap_filename")).distinct()
+        .collect().map(_.getString(0)).toSeq
+      postRows.unpersist(blocking = false)
+      val renderSet = (flaggedFiles ++ staleFlaggedFiles).distinct.sorted
+      val statSet = (dueFiles ++ staleFlaggedFiles).distinct.sorted
+      if (statSet.isEmpty) {
+        // nothing moved; the per-site static/index/robots still refresh,
+        // as the full path's would
+        writeSiteMeta(spark, outRoot, siteKeys, summary, today)
+        return (0L, summary.copy(
+          generation = stateStore.currentVersion.getOrElse(0L),
+          fillIndex = nextFill.index, fillCount = nextFill.count))
+      }
+      // the one table-wide pass: member rows of the touched files (a
+      // whole file regenerates when any member changed). Output rows are
+      // bounded by files touched × maxPerFile; the IN predicate is pushed
+      // into the scan
+      val members = stateStore.read(spark)
+        .filter(col("sitemap_filename").isin(statSet: _*))
+        .cache()
+      val renderMembers = members
+        .filter(col("sitemap_filename").isin(renderSet: _*)).cache()
+      val work = renderMembers.select(col("record_id").as("id"), col("bibcode"),
+        col("sitemap_filename"),
+        coalesce(date_format(col("bib_data_updated"), "yyyy-MM-dd"), lit(today))
+          .as("lastmod"))
+      if (renderSet.nonEmpty)
+        for (key <- siteKeys)
+          Sitemap.writeFiles(Sitemap.renderFiles(work, Sitemap.Sites(key)),
+            s"$outRoot/$key")
+      // exact per-file stats of every touched file from the members
+      // already in hand; untouched files keep their summary stats (valid
+      // by the generation check — nothing else wrote the state)
+      val touchedStats = members.groupBy(col("sitemap_filename"))
+        .agg(max(date_format(col("bib_data_updated"), "yyyy-MM-dd")).as("max_nn"),
+          max(when(col("bib_data_updated").isNull, 1).otherwise(0)).as("nulls"))
+        .collect().map(r => SitemapCadence.FileStat(r.getString(0),
+          Option(r.getString(1)), r.getInt(2) > 0)).toSeq
+      val statNames = statSet.toSet
+      // a stale-flagged file emptied out-of-band (all members removed)
+      // renders nothing and drops from the stats
+      val files2 = (summary.files.filterNot(f => statNames(f.name)) ++ touchedStats)
+        .sortBy(_.name)
+      val next = SitemapCadence.Summary(0L, nextFill.index, nextFill.count, files2)
+      writeSiteMeta(spark, outRoot, siteKeys, next, today)
+      // keyed flag-clear for exactly the rendered files' member rows
+      if (renderSet.nonEmpty)
+        stateStore.writeMergeKeyed(spark, renderMembers.select(col("bibcode")),
+          cur => SitemapState.markGenerated(cur,
+            renderSet.toDF("sitemap_filename"), now))
+      renderMembers.unpersist(); members.unpersist()
+      Sitemap.releasePinned()
+      (renderSet.size.toLong,
+        next.copy(generation = stateStore.currentVersion.getOrElse(0L)))
+    } finally {
+      preRows.unpersist(blocking = false)
+      due.unpersist(blocking = false)
+    }
   }
 
   /** Multi-site sitemap generation (the reference renders one output tree

@@ -291,6 +291,33 @@ object StoreBench {
     }.flatMap(_.relation.location.inputFiles).length
     require(store2.read(spark).count() == n, "rebucket must not drop rows")
 
+    // ── 7. consumer-aware feed retention: first prove the fixed window
+    // ages an UNREGISTERED cursor out (3 fold cycles > feedRetainFolds=2),
+    // then register a lagging cursor, run the same 3 cycles, and measure
+    // the catch-up read plus the retained-bytes price of the pin ────────
+    def foldCycle(i: Int): Unit = {
+      store2.writeMergeKeyed(spark, delta(col("id") % 400 === 301 + i), stamp)
+      store2.compact(spark)
+    }
+    val unregCursor = store2.currentVersion.get
+    (0 until 3).foreach(foldCycle)
+    val agedOut =
+      try { store2.changesSince(spark, unregCursor).count(); false }
+      catch { case _: IllegalStateException => true }
+    require(agedOut, "an unregistered cursor must age out past the fixed window")
+    val historyBytesFixed = store2.stats.get.historyBytes
+    val pinnedCursor = store2.currentVersion.get
+    store2.registerConsumerCursor("bench-slow", pinnedCursor)
+    (3 until 6).foreach(foldCycle)
+    t0 = System.nanoTime()
+    val pinnedRows = store2.changesSince(spark, pinnedCursor).count()
+    val pinnedSec = secs(t0)
+    require(pinnedRows > 0, "the pinned consumer must read its missed changes")
+    val st7 = store2.stats.get
+    require(st7.consumersBehind == 0, "a pinned live cursor is not behind")
+    val historyBytesPinned = st7.historyBytes
+    store2.unregisterConsumer("bench-slow")
+
     println(
       s"""{"metric":"store_write_amplification","rows":$n,"buckets":$buckets,""" +
       s""""delta_keys":$nDelta,"base_bytes":$baseBytes,""" +
@@ -317,7 +344,11 @@ object StoreBench {
       s""""bytes_after_vacuum":$afterVacuumBytes,""" +
       s""""rebucket_from":$buckets,"rebucket_to":$buckets2,""" +
       s""""rebucket_sec":${f"$rebucketSec%.2f"},"rebucket_bytes":$rebucketBytes,""" +
-      s""""rebucket_lookup_files_opened":$rebucketOpened}""")
+      s""""rebucket_lookup_files_opened":$rebucketOpened,""" +
+      s""""consumer_pin_folds":3,"consumer_feed_rows":$pinnedRows,""" +
+      s""""consumer_feed_sec":${f"$pinnedSec%.2f"},""" +
+      s""""history_bytes_fixed_window":$historyBytesFixed,""" +
+      s""""history_bytes_pinned":$historyBytesPinned}""")
     spark.stop()
   }
 }

@@ -55,6 +55,28 @@ object SitemapState {
   private def fileName(idx: Column): Column =
     concat(lit("sitemap_bib_"), idx.cast("string"), lit(".xml"))
 
+  /** Arithmetic fill advance after an [[addKeyed]] of `added` NEW
+    * assignments: [[assignNew]] fills the current file to the boundary
+    * then rolls over, so the post-add [[currentFill]] is pure integer
+    * arithmetic on the pre-add fill — what lets the feed cadence carry
+    * the fill cursor across crons without re-aggregating the table
+    * (spec-pinned against currentFill across boundary cases). */
+  def advanceFill(fill: Fill, added: Long, maxPerFile: Int): Fill = {
+    require(added >= 0 && fill.count < maxPerFile, s"unnormalized fill $fill")
+    val total = fill.count + added
+    Fill(fill.index + (total / maxPerFile).toInt, total % maxPerFile)
+  }
+
+  /** How many of an add batch's keys will get FRESH file assignments
+    * (present+included in master, absent from the state rows passed as
+    * `existingKeys`) — the `added` input to [[advanceFill]], computed
+    * ∝ batch before the merge runs. */
+  def countNewAssignments(master: DataFrame, bibcodes: DataFrame,
+      existingKeys: DataFrame): Long =
+    candidates(master, bibcodes)
+      .join(existingKeys.select(col("bibcode")), Seq("bibcode"), "left_anti")
+      .count()
+
   /** Assign brand-new rows continuing from `fill`: global ordinal in
     * record_id order, then index = fill.index + (fill.count + ord) /
     * maxPerFile — fills the current file exactly to the boundary before

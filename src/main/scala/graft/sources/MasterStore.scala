@@ -72,7 +72,8 @@ object MasterStore {
   case class Stats(generation: Long, n: Int, baseFiles: Int, baseBytes: Long,
       layerCount: Int, layerBytes: Long, baseGen: Long = 0L,
       feedFrom: Long = 0L, historyLayerCount: Int = 0,
-      historyBytes: Long = 0L)
+      historyBytes: Long = 0L, registeredConsumers: Int = 0,
+      consumersBehind: Int = 0)
 
   /** A generation was published and its data directory was then found
     * deleted (the orphan-sweep TOCTOU fired). Deliberately its own type:
@@ -164,13 +165,24 @@ object MasterStore {
   *                       horizon (a consumer one compaction behind must
   *                       re-baseline with a full table read — a real cost
   *                       at 100 TB, which is why retention defaults on)
+  * @param feedRetainFoldsMax hard cap on retained fold groups when
+  *                       REGISTERED consumer cursors
+  *                       ([[registerConsumerCursor]]) ask for more than
+  *                       `feedRetainFolds`: retention stretches to cover
+  *                       the oldest registered cursor (a merely-slow cron
+  *                       no longer silently ages out of its window) but
+  *                       never past this bound — a dead consumer's stale
+  *                       cursor bounds disk instead of pinning history
+  *                       forever (the same cap/min-retention pair every
+  *                       production table format's CDC retention has)
   */
 class MasterStore(val root: String, numBuckets: Int = 8,
     empty: SparkSession => DataFrame = MergeEngine.emptyMaster,
     keyCol: String = "bibcode",
     maxLayers: Int = 16,
     layerFraction: Double = 0.25,
-    feedRetainFolds: Int = 2) {
+    feedRetainFolds: Int = 2,
+    feedRetainFoldsMax: Int = 8) {
 
   import MasterStore._
 
@@ -362,14 +374,66 @@ class MasterStore(val root: String, numBuckets: Int = 8,
     case (g, _)     => Some(g)
   }
 
+  // -------------------------------------------------- feed consumer cursors
+
+  private def consumersDir: Path = Paths.get(root, "consumers")
+
+  /** Register (or advance) a change-feed consumer's cursor so [[compact]]'s
+    * history aging can respect it: retention stretches past
+    * `feedRetainFolds` to keep the feed readable from the OLDEST
+    * registered cursor, bounded by `feedRetainFoldsMax`. Registration is
+    * optional — an unregistered consumer gets exactly the fixed-window
+    * behavior (and the table-wide fallback when it oversleeps it).
+    * One tiny temp+rename file per consumer under `root/consumers/`;
+    * each consumer is its own file's only writer (the same per-consumer
+    * single-writer contract the watermark dirs have). */
+  def registerConsumerCursor(name: String, gen: Long): Unit = {
+    require(name.matches("[A-Za-z0-9._-]+"), s"unsafe consumer name: $name")
+    Files.createDirectories(consumersDir)
+    val tmp = consumersDir.resolve(s"$name.tmp")
+    Files.write(tmp, gen.toString.getBytes("UTF-8"))
+    Files.move(tmp, consumersDir.resolve(name),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Drop a consumer's registration (its history pin ends at the next
+    * fold; the cursor in its own watermark dir is untouched). */
+  def unregisterConsumer(name: String): Unit =
+    Files.deleteIfExists(consumersDir.resolve(name))
+
+  /** Registered consumer cursors (name → generation). Unparsable entries
+    * are skipped: a half-written file must degrade a pin, never wedge
+    * compaction. */
+  def consumerCursors: Map[String, Long] = {
+    if (!Files.isDirectory(consumersDir)) return Map.empty
+    val listing = Files.list(consumersDir)
+    try {
+      import scala.jdk.CollectionConverters._
+      listing.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && !p.getFileName.toString.endsWith(".tmp"))
+        .flatMap { p =>
+          val name = p.getFileName.toString
+          try Some(name -> new String(Files.readAllBytes(p), "UTF-8").trim.toLong)
+          catch { case scala.util.control.NonFatal(_) => None }
+        }.toMap
+    } finally listing.close()
+  }
+
   /** Published generation numbers, oldest first. */
   def versions: Seq[Long] = generations().map(_._1).sorted
 
-  /** Snapshot composition (file/byte counts), for benches and specs. */
+  /** Snapshot composition (file/byte counts) plus the consumer lag view:
+    * `consumersBehind` counts registered cursors already BEHIND the feed
+    * horizon — each would fall back to a table-wide re-baseline if it ran
+    * now, the condition an operator dashboard should alarm on. */
   def stats: Option[Stats] = snapshot() match {
-    case (g, Some(m)) => Some(Stats(g, m.n, m.baseFiles.size, m.baseBytes,
-      m.layers.size, m.layerBytes, m.baseGen, m.feedFrom,
-      m.historyLayers.size, m.historyLayers.map(_.bytes).sum))
+    case (g, Some(m)) =>
+      val cursors = consumerCursors
+      Some(Stats(g, m.n, m.baseFiles.size, m.baseBytes,
+        m.layers.size, m.layerBytes, m.baseGen, m.feedFrom,
+        m.historyLayers.size, m.historyLayers.map(_.bytes).sum,
+        registeredConsumers = cursors.size,
+        consumersBehind = cursors.values.count(_ < m.feedFrom)))
     case _ => None
   }
 
@@ -972,20 +1036,34 @@ class MasterStore(val root: String, numBuckets: Int = 8,
             else math.max(m.baseGen, neLayers.map(_.seq).max)
           // feed retention: the folded layers RETIRE into the manifest's
           // history (change-feed serving only) instead of vanishing;
-          // groups older than feedRetainFolds folds age out, and only
+          // groups older than the retention window age out, and only
           // THEN does the feed horizon advance — to the newest change the
           // aged-out groups held, because everything older is no longer
-          // separable. The aged-out groups' files lose their last
-          // manifest reference here and are reclaimed by the next vacuum
-          // with the superseded generations
+          // separable. The window is consumer-aware: at least
+          // feedRetainFolds groups, stretched to cover the OLDEST
+          // registered consumer cursor (a group is still needed while it
+          // holds changes newer than that cursor), hard-capped at
+          // feedRetainFoldsMax so a dead consumer's stale cursor bounds
+          // disk instead of pinning history forever. The aged-out groups'
+          // files lose their last manifest reference here and are
+          // reclaimed by the next vacuum with the superseded generations
           val groups = (m.history :+ neLayers).filter(_.nonEmpty)
-          val dropped = groups.dropRight(math.max(0, feedRetainFolds))
+          val neededByConsumers = consumerCursors.values.minOption match {
+            case None => 0
+            // groups are oldest-first with ascending seq ranges, so the
+            // needed ones are a suffix; a group is needed iff it holds a
+            // change the cursor has not consumed (seq > cursor)
+            case Some(c) => groups.count(_.map(_.seq).max > c)
+          }
+          val keepFolds = math.min(math.max(feedRetainFoldsMax, feedRetainFolds),
+            math.max(math.max(0, feedRetainFolds), neededByConsumers))
+          val dropped = groups.dropRight(keepFolds)
           val feedFrom2 =
             if (dropped.isEmpty) m.feedFrom
             else math.max(m.feedFrom, dropped.flatten.map(_.seq).max)
           val m2 = Manifest(n2, buckets, files.map(_._2).sum + carried,
             Vector.empty, baseGen = foldedHorizon,
-            history = groups.takeRight(math.max(0, feedRetainFolds)),
+            history = groups.takeRight(keepFolds),
             feedFrom = feedFrom2)
           ensureDirLive(dir)
           if (tryPublish(g, m2)) {

@@ -880,6 +880,55 @@ class MasterStoreSpec extends AnyFunSuite with SparkSpec {
       s"base files must never open for a change-feed read: ${opened.toSeq}")
   }
 
+  test("consumer-aware feed retention: a REGISTERED lagging consumer " +
+    "survives K+1 folds without fallback, an unregistered one ages out at " +
+    "the fixed window, the hard cap still bounds retention (a dead " +
+    "consumer cannot pin history forever), and stats expose the lag") {
+    import spark.implicits._
+    def mkStore(r: String) = new MasterStore(r, numBuckets = 2,
+      feedRetainFolds = 1, feedRetainFoldsMax = 3)
+    def foldCycle(s: MasterStore, k: String): Unit = {
+      s.writeMergeKeyed(spark, Seq(k).toDF("bibcode"), cur => upsert(cur, Seq(msg(k))))
+      s.compact(spark)
+    }
+    val rootU = java.nio.file.Files.createTempDirectory("graft_consU").toString
+    val rootR = java.nio.file.Files.createTempDirectory("graft_consR").toString
+    val (su, sr) = (mkStore(rootU), mkStore(rootR))
+    su.write(upsert(MergeEngine.emptyMaster(spark), Seq(msg("ms1")))) // gen 1
+    sr.write(upsert(MergeEngine.emptyMaster(spark), Seq(msg("ms1"))))
+    sr.registerConsumerCursor("slow", 1L)
+    assert(sr.consumerCursors == Map("slow" -> 1L))
+    // K+1 = 2 folds past the K=1 fixed window (3 total)
+    for (k <- Seq("c1", "c2", "c3")) { foldCycle(su, k); foldCycle(sr, k) }
+    // unregistered: behind the horizon, loud fallback
+    val e = intercept[IllegalStateException](su.changesSince(spark, 1L))
+    assert(e.getMessage.contains("not retained"))
+    // registered: the pin stretched retention — full catch-up, no fallback
+    val keys = sr.changesSince(spark, 1L).select("bibcode").as[String]
+      .collect().toSet
+    assert(keys == Set("c1", "c2", "c3"),
+      s"pinned consumer reads every missed change, got $keys")
+    val st = sr.stats.get
+    assert(st.registeredConsumers == 1 && st.consumersBehind == 0, s"got $st")
+    // a 4th fold needs 4 groups > cap 3: the cap wins, the stale cursor
+    // ages out (bounded disk beats a dead consumer) — and stats say so
+    foldCycle(sr, "c4")
+    assert(sr.stats.get.historyLayerCount <= 3 * 2,
+      "retention stays bounded by the cap")
+    intercept[IllegalStateException](sr.changesSince(spark, 1L))
+    assert(sr.stats.get.consumersBehind == 1,
+      "a cursor behind the horizon surfaces in stats")
+    // advancing the cursor clears the lag; unregistering drops the pin
+    sr.registerConsumerCursor("slow", sr.currentVersion.get)
+    assert(sr.stats.get.consumersBehind == 0)
+    sr.unregisterConsumer("slow")
+    assert(sr.consumerCursors.isEmpty)
+    // vacuum never touches the consumers keyspace
+    sr.registerConsumerCursor("slow", sr.currentVersion.get)
+    sr.vacuum(alsoOrphans = true)
+    assert(sr.consumerCursors.keySet == Set("slow"))
+  }
+
   test("maintenance refuses a manifest format newer than the binary: an " +
     "old binary's vacuum deletes by elimination, so an uncounted live " +
     "reference class (what format 3 added) must STOP the sweep, not be " +
