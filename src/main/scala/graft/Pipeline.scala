@@ -51,6 +51,7 @@ object Pipeline {
       keyLocal: Boolean = false,
       changeLogDir: Option[String] = None,
       workKeys: Option[DataFrame] = None,
+      workRows: Option[DataFrame] = None,
       keyedPublish: Boolean = false): RunReport = {
     import spark.implicits._
 
@@ -74,6 +75,16 @@ object Pipeline {
     // sees every row
     require(workKeys.isEmpty || keyLocal,
       "workKeys is the key-local working set; a table-wide sweep scans anyway")
+    // workRows goes one further than workKeys: the caller already HOLDS the
+    // working set's live rows (the change feed's rows for changed keys ARE
+    // the live rows — latest-generation-wins on both sides), so the keyed
+    // store lookup is skipped entirely. Caller contract: master-schema
+    // rows, exactly the live row per working key, covering the updates'
+    // keys too (the feed sweep's updates are empty). Same snapshot-then-
+    // publish race window as the keyed lookup it replaces — both read
+    // before the CAS publish, under the single-cron-writer contract
+    require(workRows.isEmpty || keyLocal,
+      "workRows is the key-local working set; a table-wide sweep scans anyway")
 
     // ST1: incremental window from the stored watermark; an explicit
     // --since wins over it (run.py's -s), and a targeted -b/-n run passes
@@ -106,7 +117,7 @@ object Pipeline {
       case None => updates.select(col("bibcode")).toDF()
     }
     val baseMaster =
-      if (keyLocal) store.lookupFrame(spark, keySrc)
+      if (keyLocal) workRows.getOrElse(store.lookupFrame(spark, keySrc))
       else store.read(spark)
     val merged = MergeEngine.upsert(baseMaster, updates.filter(!isFullDelete))
     val master0 =
@@ -451,7 +462,7 @@ object Pipeline {
     val cursor = store.currentVersion.getOrElse(0L)
     val from: Option[Long] = fromGen.orElse(
       watermarkDir.flatMap(Watermark.readGen(spark, _, GenCursorKey)))
-    val feedKeys: Option[DataFrame] = from match {
+    val feedRows: Option[DataFrame] = from match {
       case None => None // no cursor yet: the bootstrap table-wide sweep
       case Some(f) if f > cursor =>
         // AHEAD failure raised HERE against OUR cursor read, not by
@@ -469,19 +480,25 @@ object Pipeline {
         // force would silently re-send only the delta
         None
       case Some(f) =>
+        // the feed's rows ARE the working set's live rows (the newest
+        // change ≥ any retained change is the live version, and the
+        // horizon contract keeps every change > f readable), so the sweep
+        // hands them to runBatch as workRows and the gate runs directly
+        // on the feed frame — the keyed store lookup that was the
+        // sweep's second-largest stage disappears entirely
         try Some(store.changesSince(spark, f)
-          .filter(!col("_deleted")).select(col("bibcode")))
+          .filter(!col("_deleted")).drop("_deleted", "_gen"))
         catch { case _: IllegalStateException => None } // behind horizon
     }
     val noUpdates = spark.emptyDataset[graft.records.UpdateMessage]
-    val report = feedKeys match {
-      case Some(keys) =>
+    val report = feedRows match {
+      case Some(rows) =>
         runBatch(spark, store, noUpdates, solrTransport, bulkTransport,
           watermarkDir = watermarkDir, force = force,
           ignoreChecksums = ignoreChecksums, now = now,
           metricsStore = metricsStore, sinks = sinks,
           updateProcessed = updateProcessed, keyLocal = true,
-          changeLogDir = changeLogDir, workKeys = Some(keys))
+          changeLogDir = changeLogDir, workRows = Some(rows))
       case None =>
         // table-wide fallback, but with the keyed publish: a whole-table
         // rewrite here would reset the feed horizon and strand the
@@ -501,7 +518,7 @@ object Pipeline {
       // a one-shot fromGen caller is not a standing consumer and skips it
       store.registerConsumerCursor("reindex", cursor)
     }
-    FeedSweepReport(report, nextFromGen = cursor, usedFeed = feedKeys.isDefined)
+    FeedSweepReport(report, nextFromGen = cursor, usedFeed = feedRows.isDefined)
   }
 
   /** Continuous ingest (ST1 as Structured Streaming): every micro-batch of

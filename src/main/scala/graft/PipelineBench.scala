@@ -400,6 +400,59 @@ object PipelineBench {
         require(tsw.solrOk == 2500,
           s"watermark-scan sweep must index exactly the pending wave: $tsw")
 
+        // ── phase 6b: STAGE BREAKDOWN of the feed sweep — the same batch
+        // shape re-run stage-isolated with materialization barriers
+        // (cache + count per stage), so each number is one stage's wall
+        // alone. The live sweep fuses the stages into fewer jobs, so the
+        // stage SUM is an upper bound on (and should sit close to)
+        // feed_sweep_sec; the changelog leg is off here, as in phase 6.
+        // Mirrors runBatch's keyLocal success path: feed rows ARE the
+        // working set (workRows — no store gate read since r15) ──
+        val gCursorB = storeL.currentVersion.get
+        mergePending(9600000L, 2500L)
+        val nowB = new java.sql.Timestamp(System.currentTimeMillis())
+        var tb = System.nanoTime()
+        val feedB = storeL.changesSince(spark, gCursorB)
+          .filter(!col("_deleted")).drop("_deleted", "_gen").cache()
+        require(feedB.count() == 2500, "breakdown wave discovery drifted")
+        val stDiscoverSec = secs(tb)
+        tb = System.nanoTime()
+        val gatedB = feedB.as[graft.records.MasterRecord](
+            Encoders.product[graft.records.MasterRecord])
+          .filter(graft.operators.IndexJob.eligible(None, force = false))
+        val batchB = graft.operators.IndexJob.run(gatedB)
+        val (solrB, metricsB, linksB) =
+          (batchB.solr.cache(), batchB.metrics.cache(), batchB.links.cache())
+        require(solrB.count() == 2500, "breakdown gate+transform drifted")
+        metricsB.count(); linksB.count()
+        val stTransformSec = secs(tb)
+        tb = System.nanoTime()
+        val sSolrB = graft.sources.Sinks.writeSolr(solrB, SolrTransport).cache()
+        val sMetB = graft.sources.Sinks.writeBulk(metricsB, BulkTransport).cache()
+        val sLnkB = graft.sources.Sinks.writeBulk(linksB, BulkTransport).cache()
+        require(sSolrB.filter(_.ok).count() == 2500, "breakdown sink drifted")
+        sMetB.count(); sLnkB.count()
+        val stSinkSec = secs(tb)
+        tb = System.nanoTime()
+        def okStampB(m: org.apache.spark.sql.DataFrame,
+            status: org.apache.spark.sql.Dataset[graft.sources.Sinks.SinkStatus],
+            payloads: org.apache.spark.sql.DataFrame, sinkType: String) =
+          graft.operators.MergeEngine.markProcessed(m,
+            status.filter(_.ok).toDF().select(col("bibcode"))
+              .join(payloads.select(col("bibcode"), col("checksum")), Seq("bibcode")),
+            sinkType, Some("success"), nowB)
+        val stampedB = okStampB(okStampB(okStampB(feedB, sSolrB, solrB, "solr"),
+          sMetB, metricsB, "metrics"), sLnkB, linksB, "links")
+        val stampKeysB = sSolrB.toDF().select(col("bibcode"))
+          .unionByName(sMetB.toDF().select(col("bibcode")))
+          .unionByName(sLnkB.toDF().select(col("bibcode"))).distinct()
+        storeL.writeMergeKeyed(spark, stampKeysB, _ =>
+          stampedB.join(stampKeysB, Seq("bibcode"), "left_semi"))
+        val stPublishSec = secs(tb)
+        Seq(solrB, metricsB, linksB).foreach(_.unpersist())
+        Seq(sSolrB, sMetB, sLnkB).foreach(_.unpersist())
+        feedB.unpersist()
+
         // ── phase 7: the bucket-count growth lever at the standing
         // table — fold once onto 4× the buckets and keep keyed pruning ──
         val storeR = new MasterStore(largeRoot, numBuckets = nLargeBuckets * 4)
@@ -418,6 +471,10 @@ object PipelineBench {
           f""""feed_discover_rows":$feedRows6,"feed_discover_sec":$feedDiscoverSec%.2f,""" +
           f""""feed_sweep_sec":$feedSweepSec%.1f,"scan_sweep_sec":$scanSweepSec%.1f,""" +
           f""""discovery_speedup":${scanSweepSec / feedSweepSec}%.2f,""" +
+          f""""sweep_stage_discover_sec":$stDiscoverSec%.1f,""" +
+          f""""sweep_stage_transform_sec":$stTransformSec%.1f,""" +
+          f""""sweep_stage_sink_sec":$stSinkSec%.1f,""" +
+          f""""sweep_stage_publish_sec":$stPublishSec%.1f,""" +
           f""""rebucket_to":${nLargeBuckets * 4},"rebucket_sec":$rebucketSec%.1f,""" +
           f""""rebucket_lookup_files_opened":$rebucketOpened,""" +
           f""""large_table_bytes":$tableBytes,""" +

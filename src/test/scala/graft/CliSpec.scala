@@ -466,6 +466,74 @@ class CliSpec extends AnyFunSuite with SparkSpec {
       .contains("2024Bhz......3C"))
   }
 
+  test("composed daily ops loop: ingest wave → --index-from-feed → " +
+    "--update-sitemaps-auto → --vacuum over three cycles — both cursors " +
+    "advance together, both cadences stay in feed mode, consumers stay " +
+    "registered, and the stores end vacuumed and readable") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_cli_ops").toString
+    val store = new graft.sources.MasterStore(s"$root/master")
+    val log = collection.mutable.Buffer.empty[String]
+    val (_, d) = deps(log)
+    val argvBase = Seq("--store", s"$root/master")
+    def ran(args: String*): Unit = {
+      log.clear()
+      assert(Cli.run(spark, argvBase ++ args, d) == 0, s"${args.mkString(" ")}: $log")
+    }
+    // standing corpus: 50 fully-processed records
+    store.write(TransformBench.fixture(spark, 50)
+      .withColumn("processed", lit(Timestamp.valueOf("2024-05-01 00:00:00")))
+      .withColumn("status", lit("success")))
+    ran("--manage-sitemap", "--action", "bootstrap")
+    // cursor bootstraps: table-wide once each, by design
+    ran("--index-from-feed")
+    assert(log.exists(_.contains("discovery=table-scan")), s"got $log")
+    ran("--update-sitemaps-auto", "--days-back", "1")
+    assert(log.exists(_.contains("table-scan discovery")), s"got $log")
+
+    val wmIdx = s"$root/master-watermarks"
+    val wmSm = s"$root/master-sitemap-watermarks"
+    def cursor(dir: String, key: String): Long =
+      graft.streaming.Watermark.readGen(spark, dir, key).getOrElse(-1L)
+    val waveK = 20L
+    for (c <- 1 to 3) {
+      val preIdx = cursor(wmIdx, Pipeline.GenCursorKey)
+      val preSm = cursor(wmSm, "last.sitemaps.generation")
+      // merge-only wave (sinks off): lands pending, new keys each cycle
+      // arrival ts past the fixed watermark (deps' now = 2024-06-01, which
+      // every cadence re-stamps): the wave must look NEWER than the last
+      // sweep or the P1 gate correctly skips it
+      val m = PipelineBench.messages(spark, 1000L * c, 1000L * c + waveK,
+        rev = c, tsBase = Timestamp.valueOf("2024-06-02 00:00:00").getTime + c * 60000L)
+        .as[records.UpdateMessage]
+      Pipeline.runBatch(spark, store, m, d.solrTransport, d.bulkTransport,
+        now = Timestamp.valueOf("2024-05-31 00:00:00"),
+        sinks = Set.empty, keyLocal = true)
+      ran("--index-from-feed")
+      assert(log.exists(l => l.contains("discovery=feed") &&
+        l.contains(s"solrOk=$waveK")), s"cycle $c: $log")
+      ran("--update-sitemaps-auto", "--days-back", "1")
+      assert(log.exists(l => l.contains("feed discovery") &&
+        l.contains("cursor window")), s"cycle $c: $log")
+      ran("--vacuum", "--retain", "2", "--orphans", "--orphan-grace-min", "60")
+      assert(cursor(wmIdx, Pipeline.GenCursorKey) > preIdx,
+        s"cycle $c: index cursor stuck")
+      assert(cursor(wmSm, "last.sitemaps.generation") > preSm,
+        s"cycle $c: sitemap cursor stuck")
+    }
+    // post-loop invariants
+    assert(store.consumerCursors.keySet == Set("reindex", "sitemaps"))
+    assert(store.stats.get.consumersBehind == 0)
+    assert(store.versions.size <= 3, s"got ${store.versions}")
+    val smStore = new graft.sources.MasterStore(s"$root/master-sitemap",
+      empty = graft.operators.SitemapState.empty)
+    assert(smStore.versions.size <= 3, s"got ${smStore.versions}")
+    assert(smStore.read(spark).count() == 50 + 3 * waveK,
+      "every wave's records reached the sitemap state")
+    assert(store.read(spark).count() == 50 + 3 * waveK)
+    assert(new java.io.File(s"$root/master-sitemaps/ads/sitemap_bib_1.xml").exists)
+  }
+
   test("--index-from-feed maps an AHEAD cursor (recreated master under a " +
     "surviving watermark dir) to a clean exit-2 usage error naming the " +
     "recovery, like the sitemap twin — not a stack trace") {
