@@ -398,6 +398,16 @@ object Pipeline {
   /** Watermark-store key for the feed sweep's generation cursor. */
   val GenCursorKey = "last.reindex.generation"
 
+  /** IN-regime crossover for the sitemap cadence's keyed state reads —
+    * deliberately far above lookupFrame's default 2,000: a cadence wave
+    * is read ONCE against a low-layer store (the cron compacts behind
+    * itself), so the per-layer planner cost that set the default low
+    * doesn't accumulate here, while the pushed IN + key-sorted layout
+    * turns the read into row-group-skipped IO ∝ wave instead of the
+    * semi-join regime's full column scan of the 28.8M-row state. Waves
+    * beyond this degrade to the semi join — correct, just table-priced. */
+  val CadenceLookupMaxDriverKeys = 25000
+
   /** The cron sweep with ∝-delta work discovery: instead of the
     * reference's per-cadence filter over the FULL master snapshot
     * (run.py:147-159 — the P1 watermark scan, which pays the corpus every
@@ -717,33 +727,47 @@ object Pipeline {
     import spark.implicits._
     val today = new java.text.SimpleDateFormat("yyyy-MM-dd").format(now)
     val dueKeys = dueMaster.select(col("bibcode")).distinct()
-    // pre-merge state of the due keys, bucket-pruned: serves the
-    // already-flagged anti-join AND the new-assignment count
+    // THE one keyed state read of the cadence: the due keys' current rows,
+    // all columns, with the crossover raised so a cadence-sized wave stays
+    // in the pushed-IN regime — the keys' literals reach the parquet scan
+    // and the key-sorted-within-bucket layout skips row groups, where the
+    // semi-join regime would column-scan the whole table. Everything else
+    // the cadence needs (flag anti-join, new-assignment count, the
+    // post-merge rows) derives from this frame and the merge's own output,
+    // never from re-reading the store
     val preRows = stateStore.lookupFrame(spark, dueKeys,
-      loadOnly = Seq("update_flag")).cache()
+      maxDriverKeys = CadenceLookupMaxDriverKeys).cache()
     val due = dueKeys.join(preRows.filter(col("update_flag")).select(col("bibcode")),
       Seq("bibcode"), "left_anti").cache()
     try {
       val newCnt = SitemapState.countNewAssignments(dueMaster, due, preRows)
       val fill = summary.fill
-      stateStore.writeMergeKeyed(spark, due, cur =>
-        SitemapState.addKeyed(cur, dueMaster, due, fill, maxPerFile, force))
+      val dueRows = preRows.join(due, Seq("bibcode"), "left_semi")
+      // the merged rows are computed ONCE, from the rows already in hand,
+      // and handed to the store as-is: the closure ignoring `cur` keeps
+      // writeMergeKeyed's internal keyed reconcile unevaluated (lazy), so
+      // the publish costs the layer write alone — the same
+      // precomputed-rows publish contract runBatch's stamp publish uses,
+      // under the same single-cron-writer assumption
+      val newRows = SitemapState.addKeyed(dueRows, dueMaster, due, fill,
+        maxPerFile, force).cache()
+      stateStore.writeMergeKeyed(spark, due, _ => newRows)
       val nextFill = SitemapState.advanceFill(fill, newCnt, maxPerFile)
-      // post-merge rows of the due keys (bucket-pruned). TWO file sets
-      // fall out: the RENDER set (files holding a flagged due row, plus
-      // the stale-flagged carryover) and the wider STATS set (every file
-      // holding ANY due row) — a non-flagged hit still refreshes the
-      // row's bib_data_updated, so its file's index lastmod can move
-      // without the file being rendered, and the summary must track that
-      // exactly or the keyed index diverges from the full recompute
-      val postRows = stateStore.lookupFrame(spark, due).cache()
-      val flaggedFiles = postRows.filter(col("update_flag"))
+      // the merge output IS the post-merge state of the due keys. TWO
+      // file sets fall out: the RENDER set (files holding a flagged due
+      // row, plus the stale-flagged carryover) and the wider STATS set
+      // (every file holding ANY due row) — a non-flagged hit still
+      // refreshes the row's bib_data_updated, so its file's index lastmod
+      // can move without the file being rendered, and the summary must
+      // track that exactly or the keyed index diverges from the full
+      // recompute
+      val flaggedFiles = newRows.filter(col("update_flag"))
         .select(col("sitemap_filename")).distinct()
         .collect().map(_.getString(0)).toSeq
-      val dueFiles = postRows.filter(col("sitemap_filename").isNotNull)
+      val dueFiles = newRows.filter(col("sitemap_filename").isNotNull)
         .select(col("sitemap_filename")).distinct()
         .collect().map(_.getString(0)).toSeq
-      postRows.unpersist(blocking = false)
+      newRows.unpersist(blocking = false)
       val renderSet = (flaggedFiles ++ staleFlaggedFiles).distinct.sorted
       val statSet = (dueFiles ++ staleFlaggedFiles).distinct.sorted
       if (statSet.isEmpty) {
@@ -786,10 +810,13 @@ object Pipeline {
         .sortBy(_.name)
       val next = SitemapCadence.Summary(0L, nextFill.index, nextFill.count, files2)
       writeSiteMeta(spark, outRoot, siteKeys, next, today)
-      // keyed flag-clear for exactly the rendered files' member rows
+      // keyed flag-clear for exactly the rendered files' member rows —
+      // computed from the member rows already in hand (same
+      // precomputed-rows publish as the merge above: the closure ignores
+      // `cur`, so no second table read)
       if (renderSet.nonEmpty)
         stateStore.writeMergeKeyed(spark, renderMembers.select(col("bibcode")),
-          cur => SitemapState.markGenerated(cur,
+          _ => SitemapState.markGenerated(renderMembers,
             renderSet.toDF("sitemap_filename"), now))
       renderMembers.unpersist(); members.unpersist()
       Sitemap.releasePinned()
