@@ -646,9 +646,13 @@ object Pipeline {
     // snapshot, so a concurrent add/remove landing mid-render survives —
     // and a row added to a rendered file AFTER the render kept its flag
     // (it was not rendered), where a whole-table re-stamp would have
-    // silently cleared it
+    // silently cleared it. The stamped rows are precomputed from the
+    // cached state0 (the same rows the render read), so the store's
+    // internal keyed reconcile never evaluates — one fewer table scan
+    // per regeneration
+    val touchedRows = Sitemap.filesNeedingUpdate(state0)
     stateStore.writeMergeKeyed(spark, work.select(col("bibcode")),
-      cur => SitemapState.markGenerated(cur,
+      _ => SitemapState.markGenerated(touchedRows,
         files.toSeq.toDF("sitemap_filename"), now))
     work.unpersist(); state0.unpersist()
     Sitemap.releasePinned()
