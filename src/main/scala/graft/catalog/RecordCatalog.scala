@@ -160,6 +160,46 @@ object RecordCatalog extends Catalog {
         .orderBy("bibcode")
     }),
 
+    // ── r15 feed-cadence machinery under the oracle gate: bootstrap a
+    // third of the corpus, clear flags (markGenerated), then TWO keyed add
+    // waves where the second wave's fill cursor is carried ARITHMETICALLY
+    // (SitemapState.advanceFill over the first wave's new-assignment
+    // count — exactly what the ∝-delta sitemap cron does instead of
+    // re-aggregating the table). The oracle derives every filename from a
+    // pure global ordinal, a DIFFERENT derivation: a mis-carried fill at
+    // any 64-row boundary shifts wave-2 filenames and fails the hash ──
+    "smx_cadence_fill" -> ((s, d) => {
+      val maxPerFile = 64
+      def cls(n: Int) = Tables.documents(s, d).filter(col("doc_id") % 3 === n)
+        .select(col("doc_id").as("id"),
+          concat(lit("C."), col("doc_id")).as("bibcode"),
+          lit("{}").as("bib_data"),
+          lit("2024-01-01 00:00:00").cast("timestamp").as("bib_data_updated"),
+          lit(null).cast("string").as("status"))
+      val boot = SitemapState.bootstrap(SitemapState.empty(s), cls(0), maxPerFile)
+        .coalesce(8).localCheckpoint()
+      val gen = SitemapState.markGenerated(boot,
+        boot.select(col("sitemap_filename")), ts("2024-06-01T00:00:00Z"))
+        .coalesce(8).localCheckpoint()
+      val fill0 = SitemapState.currentFill(gen, maxPerFile)
+      val w1 = cls(1)
+      // disjoint waves: the due keys hold no current state rows, so the
+      // key-local form receives an empty curRows frame — the cron's
+      // brand-new-records shape
+      val add1 = SitemapState.addKeyed(SitemapState.empty(s), w1,
+        w1.select(col("bibcode")), fill0, maxPerFile)
+        .coalesce(8).localCheckpoint()
+      val n1 = SitemapState.countNewAssignments(w1, w1.select(col("bibcode")),
+        gen.select(col("bibcode")))
+      val fill1 = SitemapState.advanceFill(fill0, n1, maxPerFile)
+      val w2 = cls(2)
+      val add2 = SitemapState.addKeyed(SitemapState.empty(s), w2,
+        w2.select(col("bibcode")), fill1, maxPerFile)
+      gen.unionByName(add1).unionByName(add2)
+        .select(col("bibcode"), col("sitemap_filename"), col("update_flag"))
+        .orderBy("bibcode")
+    }),
+
     // ── T1 flagship transform on fixture records: the full transform runs,
     // then scalar projections of the search doc are exposed so the DuckDB
     // oracle can recompute every value independently from the fixture
@@ -453,6 +493,22 @@ object RecordCatalog extends Catalog {
       """SELECT doc_id,
            'sitemap_bib_' || CAST(CAST(floor((ROW_NUMBER() OVER (ORDER BY doc_id) - 1 + 25) / 64) AS BIGINT) + 1 AS VARCHAR) || '.xml' AS sitemap_filename
          FROM documents ORDER BY doc_id""",
+    "smx_cadence_fill" ->
+      """WITH d AS (SELECT doc_id, doc_id % 3 AS cls FROM documents),
+         ranked AS (SELECT doc_id, cls,
+           ROW_NUMBER() OVER (PARTITION BY cls ORDER BY doc_id) AS rn FROM d),
+         counts AS (SELECT
+           count(*) FILTER (WHERE cls = 0) AS n0,
+           count(*) FILTER (WHERE cls = 1) AS n1 FROM d),
+         pos AS (SELECT r.doc_id, r.cls,
+           CASE r.cls WHEN 0 THEN r.rn
+             WHEN 1 THEN c.n0 + r.rn
+             ELSE c.n0 + c.n1 + r.rn END AS p
+           FROM ranked r, counts c)
+         SELECT 'C.' || CAST(doc_id AS VARCHAR) AS bibcode,
+           'sitemap_bib_' || CAST(CAST(floor((p - 1) / 64) AS BIGINT) + 1 AS VARCHAR) || '.xml' AS sitemap_filename,
+           (cls <> 0) AS update_flag
+         FROM pos ORDER BY bibcode""",
     "smx_sitemap_state" ->
       """WITH boot AS (
            SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
