@@ -540,7 +540,7 @@ object Cli {
       // which the reference's lookback scan misses entirely.
       val feedDue: Option[org.apache.spark.sql.DataFrame] = cursor.flatMap { c =>
         try Some(store.changesSince(spark, c).filter(!col("_deleted")))
-        catch { case _: IllegalStateException => None } // behind horizon
+        catch { case _: MasterStore.FeedHorizonException => None }
       }
       // behind-horizon recovery scans WITHOUT the lookback cutoff: the
       // cursor proves a previous cadence ran, so changes may be
@@ -1064,15 +1064,17 @@ object Cli {
       val wmDir = a.getOrElse("watermark-dir", s"$storeRoot-watermarks")
       // an AHEAD persisted cursor (master recreated under a surviving
       // watermark dir) is an operator condition, not a crash: same clean
-      // exit-2 recovery message as the sitemap twin, not a stack trace
+      // exit-2 recovery message as the sitemap twin, not a stack trace.
+      // Dispatched on the TYPE (MasterStore.CursorAheadException), not
+      // the message text — a rewording can't regress this into a trace,
+      // and an unrelated IllegalStateException can't be mis-swallowed
       val r = try graft.operators.Scheduling.withPriority(spark, priority) {
         Pipeline.runFeedSweep(spark, store, solrSink(), deps.bulkTransport,
           watermarkDir = Some(wmDir), force = force,
           ignoreChecksums = ignoreChecksums, now = now,
           sinks = sinks, metricsStore = metricsStoreOpt)
       } catch {
-        case e: IllegalStateException if e.getMessage != null &&
-            e.getMessage.contains("AHEAD") =>
+        case e: MasterStore.CursorAheadException =>
           out(s"error: ${e.getMessage}. Clear $wmDir (or pass a fresh " +
             "--watermark-dir) and re-baseline")
           return 2

@@ -480,7 +480,7 @@ object Pipeline {
         // concurrent publish past f — turning the loud failure into a
         // silent table-wide sweep that then REGRESSES the persisted
         // cursor below f)
-        throw new IllegalStateException(
+        throw new MasterStore.CursorAheadException(
           s"feed cursor $f is AHEAD of the live generation $cursor at " +
             s"${store.root} — the store was recreated or the cursor " +
             "belongs to another store. Re-baseline and reset the cursor")
@@ -498,7 +498,10 @@ object Pipeline {
         // sweep's second-largest stage disappears entirely
         try Some(store.changesSince(spark, f)
           .filter(!col("_deleted")).drop("_deleted", "_gen"))
-        catch { case _: IllegalStateException => None } // behind horizon
+        // ONLY the typed behind-horizon condition falls back to the
+        // table-wide scan; any other IllegalStateException (including a
+        // racing AHEAD) propagates loudly
+        catch { case _: MasterStore.FeedHorizonException => None }
     }
     val noUpdates = spark.emptyDataset[graft.records.UpdateMessage]
     val report = feedRows match {

@@ -126,8 +126,15 @@ object SitemapCadence {
     }
   }
 
-  /** Persist via temp + rename through the Hadoop FS (the dir may be
-    * HDFS/S3 beside the snapshots — java.io would silently write local). */
+  /** Persist via temp + atomic rename-overwrite through the Hadoop FS
+    * (the dir may be HDFS/S3 beside the snapshots — java.io would
+    * silently write local). FileContext's Rename.OVERWRITE replaces the
+    * target in ONE namespace operation where the FS supports it — the
+    * exists→delete→rename sequence would leave NO summary at all if the
+    * process died between the delete and the rename (self-healing via a
+    * full rebuild scan, but a crash window that doesn't need to exist).
+    * Filesystems without a FileContext binding (e.g. bare LocalFS test
+    * schemes) fall back to the old two-step, accepting that window. */
   def save(spark: SparkSession, watermarkDir: String, s: Summary): Unit = {
     import org.json4s.JsonDSL._
     val body = org.json4s.jackson.JsonMethods.compact(
@@ -139,12 +146,20 @@ object SitemapCadence {
               ("hasNullBdu" -> f.hasNullBdu)))))
     val target = new org.apache.hadoop.fs.Path(pathFor(watermarkDir))
     val tmp = new org.apache.hadoop.fs.Path(pathFor(watermarkDir) + ".tmp")
-    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = target.getFileSystem(conf)
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
-    if (fs.exists(target) && !fs.delete(target, false))
-      throw new java.io.IOException(s"cadence summary: cannot replace $target")
-    if (!fs.rename(tmp, target))
-      throw new java.io.IOException(s"cadence summary: rename $tmp -> $target refused")
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(target.toUri, conf)
+      fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        if (fs.exists(target) && !fs.delete(target, false))
+          throw new java.io.IOException(s"cadence summary: cannot replace $target")
+        if (!fs.rename(tmp, target))
+          throw new java.io.IOException(
+            s"cadence summary: rename $tmp -> $target refused")
+    }
   }
 }

@@ -82,6 +82,21 @@ object MasterStore {
     * operator attention, not a retry. */
   final class TornGenerationException(msg: String) extends RuntimeException(msg)
 
+  /** A change-feed cursor is AHEAD of the store's live generation — the
+    * store was recreated (or the cursor belongs to another store), an
+    * operator condition, not a retryable read. Its own type (subclassing
+    * IllegalStateException for source compatibility) so CLI handlers
+    * dispatch on the CONDITION instead of matching message text, and so
+    * the behind-horizon fallback catches can never swallow it. */
+  final class CursorAheadException(msg: String) extends IllegalStateException(msg)
+
+  /** A change-feed read fell BEHIND the retention horizon (history folded
+    * and aged out) — the expected slow-consumer condition every caller
+    * recovers from by re-baselining with a full read. Typed so fallback
+    * catches name exactly this condition rather than any
+    * IllegalStateException a bug might raise. */
+  final class FeedHorizonException(msg: String) extends IllegalStateException(msg)
+
   /** Highest manifest format this binary understands END TO END. Reads
     * tolerate unknown fields, but MAINTENANCE (vacuum/truncate) must not:
     * a future format may carry live file references this binary's
@@ -648,14 +663,14 @@ class MasterStore(val root: String, numBuckets: Int = 8,
       .withColumn(Deleted, lit(false)).withColumn("_gen", lit(0L)).limit(0)
     val (g, mOpt) = snapshot()
     if (fromGen > g)
-      throw new IllegalStateException(
+      throw new CursorAheadException(
         s"MasterStore at $root: change-feed watermark $fromGen is AHEAD " +
           s"of the live generation $g — the store was recreated or the " +
           "watermark belongs to another store. Re-baseline with a full " +
           "read and reset the watermark")
     val m = mOpt.getOrElse(return emptyFeed)
     if (fromGen < m.feedFrom)
-      throw new IllegalStateException(
+      throw new FeedHorizonException(
         s"MasterStore at $root: change feed for ($fromGen, $g] is not " +
           s"retained — history through generation ${m.feedFrom} has been " +
           s"folded into the base and aged past the $feedRetainFolds-fold " +
