@@ -70,6 +70,12 @@ import graft.streaming.Watermark
   *                                  cursor exists (table-scan bootstrap
   *                                  otherwise), and the state write is
   *                                  then a key-local delta layer
+  *   --lease-ttl-min N              cron lease TTL (default 120): the
+  *                                  sitemap-writing actions share one
+  *                                  single-writer lease, --index-from-feed
+  *                                  its own; a second concurrent cron is
+  *                                  refused loudly, a crashed holder's
+  *                                  lease expires after the TTL
   *   --report-docs f1,f2,...        project search-doc fields over the
   *                                  master snapshot through the COLUMNAR
   *                                  transform (pruned scan + pruned JSON
@@ -179,6 +185,34 @@ object Cli {
     def metricsStoreOpt = a.get("metrics-store").map(r =>
       new MasterStore(r, empty = graft.operators.MetricsTable.emptyTable))
     val now = deps.now()
+
+    // Single-writer lease around the cron entry points (the reference's
+    // scripts/reindex.py:52-58 / cleanup_sitemaps.py:90-99 lockfiles):
+    // every action that mutates the sitemap state shares ONE lease (the
+    // fill cursor and the cadence's precomputed-rows publishes are
+    // single-writer semantics across all of them — add, remove, cleanup,
+    // cascade delete, the cadence itself), and the feed-driven index
+    // sweep takes its own (two overlapping sweeps would race the reindex
+    // cursor dir's non-CAS swap). A crashed holder's lease expires after
+    // --lease-ttl-min (default 120); a live one fails the second cron
+    // loudly, naming the holder, with state untouched.
+    def leaseTtlMs: Long =
+      a.get("lease-ttl-min").flatMap(_.toLongOption).getOrElse(120L) * 60000L
+    def withLease(root: String, file: String, owner: String)(body: => Int): Int = {
+      val lease = new graft.sources.CronLease(
+        java.nio.file.Paths.get(root, file), leaseTtlMs)
+      lease.tryAcquire(owner) match {
+        case Left(held) =>
+          out(s"error: another cron holds the lease: ${held.describe}. " +
+            "Wait for it to finish; if it is certainly dead, delete the " +
+            "lease file or pass a smaller --lease-ttl-min")
+          2
+        case Right(()) => try body finally lease.release()
+      }
+    }
+    def withSitemapLease(owner: String)(body: => Int): Int =
+      withLease(a.getOrElse("sitemap-store", s"$storeRoot-sitemap"),
+        "cron.lease", owner)(body)
 
     def namedBibcodes(): Seq[String] = {
       val fromList = a.get("bibcodes").toSeq.flatMap(_.split("\\s+")).filter(_.nonEmpty)
@@ -362,7 +396,7 @@ object Cli {
       return 0
     }
 
-    if (a.contains("delete")) {
+    if (a.contains("delete")) return withSitemapLease("delete") {
       val doomed = namedBibcodesDS().getOrElse(
         { out(needKeys("--delete")); return 2 })
       val sm = sitemapStore
@@ -381,10 +415,11 @@ object Cli {
       sm.writeMerge(spark, curSm =>
         MergeEngine.deleteByBibcodes(otherMaster, curSm, doomed.toDF("bibcode")).sitemap)
       out(s"deleted $total bibcodes (sink ok=$sinkOk)")
-      return 0
+      0
     }
 
-    if (a.contains("manage-sitemap")) {
+    if (a.contains("manage-sitemap")) return withSitemapLease(
+        s"manage-sitemap ${a.getOrElse("action", "?")}") {
       val action = a.getOrElse("action",
         { out("error: --manage-sitemap needs --action"); return 2 })
       val sm = sitemapStore
@@ -458,16 +493,18 @@ object Cli {
         val n = Pipeline.runManagedSitemaps(spark, sm, outRoot, now)
         out(s"manage-sitemap $action done; regenerated $n files")
       }
-      return 0
+      0
     }
 
-    if (a.contains("update-sitemap-files")) {
+    if (a.contains("update-sitemap-files")) return withSitemapLease(
+        "update-sitemap-files") {
       val n = Pipeline.runManagedSitemaps(spark, sitemapStore, outRoot, now)
       out(s"regenerated $n sitemap files")
-      return 0
+      0
     }
 
-    if (a.contains("cleanup-invalid-sitemaps")) {
+    if (a.contains("cleanup-invalid-sitemaps")) return withSitemapLease(
+        "cleanup-invalid-sitemaps") {
       // entries whose record went solr-failed / lost bib_data / vanished
       // (run.py --cleanup-invalid-sitemaps → tasks.py:482-585)
       val sm = sitemapStore
@@ -486,10 +523,11 @@ object Cli {
       val n = Pipeline.runManagedSitemaps(spark, sm, outRoot, now)
       out(s"cleanup removed entries; deleted files: ${cleanupFiles.mkString(",")}; " +
         s"regenerated $n files")
-      return 0
+      0
     }
 
-    if (a.contains("update-sitemaps-auto")) {
+    if (a.contains("update-sitemaps-auto")) return withSitemapLease(
+        "update-sitemaps-auto") {
       // cron path (run.py:566-628): records whose bib_data or solr state
       // moved within the lookback window, minus already-flagged ones,
       // chained through the add action + file regeneration.
@@ -613,10 +651,11 @@ object Cli {
         else s"lookback $daysBack d"
       out(s"auto update (${if (feedDue.isDefined) "feed" else "table-scan"} " +
         s"discovery): regenerated $n files ($coverage)")
-      return 0
+      0
     }
 
-    if (a.contains("delete_obsolete")) {
+    if (a.contains("delete_obsolete")) return withSitemapLease(
+        "delete_obsolete") {
       // P5 (run.py --delete_obsolete): records without bib_data older
       // than --since are cascade-deleted
       val since = a.get("since").map(Timestamp.valueOf).getOrElse(
@@ -649,7 +688,7 @@ object Cli {
           MergeEngine.deleteByBibcodes(store.read(spark), curSm, ob).sitemap)
       }
       out(s"deleted $n obsolete records")
-      return 0
+      0
     }
 
     if (a.contains("rebuild-collection")) {
@@ -1062,29 +1101,34 @@ object Cli {
           case Right(f)  => f
         }
       val wmDir = a.getOrElse("watermark-dir", s"$storeRoot-watermarks")
-      // an AHEAD persisted cursor (master recreated under a surviving
-      // watermark dir) is an operator condition, not a crash: same clean
-      // exit-2 recovery message as the sitemap twin, not a stack trace.
-      // Dispatched on the TYPE (MasterStore.CursorAheadException), not
-      // the message text — a rewording can't regress this into a trace,
-      // and an unrelated IllegalStateException can't be mis-swallowed
-      val r = try graft.operators.Scheduling.withPriority(spark, priority) {
-        Pipeline.runFeedSweep(spark, store, solrSink(), deps.bulkTransport,
-          watermarkDir = Some(wmDir), force = force,
-          ignoreChecksums = ignoreChecksums, now = now,
-          sinks = sinks, metricsStore = metricsStoreOpt)
-      } catch {
-        case e: MasterStore.CursorAheadException =>
-          out(s"error: ${e.getMessage}. Clear $wmDir (or pass a fresh " +
-            "--watermark-dir) and re-baseline")
-          return 2
+      // two overlapping sweeps would race the reindex cursor dir's
+      // non-CAS swap (and re-deliver each other's windows) — the sweep
+      // cron is single-writer like the reference's locked reindex.py
+      return withLease(storeRoot, "reindex.lease", "index-from-feed") {
+        // an AHEAD persisted cursor (master recreated under a surviving
+        // watermark dir) is an operator condition, not a crash: same clean
+        // exit-2 recovery message as the sitemap twin, not a stack trace.
+        // Dispatched on the TYPE (MasterStore.CursorAheadException), not
+        // the message text — a rewording can't regress this into a trace,
+        // and an unrelated IllegalStateException can't be mis-swallowed
+        val r = try graft.operators.Scheduling.withPriority(spark, priority) {
+          Pipeline.runFeedSweep(spark, store, solrSink(), deps.bulkTransport,
+            watermarkDir = Some(wmDir), force = force,
+            ignoreChecksums = ignoreChecksums, now = now,
+            sinks = sinks, metricsStore = metricsStoreOpt)
+        } catch {
+          case e: MasterStore.CursorAheadException =>
+            out(s"error: ${e.getMessage}. Clear $wmDir (or pass a fresh " +
+              "--watermark-dir) and re-baseline")
+            return 2
+        }
+        out(s"discovery=${if (r.usedFeed) "feed" else "table-scan"} " +
+          s"indexed=${r.run.indexed} solrOk=${r.run.solrOk} " +
+          s"solrFailed=${r.run.solrFailed} metricsOk=${r.run.metricsOk} " +
+          s"linksOk=${r.run.linksOk} version=${r.run.version} " +
+          s"cursor=${r.nextFromGen}")
+        if (r.run.solrFailed > 0) 1 else 0
       }
-      out(s"discovery=${if (r.usedFeed) "feed" else "table-scan"} " +
-        s"indexed=${r.run.indexed} solrOk=${r.run.solrOk} " +
-        s"solrFailed=${r.run.solrFailed} metricsOk=${r.run.metricsOk} " +
-        s"linksOk=${r.run.linksOk} version=${r.run.version} " +
-        s"cursor=${r.nextFromGen}")
-      return if (r.run.solrFailed > 0) 1 else 0
     }
 
     if (a.contains("index")) {
@@ -1167,7 +1211,7 @@ object Cli {
       "scix-id-flag", "ingest", "consume", "checkpoint", "metrics-store",
       "batch_size", "solr-collection", "classifier_batch",
       "report-docs", "report-out", "retain", "orphan-grace-min",
-      "changelog", "changes-since")
+      "changelog", "changes-since", "lease-ttl-min")
     // -r's letters are optional (nargs='?'): a following token that is not
     // a flag is its value, otherwise the default applies
     val optionalValued = Set("index", "index-from-feed")
