@@ -396,6 +396,36 @@ object Cli {
       return 0
     }
 
+    if (a.contains("consumers")) {
+      // registry view of the feed consumers pinning retention: cursor,
+      // registration age, staleness (a stale one no longer pins and
+      // should be unregistered or its cron revived)
+      val horizon = store.stats.map(_.feedFrom).getOrElse(0L)
+      val cs = store.consumerCursorsDetailed.toSeq.sortBy(_._1)
+      if (cs.isEmpty) out("no registered feed consumers")
+      for ((name, c) <- cs)
+        out(f"consumer $name: gen=${c.gen} age=${c.ageMs / 1000}s " +
+          s"${if (c.stale) "STALE (no longer pins retention)"
+              else if (c.gen < horizon) s"BEHIND horizon $horizon"
+              else "ok"}")
+      return 0
+    }
+
+    if (a.contains("unregister-consumer")) {
+      val name = a("unregister-consumer")
+      if (name.isEmpty) { out("error: --unregister-consumer <name>"); return 2 }
+      if (!store.consumerCursors.contains(name)) {
+        out(s"error: no registered consumer '$name' " +
+          s"(have: ${store.consumerCursors.keys.toSeq.sorted.mkString(",") match {
+            case "" => "none"; case s => s }})")
+        return 2
+      }
+      store.unregisterConsumer(name)
+      out(s"unregistered feed consumer $name (its retention pin ends at " +
+        "the next fold; its own watermark dir is untouched)")
+      return 0
+    }
+
     if (a.contains("delete")) return withSitemapLease("delete") {
       val doomed = namedBibcodesDS().getOrElse(
         { out(needKeys("--delete")); return 2 })
@@ -547,6 +577,13 @@ object Cli {
       }).getOrElse(1)
       val cutoff = new Timestamp(now.getTime - daysBack * 86400000L)
       val sm = sitemapStore
+      // the file-ordinal member index (SitemapMembers) rides beside the
+      // state store: the keyed cadence's members read opens the touched
+      // files' buckets instead of every state file, and any out-of-band
+      // mutation is healed by one resync scan (stamp-validated)
+      val members = new graft.operators.SitemapMembers(
+        a.getOrElse("members-store",
+          s"${a.getOrElse("sitemap-store", s"$storeRoot-sitemap")}-members"))
       // the cursor lives in its OWN dir: Watermark.advance is a whole-dir
       // read-modify-swap with no CAS, so two maintenance crons sharing a
       // dir could drop each other's keys on a race — per-consumer dirs
@@ -610,7 +647,8 @@ object Cli {
                     sm.read(spark), smVer)
               }
             val (nf, next) = Pipeline.runSitemapCadenceKeyed(spark, sm,
-              outRoot, now, dueMaster, summary, stale)
+              outRoot, now, dueMaster, summary, stale,
+              memberIndex = Some(members))
             graft.streaming.Watermark.advanceGen(spark, wmDir, smCursorKey, preGen)
             store.registerConsumerCursor("sitemaps", preGen)
             graft.operators.SitemapCadence.save(spark, wmDir, next)
@@ -633,10 +671,11 @@ object Cli {
           })
           graft.streaming.Watermark.advanceGen(spark, wmDir, smCursorKey, preGen)
           store.registerConsumerCursor("sitemaps", preGen)
-          // the full render also rebuilds + persists the summary, so the
-          // NEXT cadence (the steady state) runs keyed end-to-end
+          // the full render also rebuilds + persists the summary AND the
+          // member index, so the NEXT cadence (the steady state) runs
+          // keyed end-to-end without its own resync scan
           val (nf, next) = Pipeline.runManagedSitemapsWithSummary(
-            spark, sm, outRoot, now)
+            spark, sm, outRoot, now, memberIndex = Some(members))
           graft.operators.SitemapCadence.save(spark, wmDir, next)
           nf
       }
@@ -649,8 +688,14 @@ object Cli {
         else if (behindHorizon)
           s"cursor ${cursor.get} behind feed horizon: full reconcile, no lookback"
         else s"lookback $daysBack d"
+      // the files-opened accounting that PROVES the member-index prune:
+      // parquet files the members read opened vs the index's total
+      val memberScan =
+        if (members.lastFilesOpened < 0) ""
+        else s"; members read ${members.lastFilesOpened}/" +
+          s"${members.lastFilesTotal} index files"
       out(s"auto update (${if (feedDue.isDefined) "feed" else "table-scan"} " +
-        s"discovery): regenerated $n files ($coverage)")
+        s"discovery): regenerated $n files ($coverage$memberScan)")
       0
     }
 
@@ -1211,7 +1256,8 @@ object Cli {
       "scix-id-flag", "ingest", "consume", "checkpoint", "metrics-store",
       "batch_size", "solr-collection", "classifier_batch",
       "report-docs", "report-out", "retain", "orphan-grace-min",
-      "changelog", "changes-since", "lease-ttl-min")
+      "changelog", "changes-since", "lease-ttl-min", "members-store",
+      "unregister-consumer")
     // -r's letters are optional (nargs='?'): a following token that is not
     // a flag is its value, otherwise the default applies
     val optionalValued = Set("index", "index-from-feed")

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import java.sql.Timestamp
 
 import graft.records._
-import graft.operators.{IndexJob, MergeEngine, Sitemap, SitemapCadence, SitemapState}
+import graft.operators.{IndexJob, MergeEngine, Sitemap, SitemapCadence, SitemapMembers, SitemapState}
 import graft.sources.{MasterStore, Sinks}
 import graft.streaming.Watermark
 
@@ -52,8 +52,20 @@ object Pipeline {
       changeLogDir: Option[String] = None,
       workKeys: Option[DataFrame] = None,
       workRows: Option[DataFrame] = None,
-      keyedPublish: Boolean = false): RunReport = {
+      keyedPublish: Boolean = false,
+      stageTimer: (String, Double) => Unit = (_, _) => ()): RunReport = {
     import spark.implicits._
+    // bench-facing stage attribution (OpsBench's wave decomposition):
+    // wall time between this batch's ACTIONS — "merge_read" covers the
+    // keyed lookup + upsert compute up to the merged-count
+    // materialization, "publish" the gate/transform/stamp compute forced
+    // by the layer write plus the CAS + auto-compaction, "report" the
+    // cached status aggregations. Zero cost when left defaulted.
+    var stageT0 = System.nanoTime()
+    def stage(name: String): Unit = {
+      stageTimer(name, (System.nanoTime() - stageT0) / 1e9)
+      stageT0 = System.nanoTime()
+    }
 
     // keyLocal: the batch's working set is the UPDATES' key set, read via
     // the bucket-pruned keyed lookup — per-batch compute and scan cost
@@ -127,6 +139,7 @@ object Pipeline {
       Sinks.deleteByBibcodes(doomed, Seq(solrTransport, bulkTransport)).count()
     val master = master0.cache()
     val mergedCount = master.count()
+    stage("merge_read")
     doomed.unpersist(blocking = false)
 
     // the reference queues a boost-pipeline request for every record an
@@ -327,6 +340,7 @@ object Pipeline {
           } finally sk.unpersist(blocking = false)
         }
       }
+    stage("publish")
     // The audit log the reference appends on every mutation in the same
     // transaction (ChangeLog, adsmp/models.py:127-141; written at
     // app.py:175 for upserts and :250 for deletes with the serialized old
@@ -379,6 +393,7 @@ object Pipeline {
       boostOk = boostOk, boostFailed = boostFailed,
       augmentOk = augmentOk, augmentFailed = augmentFailed)
 
+    stage("report")
     // release this batch's caches — in runStream a leak here would grow
     // executor storage by four datasets per micro-batch
     Seq(batch.solr, batch.metrics, batch.links).foreach(_.unpersist())
@@ -399,13 +414,14 @@ object Pipeline {
   val GenCursorKey = "last.reindex.generation"
 
   /** IN-regime crossover for the sitemap cadence's keyed state reads —
-    * deliberately far above lookupFrame's default 2,000: a cadence wave
-    * is read ONCE against a low-layer store (the cron compacts behind
-    * itself), so the per-layer planner cost that set the default low
-    * doesn't accumulate here, while the pushed IN + key-sorted layout
-    * turns the read into row-group-skipped IO ∝ wave instead of the
-    * semi-join regime's full column scan of the 28.8M-row state. Waves
-    * beyond this degrade to the semi join — correct, just table-priced. */
+    * pinned at the hard cap rather than left to lookupFrame's
+    * layer-aware auto: a cadence wave is read ONCE against a low-layer
+    * store (the cron compacts behind itself), so even the auto rule's
+    * worst-case layer discount doesn't apply here, while the pushed IN +
+    * key-sorted layout turns the read into row-group-skipped IO ∝ wave
+    * instead of the semi-join regime's full column scan of the 28.8M-row
+    * state. Waves beyond this degrade to the semi join — correct, just
+    * table-priced. */
   val CadenceLookupMaxDriverKeys = 25000
 
   /** The cron sweep with ∝-delta work discovery: instead of the
@@ -628,7 +644,8 @@ object Pipeline {
   def runManagedSitemapsWithSummary(spark: SparkSession, stateStore: MasterStore,
       outRoot: String, now: Timestamp,
       siteKeys: Seq[String] = Sitemap.Sites.keys.toSeq.sorted,
-      maxPerFile: Int = Sitemap.MaxRecordsPerSitemap): (Long, SitemapCadence.Summary) = {
+      maxPerFile: Int = Sitemap.MaxRecordsPerSitemap,
+      memberIndex: Option[SitemapMembers] = None): (Long, SitemapCadence.Summary) = {
     val today = new java.text.SimpleDateFormat("yyyy-MM-dd").format(now)
     val state0 = stateStore.read(spark).cache()
     val work = SitemapState.renderable(state0, today).cache()
@@ -645,18 +662,29 @@ object Pipeline {
     writeSiteMeta(spark, outRoot, siteKeys, summary0, today)
     import spark.implicits._
     // generated-flag clears are key-local (exactly the rendered files'
-    // member rows): the keyed CAS merge rebases them onto the live
-    // snapshot, so a concurrent add/remove landing mid-render survives —
-    // and a row added to a rendered file AFTER the render kept its flag
-    // (it was not rendered), where a whole-table re-stamp would have
-    // silently cleared it. The stamped rows are precomputed from the
-    // cached state0 (the same rows the render read), so the store's
-    // internal keyed reconcile never evaluates — one fewer table scan
-    // per regeneration
+    // member rows), and the stamped rows are PRECOMPUTED from the cached
+    // state0 — the same rows the render read — so the store's internal
+    // keyed reconcile never evaluates (one fewer table scan per
+    // regeneration). The closure ignoring `cur` makes this publish
+    // SINGLE-WRITER by contract: a row another writer removed or
+    // re-flagged between the render and this stamp would be overwritten
+    // with the snapshot's version. That contract is enforced by the CLI's
+    // shared sitemap cron lease (CronLease — every sitemap-state-writing
+    // action takes it), not merely assumed; raw API users running
+    // concurrent mutations must keep the `cur =>` rebase form instead
     val touchedRows = Sitemap.filesNeedingUpdate(state0)
     stateStore.writeMergeKeyed(spark, work.select(col("bibcode")),
       _ => SitemapState.markGenerated(touchedRows,
         files.toSeq.toDF("sitemap_filename"), now))
+    // the full render already holds the whole table — rebuild the member
+    // index in the same pass (the post-merge table IS state0 with the
+    // rendered files' rows stamped), so the NEXT keyed cadence starts
+    // with a fresh mirror instead of paying its own resync scan
+    memberIndex.foreach { mi =>
+      mi.store.write(SitemapState.markGenerated(state0,
+        files.toSeq.toDF("sitemap_filename"), now))
+      mi.commit(stateStore.currentVersion.getOrElse(0L))
+    }
     work.unpersist(); state0.unpersist()
     Sitemap.releasePinned()
     (files.length.toLong,
@@ -708,8 +736,11 @@ object Pipeline {
     *  - the render worklist: affected files = files holding a flagged due
     *    row (from a second keyed lookup of the post-merge rows) plus any
     *    stale-flagged files the summary rebuild surfaced — their member
-    *    rows are the ONE remaining table-wide pass, a filename-pruned
-    *    filter scan bounded by (files touched × maxPerFile) output rows;
+    *    rows come from the [[SitemapMembers]] file-ordinal index when one
+    *    is wired (IO ∝ touched files: only their buckets' files open,
+    *    [[SitemapMembers.membersOf]]), else from a filename-pruned filter
+    *    scan of the primary (predicate pushes, but every data file
+    *    opens — the pre-r16 shape, kept for index-less callers);
     *  - the index lastmods: untouched files keep their summary stats
     *    (valid by the generation check), affected files recompute EXACTLY
     *    from the member rows the render already has in hand.
@@ -730,9 +761,16 @@ object Pipeline {
       staleFlaggedFiles: Seq[String] = Nil,
       maxPerFile: Int = Sitemap.MaxRecordsPerSitemap,
       siteKeys: Seq[String] = Sitemap.Sites.keys.toSeq.sorted,
-      force: Boolean = false): (Long, SitemapCadence.Summary) = {
+      force: Boolean = false,
+      memberIndex: Option[SitemapMembers] = None): (Long, SitemapCadence.Summary) = {
     import spark.implicits._
     val today = new java.text.SimpleDateFormat("yyyy-MM-dd").format(now)
+    // the member index mirrors the primary ∝ delta below; a stale mirror
+    // (out-of-band mutation, crash between the primary publish and the
+    // stamp, or a brand-new index) pays ONE resync scan HERE — before any
+    // of this run's writes — and is exact from then on
+    memberIndex.filterNot(_.isFresh(stateStore.currentVersion.getOrElse(0L)))
+      .foreach(_.resync(spark, stateStore))
     val dueKeys = dueMaster.select(col("bibcode")).distinct()
     // THE one keyed state read of the cadence: the due keys' current rows,
     // all columns, with the crossover raised so a cadence-sized wave stays
@@ -759,6 +797,9 @@ object Pipeline {
       val newRows = SitemapState.addKeyed(dueRows, dueMaster, due, fill,
         maxPerFile, force).cache()
       stateStore.writeMergeKeyed(spark, due, _ => newRows)
+      // mirror the SAME keys/rows into the member index (∝ delta): a due
+      // key absent from newRows tombstones on both sides identically
+      memberIndex.foreach(_.merge(spark, due, newRows))
       val nextFill = SitemapState.advanceFill(fill, newCnt, maxPerFile)
       // the merge output IS the post-merge state of the due keys. TWO
       // file sets fall out: the RENDER set (files holding a flagged due
@@ -781,17 +822,25 @@ object Pipeline {
         // nothing moved; the per-site static/index/robots still refresh,
         // as the full path's would
         writeSiteMeta(spark, outRoot, siteKeys, summary, today)
+        memberIndex.foreach(_.commit(stateStore.currentVersion.getOrElse(0L)))
         return (0L, summary.copy(
           generation = stateStore.currentVersion.getOrElse(0L),
           fillIndex = nextFill.index, fillCount = nextFill.count))
       }
-      // the one table-wide pass: member rows of the touched files (a
-      // whole file regenerates when any member changed). Output rows are
-      // bounded by files touched × maxPerFile; the IN predicate is pushed
-      // into the scan
-      val members = stateStore.read(spark)
-        .filter(col("sitemap_filename").isin(statSet: _*))
-        .cache()
+      // member rows of the touched files (a whole file regenerates when
+      // any member changed; output rows bounded by files touched ×
+      // maxPerFile). With a member index this opens the touched files'
+      // BUCKETS only — IO ∝ touched files, the reference's indexed member
+      // fetch (tasks.py:986-990). Without one it is the pre-r16 shape:
+      // the IN predicate pushes into the primary's scan but the
+      // bibcode-bucketed layout cannot file-prune a filename predicate,
+      // so every data file opens — a ∝-corpus pass per cron
+      val members = memberIndex match {
+        case Some(mi) => mi.membersOf(spark, statSet).cache()
+        case None => stateStore.read(spark)
+          .filter(col("sitemap_filename").isin(statSet: _*))
+          .cache()
+      }
       val renderMembers = members
         .filter(col("sitemap_filename").isin(renderSet: _*)).cache()
       val work = renderMembers.select(col("record_id").as("id"), col("bibcode"),
@@ -820,11 +869,18 @@ object Pipeline {
       // keyed flag-clear for exactly the rendered files' member rows —
       // computed from the member rows already in hand (same
       // precomputed-rows publish as the merge above: the closure ignores
-      // `cur`, so no second table read)
-      if (renderSet.nonEmpty)
-        stateStore.writeMergeKeyed(spark, renderMembers.select(col("bibcode")),
-          _ => SitemapState.markGenerated(renderMembers,
-            renderSet.toDF("sitemap_filename"), now))
+      // `cur`, so no second table read — and the same single-writer
+      // contract, enforced by the CLI's sitemap cron lease), mirrored
+      // into the member index with the identical frame
+      if (renderSet.nonEmpty) {
+        val stampedRows = SitemapState.markGenerated(renderMembers,
+          renderSet.toDF("sitemap_filename"), now)
+        stateStore.writeMergeKeyed(spark,
+          renderMembers.select(col("bibcode")), _ => stampedRows)
+        memberIndex.foreach(_.merge(spark,
+          renderMembers.select(col("bibcode")), stampedRows))
+      }
+      memberIndex.foreach(_.commit(stateStore.currentVersion.getOrElse(0L)))
       renderMembers.unpersist(); members.unpersist()
       Sitemap.releasePinned()
       (renderSet.size.toLong,

@@ -73,7 +73,36 @@ object MasterStore {
       layerCount: Int, layerBytes: Long, baseGen: Long = 0L,
       feedFrom: Long = 0L, historyLayerCount: Int = 0,
       historyBytes: Long = 0L, registeredConsumers: Int = 0,
-      consumersBehind: Int = 0)
+      consumersBehind: Int = 0, consumersStale: Int = 0)
+
+  /** Planner budget for [[MasterStore.lookupFrame]]'s AUTO crossover:
+    * the pushed-IN plan grows per key AND is re-planned against every
+    * delta-layer read, so the cost model is keys × (1 + live layers).
+    * Measured boundaries: cron waves of ~2,500 keys over a low-layer
+    * store are cheap and row-group-skip (r15/r16 cadence + ops loop);
+    * 25k-key batches pay seconds of planner time per micro-batch (3-6×
+    * the batch wall, PipelineBench). Auto therefore caps at
+    * [[AutoInRegimeCap]] and discounts by layer count from this budget —
+    * between the two measured points, deliberately closer to the good
+    * one. */
+  val InRegimePlannerBudget: Int = 30000
+
+  /** Cap for the AUTO crossover (unmeasured territory above it — the
+    * conservative side of PipelineBench's 25k-key planner-tax reading). */
+  val AutoInRegimeCap: Int = 10000
+
+  /** Absolute cap on keys collected to the driver for the IN regime
+    * (≈ 0.5 MB of bibcodes) — beyond this the semi-join regime is the
+    * right plan regardless of what the caller asked for. */
+  val InRegimeHardCap: Int = 25000
+
+  /** Default TTL after which a consumer registration that was never
+    * refreshed stops stretching feed retention (and is reported stale):
+    * a crashed consumer's cursor file would otherwise pin history to the
+    * `feedRetainFoldsMax` cap FOREVER and hold the behind-alarm up. A
+    * week comfortably covers every sane cron cadence while still
+    * unpinning dead registrations without operator action. */
+  val ConsumerTtlMs: Long = 7L * 24 * 3600 * 1000
 
   /** A generation was published and its data directory was then found
     * deleted (the orphan-sweep TOCTOU fired). Deliberately its own type:
@@ -104,6 +133,24 @@ object MasterStore {
     * retained history added), and sweeping "unreferenced" files against a
     * newer manifest deletes data the newer readers still advertise. */
   val SupportedManifestFormat: Int = 3
+
+  /** Custom physical layout for a SECONDARY-INDEX store: `bucket(n)` maps
+    * a row to its bucket id by row CONTENT (replacing the default
+    * `pmod(hash(keyCol), n)`), and `sort` names extra within-bucket sort
+    * columns (applied between the bucket column and the key, so parquet
+    * row-group min/max stats line up with the layout's read predicate).
+    *
+    * Contract: the bucket expression must be TOTAL — rows whose layout
+    * columns are null (tombstones carry null non-key columns) must map to
+    * a fixed bucket that every layout-pruned read includes. Because the
+    * bucket is not derivable from the key alone, key-driven bucket
+    * pruning is off for such a store (keyed reads/merges scan all
+    * buckets); layout stores are read through [[MasterStore.readBuckets]]
+    * with bucket ids the CALLER derives from the same layout function.
+    * The engine's use: [[graft.operators.SitemapMembers]], the
+    * file-ordinal twin of the sitemap state table. */
+  final case class Layout(bucket: Int => org.apache.spark.sql.Column,
+      sort: Seq[String] = Nil)
 
   /** Orphan grace for vacuums that run on the publish cadence: an
     * unreferenced `v_`/`d_` dir younger than this is presumed to be a
@@ -197,7 +244,9 @@ class MasterStore(val root: String, numBuckets: Int = 8,
     maxLayers: Int = 16,
     layerFraction: Double = 0.25,
     feedRetainFolds: Int = 2,
-    feedRetainFoldsMax: Int = 8) {
+    feedRetainFoldsMax: Int = 8,
+    layout: Option[MasterStore.Layout] = None,
+    consumerTtlMs: Long = MasterStore.ConsumerTtlMs) {
 
   import MasterStore._
 
@@ -416,23 +465,41 @@ class MasterStore(val root: String, numBuckets: Int = 8,
   def unregisterConsumer(name: String): Unit =
     Files.deleteIfExists(consumersDir.resolve(name))
 
-  /** Registered consumer cursors (name → generation). Unparsable entries
-    * are skipped: a half-written file must degrade a pin, never wedge
-    * compaction. */
-  def consumerCursors: Map[String, Long] = {
+  /** One registered consumer cursor: its generation and how long ago the
+    * registration was last refreshed (every `registerConsumerCursor`
+    * rewrite resets the clock). `stale` = past this store's TTL — the
+    * registration stops stretching retention and is reported, instead of
+    * a crashed consumer pinning `feedRetainFoldsMax` of history forever. */
+  case class ConsumerCursor(gen: Long, ageMs: Long) {
+    def stale: Boolean = ageMs > consumerTtlMs
+  }
+
+  /** Registered consumer cursors (name → cursor + freshness). Unparsable
+    * entries are skipped: a half-written file must degrade a pin, never
+    * wedge compaction. */
+  def consumerCursorsDetailed: Map[String, ConsumerCursor] = {
     if (!Files.isDirectory(consumersDir)) return Map.empty
     val listing = Files.list(consumersDir)
+    val nowMs = System.currentTimeMillis()
     try {
       import scala.jdk.CollectionConverters._
       listing.iterator().asScala
         .filter(p => Files.isRegularFile(p) && !p.getFileName.toString.endsWith(".tmp"))
         .flatMap { p =>
           val name = p.getFileName.toString
-          try Some(name -> new String(Files.readAllBytes(p), "UTF-8").trim.toLong)
+          try Some(name -> ConsumerCursor(
+            new String(Files.readAllBytes(p), "UTF-8").trim.toLong,
+            math.max(0L, nowMs - Files.getLastModifiedTime(p).toMillis)))
           catch { case scala.util.control.NonFatal(_) => None }
         }.toMap
     } finally listing.close()
   }
+
+  /** Registered consumer cursors (name → generation), stale ones
+    * included — the registry view; retention itself uses only the FRESH
+    * subset (see [[compact]]). */
+  def consumerCursors: Map[String, Long] =
+    consumerCursorsDetailed.map { case (n, c) => n -> c.gen }
 
   /** Published generation numbers, oldest first. */
   def versions: Seq[Long] = generations().map(_._1).sorted
@@ -443,12 +510,17 @@ class MasterStore(val root: String, numBuckets: Int = 8,
     * now, the condition an operator dashboard should alarm on. */
   def stats: Option[Stats] = snapshot() match {
     case (g, Some(m)) =>
-      val cursors = consumerCursors
+      val cursors = consumerCursorsDetailed
       Some(Stats(g, m.n, m.baseFiles.size, m.baseBytes,
         m.layers.size, m.layerBytes, m.baseGen, m.feedFrom,
         m.historyLayers.size, m.historyLayers.map(_.bytes).sum,
         registeredConsumers = cursors.size,
-        consumersBehind = cursors.values.count(_ < m.feedFrom)))
+        // behind counts FRESH cursors only — a stale one no longer pins
+        // retention, so alarming on it as "behind" would be noise; it
+        // has its own counter for the dashboard instead
+        consumersBehind =
+          cursors.values.count(c => !c.stale && c.gen < m.feedFrom),
+        consumersStale = cursors.values.count(_.stale)))
     case _ => None
   }
 
@@ -511,8 +583,7 @@ class MasterStore(val root: String, numBuckets: Int = 8,
           else Some(readFiles(spark, fs, layerCols))
         case Some(bs) if m.n > 1 =>
           Some(readFiles(spark, l.files, layerCols)
-            .filter(pmod(hash(col(keyCol)), lit(m.n))
-              .isin(bs.toSeq.map(Int.box): _*)))
+            .filter(bucketExpr(m.n).isin(bs.toSeq.map(Int.box): _*)))
         case _ => Some(readFiles(spark, l.files, layerCols))
       }).map(_.withColumn("_seq", lit(l.seq)))
     }
@@ -536,6 +607,20 @@ class MasterStore(val root: String, numBuckets: Int = 8,
     case _            => empty(spark)
   }
 
+  /** Bucket-pruned read of the live snapshot: only the named buckets'
+    * base AND layer files open (manifest file pruning, zero jobs to
+    * plan). For [[MasterStore.Layout]] stores, whose bucket ids the
+    * CALLER derives from the layout function — include the layout's
+    * fixed null/tombstone bucket, or removed keys' tombstones would be
+    * invisible and deleted rows would resurrect. Correct on a key-hash
+    * store too (callers guaranteeing their keys hash into the set). */
+  def readBuckets(spark: SparkSession, buckets: Set[Int]): DataFrame =
+    snapshot() match {
+      case (_, Some(m)) =>
+        reconcile(spark, m, if (m.n <= 1) None else Some(buckets))
+      case _ => empty(spark)
+    }
+
   /** Bulk keyed read — the engine analog of the reference's
     * `get_records_bulk` / `get_sitemap_info_bulk`
     * (adsmp/app.py:279-352; timed in tests/test_app.py:818-1008). The
@@ -558,8 +643,11 @@ class MasterStore(val root: String, numBuckets: Int = 8,
     if (keys.isEmpty) return project(empty(spark)).limit(0)
     snapshot() match {
       case (_, Some(m)) =>
+        // a Layout store's bucket is not derivable from the key — keyed
+        // reads scan all buckets (the layout's own reads go through
+        // readBuckets); the pushed IN predicate still prunes row groups
         val buckets =
-          if (m.n <= 1) None
+          if (m.n <= 1 || layout.isDefined) None
           else Some(keys.map(k => bucketOf(k, m.n)).toSet)
         project(reconcile(spark, m, buckets))
           .filter(col(keyCol).isin(keys: _*))
@@ -581,12 +669,20 @@ class MasterStore(val root: String, numBuckets: Int = 8,
     *  - overflows: Spark-side distinct-buckets (≤ numBuckets values
     *    reach the driver) + a left-semi join the optimizer broadcasts.
     *    IO ∝ touched buckets; compute ∝ batch.
-    * The crossover is deliberately LOW: a literal IN grows the analyzed
-    * plan per key and is re-planned against every layer read, so a
-    * 25k-key batch pays seconds of planner time per micro-batch (3-6×
-    * the whole batch wall, measured in PipelineBench) while the semi
-    * join's cost is flat — the IN regime is for lookup-sized key sets,
-    * where its row-group skipping wins.
+    * The default crossover (`maxDriverKeys = -1`, "auto") is
+    * LAYER-AWARE: a literal IN grows the analyzed plan per key and is
+    * re-planned against every layer read, so the planner cost is
+    * keys × (1 + live layers) — a 25k-key batch against a 16-layer
+    * streaming store pays seconds of planner time per micro-batch (3-6×
+    * the whole batch wall, PipelineBench) while the same batch against a
+    * COMPACTED store is cheap and row-group-skips where the semi join
+    * would column-scan the table (the r15/r16 cadence-wave lesson). Auto
+    * resolves to max(2000, InRegimePlannerBudget / (1 + live layers))
+    * capped at AutoInRegimeCap — a cron-wave-sized key set lands in the
+    * pushed-IN regime exactly when the store's layer state makes that
+    * the cheap plan. An EXPLICIT `maxDriverKeys` is exact (callers that
+    * force a regime — specs, benches, the cadence's deliberate 25k —
+    * keep their contract).
     * Either way nothing table-sized reaches the driver and the merge
     * work downstream is keyed — the compute-side counterpart of
     * `writeMergeKeyed`'s delta-layer write.
@@ -595,7 +691,7 @@ class MasterStore(val root: String, numBuckets: Int = 8,
     * `task_index_records` (adsmp/tasks.py:300-360 via app.get_record) —
     * the reference never scans its table to serve an ingest batch. */
   def lookupFrame(spark: SparkSession, keys: DataFrame,
-      loadOnly: Seq[String] = Nil, maxDriverKeys: Int = 2000): DataFrame = {
+      loadOnly: Seq[String] = Nil, maxDriverKeys: Int = -1): DataFrame = {
     def project(df: DataFrame): DataFrame =
       if (loadOnly.isEmpty) df
       else df.select((keyCol +: loadOnly.filterNot(_ == keyCol)).map(col): _*)
@@ -607,14 +703,22 @@ class MasterStore(val root: String, numBuckets: Int = 8,
         // NPE in bucketOf
         val k = keys.select(col(keys.columns.head).as(keyCol))
           .filter(col(keyCol).isNotNull).distinct()
-        val head = k.limit(maxDriverKeys + 1).collect().map(_.getString(0))
-        if (head.length <= maxDriverKeys)
+        val effectiveMax =
+          if (maxDriverKeys >= 0) maxDriverKeys // explicit: exact contract
+          else {
+            val liveLayers = m.layers.count(_.files.nonEmpty)
+            math.min(MasterStore.AutoInRegimeCap, math.max(2000,
+              MasterStore.InRegimePlannerBudget / (1 + liveLayers)))
+          }
+        val head = k.limit(effectiveMax + 1).collect().map(_.getString(0))
+        if (head.length <= effectiveMax)
           lookup(spark, head.toIndexedSeq, loadOnly)
         else {
           // same expression family the bucketed layout was written with
-          // (pmod(hash(key), n)); bounded collect: ≤ n distinct values
+          // (pmod(hash(key), n)); bounded collect: ≤ n distinct values.
+          // A Layout store's buckets aren't key-derived — no prune
           val buckets =
-            if (m.n <= 1) None
+            if (m.n <= 1 || layout.isDefined) None
             else Some(k.select(pmod(hash(col(keyCol)), lit(m.n)).cast("int").as("b"))
               .distinct().collect().map(_.getInt(0)).toSet)
           project(reconcile(spark, m, buckets)).join(k, Seq(keyCol), "left_semi")
@@ -707,15 +811,24 @@ class MasterStore(val root: String, numBuckets: Int = 8,
     * repartition on the bucket column keeps one task per bucket in the
     * common case (one file per bucket, no per-task dynamic-partition
     * sort), but correctness never depends on it. */
+  /** The bucket-id expression this store's physical layout uses — the
+    * key-hash default, or the [[MasterStore.Layout]] override for a
+    * secondary-index store. */
+  private def bucketExpr(n: Int): Column =
+    layout.map(_.bucket(n)).getOrElse(pmod(hash(col(keyCol)), lit(n)))
+
   private def writeBucketed(df: DataFrame, n: Int, dir: String): Unit =
-    df.withColumn(BucketCol, pmod(hash(col(keyCol)), lit(n)).cast("int"))
+    df.withColumn(BucketCol, bucketExpr(n).cast("int"))
       .repartition(n, col(BucketCol))
-      // key-sorted WITHIN each bucket: row-group min/max stats become
-      // disjoint key ranges, so a keyed read's pushed predicate skips
-      // row groups instead of scanning the whole bucket — the classic
+      // key-sorted WITHIN each bucket (after any layout sort columns):
+      // row-group min/max stats become disjoint key (or layout-column)
+      // ranges, so a keyed/layout read's pushed predicate skips row
+      // groups instead of scanning the whole bucket — the classic
       // bucketed-sorted table, paid once per write (the shuffle already
       // happened; the sort is per-bucket CPU)
-      .sortWithinPartitions(col(BucketCol), col(keyCol))
+      .sortWithinPartitions(
+        (col(BucketCol) +: layout.toSeq.flatMap(_.sort.map(col)) :+ col(keyCol))
+          .toIndexedSeq: _*)
       .write.mode("overwrite").partitionBy(BucketCol)
       .parquet(Paths.get(root, dir).toString)
 
@@ -914,7 +1027,7 @@ class MasterStore(val root: String, numBuckets: Int = 8,
         val m = mOpt.getOrElse(emptyManifest)
         try {
           val touched: Option[Set[Int]] =
-            if (m.n <= 1) None
+            if (m.n <= 1 || layout.isDefined) None
             else Some(keyFrame
               .select(pmod(hash(col(keyCol)), lit(m.n)).cast("int").as("b"))
               .distinct().collect().map(_.getInt(0)).toSet)
@@ -1021,6 +1134,10 @@ class MasterStore(val root: String, numBuckets: Int = 8,
               neLayers.flatMap(_.buckets.zipWithIndex.collect {
                 case (fs, b) if fs.nonEmpty => b
               }).toSet
+            // pre-format layers only (a Layout store is post-format by
+            // construction — its layers always carry bucket lists; if one
+            // ever didn't, folding all buckets is correct, just unpruned)
+            else if (layout.isDefined) (0 until m.n).toSet
             else neLayers.map(l =>
                 readFiles(spark, l.files, Seq(col(keyCol))))
               .reduce(_.unionByName(_))
@@ -1063,7 +1180,12 @@ class MasterStore(val root: String, numBuckets: Int = 8,
           // files lose their last manifest reference here and are
           // reclaimed by the next vacuum with the superseded generations
           val groups = (m.history :+ neLayers).filter(_.nonEmpty)
-          val neededByConsumers = consumerCursors.values.minOption match {
+          // only FRESH registrations stretch retention: a cursor file not
+          // refreshed within the TTL is a crashed consumer's — it ages
+          // out of the pin (and shows up in stats.consumersStale) rather
+          // than holding feedRetainFoldsMax of history forever
+          val neededByConsumers = consumerCursorsDetailed.values
+              .collect { case c if !c.stale => c.gen }.minOption match {
             case None => 0
             // groups are oldest-first with ascending seq ranges, so the
             // needed ones are a suffix; a group is needed iff it holds a

@@ -1080,6 +1080,46 @@ class CliSpec extends AnyFunSuite with SparkSpec {
     assert(Cli.run(spark, argvBase ++
       Seq("-r", "--priority", "high"), d) == 2)
   }
+
+  test("--consumers lists registered feed consumers with freshness; " +
+    "--unregister-consumer drops a registration (dead-cron cleanup " +
+    "surface) and rejects unknown names") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_cli_cons").toString
+    val store = new graft.sources.MasterStore(s"$root/master")
+    val log = collection.mutable.Buffer.empty[String]
+    val (_, d) = deps(log)
+    val argvBase = Seq("--store", s"$root/master")
+    val msgs = Seq(records.UpdateMessage("2024Cons.....1....A", "metadata",
+      """{"title": ["one"]}""", Timestamp.valueOf("2024-01-01 00:00:00"))).toDS()
+    Pipeline.runBatch(spark, store, msgs, d.solrTransport, d.bulkTransport,
+      now = Timestamp.valueOf("2024-01-03 00:00:00"))
+
+    log.clear()
+    assert(Cli.run(spark, argvBase ++ Seq("--consumers"), d) == 0)
+    assert(log.exists(_.contains("no registered feed consumers")), s"got $log")
+    // the feed sweep registers; the listing reports it ok/fresh
+    assert(Cli.run(spark, argvBase ++ Seq("--index-from-feed"), d) == 0)
+    log.clear()
+    assert(Cli.run(spark, argvBase ++ Seq("--consumers"), d) == 0)
+    assert(log.exists(l => l.contains("consumer reindex:") && l.contains("ok")),
+      s"got $log")
+    // a stale registration is flagged (backdated past the default TTL)
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(s"$root/master", "consumers", "reindex"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 8L * 24 * 3600 * 1000))
+    log.clear()
+    assert(Cli.run(spark, argvBase ++ Seq("--consumers"), d) == 0)
+    assert(log.exists(_.contains("STALE")), s"got $log")
+    // unregister: unknown name is a usage error, known one is dropped
+    log.clear()
+    assert(Cli.run(spark, argvBase ++
+      Seq("--unregister-consumer", "nope"), d) == 2)
+    assert(Cli.run(spark, argvBase ++
+      Seq("--unregister-consumer", "reindex"), d) == 0)
+    assert(store.consumerCursors.isEmpty)
+  }
 }
 
 object CliSpec {

@@ -929,6 +929,51 @@ class MasterStoreSpec extends AnyFunSuite with SparkSpec {
     assert(sr.consumerCursors.keySet == Set("slow"))
   }
 
+  test("consumer-registration TTL: a registration not refreshed within " +
+    "the TTL stops stretching retention (dead-cron unpin without operator " +
+    "action), is reported in stats.consumersStale — and never as behind — " +
+    "while a refreshed registration keeps pinning") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_consT").toString
+    val s = new MasterStore(root, numBuckets = 2,
+      feedRetainFolds = 1, feedRetainFoldsMax = 4,
+      consumerTtlMs = 60000)
+    def foldCycle(k: String): Unit = {
+      s.writeMergeKeyed(spark, Seq(k).toDF("bibcode"), cur => upsert(cur, Seq(msg(k))))
+      s.compact(spark)
+    }
+    s.write(upsert(MergeEngine.emptyMaster(spark), Seq(msg("ms1")))) // gen 1
+    s.registerConsumerCursor("dead", 1L)
+    // backdate the registration past the TTL — the crashed-cron shape
+    val f = java.nio.file.Paths.get(root, "consumers", "dead")
+    java.nio.file.Files.setLastModifiedTime(f,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 120000))
+    val st0 = s.stats.get
+    assert(st0.consumersStale == 1 && st0.consumersBehind == 0,
+      s"stale must be reported as stale, not behind: $st0")
+    // two folds past the K=1 window: the stale pin must NOT stretch —
+    // the cursor ages out exactly like an unregistered one
+    for (k <- Seq("c1", "c2")) foldCycle(k)
+    intercept[IllegalStateException](s.changesSince(spark, 1L))
+    // a FRESH registration at the same point keeps pinning over the
+    // same fold pattern (control: the aging above was the TTL, not K)
+    val root2 = java.nio.file.Files.createTempDirectory("graft_consT2").toString
+    val s2 = new MasterStore(root2, numBuckets = 2,
+      feedRetainFolds = 1, feedRetainFoldsMax = 4,
+      consumerTtlMs = 60000)
+    def foldCycle2(k: String): Unit = {
+      s2.writeMergeKeyed(spark, Seq(k).toDF("bibcode"), cur => upsert(cur, Seq(msg(k))))
+      s2.compact(spark)
+    }
+    s2.write(upsert(MergeEngine.emptyMaster(spark), Seq(msg("ms1"))))
+    s2.registerConsumerCursor("alive", 1L)
+    for (k <- Seq("c1", "c2")) foldCycle2(k)
+    assert(s2.changesSince(spark, 1L).select("bibcode").as[String]
+      .collect().toSet == Set("c1", "c2"))
+    assert(s2.stats.get.consumersStale == 0)
+  }
+
   test("maintenance refuses a manifest format newer than the binary: an " +
     "old binary's vacuum deletes by elimination, so an uncounted live " +
     "reference class (what format 3 added) must STOP the sweep, not be " +

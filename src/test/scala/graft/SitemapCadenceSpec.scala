@@ -5,7 +5,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import java.sql.Timestamp
 
-import graft.operators.{MergeEngine, Sitemap, SitemapCadence, SitemapState}
+import graft.operators.{MergeEngine, Sitemap, SitemapCadence, SitemapMembers, SitemapState}
 import graft.sources.MasterStore
 
 /** The ∝-delta sitemap cadence (Pipeline.runSitemapCadenceKeyed +
@@ -85,6 +85,10 @@ class SitemapCadenceSpec extends AnyFunSuite with SparkSpec {
     val root = java.nio.file.Files.createTempDirectory("graft_smcad").toString
     val smA = new MasterStore(s"$root/smA", empty = SitemapState.empty)
     val smB = new MasterStore(s"$root/smB", empty = SitemapState.empty)
+    // A runs with the file-ordinal member index wired, exactly as the Cli
+    // does — so the five-shape parity also pins the index's ∝-delta
+    // mirror + stamp-validated resync against the full path
+    val miA = new SitemapMembers(s"$root/smA-members", numBuckets = 4)
     val outA = s"$root/outA"; val outB = s"$root/outB"
 
     // the evolving master fixture (shared by both paths)
@@ -116,7 +120,13 @@ class SitemapCadenceSpec extends AnyFunSuite with SparkSpec {
         else SitemapCadence.rebuild(smA.read(spark), smVer, maxPerFile)
       val dueMaster = master.join(due, Seq("bibcode"), "left_semi")
       summary = Pipeline.runSitemapCadenceKeyed(spark, smA, outA, now,
-        dueMaster, sum2, stale, maxPerFile)._2
+        dueMaster, sum2, stale, maxPerFile, memberIndex = Some(miA))._2
+      // the member index mirrors the primary exactly after every wave
+      // (same rows, different physical layout)
+      assert(miA.store.read(spark).collect().map(_.mkString("|")).toSet ==
+        stateRows(smA), s"$tag: member index diverged from primary")
+      assert(miA.isFresh(smA.currentVersion.getOrElse(0L)),
+        s"$tag: member index stamp must be fresh after the cadence")
       // full path: scan-branch shape from the Cli
       smB.writeMerge(spark, { st =>
         val flagged = st.filter(col("update_flag")).select(col("bibcode"))
