@@ -86,10 +86,27 @@ object Bench {
       println(line2)
       record(sfDir2, line2)
     }
-    val (results, gcSec) = timedPass(sfDir)
+    // Headline = per-query MIN across N timed passes (default 2,
+    // SPARK_GRAFT_BENCH_PASSES=1 restores the single-pass form). Twice
+    // now an isolated single-pass reading diverged ~40% from same-day
+    // pairs on identical code — uniform across untouched queries, i.e.
+    // session/machine noise, which the untimed warmup above cannot damp.
+    // The min across same-session passes is the same estimator the
+    // recorded BENCH_DUALSF_MIN series uses; the JSON says so explicitly
+    // ("mode") and records every pass total, so nothing is hidden.
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(2)
+    val timed = (1 to passes).map(_ => timedPass(sfDir))
+    val byName = timed.map(_._1.toMap)
+    val results = ordered.map { case (n, _) => n -> byName.map(_(n)).min }
     val qs = jsonOf(results)
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","gc_sec":$gcSec,"queries":$qs,"sf":"$sfDir"}"""
+    val passTotals = timed.map(_._1.map(_._2).sum)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""mode":"min-of-$passes-passes",""" +
+      s""""pass_totals":${passTotals.map(t => f"$t%.1f").mkString("[", ",", "]")},""" +
+      s""""pass_gc_sec":${timed.map(t => f"${t._2}%.1f").mkString("[", ",", "]")},""" +
+      s""""gc_sec":${timed.map(_._2).sum},"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     record(sfDir, line)
     // second, SHORT line: the driver's tail-capture has truncated the

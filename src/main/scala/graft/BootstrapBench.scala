@@ -166,6 +166,13 @@ object BootstrapBench {
     autoRun(wmFeed, "table-scan") // idle cadence: bootstraps the cursor
     wave(n / 4)
     val feedCadenceS = autoRun(wmFeed, "feed")
+    // the keyed cadence's members read is file-ordinal-pruned (r16): the
+    // status line carries "members read X/Y index files" — record the
+    // proof that the read opened ∝ touched files, not the corpus
+    val MembersRe = "members read (\\d+)/(\\d+) index files".r
+    val (membersOpened, membersTotal) =
+      MembersRe.findFirstMatchIn(outBuf.toString)
+        .map(m => (m.group(1).toInt, m.group(2).toInt)).getOrElse((-1, -1))
     wave(n / 2)
     val scanCadenceS = autoRun(s"$root-wm-scan", "table-scan") // no cursor there
 
@@ -175,6 +182,8 @@ object BootstrapBench {
       s""""fixture_sec":${f"$fixtureS%.1f"},"bootstrap_sec":${f"$bootstrapS%.1f"},""" +
       s""""cadence_wave":$waveK,"cadence_feed_sec":${f"$feedCadenceS%.1f"},""" +
       s""""cadence_scan_sec":${f"$scanCadenceS%.1f"},""" +
+      s""""cadence_members_files_opened":$membersOpened,""" +
+      s""""cadence_members_files_total":$membersTotal,""" +
       s""""baseline_avg_rec_per_sec":2287,"baseline_peak_rec_per_sec":4574}""")
     spark.stop()
   }

@@ -98,6 +98,11 @@ object OpsBench {
       graft.streaming.Watermark.readGen(spark, dir, key).getOrElse(-1L)
 
     // ── the daily loop, timed per stage per cycle ───────────────────────
+    // the wave's INTERNAL stage breakdown (the r15 feed-sweep discipline
+    // applied to the ingest merge): merge_read = keyed lookup + upsert
+    // compute to the merged count, publish = stamp compute + layer write
+    // + CAS + auto-compaction, report = cached status aggregations
+    val waveStages = scala.collection.mutable.Map.empty[String, Double]
     def wave(c: Int): Unit = {
       // merge-only ingest (sinks off): the wave lands PENDING — updated
       // moved past processed — exactly the state the cadences discover
@@ -108,10 +113,12 @@ object OpsBench {
       Pipeline.runBatch(spark, store, m,
         deps.solrTransport, deps.bulkTransport,
         now = new java.sql.Timestamp(System.currentTimeMillis()),
-        sinks = Set.empty, keyLocal = true)
+        sinks = Set.empty, keyLocal = true,
+        stageTimer = (n, s) => { waveStages(n) = s; () })
       ()
     }
-    case class Cycle(wave: Double, index: Double, sitemap: Double, vacuum: Double)
+    case class Cycle(wave: Double, index: Double, sitemap: Double, vacuum: Double,
+      waveMergeRead: Double, wavePublish: Double, lookupProbe: Double)
     val walls = (1 to cycles).map { c =>
       val preIdxCur = cursorOf(wmIndex, Pipeline.GenCursorKey)
       val preSmCur = cursorOf(wmSitemap, "last.sitemaps.generation")
@@ -130,9 +137,24 @@ object OpsBench {
         s"cycle $c: index cursor did not advance")
       require(cursorOf(wmSitemap, "last.sitemaps.generation") > preSmCur,
         s"cycle $c: sitemap cursor did not advance")
-      System.err.println(f"[ops-bench] cycle $c: wave $waveSec%.1f s, " +
-        f"index $idxSec%.1f s, sitemap $smSec%.1f s, vacuum $vacSec%.1f s")
-      Cycle(waveSec, idxSec, smSec, vacSec)
+      // standalone probe of the wave's keyed read (same key shape as the
+      // wave just merged, post-vacuum store state): isolates the
+      // lookupFrame plan from the merge it feeds — the stage the r15
+      // breakdown couldn't see inside
+      val lo = rows / 2 + (c - 1) * waveK
+      val probeKeys = spark.range(lo, lo + waveK)
+        .select(concat(lit("2026Pipe"), format_string("%07d", col("id")),
+          lit("....A")).as("bibcode")) // the wave's own key shape
+      val tp = System.nanoTime()
+      store.lookupFrame(spark, probeKeys).count()
+      val probeSec = secs(tp)
+      val mr = waveStages.getOrElse("merge_read", -1.0)
+      val pb = waveStages.getOrElse("publish", -1.0)
+      System.err.println(f"[ops-bench] cycle $c: wave $waveSec%.1f s " +
+        f"(merge_read $mr%.1f, publish $pb%.1f), lookup probe " +
+        f"$probeSec%.1f s, index $idxSec%.1f s, sitemap $smSec%.1f s, " +
+        f"vacuum $vacSec%.1f s")
+      Cycle(waveSec, idxSec, smSec, vacSec, mr, pb, probeSec)
     }
 
     // ── post-loop invariants: bounded stores, registered consumers ──────
@@ -158,6 +180,9 @@ object OpsBench {
       s""""cursor_bootstrap_sec":${f"$cursorBootstrapSec%.1f"},""" +
       s""""wave_sec":${col3(_.wave)},"index_sec":${col3(_.index)},""" +
       s""""sitemap_sec":${col3(_.sitemap)},"vacuum_sec":${col3(_.vacuum)},""" +
+      s""""wave_merge_read_sec":${col3(_.waveMergeRead)},""" +
+      s""""wave_publish_sec":${col3(_.wavePublish)},""" +
+      s""""wave_lookup_probe_sec":${col3(_.lookupProbe)},""" +
       s""""steady_cycle_sec":${f"${(if (walls.size > 1) walls.drop(1) else walls)
         .map(w => w.wave + w.index + w.sitemap + w.vacuum).max}%.1f"},""" +
       s""""sitemap_state_rows":$smRows,""" +
