@@ -136,10 +136,14 @@ object BootstrapBench {
     // satisfy a later run's check
     def autoRun(wmDir: String, expectMode: String): Double = {
       outBuf.setLength(0)
+      // GRAFT_BOOT_MEMBERS=off runs the cadence WITHOUT the member index
+      // (the pre-r16 shape) — the A/B lever for regression adjudication
+      val extra = sys.env.get("GRAFT_BOOT_MEMBERS").toSeq
+        .flatMap(v => Seq("--members-store", v))
       val t0 = System.nanoTime()
       val rc2 = Cli.run(spark, Seq("--store", root,
         "--update-sitemaps-auto", "--days-back", "1",
-        "--watermark-dir", wmDir), cadenceDeps)
+        "--watermark-dir", wmDir) ++ extra, cadenceDeps)
       val w = secs(t0)
       require(rc2 == 0, s"auto cadence failed rc=$rc2")
       require(outBuf.toString.contains(s"($expectMode discovery)"),

@@ -580,10 +580,15 @@ object Cli {
       // the file-ordinal member index (SitemapMembers) rides beside the
       // state store: the keyed cadence's members read opens the touched
       // files' buckets instead of every state file, and any out-of-band
-      // mutation is healed by one resync scan (stamp-validated)
-      val members = new graft.operators.SitemapMembers(
+      // mutation is healed by one resync scan (stamp-validated).
+      // `--members-store off` disables it (the pre-r16 filename-pruned
+      // primary scan) — the A/B lever benches and operators can pull
+      val members: Option[graft.operators.SitemapMembers] =
         a.getOrElse("members-store",
-          s"${a.getOrElse("sitemap-store", s"$storeRoot-sitemap")}-members"))
+          s"${a.getOrElse("sitemap-store", s"$storeRoot-sitemap")}-members") match {
+          case "off" => None
+          case r => Some(new graft.operators.SitemapMembers(r))
+        }
       // the cursor lives in its OWN dir: Watermark.advance is a whole-dir
       // read-modify-swap with no CAS, so two maintenance crons sharing a
       // dir could drop each other's keys on a race — per-consumer dirs
@@ -648,7 +653,7 @@ object Cli {
               }
             val (nf, next) = Pipeline.runSitemapCadenceKeyed(spark, sm,
               outRoot, now, dueMaster, summary, stale,
-              memberIndex = Some(members))
+              memberIndex = members)
             graft.streaming.Watermark.advanceGen(spark, wmDir, smCursorKey, preGen)
             store.registerConsumerCursor("sitemaps", preGen)
             graft.operators.SitemapCadence.save(spark, wmDir, next)
@@ -675,7 +680,7 @@ object Cli {
           // member index, so the NEXT cadence (the steady state) runs
           // keyed end-to-end without its own resync scan
           val (nf, next) = Pipeline.runManagedSitemapsWithSummary(
-            spark, sm, outRoot, now, memberIndex = Some(members))
+            spark, sm, outRoot, now, memberIndex = members)
           graft.operators.SitemapCadence.save(spark, wmDir, next)
           nf
       }
@@ -691,9 +696,9 @@ object Cli {
       // the files-opened accounting that PROVES the member-index prune:
       // parquet files the members read opened vs the index's total
       val memberScan =
-        if (members.lastFilesOpened < 0) ""
-        else s"; members read ${members.lastFilesOpened}/" +
-          s"${members.lastFilesTotal} index files"
+        members.filter(_.lastFilesOpened >= 0)
+          .map(mi => s"; members read ${mi.lastFilesOpened}/" +
+            s"${mi.lastFilesTotal} index files").getOrElse("")
       out(s"auto update (${if (feedDue.isDefined) "feed" else "table-scan"} " +
         s"discovery): regenerated $n files ($coverage$memberScan)")
       0

@@ -734,13 +734,16 @@ object Pipeline {
     *    [[SitemapCadence.Summary]] and advanced arithmetically by the
     *    batch's new-assignment count ([[SitemapState.advanceFill]]);
     *  - the render worklist: affected files = files holding a flagged due
-    *    row (from a second keyed lookup of the post-merge rows) plus any
+    *    row (from the addKeyed output already in hand) plus any
     *    stale-flagged files the summary rebuild surfaced — their member
     *    rows come from the [[SitemapMembers]] file-ordinal index when one
     *    is wired (IO ∝ touched files: only their buckets' files open,
     *    [[SitemapMembers.membersOf]]), else from a filename-pruned filter
     *    scan of the primary (predicate pushes, but every data file
-    *    opens — the pre-r16 shape, kept for index-less callers);
+    *    opens — the pre-r16 shape, kept for index-less callers); either
+    *    read is overlaid with this run's merged rows, and the whole
+    *    cadence then publishes ONE keyed merge per store (identical
+    *    key/row frames to both layouts) at the end;
     *  - the index lastmods: untouched files keep their summary stats
     *    (valid by the generation check), affected files recompute EXACTLY
     *    from the member rows the render already has in hand.
@@ -764,6 +767,15 @@ object Pipeline {
       force: Boolean = false,
       memberIndex: Option[SitemapMembers] = None): (Long, SitemapCadence.Summary) = {
     import spark.implicits._
+    // phase tracing for the cadence (GRAFT_CADENCE_TRACE=1): stderr wall
+    // per phase — the instrument that found the r16 regressions; cheap
+    // enough to keep, silent by default
+    val trace = sys.env.get("GRAFT_CADENCE_TRACE").contains("1")
+    var phaseT0 = System.nanoTime()
+    def phase(name: String): Unit = if (trace) {
+      System.err.println(f"[cadence] $name ${(System.nanoTime() - phaseT0) / 1e9}%.2f s")
+      phaseT0 = System.nanoTime()
+    }
     val today = new java.text.SimpleDateFormat("yyyy-MM-dd").format(now)
     // the member index mirrors the primary ∝ delta below; a stale mirror
     // (out-of-band mutation, crash between the primary publish and the
@@ -771,6 +783,7 @@ object Pipeline {
     // of this run's writes — and is exact from then on
     memberIndex.filterNot(_.isFresh(stateStore.currentVersion.getOrElse(0L)))
       .foreach(_.resync(spark, stateStore))
+    phase("resync-check")
     val dueKeys = dueMaster.select(col("bibcode")).distinct()
     // THE one keyed state read of the cadence: the due keys' current rows,
     // all columns, with the crossover raised so a cadence-sized wave stays
@@ -786,6 +799,7 @@ object Pipeline {
       Seq("bibcode"), "left_anti").cache()
     try {
       val newCnt = SitemapState.countNewAssignments(dueMaster, due, preRows)
+      phase("lookup+newcnt")
       val fill = summary.fill
       val dueRows = preRows.join(due, Seq("bibcode"), "left_semi")
       // the merged rows are computed ONCE, from the rows already in hand,
@@ -796,10 +810,6 @@ object Pipeline {
       // under the same single-cron-writer assumption
       val newRows = SitemapState.addKeyed(dueRows, dueMaster, due, fill,
         maxPerFile, force).cache()
-      stateStore.writeMergeKeyed(spark, due, _ => newRows)
-      // mirror the SAME keys/rows into the member index (∝ delta): a due
-      // key absent from newRows tombstones on both sides identically
-      memberIndex.foreach(_.merge(spark, due, newRows))
       val nextFill = SitemapState.advanceFill(fill, newCnt, maxPerFile)
       // the merge output IS the post-merge state of the due keys. TWO
       // file sets fall out: the RENDER set (files holding a flagged due
@@ -815,12 +825,17 @@ object Pipeline {
       val dueFiles = newRows.filter(col("sitemap_filename").isNotNull)
         .select(col("sitemap_filename")).distinct()
         .collect().map(_.getString(0)).toSeq
-      newRows.unpersist(blocking = false)
+      phase("file-sets")
       val renderSet = (flaggedFiles ++ staleFlaggedFiles).distinct.sorted
       val statSet = (dueFiles ++ staleFlaggedFiles).distinct.sorted
       if (statSet.isEmpty) {
-        // nothing moved; the per-site static/index/robots still refresh,
-        // as the full path's would
+        // nothing moved: statSet empty means no due key HAS or GAINS a
+        // state row, so the publish this run would make is pure
+        // never-present-key tombstones — reconciled away on read. Skip
+        // it on both stores (less feed noise than r15's empty merge,
+        // identical live state); the per-site static/index/robots still
+        // refresh, as the full path's would
+        newRows.unpersist(blocking = false)
         writeSiteMeta(spark, outRoot, siteKeys, summary, today)
         memberIndex.foreach(_.commit(stateStore.currentVersion.getOrElse(0L)))
         return (0L, summary.copy(
@@ -835,14 +850,23 @@ object Pipeline {
       // the IN predicate pushes into the primary's scan but the
       // bibcode-bucketed layout cannot file-prune a filename predicate,
       // so every data file opens — a ∝-corpus pass per cron
+      // both reads are PRE-publish (the cadence publishes ONCE, at the
+      // end, to each store): overlay this run's newRows for the due keys
+      // — both frames are in hand, ∝ delta — so the view equals the
+      // post-publish state exactly
+      def overlay(base: DataFrame): DataFrame = base
+        .join(due, Seq("bibcode"), "left_anti")
+        .unionByName(newRows.filter(col("sitemap_filename").isin(statSet: _*)))
+        .cache()
       val members = memberIndex match {
-        case Some(mi) => mi.membersOf(spark, statSet).cache()
-        case None => stateStore.read(spark)
-          .filter(col("sitemap_filename").isin(statSet: _*))
-          .cache()
+        case Some(mi) => overlay(mi.membersOf(spark, statSet))
+        case None => overlay(stateStore.read(spark)
+          .filter(col("sitemap_filename").isin(statSet: _*)))
       }
       val renderMembers = members
         .filter(col("sitemap_filename").isin(renderSet: _*)).cache()
+      if (trace) { members.count(); phase("members-materialize") }
+      phase("members-read")
       val work = renderMembers.select(col("record_id").as("id"), col("bibcode"),
         col("sitemap_filename"),
         coalesce(date_format(col("bib_data_updated"), "yyyy-MM-dd"), lit(today))
@@ -851,6 +875,7 @@ object Pipeline {
         for (key <- siteKeys)
           Sitemap.writeFiles(Sitemap.renderFiles(work, Sitemap.Sites(key)),
             s"$outRoot/$key")
+      phase("render")
       // exact per-file stats of every touched file from the members
       // already in hand; untouched files keep their summary stats (valid
       // by the generation check — nothing else wrote the state)
@@ -859,6 +884,7 @@ object Pipeline {
           max(when(col("bib_data_updated").isNull, 1).otherwise(0)).as("nulls"))
         .collect().map(r => SitemapCadence.FileStat(r.getString(0),
           Option(r.getString(1)), r.getInt(2) > 0)).toSeq
+      phase("touched-stats")
       val statNames = statSet.toSet
       // a stale-flagged file emptied out-of-band (all members removed)
       // renders nothing and drops from the stats
@@ -866,21 +892,42 @@ object Pipeline {
         .sortBy(_.name)
       val next = SitemapCadence.Summary(0L, nextFill.index, nextFill.count, files2)
       writeSiteMeta(spark, outRoot, siteKeys, next, today)
-      // keyed flag-clear for exactly the rendered files' member rows —
-      // computed from the member rows already in hand (same
-      // precomputed-rows publish as the merge above: the closure ignores
-      // `cur`, so no second table read — and the same single-writer
-      // contract, enforced by the CLI's sitemap cron lease), mirrored
-      // into the member index with the identical frame
-      if (renderSet.nonEmpty) {
-        val stampedRows = SitemapState.markGenerated(renderMembers,
-          renderSet.toDF("sitemap_filename"), now)
-        stateStore.writeMergeKeyed(spark,
-          renderMembers.select(col("bibcode")), _ => stampedRows)
-        memberIndex.foreach(_.merge(spark,
-          renderMembers.select(col("bibcode")), stampedRows))
+      phase("site-meta")
+      // ONE publish per store for the whole cadence, identical (keys,
+      // rows) on both: the due keys' post rows — stamped where their
+      // file was rendered, newRows' version elsewhere (every flagged row
+      // is in a rendered file by construction, so no flag survives
+      // unrendered) — plus the rendered files' stamped members; a due
+      // key with no row tombstones on both sides. Rows are precomputed
+      // from frames already in hand (the closure ignores `cur`: no
+      // second table read), under the single-writer contract the CLI
+      // cron lease enforces. Crash windows: before the primary publish —
+      // clean redrive (cursor unadvanced, renders idempotent and
+      // byte-identical); between primary and index publishes or before
+      // the stamp — the mirror stamp goes stale and the next cadence
+      // resyncs. The isNull guard keeps a hypothetical null-filename row
+      // from being dropped by the NOT-isin (null ⇒ filter false), which
+      // would tombstone a live key
+      val stampedRows =
+        if (renderSet.isEmpty) None
+        else Some(SitemapState.markGenerated(renderMembers,
+          renderSet.toDF("sitemap_filename"), now))
+      val (pubKeys, pubRows) = stampedRows match {
+        case Some(st) => (
+          due.select(col("bibcode"))
+            .unionByName(renderMembers.select(col("bibcode"))),
+          st.unionByName(newRows.filter(col("sitemap_filename").isNull ||
+            !col("sitemap_filename").isin(renderSet: _*))))
+        case None => (due.select(col("bibcode")), newRows)
       }
-      memberIndex.foreach(_.commit(stateStore.currentVersion.getOrElse(0L)))
+      stateStore.writeMergeKeyed(spark, pubKeys, _ => pubRows)
+      phase("publish-primary")
+      memberIndex.foreach { mi =>
+        mi.merge(spark, pubKeys, pubRows)
+        mi.commit(stateStore.currentVersion.getOrElse(0L))
+      }
+      phase("publish-index")
+      newRows.unpersist(blocking = false)
       renderMembers.unpersist(); members.unpersist()
       Sitemap.releasePinned()
       (renderSet.size.toLong,

@@ -80,9 +80,14 @@ final class SitemapMembers(val root: String, val numBuckets: Int = 64) {
   }
 
   /** One full-scan rebuild from the primary (the once-per-out-of-band-
-    * mutation cost — the price the OLD path paid every cron). */
+    * mutation cost — the price the OLD path paid every cron). Logged:
+    * a resync on every cron means something is wedging the stamp, and
+    * the operator should see that instead of a silently slow cadence. */
   def resync(spark: SparkSession, primary: MasterStore): Unit = {
     val gen = primary.currentVersion.getOrElse(0L)
+    System.err.println(s"[sitemap-members] mirror at $root is stale " +
+      s"(stamp ${mirrorStamp()} vs primary gen $gen, self gen " +
+      s"${store.currentVersion.getOrElse(0L)}); resyncing with one scan")
     store.write(primary.read(spark))
     commit(gen)
   }
