@@ -360,27 +360,31 @@ object SimilarityCatalog extends Catalog {
     // engines. At larger k the E-step cross product is restricted by the
     // IVF candidate join above instead of scored exhaustively. ──
     "sim_kmeans_step" -> ((s, d) => {
+      // r16: same map-side argmin as lloydTrain — the k cells pack into
+      // ONE broadcast row and array_min over (dist2, clabel) structs
+      // replaces the crossJoin×k + row_number corpus shuffle; struct
+      // ordering is the window's (dist2 asc, clabel asc) rank-1 rule.
+      import org.apache.spark.sql.graftnative.NativeExpressions.dotCol
       val e = vecs(s, d)
-      val cent = e
+      val cents = e
         .select(col("label").as("clabel"), posexplode(col("v")).as(Seq("i", "x")))
         .groupBy(col("clabel"), col("i")).agg(avg(col("x")).as("m"))
         .groupBy(col("clabel"))
         .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
           s => s("m")).as("c"))
-        .withColumn("cnorm2", org.apache.spark.sql.graftnative.NativeExpressions.dotCol(col("c"), col("c")))
-      val scored = e
-        .withColumn("vnorm2", org.apache.spark.sql.graftnative.NativeExpressions.dotCol(col("v"), col("v")))
-        .crossJoin(broadcast(cent))
-        .select(col("vec_id"), col("label"), col("clabel"),
-          round(col("vnorm2") -
-            lit(2.0) * org.apache.spark.sql.graftnative.NativeExpressions.dotCol(col("v"), col("c")) +
-            col("cnorm2"), 6).as("dist2"))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("dist2"), col("clabel"))
-      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .withColumn("cnorm2", dotCol(col("c"), col("c")))
+        .agg(array_sort(collect_list(struct(col("clabel"), col("c"), col("cnorm2"))))
+          .as("cents"))
+      e.withColumn("vnorm2", dotCol(col("v"), col("v")))
+        .crossJoin(broadcast(cents))
+        .withColumn("best", array_min(transform(col("cents"), cell =>
+          struct(
+            round(col("vnorm2") - lit(2.0) * dotCol(col("v"), cell("c")) +
+              cell("cnorm2"), 6).as("dist2"),
+            cell("clabel").as("clabel")))))
         .select(col("vec_id"), col("label").as("old_label"),
-          col("clabel").as("new_label"), col("dist2"),
-          (col("label") =!= col("clabel")).as("changed"))
+          col("best.clabel").as("new_label"), col("best.dist2").as("dist2"),
+          (col("label") =!= col("best.clabel")).as("changed"))
         .orderBy(col("vec_id"))
     }),
 
@@ -705,31 +709,42 @@ object SimilarityCatalog extends Catalog {
     * each round's assignment is cached because the next round, the stats
     * row, and the trained-search consumers all read it. Ranking on the
     * ROUNDED distance keeps the argmin reproducible across engines.
+    *
+    * r16 shape: the E-step argmin is MAP-SIDE — the k cells are packed
+    * (clabel-sorted) into ONE broadcast row and each vector takes
+    * `array_min` over per-cell (dist2, clabel) structs, whose struct
+    * ordering IS the old window's (dist2 asc, clabel asc) rank-1 rule.
+    * The previous form (crossJoin ×k + row_number over vec_id) shuffled
+    * and sorted the ×k-exploded corpus — vectors included — once per
+    * round; now no round moves a vector at all, and the only exchanges
+    * left are the M-step's k·64-row partial aggregates. Same rounded
+    * arithmetic (‖v‖²−2v·c+‖c‖², round 6, cnorm2 computed once per
+    * cell), so the assignment is value-identical.
     * Returns (per-round stat frames, final (vec_id, v, label) state). */
   private def lloydTrain(s: SparkSession, d: String, rounds: Int)
       : (Seq[org.apache.spark.sql.DataFrame], org.apache.spark.sql.DataFrame) = {
     import org.apache.spark.sql.graftnative.NativeExpressions.dotCol
     var state = vecs(s, d).select(col("vec_id"), col("v"), col("label"))
     val stats = (1 to rounds).map { r =>
-      val cent = state
+      val cents = state
         .select(col("label").as("clabel"), posexplode(col("v")).as(Seq("i", "x")))
         .groupBy(col("clabel"), col("i")).agg(avg(col("x")).as("m"))
         .groupBy(col("clabel"))
         .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
           p => p("m")).as("c"))
         .withColumn("cnorm2", dotCol(col("c"), col("c")))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("dist2"), col("clabel"))
+        .agg(array_sort(collect_list(struct(col("clabel"), col("c"), col("cnorm2"))))
+          .as("cents"))
       val assigned = state
         .withColumn("vnorm2", dotCol(col("v"), col("v")))
-        .crossJoin(broadcast(cent))
-        .select(col("vec_id"), col("v"), col("label").as("old_label"),
-          col("clabel"),
-          round(col("vnorm2") - lit(2.0) * dotCol(col("v"), col("c")) +
-            col("cnorm2"), 6).as("dist2"))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("vec_id"), col("v"), col("clabel").as("label"),
-          col("dist2"), col("old_label"))
+        .crossJoin(broadcast(cents))
+        .withColumn("best", array_min(transform(col("cents"), cell =>
+          struct(
+            round(col("vnorm2") - lit(2.0) * dotCol(col("v"), cell("c")) +
+              cell("cnorm2"), 6).as("dist2"),
+            cell("clabel").as("clabel")))))
+        .select(col("vec_id"), col("v"), col("best.clabel").as("label"),
+          col("best.dist2").as("dist2"), col("label").as("old_label"))
         .cache() // read twice+: round stats, next round, trained search
       state = assigned.select(col("vec_id"), col("v"), col("label"))
       assigned.agg(round(sum(col("dist2")), 6).as("inertia"),

@@ -98,11 +98,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!plan("sim_ann_multiprobe").contains("BroadcastNestedLoopJoin"),
       "probe fan-out explodes the query side, never theta-joins")
     // the kmeans E-step IS a deliberate broadcast cross product over the
-    // k×dim centroid table — broadcast NLJ is the wanted shape, a plain
-    // (shuffled) cartesian is not
+    // packed centroid row — broadcast NLJ is the wanted shape, a plain
+    // (shuffled) cartesian is not; r16 made the argmin a per-row
+    // array_min, so no Window may appear before the final presentation
+    // sort either
     val km = plan("sim_kmeans_step")
     assert(km.contains("BroadcastNestedLoopJoin") && !km.contains("CartesianProduct"),
       s"centroids broadcast to the corpus:\n${km.take(2000)}")
+    assert(!km.contains("Window"),
+      s"E-step argmin must stay map-side (no window/exchange):\n${km.take(2000)}")
   }
 
   test("SQ8 scan keeps the corpus un-exploded: the one-row min/max model " +
@@ -384,15 +388,18 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("kmeans training keeps the per-round shape of the single step: " +
-    "centroids broadcast (the deliberate BNLJ), argmin prunes map-side, " +
-    "stats fold 1-row frames only") {
+    "packed centroids broadcast (the deliberate BNLJ), argmin fully " +
+    "map-side, stats fold 1-row frames only") {
     val p = plan("sim_kmeans_train")
     assert(p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
-      s"k centroid rows broadcast against the corpus every round:\n${p.take(2000)}")
+      s"the packed centroid row broadcasts against the corpus every round:\n${p.take(2000)}")
     assert(!p.contains("SortMergeJoin"),
       "no round may shuffle the corpus against the centroid table")
-    assert(p.contains("WindowGroupLimit"),
-      s"the per-vector argmin row_number filter must prune map-side:\n${p.take(2000)}")
+    // r16: the E-step argmin is array_min over the packed cells — a pure
+    // per-row expression. A Window (the old crossJoin×k + row_number form)
+    // would mean a corpus-wide exchange+sort sneaked back into a round.
+    assert(!p.contains("Window"),
+      s"the per-vector argmin must stay map-side (no window/exchange):\n${p.take(2000)}")
   }
 
   test("shard shuffle rides the distributed prefix sum: range partition on " +
