@@ -298,10 +298,13 @@ object TextCatalog extends Catalog {
           size(split(col("text"), " ")).cast("long").as("n_tokens"))
         .withColumn("difficulty",
           round(col("n_chars").cast("double") / col("n_tokens"), 6))
-        .withColumn("__key", format_string("%012d%010d",
-          expr("n_chars * 1000000L DIV n_tokens"), col("doc_id")))
+        // r16: order by the two non-negative longs directly — same total
+        // order as the old zero-padded "%012d%010d" string, without
+        // building/compare-ing a 22-byte string per row per sort pass
+        .withColumn("__diff_key", expr("n_chars * 1000000L DIV n_tokens"))
       val total = scored.agg(count(lit(1)).as("__total"))
-      graft.operators.Sitemap.withGlobalOrdinal(scored, "__key", "curriculum_rank")
+      graft.operators.Sitemap.withGlobalOrdinalBy(scored,
+          Seq(col("__diff_key"), col("doc_id")), "curriculum_rank")
         .crossJoin(broadcast(total))
         .select(col("doc_id"), col("difficulty"), col("curriculum_rank"),
           expr("curriculum_rank * 4 DIV __total").as("stage"))

@@ -72,10 +72,21 @@ object Sitemap {
   /** Distributed global ordinal (0-based) ordered by `orderCol`.
     * One range shuffle + one tiny count job; no single-partition window. */
   def withGlobalOrdinal(df: DataFrame, orderCol: String, out: String,
+      numPartitions: Int = 0): DataFrame =
+    withGlobalOrdinalBy(df, Seq(col(orderCol)), out, numPartitions)
+
+  /** Multi-key form of [[withGlobalOrdinal]] — order by several columns
+    * without first concatenating them into one padded string. A formatted
+    * composite key makes the range sampler, the exchange, and the
+    * per-partition sort all compare (and carry) ~20-byte strings where the
+    * natural keys are a few longs; ordering by the columns directly is the
+    * same total order whenever the string form was zero-padded fixed-width
+    * (w3_zorder_*, tx_curriculum_order), at long-comparison cost. */
+  def withGlobalOrdinalBy(df: DataFrame, keys: Seq[Column], out: String,
       numPartitions: Int = 0): DataFrame = {
     val n = if (numPartitions > 0) numPartitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val parts = df.repartitionByRange(n, col(orderCol))
+    val parts = df.repartitionByRange(n, keys: _*)
       .withColumn("__pid", spark_partition_id())
       .cache() // pin partitioning: the count job and the rank job must agree
     pinned.add(parts)
@@ -87,7 +98,7 @@ object Sitemap {
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("__pid", org.apache.spark.sql.types.IntegerType),
         org.apache.spark.sql.types.StructField("__offset", org.apache.spark.sql.types.LongType)))))
-    val w = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+    val w = Window.partitionBy(col("__pid")).orderBy(keys: _*)
     parts
       .withColumn("__rn", row_number().over(w))
       .join(offDf, Seq("__pid"))
