@@ -532,10 +532,16 @@ object TextCatalog extends Catalog {
       // discipline; at production scale this is the persisted LM table)
       val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt")).cache()
       val total = uni.agg(sum(col("cnt")).as("total"))
-      val bg = docs.filter(size(split(col("text"), " ")) >= 2)
+      // r16: split ONCE into a materialized array column — the previous
+      // form re-ran `split(text, ' ')` inside the transform lambda (twice
+      // per transition element; no CSE across a lambda boundary), i.e.
+      // O(tokens²) string splitting per document. Same values.
+      val bg = docs
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
         .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(split(text, ' ')) - 1)," +
-            " i -> struct(split(text, ' ')[i-1] AS w1, split(text, ' ')[i] AS w2))"))
+          "transform(sequence(1, size(ws) - 1)," +
+            " i -> struct(ws[i-1] AS w1, ws[i] AS w2))"))
           .as("b"))
         .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
       // c12 via a count window over the one exploded transition table —
@@ -569,7 +575,10 @@ object TextCatalog extends Catalog {
     "tx_chunk_split" -> ((s, d) => {
       val ChunkLen = 64
       val Stride = 48
-      val words = split(col("text"), " ")
+      // r16: split ONCE into a materialized array column — the lambda
+      // previously re-ran split(text) per chunk slice (the
+      // tx_bigram_logprob lesson). Same values.
+      val words = col("ws")
       val n = size(words).cast("long")
       val nChunks = greatest(
         ceil((n - lit(ChunkLen)).cast("double") / lit(Stride)).cast("long") + 1L,
@@ -578,6 +587,7 @@ object TextCatalog extends Catalog {
         struct(k.as("chunk_idx"),
           slice(words, (k * Stride + 1).cast("int"), lit(ChunkLen)).as("w")))
       Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
         .select(col("doc_id"), explode(chunks).as("c"))
         .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
           size(col("c.w")).cast("long").as("n_tokens"),

@@ -103,6 +103,17 @@ object Components {
       .union(e.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(parts, col("src"))
       .cache()
+    // run the WHOLE loop's exchanges at the graph-derived width: the
+    // session's shuffle.partitions is sized for corpus-wide queries, and
+    // each round otherwise plans its aggregations/joins at that width —
+    // for a near-dup graph of tens of thousands of edges that is 32-wide
+    // stages of near-empty tasks, pure scheduling latency ×3 exchanges
+    // ×rounds. parts already scales with the edge count (capped by the
+    // configured width), so this stays cluster-sized on a real corpus.
+    val sess = e.sparkSession
+    val prevParts = sess.conf.getOption("spark.sql.shuffle.partitions")
+    sess.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try {
     var comp = bidir.groupBy(col("src"))
       .agg(min(col("dst")).as("__nbr"))
       .select(col("src").as("node"),
@@ -144,8 +155,21 @@ object Components {
         .select(col("x.node").as("node"),
           coalesce(col("__lc"), col("x.cluster_id")).as("cluster_id"),
           col("x.__changed").as("__changed"))
-      val next = pin(flat)
-      converged = next.filter(col("__changed")).limit(1).count() == 0
+      // change detection rides the SAME job that materializes the round:
+      // an Observation on the checkpoint action counts changed nodes as
+      // the rows stream past, replacing the separate filter/limit probe
+      // job each round used to pay (observe is exact for batch actions)
+      val t0 = System.nanoTime()
+      val obs = new org.apache.spark.sql.Observation(s"cc-changed-$iters")
+      val next = pin(flat.observe(obs,
+        sum(when(col("__changed"), 1L).otherwise(0L)).as("n_changed")))
+      val nChanged = obs.get("n_changed") match {
+        case null => 0L  // empty frame: no rows, no changes
+        case v    => v.asInstanceOf[Long]
+      }
+      converged = nChanged == 0L
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(f"[cc] round=$iters%d pin=${(System.nanoTime() - t0) / 1e9}%.3f changed=$nChanged%d parts=$parts%d edges=$m%d")
       comp = next.drop("__changed")
       iters += 1
     }
@@ -154,5 +178,11 @@ object Components {
         s"connected components did not converge in $maxIters rounds")
     bidir.unpersist(blocking = false)
     comp
+    } finally {
+      prevParts match {
+        case Some(v) => sess.conf.set("spark.sql.shuffle.partitions", v)
+        case None    => sess.conf.unset("spark.sql.shuffle.partitions")
+      }
+    }
   }
 }
