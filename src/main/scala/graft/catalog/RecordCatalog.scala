@@ -346,15 +346,29 @@ object RecordCatalog extends Catalog {
         s.createDataset(fixtureUpdates(24) ++ linksMsgs)).master.as[MasterRecord]
         .filter(IndexJob.eligible(None, force = false))
         .cache()
-      def one(label: String, modes: Set[String]) = {
+      // r16: the nine sink counts were nine separate .count() driver
+      // actions (nine jobs over the cached 24-record master); they now
+      // union into ONE counting aggregation, left-joined onto the 9
+      // expected (run, sink) keys so empty sinks still report 0 — same
+      // rows, one job.
+      val runs = Seq(
+        ("all", Set("solr", "metrics", "links")),
+        ("solr_only", Set("solr")),
+        ("metrics_links", Set("metrics", "links")))
+      val pieces = runs.flatMap { case (label, modes) =>
         val b = IndexJob.run(master, modes = modes)
-        Seq((label, "solr", b.solr.count()), (label, "metrics", b.metrics.count()),
-          (label, "links", b.links.count()))
+        Seq("solr" -> b.solr, "metrics" -> b.metrics, "links" -> b.links)
+          .map { case (sink, df) =>
+            df.select(lit(label).as("run"), lit(sink).as("sink")) }
       }
-      (one("all", Set("solr", "metrics", "links")) ++
-        one("solr_only", Set("solr")) ++
-        one("metrics_links", Set("metrics", "links")))
-        .toDF("run", "sink", "n_rows")
+      val counted = pieces.reduce(_ unionAll _)
+        .groupBy(col("run"), col("sink")).agg(count(lit(1)).as("n_rows"))
+      runs.flatMap { case (label, _) =>
+          Seq("links", "metrics", "solr").map(sk => (label, sk)) }
+        .toDF("run", "sink")
+        .join(counted, Seq("run", "sink"), "left_outer")
+        .select(col("run"), col("sink"),
+          coalesce(col("n_rows"), lit(0L)).as("n_rows"))
         .orderBy("run", "sink")
     }),
 

@@ -358,11 +358,15 @@ object TextCatalog extends Catalog {
     // streams map-side against it with no shuffle at all; overlap counts
     // then reduce with map-side partial aggregation. ──
     "tx_decontaminate" -> ((s, d) => {
-      val words = split(col("text"), " ")
+      // r16: materialize the split once (the tx_bigram_logprob lesson —
+      // slice(split(text)) inside the lambda re-split per gram)
+      val words = col("ws")
       val grams = array_distinct(transform(
         sequence(lit(1), greatest(size(words) - 2, lit(1))),
         i => PortableHash.hash64(array_join(slice(words, i, lit(3)), " "))))
-      val base = Tables.documents(s, d).select(col("doc_id"), grams.as("ng"))
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), grams.as("ng"))
       val isEval = col("doc_id") % 97 === 0
       val evalNg = base.filter(isEval)
         .select(explode(col("ng")).as("ng")).distinct()
@@ -385,7 +389,8 @@ object TextCatalog extends Catalog {
     // is the O(n log n) sorted-run maxMultiplicity, bounded by document
     // length, not corpus size. ──
     "tx_rep_quality" -> ((s, d) => {
-      val words = split(col("text"), " ")
+      // r16: materialize the split once (the tx_bigram_logprob lesson)
+      val words = col("ws")
       val nWords = size(words).cast("long")
       val bigrams = transform(
         sequence(lit(1), greatest(size(words) - 1, lit(1))),
@@ -396,6 +401,7 @@ object TextCatalog extends Catalog {
       val topFrac = round(
         topBigram.cast("double") / size(bigrams).cast("double"), 6)
       Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
         .select(col("doc_id"), nWords.as("n_words"),
           dupFrac.as("dup_word_frac"), topFrac.as("top_bigram_frac"))
         .withColumn("low_quality",
@@ -873,18 +879,28 @@ object TextCatalog extends Catalog {
     // counts are an equi-join on the gram hash; per-gram fan-out is
     // bounded by |sources|², independent of corpus size. ──
     "tx_source_overlap" -> ((s, d) => {
-      val grams = Tables.documents(s, d)
+      // r16: ONE corpus-wide exchange instead of two. The old form ran a
+      // standalone `.distinct()` on (source, gram) — a full shuffle —
+      // and THEN the per-gram set aggregation (a second full shuffle of
+      // the same rows). collect_set dedups inside the aggregation state,
+      // so grouping the raw exploded pairs by gram directly yields the
+      // identical per-gram source set with the distinct's exchange gone;
+      // per-source distinct-gram counts fall out of the same cached sets
+      // map-side (explode of ≤|sources| arrays + partial agg).
+      val bySets = Tables.documents(s, d)
         .select(col("source"),
           explode(graft.functions.TextHashes
             .windowHashesUdf(5, distinct = true)(col("text"))).as("g"))
-        .distinct()
-        .cache()
-      val sizes = grams.groupBy(col("source")).agg(count(lit(1)).as("n"))
-      // per-gram source SET, then the a<b pair expansion map-side — one
-      // aggregation exchange instead of a self-join; the set (and so the
-      // fan-out) is bounded by |sources| however hot the gram
-      val shared = grams.groupBy(col("g"))
+        .groupBy(col("g"))
         .agg(sort_array(collect_set(col("source"))).as("srcs"))
+        .cache()
+      val sizes = bySets
+        .select(explode(col("srcs")).as("source"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      // per-gram source SET, then the a<b pair expansion map-side — the
+      // set (and so the fan-out) is bounded by |sources| however hot the
+      // gram
+      val shared = bySets
         .filter(size(col("srcs")) >= 2)
         .select(explode(col("srcs")).as("source_a"), col("srcs"))
         .select(col("source_a"), explode(col("srcs")).as("source_b"))
@@ -903,11 +919,13 @@ object TextCatalog extends Catalog {
 
     // ── Document fingerprint: min rolling-hash over 5-gram word shingles ──
     "tx_fingerprint" -> ((s, d) => {
-      val words = split(col("text"), " ")
+      // r16: materialize the split once (the tx_bigram_logprob lesson)
+      val words = col("ws")
       val shingles = transform(
         sequence(lit(1), greatest(size(words) - 4, lit(1))),
         i => array_join(slice(words, i, lit(5)), " "))
       Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
         .select(col("doc_id"),
           array_min(transform(shingles, sh => PortableHash.hash64(sh))).as("fingerprint"))
         .orderBy(col("doc_id"))
