@@ -15,7 +15,22 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+  /** r16: memoized logical frames per (session, dir, table). Every
+    * `spark.read.parquet` call re-infers the schema from the file footer
+    * and rebuilds the relation — paid per Tables call per query
+    * construction, hundreds of times per bench pass. The memo reuses the
+    * immutable plan tree; nothing is persisted or cached — every
+    * execution still scans the parquet. Keyed by session identity so a
+    * stopped session's entries are unreachable (and harmless). */
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    memo.computeIfAbsent(
+      System.identityHashCode(spark) + ":" + sfDir + ":" + name,
+      _ => loadFresh(spark, sfDir, name))
+
+  private def loadFresh(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // events.parquet has shipped ts as either TIMESTAMP(NANOS) (which Spark 4
     // rejects without nanosAsLong) or plain TIMESTAMP(MICROS); normalize both
     // to a session-UTC TimestampType so every downstream query and oracle sees
