@@ -115,8 +115,15 @@ object PrepPipelineCatalog extends Catalog {
     // production scale this cache IS the stage boundary a pipeline
     // persists between admission and contamination passes. Session-
     // scoped by the catalog-cache discipline (bench cleanup clears it).
-    val withCanon = flagged.withColumn("canonical",
-      col("doc_id") === min(col("doc_id")).over(wHash))
+    // r16: drop clean_text BEFORE the canonical window — no funnel
+    // consumer reads it past admission, and keeping it meant the
+    // content_hash exchange, the window sort, and the cached stage all
+    // carried the full document text for nothing (guide §2.3: project
+    // before the exchange). grams stay: the contamination branch needs
+    // them.
+    val withCanon = flagged.drop("clean_text")
+      .withColumn("canonical",
+        col("doc_id") === min(col("doc_id")).over(wHash))
       .cache()
     val overlap = withCanon
       .select(col("doc_id"), explode(col("grams")).as("ng"))
