@@ -155,99 +155,87 @@ object DedupCatalog extends Catalog {
     * on the attached arrays (the lenband discipline — candidate rows
     * carry ids only until the final join-back).
     *
-    * Plan shape (the 100 TB story): BOTH sides of the candidate join are
-    * derived map-side from each doc's own shingle ARRAY — no global
-    * df-join-back, no corpus-wide per-posting window sort (the r8 form
-    * ranked every posting by global rarity, which at 12B docs means
-    * sorting ~600B (doc, shingle, df) rows; this form sorts ≤ doc-length
-    * arrays in place). The only shuffles are the df aggregation (map-side
-    * combined, skipped entirely when dfCap is off), the candidate
-    * equi-join, and the verify join-backs.
+    * Plan shape (r16 — MEASURED reversal of the r13 broadcast-hot-map
+    * form). The r13 form ordered each doc's sub-cap ("cold") shingles by
+    * VALUE (per-doc rarity was unavailable without a df join) so probes
+    * carried common-but-under-cap shingles, and since dfCap = corpus/50
+    * GROWS with the corpus, candidate traffic grew ~quadratically: at
+    * the sf1.0-class fixture the prefilter emitted 9.1M candidate pairs
+    * for 5,120 true pairs and the verify's array-attach joins took 42 s
+    * (2.7 s at sf0.1 — a 10× corpus cost 16×). This form ranks every
+    * posting by GLOBAL rarity (df asc, shingle) — the classic prefix
+    * filter — so probe shingles are each doc's rarest and fan out to
+    * near-constant posting lists; the same measured wave dropped to
+    * ~0.6M candidates and 6.8 s. The price is the df join-back + a
+    * per-doc rank window over the postings (the r8-era concern about
+    * sorting corpus×doclen posting rows); that exchange is LINEAR in the
+    * corpus and is the exact shape lenbandJaccard already pays, while
+    * the candidate bomb is quadratic — at 100 TB the trade is not close.
     *
-    * Per doc, order the shingles COLD-FIRST: shingles with df ≤ dfCap in
-    * canonical (hash/lexical) order, then hot shingles (df > dfCap) by
-    * (df asc, shingle). Then
+    * Ordering note: under (df asc, s asc), cold shingles (df ≤ dfCap)
+    * sort before hot ones automatically, so the r13 contract is
+    * unchanged:
     *   prefix(A) = first ⌊(1−t)|A|⌋+2 of ordered(A)      (probe side)
-    *   index(B)  = cold(B) ∪ (hot(B) ∩ prefix(B))        (container side)
-    * The hot set is TINY by construction — ≤ total postings / dfCap, so
-    * ≤ 50·avgDocLen entries at dfCap = corpus/50 regardless of corpus
-    * size — and ships as one broadcast map; everything else is per-row.
+    *   index(B)  = cold(B) ∪ (hot(B) ∩ prefix(B))        (container side,
+    *               i.e. df ≤ dfCap OR rank ≤ prefixLen)
     *
-    * Recall argument. Pigeonhole: C(A,B) ≥ t means B misses ≤ (1−t)|A| of
-    * A's shingles, so ANY ⌊(1−t)|A|⌋+2-subset of A intersects B — rarity
-    * ordering was only ever a traffic optimization, not a correctness
-    * requirement. Hence ≥1 s ∈ prefix(A) ∩ B always. If prefix(A) is all
-    * cold (every doc with ≥ ⌊(1−t)|A|⌋+2 sub-cap shingles), that s is
-    * cold and index(B) keeps ALL cold postings → the pair is found:
-    * **zero loss for every probe doc with at least ⌊(1−t)|A|⌋+2 shingles
-    * under the cap.** A loss needs a boilerplate-saturated probe (> t·|A|
-    * of its shingles in > dfCap ≈ 2% of the corpus). The floor covers the
-    * dominant such case — mass duplication: identical shingle sets order
-    * identically, so prefix(A) = prefix(B) and the hot∩prefix postings
-    * re-link the whole cluster however far over the cap its shingles are
-    * (the lenband rarest-K floor, in prefix form). What remains lost is a
-    * hot-saturated probe contained in an UNRELATED larger doc — the
-    * boilerplate-only docs the quality gates upstream drop anyway; both
-    * SFs of the brute-force oracle stay green under the default caps and
-    * the planted C=1.0 truncations in DedupBench hold recall 1.0 at 2M.
+    * Recall argument (unchanged from r13). Pigeonhole: C(A,B) ≥ t means
+    * B misses ≤ (1−t)|A| of A's shingles, so ANY ⌊(1−t)|A|⌋+2-subset of
+    * A intersects B. Hence ≥1 s ∈ prefix(A) ∩ B always. If prefix(A) is
+    * all cold, that s is cold and index(B) keeps ALL cold postings → the
+    * pair is found: **zero loss for every probe doc with at least
+    * ⌊(1−t)|A|⌋+2 shingles under the cap.** A loss needs a
+    * boilerplate-saturated probe; mass duplication still re-links via
+    * the hot∩prefix floor (identical sets order identically under the
+    * global order). ContainmentPropSpec pins soundness, cap-off
+    * exactness, and the bounded-loss condition on random hot corpora.
     *
-    * Candidate-traffic bound: each prefix shingle fans out to ≤ dfCap
-    * container postings, so pairs ≤ Σ_A prefixLen(A) · dfCap; hot posting
-    * lists (the quadratic pair bombs — every probe touching a stop
-    * shingle fans out to its WHOLE corpus-scale list) never enter the
-    * join except through the self-limiting prefix floor. */
+    * Positional bound (r16, ppjoin-style, exact): ranks come from ONE
+    * global total order, so a pair's common shingles all rank at or
+    * after its earliest common shingle in both docs — overlap ≤
+    * min(|A|−rnA, |B|−rnB)+1, which must reach t·|A|. A qualifying pair
+    * always passes at its earliest match; the usual one-unit slack
+    * guards the IEEE boundary. */
   def containmentPairs(docs: DataFrame, threshold: Double,
       dfCap: Long = Long.MaxValue): DataFrame = {
-    val spark = docs.sparkSession
-    // hot shingles (df > dfCap) with their df, as a broadcast map. The
-    // collect is bounded by totalPostings/dfCap (see scaladoc); with the
-    // default cap off the aggregation is skipped entirely.
-    val elemType = docs.schema("sh").dataType
-      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
-    val hotMap: Map[Any, Long] =
-      if (dfCap == Long.MaxValue) Map.empty
-      else docs.select(explode(col("sh")).as("s"))
-        .groupBy(col("s")).agg(count(lit(1)).as("df"))
-        .filter(col("df") > dfCap)
-        .collect().map(r => (r.get(0): Any) -> r.getLong(1)).toMap
-    val hotB = spark.sparkContext.broadcast(hotMap)
-    // (prefix, index) arrays per doc — generic over the element type via
-    // two concrete UDFs (Spark UDFs are monomorphic in their SQL types)
-    def split[T: Ordering](sh: Seq[T]): (Seq[T], Seq[T]) = {
-      val hot = hotB.value
-      val ord = implicitly[Ordering[T]]
-      val (h, c) = sh.partition(x => hot.contains(x))
-      val cold = c.sorted(ord)
-      val hotOrd = h.sortBy(x => (hot(x), x))(Ordering.Tuple2(Ordering.Long, ord))
-      // +2 (not +1) absorbs IEEE undercount at the EXACT boundary:
-      // (1.0 − 0.8) is 0.1999…96, so ⌊(1−t)|A|⌋ can come out one short
-      // precisely when C(A,B) = t (seen live at sf0.1: |A|=10, |A∩B|=8).
-      // Over-inclusion costs one extra posting; under-inclusion is a
-      // missed duplicate.
-      val pl = (math.floor((1.0 - threshold) * sh.size) + 2).toInt
-      val prefix = (cold ++ hotOrd).take(pl)
-      val nHotInPrefix = math.max(0, pl - cold.size)
-      (prefix, cold ++ hotOrd.take(nHotInPrefix))
-    }
-    val piUdf = elemType match {
-      case org.apache.spark.sql.types.StringType =>
-        udf((sh: Seq[String]) => split(sh))
-      case _ => udf((sh: Seq[Long]) => split(sh))
-    }
-    val annotated = docs
-      .select(col("doc_id"), size(col("sh")).as("setsize"), piUdf(col("sh")).as("pi"))
-    val probe = annotated
+    import org.apache.spark.sql.expressions.Window
+    val inv = docs.select(col("doc_id"), size(col("sh")).as("setsize"),
+      explode(col("sh")).as("s"))
+    // df per shingle: map-side-combined aggregation, joined back so every
+    // posting knows its global rarity (the lenband shape)
+    val dfs = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    val ranked = inv.join(dfs, Seq("s"))
+      .withColumn("rn", row_number().over(w))
+    // +2 (not +1) absorbs IEEE undercount at the EXACT boundary:
+    // (1.0 − 0.8) is 0.1999…96, so ⌊(1−t)|A|⌋ can come out one short
+    // precisely when C(A,B) = t (seen live at sf0.1: |A|=10, |A∩B|=8).
+    // Over-inclusion costs one extra posting; under-inclusion is a
+    // missed duplicate.
+    val prefixLen = floor(lit(1.0 - threshold) * col("setsize")) + 2
+    // cached: the candidate join reads the ranked postings twice
+    val kept = ranked
+      .filter(col("df") <= dfCap || col("rn") <= prefixLen)
+      .select(col("doc_id"), col("setsize"), col("s"), col("rn"),
+        (col("rn") <= prefixLen).as("__inPrefix"))
+      .cache()
+    val probe = kept.filter(col("__inPrefix"))
       .select(col("doc_id").as("doc_a"), col("setsize").as("size_a"),
-        explode(col("pi._1")).as("s"))
-    val index = annotated
+        col("s"), col("rn").as("ra"))
+    val index = kept
       .select(col("doc_id").as("doc_b"), col("setsize").as("size_b"),
-        explode(col("pi._2")).as("s"))
-    // the size bound gets the same one-unit slack: t·|A| as a double can
-    // land a hair ABOVE the exact rational (0.8·10 = 8.000…0004), which
-    // would veto the boundary pair the verify then proves qualifies
+        col("s"), col("rn").as("rb"))
+    // the size bound gets the same one-unit slack as the prefix length:
+    // t·|A| as a double can land a hair ABOVE the exact rational
+    // (0.8·10 = 8.000…0004), which would veto the boundary pair the
+    // verify then proves qualifies. The positional bound (scaladoc) uses
+    // 1-based ranks: overlap ≤ min(|A|−ra, |B|−rb)+1 ≥ t·|A|, slacked
+    // the same way.
     val cand = probe.join(index, Seq("s"))
       .filter(col("doc_a") =!= col("doc_b") &&
-        col("size_b") >= lit(threshold) * col("size_a") - 1)
+        col("size_b") >= lit(threshold) * col("size_a") - 1 &&
+        least(col("size_a") - col("ra"), col("size_b") - col("rb")) + 1 >=
+          lit(threshold) * col("size_a") - 1)
       .select(col("doc_a"), col("doc_b"))
       .distinct()
     cand

@@ -483,12 +483,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"prefix probe joins the inverted index on the shingle key:\n${p.take(2000)}")
     assert(p.contains("array_intersect"),
       "the exact verify is per-row set math on the attached arrays")
-    // the r9 map-side redesign: prefix AND index postings derive from
-    // each doc's own shingle array — the corpus-wide per-posting rarity
-    // window (an Exchange + Sort over every posting, ~600B rows at 12B
-    // docs) must never come back
-    assert(!p.contains("Window"),
-      s"no per-posting window sort in the containment plan:\n${p.take(2000)}")
+    // r16 reversal of the r9 pin: prefixes are GLOBAL-RARITY-ordered
+    // again (df join + per-doc rank window). The r9 form's value-ordered
+    // prefixes admitted common-but-under-cap shingles and, because
+    // dfCap = corpus/50 grows with the corpus, candidates grew
+    // quadratically — measured 9.1M candidate pairs for 5,120 true pairs
+    // (42 s of verify) at the sf1.0-class fixture vs ~0.4M/7 s with
+    // rarity prefixes + the positional bound. The rank window is LINEAR
+    // (one exchange over the postings, the lenbandJaccard shape) and
+    // must partition by doc_id — never a corpus-global single partition.
+    assert(p.contains("row_number"),
+      s"rarity-ranked prefixes (df asc, shingle) drive the probe:\n${p.take(2000)}")
+    assert(!"(?m)Exchange SinglePartition[^\\n]*\\n[^\\n]*Window".r
+        .findAllIn(p).hasNext,
+      s"the posting rank window must stay per-doc:\n${p.take(2000)}")
   }
 
   test("stratified exact-k prunes map-side: WindowGroupLimit on lang keeps " +
