@@ -114,15 +114,19 @@ object Components {
     val prevParts = sess.conf.getOption("spark.sql.shuffle.partitions")
     sess.conf.set("spark.sql.shuffle.partitions", parts.toString)
     try {
+    // r16: the seed aggregation is NOT separately checkpointed — round
+    // 0's pin materializes seed + first propagation in one job (one less
+    // checkpoint per run; the seed subtree appears twice in round 0's
+    // plan but ends in an exchange, which ReusedExchange dedupes). Its
+    // output partitioning, hash(src, parts), matches bidir's, so the
+    // round-0 join adds no exchange either. e's directed cache is
+    // released after the FIRST pin — by then bidir's cache (e's last
+    // reader) is materialized.
     var comp = bidir.groupBy(col("src"))
       .agg(min(col("dst")).as("__nbr"))
       .select(col("src").as("node"),
         least(col("__nbr"), col("src")).as("cluster_id"))
-    comp = pin(comp)
-    // the seed checkpoint materialized bidir's cache, and bidir was e's
-    // last reader — release the directed copy before the rounds instead
-    // of holding ~1.5x the edge set in storage for the whole loop
-    e.unpersist(blocking = false)
+    var eReleased = false
     var converged = false
     var iters = 0
     while (!converged && iters < maxIters) {
@@ -166,6 +170,12 @@ object Components {
       val nChanged = obs.get("n_changed") match {
         case null => 0L  // empty frame: no rows, no changes
         case v    => v.asInstanceOf[Long]
+      }
+      if (!eReleased) {
+        // bidir's cache materialized with the first pin — drop the
+        // directed copy instead of holding ~1.5x the edge set all loop
+        e.unpersist(blocking = false)
+        eReleased = true
       }
       converged = nChanged == 0L
       if (sys.env.contains("GRAFT_CC_DEBUG"))
