@@ -415,7 +415,13 @@ object SimilarityCatalog extends Catalog {
     // is shared by the query side, the probe side, and the truth side —
     // the corpus never re-trains or shuffles. ──
     "sim_ann_ivf_trained" -> ((s, d) => {
-      val (_, assigned) = lloydTrain(s, d, rounds = 3)
+      // r17: same lineage truncation as sim_ann_stack — three consumers
+      // (query side, probe side, truth side) each carried the full
+      // 3-round training tree in the final plan; the eager localCheckpoint
+      // materializes the assignment once per invocation and the search
+      // plans against the checkpointed rows.
+      val (_, trained) = lloydTrain(s, d, rounds = 3)
+      val assigned = trained.localCheckpoint(true)
       val qs = assigned.filter(col("vec_id") >= 3 && col("vec_id") < 13)
         .select(col("vec_id").as("query_id"), col("label").as("qcell"),
           col("v").as("qv"))
@@ -614,7 +620,19 @@ object SimilarityCatalog extends Catalog {
     "sim_ann_stack" -> ((s, d) => {
       def dot(a: Column, b: Column) =
         org.apache.spark.sql.graftnative.NativeExpressions.dotCol(a, b)
-      val (_, assigned) = lloydTrain(s, d, rounds = 3)
+      // r17: the trained assignment is consumed by SIX downstream branches
+      // (cent, qualifying/occ, qs, qcodes, raw-vector fetch, truth); with
+      // the Lloyd rounds left as a lazy cached tree, every branch's plan
+      // carries the full 3-round subtree — a ~5,600-line physical plan
+      // that AQE re-optimizes per stage, which a warm re-run measured as
+      // the query's dominant residual (orchestration, not data; guide
+      // §3.3 "planning time itself can become the bottleneck" /
+      // §5 localCheckpoint to cut lineage). The eager localCheckpoint
+      // materializes the SAME rows once per invocation — nothing persists
+      // across runs — and every consumer now plans against the
+      // checkpointed blocks instead of the training tree.
+      val (_, trained) = lloydTrain(s, d, rounds = 3)
+      val assigned = trained.localCheckpoint(true)
       val cent = assigned
         .select(col("label").as("clabel"), posexplode(col("v")).as(Seq("i", "x")))
         .groupBy(col("clabel"), col("i")).agg(avg(col("x")).as("m"))
