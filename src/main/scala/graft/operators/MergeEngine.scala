@@ -211,7 +211,6 @@ object MergeEngine {
     * (pointer doubling), so cycles/deep chains converge in log rounds. */
   def resolveAliases(aliases: Dataset[IdentifierAlias], maxIters: Int = 20): DataFrame = {
     var current = aliases.toDF("key", "target")
-    var prevCached: DataFrame = null
     var i = 0
     var converged = false
     while (i < maxIters && !converged) {
@@ -223,11 +222,25 @@ object MergeEngine {
           // hop into a self-loop terminal lands on the same target and
           // must not count, or fixpoints would never be detected)
           (col("b.target").isNotNull && col("b.target") =!= col("a.target")).as("changed"))
-        .cache()
-      val moved = step.filter(col("changed")).limit(1).count()
-      if (prevCached != null) prevCached.unpersist() // dead after this round
-      prevCached = step
-      current = step.drop("changed")
+      // r17 (the Components.assign round shape): convergence detection
+      // rides the SAME job that materializes the round — an Observation
+      // on the eager localCheckpoint counts moved rows as they stream
+      // past (exact for batch actions), replacing the per-round
+      // cache + filter/limit probe job, whose limit(1) scheduled
+      // incremental sub-jobs and, on the converged round, scanned the
+      // whole frame. The checkpoint also truncates lineage: each round's
+      // self-join previously DOUBLED the logical plan (cache keeps the
+      // whole tree), so the caller's final plan carried 2^rounds copies
+      // of the seed — ~1,000 lines for m3_rename_alias's 5-row graph.
+      val obs = new org.apache.spark.sql.Observation(s"alias-moved-$i")
+      val pinned = step.observe(obs,
+        sum(when(col("changed"), 1L).otherwise(0L)).as("n_moved"))
+        .localCheckpoint(true)
+      val moved = obs.get("n_moved") match {
+        case null => 0L // empty frame: no rows, nothing moved
+        case v    => v.asInstanceOf[Long]
+      }
+      current = pinned.drop("changed")
       converged = moved == 0
       i += 1
     }
