@@ -103,17 +103,18 @@ object Components {
       .union(e.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(parts, col("src"))
       .cache()
-    // run the WHOLE loop's exchanges at the graph-derived width: the
-    // session's shuffle.partitions is sized for corpus-wide queries, and
-    // each round otherwise plans its aggregations/joins at that width —
-    // for a near-dup graph of tens of thousands of edges that is 32-wide
-    // stages of near-empty tasks, pure scheduling latency ×3 exchanges
-    // ×rounds. parts already scales with the edge count (capped by the
-    // configured width), so this stays cluster-sized on a real corpus.
-    val sess = e.sparkSession
-    val prevParts = sess.conf.getOption("spark.sql.shuffle.partitions")
-    sess.conf.set("spark.sql.shuffle.partitions", parts.toString)
-    try {
+    // r17: the loop's width is pinned per exchange with explicit
+    // repartition(parts, key) instead of mutating the session-global
+    // spark.sql.shuffle.partitions (the r16 form): session conf is shared
+    // across threads, so a concurrent query planned during a CC loop
+    // would silently plan at the graph's width. The explicit form pins
+    // exactly the exchange that matters — the label frame's join side,
+    // which must co-partition with bidir's cached hash(src, parts)
+    // blocks (a width mismatch would re-exchange the cached edge list
+    // every round). The aggregation exchanges keep the session width and
+    // their map-side partial aggregation; AQE coalescing shrinks their
+    // near-empty reduce tasks on a small graph, and on a corpus-sized
+    // graph the session width is the right width anyway.
     // r16: the seed aggregation is NOT separately checkpointed — round
     // 0's pin materializes seed + first propagation in one job (one less
     // checkpoint per run; the seed subtree appears twice in round 0's
@@ -139,7 +140,8 @@ object Components {
       // the compress probe) where the join+agg+join form ran 6.
       // Every bidir node appears as src (the union is symmetric), so comp
       // covers all of cand's nodes and the union loses nobody.
-      val cand = comp.join(bidir, col("node") === col("src"))
+      val cand = comp.repartition(parts, col("node"))
+        .join(bidir, col("node") === col("src"))
         .select(col("dst").as("node"), col("cluster_id"),
           lit(null).cast("long").as("__old"))
       val own = comp.select(col("node"), col("cluster_id"),
@@ -188,11 +190,5 @@ object Components {
         s"connected components did not converge in $maxIters rounds")
     bidir.unpersist(blocking = false)
     comp
-    } finally {
-      prevParts match {
-        case Some(v) => sess.conf.set("spark.sql.shuffle.partitions", v)
-        case None    => sess.conf.unset("spark.sql.shuffle.partitions")
-      }
-    }
   }
 }
