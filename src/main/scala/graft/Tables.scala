@@ -20,15 +20,33 @@ object Tables {
     * and rebuilds the relation — paid per Tables call per query
     * construction, hundreds of times per bench pass. The memo reuses the
     * immutable plan tree; nothing is persisted or cached — every
-    * execution still scans the parquet. Keyed by session identity so a
-    * stopped session's entries are unreachable (and harmless). */
-  private val memo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    * execution still scans the parquet.
+    *
+    * r17: the memo holds ONE session's frames at a time, keyed by the
+    * session object itself (reference equality — the r16 form keyed on
+    * System.identityHashCode, which can collide, and retained entries of
+    * stopped sessions forever). A load from a different session swaps the
+    * whole map, so a long-lived driver cycling sessions holds at most the
+    * live session's ≤ dirs×tables frames; the frames themselves reference
+    * their session, so per-session maps in a weak-keyed registry would
+    * never be collected anyway. */
+  private val memo = new java.util.concurrent.atomic.AtomicReference[
+    (SparkSession, Map[String, DataFrame])]()
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    memo.computeIfAbsent(
-      System.identityHashCode(spark) + ":" + sfDir + ":" + name,
-      _ => loadFresh(spark, sfDir, name))
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val key = sfDir + ":" + name
+    while (true) {
+      val cur = memo.get()
+      val sameSession = cur != null && (cur._1 eq spark)
+      if (sameSession && cur._2.contains(key)) return cur._2(key)
+      val df = loadFresh(spark, sfDir, name)
+      val base = if (sameSession) cur._2 else Map.empty[String, DataFrame]
+      if (memo.compareAndSet(cur, (spark, base + (key -> df)))) return df
+      // lost a race: retry against the new map (loadFresh is cheap and
+      // side-effect-free, so a duplicate derivation is harmless)
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   private def loadFresh(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // events.parquet has shipped ts as either TIMESTAMP(NANOS) (which Spark 4
