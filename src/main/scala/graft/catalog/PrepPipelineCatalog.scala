@@ -53,13 +53,16 @@ object PrepPipelineCatalog extends Catalog {
     * (disjoint from the hash range ≥ 0) so they never enter the dedup
     * pool or absorb a survivor's canonical slot. */
   def admissionFlags(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // r17: one fused count+scrub invocation per document instead of six
+    // regex expressions (see TextCatalog.piiAdmitUdf — value parity pinned
+    // by PiiParitySpec). The struct projects in a separate select so the
+    // UDF evaluates once; CollapseProject keeps non-cheap expressions
+    // un-inlined and subexpression elimination covers the codegen side.
     val scrubbed = docs
       .select(col("doc_id"), col("source"), col("lang"),
-        (TextCatalog.piiMatches(col("pii_text"), TextCatalog.PiiEmailRe) +
-          TextCatalog.piiMatches(col("pii_text"), TextCatalog.PiiIpRe) +
-          TextCatalog.piiMatches(col("pii_text"), TextCatalog.PiiPhoneRe))
-          .as("pii_total"),
-        TextCatalog.piiScrubbed(col("pii_text")).as("clean_text"))
+        TextCatalog.piiAdmitUdf(col("pii_text")).as("__pii"))
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("__pii._1").as("pii_total"), col("__pii._2").as("clean_text"))
     val words = split(col("clean_text"), " ")
     val nWords = size(words).cast("long")
     val avgLen = length(regexp_replace(col("clean_text"), " ", ""))
@@ -166,15 +169,23 @@ object PrepPipelineCatalog extends Catalog {
     // documents exist. Added plan cost over the funnel: one ≤|langs|-row
     // weight derivation and the pack's range shuffle. ──
     "pl_train_manifest" -> ((s, d) => {
-      // cache: sampling weights, the salted-hash selection, and the
-      // packing prefix sum each fire their own driver action over the
+      // materialize-once: sampling weights, the salted-hash selection, and
+      // the packing prefix sum each fire their own driver action over the
       // kept set; three narrow columns, so materializing once is cheap
-      // and keeps those actions from re-running the funnel
+      // and keeps those actions from re-running the funnel.
+      // r17: eager localCheckpoint instead of cache — the cache kept the
+      // funnel's FULL logical tree (the final plan ran to ~3,900 lines /
+      // 354 Exchanges), and the packing subtotal collect plus the final
+      // aggregation each re-planned it end to end. The checkpoint
+      // truncates lineage to the materialized kept rows (same rows,
+      // recomputed from parquet on every invocation), so the sampling/
+      // packing phase plans against a 3-column RDD (guide §3.3/§5:
+      // materialize an intermediate to cut planning cost).
       val kept = funnelFlags(s, d)
         .filter(col("pass_filter") && col("canonical") &&
           !col("contaminated") && col("clf_keep"))
         .select(col("doc_id"), col("lang"), col("n_words"))
-        .cache()
+        .localCheckpoint(true)
       val counts = kept.groupBy(col("lang")).agg(count(lit(1)).as("cnt")).cache()
       val withShare = counts
         .crossJoin(counts.agg(sum(col("cnt")).as("total")))

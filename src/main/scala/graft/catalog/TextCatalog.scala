@@ -58,12 +58,53 @@ object TextCatalog extends Catalog {
       .otherwise(lit("")))
   }
 
-  private[catalog] def piiMatches(c: org.apache.spark.sql.Column, re: String) =
+  private[graft] def piiMatches(c: org.apache.spark.sql.Column, re: String) =
     size(regexp_extract_all(c, lit(re), lit(0))).cast("long")
 
-  private[catalog] def piiScrubbed(c: org.apache.spark.sql.Column) =
+  private[graft] def piiScrubbed(c: org.apache.spark.sql.Column) =
     regexp_replace(regexp_replace(regexp_replace(c,
       PiiEmailRe, "[EMAIL]"), PiiIpRe, "[IP]"), PiiPhoneRe, "[PHONE]")
+
+  /** r17: the admission funnel's PII stage as ONE compiled invocation
+    * returning (pii_total, clean_text) — value-identical to
+    * `piiMatches ×3 + piiScrubbed` (pinned by PiiParitySpec and the pl_*
+    * oracles), cheaper per row: the expression form ran six regex
+    * expressions, each converting the full document UTF8String→String and
+    * the scrub chain materializing two intermediate document copies
+    * between codegen operators. Here the document crosses the boundary
+    * once and the email matcher feeds its count and its replacement from
+    * the same pass (5 regex passes, not 6; zero redundant conversions).
+    * The counts MUST stay on the original text — an email's local part
+    * can contain a phone match and its domain an IP match, so counting
+    * after a replace would change the totals (which is also why the ip/
+    * phone passes cannot fuse count and replace the way email does: their
+    * replaces run on the partially-scrubbed text, their counts on the
+    * original, exactly the sequential-regexp_replace semantics). */
+  private[graft] lazy val piiAdmitUdf = {
+    val (emailP, ipP, phoneP) = (
+      java.util.regex.Pattern.compile(PiiEmailRe),
+      java.util.regex.Pattern.compile(PiiIpRe),
+      java.util.regex.Pattern.compile(PiiPhoneRe))
+    udf { (text: String) =>
+      if (text == null) null
+      else {
+        def countOf(p: java.util.regex.Pattern): Long = {
+          val m = p.matcher(text); var n = 0L
+          while (m.find()) n += 1
+          n
+        }
+        val mE = emailP.matcher(text)
+        var nEmail = 0L
+        val sb = new java.lang.StringBuffer(text.length)
+        while (mE.find()) { nEmail += 1; mE.appendReplacement(sb, "[EMAIL]") }
+        mE.appendTail(sb)
+        val scrub1 = sb.toString
+        val scrub2 = ipP.matcher(scrub1).replaceAll("[IP]")
+        val clean = phoneP.matcher(scrub2).replaceAll("[PHONE]")
+        (nEmail + countOf(ipP) + countOf(phoneP), clean)
+      }
+    }
+  }
 
   /** Hashed-feature classifier model shape (tx_quality_classifier): 64
     * weight buckets, weights in [-1, 1] derived deterministically from the
@@ -1254,9 +1295,9 @@ object TextCatalog extends Catalog {
 
   /** PII patterns in the Java-regex/RE2 common dialect (no lookaround, no
     * backrefs) so Spark and DuckDB match identically. */
-  private[catalog] val PiiEmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-  private[catalog] val PiiIpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-  private[catalog] val PiiPhoneRe = "\\+\\d{7,15}"
+  private[graft] val PiiEmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private[graft] val PiiIpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private[graft] val PiiPhoneRe = "\\+\\d{7,15}"
   private val PiiSsnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
   private val PiiCardRe = "\\b\\d{16}\\b"
 
