@@ -38,19 +38,84 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** Loop sessions, one per (parent session, shuffle width), reused across
+    * assign() calls: a session is cheap to create but registers an
+    * execution-listener bus on the shared SparkContext bus FOREVER, so a
+    * clone per call would accumulate listeners (every query event fans
+    * out to all of them — measured as a progressive ~20% drag on the CC
+    * family after a few dozen calls). Reused sessions are IMMUTABLE after
+    * creation (the width is baked in), so nothing mutates shared state
+    * mid-query. Single parent slot, same discipline as Tables.memo: a new
+    * parent session swaps the map wholesale. */
+  private val loopSessions = new java.util.concurrent.atomic.AtomicReference[
+    (org.apache.spark.sql.SparkSession,
+      Map[Int, org.apache.spark.sql.SparkSession])]()
+
+  private def loopSessionFor(parent: org.apache.spark.sql.SparkSession,
+      parts: Int): org.apache.spark.sql.SparkSession = {
+    while (true) {
+      val cur = loopSessions.get()
+      val sameParent = cur != null && (cur._1 eq parent)
+      if (sameParent && cur._2.contains(parts)) return cur._2(parts)
+      val sess = parent.newSession()
+      sess.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      val base = if (sameParent) cur._2
+        else Map.empty[Int, org.apache.spark.sql.SparkSession]
+      if (loopSessions.compareAndSet(cur, (parent, base + (parts -> sess))))
+        return sess
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Edges (undirected, any orientation, self-loops/dups tolerated) →
     * one row per distinct node: (node, cluster_id = min node id of its
     * component). Nodes absent from `edges` are absent from the result —
     * callers left-join and coalesce to self for singletons. */
   def assign(edges: DataFrame, maxIters: Int = 50): DataFrame = {
-    // cache the directed edges first: the bidirectional union reads them
-    // twice, and when the caller's `edges` is itself a join pipeline
-    // (simhash band collisions, LSH candidates) an uncached union would
-    // re-run that pipeline once per direction
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    // r17: the WHOLE loop plans at the graph-derived width, but inside a
+    // CLONED session instead of by mutating the caller session's
+    // spark.sql.shuffle.partitions (the r16 form): session conf is shared
+    // across threads, so a concurrent query planned during a CC loop
+    // would silently plan at the graph's width. newSession() shares the
+    // SparkContext, the cache manager and the global-temp-view catalog,
+    // but has its own SQLConf — the width set below is invisible outside
+    // the loop. This keeps r16's plans byte-identical inside the loop:
+    // the alternative (pinning only the join side with an explicit
+    // repartition and leaving the aggregation/self-join exchanges at the
+    // session width) was measured 2.0x SLOWER per round at the
+    // sf1.0-class fixture (17.9 s vs 8.9 s for dd_cluster_assign — a
+    // 32-wide AQE stage per exchange per round on a 1-partition graph is
+    // pure orchestration overhead), and an explicit repartition below
+    // each groupBy would forfeit map-side partial aggregation. Frames
+    // cross sessions via a global temp view (Dataset analysis is eager,
+    // so the registration is dropped as soon as the other side's Dataset
+    // exists).
+    def rebind(df: DataFrame, to: org.apache.spark.sql.SparkSession): DataFrame = {
+      val name = s"graft_cc_xfer_$runId"
+      df.createOrReplaceGlobalTempView(name)
+      val out = to.table(s"global_temp.$name")
+      df.sparkSession.catalog.dropGlobalTempView(name)
+      out
+    }
+    // pin the directed edges first (eager localCheckpoint in the CALLER
+    // session, at the corpus width — the candidate pipeline is
+    // corpus-sized work and the loop width isn't known yet): the
+    // bidirectional union reads them twice, and when the caller's `edges`
+    // is itself a join pipeline (simhash band collisions, LSH candidates)
+    // an unpinned union would re-run that pipeline once per direction.
+    // A checkpoint rather than the r16 cache because the loop session
+    // reads these rows THROUGH the view rebinding, and cross-session
+    // cached-plan substitution does not fire (measured: the candidate
+    // pipeline silently re-ran inside round 0, +1-3 s per CC query at
+    // the sf1.0 fixture) — checkpointed blocks need no substitution.
+    val tB = System.nanoTime()
     val e = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
-      .cache()
-    val m = e.count()
+      .localCheckpoint(true)
+    val m = e.count() // over checkpointed blocks: metadata-cheap
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      println(f"[cc] epin=${(System.nanoTime()-tB)/1e9}%.3f")
     // pinned hash partitioning on src, cached ONCE: the edge list is the
     // largest frame in the algorithm and every round joins it on src — a
     // plain cache would still re-exchange it per round, while the explicit
@@ -65,17 +130,20 @@ object Components {
     // (e.g. "auto"); the sizing heuristic degrades to defaultParallelism
     // there instead of crashing before any work
     val confParts = scala.util.Try(
-      e.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
-      .getOrElse(e.sparkSession.sparkContext.defaultParallelism)
+      edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+      .getOrElse(edges.sparkSession.sparkContext.defaultParallelism)
     val parts = math.max(1L,
       math.min(confParts.toLong, (2 * m + 1999999) / 2000000)).toInt
+    val loopSess = loopSessionFor(edges.sparkSession, parts)
     // per-round lineage pin: executor-local blocks by default (fastest),
     // or the reliable checkpoint store when the caller opts in for
     // executor-loss survivability on a real cluster
-    val reliable = e.sparkSession.conf
+    // the opt-in is the CALLER's runtime conf (a cloned session only sees
+    // SparkConf-level settings, not the caller's spark.conf.set values)
+    val reliable = edges.sparkSession.conf
       .getOption("spark.graft.components.reliableCheckpoint")
       .exists(_.equalsIgnoreCase("true")) &&
-      e.sparkSession.sparkContext.getCheckpointDir.isDefined
+      edges.sparkSession.sparkContext.getCheckpointDir.isDefined
     // reliable mode is a managed parquet round-trip rather than
     // df.checkpoint: RDD checkpoint files are only reclaimed by the
     // GC-driven cleaner (off by default), so a 50-round run would leave
@@ -83,8 +151,7 @@ object Components {
     // snapshot is deleted as soon as the next one is on disk — the store
     // holds at most two live snapshots during a round and exactly one
     // (the result the caller reads) after the loop.
-    val ckRoot = e.sparkSession.sparkContext.getCheckpointDir
-    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val ckRoot = edges.sparkSession.sparkContext.getCheckpointDir
     var prevReliable: Option[org.apache.hadoop.fs.Path] = None
     var round = 0
     def pin(df: DataFrame): DataFrame =
@@ -99,35 +166,21 @@ object Components {
         prevReliable = Some(dir)
         spark.read.parquet(dir.toString)
       } else df.localCheckpoint(true)
-    val bidir = e
-      .union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val eLoop = rebind(e, loopSess)
+    val bidir = eLoop
+      .union(eLoop.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(parts, col("src"))
       .cache()
-    // r17: the loop's width is pinned per exchange with explicit
-    // repartition(parts, key) instead of mutating the session-global
-    // spark.sql.shuffle.partitions (the r16 form): session conf is shared
-    // across threads, so a concurrent query planned during a CC loop
-    // would silently plan at the graph's width. The explicit form pins
-    // exactly the exchange that matters — the label frame's join side,
-    // which must co-partition with bidir's cached hash(src, parts)
-    // blocks (a width mismatch would re-exchange the cached edge list
-    // every round). The aggregation exchanges keep the session width and
-    // their map-side partial aggregation; AQE coalescing shrinks their
-    // near-empty reduce tasks on a small graph, and on a corpus-sized
-    // graph the session width is the right width anyway.
     // r16: the seed aggregation is NOT separately checkpointed — round
     // 0's pin materializes seed + first propagation in one job (one less
     // checkpoint per run; the seed subtree appears twice in round 0's
     // plan but ends in an exchange, which ReusedExchange dedupes). Its
     // output partitioning, hash(src, parts), matches bidir's, so the
-    // round-0 join adds no exchange either. e's directed cache is
-    // released after the FIRST pin — by then bidir's cache (e's last
-    // reader) is materialized.
+    // round-0 join adds no exchange either.
     var comp = bidir.groupBy(col("src"))
       .agg(min(col("dst")).as("__nbr"))
       .select(col("src").as("node"),
         least(col("__nbr"), col("src")).as("cluster_id"))
-    var eReleased = false
     var converged = false
     var iters = 0
     while (!converged && iters < maxIters) {
@@ -140,8 +193,7 @@ object Components {
       // the compress probe) where the join+agg+join form ran 6.
       // Every bidir node appears as src (the union is symmetric), so comp
       // covers all of cand's nodes and the union loses nobody.
-      val cand = comp.repartition(parts, col("node"))
-        .join(bidir, col("node") === col("src"))
+      val cand = comp.join(bidir, col("node") === col("src"))
         .select(col("dst").as("node"), col("cluster_id"),
           lit(null).cast("long").as("__old"))
       val own = comp.select(col("node"), col("cluster_id"),
@@ -173,12 +225,6 @@ object Components {
         case null => 0L  // empty frame: no rows, no changes
         case v    => v.asInstanceOf[Long]
       }
-      if (!eReleased) {
-        // bidir's cache materialized with the first pin — drop the
-        // directed copy instead of holding ~1.5x the edge set all loop
-        e.unpersist(blocking = false)
-        eReleased = true
-      }
       converged = nChanged == 0L
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         println(f"[cc] round=$iters%d pin=${(System.nanoTime() - t0) / 1e9}%.3f changed=$nChanged%d parts=$parts%d edges=$m%d")
@@ -189,6 +235,8 @@ object Components {
       throw new IllegalStateException(
         s"connected components did not converge in $maxIters rounds")
     bidir.unpersist(blocking = false)
-    comp
+    // re-anchor the (checkpoint-backed) result to the caller's session so
+    // downstream plans use the caller's width and conf
+    rebind(comp, edges.sparkSession)
   }
 }

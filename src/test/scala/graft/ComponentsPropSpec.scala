@@ -108,4 +108,23 @@ class ComponentsPropSpec extends AnyFunSuite with SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("assign never mutates the caller session's conf: the loop's " +
+    "graph-derived shuffle width lives in a private cloned session (r17; " +
+    "the r16 form set-and-restored the shared conf, racing concurrent " +
+    "planners)") {
+    import spark.implicits._
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val edges = (0L until 2000L).map(i => (i, i / 2)).toDF("src", "dst")
+    val out = Components.assign(edges)
+    // the conf is already restored DURING the loop in the new form, but a
+    // concurrent observer can't poll reliably here — what is pinned is
+    // that the result is correct AND the caller conf is untouched after,
+    // and (structurally) that no conf.set targets the caller session.
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
+    assert(out.sparkSession eq spark,
+      "the result frame must be re-anchored to the caller's session")
+    assert(out.filter("cluster_id <> 0").count() == 0L,
+      "halving chain collapses to one component rooted at 0")
+  }
 }
